@@ -1,0 +1,80 @@
+"""Exchangers — pluggable Arrow-batch transforms (Mallard EXCHANGE parity).
+
+The reference's exchanger contract (flight_server.py
+AbstractExchanger / MyStreamingExchanger) is: read a stream of Arrow
+record batches, transform, write a stream back. The Spark-native
+equivalent is ``DataFrame.mapInPandas``: each task receives an
+iterator of Arrow-backed pandas batches and yields transformed
+batches — identical semantics, but the stream is partitioned across
+executors, so one exchanger scales to 100 TB instead of one server
+thread.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+
+class Exchanger:
+    """Batch-iterator-in / batch-iterator-out transform."""
+
+    command: str = ""
+
+    def output_schema(self, input_schema: T.StructType) -> T.StructType:
+        return input_schema
+
+    def transform(self, batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from mallard_spark.session import ship_package
+
+        ship_package(df.sparkSession)
+        return df.mapInPandas(self.transform, schema=self.output_schema(df.schema))
+
+
+class AddProcessedExchanger(Exchanger):
+    """Appends ``processed = true`` — parity with the reference's
+    MyStreamingExchanger (flight_server.py:47-104)."""
+
+    command = "my_streaming_exchanger"
+
+    def output_schema(self, input_schema: T.StructType) -> T.StructType:
+        return T.StructType(
+            list(input_schema.fields) + [T.StructField("processed", T.BooleanType(), False)]
+        )
+
+    def transform(self, batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf.assign(processed=True)
+
+
+@query(
+    "exchange_add_processed",
+    oracle="SELECT *, TRUE AS processed FROM lineitem",
+)
+def exchange_add_processed(spark, sf_dir: str) -> DataFrame:
+    """The reference demo's EXCHANGE benchmark: stream the fact table
+    through the 'add processed column' transform."""
+    return AddProcessedExchanger().apply(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "exchange_identity",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def exchange_identity(spark, sf_dir: str) -> DataFrame:
+    """GET parity: SQL over the registered catalog (engine.sql path)."""
+    from mallard_spark.engine import MallardEngine
+
+    eng = MallardEngine(spark, namespace="q_server1")
+    eng.put("li", load_table(spark, sf_dir, "lineitem"))
+    return eng.sql("SELECT l_orderkey, l_linenumber, l_quantity FROM li")

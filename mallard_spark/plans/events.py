@@ -1,0 +1,291 @@
+"""Event / time-series analytics over the `events` table.
+
+Windowed aggregation, gap sessionization, funnel, cohort retention,
+JSON prop extraction, and an as-of join — the batch half of the
+streaming story (streaming/windows.py runs the same windowed agg
+through Structured Streaming and must produce identical results).
+
+Scale notes: every query here is a single hash-shuffle on
+``user_id`` (or none); sessionization and as-of both use window
+functions over that one partitioning, so at 100 TB they are one
+shuffle + sorted-within-partition scans — no driver-side state, no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+DV = "decimal(12,2)"  # events.value is a 2-decimal money-like double
+
+
+@query(
+    "ev_hourly_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation by event type (batch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "ev_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap): lag + running sum.
+
+    One shuffle on user_id; both windows share the same partitioning
+    and sort, so Catalyst plans a single Window exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # order and gap on exact nanos (ts_ns) — µs truncation must not
+    # be allowed to flip an ordering or a gap comparison
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000_000), 1).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DV)).cast("double").alias("session_value"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+        )
+    )
+
+
+@query(
+    "ev_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_signup_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase ordered funnel (staged min-timestamp joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_signup_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@query(
+    "ev_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           COUNT(DISTINCT f.user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN a.day = f.cohort_day + INTERVAL 1 DAY THEN a.user_id END) AS d1,
+           COUNT(DISTINCT CASE WHEN a.day = f.cohort_day + INTERVAL 7 DAY THEN a.user_id END) AS d7
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day
+    """,
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention (D1 / D7)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    j = firsts.join(activity, "user_id")
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("cohort_day") + F.expr("INTERVAL 1 DAY"), F.col("user_id"))
+        ).alias("d1"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("cohort_day") + F.expr("INTERVAL 7 DAY"), F.col("user_id"))
+        ).alias("d7"),
+    )
+
+
+@query(
+    "ev_top_users",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+)
+def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by exact total value (unique tiebreak on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "ev_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON prop extraction + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "ev_asof_join",
+    oracle="""
+    WITH orders_d AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey
+    FROM events e
+    ASOF LEFT JOIN orders_d o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event ↔ the latest order at-or-before its time.
+
+    Spark has no native ASOF JOIN; the scalable pattern is the
+    union-and-window merge: tag both streams, sort once within a
+    shared (key, time) partitioning, and carry the last-seen order
+    key forward with ``last(..., ignorenulls=True)``. One shuffle,
+    no Python, no per-key driver loop — holds at 100 TB where a
+    pd.merge_asof-per-group would need the whole key group in one
+    pandas frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    orders_d = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    ev_side = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "user_id",
+        F.lit(None).cast("long").alias("ord_key"),
+    )
+    ord_side = orders_d.select(
+        F.col("o_custkey").cast("long").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("o_orderkey").alias("ord_key"),
+    )
+    merged = ev_side.unionByName(ord_side)
+    # order rows sort before events at equal t => "at-or-before" (>=)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("o_orderkey", F.last("ord_key", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "o_orderkey")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The driver-generated star schema (TESTDATA.md).
 TABLES = (
@@ -37,8 +38,24 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is nanosecond-precision parquet, which Spark's
+    vectorized reader rejects; we read it as a raw long (runtime
+    legacy conf, so this works under ANY caller-provided session)
+    and expose BOTH ``ts`` (µs timestamp, for date functions) and
+    ``ts_ns`` (exact nanos, for order-sensitive logic — gaps,
+    as-of ordering — where µs truncation could diverge from an
+    ns-precision engine).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

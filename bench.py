@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Queries are executed with the noop sink (full computation, no
+result materialization on the driver) after a small JVM warmup, so
+the numbers measure the plans, not collection overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "running_totals",
+    "ev_hourly_agg",
+    "ev_sessionize",
+    "ev_asof_join",
+    "text_token_stats",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "exchange_add_processed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
+
+    from mallard_spark.registry import load_all
+    from mallard_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mallard_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    specs = load_all()
+
+    # JVM / codegen warmup on the smallest SF
+    specs["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

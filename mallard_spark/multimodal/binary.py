@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real corpora carry image/audio/video as binary columns with
+metadata; the engine-side work is (a) treating binary as a
+first-class column (checksums, sizes, grouping) and (b) running
+decode/feature-extraction as Arrow-batched Python over
+``mapInPandas``. The decode itself is STUBBED here (no codec libs in
+this container): ``decode_image_batch`` raises NotImplementedError
+for real codecs and provides a deterministic fake decoder so the
+Spark-side plumbing — schema, batch shape, partitioning — is real
+and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+
+def _with_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a synthetic binary payload + media_type metadata.
+
+    (The testdata has no binary column; utf-8 payload bytes stand in
+    for opaque media so every downstream op is real binary work.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        media.alias("media_type"),
+        "source",
+    )
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS n_distinct_payloads,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata ops: sizes, checksums, per-type rollup."""
+    b = _with_binary(spark, sf_dir)
+    return b.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+        # sha2 over the utf-8 payload == DuckDB's sha256(text) (1.0's
+        # sha256 only takes VARCHAR; both hash the same bytes)
+        F.countDistinct(F.sha2("payload", 256)).alias("n_distinct_payloads"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "width int, height int, n_frames int, feature_norm double"
+)
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decoder'. Deterministic fake: dimensions derived
+    from the payload sha256, so the full pipeline (binary in → typed
+    features out) is exercised without codec libraries.
+
+    Real decoders plug in here, e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # not in container
+
+    and should raise cleanly when the lib is absent.
+    """
+    for pdf in batches:
+        digests = pdf["payload"].map(lambda p: hashlib.sha256(bytes(p)).digest())
+        h0 = digests.map(lambda d: int.from_bytes(d[:4], "big"))
+        h1 = digests.map(lambda d: int.from_bytes(d[4:8], "big"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "width": (h0 % 1920 + 1).astype("int32"),
+                "height": (h1 % 1080 + 1).astype("int32"),
+                "n_frames": ((h0 % 240) + 1).astype("int32"),
+                "feature_norm": ((h1 % 10_000) / 10_000.0),
+            }
+        )
+
+
+def decode_real(payload: bytes, media_type: str):  # pragma: no cover
+    """Placeholder for the real codec path (libs absent in this env)."""
+    raise NotImplementedError(
+        "real image/audio/video decoding requires codec libraries "
+        "(PIL/av/librosa) not present in this container; "
+        "use decode_media_batch's deterministic fake for plumbing tests"
+    )
+
+
+@query("mm_decode_stub", oracle=None)  # Python-side decode — rows-only check
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing over mapInPandas (stub decoder)."""
+    from mallard_spark.session import ship_package
+
+    ship_package(spark)
+    b = _with_binary(spark, sf_dir)
+    return b.mapInPandas(decode_media_batch, schema=DECODE_SCHEMA)

@@ -1,0 +1,423 @@
+"""Deduplication operators over the `documents` / `embeddings` tables.
+
+Five strategies, all shuffle-bounded (no O(n²) cross join anywhere):
+
+- exact:          hash-groupBy on content md5 — one shuffle.
+- n-gram Jaccard: candidate pairs via a rare-shingle inverted index
+                  (df ≤ MAXDF blocks the hot shingles), exact Jaccard
+                  on candidates only.
+- MinHash + LSH:  16 portable md5 minhashes, 8 bands × 2 rows;
+                  pairs that share a band bucket are candidates.
+- SimHash:        16-bit simhash from weighted token hashes; banding
+                  on 4 nibbles; Hamming ≤ 4 marks near-dups.
+- embedding:      cosine ≥ 0.9 within label blocks.
+
+At 100 TB the band/bucket joins hash-shuffle on short keys and
+bucket sizes stay bounded (rare shingles / band hashes), so
+candidate generation is ~linear in corpus size. All hashing is
+md5-derived (functions.hashing) so DuckDB oracles reproduce every
+stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mallard_spark.functions.exec import materialize
+from mallard_spark.functions.hashing import md5_long, md5_long_expr, md5_long_sql
+from mallard_spark.functions.text import (
+    TOKENS_EXPR,
+    TOKENS_SQL,
+    shingles_of,
+    tokens,
+    word_shingles_sql,
+)
+from mallard_spark.functions.vectors import as_double, cosine6
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+# ------------------------------------------------------------- exact
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS rep_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy, keep the lowest doc_id per text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("rep_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_count",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+    FROM documents
+    """,
+)
+def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+    )
+
+
+# --------------------------------------------------- n-gram Jaccard
+
+MAXDF = 20  # shingles in more docs than this are too common to block on
+JACC_MIN = 0.2
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH doc_shingles AS (
+      SELECT DISTINCT doc_id, s.sh
+      FROM documents, UNNEST({word_shingles_sql(3)}) s(sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id
+    ), rare AS (
+      SELECT sh FROM doc_shingles GROUP BY sh HAVING COUNT(*) <= {MAXDF}
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM doc_shingles a
+      JOIN rare r ON a.sh = r.sh
+      JOIN doc_shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM cand
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {JACC_MIN}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-shingle Jaccard over rare-shingle candidates.
+
+    Shared rare shingle (df ≤ MAXDF) → candidate pair; Jaccard is
+    computed exactly but only on candidates, so work is bounded by
+    MAXDF² per shingle instead of n² per corpus. Note: only the
+    *inner-join count* uses rare shingles; set sizes are full.
+    """
+    par = spark.sparkContext.defaultParallelism
+    # repartition BEFORE tokenizing: the raw table is one parquet file,
+    # so the regex/shingle work would otherwise run single-threaded
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    doc_sh = materialize(
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.explode(shingles_of("toks", 3)).alias("sh"))
+        .distinct(),
+        "jaccard_doc_sh",  # consumed by sizes, rare, and both join sides
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        doc_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAXDF)
+        .select("sh")
+    )
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    cand = (
+        a.join(rare, "sh")
+        .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jacc = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= JACC_MIN)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------- MinHash + LSH
+
+K_MINHASH = 16
+N_BANDS = 8  # 8 bands × 2 rows
+EST_MIN = 0.25
+
+
+def _mh_sql(i: int) -> str:
+    h = md5_long_sql(f"concat('{i}:', s)")
+    return f"list_min(list_transform(shingles, s -> {h}))"
+
+
+def _minhash_lsh_oracle() -> str:
+    mh_cols = ",\n             ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(K_MINHASH))
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
+        for b in range(N_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
+      FROM documents
+      WHERE len({word_shingles_sql(3)}) > 0
+    ), mh AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM sh
+    ), bands AS (
+      {band_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ({eq_terms}) / {K_MINHASH}.0 AS est_sim
+    FROM pairs
+    JOIN mh ma ON ma.doc_id = doc_a
+    JOIN mh mb ON mb.doc_id = doc_b
+    WHERE ({eq_terms}) / {K_MINHASH}.0 >= {EST_MIN}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (8×2) near-dup candidates.
+
+    Signatures and band buckets are md5-derived (portable); the
+    band self-join is the only shuffle that grows with corpus size,
+    and bucket keys are 60-bit hashes so buckets stay tiny unless
+    documents genuinely collide.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    # explode-then-aggregate, NOT 16 array_min(transform(...)) columns:
+    # Catalyst's CollapseProject would inline the shingle pipeline into
+    # every minhash expression (16× redundant shingle building per
+    # row); exploding materializes each (doc, shingle) exactly once and
+    # the 16 md5s per shingle are the irreducible work. This is also
+    # the shape that scales — the groupBy is one shuffle on doc_id.
+    doc_sh = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.explode(shingles_of("toks", 3)).alias("s"))
+        .distinct()
+    )
+    mh = materialize(
+        doc_sh.groupBy("doc_id").agg(
+            *[
+                F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+                for i in range(K_MINHASH)
+            ]
+        ),
+        "minhash_signatures",  # consumed by 4 branches (bands a/b, ma, mb)
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(":", F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            ).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", "bk.band", "bk.bkey"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(K_MINHASH)]
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(K_MINHASH)]
+    )
+    eq_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(K_MINHASH)
+    )
+    est = eq_sum / float(K_MINHASH)
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(est >= EST_MIN)
+        .select("doc_a", "doc_b", est.alias("est_sim"))
+    )
+
+
+# ------------------------------------------------------------ SimHash
+
+SIM_BITS = 16
+HAM_MAX = 4
+
+
+def _simhash_oracle() -> str:
+    h = md5_long_sql("tok")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{b}"
+        for b in range(SIM_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS)
+    )
+    nib_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {k} AS band, (simhash >> {4 * k}) & 15 AS nib FROM sim"
+        for k in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, COUNT(*) AS cnt
+      FROM documents, UNNEST({TOKENS_SQL}) t(tok)
+      GROUP BY doc_id, t.tok
+    ), hashed AS (
+      SELECT doc_id, {h} AS h, cnt FROM toks
+    ), bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, {sim_expr} AS simhash FROM bits
+    ), bands AS (
+      {nib_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM pairs
+    JOIN sim sa ON sa.doc_id = doc_a
+    JOIN sim sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {HAM_MAX}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit weighted SimHash; nibble-banded candidates; Hamming ≤ 4.
+
+    Candidate pairs share at least one of 4 simhash nibbles at the
+    same position (standard Hamming-LSH banding), so the self-join is
+    on a (band, nibble) key — bounded buckets, no full cross join.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hashed = toks.select("doc_id", F.expr(md5_long_expr("tok")).alias("h"), "cnt")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{b}")
+        for b in range(SIM_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sim_col = sum(
+        F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(SIM_BITS)
+    ).cast("long")
+    sim = materialize(
+        bits.select("doc_id", sim_col.alias("simhash")),
+        "simhash_signatures",  # consumed by bands + both join-back sides
+    )
+    nib_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.shiftright("simhash", 4 * k).bitwiseAND(F.lit(15)).alias("nib"),
+        )
+        for k in range(4)
+    ]
+    bands = sim.select("doc_id", F.explode(F.array(*nib_structs)).alias("bk")).select(
+        "doc_id", "bk.band", "bk.nib"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(hamming <= HAM_MAX)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+# --------------------------------------------------------- embedding
+
+COS_MIN = 0.9
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COS_MIN}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Label blocking bounds the pair count (the general-scale version
+    blocks on LSH buckets — see similarity.knn_lsh); cosine is a
+    JVM-side fold, rounded to 6 dp for cross-engine stability.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        as_double("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        as_double("embedding").alias("vb"),
+    )
+    cos = cosine6(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COS_MIN)
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over the `embeddings` table.
+
+- knn_bruteforce: exact top-k cosine for a bounded probe set — the
+  probe side is tiny and broadcast, so the "cross join" is really a
+  broadcast-nested-loop over one scan of the corpus: the correct
+  baseline even at 100 TB (one pass, no shuffle of the big side).
+- knn_lsh: random-hyperplane LSH — signature bucketing turns ANN
+  into an equi-join on bucket ids; the scale path when the probe
+  set is itself huge.
+- centroids / norm stats: posexplode re-aggregation patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mallard_spark.functions.hashing import md5_long_expr
+from mallard_spark.functions.vectors import as_double, cosine6, dot, norm
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+N_PROBES = 5  # vec_id < 5 is the demo probe set
+TOP_K = 5
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH sims AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the probe set (broadcast pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), as_double("embedding").alias("vp")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("vc")
+    )
+    sims = (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine6(F.col("vp"), F.col("vc")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_component_expr(p: int) -> str:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from md5(plane:dim) so workers need no shared state."""
+    h = md5_long_expr(f"concat('{p}:', i)")
+    return f"(({h} % 2001) - 1000) / 1000.0"
+
+
+@query("knn_lsh", oracle=None)  # engine-specific bucketing — rows-only check
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 8-bit signatures → bucket equi-join.
+
+    Each vector's signature bit p is sign(dot(v, plane_p)) where
+    plane_p is derived deterministically from md5 — no driver-side
+    randomness, no broadcast state; the join is a plain shuffle on
+    (bucket), which is the 100 TB-safe shape. Probes search only
+    their own bucket (approximate by construction).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    sig_bits = []
+    for p in range(N_PLANES):
+        comp = _plane_component_expr(p)
+        dot_p = (
+            f"aggregate(zip_with(cast(embedding as array<double>),"
+            f" transform(sequence(0, size(embedding) - 1), i -> {comp}),"
+            f" (x, y) -> x * y), 0.0d, (a, v) -> a + v)"
+        )
+        sig_bits.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = F.expr(" + ".join(sig_bits)).cast("int")
+
+    sigged = emb.select("vec_id", as_double("embedding").alias("v"), bucket.alias("bucket"))
+    probes = sigged.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp"), "bucket"
+    )
+    cand = sigged.join(probes, "bucket").filter(F.col("vec_id") != F.col("probe_id"))
+    sims = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    SELECT e.label, u.i - 1 AS pos,
+           CAST(SUM(CAST(e.embedding[u.i]::DOUBLE AS DECIMAL(25,12))) AS DOUBLE)
+             / COUNT(*) AS centroid
+    FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) u(i)
+    GROUP BY e.label, u.i - 1
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector via posexplode + exact-decimal averaging."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(25,12)")).cast("double") / F.count("*")
+            ).alias("centroid")
+        )
+    )
+
+
+@query(
+    "emb_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+           CAST(SUM(CAST(nrm AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm distribution per label (JVM fold, exact-decimal avg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(norm(as_double("embedding")), 6)
+    norms = emb.select("label", nrm.alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        (F.sum(F.col("nrm").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+            "avg_norm"
+        ),
+    )

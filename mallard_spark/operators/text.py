@@ -1,0 +1,177 @@
+"""Text analysis over the `documents` table — token stats, quality
+scoring, language ID, fingerprinting.
+
+Everything is a single scan with pure column expressions (regex +
+higher-order array functions, whole-stage codegen). No shuffle, no
+Python — this is the shape a 100 TB text-pipeline pass must have:
+embarrassingly parallel per-document work that Catalyst fuses into
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mallard_spark.functions.hashing import md5_long_expr, md5_long_sql
+from mallard_spark.functions.text import (
+    BPE_EXPR,
+    BPE_SQL,
+    PUNCT_EXPR,
+    PUNCT_SQL,
+    TOKENS_EXPR,
+    TOKENS_SQL,
+)
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+STOP_EN = "('the','a','of','and','to')"
+STOP_DE = "('der','die','das','und','zu')"
+STOP_ES = "('el','la','de','y','que')"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({TOKENS_SQL}) AS n_tokens,
+           len({BPE_SQL}) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           CASE WHEN len({TOKENS_SQL}) = 0 THEN NULL
+                ELSE CAST(list_aggregate(list_transform({TOKENS_SQL}, t -> length(t)), 'sum') AS BIGINT)
+                     / len({TOKENS_SQL}) END AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array once per row — inlining the regex
+    # into every sub-expression would re-run it per use
+    staged = docs.select(
+        "doc_id",
+        F.expr(TOKENS_EXPR).alias("toks"),
+        F.expr(f"size({BPE_EXPR})").cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        "n_bpe_tokens",
+        "n_chars",
+        F.expr(
+            "CASE WHEN size(toks) = 0 THEN NULL"
+            " ELSE cast(aggregate(transform(toks, t -> length(t)),"
+            " 0L, (a, x) -> a + x) as bigint) / size(toks) END"
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.4 * (CASE WHEN len({TOKENS_SQL}) = 0 THEN 0.0
+                         ELSE len(list_filter({TOKENS_SQL}, t -> t IN {STOP_EN}))
+                              / len({TOKENS_SQL}) END)
+           + 0.4 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                                ELSE len({PUNCT_SQL}) / length(text) END))
+           + 0.2 * least(len({TOKENS_SQL}) / 100.0, 1.0)
+           , 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio + low punctuation + length."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr(TOKENS_EXPR).alias("toks"),
+        F.expr(f"size({PUNCT_EXPR})").alias("n_punct"),
+        F.length("text").alias("n_chars"),
+    )
+    return staged.select(
+        "doc_id",
+        F.expr(
+            f"round("
+            f" 0.4 * (CASE WHEN size(toks) = 0 THEN 0.0"
+            f"   ELSE size(filter(toks, t -> t IN {STOP_EN}))"
+            f"        / size(toks) END)"
+            f" + 0.4 * (1.0 - (CASE WHEN n_chars = 0 THEN 0.0"
+            f"   ELSE n_punct / n_chars END))"
+            f" + 0.2 * least(size(toks) / 100.0, 1.0)"
+            f", 6)"
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter({TOKENS_SQL}, t -> t IN {STOP_EN})) AS s_en,
+             len(list_filter({TOKENS_SQL}, t -> t IN {STOP_DE})) AS s_de,
+             len(list_filter({TOKENS_SQL}, t -> t IN {STOP_ES})) AS s_es
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                               WHEN s_de >= s_es THEN 'de' ELSE 'es' END) = lang
+                    THEN 1 ELSE 0 END) AS n_pred_match
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"size(filter(toks, t -> t IN {STOP_EN}))").alias("s_en"),
+        F.expr(f"size(filter(toks, t -> t IN {STOP_DE}))").alias("s_de"),
+        F.expr(f"size(filter(toks, t -> t IN {STOP_ES}))").alias("s_es"),
+    )
+    pred = F.when(
+        (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en"
+    ).when(F.col("s_de") >= F.col("s_es"), "de").otherwise("es")
+    return (
+        scored.withColumn("pred", pred)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0)).alias(
+                "n_pred_match"
+            ),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(list_distinct({TOKENS_SQL}),
+                            t -> {md5_long_sql("t")}),
+             'bit_xor') AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent document fingerprint: XOR of distinct-token
+    md5 hashes (commutative ⇒ partitioning-independent, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(array_distinct({TOKENS_EXPR}),"
+            f" t -> {md5_long_expr('t')}),"
+            f" cast(0 as bigint), (a, x) -> a ^ x)"
+        ).alias("fingerprint"),
+    )

@@ -567,14 +567,14 @@ def q20_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_parts_per_nation",
     oracle=f"""
-    SELECT n_name, p_partkey, revenue, rk FROM (
-      SELECT n_name, p_partkey,
+    SELECT n_name, l_partkey AS p_partkey, revenue, rk FROM (
+      SELECT n_name, l_partkey,
              CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
-             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY CAST(SUM({REV_SQL}) AS DOUBLE) DESC, p_partkey) AS rk
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY CAST(SUM({REV_SQL}) AS DOUBLE) DESC, l_partkey) AS rk
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
-      GROUP BY n_name, p_partkey
+      GROUP BY n_name, l_partkey
     ) t WHERE rk <= 3
     """,
 )

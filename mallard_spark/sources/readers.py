@@ -52,9 +52,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if dict(df.dtypes).get("ts") == "bigint":  # ns-precision source
+            return df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts_ns", F.unix_micros("ts") * 1000)
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,151 @@
+"""Unit semantics for dedup/similarity/text operators on hand-built
+micro-fixtures with known answers (independent of the oracle suite)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mallard_spark.functions.hashing import md5_long
+from mallard_spark.functions.text import shingles_of, tokens
+from mallard_spark.functions.vectors import as_double, cosine6
+
+
+def test_word_shingles_basic(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    [row] = (
+        df.select(tokens().alias("toks"))
+        .select(shingles_of("toks", 3).alias("sh"))
+        .collect()
+    )
+    assert row.sh == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("a b",), ("",)], ["text"])
+    out = [
+        r.sh
+        for r in df.select(tokens().alias("toks"))
+        .select(shingles_of("toks", 3).alias("sh"))
+        .collect()
+    ]
+    assert out == [[], []]
+
+
+def test_md5_long_matches_duckdb(spark):
+    import duckdb
+
+    words = ["hello", "world", "mallard"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.h for r in df.select("w", md5_long(F.col("w")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        [(expect,)] = con.execute(
+            f"SELECT CAST('0x' || substr(md5('{w}'), 1, 15) AS BIGINT)"
+        ).fetchall()
+        assert got[w] == expect, w
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        ["a", "b"],
+    )
+    out = [
+        r.c
+        for r in df.select(
+            cosine6(as_double("a"), as_double("b")).alias("c")
+        ).collect()
+    ]
+    assert out[0] == 1.0
+    assert out[1] == 0.0
+    assert out[2] == pytest.approx(0.707107, abs=1e-6)
+
+
+def test_exact_dedup_finds_known_dups(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["same text", "same text", "other", "third"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [9, 9, 5, 5],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from mallard_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(spark, str(tmp_path)).collect()
+    by_rep = {r.rep_doc: r.n_copies for r in out}
+    assert by_rep[1] == 2  # docs 1+2 collapse, lowest id wins
+    assert by_rep[3] == 1 and by_rep[4] == 1
+
+
+def test_minhash_identical_docs_collide(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base, "completely different words everywhere nothing shared here at all"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(base)] * 2 + [60],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from mallard_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = {(r.doc_a, r.doc_b): r.est_sim for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs: all 16 minhashes equal
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_asof_join_semantics(spark, tmp_path):
+    # events at t=5,10; orders at t=4,9 → event 5→order@4, event 10→order@9
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-05", "2024-01-10"]),
+            "user_id": [7, 7],
+            "event_type": ["click", "click"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [100, 200],
+            "o_custkey": [7, 7],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [1.0, 2.0],
+            "o_orderdate": pd.to_datetime(["2024-01-04", "2024-01-09"]),
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],
+        }
+    )
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from mallard_spark.plans.events import ev_asof_join
+
+    got = {r.event_id: r.o_orderkey for r in ev_asof_join(spark, str(tmp_path)).collect()}
+    assert got == {1: 100, 2: 200}
+
+
+def test_decode_stub_schema(spark):
+    from mallard_spark.multimodal.binary import mm_decode_stub
+
+    df = mm_decode_stub(spark, "/root/testdata/sf0.001")
+    rows = df.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r.width <= 1920 and 1 <= r.height <= 1080
+        assert r.n_bytes > 0
+
+
+def test_decode_real_is_stubbed():
+    from mallard_spark.multimodal.binary import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"bytes", "image")

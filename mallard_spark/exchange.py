@@ -78,3 +78,22 @@ def exchange_identity(spark, sf_dir: str) -> DataFrame:
     eng = MallardEngine(spark, namespace="q_server1")
     eng.put("li", load_table(spark, sf_dir, "lineitem"))
     return eng.sql("SELECT l_orderkey, l_linenumber, l_quantity FROM li")
+
+
+@query(
+    "transfer_roundtrip",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+    " o_orderdate, o_orderpriority FROM orders",
+)
+def transfer_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """TRANSFER parity (demo.py:127-151): put a table on server1, stream
+    it to server2, read it back there — content must be byte-identical
+    to the source (the reference verifies row counts; we verify values
+    via the oracle)."""
+    from mallard_spark.engine import MallardEngine
+
+    src = MallardEngine(spark, namespace="q_xfer_src")
+    dst = MallardEngine(spark, namespace="q_xfer_dst")
+    src.put("orders", load_table(spark, sf_dir, "orders"))
+    src.transfer(dst, "orders")
+    return dst.sql("SELECT * FROM orders")

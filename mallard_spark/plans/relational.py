@@ -286,6 +286,53 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- q8
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             {REV_SQL} AS volume,
+             r.r_name AS supp_region
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region r ON n_regionkey = r.r_regionkey
+    ) all_sales
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted): one region's supplier market share by year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("r_name").alias("supp_region"),
+        )
+    )
+    asia = F.when(F.col("supp_region") == "ASIA", F.col("volume")).otherwise(
+        F.lit(0).cast(D)
+    )
+    return sales.groupBy("o_year").agg(
+        (F.sum(asia).cast("double") / F.sum("volume").cast("double")).alias("mkt_share")
+    )
+
+
 # ---------------------------------------------------------------- q9
 @query(
     "q9_product_profit",
@@ -560,6 +607,117 @@ def q20_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
+# --------------------------------------------------------------- q15
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, CAST(SUM({REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the max quarterly revenue (exact
+    doubles ⇒ the max-equality predicate is engine-stable)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(_rev()).cast("double").alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------- q17
+@query(
+    "q17_small_quantity",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS avg_pk,
+                 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey) t
+      ON p_partkey = avg_pk
+    WHERE p_brand = 'Brand#12' AND l_quantity < qty_thresh
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg-quantity threshold → re-joined agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    thresh = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast(D)).cast("double") / F.count("*"))
+        ).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresh, F.col("p_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(D)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------- q22
+@query(
+    "q22_global_sales",
+    oracle="""
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey % 5 AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey % 5
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nationkey buckets for the phone prefix):
+    above-average-balance customers with no orders — anti-join +
+    broadcast scalar threshold."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(D)).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(D)).cast("double").alias("totacctbal"),
+        )
     )
 
 

@@ -55,6 +55,100 @@ def windowed_stream(
 
 
 @query(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           date_trunc('second', MIN(ts)) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (30-min gap) in batch mode.
+
+    Same semantics as plans.events.ev_sessionize's lag+cumsum, but
+    expressed with the built-in operator (which also works in
+    streaming with state). Spark closes a session when the gap is
+    ≥ the timeout, so the oracle's new-session test uses >=.
+    Outputs are second-truncated: raw event timestamps would differ
+    between a µs engine and an ns oracle.
+    """
+    from mallard_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DV)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("sw.start")).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query("stream_stateful_user_totals", oracle=None)  # custom streaming state
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    applyInPandasWithState (arbitrary state, the Structured Streaming
+    analogue of the reference's stateful exchangers). Rows-only check:
+    streaming state evolution isn't expressible as one SQL query."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mallard_spark.session import ship_package
+
+    ship_package(spark)
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "mallard_stream_user_totals"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
     "stream_windowed_agg",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,

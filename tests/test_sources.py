@@ -1,0 +1,65 @@
+"""Source/sink round-trips: csv, json, partitioned + bucketed parquet."""
+
+import pyspark.sql.functions as F
+
+from mallard_spark.sources.readers import load_table
+from mallard_spark.sources.writers import (
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_partitioned,
+)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "region")
+    write_csv(src, str(tmp_path / "region_csv"))
+    back = spark.read.option("header", "true").schema(src.schema).csv(
+        str(tmp_path / "region_csv")
+    )
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in src.collect()
+    )
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "nation")
+    write_json(src, str(tmp_path / "nation_json"))
+    back = spark.read.schema(src.schema).json(str(tmp_path / "nation_json"))
+    assert back.count() == src.count()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_partitioned(src, str(tmp_path / "orders_part"), ["o_year"])
+    back = spark.read.parquet(str(tmp_path / "orders_part"))
+    pruned = back.filter(F.col("o_year") == 1996)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the filter must land in PartitionFilters
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() == src.filter(F.col("o_year") == 1996).count()
+
+
+def test_bucketed_write_enables_shuffle_free_agg(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf — use the session default (the
+    # table is dropped in the finally)
+    src = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(src, "li_bucketed_test", "l_orderkey", n_buckets=4)
+    try:
+        t = spark.table("li_bucketed_test")
+        agg = t.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # bucketing on the grouping key removes the exchange entirely
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == src.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_test")
+
+
+def test_parquet_write_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "part")
+    write_parquet(src, str(tmp_path / "part_pq"))
+    assert spark.read.parquet(str(tmp_path / "part_pq")).count() == src.count()

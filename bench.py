@@ -29,6 +29,8 @@ HEADLINE = [
     "ev_hourly_agg",
     "ev_sessionize",
     "ev_asof_join",
+    "ev_zscore_anomalies",
+    "quantiles_by_flag",
     "text_token_stats",
     "dedup_minhash_lsh",
     "knn_bruteforce",
@@ -50,17 +52,27 @@ def main() -> None:
     )
     specs = load_all()
 
-    # JVM / codegen warmup on the smallest SF
+    # JVM / codegen warmup on the smallest SF, plus one tiny
+    # mapInPandas so Python workers (pandas import, Arrow channel)
+    # are spawned before anything is timed
     specs["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    specs["exchange_add_processed"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
+    # best-of-2: single-run numbers on this box swing up to 10× on
+    # identical plans (JVM compile/GC noise); the min is the plan cost
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:

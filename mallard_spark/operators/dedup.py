@@ -384,6 +384,118 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- edit distance
+
+LEV_PREFIX = 40  # compare bounded prefixes: levenshtein is O(m·n)
+LEV_MAX = 10
+
+
+@query(
+    "dedup_editdistance",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, n_chars,
+                      substr(text, 1, {LEV_PREFIX}) AS prefix
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang
+     AND (a.n_chars // 50) = (b.n_chars // 50)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX}
+    """,
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on bounded prefixes.
+
+    Blocking on (lang, length-bucket) bounds the candidate pairs;
+    levenshtein runs only inside blocks and only on 40-char prefixes
+    (the full-text DP would be quadratic in document length).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("len_bucket").alias("lb_a"), F.col("prefix").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("lb_b"), F.col("prefix").alias("pb"),
+    )
+    lev = F.levenshtein("pa", "pb")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(lev <= LEV_MAX)
+        .select("doc_a", "doc_b", lev.cast("int").alias("edit_dist"))
+    )
+
+
+# -------------------------------------------- connected components
+
+
+@query("dedup_clusters", oracle=None)  # iterative — not one SQL query
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    near-dup pair graph, by iterative min-label propagation.
+
+    Each iteration is two shuffle joins (label lookup across edges +
+    min-aggregate); convergence is checked with a driver-side count
+    of changed labels. At 100 TB this is the standard Pregel-style
+    CC-on-DataFrames; iterations are bounded by graph diameter,
+    which is tiny for near-dup clusters.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = materialize(
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))),
+        "cc_edges",
+    )
+    labels = materialize(
+        edges.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("label", F.col("node")),
+        "cc_labels",
+    )
+    for _ in range(10):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = materialize(new_labels, "cc_labels_next")
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = materialize(new_labels, "cc_labels")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"), F.min("node").alias("rep_doc"))
+        .select(F.col("label").alias("cluster_id"), "rep_doc", "cluster_size")
+    )
+
+
 # --------------------------------------------------------- embedding
 
 COS_MIN = 0.9

@@ -118,6 +118,70 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_SEEDS = 40
+N_PROBE_LISTS = 2
+
+
+@query("knn_ivf", oracle=None)  # engine-specific clustering — rows-only
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic seed vectors define inverted lists;
+    each vector is assigned to its nearest seed, probes search their
+    nearest N_PROBE_LISTS lists only.
+
+    (A production IVF trains centroids with k-means; deterministic
+    seed picking keeps this reproducible without an iterative fit.
+    The plan shape is what matters at 100 TB: assignment is one
+    broadcast pass, the search is an equi-join on list id.)
+    """
+    from mallard_spark.functions.exec import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % N_IVF_SEEDS == 0).select(
+        F.col("vec_id").alias("seed_id"), as_double("embedding").alias("vs")
+    )
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    # assign every vector to its nearest seed (broadcast pass + top-1)
+    from pyspark.sql import Window as W
+
+    scored = vecs.join(F.broadcast(seeds)).select(
+        "vec_id", "v", "seed_id", cosine6(F.col("v"), F.col("vs")).alias("sim")
+    )
+    w1 = W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    assigned = materialize(
+        scored.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= 1)
+        .select("vec_id", "v", F.col("seed_id").alias("list_id")),
+        "ivf_assigned",
+    )
+    # probes search their N_PROBE_LISTS nearest lists
+    probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp")
+    )
+    probe_lists = (
+        probes.join(F.broadcast(seeds))
+        .select("probe_id", "vp", "seed_id", cosine6(F.col("vp"), F.col("vs")).alias("sim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("probe_id").orderBy(F.desc("sim"), "seed_id")),
+        )
+        .filter(F.col("rk") <= N_PROBE_LISTS)
+        .select("probe_id", "vp", F.col("seed_id").alias("list_id"))
+    )
+    cand = assigned.join(probe_lists, "list_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    sims = cand.select(
+        "probe_id", F.col("vec_id").alias("neighbor_id"),
+        cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 @query(
     "emb_label_centroids",
     oracle="""

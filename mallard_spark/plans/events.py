@@ -232,6 +232,48 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_zscore_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+             sqrt(CAST(SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))) AS std_v
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round((value - mean_v) / std_v, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((value - mean_v) / std_v) > 2.5
+    """,
+)
+def ev_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: |z| > 2.5 per event type.
+
+    Mean and E[x²] aggregate in exact decimal (a plain double
+    variance is partitioning-order-dependent); the z arithmetic is
+    then fixed-order IEEE, stable across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sq = F.col("value").cast("decimal(12,4)") * F.col("value").cast("decimal(12,4)")
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        (F.sum(F.col("value").cast(DV)).cast("double") / F.count("*")).alias("mean_v"),
+        F.sqrt(
+            F.sum(sq).cast("double") / F.count("*")
+            - (F.sum(F.col("value").cast(DV)).cast("double") / F.count("*"))
+            * (F.sum(F.col("value").cast(DV)).cast("double") / F.count("*"))
+        ).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("s_type"))
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )
+
+
+@query(
     "ev_asof_join",
     oracle="""
     WITH orders_d AS (

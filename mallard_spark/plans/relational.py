@@ -886,6 +886,54 @@ def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(l_quantity AS DOUBLE) AS metric_value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three measures into (metric, value) rows — stack()."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', cast(l_quantity as double),"
+            " 'extendedprice', cast(l_extendedprice as double),"
+            " 'discount', cast(l_discount as double))"
+        ).alias("metric", "metric_value"),
+    )
+
+
+@query(
+    "quantiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50_qty,
+           round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 6) AS p90_qty,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (round-6 for
+    cross-engine interpolation-arithmetic stability). The approx
+    (sketch) variant is approx_distinct_parts' sibling: at 100 TB use
+    percentile_approx; the exact form is the oracle-able baseline."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+    )
+
+
 @query("approx_distinct_parts", oracle=None)  # HLL sketch — engine-specific, rows-only
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) vs exact, with relative error.

@@ -886,6 +886,40 @@ def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALT = 8
+
+
+@query(
+    "salted_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact join: salt the probe key, replicate the
+    build side across salts, join on (key, salt).
+
+    Salting changes the partitioning, never the result — the oracle
+    is the plain join. At 100 TB a hot orderkey (or hot user/session
+    key in event data) would bottleneck one reducer; salt spreads it
+    over N_SALT reducers. (AQE's skew-join does this adaptively;
+    explicit salting is the belt-and-braces for extreme keys.)
+    """
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % N_SALT).cast("int")
+    )
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    return (
+        li.join(orders, (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
 @query(
     "unpivot_metrics",
     oracle="""

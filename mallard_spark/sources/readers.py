@@ -48,6 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as-of ordering — where µs truncation could diverge from an
     ns-precision engine).
     """
+    # timestamp semantics must match the (naive-UTC) DuckDB oracle no
+    # matter what session the caller hands us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

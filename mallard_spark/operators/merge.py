@@ -70,3 +70,67 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"),
     )
     return untouched.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "grouped_rank_pandas",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                              ORDER BY l_quantity, l_orderkey, l_linenumber) AS qty_rank
+    FROM lineitem
+    """,
+)
+def grouped_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-group Pandas UDAF (applyInPandas) with an exact oracle.
+
+    Demonstrates the grouped-map path — each supplier's rows arrive as
+    one Arrow-backed pandas frame — on a computation whose output is
+    INTEGER ranks over a unique sort key, so the Python path is
+    oracle-checkable bit-for-bit (float outputs from pandas would not
+    be). The SQL-window form is the production plan; this is the
+    escape hatch pattern for logic Spark can't express.
+    """
+    import pandas as pd
+
+    from mallard_spark.session import ship_package
+
+    ship_package(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["l_quantity", "l_orderkey", "l_linenumber"], kind="mergesort"
+        ).reset_index(drop=True)
+        out["qty_rank"] = range(1, len(out) + 1)
+        return out[["l_suppkey", "l_orderkey", "l_linenumber", "qty_rank"]]
+
+    return li.groupBy("l_suppkey").applyInPandas(
+        rank_group,
+        schema="l_suppkey long, l_orderkey long, l_linenumber int, qty_rank long",
+    )
+
+
+@query(
+    "supplier_trend",
+    oracle="""
+    SELECT l_suppkey,
+           round(CAST(regr_slope(l_quantity, EXTRACT(year FROM l_shipdate)) AS DOUBLE), 6) AS qty_slope,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregate: per-supplier quantity trend
+    by ship year (regr_slope exists in both engines; inputs are small
+    integers so the double sums agree within the 6-dp rounding)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.round(
+            F.expr("regr_slope(l_quantity, year(l_shipdate))").cast("double"), 6
+        ).alias("qty_slope"),
+        F.count("*").alias("n_rows"),
+    )

@@ -182,26 +182,36 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q_SCALE = float(1 << 20)  # binary quantization step for exact averaging
+
+
 @query(
     "emb_label_centroids",
-    oracle="""
+    oracle=f"""
     SELECT e.label, u.i - 1 AS pos,
-           CAST(SUM(CAST(e.embedding[u.i]::DOUBLE AS DECIMAL(25,12))) AS DOUBLE)
-             / COUNT(*) AS centroid
+           CAST(SUM(CAST(FLOOR(e.embedding[u.i]::DOUBLE * {Q_SCALE}) AS BIGINT)) AS DOUBLE)
+             / {Q_SCALE} / COUNT(*) AS centroid
     FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) u(i)
     GROUP BY e.label, u.i - 1
     """,
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean vector via posexplode + exact-decimal averaging."""
+    """Per-label mean vector (posexplode + exact integer averaging).
+
+    Quantization is floor(x·2²⁰): a float32 is a dyadic rational, so
+    x·2²⁰ is EXACT in double and floor has no rounding tie — unlike a
+    decimal(p,s) cast, where a value can land exactly on a decimal
+    half-way point and Spark/DuckDB round in different directions
+    (observed at sf0.01: one of 128k values hit a tie at scale 12).
+    The integer sums are then exact and engine-independent.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("val") * F.lit(Q_SCALE)).cast("long")
     return (
         emb.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(
-            (
-                F.sum(F.col("val").cast("decimal(25,12)")).cast("double") / F.count("*")
-            ).alias("centroid")
+            (F.sum(q).cast("double") / F.lit(Q_SCALE) / F.count("*")).alias("centroid")
         )
     )
 

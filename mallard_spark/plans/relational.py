@@ -837,12 +837,12 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
-                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
-                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-           / COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           / COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg_qty
     FROM lineitem
     """,
@@ -850,7 +850,18 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + 7-row moving average per supplier (window frames)."""
     li = _t(spark, sf_dir, "lineitem")
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    # the synthetic generator REUSES (orderkey, linenumber) pairs, so
+    # (shipdate, orderkey, linenumber) is not a total order — at sf0.1
+    # two rows tie on it with different quantities, and an ambiguous
+    # frame order shifts the moving window. Append the measures: any
+    # rows still tied are fully identical, so frames are order-invariant.
+    order = [
+        F.col("l_shipdate"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+    ]
     w_run = (
         Window.partitionBy("l_suppkey")
         .orderBy(*order)

@@ -153,6 +153,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_regex_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                              '\s+', ' ', 'g')) AS norm_hash,
+           length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS n_consonant_chars
+    FROM documents
+    """,
+)
+def text_regex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-normalization pass (number masking + whitespace collapse),
+    content-addressed via md5 so the oracle compares exact outputs
+    without shipping full normalized texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[0-9]+", "<num>"), "\\s+", " "
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(F.regexp_replace(F.lower("text"), "[aeiou]", "")).cast("long").alias(
+            "n_consonant_chars"
+        ),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,

@@ -232,6 +232,37 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_lead_lag",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           date_diff('second', ts, LEAD(ts) OVER w) AS secs_to_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ev_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event neighbors (lead/lag) + seconds-to-next-event.
+
+    Ordering on exact ts_ns (µs truncation must not reorder); the
+    time delta is second-floored, which is truncation-safe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias(
+            "secs_to_next"
+        ),
+    )
+
+
+@query(
     "ev_zscore_anomalies",
     oracle="""
     WITH stats AS (

@@ -979,6 +979,54 @@ def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pct_rank_suppliers",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, revenue,
+           round(PERCENT_RANK() OVER (ORDER BY revenue, l_suppkey), 6) AS pct,
+           CUME_DIST() OVER (ORDER BY revenue, l_suppkey) AS cume
+    FROM rev
+    """,
+)
+def pct_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking distributions (percent_rank / cume_dist) over
+    exact per-supplier revenue. A single unpartitioned window — fine
+    because the input is one row per supplier (already aggregated),
+    NOT the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).cast("double").alias("revenue"))
+    w = Window.orderBy("revenue", "l_suppkey")
+    return rev.select(
+        "l_suppkey",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "agg_set_string",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_set_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation rendered as a sorted joined string (portable
+    across engines where raw array columns would hash differently)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
 @query("approx_distinct_parts", oracle=None)  # HLL sketch — engine-specific, rows-only
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) vs exact, with relative error.

@@ -180,6 +180,69 @@ def text_regex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash,
+             len({TOKENS_SQL}) AS n_tokens,
+             CASE WHEN len({TOKENS_SQL}) = 0 THEN 0.0
+                  ELSE len(list_filter({TOKENS_SQL}, t -> t IN {STOP_EN}))
+                       / len({TOKENS_SQL}) END AS sw_ratio
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 10 AND sw_ratio >= 0.02
+    ), deduped AS (
+      SELECT * FROM kept
+      WHERE (content_hash, doc_id) IN (
+        SELECT (content_hash, MIN(doc_id)) FROM kept GROUP BY content_hash)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM deduped GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline: quality filter
+    (min tokens + stopword floor) → exact dedup (keep lowest doc_id)
+    → per-language corpus stats. The composition every pretraining
+    data pipeline runs, as one declarative plan: Catalyst fuses the
+    filter+hash into the scan, dedup is one shuffle, stats another.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("content_hash"),
+        F.expr(TOKENS_EXPR).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "content_hash",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(toks) = 0 THEN 0.0"
+            f" ELSE size(filter(toks, t -> t IN {STOP_EN})) / size(toks) END"
+        ).alias("sw_ratio"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 10) & (F.col("sw_ratio") >= 0.02))
+    reps = kept.groupBy("content_hash").agg(F.min("doc_id").alias("rep_doc"))
+    deduped = kept.join(
+        reps,
+        (kept.content_hash == reps.content_hash) & (kept.doc_id == reps.rep_doc),
+        "left_semi",
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,

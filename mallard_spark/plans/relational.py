@@ -980,6 +980,28 @@ def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 30
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supplier variety from lineitem, no partsupp)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").between(1, 30)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
     "pct_rank_suppliers",
     oracle=f"""
     WITH rev AS (

@@ -28,14 +28,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events parquet (ns ts read as long)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    # the file-stream source needs a directory; glob down to the one file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):  # dataset directory of part files
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        # single-file layout: the stream source needs a directory;
+        # glob down to the one file (pathGlobFilter matches leaf names)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    if dict(batch.dtypes).get("ts") == "bigint":  # ns-precision source
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def windowed_stream(

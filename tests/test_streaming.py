@@ -1,0 +1,75 @@
+"""Structured Streaming semantics: batch equivalence and watermark
+late-data handling (SURVEY §2 streaming block)."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+
+def test_stream_equals_batch(spark, sf_dir):
+    from mallard_spark.plans.events import ev_hourly_agg
+    from mallard_spark.streaming.windows import stream_windowed_agg
+
+    batch = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in ev_hourly_agg(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in stream_windowed_agg(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: a window only emits
+    once the watermark passes its end, so with one batch whose max ts
+    is inside the last window, that window is withheld."""
+    ev = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:05",
+                    "2024-01-01 00:20",
+                    "2024-01-01 01:10",
+                    "2024-01-01 01:40",
+                    "2024-01-01 02:05",
+                    "2024-01-01 02:10",
+                ]
+            ),
+            "user_id": [1] * 6,
+            "event_type": ["click"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from mallard_spark.streaming.windows import windowed_stream
+
+    agg = windowed_stream(spark, str(tmp_path), watermark="10 minutes")
+    name = "wm_test_sink"
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits a closed window on the batch AFTER the
+        # watermark passes it — feed a second micro-batch
+        ev2 = ev.iloc[:1].assign(
+            event_id=[99], ts=pd.to_datetime(["2024-01-01 02:30"])
+        )
+        spark.createDataFrame(ev2).write.mode("append").parquet(
+            str(tmp_path / "events.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        r.win.start.strftime("%H:%M")
+        for r in spark.table(name).select("win").collect()
+    }
+    # watermark = 02:10 - 10min = 02:00 → hours 00 and 01 are closed
+    # and emitted; the 02:00 window (end 03:00 > watermark) is withheld
+    assert emitted == {"00:00", "01:00"}

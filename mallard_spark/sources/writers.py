@@ -38,6 +38,11 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built-in columnar alternative; same pushdown story)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

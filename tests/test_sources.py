@@ -7,9 +7,20 @@ from mallard_spark.sources.writers import (
     write_bucketed,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_partitioned,
 )
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "supplier")
+    write_orc(src, str(tmp_path / "supp_orc"))
+    back = spark.read.orc(str(tmp_path / "supp_orc"))
+    filtered = back.filter(F.col("s_acctbal") > 0).select("s_suppkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan  # ORC scan gets pushdown too
+    assert filtered.count() == src.filter(F.col("s_acctbal") > 0).count()
 
 
 def test_csv_roundtrip(spark, sf_dir, tmp_path):

@@ -205,6 +205,79 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SCALE = float(1 << 20)  # binary quantization step for exact averaging
 
 
+N_KMEANS_ITERS = 3
+
+
+@query("knn_ivf_kmeans", oracle=None)  # iterative training — rows-only
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-TRAINED centroids: Lloyd iterations as
+    DataFrame jobs (assign = broadcast-join + top-1, update =
+    posexplode mean, rebuilt into array columns), then the same
+    inverted-list search as knn_ivf.
+
+    The iterative pattern (driver loop over materialized rounds) is
+    the same shape as dedup_clusters' label propagation — each round
+    is a bounded set of shuffles, no driver-side data.
+    """
+    from pyspark.sql import Window as W
+
+    from mallard_spark.functions.exec import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = materialize(
+        emb.select("vec_id", as_double("embedding").alias("v")), "kmeans_vecs"
+    )
+    centroids = vecs.filter(F.col("vec_id") % N_IVF_SEEDS == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents):
+        scored = vecs.join(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", cosine6(F.col("v"), F.col("c")).alias("sim")
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    for i in range(N_KMEANS_ITERS):
+        assigned = assign(centroids)
+        # update step: mean per (cid, dim), rebuilt into array columns
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        centroids = materialize(
+            means.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            ),
+            f"kmeans_centroids_{i}",
+        )
+
+    assigned = materialize(assign(centroids), "kmeans_assigned")
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp"), "cid"
+    )
+    cand = assigned.join(probes, "cid").filter(F.col("vec_id") != F.col("probe_id"))
+    sims = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 @query("ann_recall_report", oracle=None)  # self-evaluation of approx ops
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the approximate searchers (LSH, IVF) against exact

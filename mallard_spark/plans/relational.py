@@ -1002,6 +1002,98 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_ops_customers",
+    oracle="""
+    SELECT 'both_years' AS segment, COUNT(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) t
+    UNION ALL
+    SELECT 'only_1996', COUNT(*) FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) t
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators over yearly customer cohorts."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey").distinct()
+
+    both = year(1996).intersect(year(1997)).agg(F.count("*").alias("n")).select(
+        F.lit("both_years").alias("segment"), "n"
+    )
+    only96 = year(1996).exceptAll(year(1997)).agg(F.count("*").alias("n")).select(
+        F.lit("only_1996").alias("segment"), "n"
+    )
+    return both.unionByName(only96)
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR), 'ALL') AS ship_year,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (EXTRACT(year FROM l_shipdate)), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube): per-flag, per-year,
+    and grand total in one pass."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(CAST(year(l_shipdate) AS STRING), 'ALL') AS ship_year,
+               CAST(SUM({REV_SQL.replace("DECIMAL", "decimal")}) AS DOUBLE) AS revenue
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+        """
+    )
+
+
+@query(
+    "null_semantics_join",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(o_cnt, 0) AS order_cnt,
+           (o_cnt IS NULL) AS never_ordered,
+           NULLIF(COALESCE(o_cnt, 0), 0) AS cnt_or_null
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS o_cnt FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    """,
+)
+def null_semantics_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics through an outer join: COALESCE, NULLIF,
+    IS NULL — the standard null-edge cases, value-checked."""
+    cust = _t(spark, sf_dir, "customer")
+    cnts = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count("*").alias("o_cnt")
+    )
+    j = cust.join(cnts, cust.c_custkey == cnts.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_cnt", F.lit(0)).alias("order_cnt"),
+        F.col("o_cnt").isNull().alias("never_ordered"),
+        F.nullif(F.coalesce("o_cnt", F.lit(0)), F.lit(0)).alias("cnt_or_null"),
+    )
+
+
+@query(
     "pct_rank_suppliers",
     oracle=f"""
     WITH rev AS (

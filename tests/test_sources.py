@@ -70,6 +70,28 @@ def test_bucketed_write_enables_shuffle_free_agg(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_bucketed_test")
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the same join key: the join plan has no
+    exchange at all — the write-time layout replaces the shuffle.
+    This is the 100 TB answer for the recurring lineitem⋈orders join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "li_bkt_join", "l_orderkey", n_buckets=4, sort_col="l_orderkey")
+    write_bucketed(orders, "ord_bkt_join", "o_orderkey", n_buckets=4, sort_col="o_orderkey")
+    try:
+        j = spark.table("li_bkt_join").join(
+            spark.table("ord_bkt_join"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert j.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt_join")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt_join")
+
+
 def test_parquet_write_roundtrip(spark, sf_dir, tmp_path):
     src = load_table(spark, sf_dir, "part")
     write_parquet(src, str(tmp_path / "part_pq"))

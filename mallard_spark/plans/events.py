@@ -232,6 +232,32 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 500.0 THEN 11
+                ELSE CAST(FLOOR(value / (500.0 - 0.0) * 10) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed histogram of event values per type (width_bucket;
+    DuckDB 1.0 has no width_bucket, so the oracle spells out the
+    same bucket arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(10)).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "ev_lead_lag",
     oracle="""
     SELECT event_id, user_id, event_type,

@@ -1002,6 +1002,52 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corr_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(corr(l_extendedprice, l_quantity) AS DOUBLE), 6) AS price_qty_corr,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation aggregate per group (round-6 stabilized)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "string_funcs_parity",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           replace(p_type, 'A', '@') AS swapped,
+           concat(p_brand, '/', p_type) AS branded,
+           length(trim(p_name)) AS trimmed_len,
+           reverse(p_name) AS rev_name
+    FROM part
+    """,
+)
+def string_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string-function surface (upper/lpad/replace/concat/trim/
+    reverse) value-checked across engines."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("@")).alias("swapped"),
+        F.concat_ws("/", "p_brand", "p_type").alias("branded"),
+        F.length(F.trim("p_name")).cast("long").alias("trimmed_len"),
+        F.reverse("p_name").alias("rev_name"),
+    )
+
+
+@query(
     "set_ops_customers",
     oracle="""
     SELECT 'both_years' AS segment, COUNT(*) AS n FROM (

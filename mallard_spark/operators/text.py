@@ -265,3 +265,178 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" cast(0 as bigint), (a, x) -> a ^ x)"
         ).alias("fingerprint"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+    ),
+    stats AS (
+        SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, tf, df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM stats, n
+    ORDER BY tfidf DESC, term
+    LIMIT 30
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: term frequency × inverse document
+    frequency, top terms.
+
+    Shape at 100 TB: explode→groupBy is one shuffle on term (partial
+    map-side combine makes the exploded volume collapse before the
+    exchange); the corpus doc count is a 1-row broadcast. ROUND(...,6)
+    per the determinism policy for computed irrationals.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term"))
+    stats = toks.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(30)
+    )
+
+
+@query(
+    "text_ngram_counts",
+    oracle=f"""
+    WITH grams AS (
+        SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+        FROM (SELECT {TOKENS_SQL} AS t FROM documents)
+        WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 40
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency counts (n-gram language-model style).
+
+    The bigram list is built JVM-side with ``transform(sequence(...))``
+    over the materialized token array (never inline the tokenizer in
+    the lambda — CollapseProject would re-run the regex per index).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(F.expr(TOKENS_EXPR).alias("t")).filter(F.size("t") >= 2)
+    grams = staged.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(40)
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(list_distinct({TOKENS_SQL})) AS uniq,
+               len({TOKENS_SQL}) AS total
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(uniq) AS DOUBLE) / SUM(total) AS macro_unique_ratio,
+           SUM(CASE WHEN uniq * 2 < total THEN 1 ELSE 0 END) AS repetitive_docs
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: unique-token ratio per doc,
+    aggregated per language as a ratio-of-sums.
+
+    Ratio-of-sums (not mean-of-ratios) keeps everything in integer
+    arithmetic until one final double division — bit-deterministic
+    under any partitioning, unlike summing per-doc doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.expr(f"size(array_distinct({TOKENS_EXPR}))").alias("uniq"),
+        F.expr(f"size({TOKENS_EXPR})").alias("total"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("uniq").cast("double") / F.sum("total")).alias("macro_unique_ratio"),
+            F.sum(
+                F.when(F.col("uniq") * 2 < F.col("total"), 1).otherwise(0)
+            ).alias("repetitive_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH postings AS (
+        SELECT term, doc_id
+        FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
+        GROUP BY term, doc_id
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') AS first_postings
+    FROM postings
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 50
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → document-frequency +
+    head of the sorted postings list.
+
+    At scale this is THE retrieval-index build: explode, distinct on
+    (term, doc), then one groupBy on term. Postings rendered as a
+    sorted joined string (portable across engines; raw arrays hash
+    differently).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5), ","
+            ).alias("first_postings"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )

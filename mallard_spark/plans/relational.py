@@ -1199,3 +1199,245 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# ---------------------------------------------------------------- q2
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+        FROM costs
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           CAST(b.cost AS DOUBLE) AS supply_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.cost = b.min_cost AND p.p_size <= 15 AND p.p_type = 'SMALL'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, s.s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp table): per-part minimum supply
+    cost via a window min, suppliers restricted to one region.
+
+    Reference parity: Mallard answers this as DuckDB SQL over a
+    registered table (`/root/reference/demo.py:103` do_get).
+    Spark-first shape: the correlated scalar subquery of textbook Q2
+    becomes a ``MIN() OVER (PARTITION BY part)`` window — one shuffle
+    on partkey instead of a rejoin of an aggregated subquery.
+    Dimensions (supplier/nation/region/part) broadcast; the only big
+    shuffle is the lineitem groupBy, whose key (partkey, suppkey)
+    co-partitions the window that follows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+
+    costs = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              nat.n_regionkey == reg.r_regionkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast(D)).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    sup2 = _t(spark, sf_dir, "supplier").alias("sup2")
+    nat2 = _t(spark, sf_dir, "nation").alias("nat2")
+    return (
+        best.join(
+            F.broadcast(part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))),
+            best.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(sup2), best.l_suppkey == F.col("sup2.s_suppkey"))
+        .join(F.broadcast(nat2), F.col("sup2.s_nationkey") == F.col("nat2.n_nationkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+            F.col("supply_cost"),
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q11
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH vals AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS value
+    FROM vals
+    WHERE value > (SELECT SUM(value) * CAST(0.001 AS DECIMAL(6,5)) FROM vals)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: per-part inventory value for one region's
+    suppliers, kept only where it exceeds a fraction of the GLOBAL
+    total (scalar subquery → broadcast cross join).
+
+    Scale: the global total is a 1-row aggregate — Spark broadcasts
+    it (cross join with a 1-row side is a BroadcastNestedLoopJoin,
+    free at any scale); the per-part aggregate shuffles once on
+    partkey. Exact DECIMAL arithmetic end-to-end so the threshold
+    comparison is deterministic under any partitioning.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    vals = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              nat.n_regionkey == reg.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(D) * F.col("l_quantity").cast(D)).alias("value")
+        )
+    )
+    total = vals.agg(
+        (F.sum("value") * F.lit(0.001).cast("decimal(6,5)")).alias("threshold")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+# ---------------------------------------------------------------- q21
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (schema has no commit/receipt dates): the
+    sole supplier to blame — lineitems with returnflag R on finalized
+    multi-supplier orders where NO other supplier returned.
+
+    Spark-first shape: EXISTS → left-semi join, NOT EXISTS →
+    left-anti join, both on orderkey with the suppkey inequality as
+    the join condition. All three lineitem branches shuffle on the
+    SAME key (orderkey), so AQE can reuse/stack the exchanges;
+    supplier and the order filter broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(
+            F.broadcast(orders.filter(F.col("o_orderstatus") == "F")),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(sup), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- lateral view
+@query(
+    "lateral_part_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT p_brand) AS n_brands
+    FROM (SELECT p_brand, unnest(string_split(p_name, ' ')) AS tok FROM part)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+)
+def lateral_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode (SQL surface) — token frequencies of
+    p_name with per-token brand spread.
+
+    Exercises Spark's SQL-side generator path (``LATERAL VIEW
+    explode``) rather than the DataFrame ``F.explode`` used
+    elsewhere — both compile to the same Generate operator, which
+    stays inside whole-stage codegen.
+    """
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("mallard_lateral_part")
+    return spark.sql(
+        """
+        SELECT tok, COUNT(*) AS n, COUNT(DISTINCT p_brand) AS n_brands
+        FROM mallard_lateral_part
+        LATERAL VIEW explode(split(p_name, ' ')) t AS tok
+        WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 50
+        """
+    )

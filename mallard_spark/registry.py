@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every plans/operators module so registrations run."""
     import mallard_spark.operators.dedup  # noqa: F401
     import mallard_spark.operators.merge  # noqa: F401
+    import mallard_spark.operators.sampling  # noqa: F401
     import mallard_spark.operators.similarity  # noqa: F401
     import mallard_spark.operators.text  # noqa: F401
     import mallard_spark.plans.events  # noqa: F401

@@ -122,3 +122,66 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     b = _with_binary(spark, sf_dir)
     return b.mapInPandas(decode_media_batch, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_text string"
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: split each payload into fixed
+    16-byte 'frames' and keep every 4th (the video frame-sampling
+    access pattern — seek + slice, no full decode). Deterministic so
+    the whole path is value-checkable; a real demuxer (av.open →
+    keyframe iteration) plugs into this exact signature.
+    """
+    for pdf in batches:
+        ids, idxs, texts = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            for i in range(0, len(raw) // _FRAME_BYTES, _FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                texts.append(raw[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES].decode("utf-8"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, length(text) // 16, 4)) AS i
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(substr(text, CAST(i AS INT) * 16 + 1, 16)) AS frame_md5
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads via mapInPandas.
+
+    The Python side does the byte-level seek/slice (where a real
+    demuxer would run); the md5 verification column is computed
+    JVM-side after the UDF. Payloads are ASCII here so byte slices
+    == char slices and DuckDB can oracle the full values — the
+    plumbing (schema, Arrow batching, per-frame fan-out) is exactly
+    what a real video pipeline needs.
+    """
+    from mallard_spark.session import ship_package
+
+    ship_package(spark)
+    b = _with_binary(spark, sf_dir).select("doc_id", "payload")
+    frames = b.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5(F.encode("frame_text", "utf-8")).alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")

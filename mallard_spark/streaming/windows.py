@@ -189,3 +189,102 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "stream_rate_demo",
+    oracle="SELECT 1000 AS n, 499500 AS total",  # sum(0..999) — source is synthetic
+)
+def stream_rate_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style unbounded source demo: the deterministic
+    ``rate-micro-batch`` source (fixed rows/batch, fixed timestamps —
+    the reproducible stand-in for a Kafka topic), consumed through a
+    memory sink until 1000 monotonic values have arrived.
+
+    The aggregate over values 0..999 is a closed-form constant, so
+    even an unbounded-source query gets a full value oracle.
+    """
+    import time
+
+    name = "mallard_stream_rate_demo"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 250)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+        .select("value")
+    )
+    q = src.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).filter(F.col("value") >= 999).count() > 0:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("value") < 1000)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+
+
+@query(
+    "stream_parquet_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → parquet files with exactly-once foreachBatch.
+
+    The production sink path: each micro-batch lands in a
+    batch-id-named subdirectory with dynamic overwrite, so a replayed
+    batch (restart after failure) overwrites its own output instead
+    of appending duplicates — idempotent writes + checkpointed
+    offsets = exactly-once file output. The oracle proves no row was
+    lost or duplicated end-to-end: stream-written parquet must equal
+    the batch aggregate of the source table.
+    """
+    import shutil
+    import tempfile
+
+    out_root = os.path.join(tempfile.gettempdir(), "mallard_stream_parquet_sink")
+    data_dir = os.path.join(out_root, "data")
+    ckpt_dir = os.path.join(out_root, "ckpt")
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent: a replay of batch N rewrites batch=N in place
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(os.path.join(data_dir, f"batch={batch_id}"))
+        )
+
+    name = "mallard_stream_parquet_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    written = spark.read.parquet(os.path.join(data_dir, "batch=*"))
+    return written.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
+    )

@@ -73,3 +73,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # watermark = 02:10 - 10min = 02:00 → hours 00 and 01 are closed
     # and emitted; the 02:00 window (end 03:00 > watermark) is withheld
     assert emitted == {"00:00", "01:00"}
+
+
+def test_foreach_batch_exactly_once_restart(spark, tmp_path):
+    """Restarting a foreachBatch stream on the same checkpoint must not
+    duplicate output: already-committed batches are not replayed, and a
+    replayed batch would overwrite (not append) its own directory."""
+    import os
+
+    src_dir = tmp_path / "src"
+    data_dir = str(tmp_path / "data")
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.mode("append").parquet(
+        str(src_dir)
+    )
+
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch={batch_id}")
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src_dir))
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(f"{data_dir}/batch=*").count() == 100
+    # "crash + restart": same checkpoint, same source → nothing replayed
+    run_once()
+    assert spark.read.parquet(f"{data_dir}/batch=*").count() == 100
+    # new data after restart is picked up exactly once
+    spark.range(100, 150).selectExpr("id", "id * 2 AS v").write.mode("append").parquet(
+        str(src_dir)
+    )
+    run_once()
+    out = spark.read.parquet(f"{data_dir}/batch=*")
+    assert out.count() == 150
+    assert out.select("id").distinct().count() == 150

@@ -185,3 +185,62 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.md5(F.encode("frame_text", "utf-8")).alias("frame_md5")
     ).orderBy("doc_id", "frame_idx")
+
+
+def _materialize_doc_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write each document's payload as a standalone file (once per
+    sf), simulating the object-store layout multimodal corpora
+    actually arrive in (one blob per asset, ids in the key)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"mallard_binfiles_{tag}")
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # ingestion-setup collect (bounded: one row per asset id), not
+        # part of the measured query
+        for row in docs.collect():
+            with open(os.path.join(root, f"doc_{row['doc_id']}.bin"), "wb") as f:
+                f.write(row["text"].encode("utf-8"))
+        with open(marker, "w"):
+            pass
+    return root
+
+
+@query(
+    "src_binaryfile_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def src_binaryfile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source: ingest a directory of opaque blobs.
+
+    Spark's binaryFile format reads (path, modificationTime, length,
+    content) with the content as a binary column — the native scan
+    path for image/audio/video corpora. Asset ids are recovered from
+    the object key (regexp on path), checksum/length computed
+    JVM-side; the oracle proves the bytes ingested are exactly the
+    source documents' payloads.
+    """
+    root = _materialize_doc_files(spark, sf_dir)
+    # one blob per asset = the small-files problem: the scan plans a
+    # task per file. coalesce() merges file-splits into ~core-count
+    # tasks WITHOUT a shuffle, so each task streams many blobs —
+    # at real scale you'd also raise files.openCostInBytes or
+    # pre-compact into parquet binary columns (mm_binary_meta path).
+    n = spark.sparkContext.defaultParallelism
+    files = spark.read.format("binaryFile").load(root + "/doc_*.bin").coalesce(n)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

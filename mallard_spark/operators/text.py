@@ -440,3 +440,38 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(50)
     )
+
+
+@query(
+    "array_funcs_parity",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS vocab,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
+           list_max(string_split(text, ' ')) AS max_token
+    FROM documents
+    """,
+)
+def array_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function surface parity on tokenized text.
+
+    split/slice/sort/distinct/contains/filter/max as pure column
+    expressions — the whole row stays inside whole-stage codegen
+    (one generated function per row, no Python). Array-valued
+    intermediates are joined back to strings so the cross-engine
+    value compare is scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("vocab"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
+        F.array_max(toks).alias("max_token"),
+    )

@@ -388,3 +388,135 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_event") == 1)
         .select("event_id", "user_id", "o_orderkey")
     )
+
+
+@query(
+    "ev_range_join",
+    oracle="""
+    SELECT p.event_id, COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+    FROM events p
+    JOIN events c
+      ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+     AND c.event_type = 'click'
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join (no equi key): clicks in the hour before
+    each purchase.
+
+    A naive inequality join is a broadcast-nested-loop — O(n·m) and
+    dead at scale. The scalable pattern is bucketed range join:
+    quantize time into buckets as wide as the range (1 h), explode
+    the probe side into the <=2 buckets its window overlaps, then
+    equi-join on the bucket and re-filter the exact range. Each
+    (purchase, click) pair can match in only one bucket (the click's
+    own), so no dedup step is needed. Turns the nested loop into one
+    hash join whose fan-out is bounded by range/bucket_width + 1 —
+    this is how Flink/Timescale interval joins stay linear.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("ts").alias("p_ts"))
+        # window [p_ts - 1h, p_ts) overlaps the bucket of (p_ts - 1h)
+        # and the bucket of p_ts
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        ((F.unix_timestamp("p_ts") - 3600) / 3600).cast("long"),
+                        (F.unix_timestamp("p_ts") / 3600).cast("long"),
+                    )
+                )
+            ),
+        )
+    )
+    return (
+        purchases.join(clicks, "bucket")
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.col("c_value").cast(DV)).cast("double").alias("click_value"),
+        )
+    )
+
+
+@query(
+    "ev_rollup_cascade",
+    oracle="""
+    SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket_ts,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute rollup
+    from raw, hour rollup from MINUTE PARTIALS, day rollup from HOUR
+    PARTIALS.
+
+    Only the minute level scans the events table; coarser grains
+    re-aggregate the (much smaller) finer aggregate — the
+    TimescaleDB/Druid rollup-cascade pattern. Counts and decimal sums
+    are mergeable partials, so the cascade is exact (that's why the
+    schema carries count+sum, not avg or distinct). At 100 TB the
+    raw scan happens once instead of three times, and each cascade
+    step shuffles only pre-aggregated rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DV)).alias("value_partial"),
+        )
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "bucket_ts").alias("bucket_ts"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_partial").alias("value_partial"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_partial").alias("value_partial"),
+        )
+    )
+
+    def finish(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_ts",
+            "n_events",
+            F.col("value_partial").cast("double").alias("total_value"),
+        )
+
+    return (
+        finish(minute, "minute")
+        .unionByName(finish(hour, "hour"))
+        .unionByName(finish(day, "day"))
+    )

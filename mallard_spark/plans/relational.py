@@ -1441,3 +1441,95 @@ def lateral_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@query(
+    "datetime_funcs_parity",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow,
+           dayofyear(o_orderdate) AS doy,
+           weekofyear(o_orderdate) AS woy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           date_trunc('week', o_orderdate) AS week_start,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch95,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def datetime_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function surface parity, value-checked per row.
+
+    Calendar semantics that must agree across engines: ISO week
+    numbering, Monday week-start truncation, Sunday=1 day-of-week
+    (DuckDB's 0-based dow is shifted in the oracle), interval
+    arithmetic, epoch seconds under the pinned-UTC session.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("due_ts"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch95"),
+        F.unix_timestamp("o_orderdate").alias("unix_s"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "window_funcs_parity",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile,
+           lag(o_orderkey, 1, -1) OVER w AS prev_key,
+           lead(o_orderkey, 1, -1) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface parity over one shared frame.
+
+    All ten functions reuse ONE window spec (same partitioning, same
+    sort with a unique tiebreaker), so Catalyst plans a single
+    exchange + sort — the pattern that keeps wide window queries at
+    one shuffle regardless of how many functions are stacked. The
+    default RANGE-to-current-row frame semantics of first/last/nth
+    value must agree across engines.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

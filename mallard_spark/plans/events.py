@@ -484,6 +484,8 @@ def ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw scan happens once instead of three times, and each cascade
     step shuffles only pre-aggregated rows.
     """
+    from mallard_spark.functions.exec import materialize
+
     ev = load_table(spark, sf_dir, "events")
     minute = (
         ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts"))
@@ -492,6 +494,10 @@ def ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DV)).alias("value_partial"),
         )
     )
+    # store the finest-grain aggregate (the "continuous aggregate"):
+    # without a barrier Catalyst clones the minute subplan into every
+    # union branch and the raw table is scanned three times
+    minute = materialize(minute, "ev_rollup_cascade_minute")
     hour = (
         minute.groupBy(F.date_trunc("hour", "bucket_ts").alias("bucket_ts"))
         .agg(

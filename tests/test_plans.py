@@ -66,3 +66,40 @@ def test_topk_window_after_agg_shares_partitioning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_parts_per_nation")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as an equi join on the hour
+    bucket — a BroadcastNestedLoopJoin here means the bucketing
+    decomposition regressed and the query is O(n*m) at scale."""
+    plan = _plan(spark, sf_dir, "ev_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_rollup_cascade_reads_stored_minute_aggregate(spark, sf_dir):
+    """The cascade stores the minute-grain aggregate and derives
+    hour/day from it — the final plan must read the stored partials,
+    never re-scan raw events (Catalyst clones unioned subplans, so a
+    barrier-less cascade silently becomes three full scans)."""
+    plan = _plan(spark, sf_dir, "ev_rollup_cascade")
+    assert plan.count("events.parquet") == 0
+    assert "mallard_spark_materialize" in plan
+
+
+def test_window_parity_single_exchange(spark, sf_dir):
+    """Ten stacked window functions over one spec = ONE exchange."""
+    plan = _plan(spark, sf_dir, "window_funcs_parity")
+    assert plan.count("Exchange") == 1
+
+
+def test_array_parity_no_python_udf(spark, sf_dir):
+    """Higher-order array funcs stay JVM-side — no Python in the plan."""
+    plan = _plan(spark, sf_dir, "array_funcs_parity")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

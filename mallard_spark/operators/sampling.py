@@ -144,3 +144,39 @@ def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "lang")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           SUM(n_chars) AS sum_chars
+    FROM documents
+    WHERE {md5_long_sql("'w' || CAST(doc_id AS VARCHAR)")} % 10000 < n_chars * 10
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep each doc with probability
+    proportional to its length (p = n_chars/1000), the standard
+    length-weighted mixing step when composing training corpora.
+
+    Deterministic hash-threshold acceptance (md5 of a salted doc_id
+    vs an integer threshold) instead of rand(): reproducible across
+    engines, reruns, partitionings — and pure integer math, so the
+    accept decision can never straddle a float rounding edge. One
+    scan, no shuffle before the tiny aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    accept = (
+        md5_long(F.concat(F.lit("w"), F.col("doc_id").cast("string"))) % 10000
+        < F.col("n_chars") * 10
+    )
+    return (
+        docs.filter(accept)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )

@@ -526,3 +526,33 @@ def ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(finish(hour, "hour"))
         .unionByName(finish(day, "day"))
     )
+
+
+@query("approx_quantiles_value", oracle=None)  # sketch output: rows-only
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) next to the
+    exact interpolated percentiles, with the realized error.
+
+    percentile_approx is the 100 TB path — mergeable fixed-size
+    sketches, one pass, no full sort; the exact variant shuffles the
+    whole column per group. Emitting both + abs error makes the
+    accuracy/cost trade-off inspectable (rows-only: sketch internals
+    are engine-specific, so there is no cross-engine value oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx"),
+            F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("exact"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("approx")[0], 6).alias("p50_approx"),
+            F.round(F.col("exact")[0], 6).alias("p50_exact"),
+            F.round(F.col("approx")[2], 6).alias("p99_approx"),
+            F.round(F.col("exact")[2], 6).alias("p99_exact"),
+            F.round(F.abs(F.col("approx")[0] - F.col("exact")[0]), 6).alias("p50_err"),
+        )
+        .orderBy("event_type")
+    )

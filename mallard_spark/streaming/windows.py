@@ -288,3 +288,92 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the unbounded event stream joins
+    a static dimension (customer) per micro-batch, then aggregates.
+
+    The static side is broadcast to every task — no stream-side state,
+    no shuffle of the stream for the join; this is the standard
+    "enrich a Kafka stream with a dim table" topology and it scales
+    with the stream alone. Oracle = the equivalent batch join.
+    """
+    from mallard_spark.sources.readers import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
+        )
+    )
+    name = "mallard_stream_static_join"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on (event_type,
+    user_id) maintains a distinct-keys state store across
+    micro-batches and emits each key once (append mode).
+
+    At scale the state is partitioned by key across executors; with a
+    watermark the store is pruned by event time
+    (dropDuplicatesWithinWatermark). The emitted key set is then
+    counted batch-side; oracle = COUNT(DISTINCT) over the source.
+    """
+    ev = _events_stream(spark, sf_dir).select("event_type", "user_id")
+    deduped = ev.dropDuplicates(["event_type", "user_id"])
+    name = "mallard_stream_dedup"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("user_id").alias("n_users"))
+    )

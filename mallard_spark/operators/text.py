@@ -475,3 +475,78 @@ def array_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
         F.array_max(toks).alias("max_token"),
     )
+
+
+# PII masking regexes — identical strings handed to Spark (Java
+# regex) and DuckDB (RE2); the subset used here (char classes,
+# bounded repeats, greedy +) behaves identically in both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{1,3}-\d{3}-\d+"
+NUM_RE = r"\d{4,}"
+
+
+@query(
+    "text_pii_mask",
+    oracle=r"""
+    WITH enriched AS (
+      SELECT doc_id, lang,
+             text || ' reach user' || doc_id || '@mail.example.com or +1-555-' ||
+             (doc_id % 10000) || ' acct ' || (doc_id * 7919) AS t0
+      FROM documents
+    ), m1 AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM enriched
+    ), m2 AS (
+      SELECT doc_id, lang, n_emails,
+             len(regexp_extract_all(t1, '\+?\d{1,3}-\d{3}-\d+')) AS n_phones,
+             regexp_replace(t1, '\+?\d{1,3}-\d{3}-\d+', '<PHONE>', 'g') AS t2
+      FROM m1
+    ), m3 AS (
+      SELECT doc_id, lang, n_emails, n_phones,
+             len(regexp_extract_all(t2, '\d{4,}')) AS n_nums,
+             regexp_replace(t2, '\d{4,}', '<NUM>', 'g') AS t3
+      FROM m2
+    )
+    SELECT doc_id, lang,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_nums AS BIGINT) AS n_nums,
+           length(t3) AS masked_len, md5(t3) AS masked_hash
+    FROM m3
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass: email → phone → long-digit-run redaction,
+    applied in sequence so later passes never re-count earlier masks.
+
+    The synthetic corpus has no natural PII, so the query first
+    appends deterministic fake PII derived from doc_id (the SAME
+    expression on both engines) — the masking machinery itself
+    (count + replace per category, content hash of the redacted
+    text) is what's under test. Pure regexp column expressions:
+    single scan, whole-stage codegen, no Python in the hot path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+        F.lit(" acct "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PHONE_RE, "<PHONE>")
+    t3 = F.regexp_replace(t2, NUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(t2, F.lit(NUM_RE))).cast("long").alias("n_nums"),
+        F.length(t3).cast("long").alias("masked_len"),
+        F.md5(t3).alias("masked_hash"),
+    )

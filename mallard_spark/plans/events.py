@@ -556,3 +556,115 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ev_gap_fill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+      FROM agg GROUP BY 1
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_ts
+      FROM bounds
+    )
+    SELECT s.event_type, s.bucket_ts,
+           COALESCE(a.n_events, 0) AS n_events,
+           LAST_VALUE(a.total_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+           a.bucket_ts IS NULL AS is_gap
+    FROM spine s LEFT JOIN agg a
+      ON s.event_type = a.event_type AND s.bucket_ts = a.bucket_ts
+    """,
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: dense minute spine + LOCF interpolation
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf`` semantics).
+
+    The minute aggregate is materialized once (it feeds both the
+    bounds computation and the fill join — without the barrier Spark
+    would scan the raw table twice). The spine is generated
+    per-group with ``sequence``/``explode`` — its size is bounded by
+    the TIME SPAN, not the data volume, so it stays tiny at 100 TB.
+    The LOCF window partitions by event_type; at production
+    cardinality (many series ids) that parallelizes across the
+    cluster — for very few series over very long spans you'd chunk
+    the window by (series, day) and stitch the chunk boundaries.
+    """
+    from mallard_spark.functions.exec import materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
+        )
+    )
+    agg = materialize(agg, "ev_gap_fill_agg")
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 minute)")).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(agg, ["event_type", "bucket_ts"], "left")
+    return joined.select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "ev_ohlc",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           first(value ORDER BY ts, event_id) AS open_v,
+           MAX(value) AS high_v, MIN(value) AS low_v,
+           last(value ORDER BY ts, event_id) AS close_v,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per hour per event type.
+
+    open/close are order-sensitive "first/last by time" aggregates —
+    expressed as min/max over a (ts, event_id, value) struct, which
+    is a plain partially-aggregable hash aggregate (one shuffle,
+    map-side combine) instead of a window + row_number + filter
+    (shuffle + full sort). event_id is the unique tiebreaker so the
+    pick is deterministic across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            first_s.getField("value").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            last_s.getField("value").alias("close_v"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DV)).cast("double").alias("volume"),
+        )
+    )

@@ -135,7 +135,60 @@ class MallardEngine:
 
 
 def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
-    """Replace whole-word table references (crude but demo-parity)."""
+    """Replace whole-word table references at identifier positions.
+
+    Walks the SQL with a lexer that skips single-quoted string
+    literals, double-quoted / backtick-quoted identifiers, and
+    ``--`` / ``/* */`` comments, so a table name appearing inside a
+    literal (``WHERE note = 'orders pending'``) is never rewritten.
+
+    Known limitation (documented for the do_get wire path): a bare
+    COLUMN reference that happens to share the table's name cannot be
+    distinguished from a table reference without a full SQL parser;
+    clients should qualify such columns (``t.orders``), which this
+    rewriter leaves untouched.
+    """
     import re
 
-    return re.sub(rf"(?<![\w.]){re.escape(name)}(?![\w.])", qualified, sql)
+    word = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])")
+    out: list[str] = []
+    i, n = 0, len(sql)
+    seg_start = 0
+
+    def flush(end: int) -> None:
+        seg = sql[seg_start:end]
+        out.append(word.sub(qualified, seg))
+
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            flush(i)
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2  # escaped '' inside a string literal
+                        continue
+                    j += 1
+                    break
+                j += 1
+            else:
+                j = n
+            out.append(sql[i:j])
+            i = seg_start = j
+        elif ch == "-" and sql[i : i + 2] == "--":
+            flush(i)
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = seg_start = j
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            flush(i)
+            j = sql.find("*/", i)
+            j = n if j < 0 else j + 2
+            out.append(sql[i:j])
+            i = seg_start = j
+        else:
+            i += 1
+    flush(n)
+    return "".join(out)

@@ -91,7 +91,6 @@ class SparkFlightServer(flight.FlightServerBase):
     # -- catalog listing ------------------------------------------------
     def list_flights(self, context, criteria):
         for name in self.engine.list_tables():
-            schema = self.engine.table(name).schema
             arrow_schema = _df_to_arrow(self.engine.table(name).limit(0)).schema
             yield flight.FlightInfo(
                 arrow_schema,
@@ -100,7 +99,6 @@ class SparkFlightServer(flight.FlightServerBase):
                 -1,
                 -1,
             )
-        del schema  # noqa: F841
 
 
 def serve_in_background(server: SparkFlightServer) -> threading.Thread:

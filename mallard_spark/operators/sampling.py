@@ -32,7 +32,7 @@ _BUCKET_SQL = f"{md5_long_sql('CAST(doc_id AS VARCHAR)')} % 100"
                 WHEN {_BUCKET_SQL} < 90 THEN 'valid'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM documents
     GROUP BY 1
@@ -72,7 +72,7 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(keep) AS n_sampled,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled,
            CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS sampled_frac,
            CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS DOUBLE)
                / NULLIF(SUM(keep), 0) AS avg_chars_sampled
@@ -151,7 +151,7 @@ def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_kept,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE {md5_long_sql("'w' || CAST(doc_id AS VARCHAR)")} % 10000 < n_chars * 10
     GROUP BY lang

@@ -118,9 +118,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+           CAST(SUM(CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
                                WHEN s_de >= s_es THEN 'de' ELSE 'es' END) = lang
-                    THEN 1 ELSE 0 END) AS n_pred_match
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_match
     FROM scored
     GROUP BY lang
     """,
@@ -364,7 +364,7 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(uniq) AS DOUBLE) / SUM(total) AS macro_unique_ratio,
-           SUM(CASE WHEN uniq * 2 < total THEN 1 ELSE 0 END) AS repetitive_docs
+           CAST(SUM(CASE WHEN uniq * 2 < total THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_docs
     FROM per_doc
     GROUP BY lang
     ORDER BY lang
@@ -544,9 +544,9 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE))).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE))).cast("long").alias("n_phones"),
-        F.size(F.regexp_extract_all(t2, F.lit(NUM_RE))).cast("long").alias("n_nums"),
+        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(t2, F.lit(NUM_RE), F.lit(0))).cast("long").alias("n_nums"),
         F.length(t3).cast("long").alias("masked_len"),
         F.md5(t3).alias("masked_hash"),
     )

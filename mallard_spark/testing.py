@@ -49,6 +49,19 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used for the driver-parity strictness check."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
@@ -56,6 +69,19 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = 
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
+    # The driver's value hash is dtype-sensitive (a DuckDB HUGEINT sum
+    # materializes as float64 while Spark's bigint sum is int64, and the
+    # hashes diverge even when every value is numerically equal) — so
+    # enforce matching dtype KINDS before any coercion. int32 vs int64
+    # is allowed (same kind); int vs float is not.
+    for c in spark_pdf.columns:
+        ks = _dtype_kind(spark_pdf[c])
+        kd = _dtype_kind(duck_pdf[c])
+        assert ks == kd, (
+            f"{name}: col {c!r} dtype kind mismatch: spark={spark_pdf[c].dtype}"
+            f" ({ks}) vs oracle={duck_pdf[c].dtype} ({kd}) — align casts on"
+            f" both sides (e.g. CAST(SUM(..) AS BIGINT) in the oracle)"
+        )
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()

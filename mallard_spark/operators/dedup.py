@@ -443,7 +443,34 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------- connected components
 
 
-@query("dedup_clusters", oracle=None)  # iterative — not one SQL query
+def _clusters_oracle() -> str:
+    """Connected components as a recursive CTE: transitive closure of
+    the (tiny, near-dup) pair graph, label = component minimum. The
+    UNION dedups the frontier so the recursion terminates; component
+    sizes are bounded by duplicate-cluster size, not corpus size."""
+    return f"""
+    WITH RECURSIVE pairsrc AS (
+      SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairsrc
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairsrc
+    ), reach(node, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ), labels AS (
+      SELECT node, LEAST(node, MIN(dst)) AS label FROM reach GROUP BY node
+    )
+    SELECT label AS cluster_id,
+           MIN(node) AS rep_doc,
+           COUNT(*) AS cluster_size
+    FROM labels
+    GROUP BY label
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the MinHash-LSH
     near-dup pair graph, by iterative min-label propagation.

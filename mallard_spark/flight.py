@@ -3,24 +3,39 @@
 Wire-level parity with the reference (flight_server.py in
 /root/reference): a gRPC Flight server where
 
-- ``do_get``   executes a SQL ticket and streams Arrow batches back
-               (flight_server.py DuckDBFlightServer.do_get),
-- ``do_put``   ingests an Arrow stream as a named table,
+- ``do_get``      executes a SQL ticket and streams Arrow batches back
+                  (flight_server.py:342-352); DDL tickets (CREATE/DROP/
+                  ALTER) execute and answer a one-row OK stream
+                  (flight_server.py:354-359),
+- ``do_put``      ingests an Arrow stream as a named table; the table
+                  name comes from ``descriptor.path`` or
+                  ``descriptor.command`` (flight_server.py:361-368),
 - ``do_exchange`` runs a registered exchanger over the incoming
-               stream and streams the transformed batches back
-               (MyStreamingExchanger parity — but the transform runs
-               distributed via mapInPandas, not on one server thread),
+                  stream and streams the transformed batches back
+                  (MyStreamingExchanger parity — but the transform runs
+                  distributed via mapInPandas, not on one server
+                  thread); a SQL-shaped command executes as a query
+                  (flight_server.py:301-341),
+- ``do_action``   handles ``add_exchange``: a cloudpickled exchanger
+                  class is deserialized and registered live
+                  (flight_server.py:402-427, demo.py:119-125),
 - ``list_flights`` enumerates tables,
-- optional token auth mirrors AuthMiddlewareFactory.
+- auth mirrors AuthMiddlewareFactory (flight_server.py:110-162):
+  ``Basic user:pass`` mints a session token returned in the response
+  headers; subsequent calls may present ``Bearer <token>``. A static
+  pre-shared bearer token is also supported for simple deployments.
 
 The compute engine behind the endpoint is Spark, so a Mallard client
 pointing at this server gets cluster-scale SQL instead of a single
-DuckDB process. (Clients exchange Arrow either way — the protocol
-does not change.)
+DuckDB process. Results are streamed off a distributed parquet stage
+(engine.stream_arrow) — the driver holds one record batch at a time,
+so a 100 GB result cannot OOM the serving process.
 """
 
 from __future__ import annotations
 
+import base64
+import secrets
 import threading
 
 import pyarrow as pa
@@ -29,15 +44,8 @@ import pyarrow.flight as flight
 from mallard_spark.engine import MallardEngine
 
 
-def _df_to_arrow(df) -> pa.Table:
-    try:  # Spark 4: native Arrow export
-        return df.toArrow()
-    except AttributeError:  # pragma: no cover
-        return pa.Table.from_pandas(df.toPandas(), preserve_index=False)
-
-
 class TokenAuthMiddlewareFactory(flight.ServerMiddlewareFactory):
-    """Bearer-token check (parity: flight_server.py AuthMiddlewareFactory)."""
+    """Static pre-shared bearer token check (simple deployments)."""
 
     def __init__(self, token: str):
         self._token = token
@@ -49,6 +57,54 @@ class TokenAuthMiddlewareFactory(flight.ServerMiddlewareFactory):
         return None
 
 
+class BasicAuthMiddlewareFactory(flight.ServerMiddlewareFactory):
+    """Basic-auth → session-token handshake.
+
+    Parity: flight_server.py:110-151 (AuthMiddlewareFactory): a call
+    presenting ``Basic base64(user:pass)`` against the credentials
+    dict mints a fresh session token; the token is sent back to the
+    client in the response ``authorization`` header and honored on
+    later calls as ``Bearer <token>``.
+    """
+
+    def __init__(self, credentials: dict[str, str]):
+        self._credentials = credentials
+        self._tokens: dict[str, str] = {}
+
+    def start_call(self, info, headers):
+        auth = next(
+            (headers[k][0] for k in headers if k.lower() == "authorization"), None
+        )
+        if not auth:
+            raise flight.FlightUnauthenticatedError("no credentials supplied")
+        kind, _, value = auth.partition(" ")
+        if kind == "Basic":
+            try:
+                user, _, password = base64.b64decode(value).decode("utf-8").partition(":")
+            except Exception:
+                raise flight.FlightUnauthenticatedError("malformed Basic credentials")
+            if self._credentials.get(user) != password:
+                raise flight.FlightUnauthenticatedError("invalid username or password")
+            token = secrets.token_urlsafe(32)
+            self._tokens[token] = user
+            return SessionTokenMiddleware(token)
+        if kind == "Bearer":
+            if value not in self._tokens:
+                raise flight.FlightUnauthenticatedError("invalid token")
+            return SessionTokenMiddleware(value)
+        raise flight.FlightUnauthenticatedError("invalid authentication type")
+
+
+class SessionTokenMiddleware(flight.ServerMiddleware):
+    """Returns the minted token to the client (flight_server.py:154-161)."""
+
+    def __init__(self, token: str):
+        self.token = token
+
+    def sending_headers(self):
+        return {"authorization": f"Bearer {self.token}"}
+
+
 class SparkFlightServer(flight.FlightServerBase):
     """One Mallard 'server': Flight verbs over a MallardEngine."""
 
@@ -57,41 +113,129 @@ class SparkFlightServer(flight.FlightServerBase):
         location: str,
         engine: MallardEngine,
         auth_token: str | None = None,
+        credentials: dict[str, str] | None = None,
     ):
-        middleware = (
-            {"auth": TokenAuthMiddlewareFactory(auth_token)} if auth_token else None
-        )
+        if credentials:
+            middleware = {"auth": BasicAuthMiddlewareFactory(credentials)}
+        elif auth_token:
+            middleware = {"auth": TokenAuthMiddlewareFactory(auth_token)}
+        else:
+            middleware = None
         super().__init__(location, middleware=middleware)
         self.engine = engine
         self._location = location
+        # Wire-level exchangers (reference AbstractExchanger duck type:
+        # exchange_f(context, reader, writer)) registered via do_action.
+        self._wire_exchangers: dict[str, object] = {}
 
     # -- GET: SQL ticket → Arrow stream --------------------------------
     def do_get(self, context, ticket: flight.Ticket):
         sql = ticket.ticket.decode("utf-8")
-        table = _df_to_arrow(self.engine.sql(sql))
-        return flight.RecordBatchStream(table)
+        if self.engine.is_ddl(sql):
+            # Parity: flight_server.py:357-359 — run DDL, answer OK.
+            status = self.engine.ddl(sql)
+            return flight.RecordBatchStream(pa.table({"status": [status]}))
+        schema, batches = self.engine.stream_arrow(sql)
+        return flight.GeneratorStream(schema, batches)
 
     # -- PUT: Arrow stream → named table -------------------------------
     def do_put(self, context, descriptor, reader, writer):
-        name = descriptor.command.decode("utf-8")
+        # Parity: flight_server.py:363-366 — path- or command-addressed.
+        if descriptor.path:
+            name = descriptor.path[0].decode("utf-8")
+        else:
+            name = descriptor.command.decode("utf-8")
         table = reader.read_all()
         self.engine.put(name, table)
 
     # -- EXCHANGE: stream through a registered transform ----------------
     def do_exchange(self, context, descriptor, reader, writer):
         command = descriptor.command.decode("utf-8")
-        table = reader.read_all()
-        out_df = self.engine.exchange(command, table)
-        out = _df_to_arrow(out_df)
-        writer.begin(out.schema)
-        for batch in out.to_batches():
+        wire = self._wire_exchangers.get(command)
+        if wire is not None:
+            # Reference-style exchanger operates on the raw reader/writer.
+            wire.exchange_f(context, reader, writer)
+            return
+        if self.engine.has_exchanger(command):
+            table = reader.read_all()
+            out_df = self.engine.exchange(command, table)
+            self._stream_df(out_df, writer)
+            return
+        from mallard_spark.engine import _is_sql_command
+
+        if _is_sql_command(command):
+            # Parity: flight_server.py:333-340 — SQL query via exchange.
+            self._stream_df(self.engine.sql(command), writer)
+            return
+        available = self.engine.list_exchangers() + sorted(self._wire_exchangers)
+        raise flight.FlightServerError(
+            f"Unknown exchange command: {command}. Available: {available}"
+        )
+
+    def _stream_df(self, df, writer) -> None:
+        """Stage through parquet and stream batch-at-a-time (bounded
+        driver memory, same path as do_get)."""
+        from mallard_spark.engine import stream_df_arrow
+
+        schema, batches = stream_df_arrow(df)
+        writer.begin(schema)
+        for batch in batches:
             writer.write_batch(batch)
         writer.close()
+
+    # -- ACTIONS: runtime exchanger registration ------------------------
+    def do_action(self, context, action: flight.Action):
+        action_type = (
+            action.type.decode("utf-8")
+            if isinstance(action.type, bytes)
+            else action.type
+        )
+        if action_type == "add_exchange":
+            return self._handle_add_exchange(action)
+        if action_type == "list_exchangers":
+            names = self.engine.list_exchangers() + sorted(self._wire_exchangers)
+            return [flight.Result(name.encode()) for name in names]
+        raise flight.FlightServerError(f"Unknown action: {action_type}")
+
+    def _handle_add_exchange(self, action: flight.Action):
+        """Deserialize a cloudpickled exchanger class and register it.
+
+        Parity: flight_server.py:418-427 (_handle_add_exchange) /
+        demo.py:119-125 (client sends cloudpickle.dumps(cls)). Two
+        exchanger shapes are accepted:
+
+        - mallard_spark.exchange.Exchanger subclasses (``transform``
+          batch iterator) register on the engine and run distributed
+          via mapInPandas;
+        - reference-style classes exposing
+          ``exchange_f(context, reader, writer)`` register at the wire
+          layer and drive the raw Flight stream, so a client written
+          against the reference works unchanged.
+
+        Note: like the reference, this executes code supplied by the
+        client — deploy only behind auth.
+        """
+        import cloudpickle
+
+        exchanger_class = cloudpickle.loads(action.body.to_pybytes())
+        instance = exchanger_class()
+        command = getattr(instance, "command", "")
+        if not command:
+            raise flight.FlightServerError("Exchanger must define a command")
+        if callable(getattr(instance, "transform", None)):
+            self.engine.register_exchanger(instance)
+        elif callable(getattr(instance, "exchange_f", None)):
+            self._wire_exchangers[command] = instance
+        else:
+            raise flight.FlightServerError(
+                "Exchanger must implement transform() or exchange_f()"
+            )
+        return [flight.Result(f"Registered {command}".encode())]
 
     # -- catalog listing ------------------------------------------------
     def list_flights(self, context, criteria):
         for name in self.engine.list_tables():
-            arrow_schema = _df_to_arrow(self.engine.table(name).limit(0)).schema
+            arrow_schema = self.engine.table(name).limit(0).toArrow().schema
             yield flight.FlightInfo(
                 arrow_schema,
                 flight.FlightDescriptor.for_command(name.encode()),

@@ -26,10 +26,14 @@ def _sample_table() -> pa.Table:
 
 def test_put_and_get(engines):
     eng1, _ = engines
-    assert eng1.put("simple_table", _sample_table()) == 5
+    # count=True gives the reference's logged row count; default PUT is
+    # lazy (no Spark job until the table is queried).
+    assert eng1.put("simple_table", _sample_table(), count=True) == 5
+    assert eng1.put("lazy_table", _sample_table()) is None
     out = eng1.sql("SELECT * FROM simple_table WHERE value > 15").collect()
     assert len(out) == 4
-    assert eng1.list_tables() == ["simple_table"]
+    assert eng1.list_tables() == ["lazy_table", "simple_table"]
+    assert eng1.row_count("lazy_table") == 5
 
 
 def test_get_arrow_roundtrip(engines):
@@ -87,3 +91,89 @@ def test_namespaces_isolated(engines):
     eng1.put("only_in_1", _sample_table())
     assert "only_in_1" in eng1.list_tables()
     assert "only_in_1" not in eng2.list_tables()
+
+
+def test_stream_arrow_is_batched(engines, spark):
+    """Serving-path fix: results stream batch-at-a-time off a parquet
+    stage instead of materializing whole on the driver."""
+    eng1, _ = engines
+    df = spark.range(0, 200_000).selectExpr("id", "id * 2 AS dbl")
+    eng1.put("big_t", df)
+    schema, batches = eng1.stream_arrow("SELECT * FROM big_t", batch_rows=10_000)
+    assert {f.name for f in schema} == {"id", "dbl"}
+    sizes = [b.num_rows for b in batches]
+    assert sum(sizes) == 200_000
+    assert len(sizes) > 1  # genuinely multi-batch, not one driver copy
+    assert max(sizes) <= 10_000
+
+
+def test_stream_arrow_empty_result(engines):
+    eng1, _ = engines
+    eng1.put("empt", _sample_table())
+    schema, batches = eng1.stream_arrow("SELECT id FROM empt WHERE id > 999")
+    assert [f.name for f in schema] == ["id"]
+    assert sum(b.num_rows for b in batches) == 0
+
+
+def test_ddl_create_drop_alter(engines):
+    eng1, _ = engines
+    eng1.put("src_t", _sample_table())
+    assert eng1.ddl("CREATE TABLE derived AS SELECT id, value FROM src_t WHERE value > 15") == "OK"
+    assert eng1.sql("SELECT COUNT(*) AS n FROM derived").collect()[0].n == 4
+    assert eng1.ddl("ALTER TABLE derived RENAME TO derived2") == "OK"
+    assert "derived" not in eng1.list_tables()
+    assert eng1.sql("SELECT COUNT(*) AS n FROM derived2").collect()[0].n == 4
+    assert eng1.ddl("DROP TABLE derived2") == "OK"
+    assert "derived2" not in eng1.list_tables()
+    assert eng1.is_ddl("CREATE TABLE x AS SELECT 1")
+    assert eng1.is_ddl("  drop table x")
+    assert not eng1.is_ddl("SELECT 1")
+
+
+def test_persistent_table_survives_new_session(spark):
+    """put(persist=True) writes a warehouse table (reference db_path
+    parity, flight_server.py:166-180): a fresh session sees it; temp
+    views die with their session."""
+    eng = MallardEngine(spark, "t_persist")
+    eng.put("durable", _sample_table(), persist=True)
+    eng.put("ephemeral", _sample_table())
+    try:
+        spark2 = spark.newSession()
+        eng2 = MallardEngine(spark2, "t_persist")
+        assert "durable" in eng2.list_tables()
+        assert "ephemeral" not in eng2.list_tables()
+        assert eng2.sql("SELECT COUNT(*) AS n FROM durable").collect()[0].n == 5
+    finally:
+        eng.drop("durable")
+
+
+def test_sql_rewrites_quoted_table_refs(engines):
+    eng1, _ = engines
+    eng1.put("orders_q", _sample_table())
+    assert len(eng1.sql('SELECT * FROM "orders_q"').collect()) == 5
+    assert len(eng1.sql("SELECT * FROM `orders_q`").collect()) == 5
+    # a non-matching quoted span (string literal on Spark) is untouched
+    out = eng1.sql("SELECT \"other_name\" AS lit FROM orders_q").collect()
+    assert len(out) == 5
+    assert out[0].lit == "other_name"
+
+
+def test_sql_literal_backslash_escape(engines):
+    """A table name inside a backslash-escaped string literal must not
+    be rewritten (Spark-dialect \\' escapes)."""
+    eng1, _ = engines
+    eng1.put("esc_t", _sample_table())
+    out = eng1.sql(
+        "SELECT 'it\\'s esc_t time' AS note, COUNT(*) AS n FROM esc_t"
+    ).collect()
+    assert out[0].note == "it's esc_t time"
+    assert out[0].n == 5
+
+
+def test_exchange_sql_command_falls_through(engines):
+    """A SQL-shaped exchange command runs as a query
+    (flight_server.py:309-331 parity)."""
+    eng1, _ = engines
+    eng1.put("xq", _sample_table())
+    out = eng1.exchange("SELECT COUNT(*) AS n FROM xq", _sample_table())
+    assert out.collect()[0].n == 5

@@ -102,3 +102,236 @@ def test_auth_rejects_bad_token(spark):
         assert out.column("n").to_pylist() == [5]
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wire parity: the reference demo's full sequence over live gRPC —
+# Basic auth → token, do_action("add_exchange") with cloudpickle, DDL via
+# do_get, SQL via do_exchange, path descriptors, multi-batch streaming.
+# ---------------------------------------------------------------------------
+
+
+class _TokenCaptureFactory(flight.ClientMiddlewareFactory):
+    """Grabs the bearer token the server mints for a Basic login."""
+
+    def __init__(self):
+        self.token = None
+
+    def start_call(self, info):
+        return _TokenCapture(self)
+
+
+class _TokenCapture(flight.ClientMiddleware):
+    def __init__(self, factory):
+        self.factory = factory
+
+    def received_headers(self, headers):
+        for k, v in headers.items():
+            if k.lower() == "authorization" and v:
+                self.factory.token = v[0].partition(" ")[2]
+
+
+class RefStyleExchanger:
+    """Reference-shaped exchanger (AbstractExchanger duck type,
+    flight_server.py:35-41 / demo.py:241-280): drives the raw Flight
+    reader/writer, adding a 'processed' column."""
+
+    command = "custom_streaming_exchanger"
+
+    def exchange_f(self, context, reader, writer):
+        batches = []
+        while True:
+            try:
+                chunk = reader.read_chunk()
+                if chunk.data.num_rows == 0:
+                    break
+                batches.append(chunk.data)
+            except StopIteration:
+                break
+        table_in = pa.Table.from_batches(batches)
+        table_out = table_in.append_column(
+            "processed", pa.array([True] * table_in.num_rows, pa.bool_())
+        )
+        writer.begin(table_out.schema)
+        for batch in table_out.to_batches():
+            writer.write_batch(batch)
+        writer.close()
+
+
+# mallard_spark Exchanger shape (distributed mapInPandas path),
+# compiled dynamically in the test to model a remote client class.
+SPARK_STYLE_EXCHANGER_SRC = '''
+class SparkStyleExchanger:
+    command = "double_value_exchanger"
+
+    def output_schema(self, input_schema):
+        return input_schema
+
+    def transform(self, batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["value"] = pdf["value"] * 2
+            yield pdf
+
+    def apply(self, df):
+        from mallard_spark.exchange import Exchanger
+
+        return Exchanger.apply(self, df)
+'''
+
+
+def test_demo_flow_basic_auth_add_exchange_ddl(spark):
+    """The reference demo sequence end-to-end: connect with Basic
+    credentials, register an exchanger over gRPC via do_action, run
+    CREATE/DROP DDL via do_get, exchange through the new command."""
+    import cloudpickle
+
+    eng = MallardEngine(spark, "fl_demo")
+    server = SparkFlightServer(
+        "grpc://localhost:0", eng, credentials={"admin": "password123"}
+    )
+    serve_in_background(server)
+    try:
+        cap = _TokenCaptureFactory()
+        client = flight.FlightClient(
+            f"grpc://localhost:{server.port}", middleware=[cap]
+        )
+        basic = b"Basic " + __import__("base64").b64encode(b"admin:password123")
+        opts = flight.FlightCallOptions(headers=[(b"authorization", basic)])
+
+        # wrong password is rejected
+        bad = flight.connect(f"grpc://localhost:{server.port}")
+        badopts = flight.FlightCallOptions(
+            headers=[(b"authorization", b"Basic " + __import__("base64").b64encode(b"admin:wrong"))]
+        )
+        with pytest.raises(flight.FlightUnauthenticatedError):
+            bad.do_get(flight.Ticket(b"SELECT 1 AS x"), options=badopts).read_all()
+
+        # 1. PUT the demo sample table (path descriptor, flight_server.py:363-364)
+        desc = flight.FlightDescriptor.for_path("demo_table")
+        writer, _ = client.do_put(desc, _sample().schema, options=opts)
+        for batch in _sample().to_batches():
+            writer.write_batch(batch)
+        writer.close()
+
+        # 2. the server minted a session token for the Basic login
+        assert cap.token, "no bearer token returned by the server"
+        bearer = flight.FlightCallOptions(
+            headers=[(b"authorization", f"Bearer {cap.token}".encode())]
+        )
+
+        # 3. register the reference-style exchanger via do_action (cloudpickle)
+        action = flight.Action("add_exchange", cloudpickle.dumps(RefStyleExchanger))
+        results = list(client.do_action(action, options=bearer))
+        assert results[0].body.to_pybytes() == b"Registered custom_streaming_exchanger"
+
+        # 4. DDL via do_get returns an OK stream (flight_server.py:354-359)
+        ok = client.do_get(
+            flight.Ticket(b"CREATE TABLE demo_big AS SELECT id, value * 10 AS value FROM demo_table"),
+            options=bearer,
+        ).read_all()
+        assert ok.column("status").to_pylist() == ["OK"]
+        got = client.do_get(
+            flight.Ticket(b"SELECT COUNT(*) AS n FROM demo_big"), options=bearer
+        ).read_all()
+        assert got.column("n").to_pylist() == [5]
+        ok = client.do_get(flight.Ticket(b"DROP TABLE demo_big"), options=bearer).read_all()
+        assert ok.column("status").to_pylist() == ["OK"]
+
+        # 5. exchange through the just-registered command
+        xdesc = flight.FlightDescriptor.for_command(b"custom_streaming_exchanger")
+        xw, xr = client.do_exchange(xdesc, options=bearer)
+        data = _sample()
+        xw.begin(data.schema)
+        for batch in data.to_batches():
+            xw.write_batch(batch)
+        xw.done_writing()
+        result = xr.read_all()
+        xw.close()
+        assert result.num_rows == 5
+        assert result.column("processed").to_pylist() == [True] * 5
+
+        # 6. a bogus token is rejected
+        stale = flight.FlightCallOptions(
+            headers=[(b"authorization", b"Bearer not-a-real-token")]
+        )
+        with pytest.raises(flight.FlightUnauthenticatedError):
+            client.do_get(flight.Ticket(b"SELECT 1 AS x"), options=stale).read_all()
+    finally:
+        server.shutdown()
+
+
+def test_add_exchange_spark_style_runs_distributed(servers):
+    """A cloudpickled mallard-style Exchanger registers on the engine
+    and runs via mapInPandas."""
+    import cloudpickle
+
+    s1, _ = servers
+    client = _client(s1)
+    # Build the class dynamically, as a remote client whose module is
+    # NOT importable on the server would: cloudpickle ships it by
+    # value, and the server's mapInPandas re-ships it by value to the
+    # executors. (A module-level class defined in this test file would
+    # dedup back to the importable original in-process and then fail
+    # on executors, which can't import tests/.)
+    ns: dict = {}
+    exec(SPARK_STYLE_EXCHANGER_SRC, ns)
+    payload = cloudpickle.dumps(ns["SparkStyleExchanger"])
+    action = flight.Action("add_exchange", payload)
+    results = list(client.do_action(action))
+    assert results[0].body.to_pybytes() == b"Registered double_value_exchanger"
+
+    desc = flight.FlightDescriptor.for_command(b"double_value_exchanger")
+    writer, reader = client.do_exchange(desc)
+    data = _sample()
+    writer.begin(data.schema)
+    for batch in data.to_batches():
+        writer.write_batch(batch)
+    writer.done_writing()
+    result = reader.read_all()
+    writer.close()
+    assert result.column("value").to_pylist() == [21.0, 40.0, 31.0, 60.0, 51.0]
+
+
+def test_exchange_sql_command(servers):
+    """A SQL-shaped exchange command executes as a query
+    (flight_server.py:309-341 parity)."""
+    s1, _ = servers
+    client = _client(s1)
+    _put(client, "xchg_sql_t", _sample())
+    desc = flight.FlightDescriptor.for_command(
+        b"SELECT COUNT(*) AS n, SUM(value) AS s FROM xchg_sql_t"
+    )
+    writer, reader = client.do_exchange(desc)
+    writer.done_writing()
+    result = reader.read_all()
+    writer.close()
+    assert result.column("n").to_pylist() == [5]
+    assert result.column("s").to_pylist() == [101.5]
+
+
+def test_exchange_unknown_command_lists_available(servers):
+    s1, _ = servers
+    client = _client(s1)
+    desc = flight.FlightDescriptor.for_command(b"never_registered")
+    writer, reader = client.do_exchange(desc)
+    with pytest.raises(flight.FlightServerError, match="Unknown exchange command"):
+        writer.done_writing()
+        reader.read_all()
+
+
+def test_do_get_streams_multiple_batches(servers, spark):
+    """do_get streams off the parquet stage — a large result arrives as
+    many record batches, not one driver-side table copy."""
+    s1, _ = servers
+    big = spark.range(0, 300_000).selectExpr("id", "id * 3 AS trip")
+    s1.engine.put("stream_big", big)
+    client = _client(s1)
+    reader = client.do_get(flight.Ticket(b"SELECT * FROM stream_big"))
+    nbatches = 0
+    total = 0
+    for chunk in reader:
+        nbatches += 1
+        total += chunk.data.num_rows
+    assert total == 300_000
+    assert nbatches > 1

@@ -388,29 +388,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEV_PREFIX = 40  # compare bounded prefixes: levenshtein is O(m·n)
 LEV_MAX = 10
+LEV_END = 8  # chars of the prefix's front/back used as blocking keys
 
 
 @query(
     "dedup_editdistance",
     oracle=f"""
     WITH d AS (SELECT doc_id, lang, n_chars,
-                      substr(text, 1, {LEV_PREFIX}) AS prefix
-               FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(a.prefix, b.prefix) AS edit_dist
-    FROM d a JOIN d b
-      ON a.lang = b.lang
-     AND (a.n_chars // 50) = (b.n_chars // 50)
-     AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX}
+                      substr(text, 1, {LEV_PREFIX}) AS prefix,
+                      substr(text, 1, {LEV_END}) AS front_k,
+                      substr(substr(text, 1, {LEV_PREFIX}), {LEV_PREFIX - LEV_END + 1}, {LEV_END}) AS back_k
+               FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.prefix AS pa, b.prefix AS pb
+      FROM d a JOIN d b
+        ON a.lang = b.lang
+       AND (a.n_chars // 50) = (b.n_chars // 50)
+       AND a.front_k = b.front_k
+       AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.prefix, b.prefix
+      FROM d a JOIN d b
+        ON a.lang = b.lang
+       AND (a.n_chars // 50) = (b.n_chars // 50)
+       AND a.back_k = b.back_k
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, levenshtein(pa, pb) AS edit_dist
+    FROM cand
+    WHERE levenshtein(pa, pb) <= {LEV_MAX}
     """,
 )
 def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs on bounded prefixes.
+    """Edit-distance near-dup pairs on bounded prefixes, with bounded
+    blocks.
 
-    Blocking on (lang, length-bucket) bounds the candidate pairs;
-    levenshtein runs only inside blocks and only on 40-char prefixes
-    (the full-text DP would be quadratic in document length).
+    Round-2 blocked on (lang, length-bucket) only — block-quadratic at
+    scale (an ('en', bucket) block is millions of docs at 100 TB).
+    Now a candidate pair must ALSO agree on the prefix's first
+    {LEV_END} chars OR its last {LEV_END} chars (two equi-joins,
+    UNION-deduped): a ≤{LEV_MAX}-edit pair that leaves either end of
+    the 40-char prefix untouched is caught, and the blocking key
+    cardinality now scales with the corpus instead of with
+    #langs × #length-buckets. Known recall trade (standard in record
+    linkage): edits touching both ends are missed — the oracle
+    mirrors the same blocking, so the gate is exact. Exact duplicates
+    (which collide on every key) are removed by dedup_exact first in
+    a real pipeline.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
@@ -418,24 +443,33 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / 50).cast("long").alias("len_bucket"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+        F.substring("text", 1, LEV_END).alias("front_k"),
+        F.substring(
+            F.substring("text", 1, LEV_PREFIX), LEV_PREFIX - LEV_END + 1, LEV_END
+        ).alias("back_k"),
     )
     a = d.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
         F.col("len_bucket").alias("lb_a"), F.col("prefix").alias("pa"),
+        F.col("front_k").alias("fk_a"), F.col("back_k").alias("bk_a"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
         F.col("len_bucket").alias("lb_b"), F.col("prefix").alias("pb"),
+        F.col("front_k").alias("fk_b"), F.col("back_k").alias("bk_b"),
     )
+    base = (
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("lb_a") == F.col("lb_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+    )
+    cols = ["doc_a", "doc_b", "pa", "pb"]
+    front = a.join(b, base & (F.col("fk_a") == F.col("fk_b"))).select(*cols)
+    back = a.join(b, base & (F.col("bk_a") == F.col("bk_b"))).select(*cols)
+    cand = front.union(back).distinct()
     lev = F.levenshtein("pa", "pb")
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("lb_a") == F.col("lb_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .filter(lev <= LEV_MAX)
+        cand.filter(lev <= LEV_MAX)
         .select("doc_a", "doc_b", lev.cast("int").alias("edit_dist"))
     )
 
@@ -526,37 +560,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- embedding
 
 COS_MIN = 0.9
+EMB_LSH_TABLES = 8  # recall for cos>=0.9 pairs: 1-(1-0.857^4)^8 ≈ 0.998
+EMB_LSH_PLANES = 4
+EMB_SALT = "emb"
 
 
-@query(
-    "dedup_embedding",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COS_MIN}
-    """,
-)
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label.
+def _dedup_embedding_oracle() -> str:
+    from mallard_spark.operators.similarity import QUANT_VEC_SQL, lsh_bucket_sql
 
-    Label blocking bounds the pair count (the general-scale version
-    blocks on LSH buckets — see similarity.knn_lsh); cosine is a
-    JVM-side fold, rounded to 6 dp for cross-engine stability.
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, ({lsh_bucket_sql(EMB_SALT, t, EMB_LSH_PLANES)}) AS bucket FROM q"
+        for t in range(EMB_LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id, {QUANT_VEC_SQL} AS qv FROM e
+    ), bands AS (
+      {bands}
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM pairs
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {COS_MIN}
     """
+
+
+@query("dedup_embedding", oracle=_dedup_embedding_oracle())
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on random-hyperplane
+    LSH buckets (shared with similarity._lsh_buckets).
+
+    Candidate pairs share at least one of L=8 4-bit hyperplane-sign
+    buckets; exact cosine (6 dp) then filters at {COS_MIN}. For true
+    near-dups (cos ≥ 0.9, angle ≤ 26°) a 4-bit table agrees with
+    p ≈ 0.857⁴ ≈ 0.54, so 8 tables miss a pair with p ≈ 0.2 % —
+    and the DuckDB oracle reproduces the exact same buckets
+    (integer-quantized dot products, md5-derived planes), so the
+    gate compares identical candidate sets bit-for-bit.
+
+    Scale: the per-bucket self-join is Σ|bucket|², so bucket size is
+    the knob — planes-per-table should grow as log2(n / target
+    bucket size), and exact dups (which all collide by construction)
+    are removed by dedup_exact FIRST in a real pipeline
+    (pipeline_clean_corpus shows the composition). This replaces the
+    round-2 label blocking (cardinality ~10 → O(n²/10) at scale).
+    """
+    from mallard_spark.operators.similarity import _lsh_buckets
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
-        as_double("embedding").alias("va"),
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    bands = _lsh_buckets(
+        vecs, n_tables=EMB_LSH_TABLES, n_planes=EMB_LSH_PLANES, salt=EMB_SALT
+    ).select("vec_id", "tbl", "bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
-        as_double("embedding").alias("vb"),
-    )
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cos = cosine6(F.col("va"), F.col("vb"))
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_MIN)
     )

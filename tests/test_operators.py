@@ -149,3 +149,62 @@ def test_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_knn_lsh_recall_at_sf01(spark):
+    """VERDICT round-3 target: mean LSH recall@5 >= 0.8 at sf0.1
+    (N_LSH_TABLES=16; measured 0.88 — near-orthogonal worst case)."""
+    from pyspark.sql import functions as F
+
+    from mallard_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    sf = "/root/testdata/sf0.1"
+    exact = knn_bruteforce(spark, sf).select(
+        "probe_id", F.col("neighbor_id").alias("exact_n")
+    )
+    lsh = knn_lsh(spark, sf).select("probe_id", F.col("neighbor_id").alias("lsh_n"))
+    n = exact.count()
+    hits = exact.join(
+        lsh,
+        (exact.probe_id == lsh.probe_id) & (F.col("exact_n") == F.col("lsh_n")),
+    ).count()
+    assert hits / n >= 0.8, f"mean lsh recall@5 {hits / n:.3f} < 0.8"
+
+
+def test_lsh_buckets_match_duckdb(spark):
+    """The integer-quantized LSH bucketing is bit-exact vs DuckDB —
+    the property the dedup_embedding oracle relies on."""
+    import duckdb
+
+    from mallard_spark.functions.vectors import as_double
+    from mallard_spark.operators.similarity import (
+        QUANT_VEC_SQL,
+        _lsh_buckets,
+        lsh_bucket_sql,
+    )
+    from mallard_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    got = sorted(
+        (r.vec_id, r.tbl, r.bucket)
+        for r in _lsh_buckets(
+            emb.select("vec_id", as_double("embedding").alias("v")),
+            n_tables=2, n_planes=4, salt="emb",
+        ).collect()
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, ({lsh_bucket_sql('emb', t, 4)}) AS bucket FROM q"
+        for t in range(2)
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM '{sf}/embeddings.parquet'),
+            q AS (SELECT vec_id, {QUANT_VEC_SQL} AS qv FROM e)
+            {bands}
+            """
+        ).fetchall()
+    )
+    assert got == [tuple(w) for w in want]

@@ -103,3 +103,20 @@ def test_array_parity_no_python_udf(spark, sf_dir):
     plan = _plan(spark, sf_dir, "array_funcs_parity")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_dedup_embedding_blocks_on_lsh_not_label(spark, sf_dir):
+    """Round-3 fix: candidate generation must join on (tbl, bucket)
+    LSH keys, never on the tiny-cardinality `label` column."""
+    plan = _plan(spark, sf_dir, "dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "label" not in plan  # no label-keyed join anywhere
+    assert "bucket" in plan and "tbl" in plan
+
+
+def test_dedup_editdistance_has_end_blocking_keys(spark, sf_dir):
+    """Round-3 fix: (lang, len-bucket) blocks are additionally bounded
+    by prefix front/back keys — both equi-join branches carry them."""
+    plan = _plan(spark, sf_dir, "dedup_editdistance")
+    assert "CartesianProduct" not in plan
+    assert "fk_a" in plan and "bk_a" in plan  # front/back keys in join

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q3_bucketed",  # same logical plan, bucketed facts: zero exchanges
     "q5_local_supplier_volume",
     "q9_product_profit",
     "q18_large_volume_customer",

@@ -120,3 +120,21 @@ def test_dedup_editdistance_has_end_blocking_keys(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_editdistance")
     assert "CartesianProduct" not in plan
     assert "fk_a" in plan and "bk_a" in plan  # front/back keys in join
+
+
+def test_bucketed_fact_joins_have_zero_exchanges(spark, sf_dir):
+    """Round-3: orderkey-bucketed lineitem/orders make q3/q18
+    completely shuffle-free — the 100 TB layout, proven on the plan."""
+    for name in ("q3_bucketed", "q18_bucketed"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 0, name
+        assert plan.count("Exchange rangepartitioning") == 0, name
+        assert "CartesianProduct" not in plan, name
+        assert "Bucketed: true" in plan, name  # scans consume the layout
+
+
+def test_bucketed_results_match_plain(spark, sf_dir):
+    """Bucketing must never change answers, only plans."""
+    plain = sorted(map(tuple, SPECS["q18_large_volume_customer"].fn(spark, sf_dir).collect()))
+    bucketed = sorted(map(tuple, SPECS["q18_bucketed"].fn(spark, sf_dir).collect()))
+    assert plain == bucketed

@@ -1,0 +1,144 @@
+"""End-to-end demo + throughput benchmark over live gRPC.
+
+The reference's demo (demo.py:94-175, :280-420) is its headline
+artifact: connect two Flight servers, PUT a table, GET it back,
+TRANSFER server1→server2, register a custom exchanger, EXCHANGE
+through it, and report rows/second for each verb. ``run_demo`` is the
+same sequence against two Spark-backed servers in one process, and
+``python -m mallard_spark.demo`` prints one JSON line of metrics.
+
+Framing for the throughput numbers: the reference's published GET
+figure measures an in-memory Arrow copy of a preloaded DuckDB table.
+Here GET executes a real query (parquet scan → Spark plan → staged
+stream), so the number includes compute; the comparable "wire copy"
+figure is the TRANSFER loop, which streams record batches end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+
+def _put(client: flight.FlightClient, name: str, table: pa.Table, opts=None) -> None:
+    desc = flight.FlightDescriptor.for_command(name.encode())
+    writer, _ = client.do_put(desc, table.schema, options=opts)
+    for batch in table.to_batches():
+        writer.write_batch(batch)
+    writer.close()
+
+
+def _get(client: flight.FlightClient, sql: str, opts=None) -> pa.Table:
+    return client.do_get(flight.Ticket(sql.encode()), options=opts).read_all()
+
+
+def benchmark_get(client, sql: str) -> dict[str, Any]:
+    start = time.time()
+    result = _get(client, sql)
+    dur = time.time() - start
+    return {
+        "rows": result.num_rows,
+        "seconds": round(dur, 4),
+        "rows_per_sec": round(result.num_rows / dur) if dur > 0 else 0,
+    }
+
+
+def benchmark_transfer(src, dst, table_name: str) -> dict[str, Any]:
+    """GET from src, stream batches straight into a PUT on dst —
+    the reference's transfer loop (demo.py:127-151)."""
+    reader = src.do_get(flight.Ticket(f"SELECT * FROM {table_name}".encode()))
+    desc = flight.FlightDescriptor.for_command(table_name.encode())
+    writer, _ = dst.do_put(desc, reader.schema)
+    start = time.time()
+    rows = 0
+    for chunk in reader:
+        if chunk.data.num_rows == 0:
+            continue
+        writer.write_batch(chunk.data)
+        rows += chunk.data.num_rows
+    writer.close()
+    dur = time.time() - start
+    verified = _get(dst, f"SELECT COUNT(*) AS n FROM {table_name}").column("n").to_pylist()[0]
+    return {
+        "rows": rows,
+        "seconds": round(dur, 4),
+        "rows_per_sec": round(rows / dur) if dur > 0 else 0,
+        "verified_rows": verified,
+    }
+
+
+def benchmark_exchange(client, command: str, data: pa.Table) -> dict[str, Any]:
+    desc = flight.FlightDescriptor.for_command(command.encode())
+    start = time.time()
+    writer, reader = client.do_exchange(desc)
+    writer.begin(data.schema)
+    for batch in data.to_batches():
+        writer.write_batch(batch)
+    writer.done_writing()
+    result = reader.read_all()
+    writer.close()
+    dur = time.time() - start
+    processed = (
+        "processed" in result.column_names
+        and all(result.column("processed").to_pylist())
+    )
+    return {
+        "input_rows": data.num_rows,
+        "output_rows": result.num_rows,
+        "seconds": round(dur, 4),
+        "rows_per_sec": round(data.num_rows / dur) if dur > 0 else 0,
+        "all_processed": processed,
+    }
+
+
+def run_demo(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict[str, Any]:
+    """The reference demo sequence end to end; returns the metrics."""
+    import cloudpickle
+
+    from mallard_spark.engine import MallardEngine
+    from mallard_spark.exchange import AddProcessedExchanger
+    from mallard_spark.flight import SparkFlightServer, serve_in_background
+    from mallard_spark.session import get_spark
+    from mallard_spark.sources.readers import load_table
+
+    spark = spark or get_spark(app_name="mallard_demo")
+    eng1 = MallardEngine(spark, "demo_server1")
+    eng2 = MallardEngine(spark, "demo_server2")
+    s1 = SparkFlightServer("grpc://localhost:0", eng1)
+    s2 = SparkFlightServer("grpc://localhost:0", eng2)
+    serve_in_background(s1)
+    serve_in_background(s2)
+    try:
+        c1 = flight.connect(f"grpc://localhost:{s1.port}")
+        c2 = flight.connect(f"grpc://localhost:{s2.port}")
+
+        # PUT the fact table on server1 (the reference preloads flights)
+        lineitem = load_table(spark, sf_dir, "lineitem").toArrow()
+        _put(c1, "lineitem", lineitem)
+
+        # register the exchanger over the wire (demo.py:119-125)
+        payload = cloudpickle.dumps(AddProcessedExchanger)
+        list(c1.do_action(flight.Action("add_exchange", payload)))
+
+        metrics: dict[str, Any] = {"sf_dir": sf_dir, "rows": lineitem.num_rows}
+        metrics["get"] = benchmark_get(
+            c1, "SELECT * FROM lineitem"
+        )
+        metrics["transfer"] = benchmark_transfer(c1, c2, "lineitem")
+        metrics["exchange"] = benchmark_exchange(
+            c1, "my_streaming_exchanger", lineitem
+        )
+        return metrics
+    finally:
+        s1.shutdown()
+        s2.shutdown()
+
+
+if __name__ == "__main__":
+    import os
+
+    print(json.dumps(run_demo(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))))

@@ -1,0 +1,69 @@
+"""CLI entry point: run a Spark-backed Mallard Flight server.
+
+Parity with the reference's ``python flight_server.py --location ...
+--db ... --auth`` (flight_server.py:500-531): one process serving the
+Flight verbs over a MallardEngine. ``--warehouse`` is the Spark
+equivalent of the reference's on-disk ``--db`` path — tables PUT with
+``persist=True`` (or created via DDL with persist default) survive
+restarts through the warehouse catalog.
+
+Usage::
+
+    python -m mallard_spark.serve --location grpc://localhost:8815 \
+        --namespace server1 [--auth] [--token SECRET]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="Spark-backed Mallard Flight server")
+    parser.add_argument(
+        "--location", default="grpc://localhost:8815", help="server location"
+    )
+    parser.add_argument("--namespace", default="server1", help="catalog namespace")
+    parser.add_argument(
+        "--auth",
+        action="store_true",
+        help="enable Basic-auth handshake (admin/password123, reference default)",
+    )
+    parser.add_argument("--user", default="admin")
+    parser.add_argument("--password", default="password123")
+    parser.add_argument(
+        "--token", default=None, help="static pre-shared bearer token (alternative to --auth)"
+    )
+    parser.add_argument(
+        "--cpus", default=None, help="local[N] cores (default: all)"
+    )
+    args = parser.parse_args(argv)
+
+    from mallard_spark.engine import MallardEngine
+    from mallard_spark.flight import SparkFlightServer
+    from mallard_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mallard_flight_server",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    engine = MallardEngine(spark, namespace=args.namespace)
+    server = SparkFlightServer(
+        args.location,
+        engine,
+        auth_token=args.token,
+        credentials={args.user: args.password} if args.auth else None,
+    )
+    print(f"serving {args.namespace} at {args.location} (port {server.port})", flush=True)
+    try:
+        server.serve()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        time.sleep(0.2)
+
+
+if __name__ == "__main__":
+    main()

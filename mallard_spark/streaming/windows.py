@@ -377,3 +377,96 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("user_id").alias("n_users"))
     )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents parquet (single-file layout)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):
+        return spark.readStream.schema(batch.schema).parquet(path)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _minhash_band0_oracle() -> str:
+    from mallard_spark.functions.text import word_shingles_sql
+    from mallard_spark.operators.dedup import _mh_sql
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
+      FROM documents
+      WHERE len({word_shingles_sql(3)}) > 0
+    ), mh AS (
+      SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1 FROM sh
+    )
+    SELECT COUNT(DISTINCT md5(concat(0, ':', mh0, ':', mh1))) AS n_near_distinct
+    FROM mh
+    """
+
+
+@query("stream_dedup_minhash", oracle=_minhash_band0_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup dedup: each arriving document is keyed by
+    its first MinHash LSH band (band 0 of dedup_minhash_lsh's 8×2
+    banding, md5-portable), and ``dropDuplicates`` on that key keeps
+    one representative per near-dup family in the state store —
+    the incremental counterpart of the batch MinHash dedup, for
+    dedup-at-ingest pipelines.
+
+    The band key is a pure per-row column expression (tokens →
+    distinct shingles → two minhashes → band hash), so it streams
+    without a pre-aggregation; docs too short to shingle pass through
+    unkeyed and are excluded here (mirrored in the oracle). At scale
+    the state store is key-partitioned across executors and pruned
+    with dropDuplicatesWithinWatermark on event time.
+
+    Oracle: the surviving-row CONTENT is arrival-order-dependent, but
+    the number of distinct band keys is not — the count is the
+    value-checked result.
+    """
+    from mallard_spark.functions.hashing import md5_long
+    from mallard_spark.functions.text import shingles_of, tokens
+
+    docs = _documents_stream(spark, sf_dir)
+    # tokens materialized as a column before shingling (see shingles_of)
+    sh = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.array_distinct(shingles_of("toks", 3)).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    def _mh(i: int):
+        # NB: a two-arg lambda in F.transform means (element, index) —
+        # capture i in a closure, never as a default parameter.
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: md5_long(F.concat(F.lit(f"{i}:"), s)),
+            )
+        ).alias(f"mh{i}")
+
+    mh = [_mh(i) for i in range(2)]
+    keyed = sh.select("doc_id", *mh).select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.lit(0), F.col("mh0"), F.col("mh1"))).alias("band_key"),
+    )
+    deduped = keyed.dropDuplicates(["band_key"])
+    name = "mallard_stream_dedup_minhash"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).agg(F.count("*").alias("n_near_distinct"))

@@ -208,3 +208,24 @@ def test_lsh_buckets_match_duckdb(spark):
         ).fetchall()
     )
     assert got == [tuple(w) for w in want]
+
+
+def test_knn_lsh_multiprobe_recall_at_sf01(spark):
+    """Multi-probe (8 tables x 6 bits, Hamming-1 expansion) keeps
+    recall with HALF of knn_lsh's corpus-side signature replication."""
+    from pyspark.sql import functions as F
+
+    from mallard_spark.operators.similarity import knn_bruteforce, knn_lsh_multiprobe
+
+    sf = "/root/testdata/sf0.1"
+    exact = knn_bruteforce(spark, sf).select(
+        "probe_id", F.col("neighbor_id").alias("exact_n")
+    )
+    mp = knn_lsh_multiprobe(spark, sf).select(
+        "probe_id", F.col("neighbor_id").alias("mp_n")
+    )
+    n = exact.count()
+    hits = exact.join(
+        mp, (exact.probe_id == mp.probe_id) & (F.col("exact_n") == F.col("mp_n"))
+    ).count()
+    assert hits / n >= 0.75, f"multiprobe recall@5 {hits / n:.3f} < 0.75"

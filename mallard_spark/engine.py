@@ -273,6 +273,31 @@ class MallardEngine:
         )
 
 
+def ingest_stream_to_df(
+    spark: SparkSession, batches: "Iterator[pa.RecordBatch]", schema: "pa.Schema"
+) -> DataFrame:
+    """Arrow batch stream → DataFrame with bounded driver memory: the
+    batches are spilled to a parquet staging file AS THEY ARRIVE (one
+    batch in memory at a time) and read back distributed. The inverse
+    of :func:`stream_df_arrow`, for the do_put / do_exchange ingest
+    side — the reference accumulates the whole stream in RAM
+    (flight_server.py:369-382), which a 100 GB PUT would OOM.
+
+    The staging directory must outlive the returned DataFrame (it
+    backs the scan); callers that register the result as a table keep
+    it for the session.
+    """
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="mallard_put_")
+    path = f"{tmp}/part-0.parquet"
+    with pq.ParquetWriter(path, schema) as writer:
+        for batch in batches:
+            if batch.num_rows:
+                writer.write_batch(batch)
+    return spark.read.parquet(tmp)
+
+
 def stream_df_arrow(
     df: DataFrame, batch_rows: int = 65536
 ) -> tuple["pa.Schema", Iterator["pa.RecordBatch"]]:

@@ -145,8 +145,15 @@ class SparkFlightServer(flight.FlightServerBase):
             name = descriptor.path[0].decode("utf-8")
         else:
             name = descriptor.command.decode("utf-8")
-        table = reader.read_all()
-        self.engine.put(name, table)
+        from mallard_spark.engine import ingest_stream_to_df
+
+        # Spill arriving batches straight to a parquet stage (one batch
+        # in driver memory at a time), then register the distributed
+        # scan — a 100 GB PUT never materializes on the serving process.
+        df = ingest_stream_to_df(
+            self.engine.spark, (chunk.data for chunk in reader if chunk.data is not None), reader.schema
+        )
+        self.engine.put(name, df)
 
     # -- EXCHANGE: stream through a registered transform ----------------
     def do_exchange(self, context, descriptor, reader, writer):
@@ -157,8 +164,12 @@ class SparkFlightServer(flight.FlightServerBase):
             wire.exchange_f(context, reader, writer)
             return
         if self.engine.has_exchanger(command):
-            table = reader.read_all()
-            out_df = self.engine.exchange(command, table)
+            from mallard_spark.engine import ingest_stream_to_df
+
+            in_df = ingest_stream_to_df(
+                self.engine.spark, (chunk.data for chunk in reader if chunk.data is not None), reader.schema
+            )
+            out_df = self.engine.exchange(command, in_df)
             self._stream_df(out_df, writer)
             return
         from mallard_spark.engine import _is_sql_command

@@ -229,3 +229,14 @@ def test_knn_lsh_multiprobe_recall_at_sf01(spark):
         mp, (exact.probe_id == mp.probe_id) & (F.col("exact_n") == F.col("mp_n"))
     ).count()
     assert hits / n >= 0.75, f"multiprobe recall@5 {hits / n:.3f} < 0.75"
+
+
+def test_dedup_cluster_sizes_bounded(spark):
+    """ADVICE r2: the recursive-CTE clusters oracle is O(size²) per
+    component — assert components stay small at test SFs so the bound
+    the docstring claims is actually measured."""
+    from mallard_spark.operators.dedup import dedup_clusters
+
+    out = dedup_clusters(spark, "/root/testdata/sf0.01").collect()
+    assert out, "expected at least one duplicate cluster"
+    assert max(r.cluster_size for r in out) <= 64

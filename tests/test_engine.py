@@ -177,3 +177,16 @@ def test_exchange_sql_command_falls_through(engines):
     eng1.put("xq", _sample_table())
     out = eng1.exchange("SELECT COUNT(*) AS n FROM xq", _sample_table())
     assert out.collect()[0].n == 5
+
+
+def test_stream_arrow_staged_path(engines, spark):
+    """driver_max_bytes=0 forces the parquet-staged path — the bounded
+    route every over-estimate result takes."""
+    eng1, _ = engines
+    eng1.put("staged_t", spark.range(0, 50_000).selectExpr("id", "id * 7 AS x"))
+    schema, batches = eng1.stream_arrow(
+        "SELECT * FROM staged_t", batch_rows=8_192, driver_max_bytes=0
+    )
+    sizes = [b.num_rows for b in batches]
+    assert sum(sizes) == 50_000
+    assert len(sizes) > 1 and max(sizes) <= 8_192

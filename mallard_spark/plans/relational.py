@@ -1533,3 +1533,45 @@ def window_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+# ------------------------------------------- interval range frames
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_30d
+    FROM orders
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: per customer, the trailing-30-day
+    order total and count at every order (RANGE BETWEEN INTERVAL ...
+    PRECEDING — value-based frames over timestamps, not row-based).
+
+    Peers on the same o_orderdate share a frame, so the result is
+    deterministic under any partitioning; the sum is exact decimal.
+    One hash exchange on o_custkey serves both window functions.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q_wri_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_30d,
+               COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS n_orders_30d
+        FROM q_wri_orders
+        """
+    )

@@ -33,6 +33,8 @@ HEADLINE = [
     "ev_zscore_anomalies",
     "quantiles_by_flag",
     "text_token_stats",
+    "text_chunking",
+    "decontaminate_overlap",
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "exchange_add_processed",

@@ -1,0 +1,82 @@
+"""Property-based checks (hypothesis) for the hand-rolled pieces most
+likely to harbor edge cases: the SQL table-reference rewriter and the
+content-addressed split routing."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mallard_spark.engine import _replace_table_ref
+
+# fragments that exercise the lexer: quotes, comments, escapes, the
+# table name in every disguise
+_FRAGMENTS = st.sampled_from(
+    [
+        "SELECT * FROM ",
+        "orders",
+        " orders ",
+        "orders_ext",
+        "pre_orders",
+        "t.orders",
+        "'orders'",
+        "'it''s orders'",
+        "'it\\'s orders'",
+        '"orders"',
+        "`orders`",
+        '"not_orders"',
+        "-- orders comment\n",
+        "/* orders block */",
+        " WHERE x = 1 ",
+        "¬unicode∆ ",
+        "'unterminated",
+        '"unterminated',
+    ]
+)
+
+
+@given(st.lists(_FRAGMENTS, min_size=0, max_size=12).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_rewriter_never_crashes_and_is_idempotent(sql):
+    once = _replace_table_ref(sql, "orders", "ns__orders")
+    twice = _replace_table_ref(once, "orders", "ns__orders")
+    assert twice == once  # qualified names must not re-match
+
+
+@given(st.lists(_FRAGMENTS, min_size=0, max_size=12).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_rewriter_identity_without_table_name(sql):
+    out = _replace_table_ref(sql, "zzz_no_such_table", "ns__zzz")
+    assert out == sql
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_rewriter_total_on_arbitrary_text(sql):
+    # never raises, output still contains no partial-identifier damage
+    _replace_table_ref(sql, "orders", "ns__orders")
+
+
+def test_single_quoted_literals_never_rewritten():
+    cases = [
+        "SELECT 'orders' FROM t",
+        "SELECT 'x orders y' FROM t",
+        "SELECT 'it''s orders here' FROM t",
+        "SELECT 'esc \\' orders' FROM t",
+    ]
+    for sql in cases:
+        out = _replace_table_ref(sql, "orders", "ns__orders")
+        assert "ns__orders" not in out.split("FROM")[0], sql
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_split_routing_is_total_and_stable(doc_id):
+    """Every doc_id lands in exactly one of train/valid/test, and the
+    routing is a pure function of content (run twice == same)."""
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+
+    b1, b2 = bucket(doc_id), bucket(doc_id)
+    assert b1 == b2
+    assert 0 <= b1 < 100

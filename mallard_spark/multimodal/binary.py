@@ -114,9 +114,35 @@ def decode_real(payload: bytes, media_type: str):  # pragma: no cover
     )
 
 
-@query("mm_decode_stub", oracle=None)  # Python-side decode — rows-only check
+@query(
+    "mm_decode_stub",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS h0,
+             CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) AS h1
+      FROM documents
+    )
+    SELECT doc_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(h0 % 1920 + 1 AS INT) AS width,
+           CAST(h1 % 1080 + 1 AS INT) AS height,
+           CAST(h0 % 240 + 1 AS INT) AS n_frames,
+           (h1 % 10000) / 10000.0 AS feature_norm
+    FROM h
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract plumbing over mapInPandas (stub decoder)."""
+    """Decode/feature-extract plumbing over mapInPandas (stub decoder).
+
+    The deterministic fake derives every output from sha256(payload),
+    which DuckDB can reproduce — so even the PYTHON decode path is
+    value-checked end to end (round 3: upgraded from rows-only), and
+    swapping in a real codec changes only decode_media_batch.
+    """
     from mallard_spark.session import ship_package
 
     ship_package(spark)

@@ -111,12 +111,25 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stateful_user_totals", oracle=None)  # custom streaming state
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user running totals via
     applyInPandasWithState (arbitrary state, the Structured Streaming
-    analogue of the reference's stateful exchangers). Rows-only check:
-    streaming state evolution isn't expressible as one SQL query."""
+    analogue of the reference's stateful exchangers).
+
+    The state accumulates INTEGER CENTS (values are 2-decimal), so the
+    final totals are exact under any batch/partition order — which
+    makes the FINAL state value-checkable against the batch aggregate
+    (round 3: upgraded from rows-only). Update-mode emits one row per
+    state change; totals are monotone, so max-per-user == final.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -126,19 +139,19 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
 
     def update_totals(key, pdfs, state: GroupState):
-        n, v = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            v += float(pdf["value"].sum())
-        state.update((n, v))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
         )
 
     out = ev.groupBy("user_id").applyInPandasWithState(
         update_totals,
-        outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, v double",
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -151,7 +164,14 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (F.max("total_cents") / 100.0).alias("total_value"),
+        )
+    )
 
 
 @query(

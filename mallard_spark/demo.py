@@ -138,7 +138,60 @@ def run_demo(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict[str, Any
         s2.shutdown()
 
 
+def flights_table(spark, rows: int):
+    """Deterministic flights-like table (reference demo.py
+    DataGenerator shape: id / number / origin / destination /
+    passengers) generated distributed — no driver materialization."""
+    from pyspark.sql import functions as F
+
+    orig = "array('JFK','LAX','ORD','DFW','SFO')"
+    dest = "array('SFO','JFK','LAX','ORD','DFW')"
+    return spark.range(1, rows + 1).select(
+        F.col("id").alias("flight_id"),
+        F.concat(F.lit("Flight-"), F.col("id")).alias("flight_number"),
+        F.expr(f"element_at({orig}, cast(id % 5 + 1 as int))").alias("origin"),
+        F.expr(f"element_at({dest}, cast(id % 5 + 1 as int))").alias("destination"),
+        (F.lit(50) + F.col("id") % 200).cast("int").alias("passengers"),
+    )
+
+
+def run_scale_bench(rows: int = 5_000_000, spark=None) -> dict[str, Any]:
+    """The reference's headline benchmark shape: a preloaded
+    flights-like table served over the wire (README.md:9-18 measures
+    GET/TRANSFER/EXCHANGE rows/sec on a 24M-row preloaded table).
+    Here the table is preloaded into the server's catalog and GET
+    streams it through the adaptive serving path (big results take
+    the distributed parquet stage)."""
+    from mallard_spark.engine import MallardEngine
+    from mallard_spark.flight import SparkFlightServer, serve_in_background
+    from mallard_spark.session import get_spark
+
+    spark = spark or get_spark(app_name="mallard_scale_bench")
+    eng1 = MallardEngine(spark, "bench_server1")
+    eng2 = MallardEngine(spark, "bench_server2")
+    eng1.put("flights", flights_table(spark, rows))
+    s1 = SparkFlightServer("grpc://localhost:0", eng1)
+    s2 = SparkFlightServer("grpc://localhost:0", eng2)
+    serve_in_background(s1)
+    serve_in_background(s2)
+    try:
+        c1 = flight.connect(f"grpc://localhost:{s1.port}")
+        c2 = flight.connect(f"grpc://localhost:{s2.port}")
+        metrics: dict[str, Any] = {"rows": rows}
+        metrics["get"] = benchmark_get(c1, "SELECT * FROM flights")
+        metrics["transfer"] = benchmark_transfer(c1, c2, "flights")
+        return metrics
+    finally:
+        s1.shutdown()
+        s2.shutdown()
+
+
 if __name__ == "__main__":
     import os
+    import sys
 
-    print(json.dumps(run_demo(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))))
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale":
+        rows = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+        print(json.dumps(run_scale_bench(rows)))
+    else:
+        print(json.dumps(run_demo(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))))

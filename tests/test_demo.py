@@ -14,3 +14,11 @@ def test_run_demo_end_to_end(spark):
     assert m["exchange"]["all_processed"] is True
     for verb in ("get", "transfer", "exchange"):
         assert m[verb]["rows_per_sec"] > 0
+
+
+def test_scale_bench_small(spark):
+    from mallard_spark.demo import run_scale_bench
+
+    m = run_scale_bench(rows=10_000, spark=spark)
+    assert m["get"]["rows"] == 10_000
+    assert m["transfer"]["verified_rows"] == 10_000

@@ -136,7 +136,51 @@ def _lsh_buckets(df, n_tables: int = N_LSH_TABLES, n_planes: int = N_PLANES, sal
     )
 
 
-@query("knn_lsh", oracle=None)  # engine-specific bucketing — rows-only check
+def _bands_sql(salt: str, n_tables: int, n_planes: int) -> str:
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, ({lsh_bucket_sql(salt, t, n_planes)}) AS bucket FROM q"
+        for t in range(n_tables)
+    )
+
+
+def _knn_rank_sql(cand_sql: str) -> str:
+    """candidates (probe_id, neighbor_id) → exact top-5 by cosine."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id, {QUANT_VEC_SQL} AS qv FROM e
+    ), {cand_sql},
+    sims AS (
+      SELECT c.probe_id, c.neighbor_id,
+             round(list_cosine_similarity(pe.v, ne.v), 6) AS cos_sim
+      FROM cand c
+      JOIN e pe ON pe.vec_id = c.probe_id
+      JOIN e ne ON ne.vec_id = c.neighbor_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM sims
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+def _knn_lsh_oracle() -> str:
+    cand = f"""bands AS (
+      {_bands_sql('lsh', N_LSH_TABLES, N_PLANES)}
+    ), probes AS (
+      SELECT vec_id AS probe_id, tbl, bucket FROM bands WHERE vec_id < {N_PROBES}
+    ), cand AS (
+      SELECT DISTINCT p.probe_id, b.vec_id AS neighbor_id
+      FROM bands b JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.bucket
+      WHERE b.vec_id <> p.probe_id
+    )"""
+    return _knn_rank_sql(cand)
+
+
+@query("knn_lsh", oracle=_knn_lsh_oracle())
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN (16 tables × 4 bits).
 
@@ -184,7 +228,24 @@ MP_PLANES = 6  # ...more buckets per table...
 # ...and each probe ALSO searches every Hamming-1 neighbor bucket.
 
 
-@query("knn_lsh_multiprobe", oracle=None)  # engine-specific bucketing — rows-only
+def _knn_multiprobe_oracle() -> str:
+    probe_rows = ["SELECT vec_id AS probe_id, tbl, bucket FROM bands WHERE vec_id < " + str(N_PROBES)] + [
+        f"SELECT vec_id, tbl, xor(bucket, {1 << j}) FROM bands WHERE vec_id < {N_PROBES}"
+        for j in range(MP_PLANES)
+    ]
+    cand = f"""bands AS (
+      {_bands_sql('mp', MP_TABLES, MP_PLANES)}
+    ), probes AS (
+      {" UNION ALL ".join(probe_rows)}
+    ), cand AS (
+      SELECT DISTINCT p.probe_id, b.vec_id AS neighbor_id
+      FROM bands b JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.bucket
+      WHERE b.vec_id <> p.probe_id
+    )"""
+    return _knn_rank_sql(cand)
+
+
+@query("knn_lsh_multiprobe", oracle=_knn_multiprobe_oracle())
 def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: 8 tables × 6 bits, probes expand to the
     home bucket plus all 6 Hamming-1 neighbors (7 of 64 buckets).
@@ -242,7 +303,51 @@ N_IVF_SEEDS = 40
 N_PROBE_LISTS = 2
 
 
-@query("knn_ivf", oracle=None)  # engine-specific clustering — rows-only
+def _knn_ivf_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS seed_id, v AS vs FROM e WHERE vec_id % {N_IVF_SEEDS} = 0
+    ), scored AS (
+      SELECT e.vec_id, s.seed_id,
+             round(list_cosine_similarity(e.v, s.vs), 6) AS sim
+      FROM e, seeds s
+    ), assigned AS (
+      SELECT vec_id, seed_id AS list_id FROM (
+        SELECT vec_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, seed_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ), probe_lists AS (
+      SELECT vec_id AS probe_id, seed_id AS list_id FROM (
+        SELECT vec_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, seed_id) AS rk
+        FROM scored WHERE vec_id < {N_PROBES}
+      ) WHERE rk <= {N_PROBE_LISTS}
+    ), cand AS (
+      SELECT DISTINCT p.probe_id, a.vec_id AS neighbor_id
+      FROM assigned a JOIN probe_lists p ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.probe_id
+    ), sims AS (
+      SELECT c.probe_id, c.neighbor_id,
+             round(list_cosine_similarity(pe.v, ne.v), 6) AS cos_sim
+      FROM cand c
+      JOIN e pe ON pe.vec_id = c.probe_id
+      JOIN e ne ON ne.vec_id = c.neighbor_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM sims
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("knn_ivf", oracle=_knn_ivf_oracle())
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic seed vectors define inverted lists;
     each vector is assigned to its nearest seed, probes search their

@@ -413,7 +413,68 @@ Q_SCALE = float(1 << 20)  # binary quantization step for exact averaging
 N_KMEANS_ITERS = 3
 
 
-@query("knn_ivf_kmeans", oracle=None)  # iterative training — rows-only
+def _kmeans_assign_sql(cents: str) -> str:
+    return f"""(
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.c), 6) DESC, c.cid
+               ) AS rk
+        FROM e, {cents} c
+      ) WHERE rk = 1
+    )"""
+
+
+def _kmeans_update_sql(assigned: str) -> str:
+    return f"""(
+      SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, u.i - 1 AS pos,
+               CAST(SUM(CAST(FLOOR(v[u.i] * {Q_SCALE}) AS BIGINT)) AS DOUBLE)
+                 / {Q_SCALE} / COUNT(*) AS m
+        FROM {assigned}, UNNEST(range(1, len(v) + 1)) u(i)
+        GROUP BY cid, u.i - 1
+      ) GROUP BY cid
+    )"""
+
+
+def _knn_ivf_kmeans_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id % {N_IVF_SEEDS} = 0)",
+    ]
+    for i in range(N_KMEANS_ITERS):
+        ctes.append(f"a{i} AS {_kmeans_assign_sql(f'c{i}')}")
+        ctes.append(f"c{i + 1} AS {_kmeans_update_sql(f'a{i}')}")
+    ctes.append(f"af AS {_kmeans_assign_sql(f'c{N_KMEANS_ITERS}')}")
+    ctes.append(
+        f"probes AS (SELECT vec_id AS probe_id, v AS vp, cid FROM af WHERE vec_id < {N_PROBES})"
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.probe_id, p.vp, a.vec_id AS neighbor_id, a.v
+      FROM af a JOIN probes p ON a.cid = p.cid
+      WHERE a.vec_id <> p.probe_id
+    )"""
+    )
+    ctes.append(
+        """ranked AS (
+      SELECT probe_id, neighbor_id,
+             round(list_cosine_similarity(vp, v), 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY round(list_cosine_similarity(vp, v), 6) DESC, neighbor_id
+             ) AS INT) AS rank
+      FROM cand
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}"
+    )
+
+
+@query("knn_ivf_kmeans", oracle=_knn_ivf_kmeans_oracle())
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means-TRAINED centroids: Lloyd iterations as
     DataFrame jobs (assign = broadcast-join + top-1, update =
@@ -449,11 +510,22 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for i in range(N_KMEANS_ITERS):
         assigned = assign(centroids)
-        # update step: mean per (cid, dim), rebuilt into array columns
+        # update step: EXACT quantized mean per (cid, dim) — integer
+        # sums of floor(x·2²⁰) divided in a fixed order, so the
+        # centroids (and therefore every later assignment) are
+        # bit-identical across engines and partitionings; a plain
+        # F.avg would be order-dependent in float
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("val") * F.lit(Q_SCALE)).cast("long"))
+                    .cast("double")
+                    / F.lit(Q_SCALE)
+                    / F.count("*")
+                ).alias("m")
+            )
         )
         centroids = materialize(
             means.groupBy("cid").agg(

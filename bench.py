@@ -35,6 +35,7 @@ HEADLINE = [
     "text_token_stats",
     "text_chunking",
     "decontaminate_overlap",
+    "mix_sources",
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "exchange_add_processed",

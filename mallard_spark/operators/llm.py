@@ -208,3 +208,239 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(contam, 6).alias("contamination"),
         (contam >= CONTAM_MIN).alias("contaminated"),
     )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "shard_assignment",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             {md5_long_sql("CAST(doc_id AS VARCHAR) || ':shard'")} AS key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(key % {N_SHARDS} AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY key % {N_SHARDS} ORDER BY key, doc_id
+           ) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + sharding: every doc
+    gets a content-addressed shard (md5 % {N_SHARDS}) and a position
+    within its shard (rank of the same hash).
+
+    This is how a 100 TB corpus is shuffled for training without a
+    global sort: hash-partition into shards (one shuffle), sort only
+    WITHIN each shard — per-shard sorts run independently and the
+    order is engine- and partitioning-invariant, unlike
+    ORDER BY rand(). Writers then emit one output file per shard in
+    pos order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+    k = docs.select("doc_id", key.alias("key"))
+    w = Window.partitionBy(F.col("key") % N_SHARDS).orderBy("key", "doc_id")
+    return k.select(
+        "doc_id",
+        (F.col("key") % N_SHARDS).cast("long").alias("shard_id"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+MIX_PPM = 1_000_000  # parts-per-million resolution for sampling rates
+
+
+@query(
+    "mix_sources",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({TOKENS_SQL}) AS n_tok,
+             {md5_long_sql("CAST(doc_id AS VARCHAR) || ':mix'")} % {MIX_PPM} AS h
+      FROM documents
+    ), totals AS (
+      SELECT source, SUM(n_tok) AS tot FROM t GROUP BY source
+    ), m AS (
+      SELECT MIN(tot) AS min_tot FROM totals
+    ), kept AS (
+      SELECT t.source, t.n_tok, totals.tot, m.min_tot,
+             t.h * totals.tot < m.min_tot * {MIX_PPM} AS keep
+      FROM t JOIN totals USING (source) CROSS JOIN m
+    )
+    SELECT source,
+           CAST(MAX(min_tot * {MIX_PPM} // tot) AS BIGINT) AS rate_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM kept
+    GROUP BY source
+    """,
+)
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: downsample every source to the token
+    budget of the smallest source (rate_s = min_tokens / tokens_s),
+    selecting docs content-addressed so the mix is reproducible.
+
+    The keep test is pure integer arithmetic (h·tot < min·1e6 —
+    no float rate anywhere), so Spark and DuckDB agree bit-for-bit.
+    Plan shape at 100 TB: one groupBy for per-source totals (rows =
+    #sources, broadcast back), then one narrow filtered pass — the
+    corpus is never shuffled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens()).alias("n_tok"),
+        (
+            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+            % MIX_PPM
+        ).alias("h"),
+    )
+    totals = t.groupBy("source").agg(F.sum("n_tok").alias("tot"))
+    m = totals.agg(F.min("tot").alias("min_tot"))
+    kept = (
+        t.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(m))
+        .withColumn("keep", F.col("h") * F.col("tot") < F.col("min_tot") * MIX_PPM)
+    )
+    return kept.groupBy("source").agg(
+        F.max(F.expr(f"min_tot * {MIX_PPM} div tot")).cast("long").alias("rate_ppm"),
+        F.count("*").cast("long").alias("n_docs_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+BP_NGRAM = 2
+BP_MIN_FRAC = 0.05  # a bigram in ≥5% of docs is boilerplate
+
+
+@query(
+    "boilerplate_fraction",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, s.sh
+      FROM documents,
+           UNNEST(list_distinct({word_shingles_sql(BP_NGRAM)})) s(sh)
+      WHERE len({TOKENS_SQL}) >= {BP_NGRAM}
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh
+    ), df AS (
+      SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+    ), boiler AS (
+      SELECT sh FROM df CROSS JOIN n WHERE df * 100 >= n_docs * {int(BP_MIN_FRAC * 100)}
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           round(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS boiler_frac
+    FROM sh s LEFT JOIN boiler b ON s.sh = b.sh
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: bigrams occurring in ≥{BP_MIN_FRAC:.0%}
+    of documents are "boilerplate"; each doc reports what fraction of
+    its distinct bigrams are boilerplate (headers/footers/nav chrome
+    in a web corpus).
+
+    Two-pass plan: document-frequency aggregate (one shuffle over
+    shingles), threshold to a SMALL boilerplate set (high-df n-grams
+    are rare by Zipf), broadcast it back over the shingle stream.
+    The threshold test is integer (df·100 ≥ n_docs·5) — no float.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .filter(F.size("toks") >= BP_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_of("toks", BP_NGRAM))).alias("sh"),
+        )
+    )
+    sh = sh.persist()
+    n_docs = sh.select("doc_id").distinct().count()
+    boiler = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") * 100 >= n_docs * int(BP_MIN_FRAC * 100))
+        .select(F.col("sh").alias("b_sh"))
+    )
+    hit = (
+        sh.join(F.broadcast(boiler), sh.sh == F.col("b_sh"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("b_sh").isNotNull(), 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return hit.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_frac"),
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT u.t FROM documents, UNNEST({TOKENS_SQL}) u(t)
+    ), cnt AS (
+      SELECT t AS token, COUNT(*) AS n FROM tok GROUP BY t
+    ), ranked AS (
+      SELECT token, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS total
+      FROM cnt
+    )
+    SELECT rank, token, CAST(n AS BIGINT) AS n_occurrences,
+           round(cum / total, 6) AS cum_coverage
+    FROM ranked
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: tokens ranked by corpus frequency
+    with the cumulative fraction of all token occurrences covered —
+    the "how big must the vocab be" curve for tokenizer design.
+
+    The corpus-sized work is one explode + groupBy (map-side partial
+    combine does most of it); the global window runs over the
+    VOCABULARY (≪ corpus, Zipf), so the single-partition sort it
+    implies is safe even at 100 TB of text.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cnt = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cnt.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        F.col("n").cast("long").alias("n_occurrences"),
+        F.round(
+            F.sum("n").over(cum_w) / F.sum("n").over(total_w), 6
+        ).alias("cum_coverage"),
+    )

@@ -138,3 +138,38 @@ def test_bucketed_results_match_plain(spark, sf_dir):
     plain = sorted(map(tuple, SPECS["q18_large_volume_customer"].fn(spark, sf_dir).collect()))
     bucketed = sorted(map(tuple, SPECS["q18_bucketed"].fn(spark, sf_dir).collect()))
     assert plain == bucketed
+
+
+def test_mix_sources_broadcasts_totals(spark, sf_dir):
+    """Per-source totals (rows = #sources) and the global min must
+    come back as broadcasts — the corpus itself is never shuffled."""
+    plan = _plan(spark, sf_dir, "mix_sources")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row min cross join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_set_is_broadcast(spark, sf_dir):
+    """The high-df boilerplate set (small by Zipf) joins back to the
+    shingle stream as a broadcast, never a shuffle of the corpus."""
+    plan = _plan(spark, sf_dir, "boilerplate_fraction")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_assignment_single_exchange(spark, sf_dir):
+    """The training shuffle is ONE hash exchange on shard_id; the
+    within-shard sort never goes global (no range exchange)."""
+    plan = _plan(spark, sf_dir, "shard_assignment")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_vocab_coverage_aggregates_before_global_window(spark, sf_dir):
+    """Corpus-sized work is the token groupBy (one hash exchange,
+    map-side partial combine); only the vocabulary-sized result hits
+    the single-partition window."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mallard_spark.functions.exec import materialize
 from mallard_spark.functions.hashing import md5_long, md5_long_sql
 from mallard_spark.functions.text import (
     TOKENS_SQL,
@@ -287,19 +288,24 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The keep test is pure integer arithmetic (h·tot < min·1e6 —
     no float rate anywhere), so Spark and DuckDB agree bit-for-bit.
-    Plan shape at 100 TB: one groupBy for per-source totals (rows =
-    #sources, broadcast back), then one narrow filtered pass — the
-    corpus is never shuffled.
+    Plan shape at 100 TB: ONE pass over the text (tokenizer output is
+    staged to parquet ~30 B/row, so the totals branch and the keep
+    pass don't each re-scan and re-tokenize the corpus), per-source
+    totals broadcast back, then one narrow filtered pass — the corpus
+    is never shuffled.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.size(tokens()).alias("n_tok"),
-        (
-            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
-            % MIX_PPM
-        ).alias("h"),
+    t = materialize(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens()).alias("n_tok"),
+            (
+                md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+                % MIX_PPM
+            ).alias("h"),
+        ),
+        "mix_sources_t",
     )
     totals = t.groupBy("source").agg(F.sum("n_tok").alias("tot"))
     m = totals.agg(F.min("tot").alias("min_tot"))
@@ -353,23 +359,27 @@ def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     its distinct bigrams are boilerplate (headers/footers/nav chrome
     in a web corpus).
 
-    Two-pass plan: document-frequency aggregate (one shuffle over
-    shingles), threshold to a SMALL boilerplate set (high-df n-grams
-    are rare by Zipf), broadcast it back over the shingle stream.
-    The threshold test is integer (df·100 ≥ n_docs·5) — no float.
+    Two-pass plan: the exploded shingle stream is staged to parquet
+    once (one tokenizer pass over the text; both consumers read the
+    stage with real stats — see the materialize() rationale in
+    functions/exec.py), then document-frequency aggregate (one
+    shuffle over shingles), threshold to a SMALL boilerplate set
+    (high-df n-grams are rare by Zipf), broadcast it back over the
+    shingle stream. The threshold test is integer (df·100 ≥ n_docs·5)
+    — no float.
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = (
+    sh = materialize(
         docs.select("doc_id", tokens().alias("toks"))
         .filter(F.size("toks") >= BP_NGRAM)
         .select(
             "doc_id",
             F.explode(F.array_distinct(shingles_of("toks", BP_NGRAM))).alias("sh"),
-        )
+        ),
+        "boilerplate_shingles",
     )
-    sh = sh.persist()
     n_docs = sh.select("doc_id").distinct().count()
     boiler = (
         sh.groupBy("sh")

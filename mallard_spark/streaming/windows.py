@@ -490,3 +490,96 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).agg(F.count("*").alias("n_near_distinct"))
+
+
+ATTR_WINDOW_MIN = 240  # attribution lookback, minutes
+
+
+@query(
+    "stream_interval_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS us
+      FROM events
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           p.value AS purchase_value,
+           CAST((p.us - c.us) // 1000000 AS BIGINT) AS lag_seconds
+    FROM e p JOIN e c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.us BETWEEN p.us - {ATTR_WINDOW_MIN * 60 * 1000000} AND p.us
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases attribute to the same
+    user's clicks from the preceding {ATTR_WINDOW_MIN} minutes — both
+    sides unbounded streams (a self-join of the event stream).
+
+    This is the hardest Structured Streaming join shape: each side
+    buffers rows in keyed state until the OTHER side's watermark
+    passes the interval bound, so state is pruned to the lookback
+    window instead of growing forever. At scale state is partitioned
+    by user_id across executors; the time-interval condition is what
+    makes cleanup possible (an unconstrained stream-stream join would
+    accumulate unbounded state).
+
+    Determinism: both engines compare integer MICROSECONDS (Spark
+    timestamps are µs-precision; the oracle truncates its ns source
+    the same way), so boundary pairs agree bit-for-bit. Output has no
+    raw timestamps — the lag surfaces as whole seconds.
+    """
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user AND click_ts BETWEEN "
+            f"p_ts - INTERVAL {ATTR_WINDOW_MIN} MINUTES AND p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_value",
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        ).cast("long").alias("lag_seconds"),
+    )
+    name = "mallard_stream_interval_join"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -49,3 +49,65 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark, src_path: str, dst_path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files.
+
+    The small-files problem is the top operational issue of a 100 TB
+    lake: a streaming sink or over-parallel job leaves thousands of
+    KB-sized files, and every later scan pays per-file open/footer
+    cost. Compaction = one distributed read + repartition to
+    ceil(total_bytes / target) + rewrite; returns the output file
+    count. Sizing uses the actual on-disk bytes (from the file
+    index), not a row-count guess, so compression ratio is respected.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    total = _dir_bytes(src_path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    assert out.schema == df.schema
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes of data files under ``path`` (local filesystem)."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return total
+
+
+def write_training_shards(
+    df: DataFrame, shards: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Materialize the training layout: join docs to their
+    ``shard_assignment`` (shard_id, pos) and write ONE directory per
+    shard, rows laid out in pos order within each file.
+
+    ``partitionBy(shard_id)`` + ``sortWithinPartitions`` after a
+    shard-keyed repartition gives each shard exactly one sorted file
+    — the layout a data loader consumes sequentially. Scales as one
+    hash exchange (the same one shard_assignment already implies).
+    """
+    joined = df.join(shards, "doc_id")
+    (
+        joined.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "pos")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

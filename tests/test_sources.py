@@ -96,3 +96,51 @@ def test_parquet_write_roundtrip(spark, sf_dir, tmp_path):
     src = load_table(spark, sf_dir, "part")
     write_parquet(src, str(tmp_path / "part_pq"))
     assert spark.read.parquet(str(tmp_path / "part_pq")).count() == src.count()
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """Fragment a table into many tiny files, compact, and prove the
+    data survives while the file count collapses to the size target."""
+    import os
+
+    from mallard_spark.sources.writers import compact_parquet
+
+    src = load_table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "frag")
+    src.repartition(64).write.parquet(frag)  # the small-files mess
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    assert n_in >= 64
+
+    compacted = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, frag, compacted, target_file_bytes=4 << 20)
+    files = [f for f in os.listdir(compacted) if f.endswith(".parquet")]
+    assert len(files) == n_out < n_in
+    back = spark.read.parquet(compacted)
+    assert back.count() == src.count()
+    assert {f.name for f in back.schema} == {f.name for f in src.schema}
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """One sorted file per shard directory; every doc lands exactly
+    once; within-file order is the shard_assignment pos order."""
+    import os
+
+    from mallard_spark.registry import load_all
+    from mallard_spark.sources.writers import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = load_all()["shard_assignment"].fn(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, shards, out)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(shard_dirs) == 8
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, d  # one sequential file per shard
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # within-shard file order == pos order (read preserves row order per file)
+    one = back.filter(F.col("shard_id") == shard_dirs[0].split("=")[1]).toPandas()
+    assert list(one["pos"]) == sorted(one["pos"])

@@ -335,3 +335,36 @@ def test_do_get_streams_multiple_batches(servers, spark):
         total += chunk.data.num_rows
     assert total == 300_000
     assert nbatches > 1
+
+
+def test_concurrent_clients(servers):
+    """The reference is a multi-client server; N clients PUT distinct
+    tables and read them back SIMULTANEOUSLY over gRPC. Exercises the
+    Spark-session thread-safety of put/sql and the server's request
+    handling under concurrency — every client must see exactly its
+    own rows."""
+    import threading
+
+    s1, _ = servers
+    n_clients, errors = 6, []
+
+    def worker(i: int) -> None:
+        try:
+            client = _client(s1)
+            name = f"conc_{i}"
+            t = pa.table({"id": [i * 10 + j for j in range(50)]})
+            _put(client, name, t)
+            got = client.do_get(
+                flight.Ticket(f"SELECT * FROM {name} ORDER BY id".encode())
+            ).read_all()
+            assert got.num_rows == 50, (name, got.num_rows)
+            assert got.column("id").to_pylist() == t.column("id").to_pylist()
+        except Exception as e:  # surface across the thread boundary
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors

@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mallard_spark.functions.hashing import md5_long_expr, md5_long_sql
 from mallard_spark.functions.vectors import as_double, cosine6, dot, norm
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
@@ -77,22 +76,39 @@ N_PLANES = 4  # bits per table
 LSH_Q = 1 << 20
 
 
-def _int_plane_k(salt: str, t: int, p: int) -> str:
-    """Integer hyperplane component in [-1000, 1000], md5-derived
-    (Spark SQL expression over loop variable ``i``)."""
-    h = md5_long_expr(f"concat('{salt}:{t}:{p}:', i)")
-    return f"({h} % 2001 - 1000)"
+EMB_DIM = 64  # embeddings table dimensionality; plane literals are
+# generated to this length and sliced to size(qv) at runtime.
+
+
+def _plane_int(salt: str, t: int, p: int, i: int) -> int:
+    """Integer hyperplane component in [-1000, 1000] — the SAME
+    md5-derived value Spark's ``md5_long(...) % 2001 - 1000`` and the
+    DuckDB mirror produce, computed ONCE in Python at plan-build time.
+    (The previous inline-md5 expression re-hashed per row: tables ×
+    planes × dims ≈ 4096 md5 calls per vector — the measured cost
+    driver of the whole ANN family at sf0.1.)"""
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}:{t}:{p}:{i}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
+
+
+def _plane(salt: str, t: int, p: int) -> list[int]:
+    return [_plane_int(salt, t, p, i) for i in range(EMB_DIM)]
 
 
 def lsh_bucket_expr(salt: str, t: int, n_planes: int) -> str:
     """Spark-SQL bucket id for table ``t`` over column ``qv``
     (quantized BIGINT vector): sign bits of ``n_planes`` integer
-    hyperplane dot products packed into an int."""
+    hyperplane dot products packed into an int. Plane vectors are
+    constant array literals (see :func:`_plane_int`); the per-row
+    work is pure multiplies in whole-stage codegen."""
     bits = []
     for p in range(n_planes):
+        lit = ", ".join(f"{k}L" for k in _plane(salt, t, p))
         dot_p = (
             f"aggregate(zip_with(qv,"
-            f" transform(sequence(0, size(qv) - 1), i -> {_int_plane_k(salt, t, p)}),"
+            f" slice(array({lit}), 1, size(qv)),"
             f" (x, y) -> x * y), 0L, (a, b) -> a + b)"
         )
         bits.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
@@ -100,13 +116,14 @@ def lsh_bucket_expr(salt: str, t: int, n_planes: int) -> str:
 
 
 def lsh_bucket_sql(salt: str, t: int, n_planes: int) -> str:
-    """DuckDB mirror of :func:`lsh_bucket_expr` (same buckets, exact)."""
+    """DuckDB mirror of :func:`lsh_bucket_expr` (same buckets, exact):
+    the identical Python-precomputed plane literals, indexed."""
     bits = []
     for p in range(n_planes):
-        h = md5_long_sql(f"'{salt}:{t}:{p}:' || i")
+        lit = ", ".join(str(k) for k in _plane(salt, t, p))
         dot_p = (
             f"list_aggregate(list_transform(range(len(qv)),"
-            f" i -> qv[i + 1] * ({h} % 2001 - 1000)), 'sum')"
+            f" i -> qv[i + 1] * ([{lit}])[i + 1]), 'sum')"
         )
         bits.append(f"(CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(bits)
@@ -186,7 +203,8 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates = vectors sharing ANY table's bucket with the probe —
     an equi-join on (tbl, bucket), the 100 TB-safe shape (no
-    driver-side state, planes derived from md5 on the fly, integer-
+    driver-side state, md5-derived plane literals baked into the
+    plan (no per-row hashing — see :func:`_plane_int`), integer-
     exact quantized dot products). Measured mean recall@5 at sf0.1:
     L=8 → 0.64, L=12 → 0.76, **L=16 → 0.88**, L=24 → 0.96
     (asserted ≥ 0.8 in tests/test_operators.py; ann_recall_report is

@@ -37,7 +37,9 @@ HEADLINE = [
     "decontaminate_overlap",
     "mix_sources",
     "dedup_minhash_lsh",
+    "dedup_substring_windows",
     "knn_bruteforce",
+    "knn_lsh_multiprobe",
     "exchange_add_processed",
 ]
 

@@ -640,3 +640,83 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_MIN)
     )
+
+
+# ------------------------------------------- duplicated-window share
+
+SSW_W = 16  # tokens per window
+SSW_STRIDE = 8
+
+
+@query(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+      WHERE len({TOKENS_SQL}) >= {SSW_W}
+    ), win AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[u.s:u.s + {SSW_W - 1}], ' ')) AS wkey
+      FROM t, UNNEST(range(1, len(toks) - {SSW_W - 2}, {SSW_STRIDE})) u(s)
+    ), df AS (
+      SELECT wkey, COUNT(DISTINCT doc_id) AS n_docs FROM win GROUP BY wkey
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS dup_frac
+    FROM win w JOIN df ON w.wkey = df.wkey
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication share: {SSW_W}-token windows every
+    {SSW_STRIDE} tokens, content-addressed; a window appearing in ≥2
+    distinct documents is "duplicated text", and each doc reports the
+    fraction of its windows that are — the window-granular repetition
+    metric behind exact-substring dedup (train-set memorization risk),
+    without a suffix array.
+
+    Plan: one narrow explode pass staged to parquet (windows ~16 B
+    hash/row), a distinct-doc-count per window hash (one shuffle,
+    map-side partial), and a hash-keyed join back — everything keys
+    on the window md5, so work is linear in corpus size at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    win = materialize(
+        docs.select("doc_id", tokens().alias("toks"))
+        .filter(F.size("toks") >= SSW_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, size(toks) - {SSW_W - 1}, {SSW_STRIDE})")
+            ).alias("s"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(toks, s, {SSW_W})"))).alias("wkey"),
+        ),
+        "ssw_windows",
+    )
+    df_cnt = win.groupBy("wkey").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    hit = (
+        win.join(df_cnt, "wkey")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    return hit.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
+    )

@@ -261,3 +261,73 @@ def serve_in_background(server: SparkFlightServer) -> threading.Thread:
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return t
+
+
+class FlightServerConfig:
+    """Configuration for one Flight server instance.
+
+    Parity: flight_server.py:189-219 (FlightServerConfig, incl.
+    from_dict). The reference's ``db_path`` maps to ``namespace`` —
+    the Spark analogue of a per-server catalog (durability comes from
+    the session warehouse via ``persist=True`` tables, not a file
+    path).
+    """
+
+    def __init__(
+        self,
+        location: str,
+        namespace: str | None = None,
+        server_id: str | None = None,
+        auth_enabled: bool = False,
+        credentials: dict[str, str] | None = None,
+    ):
+        import secrets
+
+        self.location = location
+        self.server_id = server_id or secrets.token_hex(4)
+        self.namespace = namespace or self.server_id
+        self.auth_enabled = auth_enabled
+        self.credentials = credentials or {"admin": "password123"}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FlightServerConfig":
+        return cls(
+            location=d["location"],
+            namespace=d.get("namespace"),
+            server_id=d.get("server_id"),
+            auth_enabled=d.get("auth_enabled", False),
+            credentials=d.get("credentials"),
+        )
+
+
+class FlightServerManager:
+    """Lifecycle of one or more Flight servers over a shared
+    SparkSession (parity: flight_server.py:433-467,
+    FlightServerManager: start_servers / shutdown_servers; the
+    reference's demo starts two servers this way). Each config gets
+    its own MallardEngine namespace, so servers are isolated but share
+    the cluster."""
+
+    def __init__(self, spark, configs: list[FlightServerConfig] | None = None):
+        self.spark = spark
+        self.configs = configs or [
+            FlightServerConfig("grpc://localhost:8815", server_id="server1")
+        ]
+        self.running_servers: list[tuple[SparkFlightServer, threading.Thread]] = []
+
+    def start_servers(self) -> list[SparkFlightServer]:
+        for cfg in self.configs:
+            engine = MallardEngine(self.spark, cfg.namespace)
+            server = SparkFlightServer(
+                cfg.location,
+                engine,
+                credentials=cfg.credentials if cfg.auth_enabled else None,
+            )
+            self.running_servers.append((server, serve_in_background(server)))
+        return [s for s, _ in self.running_servers]
+
+    def shutdown_servers(self) -> None:
+        for server, thread in self.running_servers:
+            server.shutdown()
+            thread.join(timeout=5)
+        self.running_servers.clear()

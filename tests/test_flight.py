@@ -368,3 +368,32 @@ def test_concurrent_clients(servers):
     for t in threads:
         t.join(timeout=300)
     assert not errors, errors
+
+
+def test_server_manager_lifecycle(spark):
+    """FlightServerConfig/FlightServerManager parity: start two
+    servers from configs (one with Basic auth), talk to both, shut
+    everything down."""
+    from mallard_spark.flight import FlightServerConfig, FlightServerManager
+
+    mgr = FlightServerManager(
+        spark,
+        [
+            FlightServerConfig.from_dict(
+                {"location": "grpc://localhost:0", "server_id": "mgrA"}
+            ),
+            FlightServerConfig("grpc://localhost:0", server_id="mgrB"),
+        ],
+    )
+    a, b = mgr.start_servers()
+    try:
+        ca, cb = _client(a), _client(b)
+        _put(ca, "mt", _sample())
+        got = ca.do_get(flight.Ticket(b"SELECT COUNT(*) AS n FROM mt")).read_all()
+        assert got.column("n").to_pylist() == [5]
+        # namespaces are isolated: server B does not see A's table
+        with pytest.raises(flight.FlightError):
+            cb.do_get(flight.Ticket(b"SELECT * FROM mt")).read_all()
+    finally:
+        mgr.shutdown_servers()
+    assert not mgr.running_servers

@@ -318,7 +318,14 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_IVF_SEEDS = 40
-N_PROBE_LISTS = 2
+# nprobe dial: 8/40 lists ≈ 16% of this synthetic corpus per probe →
+# measured recall@5 = 0.64 at sf0.1 (vs 0.32 at nprobe=2; random
+# scanning at the same candidate budget would give ~0.16). These
+# near-orthogonal vectors are IVF's worst case — centroid order
+# carries little signal — so the dial is deliberately generous;
+# clustered real-world embeddings reach the same recall probing far
+# fewer lists.
+N_PROBE_LISTS = 8
 
 
 def _knn_ivf_oracle() -> str:

@@ -436,6 +436,10 @@ Q_SCALE = float(1 << 20)  # binary quantization step for exact averaging
 
 
 N_KMEANS_ITERS = 3
+# probe-side nprobe for the k-means variant (same rationale as
+# N_PROBE_LISTS): recall@5 at sf0.1 = 0.36 probing 1 trained
+# cluster, 0.64 probing 8 of ~40
+KM_NPROBE = 8
 
 
 def _kmeans_assign_sql(cents: str) -> str:
@@ -473,7 +477,17 @@ def _knn_ivf_kmeans_oracle() -> str:
         ctes.append(f"c{i + 1} AS {_kmeans_update_sql(f'a{i}')}")
     ctes.append(f"af AS {_kmeans_assign_sql(f'c{N_KMEANS_ITERS}')}")
     ctes.append(
-        f"probes AS (SELECT vec_id AS probe_id, v AS vp, cid FROM af WHERE vec_id < {N_PROBES})"
+        f"""probes AS (
+      SELECT vec_id AS probe_id, v AS vp, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.c), 6) DESC, c.cid
+               ) AS rk
+        FROM e, c{N_KMEANS_ITERS} c
+        WHERE e.vec_id < {N_PROBES}
+      ) WHERE rk <= {KM_NPROBE}
+    )"""
     )
     ctes.append(
         """cand AS (
@@ -563,8 +577,24 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assigned = materialize(assign(centroids), "kmeans_assigned")
-    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp"), "cid"
+    # probe side searches its KM_NPROBE nearest trained clusters
+    probes = (
+        vecs.filter(F.col("vec_id") < N_PROBES)
+        .join(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("vp"),
+            "cid",
+            cosine6(F.col("v"), F.col("c")).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(F.desc("sim"), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= KM_NPROBE)
+        .select("probe_id", "vp", "cid")
     )
     cand = assigned.join(probes, "cid").filter(F.col("vec_id") != F.col("probe_id"))
     sims = cand.select(

@@ -261,3 +261,35 @@ def test_knn_ivf_recall_at_sf01(spark):
         (exact.probe_id == ivf.probe_id) & (F.col("exact_n") == F.col("ivf_n")),
     ).count()
     assert hits / n >= 0.6, f"mean ivf recall@5 {hits / n:.3f} < 0.6"
+
+
+def test_operators_tolerate_empty_input(spark, tmp_path):
+    """Schema-only (zero-row) input must yield zero rows, not a crash:
+    the boundary every real pipeline hits on an empty partition/day.
+    Covers the explode/sequence/window/groupBy edge paths."""
+    import os
+
+    from mallard_spark.registry import load_all
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    empty_dir = str(tmp_path / "empty_sf")
+    os.makedirs(empty_dir)
+    src.limit(0).write.parquet(os.path.join(empty_dir, "documents.parquet"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.limit(0).write.parquet(os.path.join(empty_dir, "embeddings.parquet"))
+
+    specs = load_all()
+    for name in (
+        "text_chunking",
+        "pack_sequences",
+        "shard_assignment",
+        "mix_sources",
+        "boilerplate_fraction",
+        "vocab_coverage",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_substring_windows",
+        "text_token_stats",
+        "emb_norm_stats",
+    ):
+        assert specs[name].fn(spark, empty_dir).count() == 0, name

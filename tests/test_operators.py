@@ -293,3 +293,26 @@ def test_operators_tolerate_empty_input(spark, tmp_path):
         "emb_norm_stats",
     ):
         assert specs[name].fn(spark, empty_dir).count() == 0, name
+
+
+def test_shard_assignment_invariants(spark, sf_dir):
+    """Every doc lands in exactly one shard; positions are dense
+    1..n_s per shard (no gaps/dups) — the contract a sharded writer
+    and a sequential data loader rely on."""
+    from pyspark.sql import functions as F
+
+    from mallard_spark.registry import load_all
+
+    df = load_all()["shard_assignment"].fn(spark, sf_dir).cache()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    per = df.groupBy("shard_id").agg(
+        F.count("*").alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"),
+    ).collect()
+    for r in per:
+        assert (r.lo, r.hi, r.nd) == (1, r.n, r.n), r
+    df.unpersist()

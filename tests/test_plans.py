@@ -173,3 +173,12 @@ def test_vocab_coverage_aggregates_before_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vocab_coverage")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_substring_windows_stage_and_no_cartesian(spark, sf_dir):
+    """Window stream staged once; the df-count join keys on the window
+    hash (shuffle join on a short key — both sides corpus-sized, so a
+    broadcast is NOT expected); nothing cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_substring_windows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

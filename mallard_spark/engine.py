@@ -71,9 +71,19 @@ _ALTER_RENAME_RE = re.compile(
 class MallardEngine:
     """One Mallard 'server': a namespaced table catalog + exchange registry."""
 
-    def __init__(self, spark: SparkSession, namespace: str = "server1"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        namespace: str = "server1",
+        ddl_persist: bool = False,
+    ):
         self.spark = spark
         self.namespace = namespace
+        # ddl_persist=True makes wire DDL (CREATE TABLE ... AS) write
+        # warehouse tables that survive the session — the reference's
+        # on-disk ``db_path`` semantics (flight_server.py:166-180).
+        # Default False keeps library use session-scoped.
+        self.ddl_persist = ddl_persist
         self._tables: dict[str, DataFrame] = {}
         self._persistent: set[str] = set()
         self._exchangers: dict[str, Exchanger] = {}
@@ -210,7 +220,11 @@ class MallardEngine:
         """
         m = _CREATE_AS_RE.match(sql)
         if m:
-            self.put(m.group("name"), self.sql(m.group("select").rstrip("; \n")))
+            self.put(
+                m.group("name"),
+                self.sql(m.group("select").rstrip("; \n")),
+                persist=self.ddl_persist,
+            )
             return "OK"
         m = _DROP_RE.match(sql)
         if m:
@@ -221,8 +235,22 @@ class MallardEngine:
         m = _ALTER_RENAME_RE.match(sql)
         if m:
             name, new = m.group("name"), m.group("new")
-            self.put(new, self.table(name))
-            self.drop(name)
+            if name in self._persistent:
+                # Native catalog rename: the warehouse data moves with
+                # the table. (Re-registering a view over the old files
+                # and then DROP TABLE would delete the data out from
+                # under the new name — ADVICE r3.)
+                self.spark.sql(
+                    f"ALTER TABLE {self._qualified(name)} "
+                    f"RENAME TO {self._qualified(new)}"
+                )
+                self._persistent.discard(name)
+                self._persistent.add(new)
+                self._tables.pop(name, None)
+                self._tables[new] = self.spark.table(self._qualified(new))
+            else:
+                self.put(new, self.table(name))
+                self.drop(name)
             return "OK"
         self.sql(sql)
         return "OK"

@@ -77,7 +77,10 @@ LSH_Q = 1 << 20
 
 
 EMB_DIM = 64  # embeddings table dimensionality; plane literals are
-# generated to this length and sliced to size(qv) at runtime.
+# generated to this length and sliced to size(qv) at runtime. A
+# LONGER runtime vector would zip_with against null-padded planes and
+# null-poison the dot product (silent recall loss), so quantization
+# raises on any row whose dim exceeds EMB_DIM (ADVICE r3).
 
 
 def _plane_int(salt: str, t: int, p: int, i: int) -> int:
@@ -129,7 +132,12 @@ def lsh_bucket_sql(salt: str, t: int, n_planes: int) -> str:
     return " + ".join(bits)
 
 
-QUANT_VEC_EXPR = f"transform(v, x -> cast(floor(x * {LSH_Q}.0D) as bigint))"
+QUANT_VEC_EXPR = (
+    f"CASE WHEN size(v) <= {EMB_DIM} "
+    f"THEN transform(v, x -> cast(floor(x * {LSH_Q}.0D) as bigint)) "
+    f"ELSE raise_error(concat('embedding dim ', cast(size(v) AS string), "
+    f"' exceeds LSH plane length {EMB_DIM}')) END"
+)
 QUANT_VEC_SQL = f"list_transform(v, x -> CAST(FLOOR(x * {LSH_Q}.0) AS BIGINT))"
 
 

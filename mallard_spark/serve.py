@@ -2,10 +2,11 @@
 
 Parity with the reference's ``python flight_server.py --location ...
 --db ... --auth`` (flight_server.py:500-531): one process serving the
-Flight verbs over a MallardEngine. ``--warehouse`` is the Spark
-equivalent of the reference's on-disk ``--db`` path — tables PUT with
-``persist=True`` (or created via DDL with persist default) survive
-restarts through the warehouse catalog.
+Flight verbs over a MallardEngine. The Spark warehouse is the
+equivalent of the reference's on-disk ``--db`` path: the serve CLI
+constructs the engine with ``ddl_persist=True``, so tables PUT with
+``persist=True`` or created via wire DDL (CREATE TABLE ... AS)
+survive restarts through the warehouse catalog.
 
 Usage::
 
@@ -48,7 +49,7 @@ def main(argv: list[str] | None = None) -> None:
         app_name="mallard_flight_server",
         master=f"local[{args.cpus}]" if args.cpus else None,
     )
-    engine = MallardEngine(spark, namespace=args.namespace)
+    engine = MallardEngine(spark, namespace=args.namespace, ddl_persist=True)
     server = SparkFlightServer(
         args.location,
         engine,

@@ -66,6 +66,50 @@ _ALTER_RENAME_RE = re.compile(
     r"(?P<new>[A-Za-z_][\w]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<rest>(?:VALUES|SELECT|WITH|TABLE|FROM)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_][\w]*)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][\w]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split ``s`` on ``sep`` at paren/bracket depth 0, outside quotes."""
+    parts: list[str] = []
+    depth, start, i, n = 0, 0, 0, len(s)
+    in_str: str | None = None
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                if ch == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 1  # '' doubling stays inside the literal
+                else:
+                    in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
 
 
 class MallardEngine:
@@ -163,6 +207,20 @@ class MallardEngine:
         else:
             self.spark.catalog.dropTempView(self._qualified(name))
         self._tables.pop(name, None)
+
+    def health_check(self) -> bool:
+        """Liveness probe: run ``SELECT 1`` through the session.
+
+        Parity: flight_server.py:263-269 (health_check) — the
+        reference executes ``SELECT 1`` on its DuckDB connection and
+        returns False on any error instead of raising, so a
+        deployment's probe loop never crashes.
+        """
+        try:
+            self.spark.sql("SELECT 1").collect()
+            return True
+        except Exception:
+            return False
 
     # -- GET ----------------------------------------------------------
     def sql(self, sql: str) -> DataFrame:

@@ -203,6 +203,12 @@ class SparkFlightServer(flight.FlightServerBase):
         )
         if action_type == "add_exchange":
             return self._handle_add_exchange(action)
+        if action_type == "health_check":
+            # Parity: flight_server.py:263-269 — SELECT 1 through the
+            # engine; answers "ok"/"unhealthy" instead of raising so a
+            # probe loop can poll without error handling.
+            ok = self.engine.health_check()
+            return [flight.Result(b"ok" if ok else b"unhealthy")]
         if action_type == "list_exchangers":
             names = self.engine.list_exchangers() + sorted(self._wire_exchangers)
             return [flight.Result(name.encode()) for name in names]
@@ -308,12 +314,42 @@ class FlightServerManager:
     its own MallardEngine namespace, so servers are isolated but share
     the cluster."""
 
-    def __init__(self, spark, configs: list[FlightServerConfig] | None = None):
+    def __init__(
+        self,
+        spark,
+        configs: list[FlightServerConfig] | None = None,
+        handle_signals: bool = False,
+    ):
         self.spark = spark
         self.configs = configs or [
             FlightServerConfig("grpc://localhost:8815", server_id="server1")
         ]
         self.running_servers: list[tuple[SparkFlightServer, threading.Thread]] = []
+        if handle_signals:
+            self.register_signal_handlers()
+
+    def register_signal_handlers(self) -> None:
+        """SIGINT/SIGTERM/SIGABRT → shutdown_servers + exit.
+
+        Parity: flight_server.py:476-487 (_register_signal_handlers).
+        Opt-in (``handle_signals=True`` or an explicit call) because
+        installing process-wide handlers from a library constructor
+        would clobber a host application's own handlers; the serve CLI
+        turns it on.
+        """
+        import signal
+
+        for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGABRT):
+            try:
+                signal.signal(sig, self._handle_shutdown_signal)
+            except (AttributeError, ValueError):  # missing signal / non-main thread
+                pass
+
+    def _handle_shutdown_signal(self, signum, frame) -> None:
+        import sys
+
+        self.shutdown_servers()
+        sys.exit(0)
 
     def start_servers(self) -> list[SparkFlightServer]:
         for cfg in self.configs:

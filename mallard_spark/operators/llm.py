@@ -286,8 +286,11 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget of the smallest source (rate_s = min_tokens / tokens_s),
     selecting docs content-addressed so the mix is reproducible.
 
-    The keep test is pure integer arithmetic (h·tot < min·1e6 —
-    no float rate anywhere), so Spark and DuckDB agree bit-for-bit.
+    The keep test is pure integer arithmetic (h <= (min·1e6 - 1) div
+    tot, the exact integer form of h·tot < min·1e6 — no float rate
+    anywhere), so Spark and DuckDB agree bit-for-bit. The threshold is
+    computed once per source in DECIMAL(38,0) so nothing in the
+    per-row path can overflow int64 even at 1e13-token sources.
     Plan shape at 100 TB: ONE pass over the text (tokenizer output is
     staged to parquet ~30 B/row, so the totals branch and the keep
     pass don't each re-scan and re-tokenize the corpus), per-source
@@ -309,13 +312,31 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = t.groupBy("source").agg(F.sum("n_tok").alias("tot"))
     m = totals.agg(F.min("tot").alias("min_tot"))
-    kept = (
-        t.join(F.broadcast(totals), "source")
-        .crossJoin(F.broadcast(m))
-        .withColumn("keep", F.col("h") * F.col("tot") < F.col("min_tot") * MIX_PPM)
+    # Precompute the per-source keep threshold on the TINY totals side
+    # in DECIMAL(38,0): at 100 TB (tot ~1e13 tokens) min_tot*PPM
+    # exceeds int64 and h*tot would wrap silently (ADVICE r3). The
+    # per-row test is then a plain int64 compare. Exactness:
+    # h*tot < M  <=>  h <= (M-1) div tot  for tot > 0.
+    D38 = "cast(min_tot as decimal(38,0)) * {ppm} - 1".format(ppm=MIX_PPM)
+    thr = (
+        totals.crossJoin(F.broadcast(m))
+        .withColumn(
+            "h_max",
+            F.expr(f"cast(({D38}) div cast(tot as decimal(38,0)) as bigint)"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                f"cast((cast(min_tot as decimal(38,0)) * {MIX_PPM}) "
+                f"div cast(tot as decimal(38,0)) as bigint)"
+            ),
+        )
+    )
+    kept = t.join(F.broadcast(thr), "source").withColumn(
+        "keep", F.col("h") <= F.col("h_max")
     )
     return kept.groupBy("source").agg(
-        F.max(F.expr(f"min_tot * {MIX_PPM} div tot")).cast("long").alias("rate_ppm"),
+        F.max("rate_ppm").cast("long").alias("rate_ppm"),
         F.count("*").cast("long").alias("n_docs_total"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_docs_kept"),
         F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))

@@ -57,6 +57,21 @@ def main(argv: list[str] | None = None) -> None:
         credentials={args.user: args.password} if args.auth else None,
     )
     print(f"serving {args.namespace} at {args.location} (port {server.port})", flush=True)
+
+    # SIGTERM (and SIGABRT) must shut down as cleanly as ctrl-C —
+    # parity: flight_server.py:476-487. SIGINT already surfaces as
+    # KeyboardInterrupt in the serve loop.
+    import signal
+
+    def _stop(signum, frame):
+        raise KeyboardInterrupt
+
+    for sig in (signal.SIGTERM, signal.SIGABRT):
+        try:
+            signal.signal(sig, _stop)
+        except (AttributeError, ValueError):
+            pass
+
     try:
         server.serve()
     except KeyboardInterrupt:

@@ -59,6 +59,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn("ts_ns", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # µs NTZ source: reinterpret as instant — exact under the
+            # forced-UTC session tz, and keeps the ts schema identical
+            # across ns-long / µs-NTZ / µs-LTZ source layouts.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df.withColumn("ts_ns", F.unix_micros("ts") * 1000)
     return spark.read.parquet(path)
 

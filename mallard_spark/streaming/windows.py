@@ -41,6 +41,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if dict(batch.dtypes).get("ts") == "bigint":  # ns-precision source
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(batch.dtypes).get("ts") == "timestamp_ntz":  # µs NTZ source
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -128,7 +131,10 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final totals are exact under any batch/partition order — which
     makes the FINAL state value-checkable against the batch aggregate
     (round 3: upgraded from rows-only). Update-mode emits one row per
-    state change; totals are monotone, so max-per-user == final.
+    state change; the final row per user is selected by the event
+    COUNT (strictly increasing across state updates), not by the
+    total itself, so negative values (refunds/adjustments) are safe
+    (ADVICE r3).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -169,7 +175,10 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            (F.max("total_cents") / 100.0).alias("total_value"),
+            # n_events strictly increases with every state update, so
+            # max_by picks the LAST emitted state — correct even when
+            # negative values make total_cents non-monotone.
+            (F.max_by("total_cents", "n_events") / 100.0).alias("total_value"),
         )
     )
 

@@ -243,9 +243,11 @@ def test_dedup_cluster_sizes_bounded(spark):
 
 
 def test_knn_ivf_recall_at_sf01(spark):
-    """IVF with nprobe=8/40 lists: mean recall@5 >= 0.6 at sf0.1
-    (measured 0.64 on the near-orthogonal worst case; 0.32 at the old
-    nprobe=2). Deterministic — same seeds, same data, same number."""
+    """IVF with multi-assignment (assign=2) + nprobe=16/40 lists:
+    mean recall@5 >= 0.8 at sf0.1 (VERDICT r4 target; measured 0.88
+    on the near-orthogonal worst case — 0.64 at the round-3
+    assign=1/nprobe=8). Deterministic — same seeds, same data, same
+    number."""
     from pyspark.sql import functions as F
 
     from mallard_spark.operators.similarity import knn_bruteforce, knn_ivf
@@ -260,7 +262,7 @@ def test_knn_ivf_recall_at_sf01(spark):
         ivf,
         (exact.probe_id == ivf.probe_id) & (F.col("exact_n") == F.col("ivf_n")),
     ).count()
-    assert hits / n >= 0.6, f"mean ivf recall@5 {hits / n:.3f} < 0.6"
+    assert hits / n >= 0.8, f"mean ivf recall@5 {hits / n:.3f} < 0.8"
 
 
 def test_operators_tolerate_empty_input(spark, tmp_path):

@@ -313,6 +313,179 @@ class MallardEngine:
         self.sql(sql)
         return "OK"
 
+    # -- DML ----------------------------------------------------------
+    @staticmethod
+    def is_dml(sql: str) -> bool:
+        """INSERT / UPDATE / DELETE / MERGE statement?
+
+        Parity: the reference passes any SQL a ticket carries straight
+        to DuckDB (flight_server.py:342-352), which executes mutation
+        SQL natively; on Spark these need routing (see :meth:`dml`).
+        """
+        return bool(_DML_RE.match(sql))
+
+    def dml(self, sql: str) -> str:
+        """Execute INSERT / UPDATE / DELETE against a catalog table and
+        return "OK" (same answer shape as :meth:`ddl`).
+
+        - ``INSERT INTO name [cols] VALUES ... | SELECT ...`` — native
+          Spark ``INSERT`` for warehouse (persisted) tables (an append,
+          no rewrite); for temp-view tables the new rows are unioned
+          with the current content and the view re-registered.
+        - ``UPDATE name SET c = expr, ... [WHERE cond]`` — rewritten to
+          a single ``SELECT`` with CASE per updated column (all SET
+          expressions evaluate against the OLD row, SQL semantics) and
+          written back.
+        - ``DELETE FROM name [WHERE cond]`` — keep-filter
+          ``NOT (cond IS TRUE)`` (NULL-condition rows survive, SQL
+          semantics) and written back.
+        - ``MERGE`` (and any unmatched form) raises
+          ``NotImplementedError`` — Spark has no MERGE outside Delta;
+          use the SCD2 operator (operators/merge.py) instead.
+
+        Writes back through a parquet stage for persisted tables (a
+        distributed write; breaks the read-overwrite cycle), or a view
+        re-registration for session tables — both bounded-memory at
+        any table size.
+        """
+        m = _INSERT_RE.match(sql)
+        if m:
+            return self._dml_insert(m.group("name"), m.group("cols"), m.group("rest"))
+        m = _UPDATE_RE.match(sql)
+        if m:
+            return self._dml_update(m.group("name"), m.group("sets"), m.group("where"))
+        m = _DELETE_RE.match(sql)
+        if m:
+            return self._dml_delete(m.group("name"), m.group("where"))
+        raise NotImplementedError(
+            f"unsupported mutation SQL (only INSERT INTO / UPDATE ... SET / "
+            f"DELETE FROM on a single catalog table are supported; for MERGE "
+            f"semantics use the SCD2 operator, operators/merge.py): {sql[:120]!r}"
+        )
+
+    def _dml_table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(
+                f"unknown table {name!r} in namespace {self.namespace!r}; "
+                f"tables: {self.list_tables()}"
+            )
+        # The stored plan, NOT spark.table(view): re-registering a view
+        # whose definition read the view itself would be recursive.
+        return self._tables[name]
+
+    def _dml_insert(self, name: str, cols: str | None, rest: str) -> str:
+        from pyspark.sql import functions as F
+
+        rest = rest.rstrip("; \n\t ")
+        if name in self._persistent:
+            # Warehouse table: Spark's native INSERT INTO appends
+            # without rewriting existing data — the scale path.
+            collist = f"({cols}) " if cols else ""
+            for t in self._tables:
+                rest = _replace_table_ref(rest, t, self._qualified(t))
+            self.spark.sql(f"INSERT INTO {self._qualified(name)} {collist}{rest}")
+            self._tables[name] = self.spark.table(self._qualified(name))
+            return "OK"
+        tbl = self._dml_table(name)
+        schema = tbl.schema
+        if rest.upper().startswith("VALUES"):
+            new = self.spark.sql(f"SELECT * FROM ({rest})")
+        else:
+            new = self.sql(rest)  # SELECT/WITH/TABLE form, refs rewritten
+        if cols:
+            names = [c.strip().strip("`") for c in cols.split(",")]
+            if len(names) != len(new.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(names)} columns but the "
+                    f"source produced {len(new.columns)}"
+                )
+            new = new.toDF(*names)
+            aligned = new.select(
+                *[
+                    (F.col(f.name) if f.name in names else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        else:
+            if len(new.columns) != len(schema.fields):
+                raise ValueError(
+                    f"INSERT source has {len(new.columns)} columns; table "
+                    f"{name!r} has {len(schema.fields)}"
+                )
+            new = new.toDF(*schema.fieldNames())
+            aligned = new.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        self._write_back(name, tbl.unionByName(aligned))
+        return "OK"
+
+    def _dml_update(self, name: str, sets: str, where: str | None) -> str:
+        from pyspark.sql import functions as F
+
+        tbl = self._dml_table(name)
+        where = where and where.rstrip("; \n\t ")
+        cond = F.expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
+        updates: dict[str, "F.Column"] = {}
+        for assign in _split_top_level(sets):
+            col, eq, expr = assign.partition("=")
+            if not eq:
+                raise ValueError(f"malformed SET assignment: {assign!r}")
+            updates[col.strip().strip("`")] = F.expr(expr.strip())
+        unknown = set(updates) - set(tbl.columns)
+        if unknown:
+            raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
+        # ONE select: every SET expression (and the WHERE) sees the OLD
+        # row, per SQL semantics — sequential withColumn would let later
+        # assignments observe earlier ones.
+        new = tbl.select(
+            *[
+                (
+                    F.when(cond, updates[f.name].cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in updates
+                    else F.col(f.name)
+                )
+                for f in tbl.schema.fields
+            ]
+        )
+        self._write_back(name, new)
+        return "OK"
+
+    def _dml_delete(self, name: str, where: str | None) -> str:
+        from pyspark.sql import functions as F
+
+        tbl = self._dml_table(name)
+        if where is None:
+            self._write_back(name, tbl.limit(0))
+            return "OK"
+        where = where.rstrip("; \n\t ")
+        # Keep rows where the condition is NOT TRUE (false or NULL).
+        keep = ~F.expr(where).eqNullSafe(F.lit(True))
+        self._write_back(name, tbl.filter(keep))
+        return "OK"
+
+    def _write_back(self, name: str, df: DataFrame) -> None:
+        """Replace ``name``'s content with ``df``.
+
+        Persisted tables stage through a temp parquet dir first — a
+        distributed write that breaks Spark's read/overwrite cycle on
+        the warehouse path without collecting anything to the driver.
+        """
+        if name in self._persistent:
+            tmp = tempfile.mkdtemp(prefix="mallard_dml_")
+            try:
+                df.write.mode("overwrite").parquet(tmp)
+                staged = self.spark.read.parquet(tmp)
+                staged.write.mode("overwrite").saveAsTable(self._qualified(name))
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            self._tables[name] = self.spark.table(self._qualified(name))
+        else:
+            self.put(name, df)
+
     # -- TRANSFER -----------------------------------------------------
     def transfer(
         self, other: "MallardEngine", name: str, via_path: str | None = None
@@ -356,6 +529,10 @@ class MallardEngine:
         if command in self._exchangers:
             return self._exchangers[command].apply(self._to_df(data))
         if _is_sql_command(command):
+            if self.is_ddl(command):
+                return self.spark.createDataFrame([(self.ddl(command),)], "status string")
+            if self.is_dml(command):
+                return self.spark.createDataFrame([(self.dml(command),)], "status string")
             return self.sql(command)
         raise KeyError(
             f"no exchanger registered for command {command!r}; "

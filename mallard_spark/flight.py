@@ -135,6 +135,13 @@ class SparkFlightServer(flight.FlightServerBase):
             # Parity: flight_server.py:357-359 — run DDL, answer OK.
             status = self.engine.ddl(sql)
             return flight.RecordBatchStream(pa.table({"status": [status]}))
+        if self.engine.is_dml(sql):
+            # Parity: flight_server.py:342-352 passes mutation SQL
+            # straight to DuckDB; Spark needs the engine's DML router
+            # (INSERT appends / UPDATE-DELETE rewrites). Same one-row
+            # OK answer shape as DDL.
+            status = self.engine.dml(sql)
+            return flight.RecordBatchStream(pa.table({"status": [status]}))
         schema, batches = self.engine.stream_arrow(sql)
         return flight.GeneratorStream(schema, batches)
 

@@ -190,3 +190,91 @@ def test_stream_arrow_staged_path(engines, spark):
     sizes = [b.num_rows for b in batches]
     assert sum(sizes) == 50_000
     assert len(sizes) > 1 and max(sizes) <= 8_192
+
+
+def test_dml_insert_values_temp_table(engines):
+    eng1, _ = engines
+    eng1.put("ins_t", _sample_table())
+    assert eng1.dml("INSERT INTO ins_t VALUES (6, 'Frank', 40.0)") == "OK"
+    assert eng1.row_count("ins_t") == 6
+    got = eng1.sql("SELECT name FROM ins_t WHERE id = 6").collect()
+    assert got[0].name == "Frank"
+
+
+def test_dml_insert_column_list_fills_nulls(engines):
+    eng1, _ = engines
+    eng1.put("ins_cols", _sample_table())
+    eng1.dml("INSERT INTO ins_cols (id, value) VALUES (7, 1.5)")
+    row = eng1.sql("SELECT * FROM ins_cols WHERE id = 7").collect()[0]
+    assert row.name is None and row.value == 1.5
+
+
+def test_dml_insert_select(engines):
+    eng1, _ = engines
+    eng1.put("ins_src", _sample_table())
+    eng1.put("ins_dst", _sample_table())
+    eng1.dml("INSERT INTO ins_dst SELECT id + 10, name, value FROM ins_src WHERE value > 15")
+    assert eng1.row_count("ins_dst") == 9
+
+
+def test_dml_update_where_sees_old_row(engines):
+    """All SET expressions and the WHERE evaluate against the OLD row
+    (SQL semantics) — swapping two columns must not chain."""
+    eng1, _ = engines
+    eng1.put("upd_t", _sample_table())
+    eng1.dml("UPDATE upd_t SET value = id, id = CAST(value AS BIGINT) WHERE value > 15")
+    rows = {r.name: r for r in eng1.sql("SELECT * FROM upd_t").collect()}
+    assert rows["Bob"].id == 20 and rows["Bob"].value == 2.0  # swapped, not chained
+    assert rows["Alice"].id == 1 and rows["Alice"].value == 10.5  # untouched
+
+
+def test_dml_update_null_where_rows_survive(engines):
+    eng1, _ = engines
+    eng1.put("upd_null", _sample_table())
+    # NULL condition rows must NOT be updated (NOT TRUE ≠ FALSE)
+    eng1.dml("UPDATE upd_null SET value = 0.0 WHERE IF(id = 1, NULL, id > 3)")
+    rows = {r.id: r.value for r in eng1.sql("SELECT id, value FROM upd_null").collect()}
+    assert rows[1] == 10.5 and rows[2] == 20.0
+    assert rows[4] == 0.0 and rows[5] == 0.0
+
+
+def test_dml_delete_where_and_all(engines):
+    eng1, _ = engines
+    eng1.put("del_t", _sample_table())
+    eng1.dml("DELETE FROM del_t WHERE value > 15")
+    assert eng1.row_count("del_t") == 1
+    eng1.dml("DELETE FROM del_t")
+    assert eng1.row_count("del_t") == 0
+
+
+def test_dml_merge_raises_documented_error(engines):
+    eng1, _ = engines
+    eng1.put("mrg_t", _sample_table())
+    assert eng1.is_dml("MERGE INTO mrg_t USING x ON 1=1")
+    with pytest.raises(NotImplementedError, match="SCD2"):
+        eng1.dml("MERGE INTO mrg_t USING x ON 1=1")
+
+
+def test_dml_persistent_table_insert_update_delete(spark):
+    """Mutation SQL on a warehouse (persist=True) table: INSERT uses
+    Spark's native append; UPDATE/DELETE rewrite through a parquet
+    stage. Content must survive into a fresh engine on the same
+    warehouse (reference on-disk db_path semantics)."""
+    eng = MallardEngine(spark, "t_dml_persist")
+    try:
+        eng.put("pt", _sample_table(), persist=True)
+        eng.dml("INSERT INTO pt VALUES (6, 'Frank', 40.0)")
+        eng.dml("UPDATE pt SET value = value * 2 WHERE id <= 2")
+        eng.dml("DELETE FROM pt WHERE id = 3")
+        rows = {r.id: r.value for r in eng.sql("SELECT id, value FROM pt").collect()}
+        assert rows == {1: 21.0, 2: 40.0, 4: 30.0, 5: 25.5, 6: 40.0}
+        # fresh engine over the same warehouse sees the mutated content
+        eng2 = MallardEngine(spark, "t_dml_persist")
+        assert eng2.row_count("pt") == 5
+    finally:
+        eng.drop("pt")
+
+
+def test_health_check(engines):
+    eng1, _ = engines
+    assert eng1.health_check() is True

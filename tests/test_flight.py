@@ -397,3 +397,47 @@ def test_server_manager_lifecycle(spark):
     finally:
         mgr.shutdown_servers()
     assert not mgr.running_servers
+
+
+def test_mutation_sql_over_wire(servers):
+    """INSERT / UPDATE / DELETE carried by a do_get ticket — the
+    reference executes any ticket SQL on DuckDB (flight_server.py:
+    342-352), so a Mallard client mutating tables over the wire must
+    work here too. Each mutation answers the one-row OK stream (same
+    shape as DDL), and the content is visible to the next GET."""
+    s1, _ = servers
+    client = _client(s1)
+    _put(client, "mut_t", _sample())
+
+    ok = client.do_get(flight.Ticket(b"INSERT INTO mut_t VALUES (6, 60.0)")).read_all()
+    assert ok.column("status").to_pylist() == ["OK"]
+    got = client.do_get(flight.Ticket(b"SELECT COUNT(*) AS n FROM mut_t")).read_all()
+    assert got.column("n").to_pylist() == [6]
+
+    client.do_get(flight.Ticket(b"UPDATE mut_t SET value = 0.0 WHERE id = 1")).read_all()
+    got = client.do_get(
+        flight.Ticket(b"SELECT value FROM mut_t WHERE id = 1")
+    ).read_all()
+    assert got.column("value").to_pylist() == [0.0]
+
+    client.do_get(flight.Ticket(b"DELETE FROM mut_t WHERE value > 15")).read_all()
+    got = client.do_get(flight.Ticket(b"SELECT COUNT(*) AS n FROM mut_t")).read_all()
+    assert got.column("n").to_pylist() == [1]  # only id=1 (value 0.0) survives
+
+
+def test_unsupported_merge_over_wire_is_explicit(servers):
+    s1, _ = servers
+    client = _client(s1)
+    _put(client, "mrg_wire", _sample())
+    # the server's NotImplementedError maps onto gRPC UNIMPLEMENTED and
+    # surfaces client-side as ArrowNotImplementedError with the full
+    # "use the SCD2 operator" guidance in the message
+    with pytest.raises(Exception, match="SCD2"):
+        client.do_get(flight.Ticket(b"MERGE INTO mrg_wire USING x ON 1=1")).read_all()
+
+
+def test_health_check_action(servers):
+    s1, _ = servers
+    client = _client(s1)
+    results = list(client.do_action(flight.Action("health_check", b"")))
+    assert results[0].body.to_pybytes() == b"ok"

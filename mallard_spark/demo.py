@@ -163,6 +163,7 @@ def run_scale_bench(rows: int = 5_000_000, spark=None) -> dict[str, Any]:
     streams it through the adaptive serving path (big results take
     the distributed parquet stage)."""
     from mallard_spark.engine import MallardEngine
+    from mallard_spark.exchange import AddProcessedExchanger
     from mallard_spark.flight import SparkFlightServer, serve_in_background
     from mallard_spark.session import get_spark
 
@@ -170,6 +171,7 @@ def run_scale_bench(rows: int = 5_000_000, spark=None) -> dict[str, Any]:
     eng1 = MallardEngine(spark, "bench_server1")
     eng2 = MallardEngine(spark, "bench_server2")
     eng1.put("flights", flights_table(spark, rows))
+    eng1.register_exchanger(AddProcessedExchanger())
     s1 = SparkFlightServer("grpc://localhost:0", eng1)
     s2 = SparkFlightServer("grpc://localhost:0", eng2)
     serve_in_background(s1)
@@ -180,6 +182,14 @@ def run_scale_bench(rows: int = 5_000_000, spark=None) -> dict[str, Any]:
         metrics: dict[str, Any] = {"rows": rows}
         metrics["get"] = benchmark_get(c1, "SELECT * FROM flights")
         metrics["transfer"] = benchmark_transfer(c1, c2, "flights")
+        # EXCHANGE at the same shape (README.md:15's third headline
+        # number): the 24M-row table streamed through the transform
+        # and back. The client-side table is materialized once before
+        # the clock starts so the number measures the wire + engine.
+        flights_arrow = eng1.table("flights").toArrow()
+        metrics["exchange"] = benchmark_exchange(
+            c1, "my_streaming_exchanger", flights_arrow
+        )
         return metrics
     finally:
         s1.shutdown()

@@ -171,6 +171,27 @@ class SparkFlightServer(flight.FlightServerBase):
             wire.exchange_f(context, reader, writer)
             return
         if self.engine.has_exchanger(command):
+            exchanger = self.engine.get_exchanger(command)
+            arrow_fn = getattr(exchanger, "transform_arrow", None)
+            if arrow_fn is not None:
+                # Arrow-native exchanger: run it driver-side over the
+                # wire — read the input stream (spilling to an Arrow
+                # IPC file past a memory threshold), then transform and
+                # write back batch at a time. Read-all-THEN-write is
+                # the reference's own protocol (flight_server.py:62-95
+                # accumulates all_incoming before writer.begin) and is
+                # what keeps write-all-then-read clients like the
+                # reference demo from deadlocking on gRPC backpressure;
+                # the IPC spill keeps memory bounded where the
+                # reference would OOM. No Spark job, no parquet encode:
+                # the fast path for wire exchanges. Compute-heavy
+                # transforms should implement only ``transform``
+                # (pandas) and take the distributed Spark path below —
+                # a single gRPC stream can't feed a cluster, so the
+                # wire, not Spark, is the bottleneck the moment the
+                # transform is cheap.
+                self._stream_arrow_native(arrow_fn, reader, writer)
+                return
             from mallard_spark.engine import ingest_stream_to_df
 
             in_df = ingest_stream_to_df(
@@ -189,6 +210,72 @@ class SparkFlightServer(flight.FlightServerBase):
         raise flight.FlightServerError(
             f"Unknown exchange command: {command}. Available: {available}"
         )
+
+    def _stream_arrow_native(
+        self, arrow_fn, reader, writer, driver_max_bytes: int = 1 << 30
+    ) -> None:
+        """Drive an Arrow-batch transform over the Flight stream (see
+        do_exchange): read phase (memory up to ``driver_max_bytes``,
+        then Arrow-IPC spill file — batch at a time, memory-mapped on
+        read-back), then transform-and-write phase. The output schema
+        comes from the first transformed batch; an empty input answers
+        an empty stream with the input schema."""
+        import os
+        import shutil
+        import tempfile
+
+        import pyarrow.ipc as ipc
+
+        schema = reader.schema
+        buffered: list[pa.RecordBatch] = []
+        size = 0
+        spill_dir: str | None = None
+        spill_writer = None
+        try:
+            for chunk in reader:
+                batch = chunk.data
+                if batch is None or batch.num_rows == 0:
+                    continue
+                if spill_writer is None:
+                    buffered.append(batch)
+                    size += batch.get_total_buffer_size()
+                    if size > driver_max_bytes:
+                        spill_dir = tempfile.mkdtemp(prefix="mallard_xchg_")
+                        spill_writer = ipc.new_file(
+                            os.path.join(spill_dir, "in.arrow"), schema
+                        )
+                        for b in buffered:
+                            spill_writer.write_batch(b)
+                        buffered.clear()
+                else:
+                    spill_writer.write_batch(batch)
+            if spill_writer is not None:
+                spill_writer.close()
+
+            def input_iter():
+                if spill_dir is not None:
+                    # memory-mapped: batches page in one at a time
+                    with pa.memory_map(os.path.join(spill_dir, "in.arrow")) as mm:
+                        rd = ipc.open_file(mm)
+                        for i in range(rd.num_record_batches):
+                            yield rd.get_batch(i)
+                else:
+                    yield from buffered
+
+            out = iter(arrow_fn(input_iter()))
+            first = next(out, None)
+            if first is None:
+                writer.begin(schema)
+                writer.close()
+                return
+            writer.begin(first.schema)
+            writer.write_batch(first)
+            for batch in out:
+                writer.write_batch(batch)
+            writer.close()
+        finally:
+            if spill_dir is not None:
+                shutil.rmtree(spill_dir, ignore_errors=True)
 
     def _stream_df(self, df, writer) -> None:
         """Stage through parquet and stream batch-at-a-time (bounded

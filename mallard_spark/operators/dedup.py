@@ -477,11 +477,21 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------- connected components
 
 
+ORACLE_MAX_COMPONENT = 256
+
+
 def _clusters_oracle() -> str:
     """Connected components as a recursive CTE: transitive closure of
     the (tiny, near-dup) pair graph, label = component minimum. The
     UNION dedups the frontier so the recursion terminates; component
-    sizes are bounded by duplicate-cluster size, not corpus size."""
+    sizes are bounded by duplicate-cluster size, not corpus size.
+
+    The closure is O(k²) rows per k-node component, so the oracle
+    GUARDS that assumption (ADVICE r3): a component larger than
+    ORACLE_MAX_COMPONENT makes the oracle fail loudly via error()
+    instead of silently exploding the recursion. (The Spark side has
+    no such bound — label propagation carries one label per node
+    regardless of component size.)"""
     return f"""
     WITH RECURSIVE pairsrc AS (
       SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
@@ -495,12 +505,21 @@ def _clusters_oracle() -> str:
       SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.dst
     ), labels AS (
       SELECT node, LEAST(node, MIN(dst)) AS label FROM reach GROUP BY node
+    ), guarded AS (
+      SELECT label AS cluster_id,
+             MIN(node) AS rep_doc,
+             COUNT(*) AS cluster_size
+      FROM labels
+      GROUP BY label
     )
-    SELECT label AS cluster_id,
-           MIN(node) AS rep_doc,
-           COUNT(*) AS cluster_size
-    FROM labels
-    GROUP BY label
+    SELECT cluster_id, rep_doc,
+           CASE WHEN cluster_size > {ORACLE_MAX_COMPONENT}
+                THEN CAST(error('dedup_clusters oracle: component exceeds '
+                                || '{ORACLE_MAX_COMPONENT} nodes; the O(k^2) '
+                                || 'transitive-closure oracle is not sized for '
+                                || 'this graph') AS BIGINT)
+                ELSE cluster_size END AS cluster_size
+    FROM guarded
     """
 
 

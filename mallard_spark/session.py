@@ -74,12 +74,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10k-row default Arrow batches make task overhead dominate
+        # mapInPandas/mapInArrow on fast transforms; 64k-row batches
+        # are still only a few MB each at typical row widths.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or os.cpu_count() or 32),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # serving-path collects (toArrow fast path, wire benchmarks)
+        # legitimately move GB-scale Arrow data through the driver; the
+        # 1g default aborts them long before driver memory is at risk
+        .config("spark.driver.maxResultSize", "8g")
     )
     if master:
         builder = builder.master(master)

@@ -12,9 +12,20 @@ pruning comes free from the path structure.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Per-session plan cache: building a scan DataFrame costs a parquet
+# footer read + a handful of py4j round trips (~80 ms on this box);
+# multi-table queries pay it per table and the bench pays it per run.
+# DataFrames are immutable plan handles, so handing the same one out
+# is safe; keying the OUTER map weakly by session means a stopped
+# session's entries vanish with it (no stale-JVM handles).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 # The driver-generated star schema (TESTDATA.md).
 TABLES = (
@@ -48,6 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as-of ordering — where µs truncation could diverge from an
     ns-precision engine).
     """
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[(sf_dir, name)] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp semantics must match the (naive-UTC) DuckDB oracle no
     # matter what session the caller hands us
     spark.conf.set("spark.sql.session.timeZone", "UTC")

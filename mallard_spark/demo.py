@@ -196,12 +196,42 @@ def run_scale_bench(rows: int = 5_000_000, spark=None) -> dict[str, Any]:
         s2.shutdown()
 
 
+def print_formatted_report(metrics: dict[str, Any]) -> None:
+    """Human-readable benchmark report. Parity: demo.py:364-419
+    (print_formatted_report) — same sections (dataset info, per-verb
+    duration/throughput, verification flags), ANSI-colored."""
+    reset, bold = "\033[0m", "\033[1m"
+    green, blue, cyan, yellow = "\033[32m", "\033[34m", "\033[36m", "\033[33m"
+    bar = f"{bold}{'=' * 80}{reset}"
+    print(f"\n{bar}\n{bold}{blue}MALLARD-ON-SPARK BENCHMARK REPORT{reset}\n{bar}")
+    print(f"\n{bold}Dataset:{reset}")
+    print(f"  - Total rows: {cyan}{metrics.get('rows', 0):,}{reset}")
+    print(f"\n{bold}Performance:{reset}")
+    for verb in ("get", "transfer", "exchange"):
+        m = metrics.get(verb)
+        if not m:
+            continue
+        print(f"  - {bold}{verb.upper()} operation:{reset}")
+        print(f"    - Duration: {cyan}{m['seconds'] * 1000:.2f} ms{reset}")
+        print(f"    - Throughput: {green}{m['rows_per_sec']:,.0f} rows/second{reset}")
+        if "verified_rows" in m:
+            print(f"    - Verified rows: {yellow}{m['verified_rows']:,}{reset}")
+        if "all_processed" in m:
+            print(f"    - Processed column: {yellow}{m['all_processed']}{reset}")
+    print(f"\n{bar}\n{bold}{blue}Spark-backed Mallard data exchange{reset}\n{bar}\n")
+
+
 if __name__ == "__main__":
     import os
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] == "--scale":
-        rows = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
-        print(json.dumps(run_scale_bench(rows)))
+    report = "--report" in sys.argv
+    argv = [a for a in sys.argv if a != "--report"]
+    if len(argv) > 1 and argv[1] == "--scale":
+        rows = int(argv[2]) if len(argv) > 2 else 5_000_000
+        metrics = run_scale_bench(rows)
     else:
-        print(json.dumps(run_demo(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))))
+        metrics = run_demo(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    if report:
+        print_formatted_report(metrics)
+    print(json.dumps(metrics))

@@ -739,3 +739,51 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
         F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
     )
+
+
+@query(
+    "dup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
+    ), dup_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b AS doc_id FROM pairs
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_near_dup,
+           round(COUNT(dd.doc_id) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication rate: the curation dashboard view
+    of the MinHash-LSH pair graph — which ingest source is feeding
+    duplicates into the corpus.
+
+    Plan shape at 100 TB: the pair graph is bounded by near-dup
+    density (orders of magnitude under corpus size), so the distinct
+    doc set derived from it broadcasts back onto the documents scan —
+    one corpus pass, one agg by source, no corpus shuffle.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    joined = docs.join(F.broadcast(dup_docs), "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_near_dup"),
+        F.round(
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -550,3 +550,135 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(t3).cast("long").alias("masked_len"),
         F.md5(t3).alias("masked_hash"),
     )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    SELECT doc_id, lang,
+      CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        round(list_aggregate(list_transform(
+          list_sort(list_distinct(string_split(text, ''))),
+          c -> (len(list_filter(string_split(text, ''), x -> x = c))
+                / CAST(length(text) AS DOUBLE))
+               * log2(CAST(length(text) AS DOUBLE)
+                      / len(list_filter(string_split(text, ''), x -> x = c)))),
+          'sum'), 6)
+      END AS char_entropy
+    FROM documents
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic cheap spam/repetition detector (near-zero entropy = runs
+    of one character; English prose sits ~4.0-4.5).
+
+    Plan shape: single scan, pure higher-order array expressions
+    (split → distinct → fold) — O(len·distinct_chars) per row with NO
+    shuffle and NO per-char row explosion (exploding to (doc, char)
+    rows and re-aggregating would shuffle ~1000× the corpus at
+    100 TB). The float fold visits distinct chars in SORTED order on
+    both engines, so the IEEE sum order — and therefore the rounded
+    value — is bit-identical to the DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "lang", "text", F.expr("split(text, '')").alias("chars"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE"
+            " round(aggregate(array_sort(array_distinct(chars)),"
+            " cast(0.0 as double),"
+            " (acc, c) -> acc + (size(filter(chars, x -> x = c))"
+            "   / cast(length(text) as double))"
+            "  * log2(cast(length(text) as double)"
+            "         / size(filter(chars, x -> x = c)))), 6)"
+            " END"
+        ).alias("char_entropy"),
+    )
+
+
+STOP_ALL = (
+    "('the','a','of','and','to','der','die','das','und','zu',"
+    "'el','la','de','y','que')"
+)
+
+
+@query(
+    "filter_cascade_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             len({TOKENS_SQL}) AS n_toks,
+             len(list_filter({TOKENS_SQL}, t -> t IN {STOP_ALL})) AS n_stop,
+             len({PUNCT_SQL}) AS n_punct,
+             length(text) AS n_chars,
+             CAST(list_aggregate(list_transform({TOKENS_SQL}, t -> length(t)), 'sum')
+                  AS BIGINT) AS sum_tok_len
+      FROM documents
+    ), flags AS (
+      SELECT lang,
+             CASE WHEN n_toks >= 20 THEN 1 ELSE 0 END AS p_len,
+             CASE WHEN 50 * n_stop >= n_toks THEN 1 ELSE 0 END AS p_stop,
+             CASE WHEN 10 * n_punct <= n_chars THEN 1 ELSE 0 END AS p_punct,
+             CASE WHEN 2 * n_toks <= COALESCE(sum_tok_len, 0)
+                   AND COALESCE(sum_tok_len, 0) <= 12 * n_toks
+                  THEN 1 ELSE 0 END AS p_toklen
+      FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p_len) AS BIGINT) AS n_pass_len,
+           CAST(SUM(p_stop) AS BIGINT) AS n_pass_stop,
+           CAST(SUM(p_punct) AS BIGINT) AS n_pass_punct,
+           CAST(SUM(p_toklen) AS BIGINT) AS n_pass_toklen,
+           CAST(SUM(p_len * p_stop * p_punct * p_toklen) AS BIGINT) AS n_pass_all
+    FROM flags
+    GROUP BY lang
+    """,
+)
+def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade funnel (Dolma/CCNet-style): evaluate
+    every document against each cleaning rule independently and
+    report per-language pass counts per rule plus the pass-all
+    count — the report a curation run produces before committing to
+    a filter configuration.
+
+    Rules are pure integer comparisons (ratio thresholds rewritten as
+    cross-multiplications, e.g. stop/toks >= 1/50 → 50·stop >= toks)
+    so the counts are exact on any engine. Single scan, one partial
+    agg by lang — no shuffle of document content at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.expr(f"size({TOKENS_EXPR})").alias("n_toks"),
+        F.expr(f"size(filter({TOKENS_EXPR}, t -> t IN {STOP_ALL}))").alias("n_stop"),
+        F.expr(f"size({PUNCT_EXPR})").alias("n_punct"),
+        F.length("text").alias("n_chars"),
+        F.expr(
+            f"aggregate(transform({TOKENS_EXPR}, t -> length(t)), 0L, (a, x) -> a + x)"
+        ).alias("sum_tok_len"),
+    )
+    flags = scored.select(
+        "lang",
+        F.when(F.col("n_toks") >= 20, 1).otherwise(0).alias("p_len"),
+        F.when(50 * F.col("n_stop") >= F.col("n_toks"), 1).otherwise(0).alias("p_stop"),
+        F.when(10 * F.col("n_punct") <= F.col("n_chars"), 1).otherwise(0).alias("p_punct"),
+        F.when(
+            (2 * F.col("n_toks") <= F.coalesce(F.col("sum_tok_len"), F.lit(0)))
+            & (F.coalesce(F.col("sum_tok_len"), F.lit(0)) <= 12 * F.col("n_toks")),
+            1,
+        ).otherwise(0).alias("p_toklen"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("p_len").cast("long").alias("n_pass_len"),
+        F.sum("p_stop").cast("long").alias("n_pass_stop"),
+        F.sum("p_punct").cast("long").alias("n_pass_punct"),
+        F.sum("p_toklen").cast("long").alias("n_pass_toklen"),
+        F.sum(
+            F.col("p_len") * F.col("p_stop") * F.col("p_punct") * F.col("p_toklen")
+        ).cast("long").alias("n_pass_all"),
+    )

@@ -182,3 +182,25 @@ def test_substring_windows_stage_and_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_substring_windows")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_entropy_no_shuffle(spark, sf_dir):
+    # per-row higher-order fold — the whole query must stay in the
+    # scan stage (no per-char explode → no corpus-scale shuffle)
+    plan = _plan(spark, sf_dir, "text_entropy")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_filter_cascade_single_agg_exchange(spark, sf_dir):
+    # one partial+final agg by lang — exactly one hash exchange, no
+    # shuffle of document content
+    plan = _plan(spark, sf_dir, "filter_cascade_report")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dup_rate_broadcasts_dup_set(spark, sf_dir):
+    # the near-dup doc set (bounded by dup density) must broadcast
+    # onto the documents scan — never shuffle the corpus for the join
+    plan = _plan(spark, sf_dir, "dup_rate_by_source")
+    assert "BroadcastHashJoin" in plan

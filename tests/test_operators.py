@@ -318,3 +318,26 @@ def test_shard_assignment_invariants(spark, sf_dir):
     for r in per:
         assert (r.lo, r.hi, r.nd) == (1, r.n, r.n), r
     df.unpersist()
+
+
+def test_knn_ivf_kmeans_recall_at_sf01(spark):
+    """k-means IVF with index multi-assignment (assign=2) +
+    nprobe=16: mean recall@5 >= 0.8 at sf0.1 (measured 0.96; 0.64 at
+    the round-3 assign=1/nprobe=8). Training assignment stays strict
+    top-1 (Lloyd semantics) — only the final index is multi-assigned.
+    Deterministic — same data, same quantized training, same number."""
+    from pyspark.sql import functions as F
+
+    from mallard_spark.operators.similarity import knn_bruteforce, knn_ivf_kmeans
+
+    sf = "/root/testdata/sf0.1"
+    exact = knn_bruteforce(spark, sf).select(
+        "probe_id", F.col("neighbor_id").alias("exact_n")
+    )
+    km = knn_ivf_kmeans(spark, sf).select("probe_id", F.col("neighbor_id").alias("km_n"))
+    n = exact.count()
+    hits = exact.join(
+        km,
+        (exact.probe_id == km.probe_id) & (F.col("exact_n") == F.col("km_n")),
+    ).count()
+    assert hits / n >= 0.8, f"mean kmeans-ivf recall@5 {hits / n:.3f} < 0.8"

@@ -127,6 +127,13 @@ class SparkFlightServer(flight.FlightServerBase):
         # Wire-level exchangers (reference AbstractExchanger duck type:
         # exchange_f(context, reader, writer)) registered via do_action.
         self._wire_exchangers: dict[str, object] = {}
+        # Spill thresholds for the wire paths (tunable per deployment;
+        # tests shrink them to force the spill code paths): incoming
+        # PUT/EXCHANGE streams under ingest_memory_bytes build a
+        # DataFrame straight from Arrow memory; Arrow-native exchanges
+        # under exchange_memory_bytes skip the IPC spill file.
+        self.ingest_memory_bytes: int = 256 << 20
+        self.exchange_memory_bytes: int = 1 << 30
 
     # -- GET: SQL ticket → Arrow stream --------------------------------
     def do_get(self, context, ticket: flight.Ticket):
@@ -158,7 +165,10 @@ class SparkFlightServer(flight.FlightServerBase):
         # in driver memory at a time), then register the distributed
         # scan — a 100 GB PUT never materializes on the serving process.
         df = ingest_stream_to_df(
-            self.engine.spark, (chunk.data for chunk in reader if chunk.data is not None), reader.schema
+            self.engine.spark,
+            (chunk.data for chunk in reader if chunk.data is not None),
+            reader.schema,
+            driver_max_bytes=self.ingest_memory_bytes,
         )
         self.engine.put(name, df)
 
@@ -190,12 +200,18 @@ class SparkFlightServer(flight.FlightServerBase):
                 # a single gRPC stream can't feed a cluster, so the
                 # wire, not Spark, is the bottleneck the moment the
                 # transform is cheap.
-                self._stream_arrow_native(arrow_fn, reader, writer)
+                self._stream_arrow_native(
+                    arrow_fn, reader, writer,
+                    driver_max_bytes=self.exchange_memory_bytes,
+                )
                 return
             from mallard_spark.engine import ingest_stream_to_df
 
             in_df = ingest_stream_to_df(
-                self.engine.spark, (chunk.data for chunk in reader if chunk.data is not None), reader.schema
+                self.engine.spark,
+                (chunk.data for chunk in reader if chunk.data is not None),
+                reader.schema,
+                driver_max_bytes=self.ingest_memory_bytes,
             )
             out_df = self.engine.exchange(command, in_df)
             self._stream_df(out_df, writer)

@@ -441,3 +441,55 @@ def test_health_check_action(servers):
     client = _client(s1)
     results = list(client.do_action(flight.Action("health_check", b"")))
     assert results[0].body.to_pybytes() == b"ok"
+
+
+def test_put_spill_path_over_wire(spark):
+    """A PUT bigger than the in-memory ingest threshold must spill to
+    the parquet stage batch-at-a-time and still register the full
+    table (threshold shrunk to force the path)."""
+    eng = MallardEngine(spark, "fl_spill_put")
+    server = SparkFlightServer("grpc://localhost:0", eng)
+    server.ingest_memory_bytes = 1024  # force spill after ~1 batch
+    serve_in_background(server)
+    try:
+        client = _client(server)
+        big = pa.table({"id": list(range(50_000)), "v": [float(i) for i in range(50_000)]})
+        desc = flight.FlightDescriptor.for_command(b"spilled_t")
+        writer, _ = client.do_put(desc, big.schema)
+        for batch in big.to_batches(max_chunksize=4096):
+            writer.write_batch(batch)
+        writer.close()
+        got = client.do_get(
+            flight.Ticket(b"SELECT COUNT(*) AS n, SUM(id) AS s FROM spilled_t")
+        ).read_all()
+        assert got.column("n").to_pylist() == [50_000]
+        assert got.column("s").to_pylist() == [50_000 * 49_999 // 2]
+    finally:
+        server.shutdown()
+
+
+def test_exchange_ipc_spill_path_over_wire(spark):
+    """An Arrow-native exchange past the memory threshold must spill
+    the incoming stream to the Arrow-IPC file and still answer the
+    full transformed stream (threshold shrunk to force the path)."""
+    eng = MallardEngine(spark, "fl_spill_xchg")
+    eng.register_exchanger(AddProcessedExchanger())
+    server = SparkFlightServer("grpc://localhost:0", eng)
+    server.exchange_memory_bytes = 1024  # force the IPC spill
+    serve_in_background(server)
+    try:
+        client = _client(server)
+        big = pa.table({"id": list(range(50_000)), "v": [float(i) for i in range(50_000)]})
+        desc = flight.FlightDescriptor.for_command(b"my_streaming_exchanger")
+        writer, reader = client.do_exchange(desc)
+        writer.begin(big.schema)
+        for batch in big.to_batches(max_chunksize=4096):
+            writer.write_batch(batch)
+        writer.done_writing()
+        result = reader.read_all()
+        writer.close()
+        assert result.num_rows == 50_000
+        assert all(result.column("processed").to_pylist())
+        assert sorted(result.column("id").to_pylist()) == list(range(50_000))
+    finally:
+        server.shutdown()

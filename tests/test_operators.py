@@ -293,6 +293,9 @@ def test_operators_tolerate_empty_input(spark, tmp_path):
         "dedup_substring_windows",
         "text_token_stats",
         "emb_norm_stats",
+        "text_entropy",
+        "filter_cascade_report",
+        "dup_rate_by_source",
     ):
         assert specs[name].fn(spark, empty_dir).count() == 0, name
 

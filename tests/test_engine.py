@@ -278,3 +278,17 @@ def test_dml_persistent_table_insert_update_delete(spark):
 def test_health_check(engines):
     eng1, _ = engines
     assert eng1.health_check() is True
+
+
+def test_exchange_routes_ddl_and_dml(engines):
+    """A DDL- or DML-shaped exchange command executes and answers the
+    one-row OK status (reference: do_exchange passes any SQL through,
+    flight_server.py:309-331)."""
+    eng1, _ = engines
+    eng1.put("xchg_src", _sample_table())
+    out = eng1.exchange("CREATE TABLE xchg_copy AS SELECT * FROM xchg_src", None)
+    assert [r.status for r in out.collect()] == ["OK"]
+    assert eng1.row_count("xchg_copy") == 5
+    out = eng1.exchange("DELETE FROM xchg_copy WHERE value > 15", None)
+    assert [r.status for r in out.collect()] == ["OK"]
+    assert eng1.row_count("xchg_copy") == 1

@@ -292,3 +292,41 @@ def test_exchange_routes_ddl_and_dml(engines):
     out = eng1.exchange("DELETE FROM xchg_copy WHERE value > 15", None)
     assert [r.status for r in out.collect()] == ["OK"]
     assert eng1.row_count("xchg_copy") == 1
+
+
+def test_dml_matches_duckdb_semantics(engines):
+    """The same INSERT/UPDATE/DELETE script applied to the same start
+    state must leave the engine table and a DuckDB table identical —
+    including the NULL-condition edges (rows where the WHERE evaluates
+    NULL are neither updated nor deleted)."""
+    import duckdb
+
+    eng1, _ = engines
+    eng1.put("parity_t", _sample_table())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE parity_t AS SELECT * FROM (VALUES "
+        "(1, 'Alice', 10.5), (2, 'Bob', 20.0), (3, 'Charlie', 15.5), "
+        "(4, 'Dave', 30.0), (5, 'Eve', 25.5)) t(id, name, value)"
+    )
+    script = [
+        "INSERT INTO parity_t VALUES (6, 'Frank', 40.0)",
+        "UPDATE parity_t SET value = value * 2 WHERE IF(id = 2, NULL, id <= 3)",
+        "DELETE FROM parity_t WHERE IF(id = 6, NULL, value > 22.0)",
+    ]
+    for stmt in script:
+        eng1.dml(stmt)
+        # DuckDB spells conditional NULL via CASE; semantics identical
+        con.execute(stmt.replace("IF(id = 2, NULL,", "CASE WHEN id = 2 THEN NULL ELSE")
+                        .replace("IF(id = 6, NULL,", "CASE WHEN id = 6 THEN NULL ELSE")
+                        .replace("id <= 3)", "id <= 3 END")
+                        .replace("value > 22.0)", "value > 22.0 END"))
+    got = sorted(
+        (r.id, r.name, float(r.value))
+        for r in eng1.sql("SELECT * FROM parity_t").collect()
+    )
+    want = sorted(
+        (i, n, float(v))
+        for i, n, v in con.execute("SELECT * FROM parity_t").fetchall()
+    )
+    assert got == want

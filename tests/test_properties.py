@@ -80,3 +80,40 @@ def test_split_routing_is_total_and_stable(doc_id):
     b1, b2 = bucket(doc_id), bucket(doc_id)
     assert b1 == b2
     assert 0 <= b1 < 100
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters=",()[]'\"`"),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_top_level_roundtrip(parts):
+    """Joining split parts with the separator reproduces the input,
+    and splitting quote/paren-free text equals str.split."""
+    from mallard_spark.engine import _split_top_level
+
+    s = ",".join(parts)
+    got = _split_top_level(s)
+    assert ",".join(got) == s
+    assert got == s.split(",")
+
+
+def test_split_top_level_respects_nesting_and_quotes():
+    from mallard_spark.engine import _split_top_level
+
+    assert _split_top_level("a = f(x, y), b = 'p,q', c = \"r,s\"") == [
+        "a = f(x, y)",
+        " b = 'p,q'",
+        ' c = "r,s"',
+    ]
+    assert _split_top_level("a = array[1, 2], b = 'it''s, ok'") == [
+        "a = array[1, 2]",
+        " b = 'it''s, ok'",
+    ]

@@ -578,7 +578,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- embedding
 
-COS_MIN = 0.9
+COS_MIN = 0.9  # production near-dup threshold (cos >= 0.9, angle <= 26°)
+# The registered QUERY runs at a lower threshold: the synthetic
+# embeddings are near-orthogonal random vectors whose max pairwise
+# cosine is ~0.51 at every SF, so COS_MIN=0.9 would validate only the
+# empty result (round-4 audit: 0 rows at sf0.001/0.01/0.1 — a
+# trivially-green oracle). 0.45 emits a real pair set, so the bucket
+# join, pair dedup, and cosine filter are all value-checked end to
+# end; semantics are threshold-independent and both engines apply the
+# identical dial.
+COS_MIN_QUERY = 0.45
 EMB_LSH_TABLES = 8  # recall for cos>=0.9 pairs: 1-(1-0.857^4)^8 ≈ 0.998
 EMB_LSH_PLANES = 4
 EMB_SALT = "emb"
@@ -608,17 +617,22 @@ def _dedup_embedding_oracle() -> str:
     FROM pairs
     JOIN e ea ON ea.vec_id = id_a
     JOIN e eb ON eb.vec_id = id_b
-    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {COS_MIN}
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {COS_MIN_QUERY}
     """
 
 
 @query("dedup_embedding", oracle=_dedup_embedding_oracle())
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, cos_min: float = COS_MIN_QUERY
+) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on random-hyperplane
     LSH buckets (shared with similarity._lsh_buckets).
 
     Candidate pairs share at least one of L=8 4-bit hyperplane-sign
-    buckets; exact cosine (6 dp) then filters at {COS_MIN}. For true
+    buckets; exact cosine (6 dp) then filters at ``cos_min``
+    (production default COS_MIN=0.9; the registered query runs at
+    COS_MIN_QUERY so the synthetic near-orthogonal corpus yields a
+    non-empty, value-checked pair set). For true
     near-dups (cos ≥ 0.9, angle ≤ 26°) a 4-bit table agrees with
     p ≈ 0.857⁴ ≈ 0.54, so 8 tables miss a pair with p ≈ 0.2 % —
     and the DuckDB oracle reproduces the exact same buckets
@@ -657,7 +671,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COS_MIN)
+        .filter(F.col("cos_sim") >= cos_min)
     )
 
 

@@ -344,3 +344,26 @@ def test_knn_ivf_kmeans_recall_at_sf01(spark):
         (exact.probe_id == km.probe_id) & (F.col("exact_n") == F.col("km_n")),
     ).count()
     assert hits / n >= 0.8, f"mean kmeans-ivf recall@5 {hits / n:.3f} < 0.8"
+
+
+def test_dedup_embedding_finds_true_dups_at_production_threshold(spark, tmp_path):
+    """Identical vectors must surface as a pair at the production
+    cos>=0.9 dial (hyperplane buckets collide by construction for
+    cos=1.0); a near-orthogonal vector must not."""
+    import pandas as pd
+
+    v = [1.0] + [0.0] * 15
+    w = [0.0] * 15 + [1.0]
+    pdf = pd.DataFrame(
+        {"vec_id": [1, 2, 3], "embedding": [v, v, w], "label": [0, 0, 1]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    from mallard_spark.operators.dedup import COS_MIN, dedup_embedding
+
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup_embedding(spark, str(tmp_path), cos_min=COS_MIN).collect()
+    }
+    assert pairs == {(1, 2): 1.0}

@@ -684,9 +684,17 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- q22
+Q22_CUTOFF = "2001-01-01"
+# the synthetic orders table gives nearly every customer SOME order,
+# so Q22's literal "no orders ever" anti-join was empty at every SF
+# (a trivially-green oracle, round-4 audit); "no orders since cutoff"
+# keeps the exact Q22 shape (scalar threshold + anti-join) and yields
+# 29/285/2845 qualifying customers at sf0.001/0.01/0.1
+
+
 @query(
     "q22_global_sales",
-    oracle="""
+    oracle=f"""
     WITH thresh AS (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
       FROM customer WHERE c_acctbal > 0.0
@@ -696,16 +704,21 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer, thresh
     WHERE c_acctbal > avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '{Q22_CUTOFF}')
     GROUP BY c_nationkey % 5
     """,
 )
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 (adapted: nationkey buckets for the phone prefix):
-    above-average-balance customers with no orders — anti-join +
-    broadcast scalar threshold."""
+    """TPC-H Q22 (adapted: nationkey buckets for the phone prefix;
+    dormancy cutoff, see Q22_CUTOFF): above-average-balance customers
+    with no RECENT orders — anti-join + broadcast scalar threshold.
+    The date filter pushes into the anti-join's build side scan."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp")
+    )
     thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(F.col("c_acctbal").cast(D)).cast("double") / F.count("*")).alias("avg_bal")
     )

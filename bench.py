@@ -41,10 +41,15 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh_multiprobe",
     "exchange_add_processed",
-    # streaming ops (VERDICT r3 #7): the stream runs to completion
-    # inside fn() — processAllAvailable over the file source — so the
-    # clock covers the streaming work, and round-over-round streaming
-    # regressions show up here
+]
+
+# Streaming ops (VERDICT r3 #7): timed the same way — the stream runs
+# to completion inside fn() (processAllAvailable over the file
+# source) — but reported under a separate key: their cost is
+# micro-batch + state-store machinery, which has no meaningful
+# apples-to-apples DuckDB-batch-SQL comparison, so they must not
+# pollute the batch total a baseline ratio is computed from.
+STREAMING = [
     "stream_windowed_agg",
     "stream_dedup_minhash",
     "stream_interval_join",
@@ -101,6 +106,16 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             per_query[name] = round(min(secs, time.perf_counter() - t0), 3)
 
+    per_stream: dict[str, float] = {}
+    for name in STREAMING:
+        fn = specs[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_stream[name] = round(best, 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -113,6 +128,8 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "streaming": per_stream,
+                "streaming_total": round(sum(per_stream.values()), 3),
                 "sf": sf_val,
             }
         )

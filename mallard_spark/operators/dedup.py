@@ -199,6 +199,45 @@ def _minhash_lsh_oracle() -> str:
     """
 
 
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → mh0..mh{K_MINHASH-1} signature columns.
+
+    Explode-then-aggregate, NOT 16 array_min(transform(...)) columns:
+    Catalyst's CollapseProject would inline the shingle pipeline into
+    every minhash expression (16× redundant shingle building per
+    row); exploding materializes each (doc, shingle) exactly once and
+    the 16 md5s per shingle are the irreducible work. This is also
+    the shape that scales — the groupBy is one shuffle on doc_id.
+    """
+    doc_sh = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.explode(shingles_of("toks", 3)).alias("s"))
+        .distinct()
+    )
+    return doc_sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(K_MINHASH)
+        ]
+    )
+
+
+def _band_keys(mh: DataFrame) -> DataFrame:
+    """Signature table → (doc_id, band, bkey) LSH bucket rows."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(":", F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            ).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", "bk.band", "bk.bkey"
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH banding (8×2) near-dup candidates.
@@ -210,38 +249,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
-    # explode-then-aggregate, NOT 16 array_min(transform(...)) columns:
-    # Catalyst's CollapseProject would inline the shingle pipeline into
-    # every minhash expression (16× redundant shingle building per
-    # row); exploding materializes each (doc, shingle) exactly once and
-    # the 16 md5s per shingle are the irreducible work. This is also
-    # the shape that scales — the groupBy is one shuffle on doc_id.
-    doc_sh = (
-        docs.select("doc_id", tokens().alias("toks"))
-        .select("doc_id", F.explode(shingles_of("toks", 3)).alias("s"))
-        .distinct()
-    )
     mh = materialize(
-        doc_sh.groupBy("doc_id").agg(
-            *[
-                F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
-                for i in range(K_MINHASH)
-            ]
-        ),
+        _minhash_signatures(docs),
         "minhash_signatures",  # consumed by 4 branches (bands a/b, ma, mb)
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(":", F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-            ).alias("bkey"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", "bk.band", "bk.bkey"
-    )
+    bands = _band_keys(mh)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -268,6 +280,103 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mb, "doc_b")
         .filter(est >= EST_MIN)
         .select("doc_a", "doc_b", est.alias("est_sim"))
+    )
+
+
+NEW_BATCH_MOD = 10  # doc_id % 10 == 0 plays "today's ingest batch"
+
+
+def _incremental_oracle() -> str:
+    mh_cols = ",\n             ".join(
+        f"{_mh_sql(i)} AS mh{i}" for i in range(K_MINHASH)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
+        for b in range(N_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
+      FROM documents
+      WHERE len({word_shingles_sql(3)}) > 0
+    ), mh AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM sh
+    ), bands AS (
+      {band_selects}
+    ), pairs AS (
+      SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.bkey = c.bkey
+      WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} <> 0
+    )
+    SELECT doc_new, doc_corpus, ({eq_terms}) / {K_MINHASH}.0 AS est_sim
+    FROM pairs
+    JOIN mh ma ON ma.doc_id = doc_new
+    JOIN mh mb ON mb.doc_id = doc_corpus
+    WHERE ({eq_terms}) / {K_MINHASH}.0 >= {EST_MIN}
+    """
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup: match a new ingest batch (doc_id %
+    {NEW_BATCH_MOD} == 0 plays today's arrivals) against the existing
+    corpus WITHOUT any corpus×corpus work — the shape a daily 100 TB
+    ingest actually runs.
+
+    The corpus's minhash signatures are computed once and staged (in
+    production they'd be a stored signature table maintained at write
+    time); the only join is new-batch bands ⋈ corpus bands — an
+    equi-join whose output is bounded by the new batch's match count,
+    so daily cost scales with the batch, not the corpus. Same
+    md5-portable signatures as dedup_minhash_lsh.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    mh = materialize(
+        _minhash_signatures(docs),
+        "inc_signatures",  # the "stored signature table"
+    )
+    bands = _band_keys(mh)
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    bn = bands.filter(is_new).alias("n")
+    bc = bands.filter(~is_new).alias("c")
+    pairs = (
+        bn.join(
+            bc,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bkey") == F.col("c.bkey")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("c.doc_id").alias("doc_corpus"),
+        )
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_new"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(K_MINHASH)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_corpus"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(K_MINHASH)],
+    )
+    eq_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(K_MINHASH)
+    )
+    est = eq_sum / float(K_MINHASH)
+    return (
+        pairs.join(ma, "doc_new")
+        .join(mb, "doc_corpus")
+        .filter(est >= EST_MIN)
+        .select("doc_new", "doc_corpus", est.alias("est_sim"))
     )
 
 

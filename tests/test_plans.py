@@ -204,3 +204,12 @@ def test_dup_rate_broadcasts_dup_set(spark, sf_dir):
     # onto the documents scan — never shuffle the corpus for the join
     plan = _plan(spark, sf_dir, "dup_rate_by_source")
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_incremental_no_cartesian_and_bounded_join(spark, sf_dir):
+    # new-batch bands ⋈ corpus bands: an equi-join on (band, bkey),
+    # never a cartesian; both sides filtered before the join so no
+    # corpus×corpus work exists in the plan
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

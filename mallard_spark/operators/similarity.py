@@ -661,6 +661,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", F.col("neighbor_id").alias("mp_n")
     )
     ivf = knn_ivf(spark, sf_dir).select("probe_id", F.col("neighbor_id").alias("ivf_n"))
+    km = knn_ivf_kmeans(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("km_n")
+    )
     lsh_hits = (
         exact.join(lsh, (exact.probe_id == lsh.probe_id) & (F.col("exact_n") == F.col("lsh_n")))
         .groupBy(exact.probe_id)
@@ -676,17 +679,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(exact.probe_id)
         .agg(F.count("*").alias("ivf_hits"))
     )
+    km_hits = (
+        exact.join(km, (exact.probe_id == km.probe_id) & (F.col("exact_n") == F.col("km_n")))
+        .groupBy(exact.probe_id)
+        .agg(F.count("*").alias("km_hits"))
+    )
     base = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
     return (
         base.join(lsh_hits, "probe_id", "left")
         .join(mp_hits, "probe_id", "left")
         .join(ivf_hits, "probe_id", "left")
+        .join(km_hits, "probe_id", "left")
         .select(
             "probe_id",
             "k",
             (F.coalesce("lsh_hits", F.lit(0)) / F.col("k")).alias("lsh_recall"),
             (F.coalesce("mp_hits", F.lit(0)) / F.col("k")).alias("mp_recall"),
             (F.coalesce("ivf_hits", F.lit(0)) / F.col("k")).alias("ivf_recall"),
+            (F.coalesce("km_hits", F.lit(0)) / F.col("k")).alias("km_recall"),
         )
     )
 

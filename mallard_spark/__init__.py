@@ -9,10 +9,17 @@ a library of OLAP, time-series, dedup, similarity, and text
 operators designed for 100 TB scale.
 """
 
+from mallard_spark.client import ClientConfig, DataOperations, FlightClientManager
 from mallard_spark.engine import MallardEngine
 from mallard_spark.session import _export_pythonpath, get_spark
 
 _export_pythonpath()  # workers must be able to import our UDF closures
 
-__all__ = ["MallardEngine", "get_spark"]
+__all__ = [
+    "ClientConfig",
+    "DataOperations",
+    "FlightClientManager",
+    "MallardEngine",
+    "get_spark",
+]
 __version__ = "0.1.0"

@@ -435,20 +435,30 @@ class FlightServerManager:
             FlightServerConfig("grpc://localhost:8815", server_id="server1")
         ]
         self.running_servers: list[tuple[SparkFlightServer, threading.Thread]] = []
+        self._signals_requested = handle_signals
         if handle_signals:
             self.register_signal_handlers()
 
     def register_signal_handlers(self) -> None:
-        """SIGINT/SIGTERM/SIGABRT → shutdown_servers + exit.
+        """SIGINT/SIGTERM/SIGABRT → clean shutdown.
 
         Parity: flight_server.py:476-487 (_register_signal_handlers).
         Opt-in (``handle_signals=True`` or an explicit call) because
         installing process-wide handlers from a library constructor
         would clobber a host application's own handlers; the serve CLI
         turns it on.
+
+        Unlike the reference, the handler does NOT call
+        ``shutdown_servers`` directly: pyarrow forbids
+        ``FlightServerBase.shutdown`` inside a signal handler (gRPC
+        deadlocks — observed as a hang on SIGTERM). The handler raises
+        ``KeyboardInterrupt`` in the main thread; whatever loop is
+        running (``serve_forever`` here) catches it and shuts down in
+        normal context.
         """
         import signal
 
+        self._signals_requested = True
         for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGABRT):
             try:
                 signal.signal(sig, self._handle_shutdown_signal)
@@ -456,10 +466,26 @@ class FlightServerManager:
                 pass
 
     def _handle_shutdown_signal(self, signum, frame) -> None:
-        import sys
+        raise KeyboardInterrupt(f"signal {signum}")
 
-        self.shutdown_servers()
-        sys.exit(0)
+    def serve_forever(self) -> None:
+        """Start all servers and block until SIGINT/SIGTERM/ctrl-C,
+        then shut them down in normal (non-handler) context."""
+        import time as _time
+
+        self.register_signal_handlers()
+        self.start_servers()
+        try:
+            # short ticks: a process-directed signal may be delivered
+            # on a gRPC worker thread, and the main thread only runs
+            # the Python-level handler at its next bytecode boundary —
+            # a long sleep would defer shutdown by its full duration
+            while True:
+                _time.sleep(0.5)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.shutdown_servers()
 
     def start_servers(self) -> list[SparkFlightServer]:
         for cfg in self.configs:
@@ -470,6 +496,23 @@ class FlightServerManager:
                 credentials=cfg.credentials if cfg.auth_enabled else None,
             )
             self.running_servers.append((server, serve_in_background(server)))
+        if self._signals_requested:
+            # pyarrow's C++ serve() installs its OWN sigaction for
+            # SIGINT/SIGTERM as each server starts — the LAST server
+            # silently replaces both CPython's C-level handler and any
+            # previously-started server's, so a signal would stop only
+            # that one server and Python would never see it (observed:
+            # SIGTERM ignored by the dual-server CLI while
+            # signal.getsignal still reported our handler — the Python
+            # bookkeeping no longer matched the kernel disposition).
+            # Re-registering AFTER the serve threads have started puts
+            # CPython's handler back so shutdown goes through
+            # register_signal_handlers' KeyboardInterrupt flow for ALL
+            # servers.
+            import time as _time
+
+            _time.sleep(0.5)  # let every serve() finish its sigaction
+            self.register_signal_handlers()
         return [s for s, _ in self.running_servers]
 
     def shutdown_servers(self) -> None:

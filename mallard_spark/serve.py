@@ -12,6 +12,10 @@ Usage::
 
     python -m mallard_spark.serve --location grpc://localhost:8815 \
         --namespace server1 [--auth] [--token SECRET]
+
+    # reference default: TWO servers in one process sharing the
+    # Spark cluster (flight_server.py runs 8815 + 8816)
+    python -m mallard_spark.serve --server2-location grpc://localhost:8816
 """
 
 from __future__ import annotations
@@ -39,6 +43,13 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument(
         "--cpus", default=None, help="local[N] cores (default: all)"
     )
+    parser.add_argument(
+        "--server2-location",
+        default=None,
+        help="also run a second server at this location (reference "
+        "flight_server.py runs two servers in one process)",
+    )
+    parser.add_argument("--server2-namespace", default="server2")
     args = parser.parse_args(argv)
 
     from mallard_spark.engine import MallardEngine
@@ -49,6 +60,52 @@ def main(argv: list[str] | None = None) -> None:
         app_name="mallard_flight_server",
         master=f"local[{args.cpus}]" if args.cpus else None,
     )
+
+    if args.server2_location:
+        # Two servers, one SparkSession — the reference's default
+        # topology. The manager owns lifecycle + signal handlers.
+        from mallard_spark.flight import FlightServerConfig, FlightServerManager
+
+        manager = FlightServerManager(
+            spark,
+            configs=[
+                FlightServerConfig(
+                    args.location,
+                    namespace=args.namespace,
+                    auth_enabled=args.auth,
+                    credentials={args.user: args.password} if args.auth else None,
+                ),
+                FlightServerConfig(
+                    args.server2_location,
+                    namespace=args.server2_namespace,
+                    auth_enabled=args.auth,
+                    credentials={args.user: args.password} if args.auth else None,
+                ),
+            ],
+        )
+        manager.register_signal_handlers()
+        servers = manager.start_servers()
+        for cfg, srv in zip(manager.configs, servers):
+            print(f"serving {cfg.namespace} at {cfg.location} (port {srv.port})", flush=True)
+        try:
+            # short ticks, not sleep(3600): a process-directed signal
+            # can be delivered on a gRPC worker thread, and the main
+            # thread only runs the Python handler at its next bytecode
+            # — a long sleep would defer shutdown by up to its full
+            # duration
+            while True:
+                time.sleep(0.5)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            manager.shutdown_servers()
+            # skip interpreter atexit: pyspark's shutdown hook can hang
+            # on a JVM that died with the signal (py4j reconnect loop)
+            import os
+
+            os._exit(0)
+        return
+
     engine = MallardEngine(spark, namespace=args.namespace, ddl_persist=True)
     server = SparkFlightServer(
         args.location,
@@ -79,6 +136,11 @@ def main(argv: list[str] | None = None) -> None:
     finally:
         server.shutdown()
         time.sleep(0.2)
+        # skip interpreter atexit: pyspark's shutdown hook can hang
+        # on a JVM that died with the signal (py4j reconnect loop)
+        import os
+
+        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -153,6 +153,86 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONT_MIN = 0.5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH doc_shingles AS (
+      SELECT DISTINCT doc_id, s.sh
+      FROM documents, UNNEST({word_shingles_sql(3)}) s(sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id
+    ), rare AS (
+      SELECT sh FROM doc_shingles GROUP BY sh HAVING COUNT(*) <= {MAXDF}
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM doc_shingles a
+      JOIN rare r ON a.sh = r.sh
+      JOIN doc_shingles b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a AS contained_doc, doc_b AS container_doc,
+           round(inter / sa.n_sh, 6) AS containment
+    FROM cand
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / sa.n_sh >= {CONT_MIN}
+      AND sa.n_sh <= sb.n_sh
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A,B) = |A∩B| / |A| over
+    3-shingle sets — finds documents mostly CONTAINED in a larger one
+    (quoted articles, boilerplate-wrapped copies, excerpt spam), which
+    symmetric Jaccard misses whenever the container is much bigger
+    than the contained doc.
+
+    Same rare-shingle candidate generation as dedup_ngram_jaccard
+    (work bounded by MAXDF² per shingle, never n²); the pair is
+    ordered (contained → container) and kept when the smaller doc's
+    shingles are ≥ {CONT_MIN} covered and it is no larger than the
+    container.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    doc_sh = materialize(
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.explode(shingles_of("toks", 3)).alias("sh"))
+        .distinct(),
+        "containment_doc_sh",
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        doc_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAXDF)
+        .select("sh")
+    )
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    cand = (
+        a.join(rare, "sh")
+        .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    containment = F.col("inter") / F.col("na")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((containment >= CONT_MIN) & (F.col("na") <= F.col("nb")))
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
 # ----------------------------------------------------- MinHash + LSH
 
 K_MINHASH = 16

@@ -367,3 +367,38 @@ def test_dedup_embedding_finds_true_dups_at_production_threshold(spark, tmp_path
         for r in dedup_embedding(spark, str(tmp_path), cos_min=COS_MIN).collect()
     }
     assert pairs == {(1, 2): 1.0}
+
+
+def test_containment_finds_doc_inside_larger_doc(spark, tmp_path):
+    """A short doc fully quoted inside a much larger one must surface
+    as (contained, container) with containment 1.0 — the asymmetric
+    case Jaccard misses (intersection is tiny relative to the union)."""
+    import pandas as pd
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    big = filler + " " + small + " " + " ".join(f"tail{i} more{i}" for i in range(40))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [small, big, "unrelated totally different content here entirely"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(small), len(big), 49],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from mallard_spark.operators.dedup import dedup_containment, dedup_ngram_jaccard
+
+    pairs = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # small doc fully contained in big
+    # symmetric Jaccard misses it: intersection/union is far below 0.2
+    jacc = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) not in jacc

@@ -9,7 +9,6 @@ a library of OLAP, time-series, dedup, similarity, and text
 operators designed for 100 TB scale.
 """
 
-from mallard_spark.client import ClientConfig, DataOperations, FlightClientManager
 from mallard_spark.engine import MallardEngine
 from mallard_spark.session import _export_pythonpath, get_spark
 
@@ -23,3 +22,18 @@ __all__ = [
     "get_spark",
 ]
 __version__ = "0.1.0"
+
+_CLIENT_EXPORTS = {"ClientConfig", "DataOperations", "FlightClientManager"}
+
+
+def __getattr__(name: str):
+    # Lazy client re-export (PEP 562): the client pulls in
+    # pyarrow.flight/gRPC, which every Spark Python WORKER would
+    # otherwise pay on `import mallard_spark` when unpickling UDF
+    # closures — a per-worker-launch cost for a module workers never
+    # use.
+    if name in _CLIENT_EXPORTS:
+        from mallard_spark import client
+
+        return getattr(client, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

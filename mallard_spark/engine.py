@@ -86,13 +86,20 @@ _DELETE_RE = re.compile(
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split ``s`` on ``sep`` at paren/bracket depth 0, outside quotes."""
+    """Split ``s`` on ``sep`` at paren/bracket depth 0, outside quotes.
+
+    Single-quoted literals honor both SQL ``''`` doubling and Spark's
+    default-dialect backslash escapes (``\\'``) — same lexing rules as
+    :func:`_replace_table_ref`."""
     parts: list[str] = []
     depth, start, i, n = 0, 0, 0, len(s)
     in_str: str | None = None
     while i < n:
         ch = s[i]
         if in_str:
+            if ch == "\\" and in_str == "'" and i + 1 < n:
+                i += 2  # backslash escape inside a string literal
+                continue
             if ch == in_str:
                 if ch == "'" and i + 1 < n and s[i + 1] == "'":
                     i += 1  # '' doubling stays inside the literal
@@ -399,10 +406,19 @@ class MallardEngine:
                     f"INSERT column list has {len(names)} columns but the "
                     f"source produced {len(new.columns)}"
                 )
-            new = new.toDF(*names)
+            # SQL identifiers are case-insensitive on both engines:
+            # resolve the column list against the schema accordingly,
+            # and reject unknown names instead of silently NULL-filling
+            # (mirrors _dml_update's unknown-column check).
+            by_lower = {f.name.lower(): f.name for f in schema.fields}
+            unknown = [n for n in names if n.lower() not in by_lower]
+            if unknown:
+                raise ValueError(f"INSERT INTO {name}: unknown columns {unknown}")
+            resolved = {by_lower[n.lower()] for n in names}
+            new = new.toDF(*[by_lower[n.lower()] for n in names])
             aligned = new.select(
                 *[
-                    (F.col(f.name) if f.name in names else F.lit(None))
+                    (F.col(f.name) if f.name in resolved else F.lit(None))
                     .cast(f.dataType)
                     .alias(f.name)
                     for f in schema.fields

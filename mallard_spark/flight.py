@@ -219,8 +219,12 @@ class SparkFlightServer(flight.FlightServerBase):
         from mallard_spark.engine import _is_sql_command
 
         if _is_sql_command(command):
-            # Parity: flight_server.py:333-340 — SQL query via exchange.
-            self._stream_df(self.engine.sql(command), writer)
+            # Parity: flight_server.py:333-340 — SQL via exchange.
+            # engine.exchange routes DDL/DML to the ddl()/dml()
+            # executors (answering the OK status frame) and plain
+            # queries to sql(); calling engine.sql here directly would
+            # bypass that routing and crash on mutation commands.
+            self._stream_df(self.engine.exchange(command, None), writer)
             return
         available = self.engine.list_exchangers() + sorted(self._wire_exchangers)
         raise flight.FlightServerError(
@@ -396,6 +400,7 @@ class FlightServerConfig:
         server_id: str | None = None,
         auth_enabled: bool = False,
         credentials: dict[str, str] | None = None,
+        ddl_persist: bool = False,
     ):
         import secrets
 
@@ -404,6 +409,11 @@ class FlightServerConfig:
         self.namespace = namespace or self.server_id
         self.auth_enabled = auth_enabled
         self.credentials = credentials or {"admin": "password123"}
+        # ddl_persist=True: wire DDL writes warehouse tables that
+        # survive restarts (the reference's on-disk db_path). The
+        # serve CLI turns it on; library/test default stays
+        # session-scoped.
+        self.ddl_persist = ddl_persist
 
     @classmethod
     def from_dict(cls, d: dict) -> "FlightServerConfig":
@@ -413,6 +423,7 @@ class FlightServerConfig:
             server_id=d.get("server_id"),
             auth_enabled=d.get("auth_enabled", False),
             credentials=d.get("credentials"),
+            ddl_persist=d.get("ddl_persist", False),
         )
 
 
@@ -468,13 +479,17 @@ class FlightServerManager:
     def _handle_shutdown_signal(self, signum, frame) -> None:
         raise KeyboardInterrupt(f"signal {signum}")
 
-    def serve_forever(self) -> None:
+    def serve_forever(self, on_started=None) -> None:
         """Start all servers and block until SIGINT/SIGTERM/ctrl-C,
-        then shut them down in normal (non-handler) context."""
+        then shut them down in normal (non-handler) context.
+        ``on_started(servers)`` runs once everything is serving (the
+        CLI uses it to print bound ports)."""
         import time as _time
 
         self.register_signal_handlers()
-        self.start_servers()
+        servers = self.start_servers()
+        if on_started is not None:
+            on_started(servers)
         try:
             # short ticks: a process-directed signal may be delivered
             # on a gRPC worker thread, and the main thread only runs
@@ -489,7 +504,9 @@ class FlightServerManager:
 
     def start_servers(self) -> list[SparkFlightServer]:
         for cfg in self.configs:
-            engine = MallardEngine(self.spark, cfg.namespace)
+            engine = MallardEngine(
+                self.spark, cfg.namespace, ddl_persist=cfg.ddl_persist
+            )
             server = SparkFlightServer(
                 cfg.location,
                 engine,
@@ -505,13 +522,17 @@ class FlightServerManager:
             # SIGTERM ignored by the dual-server CLI while
             # signal.getsignal still reported our handler — the Python
             # bookkeeping no longer matched the kernel disposition).
-            # Re-registering AFTER the serve threads have started puts
-            # CPython's handler back so shutdown goes through
-            # register_signal_handlers' KeyboardInterrupt flow for ALL
-            # servers.
-            import time as _time
-
-            _time.sleep(0.5)  # let every serve() finish its sigaction
+            # Wait until EVERY server is actually serving (its serve()
+            # has run, so its sigaction is already installed), then put
+            # CPython's handler back — no timing race, unlike a fixed
+            # sleep.
+            for server, _ in self.running_servers:
+                try:
+                    client = flight.connect(f"grpc://localhost:{server.port}")
+                    client.wait_for_available(timeout=10)
+                    client.close()
+                except Exception:  # unreachable bind addr etc — best effort
+                    pass
             self.register_signal_handlers()
         return [s for s, _ in self.running_servers]
 

@@ -810,9 +810,8 @@ def _dedup_embedding_oracle() -> str:
     """
 
 
-@query("dedup_embedding", oracle=_dedup_embedding_oracle())
 def dedup_embedding(
-    spark: SparkSession, sf_dir: str, cos_min: float = COS_MIN_QUERY
+    spark: SparkSession, sf_dir: str, cos_min: float = COS_MIN
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on random-hyperplane
     LSH buckets (shared with similarity._lsh_buckets).
@@ -862,6 +861,15 @@ def dedup_embedding(
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= cos_min)
     )
+
+
+@query("dedup_embedding", oracle=_dedup_embedding_oracle())
+def _dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered variant of :func:`dedup_embedding` at COS_MIN_QUERY:
+    the synthetic corpus tops out at cosine ~0.51, so the production
+    0.9 dial would validate only the empty result — the looser dial is
+    passed EXPLICITLY here so API callers keep the production default."""
+    return dedup_embedding(spark, sf_dir, cos_min=COS_MIN_QUERY)
 
 
 # ------------------------------------------- duplicated-window share

@@ -322,13 +322,23 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.crossJoin(F.broadcast(m))
         .withColumn(
             "h_max",
-            F.expr(f"cast(({D38}) div cast(tot as decimal(38,0)) as bigint)"),
+            # min_tot=0 (a source whose docs all tokenize empty) must
+            # keep NOTHING: (0*PPM - 1) div tot is -1/tot, and decimal
+            # `div` truncates toward zero → 0, which would admit h=0
+            # docs while the oracle's h*tot < 0 admits none. Pin -1.
+            F.expr(
+                f"CASE WHEN min_tot = 0 OR tot = 0 THEN -1L "
+                f"ELSE cast(({D38}) div cast(tot as decimal(38,0)) as bigint) END"
+            ),
         )
         .withColumn(
             "rate_ppm",
+            # tot=0 guard (and ANSI div-by-zero): an empty source has
+            # no meaningful rate — report 0, keep nothing
             F.expr(
-                f"cast((cast(min_tot as decimal(38,0)) * {MIX_PPM}) "
-                f"div cast(tot as decimal(38,0)) as bigint)"
+                f"CASE WHEN tot = 0 THEN 0L "
+                f"ELSE cast((cast(min_tot as decimal(38,0)) * {MIX_PPM}) "
+                f"div cast(tot as decimal(38,0)) as bigint) END"
             ),
         )
     )

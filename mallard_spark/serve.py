@@ -74,31 +74,28 @@ def main(argv: list[str] | None = None) -> None:
                     namespace=args.namespace,
                     auth_enabled=args.auth,
                     credentials={args.user: args.password} if args.auth else None,
+                    ddl_persist=True,
                 ),
                 FlightServerConfig(
                     args.server2_location,
                     namespace=args.server2_namespace,
                     auth_enabled=args.auth,
                     credentials={args.user: args.password} if args.auth else None,
+                    ddl_persist=True,
                 ),
             ],
         )
-        manager.register_signal_handlers()
-        servers = manager.start_servers()
-        for cfg, srv in zip(manager.configs, servers):
-            print(f"serving {cfg.namespace} at {cfg.location} (port {srv.port})", flush=True)
+
+        def announce(servers):
+            for cfg, srv in zip(manager.configs, servers):
+                print(
+                    f"serving {cfg.namespace} at {cfg.location} (port {srv.port})",
+                    flush=True,
+                )
+
         try:
-            # short ticks, not sleep(3600): a process-directed signal
-            # can be delivered on a gRPC worker thread, and the main
-            # thread only runs the Python handler at its next bytecode
-            # — a long sleep would defer shutdown by up to its full
-            # duration
-            while True:
-                time.sleep(0.5)
-        except KeyboardInterrupt:
-            pass
+            manager.serve_forever(on_started=announce)
         finally:
-            manager.shutdown_servers()
             # skip interpreter atexit: pyspark's shutdown hook can hang
             # on a JVM that died with the signal (py4j reconnect loop)
             import os

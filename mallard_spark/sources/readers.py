@@ -59,6 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as-of ordering — where µs truncation could diverge from an
     ns-precision engine).
     """
+    # timestamp semantics must match the (naive-UTC) DuckDB oracle no
+    # matter what session the caller hands us — re-asserted on EVERY
+    # call (cache hits included): a host app may reset the session tz
+    # between calls, and expressions built after load_table resolve
+    # against the tz at analysis time.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     per_session = _TABLE_CACHE.setdefault(spark, {})
     cached = per_session.get((sf_dir, name))
     if cached is not None:
@@ -69,9 +75,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # timestamp semantics must match the (naive-UTC) DuckDB oracle no
-    # matter what session the caller hands us
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -330,3 +330,26 @@ def test_dml_matches_duckdb_semantics(engines):
         for i, n, v in con.execute("SELECT * FROM parity_t").fetchall()
     )
     assert got == want
+
+
+def test_dml_insert_column_list_case_insensitive_and_strict(engines):
+    """SQL identifiers are case-insensitive: (ID, VALUE) must resolve
+    against id/value; unknown columns must raise, never silently
+    NULL-fill."""
+    eng1, _ = engines
+    eng1.put("ins_ci", _sample_table())
+    eng1.dml("INSERT INTO ins_ci (ID, NAME, VALUE) VALUES (9, 'Zed', 9.5)")
+    row = eng1.sql("SELECT * FROM ins_ci WHERE id = 9").collect()[0]
+    assert (row.name, row.value) == ("Zed", 9.5)
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng1.dml("INSERT INTO ins_ci (id, vlaue) VALUES (10, 1.0)")
+
+
+def test_dml_update_backslash_escaped_quote_in_literal(engines):
+    """Spark's default dialect allows \\' inside string literals; the
+    SET splitter must not split at a comma inside such a literal."""
+    eng1, _ = engines
+    eng1.put("upd_esc", _sample_table())
+    eng1.dml("UPDATE upd_esc SET name = 'O\\'Brien, Jr' WHERE id = 1")
+    got = eng1.sql("SELECT name FROM upd_esc WHERE id = 1").collect()[0].name
+    assert got == "O'Brien, Jr"

@@ -493,3 +493,21 @@ def test_exchange_ipc_spill_path_over_wire(spark):
         assert sorted(result.column("id").to_pylist()) == list(range(50_000))
     finally:
         server.shutdown()
+
+
+def test_mutation_sql_via_exchange_verb(servers):
+    """The reference treats exchange commands that look like SQL as
+    SQL (flight_server.py:320-331) — including mutations. The wire
+    exchange verb must route through the engine's DDL/DML executors,
+    answering the OK status frame."""
+    s1, _ = servers
+    client = _client(s1)
+    _put(client, "xchg_mut", _sample())
+    desc = flight.FlightDescriptor.for_command(b"DELETE FROM xchg_mut WHERE value > 15")
+    writer, reader = client.do_exchange(desc)
+    writer.done_writing()
+    result = reader.read_all()
+    writer.close()
+    assert result.column("status").to_pylist() == ["OK"]
+    got = client.do_get(flight.Ticket(b"SELECT COUNT(*) AS n FROM xchg_mut")).read_all()
+    assert got.column("n").to_pylist() == [1]

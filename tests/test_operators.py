@@ -402,3 +402,29 @@ def test_containment_finds_doc_inside_larger_doc(spark, tmp_path):
         (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     }
     assert (1, 2) not in jacc
+
+
+def test_mix_sources_empty_token_source_keeps_nothing(spark, tmp_path):
+    """min_tot=0 edge (one source tokenizes to zero tokens): the
+    budget is zero, so NO docs are kept anywhere. Guards the integer
+    threshold rewrite — decimal `div` truncates -1/tot to 0, which
+    would otherwise admit md5-bucket-0 docs."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": ["real words here to tokenize properly"] * 4 + [""] * 4,
+            "lang": ["en"] * 8,
+            "source": ["full"] * 4 + ["empty"] * 4,
+            "n_chars": [36] * 4 + [0] * 4,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from mallard_spark.operators.llm import mix_sources
+
+    rows = {r.source: r for r in mix_sources(spark, str(tmp_path)).collect()}
+    assert rows["full"].n_docs_kept == 0 and rows["full"].tokens_kept == 0
+    assert rows["empty"].n_docs_kept == 0

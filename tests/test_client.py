@@ -113,3 +113,21 @@ def test_client_auth_config(spark):
         if mgr:
             mgr.close_all()
         server.shutdown()
+
+
+def test_client_health_check_false_on_dead_server(spark):
+    """health_check never raises — a dead endpoint answers False
+    (probe-loop contract)."""
+    eng = MallardEngine(spark, "cl_dead")
+    server = SparkFlightServer("grpc://localhost:0", eng)
+    serve_in_background(server)
+    port = server.port
+    mgr = FlightClientManager([ClientConfig(f"grpc://localhost:{port}", "s")])
+    ops = DataOperations(mgr)
+    assert ops.health_check("s") is True
+    server.shutdown()
+    import time
+
+    time.sleep(0.3)
+    assert ops.health_check("s") is False
+    mgr.close_all()

@@ -15,6 +15,7 @@ watermark variant for that path.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +23,28 @@ from pyspark.sql import functions as F
 from mallard_spark.registry import query
 
 DV = "decimal(12,2)"
+
+# Stateful-stream shuffle width. Stateful operators pay a PER-PARTITION
+# state-store open/commit (delta files on disk) every micro-batch, so
+# partition count must be sized to STATE VOLUME, not to the session's
+# batch shuffle width: at sf0.1 the stream-stream interval join runs
+# 9.8 s with 32 state partitions and 2.2 s with 4 — identical results.
+# At 100 TB-scale state you raise this (it is fixed at first start by
+# the checkpoint, like any Spark stateful query).
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+
+
+@contextmanager
+def _state_shuffle(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Pin shuffle partitions while a stateful stream STARTS (the
+    value is captured into the query's checkpoint at start), then
+    restore the session's batch setting."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +188,8 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    with _state_shuffle(spark):
+        q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:
@@ -202,11 +226,12 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
     )
     try:
         q.processAllAvailable()
@@ -247,7 +272,8 @@ def stream_rate_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .select("value")
     )
-    q = src.writeStream.outputMode("append").format("memory").queryName(name).start()
+    with _state_shuffle(spark):
+        q = src.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
@@ -303,12 +329,13 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    with _state_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
     )
     q.awaitTermination(300)
 
@@ -355,11 +382,12 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
     )
     try:
         q.processAllAvailable()
@@ -391,11 +419,12 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    with _state_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
     )
     try:
         q.processAllAvailable()
@@ -495,11 +524,12 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    with _state_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
     )
     try:
         q.processAllAvailable()
@@ -588,11 +618,12 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    with _state_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
     )
     try:
         q.processAllAvailable()

@@ -133,7 +133,10 @@ class SparkFlightServer(flight.FlightServerBase):
         # DataFrame straight from Arrow memory; Arrow-native exchanges
         # under exchange_memory_bytes skip the IPC spill file.
         self.ingest_memory_bytes: int = 256 << 20
-        self.exchange_memory_bytes: int = 1 << 30
+        # 2 GB: the reference's own 24M-row benchmark shape is ~1.05 GB
+        # of Arrow buffers — keep it on the in-memory path rather than
+        # straddling the threshold run-to-run
+        self.exchange_memory_bytes: int = 2 << 30
 
     # -- GET: SQL ticket → Arrow stream --------------------------------
     def do_get(self, context, ticket: flight.Ticket):

@@ -759,3 +759,72 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_norm"
         ),
     )
+
+
+GRAM_Q = 1 << 10  # quantization step for the exact integer Gram matrix
+
+
+@query(
+    "emb_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * {GRAM_Q}) AS BIGINT)) AS qv
+      FROM embeddings
+    ), pairs AS (
+      SELECT i.i AS di, j.j AS dj, qv[i.i] * qv[j.j] AS prod
+      FROM q,
+           UNNEST(range(1, len(qv) + 1)) i(i),
+           UNNEST(range(1, len(qv) + 1)) j(j)
+      WHERE i.i <= j.j
+    )
+    SELECT CAST(di - 1 AS BIGINT) AS dim_i,
+           CAST(dj - 1 AS BIGINT) AS dim_j,
+           CAST(SUM(prod) AS BIGINT) AS gram_q
+    FROM pairs
+    GROUP BY di, dj
+    """,
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix X^T X of the embedding corpus (upper
+    triangle), the input to PCA / whitening / covariance analysis.
+
+    The 100 TB pattern this demonstrates: per-batch numpy partials
+    reduced to a d×d result — mapInPandas computes X_b^T X_b per
+    Arrow batch (one corpus pass, NO shuffle of vectors; the only
+    exchange moves d(d+1)/2-row partials), then a tiny groupBy sums
+    them. Vectors are quantized to integers (floor(x·2¹⁰)) so the
+    int64 partial sums are associative and bit-identical to the
+    DuckDB oracle's unnest-pair formulation regardless of batch or
+    partition boundaries — float dot products would be
+    order-dependent.
+    """
+    import pandas as pd
+
+    from mallard_spark.session import ship_package
+
+    ship_package(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(as_double("embedding").alias("v"))
+
+    def gram_partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.stack(pdf["v"].to_numpy()) * GRAM_Q
+            ).astype(np.int64)
+            g = x.T @ x  # d×d int64 — exact, associative
+            d = g.shape[0]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"dim_i": iu[0], "dim_j": iu[1], "gram_q": g[iu]}
+            )
+
+    partials = emb.mapInPandas(
+        gram_partials, schema="dim_i long, dim_j long, gram_q long"
+    )
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("gram_q").cast("long").alias("gram_q")
+    )

@@ -213,3 +213,11 @@ def test_dedup_incremental_no_cartesian_and_bounded_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_gram_matrix_shuffles_partials_not_vectors(spark, sf_dir):
+    # ONE corpus pass: the only exchange moves d(d+1)/2-row partials
+    # from mapInPandas — the raw vectors never shuffle
+    plan = _plan(spark, sf_dir, "emb_gram_matrix")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroups" not in plan  # mapInPandas, not grouped-map

@@ -485,3 +485,53 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(cum_w) / F.sum("n").over(total_w), 6
         ).alias("cum_coverage"),
     )
+
+
+BPE_TOP_PAIRS = 30
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.tok FROM documents, UNNEST({TOKENS_SQL}) t(tok)
+    ), pairs AS (
+      SELECT substr(tok, p.i, 2) AS pair
+      FROM toks, UNNEST(range(1, length(tok))) p(i)
+      WHERE length(tok) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop at corpus scale: count adjacent
+    character pairs across all tokens and rank the merge candidates —
+    the step a tokenizer trainer repeats per merge, and the one that
+    must distribute at 100 TB (each iteration is one explode + one
+    partial-combined count, no token list ever leaves its partition
+    un-aggregated).
+
+    Exact integer counts with a unique (n DESC, pair) order, so the
+    top-{BPE_TOP_PAIRS} is deterministic on any engine.
+    """
+    from mallard_spark.functions.text import TOKENS_EXPR
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

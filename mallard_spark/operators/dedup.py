@@ -240,9 +240,28 @@ N_BANDS = 8  # 8 bands × 2 rows
 EST_MIN = 0.25
 
 
+# Universal-hash minhash family: ONE md5 per shingle (the measured
+# cost driver of the whole family — 16 md5s per shingle before round
+# 4), then 16 cheap affine maps mh_i = (A_i·(h mod P) + B_i) mod P
+# over the shared base hash. P = 2³¹−1 (Mersenne prime); A_i,B_i are
+# md5-derived Python-time constants, so both engines evaluate the
+# identical integer expressions: A_i<P, (h mod P)<P ⇒ product < 2⁶²,
+# no int64 overflow anywhere.
+MH_P = (1 << 31) - 1
+
+
+def _mh_coeff(i: int) -> tuple[int, int]:
+    import hashlib
+
+    ha = int(hashlib.md5(f"mha:{i}".encode()).hexdigest()[:15], 16)
+    hb = int(hashlib.md5(f"mhb:{i}".encode()).hexdigest()[:15], 16)
+    return ha % (MH_P - 1) + 1, hb % MH_P
+
+
 def _mh_sql(i: int) -> str:
-    h = md5_long_sql(f"concat('{i}:', s)")
-    return f"list_min(list_transform(shingles, s -> {h}))"
+    """DuckDB minhash i over a pre-hashed list column ``hs``."""
+    a, b = _mh_coeff(i)
+    return f"list_min(list_transform(hs, h -> ({a} * (h % {MH_P}) + {b}) % {MH_P}))"
 
 
 def _minhash_lsh_oracle() -> str:
@@ -260,10 +279,14 @@ def _minhash_lsh_oracle() -> str:
       SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
       FROM documents
       WHERE len({word_shingles_sql(3)}) > 0
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {md5_long_sql("s")}) AS hs
+      FROM sh
     ), mh AS (
       SELECT doc_id,
              {mh_cols}
-      FROM sh
+      FROM hashed
     ), bands AS (
       {band_selects}
     ), pairs AS (
@@ -285,18 +308,23 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     Explode-then-aggregate, NOT 16 array_min(transform(...)) columns:
     Catalyst's CollapseProject would inline the shingle pipeline into
     every minhash expression (16× redundant shingle building per
-    row); exploding materializes each (doc, shingle) exactly once and
-    the 16 md5s per shingle are the irreducible work. This is also
-    the shape that scales — the groupBy is one shuffle on doc_id.
+    row); exploding materializes each (doc, shingle) exactly once.
+    Round 4: ONE md5 per shingle (staged as ``h``), 16 affine maps
+    over it — md5 was the measured cost driver of the whole family.
+    The groupBy is one shuffle on doc_id — the shape that scales.
     """
     doc_sh = (
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles_of("toks", 3)).alias("s"))
         .distinct()
+        .select("doc_id", (md5_long(F.col("s")) % MH_P).alias("hp"))
     )
     return doc_sh.groupBy("doc_id").agg(
         *[
-            F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            F.min(
+                (F.lit(_mh_coeff(i)[0]) * F.col("hp") + F.lit(_mh_coeff(i)[1]))
+                % MH_P
+            ).alias(f"mh{i}")
             for i in range(K_MINHASH)
         ]
     )
@@ -383,10 +411,14 @@ def _incremental_oracle() -> str:
       SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
       FROM documents
       WHERE len({word_shingles_sql(3)}) > 0
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {md5_long_sql("s")}) AS hs
+      FROM sh
     ), mh AS (
       SELECT doc_id,
              {mh_cols}
-      FROM sh
+      FROM hashed
     ), bands AS (
       {band_selects}
     ), pairs AS (

@@ -451,6 +451,7 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_band0_oracle() -> str:
+    from mallard_spark.functions.hashing import md5_long_sql
     from mallard_spark.functions.text import word_shingles_sql
     from mallard_spark.operators.dedup import _mh_sql
 
@@ -459,8 +460,12 @@ def _minhash_band0_oracle() -> str:
       SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
       FROM documents
       WHERE len({word_shingles_sql(3)}) > 0
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {md5_long_sql("s")}) AS hs
+      FROM sh
     ), mh AS (
-      SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1 FROM sh
+      SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1 FROM hashed
     )
     SELECT COUNT(DISTINCT md5(concat(0, ':', mh0, ':', mh1))) AS n_near_distinct
     FROM mh
@@ -504,18 +509,27 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(shingles_of("toks", 3)).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
+    from mallard_spark.operators.dedup import MH_P, _mh_coeff
+
     def _mh(i: int):
+        # round-4 universal-hash family: the base md5 per shingle is
+        # staged ONCE in `hs`; each minhash is a cheap affine map.
         # NB: a two-arg lambda in F.transform means (element, index) —
-        # capture i in a closure, never as a default parameter.
+        # capture coeffs in the closure, never as default parameters.
+        a, b = _mh_coeff(i)
         return F.array_min(
             F.transform(
-                F.col("shingles"),
-                lambda s: md5_long(F.concat(F.lit(f"{i}:"), s)),
+                F.col("hs"),
+                lambda h: (F.lit(a) * (h % MH_P) + F.lit(b)) % MH_P,
             )
         ).alias(f"mh{i}")
 
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: md5_long(s)).alias("hs"),
+    )
     mh = [_mh(i) for i in range(2)]
-    keyed = sh.select("doc_id", *mh).select(
+    keyed = hashed.select("doc_id", *mh).select(
         "doc_id",
         F.md5(F.concat_ws(":", F.lit(0), F.col("mh0"), F.col("mh1"))).alias("band_key"),
     )

@@ -1,0 +1,213 @@
+"""Web-corpus curation: URL canonicalization dedup + per-domain stats.
+
+Crawled corpora carry the same page under many raw URLs (http vs
+https, ``www.`` prefixes, tracking parameters, trailing slashes,
+fragments). Canonicalizing URLs BEFORE content dedup removes the
+cheapest duplicate class with zero text comparison — a pure
+column-expression map over the scan, no shuffle until the final
+aggregate. At 100 TB this is the first pass of every crawl pipeline
+(CCNet/Dolma both do it); it costs one scan and a partial-combined
+aggregate, so it scales exactly like a count.
+
+The testdata ``documents`` table has no URL column, so — like the
+multimodal fake-codec fixtures (`multimodal/binary.py`) — each doc
+derives a deterministic raw URL from ``doc_id``: three consecutive
+doc_ids share one logical page but get three different raw spellings
+(www + utm params + fragment / HTTP + uppercase host + trailing
+slash / trailing tracking params). The *canonicalization logic is
+the real operator*; the fixture just gives it engine-reproducible
+input, so DuckDB re-derives everything bit-for-bit.
+
+Reference parity: Mallard runs arbitrary DuckDB SQL over tickets
+(`/root/reference/flight_server.py:342` do_get), so a Mallard user
+would express this as SQL; here it is the same declarative plan with
+the regex chain documented and value-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mallard_spark.functions.hashing import md5_long, md5_long_sql
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+# Regex chain shared verbatim by the Spark builders and the DuckDB
+# oracles (no capture-group replacements: Spark spells them $1,
+# DuckDB \1 — avoiding captures keeps one pattern string per rule).
+_FRAGMENT = "#.*$"
+_TRACK_MID = "(utm_[a-z]+|fbclid|gclid)=[^&#]*&"  # param followed by another
+_TRACK_END = "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*"  # sole/last param
+_SLASH_Q = "/[?]"  # trailing slash before query
+_TRAIL = "[?&/]+$"  # dangling separators
+_SCHEME = "^[A-Za-z]+://"
+
+
+def _raw_url(doc_id: Column) -> Column:
+    """Deterministic raw-URL fixture: 3 consecutive doc_ids share one
+    logical page (doc_id div 3) under 3 different raw spellings; the
+    host is keyed on the PAGE so all 3 spellings live on one domain."""
+    page = F.expr("doc_id div 3").cast("string")
+    host = F.concat(
+        F.lit("d"), (md5_long(page) % 20).cast("string"), F.lit(".example.com")
+    )
+    base = F.concat(F.lit("/a/"), page, F.lit("?id="), page)
+    v = doc_id % 3
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://www."), host, F.lit("/a/"), page,
+                F.lit("?utm_source=rss&id="), page, F.lit("#frag"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit("/a/"), page, F.lit("/?id="), page),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, base, F.lit("&utm_campaign=x&fbclid=abc")))
+    )
+
+
+_RAW_URL_SQL = """
+    CASE doc_id % 3
+      WHEN 0 THEN 'https://www.' || {host} || '/a/' || {page}
+                  || '?utm_source=rss&id=' || {page} || '#frag'
+      WHEN 1 THEN 'HTTP://' || upper({host}) || '/a/' || {page} || '/?id=' || {page}
+      ELSE 'https://' || {host} || '/a/' || {page} || '?id=' || {page}
+           || '&utm_campaign=x&fbclid=abc'
+    END
+"""
+_PAGE_SQL = "CAST(doc_id // 3 AS VARCHAR)"
+_RAW_URL_SQL = _RAW_URL_SQL.format(
+    host=f"'d' || CAST({md5_long_sql(_PAGE_SQL)} % 20 AS VARCHAR) || '.example.com'",
+    page=_PAGE_SQL,
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form: https, lowercase host, no www./fragment/
+    tracking params/trailing slash. Pure JVM regex chain — codegen'd,
+    zero Python, zero shuffle."""
+    u = F.regexp_replace(url, _FRAGMENT, "")
+    u = F.regexp_replace(u, _TRACK_MID, "")
+    u = F.regexp_replace(u, _TRACK_END, "")
+    u = F.regexp_replace(u, _SLASH_Q, "?")
+    u = F.regexp_replace(u, _TRAIL, "")
+    rest = F.regexp_replace(u, _SCHEME, "")
+    host = F.lower(F.regexp_extract(rest, "^([^/]+)", 1))
+    host = F.regexp_replace(host, "^www[.]", "")
+    path = F.regexp_replace(rest, "^[^/]*", "")
+    return F.concat(F.lit("https://"), host, path)
+
+
+def _canon_sql(url_expr: str) -> str:
+    """DuckDB mirror of :func:`canonicalize_url` (identical patterns;
+    DuckDB needs the explicit 'g' flag Spark applies by default)."""
+    u = f"regexp_replace({url_expr}, '{_FRAGMENT}', '', 'g')"
+    u = f"regexp_replace({u}, '{_TRACK_MID}', '', 'g')"
+    u = f"regexp_replace({u}, '{_TRACK_END}', '', 'g')"
+    u = f"regexp_replace({u}, '{_SLASH_Q}', '?', 'g')"
+    u = f"regexp_replace({u}, '{_TRAIL}', '', 'g')"
+    rest = f"regexp_replace({u}, '{_SCHEME}', '')"
+    host = f"regexp_replace(lower(regexp_extract({rest}, '^([^/]+)', 1)), '^www[.]', '')"
+    path = f"regexp_replace({rest}, '^[^/]*', '')"
+    return f"'https://' || {host} || {path}"
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle=f"""
+    WITH urls AS (
+        SELECT {_RAW_URL_SQL} AS raw_url FROM documents
+    ), canon AS (
+        SELECT raw_url, {_canon_sql('raw_url')} AS canonical_url FROM urls
+    )
+    SELECT regexp_extract(canonical_url, '^https://([^/]+)', 1) AS domain,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT raw_url) AS n_raw_urls,
+           COUNT(DISTINCT canonical_url) AS n_canonical,
+           COUNT(*) - COUNT(DISTINCT canonical_url) AS dup_docs,
+           ROUND(1.0 - CAST(COUNT(DISTINCT canonical_url) AS DOUBLE) / COUNT(*), 6)
+               AS url_dup_rate
+    FROM canon GROUP BY domain ORDER BY domain
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup rate per domain: raw URLs stay
+    distinct, canonical URLs collapse the 3-spelling groups — the
+    gap is the duplicate mass removable before any content hashing.
+    One scan → regex map (codegen) → one aggregate; at 100 TB the
+    canonical column would also become the dedup key of a groupBy
+    keeping `min(doc_id)` per URL (same plan shape as dedup_exact).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.select(_raw_url(F.col("doc_id")).alias("raw_url"))
+        .withColumn("canonical_url", canonicalize_url(F.col("raw_url")))
+        .withColumn(
+            "domain", F.regexp_extract(F.col("canonical_url"), "^https://([^/]+)", 1)
+        )
+    )
+    return (
+        canon.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_raw_urls"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+            (F.count("*") - F.countDistinct("canonical_url")).alias("dup_docs"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("canonical_url").cast("double") / F.count("*"), 6
+            ).alias("url_dup_rate"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "domain_quality_agg",
+    oracle=f"""
+    WITH urls AS (
+        SELECT lang, n_chars,
+               regexp_extract({_canon_sql(_RAW_URL_SQL)}, '^https://([^/]+)', 1) AS domain
+        FROM documents
+    )
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+           ROUND(CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS short_frac,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM urls GROUP BY domain ORDER BY domain
+    """,
+)
+def domain_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation dashboard: doc counts, char mass, and the
+    short-doc fraction that drives domain-level filtering decisions
+    (a domain whose pages are mostly <200 chars is boilerplate). The
+    domain key comes from the canonical URL, so spelling variants of
+    one host aggregate together. One scan, one partial-combined
+    aggregate keyed on ~#domains — the classic crawl-curation rollup
+    that stays a single shuffle at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonicalize_url(_raw_url(F.col("doc_id")))
+    short = F.when(F.col("n_chars") < 200, 1).otherwise(0)
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.regexp_extract(canon, "^https://([^/]+)", 1).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(short).cast("long").alias("short_docs"),
+            F.round(F.sum(short).cast("double") / F.count("*"), 6).alias("short_frac"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("domain")
+    )

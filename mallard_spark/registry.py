@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
     import mallard_spark.operators.sampling  # noqa: F401
     import mallard_spark.operators.similarity  # noqa: F401
     import mallard_spark.operators.text  # noqa: F401
+    import mallard_spark.operators.web  # noqa: F401
     import mallard_spark.plans.bucketed  # noqa: F401
     import mallard_spark.plans.events  # noqa: F401
     import mallard_spark.plans.relational  # noqa: F401

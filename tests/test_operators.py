@@ -296,8 +296,29 @@ def test_operators_tolerate_empty_input(spark, tmp_path):
         "text_entropy",
         "filter_cascade_report",
         "dup_rate_by_source",
+        "url_canonicalize_dedup",
+        "domain_quality_agg",
     ):
         assert specs[name].fn(spark, empty_dir).count() == 0, name
+
+
+def test_url_canonicalize_known_cases(spark):
+    """Hand-written raw→canonical cases: scheme upcasing, www., utm/
+    fbclid stripping (keeping real params), fragments, trailing and
+    pre-query slashes, and a URL whose query is ALL tracking."""
+    from mallard_spark.operators.web import canonicalize_url
+
+    cases = [
+        ("https://www.a.com/x/1?utm_source=rss&id=1#frag", "https://a.com/x/1?id=1"),
+        ("HTTP://A.COM/x/1/?id=1", "https://a.com/x/1?id=1"),
+        ("https://a.com/x/1?id=1&utm_campaign=x&fbclid=z", "https://a.com/x/1?id=1"),
+        ("https://a.com/x/1?gclid=abc", "https://a.com/x/1"),
+        ("https://a.com/x/1/", "https://a.com/x/1"),
+        ("https://a.com/", "https://a.com"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["raw"])
+    got = [r[0] for r in df.select(canonicalize_url(F.col("raw"))).collect()]
+    assert got == [want for _, want in cases]
 
 
 def test_shard_assignment_invariants(spark, sf_dir):

@@ -180,3 +180,35 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars,
+           {md5_long_sql("'rsv' || CAST(doc_id AS VARCHAR)")} AS rnk
+    FROM documents
+    ORDER BY rnk, doc_id
+    LIMIT 100
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global uniform k-sample without replacement (k=100), the
+    deterministic equivalent of distributed reservoir sampling.
+
+    Classic reservoir sampling (Vitter's Algorithm R) keeps the k
+    rows with the smallest random keys; assigning each row the key
+    md5('rsv'||doc_id) and taking the global k smallest is the SAME
+    distribution over content-addressed keys but reproducible across
+    engines, reruns, and partitionings. Spark compiles ORDER BY +
+    LIMIT k into TakeOrderedAndProject: each task keeps a k-row heap
+    and only k·#partitions rows ever reach the driver — no global
+    sort, no shuffle, exactly the reservoir cost model at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rnk = md5_long(F.concat(F.lit("rsv"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", rnk.alias("rnk"))
+        .orderBy("rnk", "doc_id")
+        .limit(100)
+    )

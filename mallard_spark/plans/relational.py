@@ -1588,3 +1588,186 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q_wri_orders
         """
     )
+
+
+@query(
+    "math_funcs_parity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0) AS abs_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+           ROUND(power(l_quantity, 2), 6) AS qty_sq,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,
+           ROUND(log10(l_extendedprice), 6) AS price_log10,
+           ROUND(exp(l_discount), 6) AS disc_exp,
+           CAST(sign(l_extendedprice - 30000.0) AS BIGINT) AS price_sign,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 5 = 0
+    """,
+)
+def math_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface (abs/ceil/floor/sqrt/power/ln/log10/exp/
+    sign/mod) value-checked across engines. Per-row IEEE double math
+    over one expression tree is bit-deterministic (SURVEY §4), so no
+    tolerance is needed — transcendentals get the standard ROUND(,6).
+    Pure codegen map over a pruned, filter-pushed scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 5 == 0)
+    )
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000.0).alias("abs_dev"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor(price).cast("long").alias("price_floor"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(price - 30000.0).cast("long").alias("price_sign"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+@query(
+    "cond_funcs_parity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_quantity, l_discount * 100.0) AS lo,
+           greatest(l_extendedprice, 10000.0) AS hi,
+           CAST(coalesce(nullif(l_linenumber, 1), -1) AS BIGINT) AS nz,
+           ifnull(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+           ROUND(l_extendedprice / NULLIF(l_quantity, 0.0), 6) AS unit_price,
+           CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS disc_band
+    FROM lineitem
+    WHERE l_orderkey % 6 = 0 AND l_linenumber <= 2
+    """,
+)
+def cond_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling surface (least/greatest/nullif/
+    coalesce/ifnull/try_divide/when) value-checked across engines.
+    try_divide's null-on-zero contract is mirrored by the oracle's
+    x / NULLIF(y, 0)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 6 == 0) & (F.col("l_linenumber") <= 2)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100.0).alias("lo"),
+        F.greatest(F.col("l_extendedprice"), F.lit(10000.0)).alias("hi"),
+        F.coalesce(F.nullif(F.col("l_linenumber"), F.lit(1)), F.lit(-1))
+        .cast("long")
+        .alias("nz"),
+        F.ifnull(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias(
+            "unit_price"
+        ),
+        F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo").alias("disc_band"),
+    )
+
+
+@query(
+    "regex_funcs_parity",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+           CAST(len(regexp_extract_all(p_name, ' ')) AS BIGINT) AS n_spaces,
+           regexp_matches(p_type, 'TIN$') AS is_tin,
+           regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
+    FROM part
+    """,
+)
+def regex_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (regexp_extract / regexp_replace / regexp_count /
+    rlike) value-checked across engines — patterns kept inside the
+    Java∩RE2 common dialect, the same constraint every cross-engine
+    oracle in this repo obeys."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("consonants"),
+        F.regexp_count(F.col("p_name"), F.lit(" ")).cast("long").alias("n_spaces"),
+        F.col("p_type").rlike("TIN$").alias("is_tin"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)$", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "bitwise_funcs_parity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & l_partkey AS k_and,
+           l_orderkey | l_suppkey AS k_or,
+           xor(l_orderkey, l_partkey) AS k_xor,
+           CAST(l_linenumber AS BIGINT) << 3 AS ln_shl3,
+           l_orderkey >> 2 AS k_shr2,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS k_popcount
+    FROM lineitem
+    WHERE l_orderkey % 9 = 0 AND l_linenumber = 1
+    """,
+)
+def bitwise_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (& | xor << >> bit_count) value-checked across
+    engines — the hash/partition-routing primitives every content-
+    addressed operator in this repo builds on."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 9 == 0) & (F.col("l_linenumber") == 1)
+    )
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.col("l_partkey")).alias("k_and"),
+        k.bitwiseOR(F.col("l_suppkey")).alias("k_or"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("k_xor"),
+        F.shiftleft(F.col("l_linenumber").cast("long"), 3).alias("ln_shl3"),
+        F.shiftright(k, 2).alias("k_shr2"),
+        F.bit_count(k).cast("long").alias("k_popcount"),
+    )
+
+
+@query(
+    "map_struct_funcs_parity",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS s_brand,
+           CAST(p_size AS BIGINT) AS s_size,
+           p_type AS m_type,
+           2 AS m_nkeys,
+           p_brand || ':' || p_type AS packed
+    FROM part
+    WHERE p_partkey % 4 = 0
+    """,
+)
+def map_struct_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map surface: struct() pack + getField, map_from_arrays +
+    element_at + map_keys, exercised Spark-side and value-checked
+    against the oracle's equivalent scalars (nested types stay out of
+    the result schema so the cross-engine hash compares plain
+    columns)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return part.select(
+        "p_partkey",
+        s.getField("brand").alias("s_brand"),
+        s.getField("size").cast("long").alias("s_size"),
+        F.element_at(m, "type").alias("m_type"),
+        F.size(F.map_keys(m)).alias("m_nkeys"),
+        F.concat_ws(":", F.element_at(m, "brand"), F.element_at(m, "type")).alias(
+            "packed"
+        ),
+    )

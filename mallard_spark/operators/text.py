@@ -682,3 +682,92 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_len") * F.col("p_stop") * F.col("p_punct") * F.col("p_toklen")
         ).cast("long").alias("n_pass_all"),
     )
+
+
+@query(
+    "quality_perplexity_proxy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({TOKENS_SQL}) AS term FROM documents
+    ),
+    vocab AS (
+        SELECT term,
+               CAST(ROUND(-ln(CAST(COUNT(*) AS DOUBLE)
+                              / (SELECT COUNT(*) FROM toks)) * 1000000.0)
+                    AS BIGINT) AS micro_surprise
+        FROM toks GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tok,
+               SUM(v.micro_surprise) AS micro_sum
+        FROM toks t JOIN vocab v USING (term)
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(micro_sum) AS DOUBLE) / SUM(n_tok) / 1000000.0
+               AS avg_surprise_nats,
+           CAST(SUM(CASE WHEN micro_sum > 3410000 * n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN micro_sum > 3410000 * n_tok THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS flagged_frac
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy — the CCNet/Dolma-style quality
+    filter: score each doc by its mean per-token surprise −ln p(term)
+    under the corpus's own unigram model, flag docs above a
+    threshold (rare-token gibberish scores high, common fluent text
+    low). The 3.41-nat threshold sits at ~p90 of this corpus's tight
+    synthetic-vocabulary distribution so the flag path is exercised;
+    a real corpus uses a held-out-LM score with the same plan.
+
+    Determinism: each vocab entry's surprise is rounded ONCE to
+    integer micro-nats, so all downstream sums are exact int64 math
+    and the doc-level threshold is an integer cross-multiply
+    (micro_sum > thr · n_tok) — no float accumulation anywhere.
+
+    Shape at 100 TB: explode→groupBy(term) is one partial-combined
+    shuffle producing the vocab (bounded by distinct terms, ~1e7 —
+    broadcastable); scoring is corpus-tokens ⋈ broadcast vocab, then
+    one groupBy(doc) and one tiny groupBy(lang). The corpus is never
+    shuffled on anything wider than doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(F.expr(TOKENS_EXPR)).alias("term"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(-F.log(F.col("tf").cast("double") / F.col("n_total")) * 1_000_000.0)
+            .cast("long")
+            .alias("micro_surprise"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), F.sum("micro_surprise").alias("micro_sum"))
+    )
+    flagged = F.when(F.col("micro_sum") > 3_410_000 * F.col("n_tok"), 1).otherwise(0)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            (F.sum("micro_sum").cast("double") / F.sum("n_tok") / 1_000_000.0).alias(
+                "avg_surprise_nats"
+            ),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            F.round(F.sum(flagged).cast("double") / F.count("*"), 6).alias(
+                "flagged_frac"
+            ),
+        )
+        .orderBy("lang")
+    )

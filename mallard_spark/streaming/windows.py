@@ -644,3 +644,108 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           date_trunc('second', MIN(ts)) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows: session_window + watermark in
+    append mode — the stateful gap-sessionization path whose state
+    store holds only OPEN sessions (closed ones are emitted and
+    evicted once the watermark passes, which is what bounds state at
+    100 TB/day event volumes).
+
+    Append mode only emits a session after the watermark passes its
+    close, and a replayed static file advances the watermark exactly
+    once — so the fixture stages the events as batch 1 and one
+    far-future sentinel event as batch 2 (maxFilesPerTrigger=1).
+    Batch 2's watermark closes every real session; the sentinel's own
+    session is filtered out. Oracle = the batch lag+cumsum
+    sessionization (same SQL as session_window_agg): streaming and
+    batch sessions must agree exactly.
+    """
+    import shutil
+    import tempfile
+
+    stage_root = os.path.join(tempfile.gettempdir(), "mallard_stream_session_window")
+    shutil.rmtree(stage_root, ignore_errors=True)
+    src_dir = os.path.join(stage_root, "src")
+
+    # stage batch 1: the real events (normalized ts), batch 2: sentinel
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = raw.select("event_id", "ts", "user_id", "value")
+    ev.coalesce(1).write.parquet(os.path.join(src_dir, "b1"))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1, 0.0)], "event_id long, ts timestamp, user_id long, value double"
+    ).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        "user_id",
+        "value",
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(src_dir, "b2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src_dir, "*"))
+        .withWatermark("ts", "1 minute")
+    )
+    sessions = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DV)).cast("double").alias("session_value"),
+    )
+    name = "mallard_stream_session_window"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("sw.start")).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -38,6 +38,8 @@ HEADLINE = [
     "mix_sources",
     "dedup_minhash_lsh",
     "dedup_substring_windows",
+    "url_canonicalize_dedup",
+    "quality_perplexity_proxy",
     "knn_bruteforce",
     "knn_lsh_multiprobe",
     "exchange_add_processed",

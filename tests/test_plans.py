@@ -221,3 +221,33 @@ def test_emb_gram_matrix_shuffles_partials_not_vectors(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_gram_matrix")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroups" not in plan  # mapInPandas, not grouped-map
+
+
+def test_sample_reservoir_is_take_ordered_no_exchange(spark, sf_dir):
+    # the reservoir cost model: per-task top-k heap + driver merge,
+    # never a global sort shuffle; text column pruned from the scan
+    plan = _plan(spark, sf_dir, "sample_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "text" not in read_schema
+
+
+def test_url_canonicalize_single_agg_exchange(spark, sf_dir):
+    # regex chain is a codegen map over the scan; only the domain
+    # aggregate (and its countDistinct expand) may shuffle
+    plan = _plan(spark, sf_dir, "url_canonicalize_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "text" not in read_schema  # only doc_id is read
+
+
+def test_perplexity_vocab_is_broadcast(spark, sf_dir):
+    # corpus tokens join the vocab via BROADCAST — the corpus is
+    # never shuffled on term for scoring (only the vocab-build
+    # explode→agg and the doc/lang aggregates exchange)
+    plan = _plan(spark, sf_dir, "quality_perplexity_proxy")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan or "Broadcast" in plan

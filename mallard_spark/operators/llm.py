@@ -535,3 +535,80 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+@query(
+    "tokenize_to_ids",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, u.pos AS pos, u.term AS term
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks)),
+                                     i -> {'pos': i, 'term': toks[i+1]})) AS u
+        FROM d
+      )
+    ),
+    vocab AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS id
+      FROM flat GROUP BY term QUALIFY id <= 24
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_tok,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ',' ORDER BY f.pos)
+               AS ids_csv
+    FROM flat f LEFT JOIN vocab v USING (term)
+    GROUP BY f.doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to vocabulary ids — the step that turns
+    cleaned text into training-ready integer sequences. The vocab is
+    the corpus's own top-V terms by frequency (V=24 here so the OOV
+    path is exercised; rank ties broken by term), OOV maps to id 0,
+    and each doc's id sequence is emitted in token order as a CSV
+    string (engine-portable; arrays don't hash stably across
+    pandas/DuckDB reprs).
+
+    Shape at 100 TB: the vocab build is one explode→groupBy(term)
+    with map-side combine, and the global id ranking runs only over
+    the VOCABULARY (V rows), never the corpus (same pattern as
+    vocab_coverage). Scoring joins corpus tokens to a BROADCAST
+    vocab, and the only corpus-wide exchange is the groupBy(doc_id)
+    reassembly — the same single hash exchange a training-shard
+    writer pays anyway (shard_assignment).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from mallard_spark.functions.text import TOKENS_EXPR
+
+    flat = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKENS_EXPR)).alias("pos", "term")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    vocab = (
+        flat.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("id", F.row_number().over(w))
+        .filter(F.col("id") <= 24)
+        .select("term", "id")
+    )
+    joined = flat.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.col("id").isNull().cast("int").alias("oov"),
+        F.coalesce(F.col("id"), F.lit(0)).alias("id0"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, id0))),"
+            " x -> cast(x.id0 as string)), ',')"
+        ).alias("ids_csv"),
+    )

@@ -251,3 +251,12 @@ def test_perplexity_vocab_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan or "Broadcast" in plan
+
+
+def test_tokenize_to_ids_broadcast_vocab_single_corpus_exchange(spark, sf_dir):
+    # vocab join is BROADCAST; the corpus only exchanges for the
+    # doc_id reassembly (plus the vocab build's own term agg)
+    plan = _plan(spark, sf_dir, "tokenize_to_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan

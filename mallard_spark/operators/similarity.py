@@ -664,6 +664,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = knn_ivf_kmeans(spark, sf_dir).select(
         "probe_id", F.col("neighbor_id").alias("km_n")
     )
+    pq = knn_pq(spark, sf_dir).select("probe_id", F.col("neighbor_id").alias("pq_n"))
     lsh_hits = (
         exact.join(lsh, (exact.probe_id == lsh.probe_id) & (F.col("exact_n") == F.col("lsh_n")))
         .groupBy(exact.probe_id)
@@ -684,12 +685,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(exact.probe_id)
         .agg(F.count("*").alias("km_hits"))
     )
+    pq_hits = (
+        exact.join(pq, (exact.probe_id == pq.probe_id) & (F.col("exact_n") == F.col("pq_n")))
+        .groupBy(exact.probe_id)
+        .agg(F.count("*").alias("pq_hits"))
+    )
     base = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
     return (
         base.join(lsh_hits, "probe_id", "left")
         .join(mp_hits, "probe_id", "left")
         .join(ivf_hits, "probe_id", "left")
         .join(km_hits, "probe_id", "left")
+        .join(pq_hits, "probe_id", "left")
         .select(
             "probe_id",
             "k",
@@ -697,6 +704,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("mp_hits", F.lit(0)) / F.col("k")).alias("mp_recall"),
             (F.coalesce("ivf_hits", F.lit(0)) / F.col("k")).alias("ivf_recall"),
             (F.coalesce("km_hits", F.lit(0)) / F.col("k")).alias("km_recall"),
+            (F.coalesce("pq_hits", F.lit(0)) / F.col("k")).alias("pq_recall"),
         )
     )
 
@@ -827,4 +835,183 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partials.groupBy("dim_i", "dim_j").agg(
         F.sum("gram_q").cast("long").alias("gram_q")
+    )
+
+
+# --- Product quantization (IVF-free PQ scan + exact re-rank) ---------
+# M=8 subspaces x 8 dims, K=16 codes/subspace (seed vectors 16..31),
+# asymmetric-distance top-RERANK candidates, exact cosine re-rank.
+PQ_M = 8
+PQ_DSUB = 8
+# 64 codes per subspace (6-bit codes; codebook = subvectors of the
+# first 64 corpus vectors). Measured recall@5 at sf0.1: 16 codes /
+# rerank 50 -> 0.36; 64 codes / rerank 50 -> 0.80; 64 / 100 -> 0.88
+# (chosen; floor 0.8 asserted). Lloyd-training the codebooks buys
+# more (32 codes + 2 iters -> 0.88) but the untrained 64-code book
+# gets there with a far simpler cross-engine proof.
+PQ_SEED_LO, PQ_SEED_HI = 0, 64
+PQ_RERANK = 100
+
+
+def _l2sq(a, b):
+    """Subspace squared-L2 as a JVM fold (same element order as the
+    oracle's list_sum, so ROUND(,6-scale) lands identically)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_PQ_SUBS_SQL = "(SELECT unnest(range(8)) AS s)"
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {PQ_DSUB + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _knn_pq_oracle() -> str:
+    micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT sub.s AS s, vec_id - {PQ_SEED_LO} AS cid,
+             v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS code
+      FROM e, {_PQ_SUBS_SQL} sub
+      WHERE vec_id >= {PQ_SEED_LO} AND vec_id < {PQ_SEED_HI}
+    ),
+    sub AS (
+      SELECT vec_id, sub.s AS s,
+             v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS sub
+      FROM e, {_PQ_SUBS_SQL} sub
+    ),
+    enc AS (
+      SELECT t.vec_id AS vec_id, t.s AS s, MIN({micro} * 100 + c.cid) AS comb
+      FROM sub t JOIN cb c ON t.s = c.s
+      GROUP BY t.vec_id, t.s
+    ),
+    codes AS (SELECT vec_id, s, comb % 100 AS cid FROM enc),
+    dt AS (
+      SELECT t.vec_id AS probe_id, t.s, c.cid, {micro} AS micro
+      FROM sub t JOIN cb c ON t.s = c.s
+      WHERE t.vec_id < {N_PROBES}
+    ),
+    adc AS (
+      SELECT d.probe_id, k.vec_id, SUM(d.micro) AS adc
+      FROM codes k JOIN dt d ON k.s = d.s AND k.cid = d.cid
+      WHERE k.vec_id <> d.probe_id
+      GROUP BY d.probe_id, k.vec_id
+    ),
+    cand AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk
+        FROM adc
+      ) WHERE rk <= {PQ_RERANK}
+    ),
+    ranked AS (
+      SELECT c.probe_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.v, n.v), 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.probe_id
+               ORDER BY round(list_cosine_similarity(p.v, n.v), 6) DESC, c.vec_id
+             ) AS INT) AS rank
+      FROM cand c JOIN e p ON p.vec_id = c.probe_id JOIN e n ON n.vec_id = c.vec_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("knn_pq", oracle=_knn_pq_oracle())
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every vector as M=8 6-bit
+    codes (nearest of 64 codebook subvectors per 8-dim subspace),
+    score probes against the COMPRESSED corpus via asymmetric
+    distance (per-probe distance TABLE to the 512 codebook entries,
+    then 8 integer table lookups per corpus vector instead of a
+    64-dim float dot), take the top-100 ADC candidates, exact-cosine
+    re-rank to top-5 (recall@5 = 0.88 at sf0.1, floor 0.8 asserted).
+
+    Determinism: every subspace distance is rounded once to integer
+    micro units; code argmin is MIN(micro*100+cid) (exact int64,
+    engine-portable tiebreak) and ADC is a SUM of int64 — no float
+    accumulation after the per-subspace round.
+
+    Shape at 100 TB: the codebook (128 entries) broadcasts; encoding
+    is corpus ⋈ broadcast → partial-combined MIN per (vec, s); the
+    ADC scan shuffles only (probe, vec, int64) triples reduced
+    map-side — the corpus' float vectors are read once for encoding
+    and once for the candidate re-rank (candidates only). The PQ
+    index (N×8 small ints) is the thing you'd persist; re-encoding
+    is never needed at query time.
+    """
+    from pyspark.sql import Window as W
+
+    from mallard_spark.functions.exec import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = materialize(
+        emb.select("vec_id", as_double("embedding").alias("v")), "pq_vecs"
+    )
+    subs = F.array(
+        *[F.slice("v", s * PQ_DSUB + 1, PQ_DSUB) for s in range(PQ_M)]
+    )
+    cb = (
+        vecs.filter(
+            (F.col("vec_id") >= PQ_SEED_LO) & (F.col("vec_id") < PQ_SEED_HI)
+        )
+        .select(
+            (F.col("vec_id") - PQ_SEED_LO).alias("cid"),
+            F.posexplode(subs).alias("s", "code"),
+        )
+        .select("s", "cid", "code")
+    )
+    sub = vecs.select("vec_id", F.posexplode(subs).alias("s", "sub"))
+    micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
+    enc = (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", (micro * 100 + F.col("cid")).alias("comb"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("comb").alias("comb"))
+        .select("vec_id", "s", (F.col("comb") % 100).alias("cid"))
+    )
+    dt = (
+        sub.filter(F.col("vec_id") < N_PROBES)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("probe_id"), "s", "cid", micro.alias("micro")
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(dt), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("micro").alias("adc"))
+    )
+    wq = W.partitionBy("probe_id").orderBy("adc", "vec_id")
+    cand = (
+        adc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= PQ_RERANK)
+        .select("probe_id", "vec_id")
+    )
+    probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp")
+    )
+    sims = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )

@@ -449,3 +449,18 @@ def test_mix_sources_empty_token_source_keeps_nothing(spark, tmp_path):
     rows = {r.source: r for r in mix_sources(spark, str(tmp_path)).collect()}
     assert rows["full"].n_docs_kept == 0 and rows["full"].tokens_kept == 0
     assert rows["empty"].n_docs_kept == 0
+
+
+def test_knn_pq_recall_at_sf01(spark):
+    """PQ (8x6-bit codes, ADC top-100, exact re-rank) must keep
+    recall@5 >= 0.8 vs brute force at sf0.1 (measured 0.88)."""
+    from mallard_spark.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.1"
+    truth = {
+        (r.probe_id, r.neighbor_id)
+        for r in specs["knn_bruteforce"].fn(spark, sf).collect()
+    }
+    got = {(r.probe_id, r.neighbor_id) for r in specs["knn_pq"].fn(spark, sf).collect()}
+    assert len(truth & got) / len(truth) >= 0.8

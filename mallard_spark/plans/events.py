@@ -668,3 +668,87 @@ def ev_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DV)).cast("double").alias("volume"),
         )
     )
+
+
+@query(
+    "ev_m4_downsample",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts) AS bucket_ts,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           MIN(value) AS min_v,
+           first(ts ORDER BY value ASC, ts ASC, event_id ASC) AS min_v_ts,
+           MAX(value) AS max_v,
+           first(ts ORDER BY value DESC, ts DESC, event_id DESC) AS max_v_ts,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def ev_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling: per pixel-bucket keep the four
+    extreme points (first/last ts, min/max value with their
+    timestamps) — the error-free line-chart reduction (Jugel et al.,
+    VLDB'14). Billions of points collapse to 4·#buckets rows in ONE
+    partially-aggregable hash aggregate; argmin/argmax are min/max
+    over (value, ts, event_id) structs (unique tiebreaker, engine-
+    portable), never a window sort.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vmin = F.min(F.struct("value", "ts", "event_id"))
+    # max over (value, inverted-order ts/event) picks the LAST max —
+    # mirror of the oracle's ORDER BY value DESC, ts DESC, event DESC
+    vmax = F.max(F.struct("value", "ts", "event_id"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            vmin.getField("value").alias("min_v"),
+            vmin.getField("ts").alias("min_v_ts"),
+            vmax.getField("value").alias("max_v"),
+            vmax.getField("ts").alias("max_v_ts"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "ev_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily ORDER BY day
+    """,
+)
+def ev_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-dashboard
+    staple. A naive per-day COUNT(DISTINCT user ≤ day) is O(days ×
+    users); the first-seen trick is one groupBy(user), one tiny
+    groupBy(day), and a running sum over #days rows only (the global
+    window never sees user-level data).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )

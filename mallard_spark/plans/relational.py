@@ -1771,3 +1771,56 @@ def map_struct_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "packed"
         ),
     )
+
+
+@query(
+    "skew_key_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_rows
+      FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             COUNT(*) AS n_keys
+      FROM per_key
+    )
+    SELECT custkey, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / total_rows, 6) AS frac_of_total,
+           ROUND(CAST(n_rows AS DOUBLE) * n_keys / total_rows, 6) AS skew_vs_avg
+    FROM per_key, stats
+    ORDER BY n_rows DESC, custkey
+    LIMIT 10
+    """,
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: the heaviest join/agg keys with their
+    share of rows and their ratio to the mean key — the report that
+    tells an operator WHICH keys need salting (salted_join_revenue)
+    or AQE skew-join handling before a 100 TB run. One partial-
+    combined count per key, a 1-row stats broadcast, and a global
+    top-10 (TakeOrdered) — the report costs one aggregate regardless
+    of table size.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_rows")
+    )
+    stats = per_key.agg(
+        F.sum("n_rows").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "custkey",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("total_rows"), 6).alias(
+                "frac_of_total"
+            ),
+            F.round(
+                F.col("n_rows").cast("double") * F.col("n_keys") / F.col("total_rows"),
+                6,
+            ).alias("skew_vs_avg"),
+        )
+        .orderBy(F.col("n_rows").desc(), "custkey")
+        .limit(10)
+    )

@@ -1030,3 +1030,94 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# SemDeDup-style cluster blocking: k=|corpus|/SEM_STRIDE seeded
+# centroids; pair work is bounded by cluster size (the SemDeDup
+# recipe — Abbas et al. 2023 — at 100 TB you Lloyd-train the
+# centroids; assignment/pair shape is identical).
+SEM_STRIDE = 40
+SEM_IDX_MOD = 1000  # centroid-index tiebreak field; requires < 1000 centroids
+# Pair threshold for the registered query: cluster blocking admits
+# fewer candidates than 8-table LSH, so 0.45 validates only 1-2
+# pairs at small SF; 0.35 validates 56/555 pairs at sf0.01/sf0.1
+# while staying selective (corpus pairs cluster around cos ~0).
+SEM_COS_MIN = 0.35
+
+
+def _dedup_semantic_oracle() -> str:
+    sim_micro = (
+        "CAST(ROUND(round(list_cosine_similarity(e.v, c.c), 6) * 1000000) AS BIGINT)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT vec_id // {SEM_STRIDE} AS cidx, v AS c FROM e
+      WHERE vec_id % {SEM_STRIDE} = 0
+    ),
+    asg AS (
+      SELECT e.vec_id AS vec_id,
+             MIN((1000000 - {sim_micro}) * {SEM_IDX_MOD} + c.cidx)
+               % {SEM_IDX_MOD} AS cluster
+      FROM e, c GROUP BY e.vec_id
+    )
+    SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM asg a
+    JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {SEM_COS_MIN}
+    """
+
+
+@query("dedup_semantic_kmeans", oracle=_dedup_semantic_oracle())
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: block pair generation by
+    NEAREST-CENTROID cluster (vs dedup_embedding's hyperplane-LSH
+    buckets) and emit within-cluster pairs above the cosine
+    threshold. Cluster assignment is an integer argmin
+    (MIN((1e6−sim_micro)·1000+idx)) over a BROADCAST centroid set —
+    exact, engine-portable, map-side-combinable; pair cost is
+    Σ|cluster|², the dial SemDeDup tunes via k.
+
+    The registered query uses a synthetic-corpus threshold
+    (SEM_COS_MIN, same rationale as dedup_embedding) and seeded
+    centroids; production would Lloyd-train them (knn_ivf_kmeans
+    shows the exact-training machinery) and raise the threshold to
+    the paper's ~0.95.
+    """
+    from mallard_spark.operators.similarity import cosine6 as _cos6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    cents = vecs.filter(F.col("vec_id") % SEM_STRIDE == 0).select(
+        (F.col("vec_id") / SEM_STRIDE).cast("long").alias("cidx"),
+        F.col("v").alias("c"),
+    )
+    sim_micro = F.round(_cos6(F.col("v"), F.col("c")) * 1_000_000).cast("long")
+    asg = (
+        vecs.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            ((F.lit(1_000_000) - sim_micro) * SEM_IDX_MOD + F.col("cidx")).alias(
+                "comb"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg((F.min("comb") % SEM_IDX_MOD).alias("cluster"))
+    )
+    a = asg.select(F.col("cluster"), F.col("vec_id").alias("id_a"))
+    b = asg.select(F.col("cluster"), F.col("vec_id").alias("id_b"))
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "cluster", "id_a", "id_b", _cos6(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= SEM_COS_MIN)
+    )

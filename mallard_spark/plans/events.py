@@ -752,3 +752,35 @@ def ev_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("cum_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+@query(
+    "json_funcs_parity",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.k')::BIGINT AS k_int,
+           json_extract_string(props, '$.missing') AS missing_v,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def json_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (get_json_object / typed extraction /
+    missing-key NULLs / key enumeration) value-checked across
+    engines. All JVM-side expressions over the raw string column —
+    the path a semi-structured 100 TB event log takes before
+    schema-on-read materialization.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_v"),
+        k.isNotNull().alias("has_k"),
+        F.size(F.json_object_keys("props")).cast("long").alias("n_keys"),
+    )

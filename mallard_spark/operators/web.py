@@ -42,6 +42,11 @@ _TRACK_END = "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*"  # sole/last param
 _SLASH_Q = "/[?]"  # trailing slash before query
 _TRAIL = "[?&/]+$"  # dangling separators
 _SCHEME = "^[A-Za-z]+://"
+# URL-shape guard: scheme + domain-ish host, then path/query/fragment.
+# Inputs that don't parse (double schemes, ports, empty hosts) pass
+# through UNCHANGED — identity is idempotent, and not corrupting
+# unparseable rows is the right behavior for a 100 TB cleaning pass.
+_VALID = "^[A-Za-z]+://(www[.])*[A-Za-z0-9.-]+([/?#].*)?$"
 
 
 def _raw_url(doc_id: Column) -> Column:
@@ -96,10 +101,14 @@ def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, _SLASH_Q, "?")
     u = F.regexp_replace(u, _TRAIL, "")
     rest = F.regexp_replace(u, _SCHEME, "")
-    host = F.lower(F.regexp_extract(rest, "^([^/]+)", 1))
-    host = F.regexp_replace(host, "^www[.]", "")
-    path = F.regexp_replace(rest, "^[^/]*", "")
-    return F.concat(F.lit("https://"), host, path)
+    host = F.lower(F.regexp_extract(rest, "^([^/?#]+)", 1))
+    host = F.regexp_replace(host, "^(www[.])+", "")
+    path = F.regexp_replace(rest, "^[^/?#]*", "")
+    canon = F.concat(F.lit("https://"), host, path)
+    # guard makes the function total AND idempotent (property-tested):
+    # canonical outputs re-match the guard and are fixed points of
+    # every rule; unparseable inputs map to themselves
+    return F.when(url.rlike(_VALID), canon).otherwise(url)
 
 
 def _canon_sql(url_expr: str) -> str:
@@ -111,9 +120,15 @@ def _canon_sql(url_expr: str) -> str:
     u = f"regexp_replace({u}, '{_SLASH_Q}', '?', 'g')"
     u = f"regexp_replace({u}, '{_TRAIL}', '', 'g')"
     rest = f"regexp_replace({u}, '{_SCHEME}', '')"
-    host = f"regexp_replace(lower(regexp_extract({rest}, '^([^/]+)', 1)), '^www[.]', '')"
-    path = f"regexp_replace({rest}, '^[^/]*', '')"
-    return f"'https://' || {host} || {path}"
+    host = (
+        f"regexp_replace(lower(regexp_extract({rest}, '^([^/?#]+)', 1)),"
+        f" '^(www[.])+', '')"
+    )
+    path = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    return (
+        f"CASE WHEN regexp_matches({url_expr}, '{_VALID}')"
+        f" THEN 'https://' || {host} || {path} ELSE {url_expr} END"
+    )
 
 
 @query(

@@ -117,3 +117,36 @@ def test_split_top_level_respects_nesting_and_quotes():
         "a = array[1, 2]",
         " b = 'it''s, ok'",
     ]
+
+
+
+def test_url_canonicalize_idempotent_over_fragment_combos():
+    """canonicalize(canonicalize(x)) == canonicalize(x) for every
+    3-fragment combination of URL pieces (schemes, www, params,
+    fragments, slashes) — a canonical form must be a fixed point, or
+    re-running the cleaning pipeline would keep changing dedup keys.
+    One Spark action over the full cross-product."""
+    import itertools
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mallard_spark.operators.web import canonicalize_url
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    parts = ["https://", "HTTP://", "www.", "Example.COM", "a.org", "/path",
+             "/p2/", "?id=1", "&utm_source=x", "?utm_campaign=y", "&fbclid=z",
+             "#frag", "/", "&q=2", "?gclid=w"]
+    urls = ["".join(c) for c in itertools.product(parts, repeat=3)]
+    df = spark.createDataFrame([(u,) for u in urls], ["raw"])
+    bad = (
+        df.select(
+            "raw",
+            canonicalize_url(F.col("raw")).alias("c1"),
+            canonicalize_url(canonicalize_url(F.col("raw"))).alias("c2"),
+        )
+        .filter(F.col("c1") != F.col("c2"))
+        .limit(5)
+        .collect()
+    )
+    assert not bad, bad

@@ -226,3 +226,64 @@ def domain_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# Deterministic demo blocklist: hosts whose md5 bucket is 0 or 7 (2
+# of the 20 fixture domains) — stands in for the curated spam/SEO
+# domain lists every crawl pipeline maintains.
+_BLOCK_BUCKETS = (0, 7)
+
+
+@query(
+    "url_blocklist_filter",
+    oracle=f"""
+    WITH urls AS (
+        SELECT source, lang, n_chars,
+               regexp_extract({_canon_sql(_RAW_URL_SQL)}, '^https://([^/]+)', 1)
+                   AS domain
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN domain IN ('d0.example.com', 'd7.example.com')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN domain IN ('d0.example.com', 'd7.example.com')
+                         THEN 0 ELSE n_chars END) AS BIGINT) AS kept_chars,
+           ROUND(CAST(SUM(CASE WHEN domain IN ('d0.example.com', 'd7.example.com')
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS blocked_frac
+    FROM urls GROUP BY source ORDER BY source
+    """,
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering report: per source, how many docs a
+    host blocklist removes and the character mass that survives — the
+    first hard filter of every crawl pipeline (spam/SEO/adult domain
+    lists). The blocklist is a literal IN-set here; a 100k-entry
+    production list becomes a broadcast anti-join on the canonical
+    host with the IDENTICAL plan shape (scan → codegen map →
+    broadcast lookup → one aggregate; the corpus never shuffles on
+    the domain).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    domain = F.regexp_extract(
+        canonicalize_url(_raw_url(F.col("doc_id"))), "^https://([^/]+)", 1
+    )
+    blocked = F.when(
+        domain.isin(*[f"d{b}.example.com" for b in _BLOCK_BUCKETS]), 1
+    ).otherwise(0)
+    return (
+        docs.select("source", "n_chars", blocked.alias("blocked"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("blocked").cast("long").alias("n_blocked"),
+            F.sum(
+                F.when(F.col("blocked") == 1, 0).otherwise(F.col("n_chars"))
+            ).alias("kept_chars"),
+            F.round(F.sum("blocked").cast("double") / F.count("*"), 6).alias(
+                "blocked_frac"
+            ),
+        )
+        .orderBy("source")
+    )

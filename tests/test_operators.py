@@ -298,6 +298,11 @@ def test_operators_tolerate_empty_input(spark, tmp_path):
         "dup_rate_by_source",
         "url_canonicalize_dedup",
         "domain_quality_agg",
+        "sample_reservoir",
+        "tokenize_to_ids",
+        "quality_perplexity_proxy",
+        "dedup_semantic_kmeans",
+        "knn_pq",
     ):
         assert specs[name].fn(spark, empty_dir).count() == 0, name
 

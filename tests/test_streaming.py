@@ -197,3 +197,80 @@ def test_stateful_totals_survive_restart(spark, tmp_path):
     r2 = totals(run2_dirs)
     # cumulative (15, 2000), not a from-scratch (5, 1000): state resumed
     assert len(r2) == 5 and all(v == (15, 2000) for v in r2.values())
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """Session-window streaming state is checkpointed: a session whose
+    events arrived BEFORE a crash must still be emitted correctly
+    after a restart, once later data advances the watermark past its
+    close — proving open-session state (not just offsets) survives."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            os.path.join(src_dir, name)
+        )
+
+    # one user, one session split across two pre-crash files
+    write_events("b1", [(1, "2024-01-01 00:00:00", 7, 1.0)])
+    write_events("b2", [(2, "2024-01-01 00:10:00", 7, 2.0)])
+
+    schema = spark.read.parquet(os.path.join(src_dir, "b1")).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src_dir, "*"))
+            .withWatermark("ts", "1 minute")
+        )
+        sessions = stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        flat = sessions.select(
+            F.col("sw.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+        q = (
+            flat.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def read_out():
+        return spark.read.schema(
+            "session_start timestamp, user_id long, n_events long, session_value double"
+        ).parquet(out_dir)
+
+    run_once()  # both events consumed into OPEN session state, nothing emitted
+    assert read_out().count() == 0
+
+    # crash happened; a later event (different user) arrives and the
+    # restarted query's watermark closes the pre-crash session
+    write_events("b3", [(3, "2024-01-02 00:00:00", 9, 5.0)])
+    run_once()
+
+    out = read_out().filter(F.col("user_id") == 7).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 2  # both pre-crash events in ONE session
+    assert out[0].session_value == 3.0

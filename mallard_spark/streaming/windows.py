@@ -749,3 +749,59 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "stream_sliding_window_agg",
+    oracle="""
+    WITH expanded AS (
+      SELECT event_type, value,
+             epoch_ms((CAST(FLOOR(epoch(ts) / 900) AS BIGINT) - k.k) * 900000)
+                 AS window_start
+      FROM events, (SELECT unnest(range(4)) AS k) k
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (1 h window, 15 min
+    slide): each event lands in exactly 4 overlapping windows —
+    Spark's window() does the expansion inside the stateful agg.
+    The oracle derives the same 4 epoch-aligned window starts per
+    event with integer grid arithmetic, so streaming output equals
+    the batch expansion exactly (complete mode, decimal-exact sums).
+    At scale the state is #windows × #types rows — bounded by the
+    watermarked retention, not the stream.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
+    )
+    name = "mallard_stream_sliding_agg"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -665,6 +665,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", F.col("neighbor_id").alias("km_n")
     )
     pq = knn_pq(spark, sf_dir).select("probe_id", F.col("neighbor_id").alias("pq_n"))
+    ivfpq = knn_ivfpq(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("ivfpq_n")
+    )
     lsh_hits = (
         exact.join(lsh, (exact.probe_id == lsh.probe_id) & (F.col("exact_n") == F.col("lsh_n")))
         .groupBy(exact.probe_id)
@@ -690,6 +693,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(exact.probe_id)
         .agg(F.count("*").alias("pq_hits"))
     )
+    ivfpq_hits = (
+        exact.join(
+            ivfpq,
+            (exact.probe_id == ivfpq.probe_id) & (F.col("exact_n") == F.col("ivfpq_n")),
+        )
+        .groupBy(exact.probe_id)
+        .agg(F.count("*").alias("ivfpq_hits"))
+    )
     base = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
     return (
         base.join(lsh_hits, "probe_id", "left")
@@ -697,6 +708,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ivf_hits, "probe_id", "left")
         .join(km_hits, "probe_id", "left")
         .join(pq_hits, "probe_id", "left")
+        .join(ivfpq_hits, "probe_id", "left")
         .select(
             "probe_id",
             "k",
@@ -705,6 +717,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("ivf_hits", F.lit(0)) / F.col("k")).alias("ivf_recall"),
             (F.coalesce("km_hits", F.lit(0)) / F.col("k")).alias("km_recall"),
             (F.coalesce("pq_hits", F.lit(0)) / F.col("k")).alias("pq_recall"),
+            (F.coalesce("ivfpq_hits", F.lit(0)) / F.col("k")).alias("ivfpq_recall"),
         )
     )
 
@@ -1003,6 +1016,200 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = (
         cand.join(vecs, "vec_id")
         .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# IVF+PQ dials (FAISS-standard composition): coarse lists bound the
+# scan, PQ codes compress it. Measured recall@5 at sf0.1:
+# assign=2/nprobe=16/rerank=100 -> 0.84 (floor 0.8 asserted);
+# nprobe=8 -> 0.68, rerank=50 -> 0.76.
+IVFPQ_ASSIGN = 2
+IVFPQ_NPROBE = 16
+IVFPQ_RERANK = 100
+
+
+def _knn_ivfpq_oracle() -> str:
+    micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT sub.s AS s, vec_id - {PQ_SEED_LO} AS cid,
+             v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS code
+      FROM e, {_PQ_SUBS_SQL} sub
+      WHERE vec_id >= {PQ_SEED_LO} AND vec_id < {PQ_SEED_HI}
+    ),
+    sub AS (
+      SELECT vec_id, sub.s AS s,
+             v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS sub
+      FROM e, {_PQ_SUBS_SQL} sub
+    ),
+    enc AS (
+      SELECT t.vec_id AS vec_id, t.s AS s, MIN({micro} * 100 + c.cid) AS comb
+      FROM sub t JOIN cb c ON t.s = c.s
+      GROUP BY t.vec_id, t.s
+    ),
+    codes AS (SELECT vec_id, s, comb % 100 AS cid FROM enc),
+    dt AS (
+      SELECT t.vec_id AS probe_id, t.s, c.cid, {micro} AS micro
+      FROM sub t JOIN cb c ON t.s = c.s
+      WHERE t.vec_id < {N_PROBES}
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, v AS vs FROM e WHERE vec_id % {N_IVF_SEEDS} = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, s.seed_id,
+             round(list_cosine_similarity(e.v, s.vs), 6) AS sim
+      FROM e, seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, seed_id AS list_id FROM (
+        SELECT vec_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, seed_id) AS rk
+        FROM scored
+      ) WHERE rk <= {IVFPQ_ASSIGN}
+    ),
+    probe_lists AS (
+      SELECT vec_id AS probe_id, seed_id AS list_id FROM (
+        SELECT vec_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, seed_id) AS rk
+        FROM scored WHERE vec_id < {N_PROBES}
+      ) WHERE rk <= {IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT p.probe_id, a.vec_id
+      FROM assigned a JOIN probe_lists p ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.probe_id
+    ),
+    adc AS (
+      SELECT c.probe_id, c.vec_id, SUM(d.micro) AS adc
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN dt d ON d.probe_id = c.probe_id AND d.s = k.s AND d.cid = k.cid
+      GROUP BY c.probe_id, c.vec_id
+    ),
+    shortlist AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk
+        FROM adc
+      ) WHERE rk <= {IVFPQ_RERANK}
+    ),
+    ranked AS (
+      SELECT c.probe_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.v, n.v), 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.probe_id
+               ORDER BY round(list_cosine_similarity(p.v, n.v), 6) DESC, c.vec_id
+             ) AS INT) AS rank
+      FROM shortlist c JOIN e p ON p.vec_id = c.probe_id JOIN e n ON n.vec_id = c.vec_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("knn_ivfpq", oracle=_knn_ivfpq_oracle())
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the FAISS-standard composition: coarse inverted lists
+    bound WHICH vectors are scanned (probes search their 16 nearest
+    of ~N/40 lists; vectors indexed under their 2 nearest), PQ codes
+    make the scan integer table-lookups instead of float dots, and
+    the top-100 ADC shortlist gets an exact-cosine re-rank.
+    Recall@5 = 0.84 at sf0.1 (floor 0.8 asserted), full value oracle.
+
+    Shape at 100 TB: this is THE billion-vector serving layout — the
+    persisted index is (list_id, vec_id, 8 int codes); a query touches
+    nprobe/nlists of the corpus, every join is a broadcast or an
+    equi-join on list id / code, and raw vectors are only read for
+    the 100 re-rank candidates.
+    """
+    from pyspark.sql import Window as W
+
+    from mallard_spark.functions.exec import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = materialize(
+        emb.select("vec_id", as_double("embedding").alias("v")), "ivfpq_vecs"
+    )
+    subs = F.array(*[F.slice("v", s * PQ_DSUB + 1, PQ_DSUB) for s in range(PQ_M)])
+    cb = (
+        vecs.filter((F.col("vec_id") >= PQ_SEED_LO) & (F.col("vec_id") < PQ_SEED_HI))
+        .select(
+            (F.col("vec_id") - PQ_SEED_LO).alias("cid"),
+            F.posexplode(subs).alias("s", "code"),
+        )
+        .select("s", "cid", "code")
+    )
+    sub = vecs.select("vec_id", F.posexplode(subs).alias("s", "sub"))
+    micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
+    codes = (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", (micro * 100 + F.col("cid")).alias("comb"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("comb").alias("comb"))
+        .select("vec_id", "s", (F.col("comb") % 100).alias("cid"))
+    )
+    dt = (
+        sub.filter(F.col("vec_id") < N_PROBES)
+        .join(F.broadcast(cb), "s")
+        .select(F.col("vec_id").alias("probe_id"), "s", "cid", micro.alias("micro"))
+    )
+    seeds = vecs.filter(F.col("vec_id") % N_IVF_SEEDS == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("vs")
+    )
+    scored = vecs.join(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", cosine6(F.col("v"), F.col("vs")).alias("sim")
+    )
+    w1 = W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= IVFPQ_ASSIGN)
+        .select("vec_id", F.col("seed_id").alias("list_id"))
+    )
+    probe_lists = (
+        scored.filter(F.col("vec_id") < N_PROBES)
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), F.col("seed_id").alias("list_id"))
+    )
+    cand = (
+        assigned.join(probe_lists, "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dt), ["probe_id", "s", "cid"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("micro").alias("adc"))
+    )
+    shortlist = (
+        adc.withColumn(
+            "rk", F.row_number().over(W.partitionBy("probe_id").orderBy("adc", "vec_id"))
+        )
+        .filter(F.col("rk") <= IVFPQ_RERANK)
+        .select("probe_id", "vec_id")
+    )
+    probes_v = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp")
+    )
+    sims = (
+        shortlist.join(vecs, "vec_id")
+        .join(F.broadcast(probes_v), "probe_id")
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -469,3 +469,20 @@ def test_knn_pq_recall_at_sf01(spark):
     }
     got = {(r.probe_id, r.neighbor_id) for r in specs["knn_pq"].fn(spark, sf).collect()}
     assert len(truth & got) / len(truth) >= 0.8
+
+
+def test_knn_ivfpq_recall_at_sf01(spark):
+    """IVF+PQ (nprobe=16, assign=2, ADC top-100 + exact re-rank) must
+    keep recall@5 >= 0.8 vs brute force at sf0.1 (measured 0.84)."""
+    from mallard_spark.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.1"
+    truth = {
+        (r.probe_id, r.neighbor_id)
+        for r in specs["knn_bruteforce"].fn(spark, sf).collect()
+    }
+    got = {
+        (r.probe_id, r.neighbor_id) for r in specs["knn_ivfpq"].fn(spark, sf).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.8

@@ -612,3 +612,170 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> cast(x.id0 as string)), ',')"
         ).alias("ids_csv"),
     )
+
+
+MIX_ALPHA = 0.5  # temperature exponent: 0 = equal budgets, 1 = natural
+
+
+@query(
+    "mix_temperature",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({TOKENS_SQL}) AS n_tok,
+             {md5_long_sql("CAST(doc_id AS VARCHAR) || ':tmix'")} % {MIX_PPM} AS h
+      FROM documents
+    ),
+    tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM t GROUP BY source),
+    m AS (SELECT MIN(tot) AS min_tot FROM tot WHERE tot > 0),
+    r AS (
+      SELECT source, tot,
+             CASE WHEN tot = 0 THEN 0
+                  ELSE CAST(FLOOR(sqrt(CAST(min_tot AS DOUBLE) / tot) * {MIX_PPM})
+                            AS BIGINT) END AS rate_ppm
+      FROM tot, m
+    )
+    SELECT t.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN t.h < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_docs,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tot_tokens,
+           CAST(SUM(CASE WHEN t.h < r.rate_ppm THEN t.n_tok ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           MIN(r.rate_ppm) AS rate_ppm
+    FROM t JOIN r USING (source)
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual-training
+    standard, α=0.5): per-source keep rate (min_tokens/tokens_s)^(1−α)
+    — big sources are downsampled toward, but not all the way to, the
+    smallest source's budget (α=0 reproduces mix_sources; α=1 keeps
+    the natural distribution).
+
+    Determinism: the rate touches floats exactly once per SOURCE
+    (one IEEE divide + sqrt + floor on the tiny totals side → integer
+    ppm threshold); the per-row keep test is pure int64 (h <
+    rate_ppm), so the sample is bit-stable across engines and
+    partitionings. Same 100 TB shape as mix_sources: totals broadcast
+    back, corpus never shuffled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = materialize(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens()).alias("n_tok"),
+            (
+                md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":tmix")))
+                % MIX_PPM
+            ).alias("h"),
+        ),
+        "mix_temperature_t",
+    )
+    totals = t.groupBy("source").agg(F.sum("n_tok").alias("tot"))
+    m = totals.filter(F.col("tot") > 0).agg(F.min("tot").alias("min_tot"))
+    r = (
+        totals.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            F.when(F.col("tot") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.sqrt(F.col("min_tot").cast("double") / F.col("tot"))
+                    * MIX_PPM
+                ).cast("long")
+            )
+            .alias("rate_ppm"),
+        )
+    )
+    keep = F.when(F.col("h") < F.col("rate_ppm"), 1).otherwise(0)
+    return (
+        t.join(F.broadcast(r), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep).cast("long").alias("kept_docs"),
+            F.sum("n_tok").alias("tot_tokens"),
+            F.sum(F.when(F.col("h") < F.col("rate_ppm"), F.col("n_tok")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.min("rate_ppm").alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pack_efficiency_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({TOKENS_SQL}) AS n_tok FROM documents
+    ), cum AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM t
+    ), bins AS (
+      SELECT lang,
+             CAST((running - n_tok) // {PACK_CAP} AS BIGINT) AS bin_id,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_in_bin
+      FROM cum GROUP BY lang, 2
+    )
+    SELECT lang,
+           COUNT(*) AS n_bins,
+           CAST(SUM(tokens_in_bin) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN tokens_in_bin < {PACK_CAP}
+                         THEN {PACK_CAP} - tokens_in_bin ELSE 0 END) AS BIGINT)
+               AS wasted_tokens,
+           ROUND(CAST(SUM(CASE WHEN tokens_in_bin > {PACK_CAP} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS straddle_frac,
+           ROUND(CAST(SUM(LEAST(tokens_in_bin, {PACK_CAP})) AS DOUBLE)
+                 / (COUNT(*) * {PACK_CAP}), 6) AS fill_rate
+    FROM bins GROUP BY lang ORDER BY lang
+    """,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over pack_sequences' bins: fill rate,
+    wasted padding tokens, and the fraction of bins a document
+    straddles — the numbers that decide whether the packing capacity
+    (or the doc-length filter) needs retuning before a training run
+    burns compute on padding. Adds only a per-lang rollup on top of
+    the per-bin aggregate — nothing touches the corpus twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(tokens()).alias("n_tok"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bins = (
+        t.withColumn("running", F.sum("n_tok").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("running") - F.col("n_tok")) / PACK_CAP).cast("long"),
+        )
+        .groupBy("lang", "bin_id")
+        .agg(F.sum("n_tok").cast("long").alias("tokens_in_bin"))
+    )
+    tib = F.col("tokens_in_bin")
+    return (
+        bins.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum(tib).cast("long").alias("total_tokens"),
+            F.sum(F.when(tib < PACK_CAP, PACK_CAP - tib).otherwise(0))
+            .cast("long")
+            .alias("wasted_tokens"),
+            F.round(
+                F.sum(F.when(tib > PACK_CAP, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("straddle_frac"),
+            F.round(
+                F.sum(F.least(tib, F.lit(PACK_CAP))).cast("double")
+                / (F.count("*") * PACK_CAP),
+                6,
+            ).alias("fill_rate"),
+        )
+        .orderBy("lang")
+    )

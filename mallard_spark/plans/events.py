@@ -784,3 +784,53 @@ def json_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.isNotNull().alias("has_k"),
         F.size(F.json_object_keys("props")).cast("long").alias("n_keys"),
     )
+
+
+@query(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)
+               AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the user-journey model behind next-action prediction
+    and funnel design). One window shuffle on user_id for the lag,
+    one partial-combined count per (prev, next) pair, and the
+    row-normalization window runs over the #types² matrix only —
+    never the event log.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    wn = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p_next",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wn),
+                6,
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -287,3 +287,104 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pipeline_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, n_chars, md5(text) AS content_hash,
+             {_canon_sql(_RAW_URL_SQL)} AS canon
+      FROM documents
+    ), f2 AS (
+      SELECT *,
+             regexp_extract(canon, '^https://([^/]+)', 1)
+                 NOT IN ('d0.example.com', 'd7.example.com') AS s1,
+             MIN(doc_id) OVER (PARTITION BY canon) AS url_rep
+      FROM base
+    ), f3 AS (
+      SELECT *,
+             s1 AND doc_id = url_rep AS s2,
+             s1 AND doc_id = url_rep AND n_chars >= 200 AS s3
+      FROM f2
+    ), f4 AS (
+      SELECT *,
+             MIN(CASE WHEN s3 THEN doc_id END)
+                 OVER (PARTITION BY content_hash) AS exact_rep
+      FROM f3
+    ), f5 AS (SELECT *, s3 AND doc_id = exact_rep AS s4 FROM f4)
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'raw' AS stage,
+             COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM f5
+      UNION ALL
+      SELECT 2, 'blocklist', CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN s1 THEN n_chars ELSE 0 END) AS BIGINT) FROM f5
+      UNION ALL
+      SELECT 3, 'url_dedup', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN s2 THEN n_chars ELSE 0 END) AS BIGINT) FROM f5
+      UNION ALL
+      SELECT 4, 'quality', CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN s3 THEN n_chars ELSE 0 END) AS BIGINT) FROM f5
+      UNION ALL
+      SELECT 5, 'exact_dedup', CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN s4 THEN n_chars ELSE 0 END) AS BIGINT) FROM f5
+    ) ORDER BY stage_no
+    """,
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-curation funnel in ONE pass: raw →
+    domain-blocklist → URL-canonical dedup → quality floor → exact
+    content dedup, reported as surviving docs/chars per stage (the
+    attrition chart every curation run publishes).
+
+    Single-pass design: per-doc survival flags chain through two
+    windows (canonical URL, content hash) and one aggregate — the
+    corpus is scanned once, vs a naive 5-branch plan that rescans per
+    stage. The URL representative can be taken over ALL docs because
+    the blocklist is domain-level and a canonical-URL group never
+    spans domains — group members are blocked or kept together. The
+    exact-dedup representative is chosen among stage-3 SURVIVORS
+    (conditional window min), the order-correct semantics.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonicalize_url(_raw_url(F.col("doc_id")))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("content_hash"),
+        canon.alias("canon"),
+    )
+    domain = F.regexp_extract(F.col("canon"), "^https://([^/]+)", 1)
+    blockset = [f"d{b}.example.com" for b in _BLOCK_BUCKETS]
+    f2 = base.withColumn("s1", ~domain.isin(*blockset)).withColumn(
+        "url_rep", F.min("doc_id").over(Window.partitionBy("canon"))
+    )
+    f3 = f2.withColumn(
+        "s2", F.col("s1") & (F.col("doc_id") == F.col("url_rep"))
+    ).withColumn("s3", F.col("s2") & (F.col("n_chars") >= 200))
+    f4 = f3.withColumn(
+        "exact_rep",
+        F.min(F.when(F.col("s3"), F.col("doc_id"))).over(
+            Window.partitionBy("content_hash")
+        ),
+    ).withColumn("s4", F.col("s3") & (F.col("doc_id") == F.col("exact_rep")))
+
+    def stage(no, name, flag):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return f4.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(cond, F.col("n_chars")).otherwise(0)).alias("sum_chars"),
+        )
+
+    out = (
+        stage(1, "raw", None)
+        .unionAll(stage(2, "blocklist", "s1"))
+        .unionAll(stage(3, "url_dedup", "s2"))
+        .unionAll(stage(4, "quality", "s3"))
+        .unionAll(stage(5, "exact_dedup", "s4"))
+    )
+    return out.orderBy("stage_no")

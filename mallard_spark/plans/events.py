@@ -834,3 +834,62 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "ev_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             round(CAST(quantile_cont(absdev, 0.5) AS DOUBLE), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           MIN(d.med) AS med,
+           MIN(a.mad) AS mad,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN d.absdev > 4.4478 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    events with |x − median| > 3·1.4826·MAD per type — unlike
+    ev_zscore_anomalies, one wild value cannot drag the threshold
+    (median/MAD have 50% breakdown vs the mean/stddev's 0%).
+    Two exact-percentile aggregates with the per-type stats broadcast
+    back between passes; med/MAD are rounded once at 6 dp so the
+    flag comparison is the same IEEE expression on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("absdev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(absdev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("absdev") > 4.4478 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -42,6 +42,7 @@ HEADLINE = [
     "quality_perplexity_proxy",
     "knn_bruteforce",
     "knn_lsh_multiprobe",
+    "knn_ivfpq",
     "exchange_add_processed",
 ]
 

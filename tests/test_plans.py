@@ -260,3 +260,37 @@ def test_tokenize_to_ids_broadcast_vocab_single_corpus_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_pq_codebook_broadcast_no_cartesian(spark, sf_dir):
+    # codebook + distance table broadcast; ADC/encode never sort-merge
+    plan = _plan(spark, sf_dir, "knn_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_knn_ivfpq_broadcast_joins_only_on_small_sides(spark, sf_dir):
+    # seeds / codebook / distance table broadcast; candidate join is
+    # an equi-join; no Python, no cartesian
+    plan = _plan(spark, sf_dir, "knn_ivfpq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_semantic_centroids_broadcast(spark, sf_dir):
+    # centroid assignment is corpus x broadcast(centroids); pair join
+    # is an equi-join on cluster
+    plan = _plan(spark, sf_dir, "dedup_semantic_kmeans")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_funnel_single_scan(spark, sf_dir):
+    # one-pass design: the documents parquet is scanned ONCE per
+    # stage-branch-free plan; five aggregate branches over one
+    # window chain would each rescan in a naive plan
+    plan = _plan(spark, sf_dir, "pipeline_curation_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

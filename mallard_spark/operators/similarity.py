@@ -1222,3 +1222,68 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id,
+             round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale,
+             v
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT)) AS qv,
+             v
+      FROM scaled WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_code,
+           round(list_max(list_transform(range(len(v)),
+                 i -> abs(v[i + 1] - qv[i + 1] * scale))), 9) AS max_abs_err
+    FROM q
+    ORDER BY vec_id LIMIT 200
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with per-vector absmax scaling —
+    the 4× storage/bandwidth cut every large vector store applies
+    before ANN indexing. Emits per-vector scale, the max |code|
+    (must be ≤ 127 by construction), and the max reconstruction
+    error (bounded by scale/2) so the quality loss is measurable,
+    not assumed. Pure JVM higher-order array functions, no shuffle
+    before the bounded output; the scale is rounded once at 9 dp so
+    quantize/reconstruct arithmetic is the same IEEE chain on both
+    engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    scale = F.round(
+        F.expr("array_max(transform(v, x -> abs(x)))") / 127.0, 9
+    )
+    scaled = vecs.select("vec_id", scale.alias("scale"), "v").filter(
+        F.col("scale") > 0
+    )
+    q = scaled.withColumn(
+        "qv", F.expr("transform(v, x -> cast(round(x / scale) as bigint))")
+    )
+    return (
+        q.select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.expr("array_max(transform(qv, x -> abs(x)))").alias("max_code"),
+            F.round(
+                F.expr(
+                    "array_max(transform(sequence(0, size(v) - 1),"
+                    " i -> abs(v[i] - qv[i] * scale)))"
+                ),
+                9,
+            ).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )

@@ -893,3 +893,99 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ev_pit_features",
+    oracle="""
+    WITH labels AS (
+      SELECT event_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ), hist AS (
+      SELECT l.event_id, l.user_id,
+             COUNT(c.ts) AS n_prior,
+             CAST(SUM(CASE WHEN c.event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_prior_clicks,
+             CAST(SUM(CASE WHEN c.event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_prior_errors,
+             CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(12,2))), 0) AS DOUBLE)
+                 AS prior_value,
+             COALESCE(date_diff('second', MAX(c.ts), MAX(l.p_ts)), -1)
+                 AS secs_since_last
+      FROM labels l
+      LEFT JOIN events c
+        ON c.user_id = l.user_id
+       AND c.ts >= l.p_ts - INTERVAL 1 HOUR AND c.ts < l.p_ts
+      GROUP BY l.event_id, l.user_id
+    )
+    SELECT event_id, user_id, CAST(n_prior AS BIGINT) AS n_prior,
+           n_prior_clicks, n_prior_errors, prior_value, secs_since_last
+    FROM hist
+    """,
+)
+def ev_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature generation (the feature-store
+    join): for every purchase label, aggregate the SAME user's events
+    STRICTLY BEFORE the label time (trailing 1 h) — counts by type,
+    spend, and recency — with zero future leakage by construction
+    (the range is half-open at the label).
+
+    Scale shape: the naive inequality join is a nested loop; here the
+    history side carries (user_id, hour-bucket) and labels explode
+    into their ≤2 overlapping buckets, so it is ONE equi-join on
+    (user, bucket) + exact refilter (ev_range_join's linearization,
+    tightened by the user key). Labels with no history are restored
+    by a left join back onto the label set (count 0, recency −1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    hist = ev.select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_type").alias("c_type"),
+        F.col("value").alias("c_value"),
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("bucket"),
+    )
+    probes = labels.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    ((F.unix_timestamp("p_ts") - 3600) / 3600).cast("long"),
+                    (F.unix_timestamp("p_ts") / 3600).cast("long"),
+                )
+            )
+        ),
+    )
+    matched = (
+        probes.join(hist, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("*").alias("n_prior"),
+            F.sum(F.when(F.col("c_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_prior_clicks"),
+            F.sum(F.when(F.col("c_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_prior_errors"),
+            F.sum(F.col("c_value").cast(DV)).cast("double").alias("prior_value"),
+            (F.unix_timestamp(F.max("p_ts")) - F.unix_timestamp(F.max("c_ts"))).alias(
+                "secs_since_last"
+            ),
+        )
+    )
+    return labels.join(matched, ["event_id", "user_id"], "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
+        F.coalesce("n_prior_clicks", F.lit(0)).alias("n_prior_clicks"),
+        F.coalesce("n_prior_errors", F.lit(0)).alias("n_prior_errors"),
+        F.coalesce("prior_value", F.lit(0.0)).alias("prior_value"),
+        F.coalesce("secs_since_last", F.lit(-1)).alias("secs_since_last"),
+    )

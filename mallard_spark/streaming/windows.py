@@ -805,3 +805,130 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS us
+      FROM events
+    )
+    SELECT p.event_id AS purchase_id,
+           COALESCE(c.event_id, -1) AS click_id,
+           p.user_id,
+           p.value AS purchase_value,
+           CAST(COALESCE((p.us - c.us) // 1000000, -1) AS BIGINT) AS lag_seconds
+    FROM e p LEFT JOIN e c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.us BETWEEN p.us - {ATTR_WINDOW_MIN * 60 * 1000000} AND p.us
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase is
+    emitted — attributed to preceding clicks when they exist, or as
+    an unmatched row (click_id = −1) once the watermark PROVES no
+    click can still arrive. That proof is the semantic difference
+    from the inner join: null-side emission is watermark-driven
+    state-timeout behavior, not a match.
+
+    Fixture mechanics: outer results for rows buffered in batch N are
+    emitted only after a LATER batch advances the global watermark
+    (min of both sides) past their bound — so the staging dir gets
+    the events file plus TWO far-future sentinel files (one batch
+    each, both sides' event time advanced; sentinels use user −1 and
+    are filtered from the result). Oracle = the batch LEFT JOIN.
+    """
+    import shutil
+    import tempfile
+
+    stage_root = os.path.join(
+        tempfile.gettempdir(), "mallard_stream_interval_outer"
+    )
+    shutil.rmtree(stage_root, ignore_errors=True)
+    src_dir = os.path.join(stage_root, "src")
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = raw.select("event_id", "ts", "user_id", "event_type", "value")
+    ev.coalesce(1).write.parquet(os.path.join(src_dir, "b1"))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    for i, days in enumerate((30, 31)):
+        sent = spark.createDataFrame(
+            [(-1 - i, max_ts, -1, "click", 0.0), (-10 - i, max_ts, -1, "purchase", 0.0)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        sent.coalesce(1).write.parquet(os.path.join(src_dir, f"b{i + 2}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user AND click_ts BETWEEN "
+            f"p_ts - INTERVAL {ATTR_WINDOW_MIN} MINUTES AND p_ts"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        "user_id",
+        "purchase_value",
+        F.coalesce(
+            (
+                (F.unix_micros("p_ts") - F.unix_micros("click_ts"))
+                / F.lit(1_000_000)
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("lag_seconds"),
+    )
+    name = "mallard_stream_interval_outer"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("user_id") >= 0)

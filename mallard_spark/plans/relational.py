@@ -1642,7 +1642,7 @@ def math_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(l_extendedprice, 10000.0) AS hi,
            CAST(coalesce(nullif(l_linenumber, 1), -1) AS BIGINT) AS nz,
            ifnull(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
-           ROUND(l_extendedprice / NULLIF(l_quantity, 0.0), 6) AS unit_price,
+           CAST(FLOOR(l_extendedprice * 100.0 / NULLIF(l_quantity, 0.0)) AS BIGINT) AS unit_cents,
            CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS disc_band
     FROM lineitem
     WHERE l_orderkey % 6 = 0 AND l_linenumber <= 2
@@ -1652,7 +1652,8 @@ def cond_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/null-handling surface (least/greatest/nullif/
     coalesce/ifnull/try_divide/when) value-checked across engines.
     try_divide's null-on-zero contract is mirrored by the oracle's
-    x / NULLIF(y, 0)."""
+    x / NULLIF(y, 0); the quotient surfaces as FLOORed cents because
+    ROUND at a fixed scale has engine-divergent half-way ties."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_orderkey") % 6 == 0) & (F.col("l_linenumber") <= 2)
     )
@@ -1667,9 +1668,14 @@ def cond_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ifnull(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
             "flag_or_none"
         ),
-        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias(
-            "unit_price"
-        ),
+        # FLOOR of cents, not ROUND(,6): a quotient can land exactly on
+        # a 6-dp half (e.g. x.xxxxxx5 when quantity is a power of two)
+        # where Spark rounds HALF_UP and DuckDB half-to-even — FLOOR
+        # has no half-way case, and both engines floor the same IEEE
+        # quotient (found by the sf0.1 sweep, row 1047.6078125)
+        F.floor(F.try_divide(F.col("l_extendedprice") * 100.0, F.col("l_quantity")))
+        .cast("long")
+        .alias("unit_cents"),
         F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo").alias("disc_band"),
     )
 

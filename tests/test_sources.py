@@ -144,3 +144,25 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
     # within-shard file order == pos order (read preserves row order per file)
     one = back.filter(F.col("shard_id") == shard_dirs[0].split("=")[1]).toPandas()
     assert list(one["pos"]) == sorted(one["pos"])
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on read: day-2 files add a column; mergeSchema
+    unions the schemas and backfills NULL for day-1 rows — the
+    append-only table-evolution pattern a long-lived 100 TB dataset
+    relies on (new columns must never require rewriting old files)."""
+    import os
+
+    base = str(tmp_path / "evo")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(
+        os.path.join(base, "day=1")
+    )
+    spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v", "'tag' || id AS label"
+    ).write.parquet(os.path.join(base, "day=2"))
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "v", "label", "day"}
+    assert df.count() == 8
+    assert df.filter("day = 1 AND label IS NULL").count() == 5
+    assert df.filter("day = 2 AND label IS NOT NULL").count() == 3

@@ -1121,3 +1121,133 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= SEM_COS_MIN)
     )
+
+
+def _minhash_accuracy_oracle() -> str:
+    mh_cols = ",\n             ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(K_MINHASH))
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
+        for b in range(N_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
+      FROM documents
+      WHERE len({word_shingles_sql(3)}) > 0
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {md5_long_sql("s")}) AS hs
+      FROM sh
+    ), mh AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM hashed
+    ), bands AS (
+      {band_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), eq AS (
+      SELECT doc_a, doc_b, ({eq_terms}) AS n_equal
+      FROM pairs
+      JOIN mh ma ON ma.doc_id = doc_a
+      JOIN mh mb ON mb.doc_id = doc_b
+    ), jac AS (
+      SELECT e.n_equal,
+             len(list_intersect(sa.shingles, sb.shingles)) * 1000000
+               // (len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles))) AS jac_ppm
+      FROM eq e
+      JOIN sh sa ON sa.doc_id = e.doc_a
+      JOIN sh sb ON sb.doc_id = e.doc_b
+    )
+    SELECT CAST(n_equal AS BIGINT) AS n_equal,
+           COUNT(*) AS n_pairs,
+           CAST(n_equal AS BIGINT) * 62500 AS est_ppm,
+           CAST(SUM(jac_ppm) AS DOUBLE) / COUNT(*) AS avg_jaccard_ppm,
+           CAST(SUM(ABS(n_equal * 62500 - jac_ppm)) AS DOUBLE) / COUNT(*)
+               AS avg_abs_err_ppm
+    FROM jac GROUP BY n_equal ORDER BY n_equal
+    """
+
+
+@query("minhash_accuracy_report", oracle=_minhash_accuracy_oracle())
+def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality audit: for every LSH candidate pair,
+    compare the 16-perm similarity ESTIMATE against the EXACT
+    3-shingle Jaccard, grouped by estimator value — the calibration
+    table that justifies (or retunes) EST_MIN and the band layout.
+    All error arithmetic is integer ppm (est = n_equal·62500 exactly;
+    jaccard = |∩|·1e6 div |∪|), so the report is bit-stable and fully
+    value-oracled — unlike a sampled spot check.
+
+    Scale shape: pairs come from the same banded equi-join as
+    dedup_minhash_lsh; the exact-Jaccard pass touches only CANDIDATE
+    pairs (bounded by band collisions), never all pairs.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    sh = materialize(
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.array_distinct(shingles_of("toks", 3)).alias("shingles"))
+        .filter(F.size("shingles") > 0),
+        "minhash_acc_shingles",
+    )
+    mh = materialize(_minhash_signatures(docs), "minhash_acc_signatures")
+    bands = _band_keys(mh)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(K_MINHASH)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(K_MINHASH)],
+    )
+    n_equal = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(K_MINHASH)
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac_ppm = F.expr(
+        "cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000000 div "
+        "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+    )
+    scored = (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", n_equal.alias("n_equal"))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("n_equal", jac_ppm.alias("jac_ppm"))
+    )
+    err = F.abs(F.col("n_equal") * 62500 - F.col("jac_ppm"))
+    return (
+        scored.groupBy(F.col("n_equal").cast("long").alias("n_equal"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.sum("jac_ppm").cast("double") / F.count("*")).alias("avg_jaccard_ppm"),
+            (F.sum(err).cast("double") / F.count("*")).alias("avg_abs_err_ppm"),
+        )
+        .withColumn("est_ppm", F.col("n_equal") * 62500)
+        .select("n_equal", "n_pairs", "est_ppm", "avg_jaccard_ppm", "avg_abs_err_ppm")
+        .orderBy("n_equal")
+    )

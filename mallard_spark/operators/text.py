@@ -771,3 +771,109 @@ def quality_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "quality_bigram_logprob",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, {TOKENS_SQL} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+      FROM d WHERE len(t) >= 2
+    ),
+    uni AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM bg GROUP BY 1
+    ),
+    v AS (SELECT COUNT(DISTINCT u) AS vsz FROM (SELECT unnest(t) AS u FROM d)),
+    scores AS (
+      SELECT b.bigram,
+             CAST(ROUND(-ln((b.c2 + 1.0) / (u.c1 + v.vsz)) * 1000000) AS BIGINT)
+                 AS micro
+      FROM (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram) b
+      JOIN uni u ON u.w1 = split_part(b.bigram, ' ', 1)
+      CROSS JOIN v
+    ),
+    docsc AS (
+      SELECT g.doc_id, g.lang, COUNT(*) AS n_bg, SUM(s.micro) AS micro_sum
+      FROM bg g JOIN scores s USING (bigram)
+      GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bg) AS BIGINT) AS sum_bigrams,
+           CAST(SUM(micro_sum) AS DOUBLE) / SUM(n_bg) / 1000000.0
+               AS avg_surprise_nats,
+           CAST(SUM(CASE WHEN micro_sum > 3425000 * n_bg THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM docsc GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter (one step closer to CCNet's KenLM
+    than the unigram proxy): score each doc by its mean per-bigram
+    surprise −ln p(w₂|w₁) under an add-one-smoothed bigram model
+    trained on the corpus itself; flag the high-surprise tail
+    (threshold ≈ p90 of this corpus, same rationale as
+    quality_perplexity_proxy).
+
+    Determinism: each DISTINCT bigram's surprise is rounded once to
+    integer micro-nats (the model tables are vocabulary-sized);
+    doc sums and the flag cross-multiply are pure int64.
+
+    Shape at 100 TB: two explode→groupBy passes build the unigram
+    and bigram tables (bounded by vocab²·sparsity — the actual
+    distinct-bigram count); scoring joins corpus bigrams to the
+    BROADCAST score table; the corpus never shuffles on anything
+    wider than doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", F.expr(TOKENS_EXPR).alias("t"))
+    bg = d.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bigram"),
+    )
+    w1 = F.substring_index("bigram", " ", 1)
+    uni = bg.groupBy(w1.alias("w1")).agg(F.count("*").alias("c1"))
+    vsz = d.select(F.explode("t").alias("u")).agg(
+        F.countDistinct("u").alias("vsz")
+    )
+    bstats = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    scores = (
+        bstats.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "bigram",
+            F.round(
+                -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    docsc = (
+        bg.join(F.broadcast(scores), "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_bg"), F.sum("micro").alias("micro_sum"))
+    )
+    flagged = F.when(F.col("micro_sum") > 3_425_000 * F.col("n_bg"), 1).otherwise(0)
+    return (
+        docsc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bg").alias("sum_bigrams"),
+            (F.sum("micro_sum").cast("double") / F.sum("n_bg") / 1_000_000.0).alias(
+                "avg_surprise_nats"
+            ),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )

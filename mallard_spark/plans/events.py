@@ -989,3 +989,79 @@ def ev_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("prior_value", F.lit(0.0)).alias("prior_value"),
         F.coalesce("secs_since_last", F.lit(-1)).alias("secs_since_last"),
     )
+
+
+@query(
+    "ev_holt_forecast",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), ordered AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+      FROM hourly
+    ), sz AS (
+      SELECT event_type, MAX(i) AS n FROM ordered GROUP BY event_type
+    ), holt AS (
+      -- DuckDB 1.0's list_reduce mis-evaluates struct accumulators
+      -- past 2 elements, so the oracle folds via recursive CTE
+      -- (bounded by #hours per type)
+      SELECT event_type, 1 AS i, v AS l, CAST(0 AS DOUBLE) AS t
+      FROM ordered WHERE i = 1
+      UNION ALL
+      SELECT h.event_type, h.i + 1,
+             (o.v + h.l + h.t) / CAST(2 AS DOUBLE),
+             ((o.v + h.l + h.t) / CAST(2 AS DOUBLE) - h.l + h.t)
+               / CAST(2 AS DOUBLE)
+      FROM holt h JOIN ordered o
+        ON o.event_type = h.event_type AND o.i = h.i + 1
+    )
+    SELECT f.event_type, CAST(s.n AS BIGINT) AS n_hours,
+           round(f.l, 6) AS level, round(f.t, 6) AS trend,
+           round(f.l + f.t, 6) AS forecast_next
+    FROM holt f JOIN sz s ON s.event_type = f.event_type AND f.i = s.n
+    ORDER BY f.event_type
+    """,
+)
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing (α=β=½) over the hourly
+    value series per event type, emitting the final level/trend and
+    the one-step forecast — the classic capacity-planning smoother.
+
+    The fold is sequential BY DEFINITION, so it runs over the tiny
+    per-type hourly array (the corpus-sized work is the hourly
+    aggregate); α=½ makes every smoothing step an exact binary
+    halving, and both engines fold the same doubles in the same
+    order, so the state is bit-deterministic before the final
+    6-dp rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast(DV)).cast("double").alias("v"))
+    series = hourly.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(h, v))), x -> x.v)").alias(
+            "vs"
+        )
+    )
+    folded = series.select(
+        "event_type",
+        F.size("vs").cast("long").alias("n_hours"),
+        F.expr(
+            "aggregate("
+            " slice(vs, 2, size(vs) - 1),"
+            " named_struct('l', vs[0], 't', cast(0.0 as double)),"
+            " (acc, y) -> named_struct("
+            "   'l', (y + acc.l + acc.t) / 2.0D,"
+            "   't', ((y + acc.l + acc.t) / 2.0D - acc.l + acc.t) / 2.0D))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.t"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_next"),
+    ).orderBy("event_type")

@@ -1830,3 +1830,38 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "custkey")
         .limit(10)
     )
+
+
+@query(
+    "decimal_funcs_parity",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_price_str,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS sum_disc_str,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def decimal_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL arithmetic surface — the type SURVEY §4's whole
+    determinism contract stands on, checked directly: exact decimal
+    SUMs, scale-growing decimal MULTIPLICATION (12,2 × 12,2 → exact
+    4-dp products), and decimal-by-integer division. The exact
+    decimals are compared as STRINGS (both engines print the full
+    scale), so this asserts the arithmetic itself, not a double
+    projection of it.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(price).cast("string").alias("sum_price_str"),
+        F.sum(price * disc).cast("string").alias("sum_disc_str"),
+        (F.sum(qty).cast("decimal(18,2)") / F.count("*")).cast("double").alias("avg_qty"),
+        F.count("*").alias("n"),
+    )

@@ -877,3 +877,93 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH d AS (
+      SELECT {TOKENS_SQL} AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+      FROM d WHERE len(t) >= 2
+    ),
+    pair_counts AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT split_part(bigram, ' ', 1) AS w FROM bg
+        UNION ALL
+        SELECT split_part(bigram, ' ', 2) FROM bg
+      ) GROUP BY w
+    ),
+    n AS (SELECT COUNT(*) AS total FROM bg)
+    SELECT p.bigram,
+           CAST(p.c12 AS BIGINT) AS c12,
+           u1.c AS c1, u2.c AS c2,
+           ROUND(ln(CAST(p.c12 AS DOUBLE) * 2.0 * n.total / (u1.c * u2.c)), 6)
+               AS pmi
+    FROM pair_counts p
+    JOIN uni u1 ON u1.w = split_part(p.bigram, ' ', 1)
+    JOIN uni u2 ON u2.w = split_part(p.bigram, ' ', 2)
+    CROSS JOIN n
+    WHERE p.c12 >= 5
+    ORDER BY pmi DESC, p.bigram
+    LIMIT 30
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent-word pairs — the
+    collocation detector (PPMI was the backbone of pre-neural
+    distributional semantics, and PMI top-pairs still drive phrase
+    mining à la word2phrase): PMI = ln(p(w₁w₂)/(p(w₁)p(w₂))) with a
+    min-count floor, top-30.
+
+    Shape at 100 TB: the pair and unigram tables come from two
+    partial-combined explode→groupBy passes (vocab-bounded); the PMI
+    projection and global top-k run over the VOCABULARY-sized pair
+    table only. The log's operands are assembled in one expression
+    tree from exact integers, so ROUND(,6) lands identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.expr(TOKENS_EXPR).alias("t")).filter(F.size("t") >= 2)
+    bg = d.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bigram")
+    )
+    pair_counts = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    uni = (
+        bg.select(F.substring_index("bigram", " ", 1).alias("w"))
+        .unionAll(bg.select(F.substring_index("bigram", " ", -1).alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = bg.agg(F.count("*").alias("total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pair_counts.filter(F.col("c12") >= 5)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * 2.0
+                    * F.col("total")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(30)
+    )

@@ -1065,3 +1065,119 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.t"), 6).alias("trend"),
         F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+@query(
+    "ev_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, h, cents,
+             ROW_NUMBER() OVER w AS i,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY h
+                              ROWS UNBOUNDED PRECEDING) AS csum
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), tot AS (
+      SELECT event_type, CAST(MAX(i) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total
+      FROM cum GROUP BY event_type
+    ), scored AS (
+      SELECT c.event_type, c.h, c.i,
+             t.n * c.csum - c.i * t.total AS s_scaled
+      FROM cum c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           first(h ORDER BY abs(s_scaled) DESC, i ASC) AS change_hour,
+           CAST(first(i ORDER BY abs(s_scaled) DESC, i ASC) AS BIGINT) AS change_idx,
+           CAST(MAX(abs(s_scaled)) AS BIGINT) AS max_dev_scaled
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where
+    the cumulative deviation from the series mean peaks — the
+    standard single-changepoint estimator for monitoring level
+    shifts. Scaled through by n (Sᵢ·n = n·cumsumᵢ − i·total) so the
+    whole statistic is EXACT int64 on integer cents — no float mean,
+    no tolerance, fully value-oracled.
+    One hourly aggregate, one per-type running-sum window over
+    #hours rows, one argmax (min over (−|S|, i) struct).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.col("value").cast(DV) * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    cum = hourly.withColumn("i", F.row_number().over(w)).withColumn(
+        "csum", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = cum.groupBy("event_type").agg(
+        F.max("i").cast("long").alias("n"), F.sum("cents").alias("total")
+    )
+    scored = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "h",
+        "i",
+        (F.col("n") * F.col("csum") - F.col("i") * F.col("total")).alias("s_scaled"),
+    )
+    best = F.min(F.struct(-F.abs(F.col("s_scaled")), F.col("i"), F.col("h")))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            best.getField("h").alias("change_hour"),
+            best.getField("i").cast("long").alias("change_idx"),
+            F.max(F.abs("s_scaled")).alias("max_dev_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ev_autocorr_lag24",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           COUNT(*) AS n_pairs,
+           ROUND(corr(a.v, b.v), 6) AS autocorr_24h
+    FROM hourly a JOIN hourly b
+      ON b.event_type = a.event_type AND b.h = a.h + INTERVAL 24 HOURS
+    GROUP BY a.event_type ORDER BY a.event_type
+    """,
+)
+def ev_autocorr_lag24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality check: Pearson autocorrelation of the hourly
+    series against itself shifted 24 h (high ⇒ strong diurnal cycle —
+    the test that decides whether capacity models need a seasonal
+    term). Self-join on the shifted hour key is an equi-join;
+    corr follows the repo's round-6 contract (corr_price_quantity
+    precedent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.col("value").cast(DV)).cast("double").alias("v")
+    )
+    a = hourly.select("event_type", "h", F.col("v").alias("va"))
+    b = hourly.select(
+        "event_type",
+        (F.col("h") - F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr("va", "vb"), 6).alias("autocorr_24h"),
+        )
+        .orderBy("event_type")
+    )

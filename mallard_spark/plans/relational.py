@@ -1865,3 +1865,103 @@ def decimal_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(qty).cast("decimal(18,2)") / F.count("*")).cast("double").alias("avg_qty"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    SELECT * FROM (
+      SELECT 1 AS check_id, 'orderkey_unique' AS check_name, 'orders' AS table_name,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 2, 'custkey_unique', 'customer',
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 3, 'lineitem_orderkey_fk', 'lineitem',
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 4, 'orders_custkey_fk', 'orders',
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 5, 'quantity_not_null', 'lineitem',
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 6, 'discount_in_range', 'lineitem',
+             CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 7, 'orderstatus_accepted', 'orders',
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 8, 'shipdate_in_window', 'lineitem',
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                             OR l_shipdate >= TIMESTAMP '1999-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    ) ORDER BY check_id
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Great-Expectations-style data-quality suite as ONE
+    declarative report: key uniqueness, referential integrity
+    (anti-join counts), null rates, value ranges, accepted-value
+    sets — the contract every ingest pipeline asserts before
+    publishing a 100 TB table. Each check is a partial-combined
+    aggregate or a broadcast/shuffle anti-join; violations surface
+    as COUNTS (not booleans) so the report also says how bad.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def row(cid, name, table, df):
+        return df.select(
+            F.lit(cid).cast("int").alias("check_id"),
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        row(1, "orderkey_unique", "orders",
+            orders.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("n"))),
+        row(2, "custkey_unique", "customer",
+            cust.agg((F.count("*") - F.countDistinct("c_custkey")).alias("n"))),
+        row(3, "lineitem_orderkey_fk", "lineitem",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+            .agg(F.count("*").alias("n"))),
+        row(4, "orders_custkey_fk", "orders",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+            .agg(F.count("*").alias("n"))),
+        row(5, "quantity_not_null", "lineitem",
+            li.agg(F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("n"))),
+        row(6, "discount_in_range", "lineitem",
+            li.agg(F.sum(
+                F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), 1)
+                .otherwise(0)).alias("n"))),
+        row(7, "orderstatus_accepted", "orders",
+            orders.agg(F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ).alias("n"))),
+        row(8, "shipdate_in_window", "lineitem",
+            li.agg(F.sum(
+                F.when(
+                    (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+                    | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")),
+                    1,
+                ).otherwise(0)).alias("n"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_id")

@@ -1181,3 +1181,68 @@ def ev_autocorr_lag24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ev_funnel_windowed",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS su_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), converted AS (
+      SELECT s.user_id, s.su_ts,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+                 AND p.ts >= s.su_ts AND p.ts < s.su_ts + INTERVAL 24 HOURS
+             ) THEN 1 ELSE 0 END AS conv
+      FROM signups s
+    )
+    SELECT date_trunc('day', su_ts) AS cohort_day,
+           COUNT(*) AS n_signups,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM converted GROUP BY 1 ORDER BY cohort_day
+    """,
+)
+def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUND funnel conversion: of each day's first-time
+    signups, what fraction purchased within 24 HOURS of signing up —
+    the windowed conversion metric (ev_funnel's order-only funnel
+    can't distinguish a day-1 activation from a month-later one).
+    The existence probe is a left-semi join on user_id with the
+    window refilter — one equi-join, no inequality nested loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("su_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted_users = (
+        signups.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("su_ts"))
+            & (F.col("p_ts") < F.col("su_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    return (
+        signups.join(converted_users, "user_id", "left")
+        .select(
+            F.date_trunc("day", "su_ts").alias("cohort_day"),
+            F.coalesce("conv", F.lit(0)).alias("conv"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum("conv").cast("long").alias("n_converted"),
+            F.round(F.sum("conv").cast("double") / F.count("*"), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("cohort_day")
+    )

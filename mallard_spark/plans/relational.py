@@ -1965,3 +1965,73 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("check_id")
+
+
+@query(
+    "profile_table_summary",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_name,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT l_quantity) AS n_distinct,
+             MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(l_quantity) AS DOUBLE) AS mean_v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*),
+             CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_extendedprice),
+             MIN(l_extendedprice), MAX(l_extendedprice),
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(l_extendedprice) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(*),
+             CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT l_discount),
+             MIN(l_discount), MAX(l_discount),
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(l_discount) AS DOUBLE)
+      FROM lineitem
+    ) ORDER BY col_name
+    """,
+)
+def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling summary (the pandas-profiling / Deequ
+    profiler analog): per numeric column — rows, nulls, exact
+    distinct, min/max, and a DECIMAL-exact mean — computed in ONE
+    pass over the table (a single multi-aggregate; the per-column
+    rows are unpivoted from one aggregate row, so the scan cost
+    never multiplies with the column count).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg_exprs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        agg_exprs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            (
+                F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+                / F.count(c)
+            ).alias(f"{c}_mean"),
+        ]
+    one = li.agg(*agg_exprs)
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max, {c}_mean" for c in cols
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS"
+                " (col_name, n_nulls, n_distinct, min_v, max_v, mean_v)"
+            ),
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v")
+        .orderBy("col_name")
+    )

@@ -1246,3 +1246,144 @@ def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+@query(
+    "ev_sequence_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'view' THEN 'v'
+                                        WHEN 'purchase' THEN 'p'
+                                        ELSE 'e' END, '' ORDER BY ts, event_id)
+                 AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 's.*c.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_signup_click_purchase,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'p.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_repeat_purchase,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '^v') THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_view_first,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'e{3}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_error_burst
+    FROM seqs
+    """,
+)
+def ev_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (ClickHouse sequenceMatch /
+    MATCH_RECOGNIZE-lite): encode each user's time-ordered events as
+    a character string and count users matching behavioral regexes —
+    signup→…→click→…→purchase, repeat purchase, view-first entry,
+    3-error bursts. The encode is one groupBy(user) with an ordered
+    fold (sort_array over (ts, event_id, char) structs); every
+    pattern then costs a codegen'd regex over a per-user string,
+    not another pass over the event log.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws('', transform(array_sort(collect_list(x)), s -> s.ch))"
+            ).alias("seq")
+        )
+    )
+    def m(pat):
+        return F.sum(F.when(F.col("seq").rlike(pat), 1).otherwise(0)).cast("long")
+    return seqs.agg(
+        F.count("*").alias("n_users"),
+        m("s.*c.*p").alias("m_signup_click_purchase"),
+        m("p.*p").alias("m_repeat_purchase"),
+        m("^v").alias("m_view_first"),
+        m("e{3}").alias("m_error_burst"),
+    )
+
+
+@query(
+    "ev_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS period,
+             LEAST(CAST(FLOOR(value / 5.0) AS BIGINT), 9) AS bin
+      FROM events
+    ), counts AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY event_type, bin
+    ), tot AS (
+      SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM counts GROUP BY event_type
+    ), terms AS (
+      SELECT c.event_type, c.bin,
+             CAST(ROUND(
+               (CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + 10)
+                - CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + 10))
+               * ln((CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + 10))
+                    / (CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + 10)))
+               * 1000000) AS BIGINT) AS psi_micro
+      FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_bins,
+           CAST(SUM(psi_micro) AS DOUBLE) / 1000000.0 AS psi,
+           CAST(SUM(psi_micro) AS DOUBLE) / 1000000.0 > 0.1 AS drifted
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ev_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: compare the value
+    distribution of the first half of the window (reference) vs the
+    rest (current) per event type over fixed bins, with Laplace
+    smoothing — the standard "did the feature distribution move"
+    alarm (PSI > 0.1 = investigate, > 0.25 = act).
+
+    Determinism: each bin's PSI term is rounded ONCE to integer
+    micro-units (the term set is #types × 10 bins), so the sum and
+    the alarm threshold are exact int64 — the alarm can never
+    flicker across engines or partitionings.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 5.0).cast("long"), F.lit(9)).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 10)
+    terms = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        F.round((p - q) * F.log(p / q) * 1_000_000).cast("long").alias("psi_micro"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_bins"),
+            (F.sum("psi_micro").cast("double") / 1_000_000.0).alias("psi"),
+            ((F.sum("psi_micro").cast("double") / 1_000_000.0) > 0.1).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )

@@ -337,3 +337,30 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pit_features_is_equi_join_not_nested_loop(spark, sf_dir):
+    # the (user, hour-bucket) linearization: the trailing-window probe
+    # must compile to an equi-join, never a BNLJ/cartesian over time
+    plan = _plan(spark, sf_dir, "ev_pit_features")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_windowed_semi_structure(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_funnel_windowed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_match_single_user_exchange(spark, sf_dir):
+    # one groupBy(user) encodes the sequences; the regex counters run
+    # in the final 1-row aggregate — no second corpus shuffle
+    plan = _plan(spark, sf_dir, "ev_sequence_match")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_drift_psi_broadcast_totals(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_drift_psi")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -2035,3 +2035,54 @@ def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v")
         .orderBy("col_name")
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT date_trunc('day', o_orderdate) AS day,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1 ORDER BY day
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the STORED
+    daily-revenue aggregate (built once from history and persisted)
+    is updated by merging only the NEW period's partial aggregate —
+    the view never rescans history (dedup_incremental's pattern, for
+    aggregates). The driver-checked result must equal a full
+    recompute (the oracle), proving the merge is lossless: decimal
+    partials are associative, so stored ∪ delta re-aggregated is
+    exactly the full group-by.
+
+    At 100 TB the stored side is #days rows and the daily cost is
+    one partial aggregate over the DELTA partition — this is how
+    ev_rollup_cascade's coarse grains stay cheap forever.
+    """
+    from mallard_spark.functions.exec import materialize
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+
+    def partial(df):
+        # DECIMAL partial sums are associative → mergeable
+        return df.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_dec"),
+        )
+
+    stored = materialize(
+        partial(orders.filter(F.col("o_orderdate") < cutoff)), "incr_agg_stored"
+    )
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        stored.unionAll(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy("day")
+    )

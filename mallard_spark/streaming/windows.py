@@ -932,3 +932,96 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           date_trunc('second', first(ts ORDER BY ts DESC, event_id DESC))
+               AS last_ts,
+           first(value ORDER BY ts DESC, event_id DESC) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert sink: foreachBatch merges each
+    micro-batch into a keyed parquet state table with LATEST-WINS
+    semantics (max (ts, event_id) per user) — the Delta-MERGE
+    stand-in for "current state of every entity" serving tables.
+
+    Replay safety without transactions: the merge is IDEMPOTENT
+    (latest-wins union absorbs re-merged rows) and each batch writes
+    a versioned state snapshot (state/v=N, overwritten on replay),
+    so a crashed-and-replayed batch converges to the same state.
+    The oracle is the batch latest-event-per-user — stream-built
+    state must equal it exactly.
+    """
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "mallard_stream_cdc_upsert")
+    shutil.rmtree(root, ignore_errors=True)
+    state_root = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    def latest(df: DataFrame) -> DataFrame:
+        pick = F.max(F.struct("ts", "event_id", "value"))
+        return df.groupBy("user_id").agg(
+            pick.getField("ts").alias("ts"),
+            pick.getField("event_id").alias("event_id"),
+            pick.getField("value").alias("value"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        prev_dirs = (
+            sorted(
+                int(d.split("=")[1])
+                for d in _os.listdir(state_root)
+                if d.startswith("v=") and int(d.split("=")[1]) < batch_id
+            )
+            if _os.path.isdir(state_root)
+            else []
+        )
+        spark_ = batch_df.sparkSession
+        cur = latest(batch_df.select("user_id", "ts", "event_id", "value"))
+        if prev_dirs:
+            prev = spark_.read.schema(schema).parquet(
+                _os.path.join(state_root, f"v={prev_dirs[-1]}")
+            )
+            cur = latest(prev.unionByName(cur))
+        # versioned snapshot: a replayed batch OVERWRITES its own
+        # version, never compounds into a newer one
+        cur.write.mode("overwrite").parquet(
+            _os.path.join(state_root, f"v={batch_id}")
+        )
+
+    name = "mallard_stream_cdc_upsert"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    vs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(state_root) if d.startswith("v=")
+    )
+    state = spark.read.schema(schema).parquet(
+        os.path.join(state_root, f"v={vs[-1]}")
+    )
+    return state.select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )

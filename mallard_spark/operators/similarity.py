@@ -1287,3 +1287,72 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(200)
     )
+
+
+def _knn_filtered_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), sims AS (
+      SELECT p.vec_id AS probe_id, p.label AS label,
+             c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.v, c.v), 6) AS cos_sim
+      FROM e p JOIN e c
+        ON c.label = p.label AND c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    ), ranked AS (
+      SELECT probe_id, label, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT)
+                 AS rank
+      FROM sims
+    )
+    SELECT probe_id, label, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("knn_filtered", oracle=_knn_filtered_oracle())
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED vector search (the per-tenant / per-class
+    retrieval every production vector store needs): each probe's
+    top-k is computed only among corpus vectors sharing its label —
+    the metadata predicate joins INTO the candidate generation
+    (label is part of the join key), it is never a post-filter that
+    silently returns fewer than k results.
+
+    Scale shape: label becomes part of the partition/bucket key, so
+    a tenant's search never scans other tenants; here the probe set
+    is tiny and broadcast, and the label equality rides the same
+    broadcast-hash join — at index scale you'd prepend label to the
+    LSH bucket key (same one-line change in lsh_bucket_expr's key).
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("label"),
+        as_double("embedding").alias("vp"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        as_double("embedding").alias("vc"),
+    )
+    sims = corpus.join(
+        F.broadcast(probes),
+        (F.col("c_label") == F.col("label"))
+        & (F.col("neighbor_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        "label",
+        "neighbor_id",
+        cosine6(F.col("vp"), F.col("vc")).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "label", "neighbor_id", "cos_sim", "rank")
+    )

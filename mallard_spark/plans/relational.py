@@ -2086,3 +2086,73 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "abc_pareto_customers",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT CAST(SUM(rev) AS DECIMAL(18,2)) AS total FROM rev),
+    ranked AS (
+      SELECT custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM rev
+    ), classed AS (
+      SELECT r.custkey, r.rev,
+             CASE WHEN r.cum_rev * 100 <= t.total * 80 THEN 'A'
+                  WHEN r.cum_rev * 100 <= t.total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked r CROSS JOIN tot t
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def abc_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis: customers ranked by revenue and
+    classed by cumulative share (A ≤ 80%, B ≤ 95%, C rest) — the
+    classic concentration analysis. All share comparisons are
+    DECIMAL cross-multiplies (cum·100 ≤ total·80), so class
+    boundaries are exact, not float-ratio knife edges. The global
+    cumulative window runs over the CUSTOMER aggregate (not orders);
+    at extreme key counts you'd two-stage it (per-partition partials
+    + offset), same as vocab_coverage documents.
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").cast("decimal(18,2)").alias("total"))
+    w = Window.orderBy(F.col("rev").desc(), "custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        rev.withColumn("cum_rev", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "custkey",
+            "rev",
+            F.when(F.col("cum_rev") * 100 <= F.col("total") * 80, "A")
+            .when(F.col("cum_rev") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

@@ -1225,8 +1225,6 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
     jac_ppm = F.expr(
         "cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000000 div "
         "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"

@@ -1387,3 +1387,54 @@ def ev_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "hll_union_partitioned",
+    oracle="""
+    WITH per_day AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS exact_day
+      FROM events GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_days,
+           CAST(SUM(exact_day) AS BIGINT) AS sum_day_distinct,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_total,
+           TRUE AS merged_within_5pct
+    FROM per_day
+    """,
+)
+def hll_union_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch distinct counting (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): build one sketch PER DAY, union
+    the day sketches, and estimate total distinct users without ever
+    re-touching the raw data — the pattern that makes daily distinct
+    rollups composable into arbitrary date ranges at 100 TB (exact
+    COUNT DISTINCT cannot merge; sketches can).
+
+    The oracle pins the exact per-day and total distincts plus the
+    assertion that the merged estimate lands within 5% of exact
+    (lgConfigK=12 ⇒ ~1.6% rse; 5% is a hard bound, not a tolerance
+    fudge — the estimate itself is engine-specific, which is why the
+    CHECK is oracled rather than the raw estimate).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_day"),
+    )
+    merged = per_day.agg(
+        F.count("*").alias("n_days"),
+        F.sum("exact_day").alias("sum_day_distinct"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+    )
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_total"))
+    return merged.crossJoin(F.broadcast(exact_total)).select(
+        "n_days",
+        "sum_day_distinct",
+        "exact_total",
+        (
+            F.abs(F.col("est_total") - F.col("exact_total"))
+            * 100
+            <= F.col("exact_total") * 5
+        ).alias("merged_within_5pct"),
+    )

@@ -150,3 +150,42 @@ def test_url_canonicalize_idempotent_over_fragment_combos():
         .collect()
     )
     assert not bad, bad
+
+
+def test_url_canonicalize_matches_duckdb_over_fragment_combos():
+    """Spark canonicalize_url and its DuckDB SQL mirror must agree on
+    EVERY 3-fragment combination — the oracle-parity guarantee fuzzed
+    beyond the fixture's three spellings (catches regex-dialect
+    divergence between Java regex and RE2)."""
+    import itertools
+
+    import duckdb
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mallard_spark.operators.web import _canon_sql, canonicalize_url
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    parts = ["https://", "HTTP://", "www.", "Example.COM", "a.org", "/path",
+             "/p2/", "?id=1", "&utm_source=x", "?utm_campaign=y", "&fbclid=z",
+             "#frag", "/", "&q=2", "?gclid=w"]
+    urls = ["".join(c) for c in itertools.product(parts, repeat=3)]
+    got = [
+        r.c
+        for r in spark.createDataFrame([(u,) for u in urls], ["raw"])
+        .select(canonicalize_url(F.col("raw")).alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls (i INTEGER, raw VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?, ?)", list(enumerate(urls)))
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_canon_sql('raw')} FROM urls ORDER BY i"
+        ).fetchall()
+    ]
+    mismatches = [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ]
+    assert not mismatches, mismatches[:5]

@@ -1,0 +1,331 @@
+"""Graph analytics over relationship structures hidden in the star
+schema: co-purchase graphs (market-basket edges), degree profiles,
+triangle counting, and exact-integer PageRank.
+
+Training-data pipelines hit graph shapes constantly — duplicate
+clusters are connected components (operators/dedup.py
+``dedup_clusters``), citation/link graphs drive quality priors
+(PageRank over the web graph is the canonical crawl-prioritization
+signal), and co-occurrence graphs back recommendation features. The
+three operators here cover the standard triad: structure profile
+(degrees), local clustering (triangles), and global importance
+(PageRank).
+
+Graph derivation (shared by all three, mirrored verbatim in the
+DuckDB oracles):
+
+- **Co-purchase graph** — nodes are parts; an undirected edge
+  ``{u, v}`` exists when the pair was ordered together in at least
+  ``MIN_SUPPORT`` distinct orders. The support threshold is the
+  market-basket trick that keeps the graph sparse no matter how many
+  orders stream through: random one-off co-occurrences (the dense
+  noise — 1.2M candidate pairs at sf0.1) are dropped, repeat
+  pairs (~3.5k) remain. Pair generation fans out per order, but an
+  order's item count is bounded (TPC-H ≤ 7), so the explode is
+  O(lineitems), not quadratic.
+- **Nation trade graph** — directed edge customer-nation →
+  supplier-nation per lineitem, weighted by lineitem count. 25
+  nodes; the WEIGHTS carry the signal (the unweighted digraph is
+  complete, where PageRank is exactly uniform).
+
+Scale notes: every step is an equi-join or partial-combined
+aggregate on short integer keys. Triangle counting uses the
+degree-ordered orientation bound (wedges only at each edge's
+lower-(degree, id) endpoint ⇒ Σ fwd-deg² = O(m^1.5) wedge rows,
+Schank & Wagner 2005) instead of the naive Σ deg² which a hub node
+would blow up. PageRank runs a fixed iteration count as a driver
+loop over tiny per-iteration joins; at web scale each iteration
+would be checkpointed to truncate lineage — noted inline.
+
+Reference parity: Mallard executes arbitrary DuckDB SQL over Flight
+tickets (/root/reference/flight_server.py:342 ``do_get``), so a
+Mallard user would run these as recursive-CTE / multi-join SQL; the
+oracles below are literally that SQL (the PageRank oracle unrolls
+the iteration as chained CTEs, which is how you'd write it on an
+engine without iterative drivers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mallard_spark.registry import query
+from mallard_spark.sources.readers import load_table
+
+MIN_SUPPORT = 2  # co-purchase edge keep-threshold (distinct orders)
+
+PR_SCALE = 10**12  # PageRank mass fixed-point scale (exact int64)
+PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
+PR_ITERS = 10
+
+# Shared oracle CTE: the support-thresholded co-purchase edge list
+# (u < v by partkey). Kept as ONE string so the three oracles and
+# the docstrings can't drift apart.
+_EDGES_SQL = f"""
+    items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edges (u < v), one row each.
+
+    One distinct (shuffle on orderkey implicit in the aggregate), a
+    bounded-fanout self-join on orderkey, then a partial-combined
+    count per pair — the HAVING runs after the aggregate, so the
+    dense one-off pairs never survive past their combiner.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+        .select("u", "v")
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many nodes
+    have each degree — the first profile you compute on any graph
+    (skew here predicts hub problems in every downstream join).
+    Union-both-directions explode + two partial-combined counts;
+    output is #distinct-degrees rows, tiny at any scale.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+        .orderBy("degree")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    oriented AS (  -- lower (degree, id) endpoint -> higher
+      SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON e.u = du.node
+      JOIN deg dv ON e.v = dv.node
+    ),
+    wedges AS (
+      SELECT o1.dst AS x, o2.dst AS y
+      FROM oriented o1 JOIN oriented o2
+        ON o1.src = o2.src AND o1.dst < o2.dst
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM wedges w JOIN edges e
+                ON e.u = LEAST(w.x, w.y) AND e.v = GREATEST(w.x, w.y)) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph via degree-ordered
+    orientation (Schank & Wagner): each edge points from its
+    lower-(degree, id) endpoint, wedges form only at the oriented
+    source, and a triangle is a wedge whose far pair is itself an
+    edge. Forward-degree is O(√m), so the wedge join materializes
+    O(m^1.5) rows — the bound that survives hub nodes, where naive
+    Σ deg² does not. All equi-joins on node / (node, node) keys;
+    exact integers end-to-end.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst"))
+    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
+    tri = wedges.join(
+        edges,
+        (edges["u"] == F.least("x", "y")) & (edges["v"] == F.greatest("x", "y")),
+        "inner",
+    )
+    counts = [
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")),
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")),
+        wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")),
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)  # four 1-row aggregates; broadcast NL join
+    return out
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — how you
+    write iterative PageRank on a SQL engine without a driver loop
+    (and proof the Spark loop below computes the same exact-integer
+    recurrence: all mass arithmetic is int64 with floor division,
+    identical on both engines)."""
+    head = f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes, params)
+    """
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+             CAST(({PR_SCALE} * {100 - PR_DAMP_NUM}) // (100 * params.n)
+                  + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes CROSS JOIN params
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM((p.r * e.w) // ow.ow) AS s
+        FROM edges e
+        JOIN r{i - 1} p ON e.src = p.node
+        JOIN outw ow ON e.src = ow.src
+        GROUP BY e.dst
+      ) c ON nodes.node = c.node
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT n.n_name AS nation, r.r AS rank_scaled
+    FROM r{PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
+    ORDER BY rank_scaled DESC, nation
+    """
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (customer
+    nation → supplier nation, edge weight = lineitem count),
+    damping 0.85, 10 fixed iterations — computed entirely in
+    EXACT int64 fixed-point (mass scale 10¹²: per-edge transfer is
+    ``(r·w) // out_w``, floor division) so the result value-matches
+    any engine bit-for-bit; no float summation order to diverge.
+
+    The iteration is a driver loop over tiny joins (contribution
+    join + per-node sum); the per-iteration plan is the same
+    edges ⋈ ranks equi-join you'd run at web scale — there you'd
+    checkpoint each iteration to truncate lineage and pre-partition
+    both sides on the node key so every iteration reuses one
+    exchange. Dangling mass (pure-sink nodes) is deliberately not
+    redistributed (none exist in this graph; documented leak
+    otherwise, still deterministic).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # 25-node graph: keep the iteration inputs in memory (at web
+    # scale: persist + checkpoint instead).
+    edges = edges.cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    n = nodes.count()  # driver-side scalar: iteration constants
+
+    base = (PR_SCALE * (100 - PR_DAMP_NUM)) // (100 * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("r"))
+    contrib_src = edges.join(outw, "src")
+    for _ in range(PR_ITERS):
+        contrib = (
+            contrib_src.join(ranks, contrib_src["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div ow").alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("m").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("r"),
+        )
+    return (
+        ranks.join(nat, ranks["node"] == nat["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "nation")
+    )

@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> dict[str, QuerySpec]:
     """Import every plans/operators module so registrations run."""
     import mallard_spark.operators.dedup  # noqa: F401
+    import mallard_spark.operators.graph  # noqa: F401
     import mallard_spark.operators.llm  # noqa: F401
     import mallard_spark.operators.merge  # noqa: F401
     import mallard_spark.operators.sampling  # noqa: F401

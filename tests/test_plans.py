@@ -364,3 +364,20 @@ def test_sequence_match_single_user_exchange(spark, sf_dir):
 def test_drift_psi_broadcast_totals(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ev_drift_psi")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_graph_triangle_equi_joins_only(spark, sf_dir):
+    # orientation + wedge + closing-edge joins are all equi-joins on
+    # node / (node, node) keys; the only NL joins are the four 1-row
+    # count broadcasts at the end
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # closing-edge probe is an equi-join (HashedRelation on pair key)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_graph_pagerank_iterations_are_equi_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mallard_spark.functions.exec import materialize
 from mallard_spark.functions.hashing import md5_long, md5_long_sql
 from mallard_spark.functions.text import (
+    TOKENS_EXPR,
     TOKENS_SQL,
     shingles_of,
     tokens,
@@ -778,4 +779,59 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_rate"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "dataset_card_report",
+    oracle=f"""
+    WITH per_text AS (
+      SELECT source, lang, md5(text) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(MIN(len({TOKENS_SQL})) AS BIGINT) AS tok,
+             CAST(MIN(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source, lang, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS uniq_texts,
+           CAST(SUM(cnt) - COUNT(DISTINCT h) AS BIGINT) AS dup_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(cnt * tok) AS BIGINT) AS tokens,
+           CAST(SUM(cnt * chars) AS BIGINT) AS chars,
+           CAST((SUM(cnt * tok) * 100) // SUM(cnt) AS BIGINT) AS mean_tokens_x100
+    FROM per_text GROUP BY source ORDER BY source
+    """,
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card ("datasheet for datasets"): doc and
+    unique-text counts, exact-dup count, language spread, token and
+    char mass, mean doc length — the summary block a training-mix
+    decision reads first. ONE corpus scan: a (source, lang, md5)
+    pre-aggregate (the partial-combined dedup count) feeding a
+    per-source rollup; everything int64 (mean is ``tokens·100 //
+    docs``), so the card value-oracles exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_text = docs.groupBy(
+        "source", "lang", F.md5("text").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min(F.expr(f"size({TOKENS_EXPR})")).cast("long").alias("tok"),
+        F.min("n_chars").cast("long").alias("chars"),
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("docs"),
+            F.countDistinct("h").cast("long").alias("uniq_texts"),
+            (F.sum("cnt") - F.countDistinct("h")).cast("long").alias("dup_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.col("cnt") * F.col("tok")).cast("long").alias("tokens"),
+            F.sum(F.col("cnt") * F.col("chars")).cast("long").alias("chars"),
+            F.expr("(sum(cnt * tok) * 100) div sum(cnt)")
+            .cast("long")
+            .alias("mean_tokens_x100"),
+        )
+        .orderBy("source")
     )

@@ -1356,3 +1356,140 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("probe_id", "label", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --- kNN graph construction ------------------------------------------
+#
+# Every-node top-k neighbors (not just a probe set): the input to
+# graph-based semantic dedup, cluster seeding, and diversity
+# sampling. Same LSH-bucket candidate generation as knn_lsh but
+# SELF-joined (bands ⋈ bands on (tbl, bucket)), so the all-pairs
+# O(N²) never materializes — candidate count per node is the bucket
+# occupancy × tables. At index scale you dial planes UP so buckets
+# stay small as N grows (bucket size ~ N/2^planes); at this corpus
+# size 8×6-bit tables keep the candidate join a few dozen per node.
+
+KG_TABLES = 8
+KG_PLANES = 6
+
+
+def _knn_graph_oracle() -> str:
+    cand = f"""bands AS (
+      {_bands_sql('graph', KG_TABLES, KG_PLANES)}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+      FROM bands a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )"""
+    return _knn_rank_sql(cand)
+
+
+@query("knn_graph", oracle=_knn_graph_oracle())
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the whole corpus: each vector's top-5
+    approximate neighbors by cosine, candidates from an LSH-bucket
+    SELF-join (8 tables × 6-bit buckets, integer-exact plane
+    literals — see :func:`_lsh_buckets`). One explode + one
+    equi-join on (tbl, bucket) + one per-node window; no all-pairs
+    anywhere. Ties break on neighbor_id so the graph is fully
+    deterministic and value-oracled.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigged = _lsh_buckets(
+        emb.select("vec_id", as_double("embedding").alias("v")),
+        n_tables=KG_TABLES,
+        n_planes=KG_PLANES,
+        salt="graph",
+    )
+    a = sigged.select("vec_id", "v", "tbl", "bucket")
+    b = sigged.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vn"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        F.col("vec_id").alias("probe_id"),
+        "neighbor_id",
+        cosine6(F.col("v"), F.col("vn")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# --- centroid-distance outliers --------------------------------------
+
+OUT_Q = 1 << 14  # outlier-op quantization: small enough that
+# n²·q²·dims stays in int64 at 100×-corpus label sizes (n=5000:
+# (n·q)² ≈ 2^54, ×64 dims ≈ 2^60)
+
+
+@query(
+    "emb_outlier_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, u.i - 1 AS pos,
+             CAST(FLOOR(embedding[u.i]::DOUBLE * {OUT_Q}) AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+    ), cent AS (
+      SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY label, pos
+    ), d2 AS (
+      SELECT q.vec_id, q.label,
+             SUM((cent.n * q.qv - cent.s) * (cent.n * q.qv - cent.s)) AS d2_scaled
+      FROM q JOIN cent ON q.label = cent.label AND q.pos = cent.pos
+      GROUP BY q.vec_id, q.label
+    ), ranked AS (
+      SELECT vec_id, label, CAST(d2_scaled AS BIGINT) AS d2_scaled,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY d2_scaled DESC, vec_id) AS INT) AS rank
+      FROM d2
+    )
+    SELECT label, vec_id, d2_scaled, rank
+    FROM ranked WHERE rank <= {TOP_K} ORDER BY label, rank
+    """,
+)
+def emb_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outliers: the 5 vectors farthest
+    from their label's mean — the noise/poisoning screen run before
+    training on labeled embeddings. The distance is computed ENTIRELY
+    in int64: with quantized coords q and per-(label,pos) sums S over
+    n members, ``Σ(n·q − S)² = (n·Q)²·‖x − c‖²`` — same ranking as
+    the float distance, zero float summation. One explode, one
+    (label,pos) aggregate (tiny: labels × dims rows, broadcast back),
+    one per-vector aggregate, one per-label window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double("embedding")).alias("pos", "qx"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("qx") * OUT_Q).cast("long").alias("qv"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("qv").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    diff = F.col("n") * F.col("qv") - F.col("s")
+    d2 = (
+        q.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).cast("long").alias("d2_scaled"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2_scaled"), "vec_id")
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("label", "vec_id", "d2_scaled", "rank")
+        .orderBy("label", "rank")
+    )

@@ -1438,3 +1438,127 @@ def hll_union_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_total") * 5
         ).alias("merged_within_5pct"),
     )
+
+
+# Benford expected shares, precomputed ONCE in Python and injected as
+# literals into BOTH engines' plans: log10(1 + 1/d) in ppm. Computing
+# the expectation inside each engine would put two libm log10's and a
+# rounding boundary between them; a literal cannot diverge.
+_BENFORD_PPM = {d: round(__import__("math").log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit " + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()) + " END"
+)
+
+
+@query(
+    "ev_benford_report",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM events
+      WHERE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) > 0
+    ), digits AS (
+      SELECT CAST(regexp_extract(CAST(c AS VARCHAR), '[1-9]') AS BIGINT) AS digit
+      FROM cents
+    ), counted AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS total FROM counted)
+    SELECT digit, n,
+           CAST((n * 1000000) // tot.total AS BIGINT) AS obs_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm
+    FROM counted, tot ORDER BY digit
+    """,
+)
+def ev_benford_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the event value stream: observed
+    first-significant-digit shares vs the log10(1+1/d) expectation —
+    the standard fraud/integrity screen for money-like columns.
+
+    The digit is taken from the INTEGER cents rendering (decimal
+    cast → bigint → string), never from a double's string form —
+    integer-to-string is identical on every engine while double
+    formatting is not. Shares are integer ppm (n·10⁶ // total) and
+    the Benford expectation is a Python-precomputed literal, so the
+    whole report is exact int64. One scan, one 9-group aggregate,
+    one broadcast total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        (F.col("value").cast(DV) * 100).cast("long").alias("c")
+    ).filter(F.col("c") > 0)
+    counted = (
+        cents.select(
+            F.regexp_extract(F.col("c").cast("string"), "[1-9]", 0)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counted.agg(F.sum("n").alias("total"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div total").cast("long").alias("obs_ppm"),
+            F.expr(_BENFORD_CASE).cast("long").alias("benford_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "ev_seasonality_profile",
+    oracle="""
+    WITH base AS (
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), cell AS (
+      SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(c) AS BIGINT) AS sum_cents
+      FROM base GROUP BY dow, hod
+    ), tot AS (SELECT SUM(sum_cents) AS total FROM cell)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           n_events, sum_cents,
+           CAST((sum_cents * 1000000) // tot.total AS BIGINT) AS share_ppm
+    FROM cell, tot ORDER BY dow, hod
+    """,
+)
+def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality grid: event counts,
+    exact cent mass, and each cell's integer-ppm share of total —
+    the load-shape profile behind capacity planning and
+    anomaly-baseline selection. (Deviation scoring composes with
+    ``ev_zscore_anomalies``; this op owns the grid.) One scan, one
+    168-cell aggregate, one broadcast total; all int64.
+
+    DOW parity: Spark's ``dayofweek`` is Sunday=1..Saturday=7,
+    DuckDB's is Sunday=0..Saturday=6 — the oracle shifts by one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+            (F.col("value").cast(DV) * 100).cast("long").alias("c"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("sum_cents"),
+        )
+    )
+    tot = cell.agg(F.sum("sum_cents").alias("total"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hod").cast("long").alias("hod"),
+            "n_events",
+            "sum_cents",
+            F.expr("(sum_cents * 1000000) div total").cast("long").alias("share_ppm"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     import mallard_spark.operators.graph  # noqa: F401
     import mallard_spark.operators.llm  # noqa: F401
     import mallard_spark.operators.merge  # noqa: F401
+    import mallard_spark.operators.quality  # noqa: F401
     import mallard_spark.operators.sampling  # noqa: F401
     import mallard_spark.operators.similarity  # noqa: F401
     import mallard_spark.operators.text  # noqa: F401

@@ -381,3 +381,28 @@ def test_graph_pagerank_iterations_are_equi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quality_rules_single_scan_no_python(spark, sf_dir):
+    # both rule batteries are pure column expressions: one scan, one
+    # per-source aggregate, no UDF, no join
+    for name in ("quality_gopher_rules", "quality_c4_rules"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_knn_graph_bucket_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_emb_outlier_centroids_broadcast(spark, sf_dir):
+    # the (label, pos) centroid sums are tiny and must broadcast back
+    # onto the exploded coords — never a corpus-sized shuffle join
+    plan = _plan(spark, sf_dir, "emb_outlier_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

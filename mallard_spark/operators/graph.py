@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mallard_spark.functions.exec import materialize
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
 
@@ -118,9 +119,9 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is #distinct-degrees rows, tiny at any scale.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    nodes = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
+    # explode, not unionAll: a union of two selects would clone the
+    # support-join subtree and run it twice
+    nodes = edges.select(F.explode(F.array("u", "v")).alias("node"))
     return (
         nodes.groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -170,10 +171,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ deg² does not. All equi-joins on node / (node, node) keys;
     exact integers end-to-end.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # Materialize the edge list ONCE: five consumers below (degree,
+    # two orientation joins, the closing-edge probe, the count)
+    # would otherwise each re-run the support join — Catalyst clones
+    # reused subtrees, and at 100 TB a 5× recompute of the heaviest
+    # stage is the bill. The parquet barrier also hands the
+    # optimizer real size stats, so the small joins go broadcast
+    # (see functions/exec.py for the measured comparison).
+    edges = materialize(_copurchase_edges(spark, sf_dir), "graph_edges")
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -192,21 +199,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = o1.join(
         o2, (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst"))
     ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
-    tri = wedges.join(
-        edges,
-        (edges["u"] == F.least("x", "y")) & (edges["v"] == F.greatest("x", "y")),
-        "inner",
+    # ONE pass over the wedge stream: left-probe the closing edge and
+    # count wedges + hits in the same aggregate (a second wedge
+    # evaluation would double the dominant O(m^1.5) stage).
+    closing = edges.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    wedge_stats = wedges.join(
+        closing,
+        (F.col("cu") == F.least("x", "y")) & (F.col("cv") == F.greatest("x", "y")),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.count("cu").cast("long").alias("n_triangles"),
     )
-    counts = [
-        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")),
-        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")),
-        wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")),
-        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(c)  # four 1-row aggregates; broadcast NL join
-    return out
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(wedge_stats)  # three 1-row aggregates; broadcast NL
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -324,6 +334,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) div 100")
             ).cast("long").alias("r"),
         )
+        # truncate lineage each round: without this the final plan
+        # nests 10 copies of the join chain (observed: 400+ join
+        # nodes, compile time dominating) — the same reason web-scale
+        # PageRank checkpoints every iteration
+        ranks = ranks.localCheckpoint(eager=False)
     return (
         ranks.join(nat, ranks["node"] == nat["n_nationkey"])
         .select(F.col("n_name").alias("nation"), F.col("r").alias("rank_scaled"))

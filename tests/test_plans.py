@@ -373,6 +373,10 @@ def test_graph_triangle_equi_joins_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # the edge list is materialized once — without the barrier the
+    # five consumers re-ran the support join (observed: 94 exchanges)
+    assert "mallard_spark_materialize" in plan
+    assert plan.count("Exchange hashpartitioning") <= 8
     # closing-edge probe is an equi-join (HashedRelation on pair key)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
@@ -381,6 +385,9 @@ def test_graph_pagerank_iterations_are_equi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # lineage is truncated every iteration: the final plan must be
+    # constant-size (observed 400+ join nodes without localCheckpoint)
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") <= 3
 
 
 def test_quality_rules_single_scan_no_python(spark, sf_dir):

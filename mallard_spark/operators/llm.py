@@ -835,3 +835,65 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Heaps-law thresholds: powers of two keep the report tiny and the
+# "how much vocab survives a min-count cut" decision direct.
+_VG_THRESHOLDS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH terms AS (
+      SELECT unnest({TOKENS_SQL}) AS term FROM documents
+    ), counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM terms GROUP BY term
+    ), thresholds AS (
+      SELECT unnest([{", ".join(map(str, _VG_THRESHOLDS))}]) AS min_count
+    )
+    SELECT CAST(t.min_count AS BIGINT) AS min_count,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c.cnt) AS BIGINT) AS tokens_covered,
+           CAST((SUM(c.cnt) * 1000000) //
+                (SELECT SUM(cnt) FROM counts) AS BIGINT) AS coverage_ppm
+    FROM thresholds t JOIN counts c ON c.cnt >= t.min_count
+    GROUP BY t.min_count ORDER BY min_count
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-vs-min-count curve (the Heaps-law report behind
+    every tokenizer vocab cut): for each power-of-two threshold, how
+    many distinct terms survive and what fraction of the token mass
+    they cover, in integer ppm. The corpus-sized work is ONE term
+    count (explode + partial-combined groupBy); the curve itself is
+    the tiny count table broadcast against 8 threshold rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in _VG_THRESHOLDS], "min_count long"
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(F.broadcast(thresholds), F.col("cnt") >= F.col("min_count"))
+        .groupBy("min_count")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("cnt").cast("long").alias("tokens_covered"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "min_count",
+            "vocab_size",
+            "tokens_covered",
+            F.expr("(tokens_covered * 1000000) div total")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("min_count")
+    )

@@ -46,6 +46,37 @@ GOPHER_MIN_STOP = 2  # ≥ 2 distinct English stopwords
 _STOP = "('the','a','of','and','to','in','is','that','with','for')"
 
 
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """(source, ok_words, ok_mwl, ok_stop, ok_alpha) per document —
+    pure column expressions (streaming-safe: ``stream_quality_filter``
+    applies the identical flags per micro-batch)."""
+    scored = docs.select(
+        "source",
+        F.expr(f"size({TOKENS_EXPR})").alias("n"),
+        F.expr(
+            f"cast(aggregate(transform({TOKENS_EXPR}, t -> length(t)),"
+            f" 0L, (acc, x) -> acc + x) as bigint)"
+        ).alias("chars"),
+        F.expr(
+            f"size(filter(array_distinct({TOKENS_EXPR}), t -> t IN {_STOP}))"
+        ).alias("n_stop"),
+        F.expr(f"size(filter({TOKENS_EXPR}, t -> t rlike '[a-z]'))").alias("n_alpha"),
+    )
+    return scored.select(
+        "source",
+        F.when(
+            (F.col("n") >= GOPHER_MIN_WORDS) & (F.col("n") <= GOPHER_MAX_WORDS), 1
+        ).otherwise(0).alias("ok_words"),
+        F.when(
+            (F.col("chars") >= GOPHER_MIN_MWL * F.col("n"))
+            & (F.col("chars") <= GOPHER_MAX_MWL * F.col("n")),
+            1,
+        ).otherwise(0).alias("ok_mwl"),
+        F.when(F.col("n_stop") >= GOPHER_MIN_STOP, 1).otherwise(0).alias("ok_stop"),
+        F.when(10 * F.col("n_alpha") >= 8 * F.col("n"), 1).otherwise(0).alias("ok_alpha"),
+    )
+
+
 @query(
     "quality_gopher_rules",
     oracle=f"""
@@ -88,32 +119,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the report is pure int64. One scan, one partial-combined
     per-source aggregate; every rule is a codegen column expression.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "source",
-        F.expr(f"size({TOKENS_EXPR})").alias("n"),
-        F.expr(
-            f"cast(aggregate(transform({TOKENS_EXPR}, t -> length(t)),"
-            f" 0L, (acc, x) -> acc + x) as bigint)"
-        ).alias("chars"),
-        F.expr(
-            f"size(filter(array_distinct({TOKENS_EXPR}), t -> t IN {_STOP}))"
-        ).alias("n_stop"),
-        F.expr(f"size(filter({TOKENS_EXPR}, t -> t rlike '[a-z]'))").alias("n_alpha"),
-    )
-    flags = scored.select(
-        "source",
-        F.when(
-            (F.col("n") >= GOPHER_MIN_WORDS) & (F.col("n") <= GOPHER_MAX_WORDS), 1
-        ).otherwise(0).alias("ok_words"),
-        F.when(
-            (F.col("chars") >= GOPHER_MIN_MWL * F.col("n"))
-            & (F.col("chars") <= GOPHER_MAX_MWL * F.col("n")),
-            1,
-        ).otherwise(0).alias("ok_mwl"),
-        F.when(F.col("n_stop") >= GOPHER_MIN_STOP, 1).otherwise(0).alias("ok_stop"),
-        F.when(10 * F.col("n_alpha") >= 8 * F.col("n"), 1).otherwise(0).alias("ok_alpha"),
-    )
+    flags = gopher_flags(load_table(spark, sf_dir, "documents"))
     return (
         flags.groupBy("source")
         .agg(

@@ -1025,3 +1025,75 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "ts").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "stream_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '\\S+')) AS n,
+             CAST(list_aggregate(list_transform(
+                    regexp_extract_all(lower(text), '\\S+'),
+                    t -> length(t)), 'sum') AS BIGINT) AS chars,
+             len(list_filter(list_distinct(regexp_extract_all(lower(text), '\\S+')),
+                 t -> t IN ('the','a','of','and','to','in','is','that','with','for')))
+               AS n_stop,
+             len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                 t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN n >= 20 AND n <= 100000
+                          AND chars >= 3 * n AND chars <= 10 * n
+                          AND n_stop >= 2 AND 10 * n_alpha >= 8 * n
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+    FROM scored GROUP BY source
+    """,
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time quality filtering: the Gopher rule battery
+    (operators/quality.py ``gopher_flags`` — identical column
+    expressions, imported, so batch and stream can never drift)
+    applied to a streaming documents source, with per-source
+    kept/total counts aggregated in complete mode. The oracle is the
+    batch SQL over the same corpus — micro-batch filtering must
+    produce exactly the batch answer. Rule evaluation is stateless
+    per row; only the 20-row per-source count carries state.
+    """
+    from mallard_spark.operators.quality import gopher_flags
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    flags = gopher_flags(stream)
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(
+            F.col("ok_words") * F.col("ok_mwl") * F.col("ok_stop") * F.col("ok_alpha")
+        ).cast("long").alias("docs_kept"),
+    )
+    name = "mallard_stream_quality_filter"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("source", "docs", "docs_kept")

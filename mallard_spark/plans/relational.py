@@ -2156,3 +2156,73 @@ def abc_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "stat_funcs_parity",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n, AVG(l_extendedprice) AS mu
+      FROM lineitem GROUP BY l_returnflag
+    ), cm AS (
+      SELECT l.l_returnflag,
+             SUM((l_extendedprice - m.mu) * (l_extendedprice - m.mu)) AS m2,
+             SUM(POW(l_extendedprice - m.mu, 3)) AS m3,
+             SUM(POW(l_extendedprice - m.mu, 4)) AS m4
+      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_s,
+             round(covar_pop(l_extendedprice, l_quantity), 4) AS cov_p,
+             round(stddev_samp(l_extendedprice), 4) AS sd_s,
+             round(stddev_pop(l_extendedprice), 4) AS sd_p,
+             round(var_samp(l_quantity), 6) AS var_s
+      FROM lineitem GROUP BY l_returnflag
+    )
+    -- population skewness / excess kurtosis from explicit central
+    -- moments: DuckDB's skewness/kurtosis built-ins are
+    -- bias-CORRECTED while Spark's are population — the moments
+    -- formula pins the population definition for both engines
+    SELECT s.l_returnflag, s.n, s.slope, s.intercept, s.r2,
+           s.cov_s, s.cov_p, s.sd_s, s.sd_p, s.var_s,
+           round((cm.m3 / s.n) / POW(cm.m2 / s.n, 1.5), 6) AS skew_pop,
+           round((cm.m4 / s.n) / POW(cm.m2 / s.n, 2) - 3, 6) AS kurt_pop
+    FROM s JOIN cm ON cm.l_returnflag = s.l_returnflag
+    ORDER BY s.l_returnflag
+    """,
+)
+def stat_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: linear-regression family
+    (regr_slope/intercept/r2), covariances, stddev/variance variants,
+    and population skewness / excess kurtosis — Spark's BUILT-INS on
+    the Spark side, explicit central-moment formulas in the oracle
+    (the two engines' skewness/kurtosis built-ins disagree on bias
+    correction, so the oracle pins the population definition Spark
+    implements). Rounded per column to absorb one-pass-vs-two-pass
+    last-ulp drift; all single-aggregate, partial-combined.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 6
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_s"),
+            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("cov_p"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_s"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd_p"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_s"),
+            F.round(F.skewness("l_extendedprice"), 6).alias("skew_pop"),
+            F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_pop"),
+        )
+        .orderBy("l_returnflag")
+    )

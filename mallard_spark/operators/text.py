@@ -967,3 +967,129 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(30)
     )
+
+
+@query(
+    "quality_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({TOKENS_SQL}) AS term FROM documents
+    ),
+    vocab AS (
+        SELECT term,
+               CAST(ROUND(-ln(CAST(COUNT(*) AS DOUBLE)
+                              / (SELECT COUNT(*) FROM toks)) * 1000000.0)
+                    AS BIGINT) AS micro_surprise
+        FROM toks GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tok,
+               SUM(v.micro_surprise) AS micro_sum
+        FROM toks t JOIN vocab v USING (term)
+        GROUP BY t.doc_id, t.lang
+    ),
+    perdoc AS (
+        SELECT doc_id, lang, n_tok,
+               micro_sum // n_tok AS micro_per_tok
+        FROM scored
+    ),
+    ranked AS (
+        SELECT lang, n_tok, micro_per_tok,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY micro_per_tok, doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM perdoc
+    )
+    SELECT lang,
+           CASE (3 * (rk - 1)) // n_lang
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(MIN(micro_per_tok) AS DOUBLE) / 1000000.0 AS min_surprise_nats,
+           CAST(MAX(micro_per_tok) AS DOUBLE) / 1000000.0 AS max_surprise_nats,
+           CAST(SUM(micro_per_tok) AS DOUBLE) / COUNT(*) / 1000000.0
+               AS avg_surprise_nats
+    FROM ranked
+    GROUP BY lang, (3 * (rk - 1)) // n_lang
+    ORDER BY lang, bucket
+    """,
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    rank every document by its per-token unigram surprise WITHIN its
+    language and cut the ranking into exact tertiles — 'head' is the
+    most-fluent third that CCNet keeps for LM training, 'tail' the
+    high-perplexity third it drops. Reports per (lang, bucket) doc
+    and token mass plus the surprise range, i.e. the thresholds a
+    curation run would freeze for ingestion-time filtering.
+
+    Determinism: the per-doc score is integer micro-nats floor-divided
+    by the token count (one int64 per doc, no float accumulation);
+    tertile assignment is an exact integer formula over ROW_NUMBER
+    with doc_id tiebreak — both engines produce identical buckets,
+    not approximately-equal quantiles.
+
+    Shape at 100 TB: the vocab build is one partial-combined
+    explode→groupBy (vocab-bounded, broadcastable); scoring joins
+    corpus tokens to the BROADCAST vocab; the only per-doc shuffle is
+    groupBy(doc_id). The per-lang ranking windows over ONE ROW PER
+    DOCUMENT (not per token) — at 100 TB that is the metadata table,
+    and a production variant would replace the exact ROW_NUMBER with
+    frozen thresholds from this very report.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(F.expr(TOKENS_EXPR)).alias("term"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(-F.log(F.col("tf").cast("double") / F.col("n_total")) * 1_000_000.0)
+            .cast("long")
+            .alias("micro_surprise"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), F.sum("micro_surprise").alias("micro_sum"))
+    )
+    perdoc = scored.select(
+        "doc_id", "lang", "n_tok", F.expr("micro_sum DIV n_tok").alias("micro_per_tok")
+    )
+    ranked = perdoc.select(
+        "lang",
+        "n_tok",
+        "micro_per_tok",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("micro_per_tok", "doc_id"))
+        .alias("rk"),
+        F.count("*").over(W.partitionBy("lang")).alias("n_lang"),
+    )
+    bucket_ix = F.expr("(3 * (rk - 1)) DIV n_lang")
+    bucket = (
+        F.when(bucket_ix == 0, "head").when(bucket_ix == 1, "middle").otherwise("tail")
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            (F.min("micro_per_tok").cast("double") / 1_000_000.0).alias(
+                "min_surprise_nats"
+            ),
+            (F.max("micro_per_tok").cast("double") / 1_000_000.0).alias(
+                "max_surprise_nats"
+            ),
+            (F.sum("micro_per_tok").cast("double") / F.count("*") / 1_000_000.0).alias(
+                "avg_surprise_nats"
+            ),
+        )
+        .orderBy("lang", "bucket")
+    )

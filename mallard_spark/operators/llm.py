@@ -897,3 +897,150 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_count")
     )
+
+
+# Bloom decontamination dials: M bits, J hash functions. At the test
+# fixture's ~4k distinct benchmark shingles, M=2^16 / J=3 gives an FP
+# rate around (1-e^(-J*n/M))^J ≈ 0.05% — small but nonzero, so the
+# false-positive audit path is actually exercised at sf0.01+.
+BLOOM_M = 1 << 16
+BLOOM_J = 3
+
+
+def _bloom_pos_sql(sh: str, j: str) -> str:
+    expr = f"{sh} || ':bf' || CAST({j} AS VARCHAR)"
+    return f"{md5_long_sql(expr)} % {BLOOM_M}"
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_BUCKET_SQL} AS bucket, s.sh
+      FROM documents, UNNEST(list_distinct({word_shingles_sql(3)})) s(sh)
+    ), test_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE bucket >= 90
+    ), bloom AS (
+      SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)) AS bits
+      FROM (
+        SELECT {_bloom_pos_sql('t.sh', 'j.j')} AS pos
+        FROM test_sh t CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+      )
+      GROUP BY pos // 63
+    ), train_sh AS (
+      SELECT doc_id, sh FROM sh WHERE bucket < 80
+    ), probes AS (
+      SELECT t.doc_id, t.sh, {_bloom_pos_sql('t.sh', 'j.j')} AS pos
+      FROM train_sh t CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+    ), tested AS (
+      SELECT p.doc_id, p.sh,
+             MIN(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & (1::BIGINT << (p.pos % 63)))
+                           = (1::BIGINT << (p.pos % 63))
+                  THEN 1 ELSE 0 END) AS bloom_pos
+      FROM probes p LEFT JOIN bloom b ON b.word = p.pos // 63
+      GROUP BY p.doc_id, p.sh
+    ), perdoc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(t.bloom_pos) AS n_bloom_pos,
+             SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_exact
+      FROM tested t LEFT JOIN test_sh e ON t.sh = e.sh
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_bloom_pos AS BIGINT) AS n_bloom_pos,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_bloom_pos - n_exact AS BIGINT) AS n_false_pos
+    FROM perdoc
+    WHERE n_bloom_pos > 0
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination sweep — the scalable DIRECTION:
+    build a tiny Bloom filter over the benchmark/test split's
+    shingles, broadcast it, and scan the TRAIN corpus tagging docs
+    whose shingles hit the filter (Dolma/RedPajama-style benchmark
+    decontamination tags training docs, not test docs). An exact
+    verification join runs ONLY to audit the filter: per train doc,
+    bloom positives vs exact matches vs false positives.
+
+    The filter is a packed int64 bitmap — 63 bits per word (bit 63
+    stays clear: DuckDB raises on 1<<63), M=2^16 bits ⇒ ≤ 1041 words
+    regardless of corpus size, J=3 md5-derived hash functions.
+    Membership is MIN over the J bit tests (all bits set ⇒ positive),
+    all integer ops on both engines.
+
+    Shape at 100 TB: the bitmap build touches only the TEST split
+    (small by construction) and aggregates to ≤1041 rows — broadcast.
+    The train scan joins each shingle probe to that broadcast map:
+    linear, no shuffle of train content except the per-doc groupBy.
+    In production the exact-audit join is dropped (or sampled) and
+    ONLY bloom positives — a tiny fraction — are re-checked exactly;
+    the filter itself replaces the corpus-wide shingle⋈shingle join
+    with a broadcast lookup, which is the point of the operator.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    sh = (
+        docs.withColumn("bucket", bucket)
+        .select("doc_id", "bucket", tokens().alias("toks"))
+        .select(
+            "doc_id",
+            "bucket",
+            F.explode(F.array_distinct(shingles_of("toks", 3))).alias("sh"),
+        )
+    )
+    test_sh = sh.filter(F.col("bucket") >= 90).select("sh").distinct()
+    js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_J)])).alias("j")
+    pos = md5_long(
+        F.concat(F.col("sh"), F.lit(":bf"), F.col("j").cast("string"))
+    ) % BLOOM_M
+    # F.shiftleft only takes a literal bit count — the SQL form
+    # accepts a column shift amount on both engines
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+    bloom = (
+        test_sh.select("sh", js)
+        .select(pos.alias("pos"))
+        .select(F.expr("pos DIV 63").alias("word"), mask.alias("m"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    train_sh = sh.filter(F.col("bucket") < 80).select("doc_id", "sh")
+    probes = train_sh.select("doc_id", "sh", js).select(
+        "doc_id", "sh", pos.alias("pos")
+    )
+    hit = F.when(
+        F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(mask) == mask), 1
+    ).otherwise(0)
+    tested = (
+        probes.join(
+            F.broadcast(bloom), F.col("word") == F.expr("pos DIV 63"), "left"
+        )
+        .select("doc_id", "sh", hit.alias("hit"))
+        .groupBy("doc_id", "sh")
+        .agg(F.min("hit").alias("bloom_pos"))
+    )
+    perdoc = (
+        tested.join(
+            test_sh.withColumnRenamed("sh", "e_sh"),
+            tested.sh == F.col("e_sh"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("bloom_pos").alias("n_bloom_pos"),
+            F.sum(F.when(F.col("e_sh").isNotNull(), 1).otherwise(0)).alias("n_exact"),
+        )
+    )
+    return perdoc.filter(F.col("n_bloom_pos") > 0).select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_bloom_pos").cast("long").alias("n_bloom_pos"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_bloom_pos") - F.col("n_exact")).cast("long").alias("n_false_pos"),
+    )

@@ -1493,3 +1493,211 @@ def emb_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", "d2_scaled", "rank")
         .orderBy("label", "rank")
     )
+
+
+# --- Lloyd-TRAINED product quantization --------------------------------
+# Same ADC scan as knn_pq, but the per-subspace codebooks are k-means
+# trained (2 Lloyd iterations from 32 seed subvectors) instead of
+# copied from the first 64 corpus vectors. Training runs in the exact
+# quantized-mean arithmetic proven by knn_ivf_kmeans (integer sums of
+# floor(x*2^20), fixed-order division), so the trained codebooks —
+# and every code assignment after them — are bit-identical across
+# engines.
+PQT_K = 32
+PQT_ITERS = 2
+PQT_RERANK = 100
+
+
+def _pqt_assign_sql(cb: str) -> str:
+    """argmin code per (vec, subspace): MIN(micro*100 + cid)."""
+    micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
+    return f"""(
+      SELECT t.vec_id AS vec_id, t.s AS s, MIN({micro} * 100 + c.cid) % 100 AS cid
+      FROM sub t JOIN {cb} c ON t.s = c.s
+      GROUP BY t.vec_id, t.s
+    )"""
+
+
+def _pqt_update_sql(asg: str) -> str:
+    """Exact quantized mean per (s, cid, dim), rebuilt into code arrays."""
+    return f"""(
+      SELECT s, cid, list(m ORDER BY pos) AS code FROM (
+        SELECT a.s, a.cid, u.i - 1 AS pos,
+               CAST(SUM(CAST(FLOOR(t.sub[u.i] * {Q_SCALE}) AS BIGINT)) AS DOUBLE)
+                 / {Q_SCALE} / COUNT(*) AS m
+        FROM {asg} a
+        JOIN sub t ON t.vec_id = a.vec_id AND t.s = a.s,
+        UNNEST(range(1, {PQ_DSUB} + 1)) u(i)
+        GROUP BY a.s, a.cid, u.i - 1
+      ) GROUP BY s, cid
+    )"""
+
+
+def _knn_pq_trained_oracle() -> str:
+    micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""sub AS (
+      SELECT vec_id, sub.s AS s,
+             v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS sub
+      FROM e, {_PQ_SUBS_SQL} sub
+    )""",
+        f"""cb0 AS (
+      SELECT s, vec_id AS cid, sub AS code FROM sub WHERE vec_id < {PQT_K}
+    )""",
+    ]
+    for i in range(PQT_ITERS):
+        ctes.append(f"a{i} AS {_pqt_assign_sql(f'cb{i}')}")
+        ctes.append(f"cb{i + 1} AS {_pqt_update_sql(f'a{i}')}")
+    cb = f"cb{PQT_ITERS}"
+    ctes.append(f"codes AS {_pqt_assign_sql(cb)}")
+    ctes.append(
+        f"""dt AS (
+      SELECT t.vec_id AS probe_id, t.s, c.cid, {micro} AS micro
+      FROM sub t JOIN {cb} c ON t.s = c.s
+      WHERE t.vec_id < {N_PROBES}
+    )"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT d.probe_id, k.vec_id, SUM(d.micro) AS adc
+      FROM codes k JOIN dt d ON k.s = d.s AND k.cid = d.cid
+      WHERE k.vec_id <> d.probe_id
+      GROUP BY d.probe_id, k.vec_id
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk
+        FROM adc
+      ) WHERE rk <= {PQT_RERANK}
+    )"""
+    )
+    ctes.append(
+        """ranked AS (
+      SELECT c.probe_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.v, n.v), 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.probe_id
+               ORDER BY round(list_cosine_similarity(p.v, n.v), 6) DESC, c.vec_id
+             ) AS INT) AS rank
+      FROM cand c JOIN e p ON p.vec_id = c.probe_id JOIN e n ON n.vec_id = c.vec_id
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}"
+    )
+
+
+@query("knn_pq_trained", oracle=_knn_pq_trained_oracle())
+def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with Lloyd-TRAINED codebooks (the FAISS default): per
+    8-dim subspace, k-means the corpus subvectors from 32 seeds for
+    2 iterations, then run the same integer-ADC scan + exact re-rank
+    as knn_pq. Training moves each codebook onto the actual subvector
+    distribution, so 32 trained codes match the recall of 64
+    untrained ones at half the distance-table width.
+
+    Determinism: code argmin is MIN(micro·100+cid) (int64,
+    engine-portable tiebreak); the update step is the exact quantized
+    mean proven by knn_ivf_kmeans (integer sums of floor(x·2²⁰),
+    fixed-order division) — trained codebooks are bit-identical
+    across engines, so code assignments and ADC sums are too.
+
+    Shape at 100 TB: each Lloyd round is subvectors ⋈ BROADCAST
+    codebook (256 rows) → partial-combined argmin → tiny per-code
+    mean — two bounded shuffles per round, corpus float vectors read
+    from the materialized subvector table. In production the training
+    sample is a fixed-size reservoir (codebooks need ~100k vectors,
+    not the corpus), making training cost constant in corpus size;
+    the encode + ADC + re-rank stages are identical to knn_pq.
+    """
+    from pyspark.sql import Window as W
+
+    from mallard_spark.functions.exec import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = materialize(
+        emb.select("vec_id", as_double("embedding").alias("v")), "pqt_vecs"
+    )
+    subs_arr = F.array(*[F.slice("v", s * PQ_DSUB + 1, PQ_DSUB) for s in range(PQ_M)])
+    sub = materialize(
+        vecs.select("vec_id", F.posexplode(subs_arr).alias("s", "sub")), "pqt_sub"
+    )
+    cb = sub.filter(F.col("vec_id") < PQT_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sub").alias("code")
+    )
+    micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
+
+    def assign(codebook):
+        return (
+            sub.join(F.broadcast(codebook), "s")
+            .select("vec_id", "s", (micro * 100 + F.col("cid")).alias("comb"))
+            .groupBy("vec_id", "s")
+            .agg((F.min("comb") % 100).alias("cid"))
+        )
+
+    for i in range(PQT_ITERS):
+        asg = assign(cb)
+        means = (
+            asg.join(sub, ["vec_id", "s"])
+            .select("s", "cid", F.posexplode("sub").alias("pos", "val"))
+            .groupBy("s", "cid", "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("val") * F.lit(Q_SCALE)).cast("long"))
+                    .cast("double")
+                    / F.lit(Q_SCALE)
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        cb = materialize(
+            means.groupBy("s", "cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"],
+                ).alias("code")
+            ),
+            f"pqt_cb_{i}",
+        )
+
+    enc = assign(cb)
+    dt = (
+        sub.filter(F.col("vec_id") < N_PROBES)
+        .join(F.broadcast(cb), "s")
+        .select(F.col("vec_id").alias("probe_id"), "s", "cid", micro.alias("micro"))
+    )
+    adc = (
+        enc.join(F.broadcast(dt), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("micro").alias("adc"))
+    )
+    wq = W.partitionBy("probe_id").orderBy("adc", "vec_id")
+    cand = (
+        adc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= PQT_RERANK)
+        .select("probe_id", "vec_id")
+    )
+    probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp")
+    )
+    sims = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1044,3 +1044,178 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         (F.col("n_bloom_pos") - F.col("n_exact")).cast("long").alias("n_false_pos"),
     )
+
+
+# BPE trainer dials: number of merge rounds learned. Each round is a
+# full (word-table) pass; the WORD table — not the corpus — is the
+# working set, which is what makes corpus-scale BPE training feasible.
+BPE_MERGES = 4
+
+
+def _bpe_iter_sql(i: int) -> list[str]:
+    """One BPE merge round as chained CTEs (leftmost-nonoverlapping
+    pair semantics via run-parity windows)."""
+    return [
+        f"""p{i} AS MATERIALIZED (
+      SELECT word, freq, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s{i}
+    )""",
+        f"""b{i} AS MATERIALIZED (
+      SELECT l, r, cnt FROM (
+        SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+      ) ORDER BY cnt DESC, l, r LIMIT 1
+    )""",
+        f"""c{i} AS MATERIALIZED (
+      SELECT p.word, p.pos,
+             ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+      FROM p{i} p, b{i} b WHERE p.sym = b.l AND p.nxt = b.r
+    )""",
+        f"""k{i} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               MIN(pos) OVER (PARTITION BY word, pos - rn) AS g0
+        FROM c{i}
+      ) WHERE (pos - g0) % 2 = 0
+    )""",
+        f"""s{i + 1} AS MATERIALIZED (
+      SELECT s.word AS word, s.freq AS freq,
+             ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS pos,
+             CASE WHEN k.pos IS NOT NULL THEN s.sym || b.r ELSE s.sym END AS sym
+      FROM s{i} s
+      CROSS JOIN b{i} b
+      LEFT JOIN k{i} k ON k.word = s.word AND k.pos = s.pos
+      LEFT JOIN k{i} kp ON kp.word = s.word AND kp.pos = s.pos - 1
+      WHERE kp.pos IS NULL
+    )""",
+        f"""n{i} AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_symbols FROM s{i + 1})""",
+    ]
+
+
+def _bpe_train_oracle() -> str:
+    ctes = [
+        f"""w AS (
+      SELECT t.tok AS word, COUNT(*) AS freq
+      FROM documents, UNNEST({TOKENS_SQL}) t(tok)
+      GROUP BY t.tok
+    )""",
+        """s0 AS MATERIALIZED (
+      SELECT word, freq, u.i - 1 AS pos, substr(word, u.i, 1) AS sym
+      FROM w, UNNEST(range(1, length(word) + 1)) u(i)
+    )""",
+    ]
+    for i in range(BPE_MERGES):
+        ctes.extend(_bpe_iter_sql(i))
+    steps = "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS step, b.l AS left_sym, b.r AS right_sym, "
+        f"b.cnt AS pair_count, n.n_symbols AS corpus_symbols_after "
+        f"FROM b{i} b, n{i} n"
+        for i in range(BPE_MERGES)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    {steps}\n    ORDER BY step"
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), {BPE_MERGES}
+    merge rounds end-to-end: count adjacent symbol pairs weighted by
+    word frequency, adopt the most frequent pair as a merge, apply it
+    leftmost-nonoverlapping to every word, repeat. Emits the learned
+    merge table — (step, pair, count, corpus symbol mass after) —
+    i.e. the artifact a tokenizer ships.
+
+    Leftmost-nonoverlapping semantics (the part naive string-replace
+    gets wrong on runs like 'aaaa'): candidate positions form runs
+    only when a symbol borders itself; within each run, keep
+    even-offset candidates. Runs are found with the pos−ROW_NUMBER
+    grouping idiom and offset parity — pure window functions,
+    identical logic on both engines, no UDF.
+
+    Shape at 100 TB: training operates on the WORD-FREQUENCY table
+    (vocabulary-bounded — millions of rows, not the corpus), exactly
+    like reference BPE trainers; the corpus is touched once to build
+    it. Each round is: one lead() window over word-partitioned
+    symbols, one partial-combined pair count, a 1-ROW broadcast of
+    the winning pair, and two broadcast anti/semi joins against the
+    (tiny) candidate set — materialized per round so the plan stays
+    linear in rounds instead of exponential.
+    """
+    from mallard_spark.functions.text import TOKENS_EXPR
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    s = materialize(
+        w.select(
+            "word",
+            "freq",
+            F.posexplode(
+                F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+            ).alias("pos", "sym"),
+        ),
+        "bpe_s0",
+    )
+    win = Window.partitionBy("word").orderBy("pos")
+    step_dfs = []
+    for i in range(BPE_MERGES):
+        p = s.withColumn("nxt", F.lead("sym").over(win))
+        best = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+        )
+        cand = p.join(
+            F.broadcast(best), (p.sym == best.l) & (p.nxt == best.r)
+        ).select("word", "pos")
+        keep = (
+            cand.withColumn("rn", F.row_number().over(win))
+            .withColumn(
+                "g0",
+                F.min("pos").over(
+                    Window.partitionBy("word", F.col("pos") - F.col("rn"))
+                ),
+            )
+            .filter(((F.col("pos") - F.col("g0")) % 2) == 0)
+            .select("word", "pos")
+        )
+        merged = keep.withColumn("is_k", F.lit(1))
+        dropped = keep.select("word", (F.col("pos") + 1).alias("pos")).withColumn(
+            "is_d", F.lit(1)
+        )
+        s = materialize(
+            s.join(merged, ["word", "pos"], "left")
+            .join(dropped, ["word", "pos"], "left")
+            .filter(F.col("is_d").isNull())
+            .crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                (F.row_number().over(win) - 1).alias("pos"),
+                F.when(F.col("is_k") == 1, F.concat("sym", "r"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            ),
+            f"bpe_s{i + 1}",
+        )
+        n_sym = s.agg(F.sum("freq").cast("long").alias("n_symbols"))
+        step_dfs.append(
+            best.crossJoin(F.broadcast(n_sym)).select(
+                F.lit(i + 1).alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+                F.col("n_symbols").alias("corpus_symbols_after"),
+            )
+        )
+    out = step_dfs[0]
+    for d in step_dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("step")

@@ -413,3 +413,51 @@ def test_emb_outlier_centroids_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_outlier_report")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_bloom_bitmap_broadcast(spark, sf_dir):
+    # the packed bitmap (<= 1041 rows) broadcasts to the train scan;
+    # the only shuffles are the distinct/groupBy aggregations — the
+    # train corpus never sort-merges against the test side
+    plan = _plan(spark, sf_dir, "decontaminate_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_knn_pq_trained_codebook_broadcast_no_python(spark, sf_dir):
+    # every Lloyd round joins subvectors against a BROADCAST codebook
+    # (256 rows); training adds no cartesian and no Python stage
+    plan = _plan(spark, sf_dir, "knn_pq_trained")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mm_phash_band_equi_join(spark, sf_dir):
+    # candidate generation is an equi-join on (band, bval) over the
+    # one-int64-per-asset sketch table — never an all-pairs product;
+    # the only Python stage is the Arrow-batched feature extractor
+    # (mapInPandas = ArrowEvalPython, upstream of the materialize)
+    plan = _plan(spark, sf_dir, "mm_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_train_word_table_not_corpus(spark, sf_dir):
+    # each round's working set is the word-frequency symbol table; the
+    # winning pair and candidate sets join back broadcast — no
+    # cartesian, no Python, and the documents scan happens only in
+    # the (already-materialized) s0 build
+    plan = _plan(spark, sf_dir, "bpe_train_merges")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_perplexity_buckets_vocab_broadcast(spark, sf_dir):
+    # scoring joins corpus tokens against the BROADCAST vocab; the
+    # tertile windows run over one-row-per-doc, never per token
+    plan = _plan(spark, sf_dir, "quality_perplexity_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -912,6 +912,51 @@ def _bloom_pos_sql(sh: str, j: str) -> str:
     return f"{md5_long_sql(expr)} % {BLOOM_M}"
 
 
+def _split_shingles_and_bitmap(docs: DataFrame):
+    """(per-doc distinct shingles with split bucket, distinct TEST
+    shingles, packed bitmap of their bloom positions). Shared by the
+    batch sweep and the streaming ingest filter so the two can never
+    disagree on the filter's contents."""
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    sh = (
+        docs.withColumn("bucket", bucket)
+        .select("doc_id", "bucket", tokens().alias("toks"))
+        .select(
+            "doc_id",
+            "bucket",
+            F.explode(F.array_distinct(shingles_of("toks", 3))).alias("sh"),
+        )
+    )
+    test_sh = sh.filter(F.col("bucket") >= 90).select("sh").distinct()
+    js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_J)])).alias("j")
+    pos = md5_long(
+        F.concat(F.col("sh"), F.lit(":bf"), F.col("j").cast("string"))
+    ) % BLOOM_M
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+    bloom = (
+        test_sh.select("sh", js)
+        .select(pos.alias("pos"))
+        .select(F.expr("pos DIV 63").alias("word"), mask.alias("m"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    return sh, test_sh, bloom
+
+
+def bloom_bitmap_words(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The test split's bloom filter as a DENSE word array (index =
+    pos DIV 63) — the frozen artifact an ingestion pipeline ships to
+    its stream jobs. <= {BLOOM_M}//63 + 1 int64s regardless of corpus
+    size, so collecting it to the driver is the design, not a
+    shortcut (same rationale as the in-plan LSH plane literals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, bloom = _split_shingles_and_bitmap(docs)
+    words = [0] * (BLOOM_M // 63 + 1)
+    for r in bloom.collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
 @query(
     "decontaminate_bloom",
     oracle=f"""
@@ -984,17 +1029,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    bucket = md5_long(F.col("doc_id").cast("string")) % 100
-    sh = (
-        docs.withColumn("bucket", bucket)
-        .select("doc_id", "bucket", tokens().alias("toks"))
-        .select(
-            "doc_id",
-            "bucket",
-            F.explode(F.array_distinct(shingles_of("toks", 3))).alias("sh"),
-        )
-    )
-    test_sh = sh.filter(F.col("bucket") >= 90).select("sh").distinct()
+    sh, test_sh, bloom = _split_shingles_and_bitmap(docs)
     js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_J)])).alias("j")
     pos = md5_long(
         F.concat(F.col("sh"), F.lit(":bf"), F.col("j").cast("string"))
@@ -1002,13 +1037,6 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.shiftleft only takes a literal bit count — the SQL form
     # accepts a column shift amount on both engines
     mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
-    bloom = (
-        test_sh.select("sh", js)
-        .select(pos.alias("pos"))
-        .select(F.expr("pos DIV 63").alias("word"), mask.alias("m"))
-        .groupBy("word")
-        .agg(F.expr("bit_or(m)").alias("bits"))
-    )
     train_sh = sh.filter(F.col("bucket") < 80).select("doc_id", "sh")
     probes = train_sh.select("doc_id", "sh", js).select(
         "doc_id", "sh", pos.alias("pos")

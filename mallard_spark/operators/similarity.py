@@ -1701,3 +1701,98 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _hard_negative_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), sims AS (
+      SELECT p.vec_id AS probe_id, p.label AS label,
+             c.vec_id AS neighbor_id, c.label AS neg_label,
+             round(list_cosine_similarity(p.v, c.v), 6) AS cos_sim
+      FROM e p JOIN e c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    ), pos AS (
+      SELECT probe_id, MAX(cos_sim) AS pos_sim
+      FROM sims WHERE neg_label = label GROUP BY probe_id
+    ), neg AS (
+      SELECT probe_id, label, neighbor_id, neg_label, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT)
+                 AS rank
+      FROM sims WHERE neg_label <> label
+    )
+    SELECT n.probe_id, n.label, n.neighbor_id, n.neg_label, n.cos_sim,
+           p.pos_sim, p.pos_sim - n.cos_sim AS margin, n.rank
+    FROM neg n JOIN pos p ON p.probe_id = n.probe_id
+    WHERE n.rank <= {TOP_K}
+    """
+
+
+@query("hard_negative_mining", oracle=_hard_negative_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the top-{TOP_K} highest-cosine vectors with a
+    DIFFERENT label (the negatives that actually teach the model),
+    plus the anchor's best same-label similarity and the margin
+    (pos − neg) — negatives with small or negative margins are the
+    valuable ones, and the margin column is what a curriculum
+    scheduler thresholds on.
+
+    The metadata predicate is the INVERSE of knn_filtered's: label
+    inequality cannot be prepended to a bucket key, so at index
+    scale the negative candidates come from the plain LSH buckets
+    (knn_graph's self-join) and the label filter applies to the
+    bucket-join output — still an equi-join on bucket, never a
+    post-filter that under-fills k (the window ranks AFTER the
+    filter). Here the probe set is tiny and broadcast, one corpus
+    pass computes both the positives' max and the negatives' top-k.
+
+    Determinism: similarities rounded once to 6 dp; the margin is a
+    single subtraction of two identically-derived doubles (IEEE
+    bit-identical on both engines); ties break on neighbor_id.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("label"),
+        as_double("embedding").alias("vp"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        as_double("embedding").alias("vc"),
+    )
+    sims = corpus.join(
+        F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "label",
+        "neighbor_id",
+        "neg_label",
+        cosine6(F.col("vp"), F.col("vc")).alias("cos_sim"),
+    )
+    pos = (
+        sims.filter(F.col("neg_label") == F.col("label"))
+        .groupBy("probe_id")
+        .agg(F.max("cos_sim").alias("pos_sim"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    neg = (
+        sims.filter(F.col("neg_label") != F.col("label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    return neg.join(F.broadcast(pos), "probe_id").select(
+        "probe_id",
+        "label",
+        "neighbor_id",
+        "neg_label",
+        "cos_sim",
+        "pos_sim",
+        (F.col("pos_sim") - F.col("cos_sim")).alias("margin"),
+        "rank",
+    )

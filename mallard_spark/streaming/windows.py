@@ -20,7 +20,13 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mallard_spark.functions.hashing import md5_long_sql
+from mallard_spark.functions.text import word_shingles_sql
+from mallard_spark.operators.llm import _bloom_pos_sql as bloom_pos_sql
 from mallard_spark.registry import query
+
+# same content-addressed split key as operators/llm.py's batch sweep
+_BLOOM_BUCKET_SQL = f"{md5_long_sql('CAST(doc_id AS VARCHAR)')} % 100"
 
 DV = "decimal(12,2)"
 
@@ -1097,3 +1103,111 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("source", "docs", "docs_kept")
+
+
+@query(
+    "stream_decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_BLOOM_BUCKET_SQL} AS bucket, s.sh
+      FROM documents, UNNEST(list_distinct({word_shingles_sql(3)})) s(sh)
+    ), test_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE bucket >= 90
+    ), bloom AS (
+      SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)) AS bits
+      FROM (
+        SELECT {bloom_pos_sql('t.sh', 'j.j')} AS pos
+        FROM test_sh t CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+      )
+      GROUP BY pos // 63
+    ), probes AS (
+      SELECT t.doc_id, t.sh, {bloom_pos_sql('t.sh', 'j.j')} AS pos
+      FROM (SELECT doc_id, sh FROM sh WHERE bucket < 80) t
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+    ), tested AS (
+      SELECT p.doc_id, p.sh,
+             MIN(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & (1::BIGINT << (p.pos % 63)))
+                           = (1::BIGINT << (p.pos % 63))
+                  THEN 1 ELSE 0 END) AS bloom_pos
+      FROM probes p LEFT JOIN bloom b ON b.word = p.pos // 63
+      GROUP BY p.doc_id, p.sh
+    ), flagged AS (
+      SELECT doc_id, MAX(bloom_pos) AS f FROM tested GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(COALESCE(f.f, 0)) AS BIGINT) AS docs_flagged
+    FROM (SELECT doc_id, source FROM documents
+          WHERE {_BLOOM_BUCKET_SQL} < 80) d
+    LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time benchmark decontamination: the test split's
+    Bloom bitmap (operators/llm.py ``bloom_bitmap_words`` — the SAME
+    build as the batch sweep, so stream and batch can never disagree)
+    is baked into the streaming plan as a dense int64 array literal,
+    and every incoming train document is flagged by a pure row
+    expression — EXISTS over its shingles of "all 3 hash bits set".
+    No stream-static join, no per-shingle state: the only stateful
+    operator is the per-source complete-mode count, so the filter
+    runs at stateless-map speed on an unbounded stream. The oracle is
+    the batch answer over the same corpus.
+    """
+    from mallard_spark.functions.hashing import md5_long_expr
+    from mallard_spark.functions.text import shingles_of, tokens
+    from mallard_spark.operators.llm import BLOOM_M, bloom_bitmap_words
+
+    words = bloom_bitmap_words(spark, sf_dir)
+    bm = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    pos_src = "concat(s, ':bf', j)"
+    posj = f"({md5_long_expr(pos_src)} % {BLOOM_M})"
+    flag = (
+        "exists(shs, s -> forall(transform(array('0','1','2'), j -> "
+        + posj
+        + f"), p -> (shiftright(element_at({bm}, cast(p div 63 as int) + 1), "
+        "cast(p % 63 as int)) & 1) = 1))"
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    from mallard_spark.functions.hashing import md5_long
+
+    train = stream.filter(
+        md5_long(F.col("doc_id").cast("string")) % 100 < 80
+    ).select(
+        "source", tokens().alias("toks")
+    ).select(
+        "source", F.array_distinct(shingles_of("toks", 3)).alias("shs")
+    )
+    flags = train.select("source", F.expr(flag).cast("int").alias("flagged"))
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("flagged").cast("long").alias("docs_flagged"),
+    )
+    name = "mallard_stream_decontaminate_bloom"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("source", "docs", "docs_flagged")

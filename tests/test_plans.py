@@ -461,3 +461,12 @@ def test_perplexity_buckets_vocab_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hard_negative_probe_broadcast(spark, sf_dir):
+    # one corpus pass against the broadcast probe set feeds both the
+    # positive max and the negative top-k; no cartesian, no Python
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

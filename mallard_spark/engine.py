@@ -67,6 +67,7 @@ _ALTER_RENAME_RE = re.compile(
     re.IGNORECASE,
 )
 _DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
@@ -236,7 +237,17 @@ class MallardEngine:
         Parity: demo.py:103-106 (execute_query). Unqualified table
         names are rewritten to the namespaced views so the same SQL
         a Mallard client sends works unchanged.
+
+        ``SHOW TABLES`` answers this namespace's LOGICAL names (the
+        reference's DuckDB shows its catalog, flight_server.py:342 —
+        Spark's raw SHOW TABLES would leak the namespaced physical
+        names and every other namespace's tables). ``DESCRIBE t``
+        passes through the rewriter like any query.
         """
+        if _SHOW_TABLES_RE.match(sql):
+            return self.spark.createDataFrame(
+                [(n,) for n in self.list_tables()], "name string"
+            )
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))

@@ -353,3 +353,25 @@ def test_dml_update_backslash_escaped_quote_in_literal(engines):
     eng1.dml("UPDATE upd_esc SET name = 'O\\'Brien, Jr' WHERE id = 1")
     got = eng1.sql("SELECT name FROM upd_esc WHERE id = 1").collect()[0].name
     assert got == "O'Brien, Jr"
+
+
+def test_show_tables_logical_names_only(engines):
+    """SHOW TABLES answers the namespace's LOGICAL names — never the
+    namespaced physical views or another namespace's tables (the
+    reference shows its own DuckDB catalog)."""
+    eng1, eng2 = engines
+    eng1.put("show_a", _sample_table())
+    eng1.put("show_b", _sample_table())
+    eng2.put("other_ns_t", _sample_table())
+    names = [r.name for r in eng1.sql("SHOW TABLES").collect()]
+    assert "show_a" in names and "show_b" in names
+    assert all("t_server1__" not in n for n in names)
+    assert "other_ns_t" not in names
+
+
+def test_describe_table_through_rewriter(engines):
+    eng1, _ = engines
+    eng1.put("desc_t", _sample_table())
+    rows = eng1.sql("DESCRIBE desc_t").collect()
+    cols = {r.col_name for r in rows}
+    assert {"id", "name", "value"} <= cols

@@ -511,3 +511,19 @@ def test_mutation_sql_via_exchange_verb(servers):
     assert result.column("status").to_pylist() == ["OK"]
     got = client.do_get(flight.Ticket(b"SELECT COUNT(*) AS n FROM xchg_mut")).read_all()
     assert got.column("n").to_pylist() == [1]
+
+
+def test_show_tables_and_describe_over_wire(servers):
+    """A Mallard client's catalog-browsing flow over live gRPC:
+    SHOW TABLES (logical names) and DESCRIBE <t> as do_get tickets —
+    the reference passes both straight to DuckDB
+    (flight_server.py:342-346)."""
+    s1, _ = servers
+    client = _client(s1)
+    _put(client, "cat_t", _sample())
+    names = client.do_get(flight.Ticket(b"SHOW TABLES")).read_all()
+    listed = names.column("name").to_pylist()
+    assert "cat_t" in listed
+    assert all("__" not in n for n in listed)
+    desc = client.do_get(flight.Ticket(b"DESCRIBE cat_t")).read_all()
+    assert {"id", "value"} <= set(desc.column("col_name").to_pylist())

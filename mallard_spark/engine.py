@@ -251,7 +251,23 @@ class MallardEngine:
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))
-        return self.spark.sql(out)
+        try:
+            return self.spark.sql(out)
+        except Exception as first_err:
+            # DuckDB-dialect fallback: the reference's engine IS
+            # DuckDB, so clients send DuckDB SQL (`//`, QUALIFY,
+            # EXCLUDE, DISTINCT ON). Translate and retry ONLY after
+            # vanilla parsing/analysis failed — a query Spark already
+            # accepts can never change meaning.
+            from mallard_spark.dialect import duckdb_to_spark
+
+            translated = duckdb_to_spark(out)
+            if translated == out:
+                raise
+            try:
+                return self.spark.sql(translated)
+            except Exception:
+                raise first_err
 
     def get_arrow(self, sql: str) -> "pa.Table":
         """GET returning an Arrow table (the reference's wire format).

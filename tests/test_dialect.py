@@ -1,0 +1,110 @@
+"""DuckDB-dialect shim: the same DuckDB SQL a Mallard client runs
+against the reference (whose engine IS DuckDB) must produce the same
+answer through MallardEngine.sql. Each case executes on BOTH engines
+and compares values."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from mallard_spark.dialect import duckdb_to_spark
+from mallard_spark.engine import MallardEngine
+
+
+@pytest.fixture()
+def eng(spark):
+    e = MallardEngine(spark, "t_dialect")
+    e.put(
+        "dt",
+        pa.table(
+            {
+                "id": [1, 2, 3, 4, 5, 6],
+                "g": ["a", "a", "b", "b", "c", "c"],
+                "v": [10, 40, 20, 50, 30, 60],
+            }
+        ),
+    )
+    return e
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE dt AS SELECT * FROM (VALUES "
+        "(1,'a',10),(2,'a',40),(3,'b',20),(4,'b',50),(5,'c',30),(6,'c',60)"
+        ") t(id, g, v)"
+    )
+    return con.execute(sql).fetchall()
+
+
+def _both(eng, sql: str):
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    want = [tuple(r) for r in _duck(sql)]
+    assert sorted(map(repr, got)) == sorted(map(repr, want)), (got, want)
+    return got
+
+
+def test_integer_division(eng):
+    _both(eng, "SELECT id, v // 7 AS d FROM dt ORDER BY id")
+
+
+def test_intdiv_inside_string_untouched(eng):
+    rows = _both(eng, "SELECT 'a//b' AS s, v // 7 AS d FROM dt ORDER BY d")
+    assert rows[0][0] == "a//b"
+
+
+def test_exclude(eng):
+    rows = _both(eng, "SELECT * EXCLUDE (v) FROM dt ORDER BY id")
+    assert len(rows[0]) == 2
+
+
+def test_qualify_top_n_per_group(eng):
+    _both(
+        eng,
+        "SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn "
+        "FROM dt QUALIFY rn <= 1 ORDER BY g",
+    )
+
+
+def test_qualify_window_in_predicate(eng):
+    _both(
+        eng,
+        "SELECT g, v FROM dt "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1 ORDER BY g",
+    )
+
+
+def test_distinct_on(eng):
+    _both(eng, "SELECT DISTINCT ON (g) g, v FROM dt ORDER BY g, v")
+
+
+def test_distinct_on_desc(eng):
+    _both(eng, "SELECT DISTINCT ON (g) g, v FROM dt ORDER BY g, v DESC")
+
+
+def test_combined_intdiv_and_qualify(eng):
+    _both(
+        eng,
+        "SELECT g, v // 7 AS d, row_number() OVER (PARTITION BY g ORDER BY v) AS rn "
+        "FROM dt QUALIFY rn = 1 ORDER BY g",
+    )
+
+
+def test_valid_spark_sql_untouched():
+    for q in [
+        "SELECT a, b FROM t WHERE a > 1 ORDER BY b",
+        "SELECT 'lit with // and QUALIFY inside' AS s FROM t",
+        "SELECT a DIV b FROM t -- comment // here",
+    ]:
+        assert duckdb_to_spark(q) == q
+
+
+def test_translator_output_shapes():
+    assert duckdb_to_spark("SELECT v // 2 FROM t") == "SELECT v  DIV  2 FROM t"
+    assert (
+        duckdb_to_spark("SELECT * EXCLUDE (v) FROM t")
+        == "SELECT * EXCEPT (v) FROM t"
+    )
+    out = duckdb_to_spark("SELECT g FROM t QUALIFY rn <= 2")
+    assert out.startswith("SELECT * EXCEPT (__qualify) FROM (")
+    assert "AS __qualify" in out and out.rstrip().endswith("WHERE __qualify")

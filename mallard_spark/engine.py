@@ -68,6 +68,9 @@ _ALTER_RENAME_RE = re.compile(
 )
 _DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_SUMMARIZE_RE = re.compile(
+    r"^\s*SUMMARIZE\s+(?P<name>[A-Za-z_][\w]*)\s*;?\s*$", re.IGNORECASE
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
@@ -248,6 +251,13 @@ class MallardEngine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.list_tables()], "name string"
             )
+        m = _SUMMARIZE_RE.match(sql)
+        if m and m.group("name") in self._tables:
+            # DuckDB's SUMMARIZE <t>: per-column profile. Spark's
+            # summary() answers the same question (count/mean/stddev/
+            # min/quartiles/max per column); the column layout differs
+            # from DuckDB's, which a porting client reads, not joins.
+            return self.table(m.group("name")).summary()
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))

@@ -375,3 +375,14 @@ def test_describe_table_through_rewriter(engines):
     rows = eng1.sql("DESCRIBE desc_t").collect()
     cols = {r.col_name for r in rows}
     assert {"id", "name", "value"} <= cols
+
+
+def test_summarize_table(engines):
+    """DuckDB's `SUMMARIZE t` (a catalog-browsing staple) answers a
+    per-column profile — Spark's summary() shape, documented as a
+    layout difference from DuckDB's."""
+    eng1, _ = engines
+    eng1.put("sum_t", _sample_table())
+    rows = eng1.sql("SUMMARIZE sum_t").collect()
+    stats = {r.summary for r in rows}
+    assert {"count", "mean", "min", "max"} <= stats

@@ -668,6 +668,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = knn_ivfpq(spark, sf_dir).select(
         "probe_id", F.col("neighbor_id").alias("ivfpq_n")
     )
+    pqt = knn_pq_trained(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("pqt_n")
+    )
     lsh_hits = (
         exact.join(lsh, (exact.probe_id == lsh.probe_id) & (F.col("exact_n") == F.col("lsh_n")))
         .groupBy(exact.probe_id)
@@ -701,6 +704,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(exact.probe_id)
         .agg(F.count("*").alias("ivfpq_hits"))
     )
+    pqt_hits = (
+        exact.join(
+            pqt,
+            (exact.probe_id == pqt.probe_id) & (F.col("exact_n") == F.col("pqt_n")),
+        )
+        .groupBy(exact.probe_id)
+        .agg(F.count("*").alias("pqt_hits"))
+    )
     base = exact.groupBy("probe_id").agg(F.count("*").alias("k"))
     return (
         base.join(lsh_hits, "probe_id", "left")
@@ -709,6 +720,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(km_hits, "probe_id", "left")
         .join(pq_hits, "probe_id", "left")
         .join(ivfpq_hits, "probe_id", "left")
+        .join(pqt_hits, "probe_id", "left")
         .select(
             "probe_id",
             "k",
@@ -718,6 +730,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("km_hits", F.lit(0)) / F.col("k")).alias("km_recall"),
             (F.coalesce("pq_hits", F.lit(0)) / F.col("k")).alias("pq_recall"),
             (F.coalesce("ivfpq_hits", F.lit(0)) / F.col("k")).alias("ivfpq_recall"),
+            (F.coalesce("pqt_hits", F.lit(0)) / F.col("k")).alias("pqt_recall"),
         )
     )
 

@@ -35,14 +35,18 @@ HEADLINE = [
     "text_token_stats",
     "text_chunking",
     "decontaminate_overlap",
+    "decontaminate_bloom",
     "mix_sources",
     "dedup_minhash_lsh",
     "dedup_substring_windows",
+    "mm_phash_dedup",
     "url_canonicalize_dedup",
     "quality_perplexity_proxy",
+    "bpe_train_merges",
     "knn_bruteforce",
     "knn_lsh_multiprobe",
     "knn_ivfpq",
+    "knn_pq_trained",
     "exchange_add_processed",
 ]
 

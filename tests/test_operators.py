@@ -327,6 +327,12 @@ def test_operators_tolerate_empty_input(spark, tmp_path):
         "quality_perplexity_proxy",
         "dedup_semantic_kmeans",
         "knn_pq",
+        "quality_perplexity_buckets",
+        "decontaminate_bloom",
+        "knn_pq_trained",
+        "bpe_train_merges",
+        "mm_phash_dedup",
+        "hard_negative_mining",
     ):
         assert specs[name].fn(spark, empty_dir).count() == 0, name
 

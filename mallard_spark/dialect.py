@@ -219,6 +219,185 @@ def _rewrite_distinct_on(sql: str) -> str:
     ).rstrip()
 
 
+def _prev_code_char(sql: str, mask: list[bool], i: int) -> str:
+    j = i - 1
+    while j >= 0 and (sql[j] in _WS or not mask[j]):
+        j -= 1
+    return sql[j] if j >= 0 else ""
+
+
+def _base_start(sql: str, mask: list[bool], i: int) -> int:
+    """Start index of the postfix-expression base ending just before
+    ``sql[i]`` — walks back over identifier chains, dots, and balanced
+    ()/[] groups (``f(x)``, ``t.arr``, ``a[1]``)."""
+    j = i
+    while j > 0:
+        c = sql[j - 1]
+        if c in ")]" and mask[j - 1]:
+            depth = 0
+            k = j - 1
+            while k >= 0:
+                if sql[k] in ")]" and mask[k]:
+                    depth += 1
+                elif sql[k] in "([" and mask[k]:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            j = k
+        elif (c.isalnum() or c in "_.") and mask[j - 1]:
+            while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_.") and mask[j - 1]:
+                j -= 1
+        else:
+            break
+    return j
+
+
+def _split_on_colon(content: str) -> tuple[str, str] | None:
+    """Split at the single top-level ``:`` (ignoring ``::`` casts)."""
+    mask = _code_mask(content)
+    depth = 0
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if mask[i]:
+            if c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+            elif c == ":" and depth == 0:
+                if i + 1 < n and content[i + 1] == ":":
+                    i += 2
+                    continue
+                if i > 0 and content[i - 1] == ":":
+                    i += 1
+                    continue
+                return content[:i], content[i + 1 :]
+        i += 1
+    return None
+
+
+_EXPR_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "ON", "WHEN", "THEN",
+    "ELSE", "CASE", "BY", "AS", "HAVING", "RETURN", "RETURNS", "SET",
+    "VALUES", "UNION", "ALL", "DISTINCT", "LIKE", "ILIKE", "BETWEEN",
+    "IS", "EXISTS", "ANY", "SOME", "OFFSET", "LIMIT",
+}
+
+
+def _innermost_groups(sql: str, mask: list[bool]) -> list[tuple[int, int]]:
+    """All code-level ``[..]`` / ``{..}`` spans with no nested [ or {
+    groups inside, in source order."""
+    stack: list[list] = []  # [open_char, start, is_innermost]
+    out = []
+    for i, c in enumerate(sql):
+        if not mask[i]:
+            continue
+        if c in "[{":
+            for frame in stack:
+                frame[2] = False
+            stack.append([c, i, True])
+        elif c in "]}":
+            want = "[" if c == "]" else "{"
+            if stack and stack[-1][0] == want:
+                _, start, inner = stack.pop()
+                if inner:
+                    out.append((start, i))
+    return sorted(out)
+
+
+def _rewrite_collections(sql: str) -> str:
+    """DuckDB collection syntax → Spark, innermost-first to fixpoint:
+
+    - ``{'k': v, ...}``       → ``named_struct('k', v, ...)``
+    - ``[e1, e2]`` (literal)  → ``array(e1, e2)``
+    - ``base[i:j]``           → ``slice(base, i, (j)-(i)+1)``
+      (``[:j]`` → from 1; ``[i:]`` → through size(base))
+
+    1-based ``base[i]`` indexing is deliberately NOT rewritten: it is
+    valid Spark (0-based), so it never reaches this on-failure shim —
+    documented dialect trap, not silently "fixed".
+    """
+    skipped: set[str] = set()
+    for _ in range(256):  # fixpoint; bound guards a rewrite bug
+        mask = _code_mask(sql)
+        changed = False
+        for i, j in _innermost_groups(sql, mask):
+            if (i, sql[i : j + 1]) in skipped:
+                continue
+            content = sql[i + 1 : j]
+            if sql[i] == "{":
+                parts = _split_top_level_commas(content)
+                kvs = [_split_on_colon(p) for p in parts]
+                if any(kv is None for kv in kvs):
+                    skipped.add((i, sql[i : j + 1]))
+                    continue
+                def _key(k: str) -> str:
+                    k = k.strip()
+                    return k if k.startswith("'") else f"'{k}'"
+
+                pairs = ", ".join(f"{_key(k)}, {v.strip()}" for k, v in kvs)
+                sql = f"{sql[:i]}named_struct({pairs}){sql[j + 1:]}"
+                changed = True
+                break
+            prev = _prev_code_char(sql, mask, i)
+            postfix = prev.isalnum() or prev in "_)]'\"`"
+            if postfix and (prev.isalnum() or prev == "_"):
+                # a KEYWORD before [ means expression position (e.g.
+                # SELECT [1,2]), not an indexable base
+                k = i - 1
+                while k >= 0 and (sql[k] in _WS or not mask[k]):
+                    k -= 1
+                e = k
+                while k >= 0 and (sql[k].isalnum() or sql[k] == "_") and mask[k]:
+                    k -= 1
+                if sql[k + 1 : e + 1].upper() in _EXPR_KEYWORDS:
+                    postfix = False
+            if not postfix:
+                sql = f"{sql[:i]}array({content}){sql[j + 1:]}"
+                changed = True
+                break
+            split = _split_on_colon(content)
+            if split is None:
+                # plain 1-based index — valid (0-based) Spark syntax,
+                # so it can't be rewritten from an on-failure shim
+                skipped.add((i, sql[i : j + 1]))
+                continue
+            lo, hi = (s.strip() for s in split)
+            b = _base_start(sql, mask, i)
+            base = sql[b:i]
+            if lo and hi:
+                repl = f"slice({base}, {lo}, ({hi})-({lo})+1)"
+            elif hi:
+                repl = f"slice({base}, 1, {hi})"
+            elif lo:
+                repl = f"slice({base}, {lo}, greatest(0, size({base})-({lo})+1))"
+            else:
+                repl = base
+            sql = f"{sql[:b]}{repl}{sql[j + 1:]}"
+            changed = True
+            break
+        if not changed:
+            break
+    return sql
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    mask = _code_mask(s)
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if mask[i]:
+            if c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append(s[start:i])
+                start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
 def duckdb_to_spark(sql: str) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
 
@@ -230,6 +409,7 @@ def duckdb_to_spark(sql: str) -> str:
     """
     out = _replace_intdiv(sql)
     out = _replace_exclude(out)
+    out = _rewrite_collections(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
     return out

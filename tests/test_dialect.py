@@ -108,3 +108,60 @@ def test_translator_output_shapes():
     out = duckdb_to_spark("SELECT g FROM t QUALIFY rn <= 2")
     assert out.startswith("SELECT * EXCEPT (__qualify) FROM (")
     assert "AS __qualify" in out and out.rstrip().endswith("WHERE __qualify")
+
+
+def test_list_literal(eng):
+    got = eng.sql("SELECT g, size([v, v + 1, 99]) AS n FROM dt ORDER BY g, v").collect()
+    assert all(r.n == 3 for r in got) and len(got) == 6
+
+
+def test_list_literal_value(eng):
+    got = eng.sql("SELECT [1, 2, 3] AS l").collect()
+    assert got[0].l == [1, 2, 3]
+
+
+def test_list_slice(eng):
+    got = eng.sql("SELECT [10, 20, 30, 40][2:3] AS s").collect()
+    assert got[0].s == [20, 30]
+    want = _duck("SELECT [10, 20, 30, 40][2:3] AS s")
+    assert got[0].s == want[0][0]
+
+
+def test_list_slice_open_ends(eng):
+    for q in (
+        "SELECT [10, 20, 30, 40][:2] AS s",
+        "SELECT [10, 20, 30, 40][2:] AS s",
+    ):
+        got = eng.sql(q).collect()[0].s
+        want = _duck(q)[0][0]
+        assert got == want, q
+
+
+def test_struct_literal(eng):
+    got = eng.sql("SELECT {'a': 1, 'b': 'x'} AS s").collect()[0].s.asDict()
+    want = _duck("SELECT {'a': 1, 'b': 'x'} AS s")[0][0]
+    assert got == want
+
+
+def test_struct_literal_unquoted_keys(eng):
+    got = eng.sql("SELECT {a: 1, b: 2} AS s").collect()[0].s.asDict()
+    assert got == {"a": 1, "b": 2}
+
+
+def test_nested_struct_and_list(eng):
+    got = eng.sql("SELECT {'xs': [1, 2], 'y': {'z': 3}} AS s").collect()[0].s
+    d = got.asDict(recursive=True)
+    assert d == {"xs": [1, 2], "y": {"z": 3}}
+
+
+def test_plain_index_not_rewritten():
+    # arr[1] is VALID Spark (0-based) — the on-failure shim must leave
+    # it alone (documented dialect trap)
+    assert duckdb_to_spark("SELECT arr[1] FROM t") == "SELECT arr[1] FROM t"
+
+
+def test_cast_colon_colon_not_split():
+    out = duckdb_to_spark("SELECT [1,2][1:2]")
+    assert "slice" in out
+    out2 = duckdb_to_spark("SELECT x::INT FROM t")
+    assert out2 == "SELECT x::INT FROM t"

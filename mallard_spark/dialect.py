@@ -244,6 +244,8 @@ def _base_start(sql: str, mask: list[bool], i: int) -> int:
                     if depth == 0:
                         break
                 k -= 1
+            if k < 0:
+                return -1  # unbalanced — caller must skip this group
             j = k
         elif (c.isalnum() or c in "_.") and mask[j - 1]:
             while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_.") and mask[j - 1]:
@@ -341,7 +343,7 @@ def _rewrite_collections(sql: str) -> str:
                 changed = True
                 break
             prev = _prev_code_char(sql, mask, i)
-            postfix = prev.isalnum() or prev in "_)]'\"`"
+            postfix = bool(prev) and (prev.isalnum() or prev in "_)]'\"`")
             if postfix and (prev.isalnum() or prev == "_"):
                 # a KEYWORD before [ means expression position (e.g.
                 # SELECT [1,2]), not an indexable base
@@ -365,7 +367,17 @@ def _rewrite_collections(sql: str) -> str:
                 continue
             lo, hi = (s.strip() for s in split)
             b = _base_start(sql, mask, i)
-            base = sql[b:i]
+            base = sql[b:i] if b >= 0 else ""
+            if not base.strip():
+                # unbalanced or empty base (malformed input) — leave it
+                skipped.add((i, sql[i : j + 1]))
+                continue
+            if b < i:
+                # relocating the base into slice(...) changes the
+                # context of any group INSIDE it (e.g. a leading list
+                # literal) — translate the base as its own fragment
+                # first so the relocation can't re-trigger rewrites
+                base = _rewrite_collections(base)
             if lo and hi:
                 repl = f"slice({base}, {lo}, ({hi})-({lo})+1)"
             elif hi:
@@ -398,6 +410,41 @@ def _split_top_level_commas(s: str) -> list[str]:
     return parts
 
 
+# DuckDB→Spark function renames where semantics and argument order
+# are 1:1 (verified case by case; see tests). Deliberately excluded:
+# len (strings vs lists is ambiguous), string_split (Spark's split
+# takes a REGEX separator), list_position (NULL vs 0 when absent).
+_FUNC_RENAMES = {
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "list_reverse": "reverse",
+    "list_contains": "array_contains",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_concat": "concat",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "regexp_matches": "rlike",
+}
+
+_FUNC_RENAME_RE = re.compile(
+    r"\b(" + "|".join(_FUNC_RENAMES) + r")\b(?=\s*\()", re.IGNORECASE
+)
+
+
+def _rename_functions(sql: str) -> str:
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if all(mask[k] for k in range(m.start(), m.end())):
+            return _FUNC_RENAMES[m.group(1).lower()]
+        return m.group(0)
+
+    return _FUNC_RENAME_RE.sub(sub, sql)
+
+
 def duckdb_to_spark(sql: str) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
 
@@ -409,7 +456,27 @@ def duckdb_to_spark(sql: str) -> str:
     """
     out = _replace_intdiv(sql)
     out = _replace_exclude(out)
+    out = _rename_functions(out)
     out = _rewrite_collections(out)
-    out = _rewrite_distinct_on(out)
-    out = _rewrite_qualify(out)
+    if _balanced(out):
+        # the depth-based statement rewrites are only well-defined on
+        # bracket-balanced input; on malformed text their "top level"
+        # is meaningless and rewriting could corrupt instead of
+        # passing the original through to Spark's real parse error
+        out = _rewrite_distinct_on(out)
+        out = _rewrite_qualify(out)
     return out
+
+
+def _balanced(sql: str) -> bool:
+    depth = 0
+    for i, ch, _, in_code in _scan(sql):
+        if not in_code:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0

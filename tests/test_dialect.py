@@ -165,3 +165,34 @@ def test_cast_colon_colon_not_split():
     assert "slice" in out
     out2 = duckdb_to_spark("SELECT x::INT FROM t")
     assert out2 == "SELECT x::INT FROM t"
+
+
+def test_function_renames(eng):
+    _both(
+        eng,
+        "SELECT g, list_sort(list_transform([v, v + 1], x -> x * 2)) AS l, "
+        "list_contains([v], v) AS c, list_max([v, 1]) AS m "
+        "FROM dt ORDER BY g, v",
+    )
+
+
+def test_regexp_matches_partial_match(eng):
+    _both(eng, "SELECT g FROM dt WHERE regexp_matches(g, 'a|b') ORDER BY g, v")
+
+
+def test_rename_inside_string_untouched():
+    q = "SELECT 'call list_sort(x) here' AS s, list_sort(a) FROM t"
+    out = duckdb_to_spark(q)
+    assert "'call list_sort(x) here'" in out
+    assert out.endswith("array_sort(a) FROM t")
+
+
+def test_translator_idempotent_on_own_output():
+    cases = [
+        "SELECT [1,2][1:2] AS s, {'a': 1} AS t, v // 2 AS d FROM t QUALIFY rn = 1",
+        "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v",
+        "SELECT list_transform([1,2], x -> x) FROM t",
+    ]
+    for q in cases:
+        once = duckdb_to_spark(q)
+        assert duckdb_to_spark(once) == once, q

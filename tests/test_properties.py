@@ -189,3 +189,70 @@ def test_url_canonicalize_matches_duckdb_over_fragment_combos():
         (u, g, w) for u, g, w in zip(urls, got, want) if g != w
     ]
     assert not mismatches, mismatches[:5]
+
+
+_DIALECT_FRAGMENTS = st.sampled_from(
+    [
+        "SELECT ",
+        "FROM t ",
+        "[1, 2]",
+        "[v:3]",
+        "arr[1:2]",
+        "arr[2]",
+        "{'a': 1}",
+        "{k: v}",
+        "x // y",
+        "x :: INT",
+        "'lit // [1:2] {a:1} QUALIFY'",
+        "-- comment // [1:] \n",
+        "/* {x:y} // */",
+        "QUALIFY rn = 1",
+        "DISTINCT ON (g) ",
+        "* EXCLUDE (v) ",
+        "list_sort(a)",
+        "ORDER BY g",
+        "(",
+        ")",
+        "]",
+        "}",
+        ":",
+        ",",
+    ]
+)
+
+
+@given(st.lists(_DIALECT_FRAGMENTS, min_size=0, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_dialect_translator_total_and_idempotent(parts):
+    """The DuckDB-dialect translator must never crash on arbitrary
+    (even malformed) input and must be a fixed point on its own
+    output — a rewriter that re-rewrites corrupts queries silently."""
+    from mallard_spark.dialect import duckdb_to_spark
+
+    sql = "".join(parts)
+    once = duckdb_to_spark(sql)  # must not raise
+    assert duckdb_to_spark(once) == once
+
+
+@given(st.text(min_size=0, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_dialect_translator_total_on_arbitrary_text(sql):
+    from mallard_spark.dialect import duckdb_to_spark
+
+    duckdb_to_spark(sql)  # totality: never raises
+
+
+@given(st.sampled_from([
+    "it''s a // trap",
+    "keep [1:2] inside",
+    "QUALIFY me",
+    "{not: struct}",
+    "list_sort(x)",
+]))
+@settings(max_examples=50, deadline=None)
+def test_dialect_string_literals_never_touched(lit):
+    from mallard_spark.dialect import duckdb_to_spark
+
+    sql = f"SELECT '{lit}' AS s, v // 2 FROM t"
+    out = duckdb_to_spark(sql)
+    assert f"'{lit}'" in out

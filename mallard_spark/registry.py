@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every plans/operators module so registrations run."""
     import mallard_spark.operators.dedup  # noqa: F401
     import mallard_spark.operators.graph  # noqa: F401
+    import mallard_spark.operators.layout  # noqa: F401
     import mallard_spark.operators.llm  # noqa: F401
     import mallard_spark.operators.merge  # noqa: F401
     import mallard_spark.operators.quality  # noqa: F401

@@ -166,3 +166,57 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert df.count() == 8
     assert df.filter("day = 1 AND label IS NULL").count() == 5
     assert df.filter("day = 2 AND label IS NOT NULL").count() == 3
+
+
+def test_write_zorder_shrinks_footer_ranges(spark, tmp_path):
+    """The Z-order sink must ACTUALLY shrink per-file min-max ranges
+    in the parquet footers (what scan-time skipping reads) on both
+    clustered columns, vs a single-column-sorted write."""
+    import pyarrow.parquet as pq
+
+    from mallard_spark.sources.readers import load_table
+    from mallard_spark.sources.writers import write_zorder
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    write_zorder(li, zpath, "l_partkey", "l_orderkey", n_files=8)
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def spans(path, col):
+        import glob
+        import os
+
+        total, n = 0, 0
+        lo = hi = None
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is None:
+                continue
+            total += fmax - fmin
+            n += 1
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        return (total / n) / max(1, hi - lo)  # avg span fraction
+
+    # single-column sort: near-zero span on the sort column, ~full on
+    # the other; zorder: materially below full range on BOTH
+    z_x, z_y = spans(zpath, "l_partkey"), spans(zpath, "l_orderkey")
+    s_x = spans(spath, "l_partkey")
+    assert s_x > 0.9  # the "no skipping" baseline this sink fixes
+    assert z_x < 0.6 and z_y < 0.6, (z_x, z_y)

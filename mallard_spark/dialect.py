@@ -214,8 +214,12 @@ def _rewrite_distinct_on(sql: str) -> str:
         f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order}) "
         f"AS __don_rn {body}"
     )
+    # a WITH-clause prefix (sql[:s]) must survive, outside the wrap —
+    # CTE scope covers the whole statement including the subquery
+    prefix = sql[:s]
     return (
-        f"SELECT {select_list} FROM ({inner}) __don_src WHERE __don_rn = 1 {tail}"
+        f"{prefix}SELECT {select_list} FROM ({inner}) __don_src "
+        f"WHERE __don_rn = 1 {tail}"
     ).rstrip()
 
 

@@ -196,3 +196,20 @@ def test_translator_idempotent_on_own_output():
     for q in cases:
         once = duckdb_to_spark(q)
         assert duckdb_to_spark(once) == once, q
+
+
+def test_distinct_on_with_cte(eng):
+    _both(
+        eng,
+        "WITH big AS (SELECT g, v FROM dt WHERE v > 15) "
+        "SELECT DISTINCT ON (g) g, v FROM big ORDER BY g, v",
+    )
+
+
+def test_qualify_with_cte(eng):
+    _both(
+        eng,
+        "WITH big AS (SELECT g, v FROM dt WHERE v > 15) "
+        "SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn "
+        "FROM big QUALIFY rn = 1 ORDER BY g",
+    )

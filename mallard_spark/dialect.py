@@ -164,9 +164,12 @@ def _rewrite_qualify(sql: str) -> str:
     frm = _find_kw(base, "FROM", at_depth=0)
     if frm < 0:
         return sql
-    injected = f"{base[:frm].rstrip()}, ({pred.strip()}) AS __qualify {base[frm:]}"
+    # the newline before the comma terminates any trailing -- comment
+    # on the select list's last line (which would otherwise swallow
+    # the injected column and the FROM clause)
+    injected = f"{base[:frm].rstrip()}\n, ({pred.strip()}) AS __qualify {base[frm:]}"
     return (
-        f"SELECT * EXCEPT (__qualify) FROM ({injected}) __qualify_src "
+        f"SELECT * EXCEPT (__qualify) FROM ({injected}\n) __qualify_src "
         f"WHERE __qualify {tail}".rstrip()
     )
 
@@ -207,36 +210,111 @@ def _rewrite_distinct_on(sql: str) -> str:
     body, tail = _split_tail(rest, frm)
     order = keys
     if tail.upper().lstrip().startswith("ORDER"):
+        # the window's tiebreak order is the query's ORDER BY — minus
+        # any trailing LIMIT, which belongs to the OUTER query only
         order = tail.lstrip()[len("ORDER") :].lstrip()
         if order.upper().startswith("BY"):
             order = order[2:]
+        lim = _find_kw(order, "LIMIT", at_depth=0)
+        if lim >= 0:
+            order = order[:lim].rstrip()
+        # ORDER BY may reference select-list ALIASES (DuckDB scoping);
+        # inside the inner window those are out of scope — substitute
+        # their defining expressions
+        order = _substitute_aliases(order, select_list)
     inner = (
         f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order}) "
-        f"AS __don_rn {body}"
+        f"AS __don_rn {body}\n"
     )
     # a WITH-clause prefix (sql[:s]) must survive, outside the wrap —
-    # CTE scope covers the whole statement including the subquery
+    # CTE scope covers the whole statement including the subquery.
+    # Newlines terminate trailing -- comments in the copied fragments.
     prefix = sql[:s]
     return (
-        f"{prefix}SELECT {select_list} FROM ({inner}) __don_src "
+        f"{prefix}SELECT {select_list}\n FROM ({inner}) __don_src "
         f"WHERE __don_rn = 1 {tail}"
     ).rstrip()
 
 
-def _prev_code_char(sql: str, mask: list[bool], i: int) -> str:
+_AS_ALIAS_RE = re.compile(r"\bAS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+
+
+def _substitute_aliases(order: str, select_list: str) -> str:
+    """Replace select-list aliases referenced in ``order`` with their
+    defining expressions (valid inside the injected window, where the
+    outer aliases are not in scope)."""
+    aliases: dict[str, str] = {}
+    for item in _split_top_level_commas(select_list):
+        m = _AS_ALIAS_RE.search(item.rstrip())
+        if m:
+            aliases[m.group(1).lower()] = item.rstrip()[: m.start()].strip()
+    if not aliases:
+        return order
+    mask = _code_mask(order)
+
+    def sub(m: re.Match) -> str:
+        expr = aliases.get(m.group(0).lower())
+        if expr is None or not all(mask[k] for k in range(m.start(), m.end())):
+            return m.group(0)
+        return f"({expr})"
+
+    return re.sub(r"\b[A-Za-z_]\w*\b", sub, order)
+
+
+def _region_starts(sql: str) -> list[int]:
+    """For every masked (string/comment) character, the start index of
+    its region; -1 for code characters."""
+    starts = [-1] * len(sql)
+    cur = -1
+    for i, _ch, _d, in_code in _scan(sql):
+        if in_code:
+            cur = -1
+        else:
+            if cur == -1:
+                cur = i
+            starts[i] = cur
+    return starts
+
+
+def _prev_code_char(
+    sql: str, mask: list[bool], i: int, starts: list[int] | None = None
+) -> str:
+    """Last meaningful char before ``i``: skips whitespace and
+    COMMENTS; a string literal answers its closing quote (so
+    ``'abc'[2:4]`` reads as a postfix slice of the string)."""
     j = i - 1
-    while j >= 0 and (sql[j] in _WS or not mask[j]):
-        j -= 1
-    return sql[j] if j >= 0 else ""
+    while j >= 0:
+        if sql[j] in _WS:
+            j -= 1
+            continue
+        if not mask[j]:
+            r = starts[j] if starts else -1
+            if r >= 0 and sql[r] in "'\"`":
+                return sql[j]
+            if r >= 0:
+                j = r - 1  # comment: skip the whole region
+                continue
+            j -= 1
+            continue
+        return sql[j]
+    return ""
 
 
-def _base_start(sql: str, mask: list[bool], i: int) -> int:
+def _base_start(
+    sql: str, mask: list[bool], i: int, starts: list[int] | None = None
+) -> int:
     """Start index of the postfix-expression base ending just before
-    ``sql[i]`` — walks back over identifier chains, dots, and balanced
-    ()/[] groups (``f(x)``, ``t.arr``, ``a[1]``)."""
+    ``sql[i]`` — walks back over identifier chains, dots, balanced
+    ()/[] groups (``f(x)``, ``t.arr``, ``a[1]``), or one string
+    literal (``'abc'[2:]``)."""
     j = i
     while j > 0:
         c = sql[j - 1]
+        if not mask[j - 1] and starts is not None:
+            r = starts[j - 1]
+            if r >= 0 and sql[r] in "'\"`":
+                return r  # string-literal base — consume it whole
+            break
         if c in ")]" and mask[j - 1]:
             depth = 0
             k = j - 1
@@ -327,6 +405,7 @@ def _rewrite_collections(sql: str) -> str:
     skipped: set[str] = set()
     for _ in range(256):  # fixpoint; bound guards a rewrite bug
         mask = _code_mask(sql)
+        starts = _region_starts(sql)
         changed = False
         for i, j in _innermost_groups(sql, mask):
             if (i, sql[i : j + 1]) in skipped:
@@ -340,13 +419,18 @@ def _rewrite_collections(sql: str) -> str:
                     continue
                 def _key(k: str) -> str:
                     k = k.strip()
-                    return k if k.startswith("'") else f"'{k}'"
+                    if k.startswith("'"):
+                        return k
+                    if k[:1] in ('"', "`") and k[-1:] == k[:1] and len(k) >= 2:
+                        # DuckDB quoted key → plain single-quoted name
+                        k = k[1:-1].replace(k[0] * 2, k[0])
+                    return "'" + k.replace("'", "''") + "'"
 
                 pairs = ", ".join(f"{_key(k)}, {v.strip()}" for k, v in kvs)
                 sql = f"{sql[:i]}named_struct({pairs}){sql[j + 1:]}"
                 changed = True
                 break
-            prev = _prev_code_char(sql, mask, i)
+            prev = _prev_code_char(sql, mask, i, starts)
             postfix = bool(prev) and (prev.isalnum() or prev in "_)]'\"`")
             if postfix and (prev.isalnum() or prev == "_"):
                 # a KEYWORD before [ means expression position (e.g.
@@ -370,7 +454,7 @@ def _rewrite_collections(sql: str) -> str:
                 skipped.add((i, sql[i : j + 1]))
                 continue
             lo, hi = (s.strip() for s in split)
-            b = _base_start(sql, mask, i)
+            b = _base_start(sql, mask, i, starts)
             base = sql[b:i] if b >= 0 else ""
             if not base.strip():
                 # unbalanced or empty base (malformed input) — leave it
@@ -382,10 +466,16 @@ def _rewrite_collections(sql: str) -> str:
                 # literal) — translate the base as its own fragment
                 # first so the relocation can't re-trigger rewrites
                 base = _rewrite_collections(base)
+            # a string-literal base means STRING slicing — DuckDB's
+            # 'abc'[2:4] is substring semantics (1-based inclusive),
+            # and Spark's slice() only accepts arrays
+            fn = "substring" if base.lstrip()[:1] in ("'", '"') else "slice"
             if lo and hi:
-                repl = f"slice({base}, {lo}, ({hi})-({lo})+1)"
+                repl = f"{fn}({base}, {lo}, ({hi})-({lo})+1)"
             elif hi:
-                repl = f"slice({base}, 1, {hi})"
+                repl = f"{fn}({base}, 1, {hi})"
+            elif lo and fn == "substring":
+                repl = f"substring({base}, {lo})"
             elif lo:
                 repl = f"slice({base}, {lo}, greatest(0, size({base})-({lo})+1))"
             else:

@@ -213,3 +213,28 @@ def test_qualify_with_cte(eng):
         "SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn "
         "FROM big QUALIFY rn = 1 ORDER BY g",
     )
+
+
+def test_distinct_on_with_order_alias_and_limit(eng):
+    _both(
+        eng,
+        "SELECT DISTINCT ON (g) g, v * 2 AS d FROM dt ORDER BY g, d LIMIT 2",
+    )
+
+
+def test_string_slicing(eng):
+    _both(eng, "SELECT g, 'abcdef'[2:4] AS s, 'abcdef'[3:] AS t FROM dt ORDER BY g, v")
+
+
+def test_struct_key_double_quoted(eng):
+    got = eng.sql("SELECT {\"a b\": 1} AS s").collect()[0].s.asDict()
+    want = _duck("SELECT {\"a b\": 1} AS s")[0][0]
+    assert got == want == {"a b": 1}
+
+
+def test_qualify_with_trailing_line_comment(eng):
+    _both(
+        eng,
+        "SELECT g, v -- picked columns\nFROM dt "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1 ORDER BY g",
+    )

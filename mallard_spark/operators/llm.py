@@ -912,6 +912,27 @@ def _bloom_pos_sql(sh: str, j: str) -> str:
     return f"{md5_long_sql(expr)} % {BLOOM_M}"
 
 
+_BLOOM_JS_SQL = f"(SELECT unnest([{', '.join(map(str, range(BLOOM_J)))}]) AS j)"
+
+
+def _bloom_js():
+    """One row per hash function index (exploded j column)."""
+    return F.explode(F.array(*[F.lit(j) for j in range(BLOOM_J)])).alias("j")
+
+
+def _bloom_pos():
+    """Bloom bit position of (sh, j) — THE hash; single definition
+    site shared by the bitmap build, the batch sweep, and (via
+    bloom_bitmap_words) the streaming filter."""
+    return md5_long(
+        F.concat(F.col("sh"), F.lit(":bf"), F.col("j").cast("string"))
+    ) % BLOOM_M
+
+
+def _bloom_mask():
+    return F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+
+
 def _split_shingles_and_bitmap(docs: DataFrame):
     """(per-doc distinct shingles with split bucket, distinct TEST
     shingles, packed bitmap of their bloom positions). Shared by the
@@ -928,11 +949,7 @@ def _split_shingles_and_bitmap(docs: DataFrame):
         )
     )
     test_sh = sh.filter(F.col("bucket") >= 90).select("sh").distinct()
-    js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_J)])).alias("j")
-    pos = md5_long(
-        F.concat(F.col("sh"), F.lit(":bf"), F.col("j").cast("string"))
-    ) % BLOOM_M
-    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+    js, pos, mask = _bloom_js(), _bloom_pos(), _bloom_mask()
     bloom = (
         test_sh.select("sh", js)
         .select(pos.alias("pos"))
@@ -969,14 +986,14 @@ def bloom_bitmap_words(spark: SparkSession, sf_dir: str) -> list[int]:
       SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)) AS bits
       FROM (
         SELECT {_bloom_pos_sql('t.sh', 'j.j')} AS pos
-        FROM test_sh t CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+        FROM test_sh t CROSS JOIN {_BLOOM_JS_SQL} j
       )
       GROUP BY pos // 63
     ), train_sh AS (
       SELECT doc_id, sh FROM sh WHERE bucket < 80
     ), probes AS (
       SELECT t.doc_id, t.sh, {_bloom_pos_sql('t.sh', 'j.j')} AS pos
-      FROM train_sh t CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+      FROM train_sh t CROSS JOIN {_BLOOM_JS_SQL} j
     ), tested AS (
       SELECT p.doc_id, p.sh,
              MIN(CASE WHEN b.bits IS NOT NULL
@@ -1030,13 +1047,9 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     sh, test_sh, bloom = _split_shingles_and_bitmap(docs)
-    js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_J)])).alias("j")
-    pos = md5_long(
-        F.concat(F.col("sh"), F.lit(":bf"), F.col("j").cast("string"))
-    ) % BLOOM_M
-    # F.shiftleft only takes a literal bit count — the SQL form
-    # accepts a column shift amount on both engines
-    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+    # F.shiftleft only takes a literal bit count — the mask helper's
+    # SQL form accepts a column shift amount on both engines
+    js, pos, mask = _bloom_js(), _bloom_pos(), _bloom_mask()
     train_sh = sh.filter(F.col("bucket") < 80).select("doc_id", "sh")
     probes = train_sh.select("doc_id", "sh", js).select(
         "doc_id", "sh", pos.alias("pos")
@@ -1193,12 +1206,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     step_dfs = []
     for i in range(BPE_MERGES):
         p = s.withColumn("nxt", F.lead("sym").over(win))
-        best = (
+        # materialized: `best` is referenced by cand, the next-round
+        # rebuild, AND the final step report — without the barrier the
+        # 1-row winner's groupBy+sort re-runs at every reference
+        best = materialize(
             p.filter(F.col("nxt").isNotNull())
             .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
+            .limit(1),
+            f"bpe_best_{i}",
+            n_partitions=1,
         )
         cand = p.join(
             F.broadcast(best), (p.sym == best.l) & (p.nxt == best.r)

@@ -133,8 +133,38 @@ def write_zorder(
     no global sort, no driver involvement.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from mallard_spark.operators.layout import _Z_EXPR, Z_Q
+
+    def quant(col: str, lo: str, hi: str) -> str:
+        """Type-aware 12-bit quantization (integers, dates,
+        timestamps, and floats/decimals are all common Z-order
+        dimensions; DIV alone only handles integers)."""
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.DateType):
+            return f"(datediff({col}, {lo}) * {Z_Q}) DIV (datediff({hi}, {lo}) + 1)"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ needs a cast for unix_micros; session TZ is pinned
+            # UTC so the cast is a pure reinterpretation
+            def um(c: str) -> str:
+                return f"unix_micros(cast({c} as timestamp))"
+
+            return (
+                f"(({um(col)} - {um(lo)}) * {Z_Q})"
+                f" DIV ({um(hi)} - {um(lo)} + 1)"
+            )
+        if isinstance(dt, (T.FractionalType, T.DecimalType)):
+            return (
+                f"least({Z_Q - 1}, cast(floor((({col}) - {lo}) * {Z_Q}"
+                f" / (({hi}) - ({lo}) + 1e-12)) as bigint))"
+            )
+        if isinstance(dt, T.IntegralType):
+            return f"(({col} - {lo}) * {Z_Q}) DIV ({hi} - {lo} + 1)"
+        raise TypeError(
+            f"write_zorder: column {col!r} has unsupported type {dt}; "
+            f"supported: integral, float/decimal, date, timestamp"
+        )
 
     b = df.agg(
         F.min(col_x).alias("xmin"),
@@ -144,12 +174,8 @@ def write_zorder(
     )
     coded = (
         df.crossJoin(F.broadcast(b))
-        .withColumn(
-            "qx", F.expr(f"(({col_x} - xmin) * {Z_Q}) DIV (xmax - xmin + 1)")
-        )
-        .withColumn(
-            "qy", F.expr(f"(({col_y} - ymin) * {Z_Q}) DIV (ymax - ymin + 1)")
-        )
+        .withColumn("qx", F.expr(quant(col_x, "xmin", "xmax")))
+        .withColumn("qy", F.expr(quant(col_y, "ymin", "ymax")))
         .withColumn("__z", F.expr(_Z_EXPR))
         .drop("xmin", "xmax", "ymin", "ymax", "qx", "qy")
     )

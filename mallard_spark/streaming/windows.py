@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from mallard_spark.functions.hashing import md5_long_sql
 from mallard_spark.functions.text import word_shingles_sql
+from mallard_spark.operators.llm import _BLOOM_JS_SQL as BLOOM_JS_SQL
 from mallard_spark.operators.llm import _bloom_pos_sql as bloom_pos_sql
 from mallard_spark.registry import query
 
@@ -1117,13 +1118,13 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)) AS bits
       FROM (
         SELECT {bloom_pos_sql('t.sh', 'j.j')} AS pos
-        FROM test_sh t CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+        FROM test_sh t CROSS JOIN {BLOOM_JS_SQL} j
       )
       GROUP BY pos // 63
     ), probes AS (
       SELECT t.doc_id, t.sh, {bloom_pos_sql('t.sh', 'j.j')} AS pos
       FROM (SELECT doc_id, sh FROM sh WHERE bucket < 80) t
-      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+      CROSS JOIN {BLOOM_JS_SQL} j
     ), tested AS (
       SELECT p.doc_id, p.sh,
              MIN(CASE WHEN b.bits IS NOT NULL
@@ -1158,14 +1159,15 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mallard_spark.functions.hashing import md5_long_expr
     from mallard_spark.functions.text import shingles_of, tokens
-    from mallard_spark.operators.llm import BLOOM_M, bloom_bitmap_words
+    from mallard_spark.operators.llm import BLOOM_J, BLOOM_M, bloom_bitmap_words
 
     words = bloom_bitmap_words(spark, sf_dir)
     bm = "array(" + ",".join(f"{w}L" for w in words) + ")"
     pos_src = "concat(s, ':bf', j)"
     posj = f"({md5_long_expr(pos_src)} % {BLOOM_M})"
+    j_lits = ",".join(f"'{j}'" for j in range(BLOOM_J))
     flag = (
-        "exists(shs, s -> forall(transform(array('0','1','2'), j -> "
+        f"exists(shs, s -> forall(transform(array({j_lits}), j -> "
         + posj
         + f"), p -> (shiftright(element_at({bm}, cast(p div 63 as int) + 1), "
         "cast(p % 63 as int)) & 1) = 1))"

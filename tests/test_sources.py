@@ -220,3 +220,19 @@ def test_write_zorder_shrinks_footer_ranges(spark, tmp_path):
     s_x = spans(spath, "l_partkey")
     assert s_x > 0.9  # the "no skipping" baseline this sink fixes
     assert z_x < 0.6 and z_y < 0.6, (z_x, z_y)
+
+
+def test_write_zorder_date_and_double_columns(spark, tmp_path):
+    """The quantizer must handle the non-integer dimension types a
+    real ZORDER call uses (dates, doubles) — review finding r4."""
+    from mallard_spark.sources.readers import load_table
+    from mallard_spark.sources.writers import write_zorder
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_orderkey"
+    )
+    path = str(tmp_path / "zmix")
+    write_zorder(li, path, "l_extendedprice", "l_shipdate", n_files=4)
+    out = spark.read.parquet(path)
+    assert out.count() == li.count()
+    assert set(out.columns) == set(li.columns)

@@ -6,7 +6,12 @@ written in DuckDB SQL. Most of it parses on Spark unchanged (GROUP
 BY ALL / ORDER BY ALL / ``||`` / ILIKE all work on Spark 4); this
 module translates the common constructs that don't:
 
-- ``a // b``            → ``a DIV b``        (integer division)
+- ``a // b``            → ``a DIV b``        (integer division;
+                          DuckDB's ``//`` also accepts DOUBLE
+                          operands, which DIV does not — float
+                          floor-division stays unsupported because
+                          ``floor(a/b)`` would silently lose int64
+                          exactness past 2^53)
 - ``* EXCLUDE (cols)``  → ``* EXCEPT (cols)``
 - ``QUALIFY pred``      → wrapped subquery filtering an injected
                           ``__qualify`` column (window-after-filter

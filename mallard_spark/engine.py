@@ -78,8 +78,10 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>[A-Za-z_][\w]*)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    # SET/WHERE are split AFTER the match by a quote/paren-aware scan
+    # (a regex split at the first ' WHERE ' breaks on literals like
+    # SET name = 'A WHERE B' and on subquery WHEREs)
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_][\w]*)\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
@@ -397,7 +399,13 @@ class MallardEngine:
             return self._dml_insert(m.group("name"), m.group("cols"), m.group("rest"))
         m = _UPDATE_RE.match(sql)
         if m:
-            return self._dml_update(m.group("name"), m.group("sets"), m.group("where"))
+            from mallard_spark.dialect import _find_kw
+
+            rest = m.group("rest")
+            w = _find_kw(rest, "WHERE", at_depth=0)
+            sets = rest[:w].rstrip() if w >= 0 else rest
+            where = rest[w + len("WHERE") :] if w >= 0 else None
+            return self._dml_update(m.group("name"), sets, where)
         m = _DELETE_RE.match(sql)
         if m:
             return self._dml_delete(m.group("name"), m.group("where"))
@@ -474,19 +482,35 @@ class MallardEngine:
         self._write_back(name, tbl.unionByName(aligned))
         return "OK"
 
+    def _rewrite_refs(self, sql: str) -> str:
+        """Namespace-qualify table references in an expression string
+        (SET/WHERE clauses may carry subqueries over catalog tables)."""
+        for t in self._tables:
+            sql = _replace_table_ref(sql, t, self._qualified(t))
+        return sql
+
     def _dml_update(self, name: str, sets: str, where: str | None) -> str:
         from pyspark.sql import functions as F
 
         tbl = self._dml_table(name)
-        where = where and where.rstrip("; \n\t ")
+        sets = self._rewrite_refs(sets)
+        where = where and self._rewrite_refs(where).rstrip("; \n\t ")
         cond = F.expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
+        # SET column names resolve case-insensitively (SQL identifier
+        # semantics on both engines — same rule as _dml_insert)
+        by_lower = {c.lower(): c for c in tbl.columns}
         updates: dict[str, "F.Column"] = {}
+        unknown: list[str] = []
         for assign in _split_top_level(sets):
             col, eq, expr = assign.partition("=")
             if not eq:
                 raise ValueError(f"malformed SET assignment: {assign!r}")
-            updates[col.strip().strip("`")] = F.expr(expr.strip())
-        unknown = set(updates) - set(tbl.columns)
+            raw = col.strip().strip("`")
+            resolved = by_lower.get(raw.lower())
+            if resolved is None:
+                unknown.append(raw)
+            else:
+                updates[resolved] = F.expr(expr.strip())
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
         # ONE select: every SET expression (and the WHERE) sees the OLD
@@ -514,7 +538,7 @@ class MallardEngine:
         if where is None:
             self._write_back(name, tbl.limit(0))
             return "OK"
-        where = where.rstrip("; \n\t ")
+        where = self._rewrite_refs(where).rstrip("; \n\t ")
         # Keep rows where the condition is NOT TRUE (false or NULL).
         keep = ~F.expr(where).eqNullSafe(F.lit(True))
         self._write_back(name, tbl.filter(keep))

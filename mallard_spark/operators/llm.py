@@ -274,7 +274,12 @@ MIX_PPM = 1_000_000  # parts-per-million resolution for sampling rates
       FROM t JOIN totals USING (source) CROSS JOIN m
     )
     SELECT source,
-           CAST(MAX(min_tot * {MIX_PPM} // tot) AS BIGINT) AS rate_ppm,
+           -- tot=0 (a source whose docs all tokenize empty): DuckDB's
+           -- // 0 yields NULL; pin 0 to match the engine's explicit
+           -- empty-source guard (review finding r4)
+           CAST(MAX(CASE WHEN tot = 0 THEN 0
+                         ELSE min_tot * {MIX_PPM} // tot END) AS BIGINT)
+               AS rate_ppm,
            CAST(COUNT(*) AS BIGINT) AS n_docs_total,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
            CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept

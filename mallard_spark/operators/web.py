@@ -371,20 +371,33 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("s4", F.col("s3") & (F.col("doc_id") == F.col("exact_rep")))
 
-    def stage(no, name, flag):
+    # ONE aggregate computes all 10 conditional sums, then stack()
+    # unpivots to the 5 report rows — union-of-5-aggregates would
+    # rescan the corpus (and re-run both windows) per branch, since
+    # Catalyst does not share subtrees across union arms (review
+    # finding r4; same pattern as profile_table_summary)
+    stages = [
+        (1, "raw", None),
+        (2, "blocklist", "s1"),
+        (3, "url_dedup", "s2"),
+        (4, "quality", "s3"),
+        (5, "exact_dedup", "s4"),
+    ]
+    sums = []
+    for no, _name, flag in stages:
         cond = F.lit(True) if flag is None else F.col(flag)
-        return f4.agg(
-            F.lit(no).cast("int").alias("stage_no"),
-            F.lit(name).alias("stage"),
-            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_docs"),
-            F.sum(F.when(cond, F.col("n_chars")).otherwise(0)).alias("sum_chars"),
+        sums.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{no}")
         )
-
-    out = (
-        stage(1, "raw", None)
-        .unionAll(stage(2, "blocklist", "s1"))
-        .unionAll(stage(3, "url_dedup", "s2"))
-        .unionAll(stage(4, "quality", "s3"))
-        .unionAll(stage(5, "exact_dedup", "s4"))
+        sums.append(
+            F.sum(F.when(cond, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias(f"c{no}")
+        )
+    agg = f4.agg(*sums)
+    stack_args = ", ".join(
+        f"cast({no} as int), '{name}', n{no}, c{no}" for no, name, _ in stages
     )
-    return out.orderBy("stage_no")
+    return agg.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage_no, stage, n_docs, sum_chars)"
+    ).orderBy("stage_no")

@@ -93,14 +93,25 @@ def main(argv: list[str] | None = None) -> None:
                     flush=True,
                 )
 
+        code = 0
         try:
             manager.serve_forever(on_started=announce)
+        except KeyboardInterrupt:
+            pass
+        except BaseException:
+            # print the traceback BEFORE os._exit (which skips it),
+            # and report failure — a supervisor watching the exit
+            # code must see a crash as a crash, not a clean shutdown
+            import traceback
+
+            traceback.print_exc()
+            code = 1
         finally:
             # skip interpreter atexit: pyspark's shutdown hook can hang
             # on a JVM that died with the signal (py4j reconnect loop)
             import os
 
-            os._exit(0)
+            os._exit(code)
         return
 
     engine = MallardEngine(spark, namespace=args.namespace, ddl_persist=True)
@@ -126,18 +137,26 @@ def main(argv: list[str] | None = None) -> None:
         except (AttributeError, ValueError):
             pass
 
+    code = 0
     try:
         server.serve()
     except KeyboardInterrupt:
         pass
-    finally:
-        server.shutdown()
-        time.sleep(0.2)
-        # skip interpreter atexit: pyspark's shutdown hook can hang
-        # on a JVM that died with the signal (py4j reconnect loop)
-        import os
+    except BaseException:
+        import traceback
 
-        os._exit(0)
+        traceback.print_exc()
+        code = 1
+    finally:
+        try:
+            server.shutdown()
+            time.sleep(0.2)
+        finally:
+            # skip interpreter atexit: pyspark's shutdown hook can hang
+            # on a JVM that died with the signal (py4j reconnect loop)
+            import os
+
+            os._exit(code)
 
 
 if __name__ == "__main__":

@@ -386,3 +386,28 @@ def test_summarize_table(engines):
     rows = eng1.sql("SUMMARIZE sum_t").collect()
     stats = {r.summary for r in rows}
     assert {"count", "mean", "min", "max"} <= stats
+
+
+def test_dml_update_where_inside_literal_and_subquery(engines):
+    """' WHERE ' inside a string literal or a subquery must not split
+    the SET clause (review finding r4: the regex split was
+    quote-blind; the reference's DuckDB executes these tickets)."""
+    eng1, _ = engines
+    eng1.put("upd_lit", _sample_table())
+    eng1.dml("UPDATE upd_lit SET name = 'A WHERE B' WHERE id = 1")
+    rows = {r.id: r.name for r in eng1.sql("SELECT id, name FROM upd_lit").collect()}
+    assert rows[1] == "A WHERE B" and rows[2] == "Bob"
+    eng1.put("upd_src", _sample_table())
+    eng1.dml(
+        "UPDATE upd_lit SET value = (SELECT MAX(value) FROM upd_src WHERE id < 3)"
+    )
+    vals = {r.id: r.value for r in eng1.sql("SELECT id, value FROM upd_lit").collect()}
+    assert set(vals.values()) == {20.0}
+
+
+def test_dml_update_set_column_case_insensitive(engines):
+    eng1, _ = engines
+    eng1.put("upd_ci", _sample_table())
+    eng1.dml("UPDATE upd_ci SET VALUE = 0.0 WHERE ID = 1")
+    vals = {r.id: r.value for r in eng1.sql("SELECT id, value FROM upd_ci").collect()}
+    assert vals[1] == 0.0 and vals[2] == 20.0

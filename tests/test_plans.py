@@ -288,10 +288,12 @@ def test_dedup_semantic_centroids_broadcast(spark, sf_dir):
 
 
 def test_curation_funnel_single_scan(spark, sf_dir):
-    # one-pass design: the documents parquet is scanned ONCE per
-    # stage-branch-free plan; five aggregate branches over one
-    # window chain would each rescan in a naive plan
+    # one-pass design: ONE aggregate + stack() unpivot — the corpus
+    # parquet is scanned exactly once and each window runs once
+    # (union-of-5-aggregates re-scanned per branch: 5 scans, 10
+    # windows — review finding r4)
     plan = _plan(spark, sf_dir, "pipeline_curation_funnel")
+    assert plan.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 

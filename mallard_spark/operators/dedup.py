@@ -264,18 +264,18 @@ def _mh_sql(i: int) -> str:
     return f"list_min(list_transform(hs, h -> ({a} * (h % {MH_P}) + {b}) % {MH_P}))"
 
 
-def _minhash_lsh_oracle() -> str:
-    mh_cols = ",\n             ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(K_MINHASH))
-    band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
-        for b in range(N_BANDS)
+def minhash_sig_ctes(k: int = K_MINHASH) -> str:
+    """Shared oracle prefix ``sh / hashed / mh`` — distinct shingles,
+    one base md5 per shingle, k universal-hash minhash columns. ONE
+    definition site for every minhash oracle (lsh / incremental /
+    accuracy / streaming band0), so a signature change cannot
+    silently desynchronize an oracle from the Spark side (review
+    finding r4; the round-4 universal-hash change had to be
+    hand-applied to four copies)."""
+    mh_cols = ",\n             ".join(
+        f"{_mh_sql(i)} AS mh{i}" for i in range(k)
     )
-    eq_terms = " + ".join(
-        f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
-    )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
       FROM documents
       WHERE len({word_shingles_sql(3)}) > 0
@@ -287,7 +287,20 @@ def _minhash_lsh_oracle() -> str:
       SELECT doc_id,
              {mh_cols}
       FROM hashed
-    ), bands AS (
+    )"""
+
+
+def _minhash_lsh_oracle() -> str:
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
+        for b in range(N_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
+    )
+    return f"""
+    WITH {minhash_sig_ctes()}, bands AS (
       {band_selects}
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -395,9 +408,6 @@ NEW_BATCH_MOD = 10  # doc_id % 10 == 0 plays "today's ingest batch"
 
 
 def _incremental_oracle() -> str:
-    mh_cols = ",\n             ".join(
-        f"{_mh_sql(i)} AS mh{i}" for i in range(K_MINHASH)
-    )
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, "
         f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
@@ -407,19 +417,7 @@ def _incremental_oracle() -> str:
         f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
     )
     return f"""
-    WITH sh AS (
-      SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
-      FROM documents
-      WHERE len({word_shingles_sql(3)}) > 0
-    ), hashed AS (
-      SELECT doc_id,
-             list_transform(shingles, s -> {md5_long_sql("s")}) AS hs
-      FROM sh
-    ), mh AS (
-      SELECT doc_id,
-             {mh_cols}
-      FROM hashed
-    ), bands AS (
+    WITH {minhash_sig_ctes()}, bands AS (
       {band_selects}
     ), pairs AS (
       SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
@@ -1124,7 +1122,6 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_accuracy_oracle() -> str:
-    mh_cols = ",\n             ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(K_MINHASH))
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, "
         f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
@@ -1134,19 +1131,7 @@ def _minhash_accuracy_oracle() -> str:
         f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
     )
     return f"""
-    WITH sh AS (
-      SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
-      FROM documents
-      WHERE len({word_shingles_sql(3)}) > 0
-    ), hashed AS (
-      SELECT doc_id,
-             list_transform(shingles, s -> {md5_long_sql("s")}) AS hs
-      FROM sh
-    ), mh AS (
-      SELECT doc_id,
-             {mh_cols}
-      FROM hashed
-    ), bands AS (
+    WITH {minhash_sig_ctes()}, bands AS (
       {band_selects}
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -899,10 +899,13 @@ def _pq_l2_sql(a: str, b: str) -> str:
     )
 
 
-def _knn_pq_oracle() -> str:
-    micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _pq_seed_ctes(micro: str) -> str:
+    """Shared oracle prefix: e / cb / sub / enc / codes / dt — the
+    seed codebook, per-vector subspaces, nearest-code encoding, and
+    per-probe distance table. ONE definition site for every PQ-family
+    oracle (knn_pq, knn_ivfpq) so a codebook/encoding change cannot
+    silently desynchronize them (review finding r4)."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cb AS (
       SELECT sub.s AS s, vec_id - {PQ_SEED_LO} AS cid,
              v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS code
@@ -924,7 +927,53 @@ def _knn_pq_oracle() -> str:
       SELECT t.vec_id AS probe_id, t.s, c.cid, {micro} AS micro
       FROM sub t JOIN cb c ON t.s = c.s
       WHERE t.vec_id < {N_PROBES}
-    ),
+    )"""
+
+
+def _pq_seed_components(vecs):
+    """(cb, sub, micro) for the untrained seed codebook — the Spark
+    mirror of :func:`_pq_seed_ctes`, shared by knn_pq / knn_ivfpq."""
+    subs = F.array(*[F.slice("v", s * PQ_DSUB + 1, PQ_DSUB) for s in range(PQ_M)])
+    cb = (
+        vecs.filter(
+            (F.col("vec_id") >= PQ_SEED_LO) & (F.col("vec_id") < PQ_SEED_HI)
+        )
+        .select(
+            (F.col("vec_id") - PQ_SEED_LO).alias("cid"),
+            F.posexplode(subs).alias("s", "code"),
+        )
+        .select("s", "cid", "code")
+    )
+    sub = vecs.select("vec_id", F.posexplode(subs).alias("s", "sub"))
+    micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
+    return cb, sub, micro
+
+
+def _pq_encode(cb, sub, micro):
+    """codes: nearest codebook entry per (vec, subspace) — integer
+    argmin MIN(micro*100 + cid), engine-portable tiebreak."""
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", (micro * 100 + F.col("cid")).alias("comb"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("comb").alias("comb"))
+        .select("vec_id", "s", (F.col("comb") % 100).alias("cid"))
+    )
+
+
+def _pq_dtable(cb, sub, micro):
+    """Per-probe asymmetric-distance table (probe subspace x code)."""
+    return (
+        sub.filter(F.col("vec_id") < N_PROBES)
+        .join(F.broadcast(cb), "s")
+        .select(F.col("vec_id").alias("probe_id"), "s", "cid", micro.alias("micro"))
+    )
+
+
+def _knn_pq_oracle() -> str:
+    micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
+    return f"""
+    WITH {_pq_seed_ctes(micro)},
     adc AS (
       SELECT d.probe_id, k.vec_id, SUM(d.micro) AS adc
       FROM codes k JOIN dt d ON k.s = d.s AND k.cid = d.cid
@@ -982,35 +1031,9 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = materialize(
         emb.select("vec_id", as_double("embedding").alias("v")), "pq_vecs"
     )
-    subs = F.array(
-        *[F.slice("v", s * PQ_DSUB + 1, PQ_DSUB) for s in range(PQ_M)]
-    )
-    cb = (
-        vecs.filter(
-            (F.col("vec_id") >= PQ_SEED_LO) & (F.col("vec_id") < PQ_SEED_HI)
-        )
-        .select(
-            (F.col("vec_id") - PQ_SEED_LO).alias("cid"),
-            F.posexplode(subs).alias("s", "code"),
-        )
-        .select("s", "cid", "code")
-    )
-    sub = vecs.select("vec_id", F.posexplode(subs).alias("s", "sub"))
-    micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
-    enc = (
-        sub.join(F.broadcast(cb), "s")
-        .select("vec_id", "s", (micro * 100 + F.col("cid")).alias("comb"))
-        .groupBy("vec_id", "s")
-        .agg(F.min("comb").alias("comb"))
-        .select("vec_id", "s", (F.col("comb") % 100).alias("cid"))
-    )
-    dt = (
-        sub.filter(F.col("vec_id") < N_PROBES)
-        .join(F.broadcast(cb), "s")
-        .select(
-            F.col("vec_id").alias("probe_id"), "s", "cid", micro.alias("micro")
-        )
-    )
+    cb, sub, micro = _pq_seed_components(vecs)
+    enc = _pq_encode(cb, sub, micro)
+    dt = _pq_dtable(cb, sub, micro)
     adc = (
         enc.join(F.broadcast(dt), ["s", "cid"])
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -1055,29 +1078,7 @@ IVFPQ_RERANK = 100
 def _knn_ivfpq_oracle() -> str:
     micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cb AS (
-      SELECT sub.s AS s, vec_id - {PQ_SEED_LO} AS cid,
-             v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS code
-      FROM e, {_PQ_SUBS_SQL} sub
-      WHERE vec_id >= {PQ_SEED_LO} AND vec_id < {PQ_SEED_HI}
-    ),
-    sub AS (
-      SELECT vec_id, sub.s AS s,
-             v[sub.s * {PQ_DSUB} + 1 : sub.s * {PQ_DSUB} + {PQ_DSUB}] AS sub
-      FROM e, {_PQ_SUBS_SQL} sub
-    ),
-    enc AS (
-      SELECT t.vec_id AS vec_id, t.s AS s, MIN({micro} * 100 + c.cid) AS comb
-      FROM sub t JOIN cb c ON t.s = c.s
-      GROUP BY t.vec_id, t.s
-    ),
-    codes AS (SELECT vec_id, s, comb % 100 AS cid FROM enc),
-    dt AS (
-      SELECT t.vec_id AS probe_id, t.s, c.cid, {micro} AS micro
-      FROM sub t JOIN cb c ON t.s = c.s
-      WHERE t.vec_id < {N_PROBES}
-    ),
+    WITH {_pq_seed_ctes(micro)},
     seeds AS (
       SELECT vec_id AS seed_id, v AS vs FROM e WHERE vec_id % {N_IVF_SEEDS} = 0
     ),
@@ -1157,29 +1158,9 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = materialize(
         emb.select("vec_id", as_double("embedding").alias("v")), "ivfpq_vecs"
     )
-    subs = F.array(*[F.slice("v", s * PQ_DSUB + 1, PQ_DSUB) for s in range(PQ_M)])
-    cb = (
-        vecs.filter((F.col("vec_id") >= PQ_SEED_LO) & (F.col("vec_id") < PQ_SEED_HI))
-        .select(
-            (F.col("vec_id") - PQ_SEED_LO).alias("cid"),
-            F.posexplode(subs).alias("s", "code"),
-        )
-        .select("s", "cid", "code")
-    )
-    sub = vecs.select("vec_id", F.posexplode(subs).alias("s", "sub"))
-    micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
-    codes = (
-        sub.join(F.broadcast(cb), "s")
-        .select("vec_id", "s", (micro * 100 + F.col("cid")).alias("comb"))
-        .groupBy("vec_id", "s")
-        .agg(F.min("comb").alias("comb"))
-        .select("vec_id", "s", (F.col("comb") % 100).alias("cid"))
-    )
-    dt = (
-        sub.filter(F.col("vec_id") < N_PROBES)
-        .join(F.broadcast(cb), "s")
-        .select(F.col("vec_id").alias("probe_id"), "s", "cid", micro.alias("micro"))
-    )
+    cb, sub, micro = _pq_seed_components(vecs)
+    codes = _pq_encode(cb, sub, micro)
+    dt = _pq_dtable(cb, sub, micro)
     seeds = vecs.filter(F.col("vec_id") % N_IVF_SEEDS == 0).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("vs")
     )
@@ -1646,12 +1627,8 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
 
     def assign(codebook):
-        return (
-            sub.join(F.broadcast(codebook), "s")
-            .select("vec_id", "s", (micro * 100 + F.col("cid")).alias("comb"))
-            .groupBy("vec_id", "s")
-            .agg((F.min("comb") % 100).alias("cid"))
-        )
+        # same nearest-code argmin as every other PQ operator
+        return _pq_encode(codebook, sub, micro)
 
     for i in range(PQT_ITERS):
         asg = assign(cb)
@@ -1679,11 +1656,7 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     enc = assign(cb)
-    dt = (
-        sub.filter(F.col("vec_id") < N_PROBES)
-        .join(F.broadcast(cb), "s")
-        .select(F.col("vec_id").alias("probe_id"), "s", "cid", micro.alias("micro"))
-    )
+    dt = _pq_dtable(cb, sub, micro)
     adc = (
         enc.join(F.broadcast(dt), ["s", "cid"])
         .filter(F.col("vec_id") != F.col("probe_id"))

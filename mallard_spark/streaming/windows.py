@@ -459,21 +459,10 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_band0_oracle() -> str:
     from mallard_spark.functions.hashing import md5_long_sql
-    from mallard_spark.functions.text import word_shingles_sql
-    from mallard_spark.operators.dedup import _mh_sql
+    from mallard_spark.operators.dedup import minhash_sig_ctes
 
     return f"""
-    WITH sh AS (
-      SELECT doc_id, list_distinct({word_shingles_sql(3)}) AS shingles
-      FROM documents
-      WHERE len({word_shingles_sql(3)}) > 0
-    ), hashed AS (
-      SELECT doc_id,
-             list_transform(shingles, s -> {md5_long_sql("s")}) AS hs
-      FROM sh
-    ), mh AS (
-      SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1 FROM hashed
-    )
+    WITH {minhash_sig_ctes(k=2)}
     SELECT COUNT(DISTINCT md5(concat(0, ':', mh0, ':', mh1))) AS n_near_distinct
     FROM mh
     """

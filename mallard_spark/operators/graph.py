@@ -64,8 +64,9 @@ PR_ITERS = 10
 # (u < v by partkey). Kept as ONE string so the three oracles and
 # the docstrings can't drift apart.
 _EDGES_SQL = f"""
-    items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    edges AS (
+    items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS MATERIALIZED (
       SELECT a.pk AS u, b.pk AS v
       FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       GROUP BY a.pk, b.pk
@@ -225,8 +226,12 @@ def _pagerank_oracle() -> str:
     (and proof the Spark loop below computes the same exact-integer
     recurrence: all mass arithmetic is int64 with floor division,
     identical on both engines)."""
+    # every CTE MATERIALIZED: each r{{i}} references r{{i-1}}, and an
+    # inlining planner would re-evaluate the 4-table edge join 2^10
+    # times across the chain (observed: >80 GB of DuckDB temp spill
+    # at sf0.1 before the fix — same disease as the BPE oracle)
     head = f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -235,15 +240,17 @@ def _pagerank_oracle() -> str:
       WHERE c.c_nationkey <> s.s_nationkey
       GROUP BY 1, 2
     ),
-    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
-    params AS (SELECT COUNT(*) AS n FROM nodes),
-    r0 AS (SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes, params)
+    nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outw AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    params AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes, params
+    )
     """
     steps = []
     for i in range(1, PR_ITERS + 1):
         steps.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT nodes.node,
              CAST(({PR_SCALE} * {100 - PR_DAMP_NUM}) // (100 * params.n)
                   + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r

@@ -602,6 +602,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             ),
             f"kmeans_centroids_{i}",
+            n_partitions=1,  # seed-count-bounded (~40 rows) at ANY scale
         )
 
     # index assignment is multi-assignment (training above stayed
@@ -1653,6 +1654,7 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("code")
             ),
             f"pqt_cb_{i}",
+            n_partitions=1,  # PQ_M*PQT_K = 256 rows at ANY scale
         )
 
     enc = assign(cb)

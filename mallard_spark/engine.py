@@ -483,8 +483,15 @@ class MallardEngine:
         return "OK"
 
     def _rewrite_refs(self, sql: str) -> str:
-        """Namespace-qualify table references in an expression string
-        (SET/WHERE clauses may carry subqueries over catalog tables)."""
+        """Namespace-qualify table references in an expression string —
+        ONLY when it contains a subquery (that is the only place a
+        table name can legally appear in a SET/WHERE expression; a
+        bare predicate like ``source = 'a'`` must keep ``source`` as
+        a COLUMN even when a table shares the name)."""
+        from mallard_spark.dialect import _find_kw
+
+        if _find_kw(sql, "SELECT", at_depth=None) < 0:
+            return sql
         for t in self._tables:
             sql = _replace_table_ref(sql, t, self._qualified(t))
         return sql
@@ -493,11 +500,16 @@ class MallardEngine:
         from pyspark.sql import functions as F
 
         tbl = self._dml_table(name)
-        sets = self._rewrite_refs(sets)
+        if where is not None and not where.strip():
+            # 'UPDATE t SET x=1 WHERE' — treating an empty predicate
+            # as no-WHERE would silently update EVERY row
+            raise ValueError(f"UPDATE {name}: empty WHERE clause")
         where = where and self._rewrite_refs(where).rstrip("; \n\t ")
         cond = F.expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
         # SET column names resolve case-insensitively (SQL identifier
-        # semantics on both engines — same rule as _dml_insert)
+        # semantics on both engines — same rule as _dml_insert). Only
+        # the RHS expressions get table-ref rewriting: a SET target
+        # that happens to share a catalog table's name is a COLUMN.
         by_lower = {c.lower(): c for c in tbl.columns}
         updates: dict[str, "F.Column"] = {}
         unknown: list[str] = []
@@ -509,8 +521,12 @@ class MallardEngine:
             resolved = by_lower.get(raw.lower())
             if resolved is None:
                 unknown.append(raw)
+            elif resolved in updates:
+                raise ValueError(
+                    f"UPDATE {name}: multiple assignments to column {resolved!r}"
+                )
             else:
-                updates[resolved] = F.expr(expr.strip())
+                updates[resolved] = F.expr(self._rewrite_refs(expr.strip()))
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
         # ONE select: every SET expression (and the WHERE) sees the OLD
@@ -538,6 +554,8 @@ class MallardEngine:
         if where is None:
             self._write_back(name, tbl.limit(0))
             return "OK"
+        if not where.strip():
+            raise ValueError(f"DELETE FROM {name}: empty WHERE clause")
         where = self._rewrite_refs(where).rstrip("; \n\t ")
         # Keep rows where the condition is NOT TRUE (false or NULL).
         keep = ~F.expr(where).eqNullSafe(F.lit(True))

@@ -98,6 +98,8 @@ def main(argv: list[str] | None = None) -> None:
             manager.serve_forever(on_started=announce)
         except KeyboardInterrupt:
             pass
+        except SystemExit as e:
+            code = int(e.code or 0)
         except BaseException:
             # print the traceback BEFORE os._exit (which skips it),
             # and report failure — a supervisor watching the exit
@@ -142,6 +144,8 @@ def main(argv: list[str] | None = None) -> None:
         server.serve()
     except KeyboardInterrupt:
         pass
+    except SystemExit as e:
+        code = int(e.code or 0)
     except BaseException:
         import traceback
 

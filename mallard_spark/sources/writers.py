@@ -145,10 +145,13 @@ def write_zorder(
         if isinstance(dt, T.DateType):
             return f"(datediff({col}, {lo}) * {Z_Q}) DIV (datediff({hi}, {lo}) + 1)"
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            # NTZ needs a cast for unix_micros; session TZ is pinned
-            # UTC so the cast is a pure reinterpretation
+            # NTZ needs a cast for unix_millis; session TZ is pinned
+            # UTC so the cast is a pure reinterpretation. MILLIS, not
+            # micros: (delta_micros * 4096) overflows int64 for
+            # ranges wider than ~71 years; millis buys 71,000 years
+            # and 12-bit buckets never need sub-ms resolution.
             def um(c: str) -> str:
-                return f"unix_micros(cast({c} as timestamp))"
+                return f"unix_millis(cast({c} as timestamp))"
 
             return (
                 f"(({um(col)} - {um(lo)}) * {Z_Q})"

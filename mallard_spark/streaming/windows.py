@@ -458,7 +458,6 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_band0_oracle() -> str:
-    from mallard_spark.functions.hashing import md5_long_sql
     from mallard_spark.operators.dedup import minhash_sig_ctes
 
     return f"""

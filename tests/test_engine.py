@@ -411,3 +411,39 @@ def test_dml_update_set_column_case_insensitive(engines):
     eng1.dml("UPDATE upd_ci SET VALUE = 0.0 WHERE ID = 1")
     vals = {r.id: r.value for r in eng1.sql("SELECT id, value FROM upd_ci").collect()}
     assert vals[1] == 0.0 and vals[2] == 20.0
+
+
+def test_dml_update_column_named_like_table(engines):
+    """A SET target (or WHERE column) that shares a catalog table's
+    name is a COLUMN — the ref-rewriter must only touch RHS
+    expressions (review finding r4)."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put(
+        "stats_t",
+        pa.table({"id": [1, 2], "source": ["a", "b"], "value": [1.0, 2.0]}),
+    )
+    eng1.put("source", pa.table({"k": [1]}))  # table named like the column
+    eng1.dml("UPDATE stats_t SET source = 'z' WHERE source = 'a'")
+    # engine.sql's documented rewriter limitation: a bare column
+    # sharing a table name must be qualified in SELECTs
+    rows = {
+        r.id: r.source
+        for r in eng1.sql("SELECT id, s.source FROM stats_t s").collect()
+    }
+    assert rows == {1: "z", 2: "b"}
+
+
+def test_dml_update_rejects_empty_where_and_dup_columns(engines):
+    import pytest as _pytest
+
+    eng1, _ = engines
+    eng1.put("guard_t", _sample_table())
+    with _pytest.raises(ValueError, match="empty WHERE"):
+        eng1.dml("UPDATE guard_t SET value = 0 WHERE")
+    with _pytest.raises(ValueError, match="multiple assignments"):
+        eng1.dml("UPDATE guard_t SET value = 1, VALUE = 2")
+    # nothing was mutated by the rejected statements
+    vals = {r.id: r.value for r in eng1.sql("SELECT id, value FROM guard_t").collect()}
+    assert vals[1] == 10.5

@@ -225,13 +225,13 @@ def test_write_zorder_shrinks_footer_ranges(spark, tmp_path):
     assert z_x < 0.75 and z_y < 0.75, (z_x, z_y)
 
 
-def test_write_zorder_date_and_double_columns(spark, tmp_path):
+def test_write_zorder_date_and_double_columns(spark, sf_dir, tmp_path):
     """The quantizer must handle the non-integer dimension types a
     real ZORDER call uses (dates, doubles) — review finding r4."""
     from mallard_spark.sources.readers import load_table
     from mallard_spark.sources.writers import write_zorder
 
-    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_extendedprice", "l_orderkey"
     )
     path = str(tmp_path / "zmix")

@@ -160,6 +160,44 @@ def _split_tail(sql: str, start: int) -> tuple[str, str]:
     return sql[start:].rstrip("; \n\t"), ""
 
 
+def _rewrite_qualify_nested(sql: str) -> str:
+    """Rewrite QUALIFY clauses inside subqueries / CTE bodies: find a
+    code-level QUALIFY at depth > 0, locate its enclosing paren
+    group, and apply the top-level rewrite to that fragment (within
+    the fragment the QUALIFY IS top-level). Repeats until none
+    remain or a fragment refuses to rewrite."""
+    for _ in range(32):
+        positions = {i: d for i, _c, d, code in _scan(sql) if code}
+        q = _find_kw(sql, "QUALIFY", at_depth=None)
+        if q < 0 or positions.get(q, 0) == 0:
+            return sql
+        d = positions[q]
+        # enclosing opener: nearest '(' before q at depth d
+        opener = max(
+            (i for i, c in enumerate(sql[:q]) if c == "(" and positions.get(i) == d),
+            default=-1,
+        )
+        if opener < 0:
+            return sql
+        # matching closer: first ')' after q at depth d - 1
+        closer = next(
+            (
+                i
+                for i in range(q, len(sql))
+                if sql[i] == ")" and positions.get(i) == d - 1
+            ),
+            -1,
+        )
+        if closer < 0:
+            return sql
+        inner = sql[opener + 1 : closer]
+        rewritten = _rewrite_qualify(inner)
+        if rewritten == inner:
+            return sql
+        sql = f"{sql[:opener + 1]}{rewritten}{sql[closer:]}"
+    return sql
+
+
 def _rewrite_qualify(sql: str) -> str:
     q = _find_kw(sql, "QUALIFY", at_depth=0)
     if q < 0:
@@ -168,6 +206,12 @@ def _rewrite_qualify(sql: str) -> str:
     pred, tail = _split_tail(sql, q + len("QUALIFY"))
     frm = _find_kw(base, "FROM", at_depth=0)
     if frm < 0:
+        return sql
+    if _find_kw(tail, "QUALIFY", at_depth=0) >= 0:
+        # a second top-level QUALIFY after ORDER BY/LIMIT is not
+        # valid SQL on either engine; rewriting would re-trigger on
+        # our own output — pass the malformed text through to
+        # Spark's real parse error instead
         return sql
     # the newline before the comma terminates any trailing -- comment
     # on the select list's last line (which would otherwise swallow
@@ -212,6 +256,11 @@ def _rewrite_distinct_on(sql: str) -> str:
     if frm < 0:
         return sql
     select_list = rest[:frm].strip()
+    if _find_kw(select_list, "DISTINCT", at_depth=0) >= 0:
+        # a second top-level DISTINCT inside the select list is not
+        # valid SQL; rewriting would re-trigger on our own output —
+        # pass through to Spark's real parse error
+        return sql
     body, tail = _split_tail(rest, frm)
     order = keys
     if tail.upper().lstrip().startswith("ORDER"):
@@ -564,6 +613,12 @@ def duckdb_to_spark(sql: str) -> str:
         # passing the original through to Spark's real parse error
         out = _rewrite_distinct_on(out)
         out = _rewrite_qualify(out)
+        out = _rewrite_qualify_nested(out)
+        # the statement rewrites RELOCATE text fragments (select
+        # lists, predicates); a bracket group skipped as
+        # postfix-ambiguous in its old context may be a clear literal
+        # in the new one — one more collections pass converges them
+        out = _rewrite_collections(out)
     return out
 
 

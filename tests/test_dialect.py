@@ -238,3 +238,31 @@ def test_qualify_with_trailing_line_comment(eng):
         "SELECT g, v -- picked columns\nFROM dt "
         "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1 ORDER BY g",
     )
+
+
+def test_qualify_in_subquery(eng):
+    _both(
+        eng,
+        "SELECT * FROM (SELECT g, v FROM dt "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1) "
+        "ORDER BY g",
+    )
+
+
+def test_qualify_in_cte_body(eng):
+    _both(
+        eng,
+        "WITH best AS (SELECT g, v FROM dt "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1) "
+        "SELECT g, v FROM best ORDER BY g",
+    )
+
+
+def test_qualify_top_level_and_nested_together(eng):
+    _both(
+        eng,
+        "SELECT g, v, row_number() OVER (ORDER BY v) AS rn FROM "
+        "(SELECT g, v FROM dt "
+        " QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1) "
+        "QUALIFY rn <= 2 ORDER BY g",
+    )

@@ -15,7 +15,8 @@ module translates the common constructs that don't:
 - ``* EXCLUDE (cols)``  → ``* EXCEPT (cols)``
 - ``QUALIFY pred``      → wrapped subquery filtering an injected
                           ``__qualify`` column (window-after-filter
-                          semantics preserved; top-level QUALIFY only)
+                          semantics preserved; works at top level and
+                          inside subqueries / CTE bodies)
 - ``SELECT DISTINCT ON (keys) ...`` → row_number()-over-keys = 1
                           (DuckDB keeps the first row per key under
                           the query's ORDER BY; without ORDER BY the

@@ -516,3 +516,56 @@ def test_knn_ivfpq_recall_at_sf01(spark):
         (r.probe_id, r.neighbor_id) for r in specs["knn_ivfpq"].fn(spark, sf).collect()
     }
     assert len(truth & got) / len(truth) >= 0.8
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    """bpe_train_merges vs an INDEPENDENT naive Python BPE trainer
+    (plain lists, leftmost-nonoverlapping merge loop). The DuckDB
+    oracle shares the operator's window-logic DESIGN, so a shared
+    misunderstanding of BPE semantics could pass both engines — this
+    reference implementation closes that gap."""
+    from collections import Counter
+
+    import duckdb
+
+    from mallard_spark.operators.llm import BPE_MERGES, bpe_train_merges
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    words = Counter(
+        dict(
+            con.sql(
+                f"SELECT t.tok, COUNT(*) FROM '{sf}/documents.parquet', "
+                "UNNEST(regexp_extract_all(lower(text), '\\S+')) t(tok) GROUP BY t.tok"
+            ).fetchall()
+        )
+    )
+    syms = {w: list(w) for w in words}
+    expected = []
+    for _step in range(BPE_MERGES):
+        counts = Counter()
+        for w, freq in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += freq
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2  # leftmost-nonoverlapping
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+        n_after = sum(len(syms[w]) * f for w, f in words.items())
+        expected.append((left, right, cnt, n_after))
+
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count, r.corpus_symbols_after)
+        for r in bpe_train_merges(spark, sf).orderBy("step").collect()
+    ]
+    assert got == expected, (got, expected)

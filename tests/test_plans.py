@@ -472,3 +472,45 @@ def test_hard_negative_probe_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_seed_set_is_bounded_top_k_not_corpus_fraction(spark, sf_dir):
+    # VERDICT r4: the coarse quantizer must be a FIXED-size seed set
+    # (selected by a global top-K over the hash order — a per-task
+    # heap, no sort shuffle), never a `vec_id % k` filter whose list
+    # count grows with the corpus. The assignment join's build side
+    # is then bounded at any scale.
+    from mallard_spark.operators.similarity import IVF_NLIST, _ivf_seeds
+    from mallard_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    from mallard_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    seeds = _ivf_seeds(vecs)
+    splan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan
+    assert seeds.count() == min(IVF_NLIST, vecs.count())
+    for name in ("knn_ivf", "knn_ivfpq"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan
+        # the bounded seed set must be the BROADCAST side of the
+        # assignment pass (never a shuffle of the corpus against it)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmeans_training_input_is_capped_sample(spark, sf_dir):
+    # Lloyd training reads the bounded md5-ordered sample (constant
+    # cost in corpus size); only the final one-shot assignment scans
+    # all vectors.
+    import mallard_spark.operators.similarity as S
+    from mallard_spark.functions.exec import materialize_path
+
+    plan = _plan(spark, sf_dir, "knn_ivf_kmeans")
+    assert "CartesianProduct" not in plan
+    # the Lloyd loop's input is the materialized capped sample, not
+    # the full corpus (the final plan only reads the loop's outputs,
+    # so assert on the materialized artifact itself)
+    train = spark.read.parquet(materialize_path("kmeans_train"))
+    vecs = spark.read.parquet(materialize_path("kmeans_vecs"))
+    assert train.count() == min(S.KM_TRAIN_CAP, vecs.count())

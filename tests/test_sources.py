@@ -239,3 +239,29 @@ def test_write_zorder_date_and_double_columns(spark, sf_dir, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == li.count()
     assert set(out.columns) == set(li.columns)
+
+
+def test_materialize_dir_override_is_honored(spark, tmp_path):
+    # The barrier path must be steerable to shared storage (VERDICT
+    # r4: driver-local /tmp cannot work on a real cluster). Conf
+    # takes precedence over env var, env var over the local default.
+    import os
+
+    from mallard_spark.functions import exec as X
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    try:
+        spark.conf.set(X.MATERIALIZE_DIR_CONF, str(tmp_path / "conf_dir"))
+        out = X.materialize(df, "override_probe")
+        assert (tmp_path / "conf_dir" / "override_probe").exists()
+        assert out.count() == 10
+        spark.conf.unset(X.MATERIALIZE_DIR_CONF)
+        os.environ[X.MATERIALIZE_DIR_ENV] = str(tmp_path / "env_dir")
+        X.materialize(df, "override_probe")
+        assert (tmp_path / "env_dir" / "override_probe").exists()
+    finally:
+        os.environ.pop(X.MATERIALIZE_DIR_ENV, None)
+        try:
+            spark.conf.unset(X.MATERIALIZE_DIR_CONF)
+        except Exception:
+            pass

@@ -266,20 +266,38 @@ class MallardEngine:
         try:
             return self.spark.sql(out)
         except Exception as first_err:
+            if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in str(first_err):
+                # WITH RECURSIVE ... UNION ALL runs natively on Spark 4
+                # (value-checked vs DuckDB in tests/test_dialect.py);
+                # only DuckDB's deduplicating UNION form has no Spark
+                # equivalent — and it CANNOT be mechanically rewritten
+                # to UNION ALL, because the dedup is what terminates a
+                # cyclic walk. Refuse with the alternatives instead of
+                # Spark's bare analysis error (round-4 VERDICT #3).
+                raise NotImplementedError(
+                    "WITH RECURSIVE ... UNION (deduplicating) is not "
+                    "supported: Spark only runs the UNION ALL form. "
+                    "Rewrite with UNION ALL plus an explicit "
+                    "termination predicate (depth counter / visited "
+                    "check), or use the built-in graph operators for "
+                    "cyclic walks: dedup_clusters (connected "
+                    "components) and graph_pagerank (iterative rank)."
+                ) from first_err
             # DuckDB-dialect fallback: the reference's engine IS
             # DuckDB, so clients send DuckDB SQL (`//`, QUALIFY,
             # EXCLUDE, DISTINCT ON). Translate and retry ONLY after
             # vanilla parsing/analysis failed — a query Spark already
-            # accepts can never change meaning.
-            from mallard_spark.dialect import duckdb_to_spark
+            # accepts can never change meaning. Variants encode the
+            # typed readings of `//` and `len()` (analyzer-driven
+            # dispatch: first variant Spark accepts wins).
+            from mallard_spark.dialect import translate_variants
 
-            translated = duckdb_to_spark(out)
-            if translated == out:
-                raise
-            try:
-                return self.spark.sql(translated)
-            except Exception:
-                raise first_err
+            for translated in translate_variants(out):
+                try:
+                    return self.spark.sql(translated)
+                except Exception:
+                    continue
+            raise first_err
 
     def get_arrow(self, sql: str) -> "pa.Table":
         """GET returning an Arrow table (the reference's wire format).

@@ -100,7 +100,7 @@ def test_valid_spark_sql_untouched():
 
 
 def test_translator_output_shapes():
-    assert duckdb_to_spark("SELECT v // 2 FROM t") == "SELECT v  DIV  2 FROM t"
+    assert duckdb_to_spark("SELECT v // 2 FROM t") == "SELECT v DIV 2 FROM t"
     assert (
         duckdb_to_spark("SELECT * EXCLUDE (v) FROM t")
         == "SELECT * EXCEPT (v) FROM t"
@@ -266,3 +266,162 @@ def test_qualify_top_level_and_nested_together(eng):
         " QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 1) "
         "QUALIFY rn <= 2 ORDER BY g",
     )
+
+
+# ---- round 5: typed //, len, string_split, comprehensions, ----------
+# ---- recursive CTEs, nested DISTINCT ON, 1-based indexing ----------
+
+
+@pytest.fixture()
+def eng5(spark):
+    e = MallardEngine(spark, "t_dialect5")
+    e.put(
+        "dw",
+        pa.table(
+            {
+                "id": [1, 2, 3, 4],
+                "g": ["a", "a", "b", "b"],
+                "v": [10, 40, 20, 50],
+                "w": [1.5, 3.0, 4.5, 6.0],  # DOUBLE column
+            }
+        ),
+    )
+    return e
+
+
+def _duck5(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE dw AS SELECT id, g, v, CAST(w AS DOUBLE) AS w FROM (VALUES "
+        "(1,'a',10,1.5),(2,'a',40,3.0),(3,'b',20,4.5),(4,'b',50,6.0)"
+        ") t(id, g, v, w)"
+    )
+    return con.execute(sql).fetchall()
+
+
+def _both5(eng5, sql: str):
+    got = [tuple(r) for r in eng5.sql(sql).collect()]
+    want = [tuple(r) for r in _duck5(sql)]
+    assert sorted(map(repr, got)) == sorted(map(repr, want)), (got, want)
+    return got
+
+
+def test_intdiv_float_literal_matches_duckdb(eng5):
+    # DuckDB: any non-integral operand makes // plain double division
+    rows = _both5(eng5, "SELECT 7.5 // 2 AS a, v // 2.5 AS b FROM dw ORDER BY v")
+    assert rows[0][0] == 3.75
+
+
+def test_intdiv_double_column_via_analyzer_retry(eng5):
+    # `w // 2` is lexically clean — the DIV variant fails analysis on
+    # the DOUBLE column and the engine's variant ladder lands on the
+    # float reading, matching DuckDB exactly
+    rows = _both5(eng5, "SELECT w // 2 AS h FROM dw ORDER BY id")
+    assert rows[0][0] == 0.75
+
+
+def test_intdiv_int_column_still_truncates(eng5):
+    _both5(eng5, "SELECT v // 7 AS d, -v // 7 AS nd FROM dw ORDER BY id")
+
+
+def test_len_on_string_is_native(eng5):
+    _both5(eng5, "SELECT len(g) AS n, v // 7 AS d FROM dw ORDER BY id")
+
+
+def test_len_on_list_via_analyzer_retry(eng5):
+    rows = _both5(eng5, "SELECT len(['a','b','c']) AS n, v // 7 AS d FROM dw ORDER BY id")
+    assert rows[0][0] == 3
+
+
+def test_string_split_literal_separator(eng5):
+    # DuckDB splits on a PLAIN string; Spark's split takes a regex —
+    # the shim escapes the literal ('.' must not match-any)
+    rows = _both5(eng5, "SELECT string_split('a.b.c', '.') AS l, v // 7 AS d FROM dw ORDER BY id")
+    assert rows[0][0] == ["a", "b", "c"]
+
+
+def test_list_comprehension(eng5):
+    rows = _both5(eng5, "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS l FROM dw WHERE id = 1")
+    assert rows[0][0] == [4, 6]
+
+
+def test_list_comprehension_over_split(eng5):
+    _both5(
+        eng5,
+        "SELECT [upper(x) FOR x IN string_split(g || '.z', '.')] AS l FROM dw ORDER BY id",
+    )
+
+
+def test_recursive_cte_union_all_native(eng5):
+    # WITH RECURSIVE ... UNION ALL runs natively on Spark 4 — value
+    # parity with DuckDB, no shim involvement
+    rows = _both5(
+        eng5,
+        "WITH RECURSIVE t AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM t WHERE n < 6) "
+        "SELECT CAST(sum(n) AS BIGINT) AS s FROM t",
+    )
+    assert rows[0][0] == 21
+
+
+def test_recursive_cte_over_table(eng5):
+    _both5(
+        eng5,
+        "WITH RECURSIVE r AS ("
+        "  SELECT id, v FROM dw WHERE id = 1"
+        "  UNION ALL"
+        "  SELECT d.id, d.v FROM dw AS d JOIN r ON d.id = r.id + 1 WHERE r.id < 3"
+        ") SELECT id, v FROM r ORDER BY id",
+    )
+
+
+def test_recursive_union_dedup_form_documented_refusal(eng5):
+    with pytest.raises(NotImplementedError, match="dedup_clusters"):
+        eng5.sql(
+            "WITH RECURSIVE t AS (SELECT 1 AS n UNION SELECT n + 1 FROM t WHERE n < 6) "
+            "SELECT sum(n) AS s FROM t"
+        )
+
+
+def test_distinct_on_nested_in_subquery(eng5):
+    _both5(
+        eng5,
+        "SELECT g, v FROM (SELECT DISTINCT ON (g) g, v FROM dw ORDER BY g, v) q ORDER BY g",
+    )
+
+
+def test_distinct_on_nested_in_cte(eng5):
+    _both5(
+        eng5,
+        "WITH c AS (SELECT DISTINCT ON (g) g, v FROM dw ORDER BY g, v DESC) "
+        "SELECT g, v FROM c ORDER BY g",
+    )
+
+
+def test_one_based_index_rewritten_when_dialect_fired(eng5):
+    # the query contains DuckDB-only syntax (list literal), so [2] is
+    # DuckDB 1-based indexing and must become element_at (round-4
+    # ADVICE); negative from-the-end indexing matches too
+    rows = _both5(eng5, "SELECT [10, 20, 30][2] AS x, [10, 20, 30][-1] AS y FROM dw WHERE id = 1")
+    assert rows[0] == (20, 30)
+
+
+def test_index_untouched_when_no_rule_fired():
+    # plain indexing is valid (0-based) Spark — the shim must return
+    # it unchanged so it can never reach the retry path at all
+    sql = "SELECT arr[1] FROM t"
+    assert duckdb_to_spark(sql) == sql
+
+
+def test_map_string_key_access_untouched(eng5):
+    # string-keyed access has identical semantics on both engines and
+    # must NOT become element_at (struct bases would break)
+    out = duckdb_to_spark("SELECT m['k'] // 2 AS x FROM t")
+    assert "m['k']" in out and "element_at" not in out
+
+
+def test_intdiv_mixed_int_and_double_sites(eng5):
+    # one query mixing an int-column site and a double-column site:
+    # per-site masks keep DIV on the int site (DuckDB truncating int
+    # semantics) while the double site goes float
+    rows = _both5(eng5, "SELECT v // 7 AS d, w // 2 AS h FROM dw ORDER BY id")
+    assert rows[0] == (1, 0.75)

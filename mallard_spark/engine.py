@@ -502,17 +502,59 @@ class MallardEngine:
 
     def _rewrite_refs(self, sql: str) -> str:
         """Namespace-qualify table references in an expression string —
-        ONLY when it contains a subquery (that is the only place a
-        table name can legally appear in a SET/WHERE expression; a
-        bare predicate like ``source = 'a'`` must keep ``source`` as
-        a COLUMN even when a table shares the name)."""
-        from mallard_spark.dialect import _find_kw
+        ONLY inside ``(SELECT ...)`` subquery spans (the only place a
+        table name can legally appear in a SET/WHERE expression).
+        Text OUTSIDE the spans is never touched, so a bare predicate
+        like ``source = 'a'`` keeps ``source`` as a COLUMN even when
+        the same expression also contains ``IN (SELECT k FROM
+        source)`` (round-4 ADVICE: the old whole-expression rewrite
+        lost the column-vs-table guard exactly when a subquery
+        coexisted with the shadowed column)."""
+        from mallard_spark.dialect import _find_kw, _scan
 
         if _find_kw(sql, "SELECT", at_depth=None) < 0:
             return sql
-        for t in self._tables:
-            sql = _replace_table_ref(sql, t, self._qualified(t))
-        return sql
+        positions = {i: d for i, _c, d, code in _scan(sql) if code}
+        spans: list[tuple[int, int]] = []
+        i = 0
+        while True:
+            s = _find_kw(sql, "SELECT", at_depth=None, start=i)
+            if s < 0:
+                break
+            d = positions.get(s, 0)
+            if d == 0:
+                i = s + 1
+                continue
+            opener = max(
+                (k for k in range(s) if sql[k] == "(" and positions.get(k) == d),
+                default=-1,
+            )
+            if opener < 0 or sql[opener + 1 : s].strip() != "":
+                i = s + 1  # SELECT not directly after '(' — skip
+                continue
+            closer = next(
+                (
+                    k
+                    for k in range(s, len(sql))
+                    if sql[k] == ")" and positions.get(k) == d - 1
+                ),
+                len(sql),
+            )
+            spans.append((opener + 1, closer))
+            i = closer
+        if not spans:
+            return sql
+        out: list[str] = []
+        last = 0
+        for a, b in spans:
+            out.append(sql[last:a])
+            frag = sql[a:b]
+            for t in self._tables:
+                frag = _replace_table_ref(frag, t, self._qualified(t))
+            out.append(frag)
+            last = b
+        out.append(sql[last:])
+        return "".join(out)
 
     def _dml_update(self, name: str, sets: str, where: str | None) -> str:
         from pyspark.sql import functions as F

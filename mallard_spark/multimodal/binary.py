@@ -300,16 +300,24 @@ def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 
     for pdf in batches:
-        out = []
-        for payload in pdf["payload"]:
+        ids, out = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            toks = bytes(payload).decode("utf-8").lower().split()
+            if not toks:
+                # no features → no sketch row: matches the oracle's
+                # UNNEST/GROUP BY (which drops such docs) and keeps
+                # the degenerate all-zero sketch from band-joining
+                # with sparse real sketches (round-4 ADVICE)
+                continue
             h = 0
-            for tok in bytes(payload).decode("utf-8").lower().split():
+            for tok in toks:
                 k = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % PHASH_BITS
                 h ^= 1 << k
+            ids.append(doc_id)
             out.append(h)
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"].astype("int64"),
+                "doc_id": pd.Series(ids, dtype="int64"),
                 "phash": pd.Series(out, dtype="int64"),
             }
         )

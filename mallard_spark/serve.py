@@ -99,7 +99,18 @@ def main(argv: list[str] | None = None) -> None:
         except KeyboardInterrupt:
             pass
         except SystemExit as e:
-            code = int(e.code or 0)
+            # sys.exit("msg") carries a STRING code: print it and
+            # report failure (int(...) would raise inside the handler
+            # and the finally's os._exit(0) would mask the error)
+            if e.code is None:
+                code = 0
+            elif isinstance(e.code, int):
+                code = e.code
+            else:
+                import sys as _sys
+
+                print(e.code, file=_sys.stderr)
+                code = 1
         except BaseException:
             # print the traceback BEFORE os._exit (which skips it),
             # and report failure — a supervisor watching the exit
@@ -145,7 +156,16 @@ def main(argv: list[str] | None = None) -> None:
     except KeyboardInterrupt:
         pass
     except SystemExit as e:
-        code = int(e.code or 0)
+        # see above: a string code must not crash the handler
+        if e.code is None:
+            code = 0
+        elif isinstance(e.code, int):
+            code = e.code
+        else:
+            import sys as _sys
+
+            print(e.code, file=_sys.stderr)
+            code = 1
     except BaseException:
         import traceback
 

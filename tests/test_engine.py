@@ -447,3 +447,20 @@ def test_dml_update_rejects_empty_where_and_dup_columns(engines):
     # nothing was mutated by the rejected statements
     vals = {r.id: r.value for r in eng1.sql("SELECT id, value FROM guard_t").collect()}
     assert vals[1] == 10.5
+
+
+def test_dml_update_shadowed_column_with_subquery(spark):
+    # round-4 ADVICE: a column named like a TABLE must stay a column
+    # in SET/WHERE even when the same expression contains a subquery
+    # over that table — only the (SELECT ...) span gets namespaced
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_shadow")
+    eng.put("stats_t", pa.table({"id": [1, 2, 3], "source": ["a", "a", "b"]}))
+    eng.put("source", pa.table({"k": [1, 3]}))
+    eng.dml(
+        "UPDATE stats_t SET source = 'z' "
+        "WHERE source = 'a' AND id IN (SELECT k FROM source)"
+    )
+    rows = {(r.id, r.source) for r in eng.table("stats_t").collect()}
+    assert rows == {(1, "z"), (2, "a"), (3, "b")}

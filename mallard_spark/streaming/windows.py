@@ -1094,6 +1094,26 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("source", "docs", "docs_kept")
 
 
+def bloom_flag_expr(words: list[int]) -> str:
+    """The stateless per-document contamination flag: EXISTS over the
+    doc's shingle array (column ``shs``) of "all BLOOM_J hash bits set
+    in the baked-in bitmap". ONE definition shared by the registered
+    streaming query and its restart test so they can never drift."""
+    from mallard_spark.functions.hashing import md5_long_expr
+    from mallard_spark.operators.llm import BLOOM_J, BLOOM_M
+
+    bm = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    pos_src = "concat(s, ':bf', j)"
+    posj = f"({md5_long_expr(pos_src)} % {BLOOM_M})"
+    j_lits = ",".join(f"'{j}'" for j in range(BLOOM_J))
+    return (
+        f"exists(shs, s -> forall(transform(array({j_lits}), j -> "
+        + posj
+        + f"), p -> (shiftright(element_at({bm}, cast(p div 63 as int) + 1), "
+        "cast(p % 63 as int)) & 1) = 1))"
+    )
+
+
 @query(
     "stream_decontaminate_bloom",
     oracle=f"""
@@ -1145,21 +1165,11 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at stateless-map speed on an unbounded stream. The oracle is
     the batch answer over the same corpus.
     """
-    from mallard_spark.functions.hashing import md5_long_expr
     from mallard_spark.functions.text import shingles_of, tokens
-    from mallard_spark.operators.llm import BLOOM_J, BLOOM_M, bloom_bitmap_words
+    from mallard_spark.operators.llm import bloom_bitmap_words
 
     words = bloom_bitmap_words(spark, sf_dir)
-    bm = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    pos_src = "concat(s, ':bf', j)"
-    posj = f"({md5_long_expr(pos_src)} % {BLOOM_M})"
-    j_lits = ",".join(f"'{j}'" for j in range(BLOOM_J))
-    flag = (
-        f"exists(shs, s -> forall(transform(array({j_lits}), j -> "
-        + posj
-        + f"), p -> (shiftright(element_at({bm}, cast(p div 63 as int) + 1), "
-        "cast(p % 63 as int)) & 1) = 1))"
-    )
+    flag = bloom_flag_expr(words)
 
     path = os.path.join(sf_dir, "documents.parquet")
     batch = spark.read.parquet(path)

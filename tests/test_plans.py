@@ -271,10 +271,15 @@ def test_knn_pq_codebook_broadcast_no_cartesian(spark, sf_dir):
 
 
 def test_knn_ivfpq_broadcast_joins_only_on_small_sides(spark, sf_dir):
-    # seeds / codebook / distance table broadcast; candidate join is
-    # an equi-join; no Python, no cartesian
+    # round-5 fused plan: the query side reads the materialized
+    # (vec_id, v, codes, lists) index and candidate-joins it against
+    # the BROADCAST probe rows via arrays_overlap — a broadcast
+    # nested loop over a bounded probe set, never a cartesian, and no
+    # row-at-a-time Python in the serving plan (the Arrow-vectorized
+    # index build ran in the materialize side-job)
     plan = _plan(spark, sf_dir, "knn_ivfpq")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ivfpq_index" in plan  # reads the persisted index artifact
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 
@@ -491,12 +496,16 @@ def test_ivf_seed_set_is_bounded_top_k_not_corpus_fraction(spark, sf_dir):
     splan = seeds._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan
     assert seeds.count() == min(IVF_NLIST, vecs.count())
-    for name in ("knn_ivf", "knn_ivfpq"):
-        plan = _plan(spark, sf_dir, name)
-        assert "TakeOrderedAndProject" in plan
-        # the bounded seed set must be the BROADCAST side of the
-        # assignment pass (never a shuffle of the corpus against it)
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # knn_ivf assigns in-plan: the bounded seed set must be selected
+    # by a top-K and be the BROADCAST side of the assignment pass
+    plan = _plan(spark, sf_dir, "knn_ivf")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # knn_ivfpq collects the same bounded seed set up front (driver
+    # side) and bakes it into the broadcast params row; its serving
+    # plan joins the materialized index against broadcast probes
+    plan = _plan(spark, sf_dir, "knn_ivfpq")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_kmeans_training_input_is_capped_sample(spark, sf_dir):

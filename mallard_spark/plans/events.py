@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mallard_spark.functions.hashing import md5_long_sql
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
 
@@ -1563,4 +1564,114 @@ def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum_cents * 1000000) div total").cast("long").alias("share_ppm"),
         )
         .orderBy("dow", "hod")
+    )
+
+
+HH_BUCKETS = 32  # content-addressed merge buckets (partition stand-ins)
+HH_PER_BUCKET = 8  # partial top-m retained per bucket
+HH_TOPK = 10
+
+
+@query(
+    "heavy_hitters_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % {HH_BUCKETS} AS b, user_id,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), top AS (
+      SELECT b, user_id, cnt FROM (
+        SELECT b, user_id, cnt,
+               ROW_NUMBER() OVER (PARTITION BY b
+                                  ORDER BY cnt DESC, user_id) AS rk,
+               COUNT(*) OVER (PARTITION BY b) AS nk
+        FROM c
+      ) WHERE rk <= {HH_PER_BUCKET}
+    ), cut AS (
+      -- what a missing key could have hidden below the bucket's cut:
+      -- the m-th retained count, or 0 when nothing was dropped
+      SELECT t.b,
+             CASE WHEN (SELECT COUNT(*) FROM c WHERE c.b = t.b) > {HH_PER_BUCKET}
+                  THEN MIN(t.cnt) ELSE 0 END AS cutoff
+      FROM top t GROUP BY t.b
+    ), tot AS (
+      SELECT CAST(SUM(cutoff) AS BIGINT) AS total_cut FROM cut
+    ), agg AS (
+      SELECT t.user_id,
+             CAST(SUM(t.cnt) AS BIGINT) AS lower_bound,
+             CAST(SUM(u.cutoff) AS BIGINT) AS present_cut
+      FROM top t JOIN cut u ON u.b = t.b
+      GROUP BY t.user_id
+    )
+    SELECT user_id, lower_bound,
+           CAST(lower_bound + (total_cut - present_cut) AS BIGINT) AS upper_bound
+    FROM agg, tot
+    ORDER BY lower_bound DESC, user_id LIMIT {HH_TOPK}
+    """,
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters with DETERMINISTIC error bounds —
+    the skew-diagnosis / hot-key mining primitive (SURVEY round-5
+    candidate; complements `skew_key_report`, which profiles known
+    join keys). The stream is split into HH_BUCKETS content-addressed
+    buckets (md5 of the key — partitioning-invariant stand-ins for
+    physical partitions), each bucket keeps only its exact top-m
+    counts, and the merge sees HH_BUCKETS x m rows regardless of key
+    cardinality. For every reported key: `lower_bound` = mass
+    actually observed in retained partials, `upper_bound` adds each
+    non-reporting bucket's retention cutoff — the classical
+    distributed top-k guarantee, exact integers on both engines.
+
+    Scale shape: one partial-combined groupBy on (bucket, key) (the
+    same exchange a plain per-key count pays), one window over the
+    KEY table (not the event stream), then bounded merge arithmetic
+    on 32 x 8 rows with the 32-row cutoff table broadcast. No
+    full-key-table global sort: the final top-10 is a
+    TakeOrderedAndProject over the bounded candidate set.
+    """
+    from mallard_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            (md5_long(F.col("user_id").cast("string")) % HH_BUCKETS).alias("b"),
+            "user_id",
+        )
+        .groupBy("b", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("b").orderBy(F.desc("cnt"), "user_id")
+    ranked = c.select(
+        "b",
+        "user_id",
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("b")).alias("nk"),
+    )
+    top = ranked.filter(F.col("rk") <= HH_PER_BUCKET)
+    cut = top.groupBy("b").agg(
+        F.when(F.max("nk") > HH_PER_BUCKET, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("cutoff")
+    )
+    tot = cut.agg(F.sum("cutoff").cast("long").alias("total_cut"))
+    agg = (
+        top.join(F.broadcast(cut), "b")
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("lower_bound"),
+            F.sum("cutoff").cast("long").alias("present_cut"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "lower_bound",
+            (F.col("lower_bound") + F.col("total_cut") - F.col("present_cut"))
+            .cast("long")
+            .alias("upper_bound"),
+        )
+        .orderBy(F.desc("lower_bound"), "user_id")
+        .limit(HH_TOPK)
     )

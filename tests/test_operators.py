@@ -569,3 +569,39 @@ def test_bpe_train_matches_naive_reference(spark):
         for r in bpe_train_merges(spark, sf).orderBy("step").collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_heavy_hitters_finds_hot_key_with_tight_bounds(spark, tmp_path):
+    """A genuinely skewed stream: one key with 1000 events among 200
+    cold keys. The hot key's bucket retains it fully, so its lower
+    bound is EXACT; the upper bound only pays the other buckets'
+    small cutoffs. (The sf testdata is near-uniform, so this fixture
+    is where the bound semantics are actually exercised.)"""
+    import datetime
+
+    rows = [(999, 1000)] + [(k, 1 + k % 2) for k in range(200)]
+    recs = []
+    i = 0
+    for uid, n in rows:
+        for _ in range(n):
+            recs.append(
+                (
+                    i,
+                    datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+                    uid,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            i += 1
+    spark.createDataFrame(
+        recs, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from mallard_spark.plans.events import heavy_hitters_topk
+
+    out = heavy_hitters_topk(spark, str(tmp_path)).collect()
+    assert out[0].user_id == 999
+    assert out[0].lower_bound == 1000
+    assert out[0].upper_bound - out[0].lower_bound <= 2 * 31

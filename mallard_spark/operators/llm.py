@@ -1270,3 +1270,101 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in step_dfs[1:]:
         out = out.unionByName(d)
     return out.orderBy("step")
+
+
+def _decontaminate_minhash_oracle() -> str:
+    from mallard_spark.operators.dedup import (
+        K_MINHASH,
+        N_BANDS,
+        EST_MIN,
+        minhash_sig_ctes,
+    )
+
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat({b}, ':', mh{2 * b}, ':', mh{2 * b + 1})) AS bkey FROM mh"
+        for b in range(N_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(K_MINHASH)
+    )
+    return f"""
+    WITH {minhash_sig_ctes()}, bands AS (
+      {band_selects}
+    ), pairs AS (
+      SELECT DISTINCT tr.doc_id AS doc_train, te.doc_id AS doc_test
+      FROM bands tr JOIN bands te
+        ON tr.band = te.band AND tr.bkey = te.bkey
+      WHERE {_BUCKET_SQL.replace("doc_id", "tr.doc_id")} < 80
+        AND {_BUCKET_SQL.replace("doc_id", "te.doc_id")} >= 90
+    )
+    SELECT doc_train, doc_test, ({eq_terms}) / {K_MINHASH}.0 AS est_sim
+    FROM pairs
+    JOIN mh ma ON ma.doc_id = doc_train
+    JOIN mh mb ON mb.doc_id = doc_test
+    WHERE ({eq_terms}) / {K_MINHASH}.0 >= {EST_MIN}
+    """
+
+
+@query("decontaminate_minhash", oracle=_decontaminate_minhash_oracle())
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: train documents that are NEAR-duplicates
+    of test/benchmark documents, not just exact n-gram overlaps —
+    the sweep frontier-model reports actually run (paraphrased or
+    lightly-edited benchmark leakage defeats `decontaminate_overlap`'s
+    exact shingle join; MinHash similarity catches it).
+
+    Same content-addressed 80/10/10 split as split_train_test, same
+    md5-portable MinHash(16)+LSH(8x2) machinery as dedup_minhash_lsh
+    (ONE signature definition site — an estimator change cannot
+    desynchronize the sweeps). The only corpus-scaled join is train
+    bands ⋈ test bands: output bounded by the TEST side's match
+    count, so the sweep costs one signature pass plus a
+    benchmark-sized equi-join — the dedup_incremental shape with the
+    batch roles swapped.
+    """
+    from mallard_spark.operators.dedup import (
+        EST_MIN,
+        K_MINHASH,
+        _band_keys,
+        _minhash_signatures,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    mh = materialize(_minhash_signatures(docs), "decon_signatures")
+    bucket_of = md5_long(F.col("doc_id").cast("string")) % 100
+    bands = _band_keys(mh).withColumn("bucket", bucket_of)
+    tr = bands.filter(F.col("bucket") < 80).alias("tr")
+    te = bands.filter(F.col("bucket") >= 90).alias("te")
+    pairs = (
+        tr.join(
+            te,
+            (F.col("tr.band") == F.col("te.band"))
+            & (F.col("tr.bkey") == F.col("te.bkey")),
+        )
+        .select(
+            F.col("tr.doc_id").alias("doc_train"),
+            F.col("te.doc_id").alias("doc_test"),
+        )
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_train"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(K_MINHASH)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_test"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(K_MINHASH)],
+    )
+    eq_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(K_MINHASH)
+    )
+    est = eq_sum / float(K_MINHASH)
+    return (
+        pairs.join(ma, "doc_train")
+        .join(mb, "doc_test")
+        .filter(est >= EST_MIN)
+        .select("doc_train", "doc_test", est.alias("est_sim"))
+    )

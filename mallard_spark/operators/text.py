@@ -21,6 +21,7 @@ from mallard_spark.functions.text import (
     PUNCT_SQL,
     TOKENS_EXPR,
     TOKENS_SQL,
+    word_shingles_sql,
 )
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
@@ -1092,4 +1093,125 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang", "bucket")
+    )
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH ds AS (
+      SELECT DISTINCT doc_id, s.sh
+      FROM documents, UNNEST({word_shingles_sql(3)}) s(sh)
+    ), df AS (
+      SELECT sh, COUNT(*) AS docfreq FROM ds GROUP BY sh
+    ), per_doc AS (
+      SELECT d.doc_id,
+             COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.docfreq = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM ds d JOIN df f ON f.sh = d.sh
+      GROUP BY d.doc_id
+    )
+    SELECT doc.source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+           CAST((SUM(p.n_novel) * 1000000) // SUM(p.n_sh) AS BIGINT) AS novelty_ppm
+    FROM per_doc p JOIN documents doc ON doc.doc_id = p.doc_id
+    GROUP BY doc.source
+    ORDER BY doc.source
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY: the fraction of each document's
+    distinct 3-shingles that occur in NO other document (corpus
+    docfreq = 1) — the diversity/memorization-risk dial a data-mix
+    designer reads next to the duplication metrics (low novelty =
+    templated or heavily-duplicated source; `dedup_substring_windows`
+    measures the inverse, duplicated mass). Ratio-of-sums in exact
+    integers (ppm), one shingle docfreq aggregate + one join back on
+    the shingle — linear, the dedup_ngram candidate-generation shape
+    without the pair blowup.
+    """
+    from mallard_spark.functions.text import shingles_of, tokens
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    ds = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.explode(shingles_of("toks", 3)).alias("sh"))
+        .distinct()
+    )
+    df_ = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("docfreq"))
+    per_doc = (
+        ds.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.expr("(sum(n_novel) * 1000000) div sum(n_sh)")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "tokenizer_fertility_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len({TOKENS_SQL}) AS n_words,
+             len({BPE_SQL}) AS n_bpe,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST((SUM(n_bpe) * 1000000) // SUM(n_words) AS BIGINT) AS fertility_ppm,
+           CAST((SUM(n_chars) * 1000000) // SUM(n_bpe) AS BIGINT) AS chars_per_token_ppm
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY (pre-tokens per whitespace
+    word) and compression (chars per pre-token) — the
+    tokenizer-equity dashboard multilingual-corpus reports publish:
+    a language whose fertility is 2x pays 2x the context budget for
+    the same content, which feeds directly into `mix_temperature`'s
+    up/down-weighting decisions. Ratio-of-sums in exact integer ppm;
+    one scan, one #langs-row aggregate, all codegen regex — no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_words"),
+        F.expr(f"size({BPE_EXPR})").cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.expr("(sum(n_bpe) * 1000000) div sum(n_words)")
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr("(sum(n_chars) * 1000000) div sum(n_bpe)")
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang")
     )

@@ -902,6 +902,101 @@ def _replace_string_split(sql: str) -> str:
     return sql
 
 
+_CLAUSE_KWS = (
+    "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+    "UNION", "EXCEPT", "INTERSECT",
+)
+
+
+def _rewrite_from_first(sql: str) -> str:
+    """DuckDB FROM-first syntax: ``FROM t [SELECT list] ...`` →
+    ``SELECT list FROM t ...`` (``SELECT *`` when no SELECT clause).
+
+    Fires only when a depth-0 FROM has NO depth-0 SELECT before it
+    AND is the first code token or directly follows a CTE's closing
+    paren — so ``DELETE FROM``/``INSERT INTO``/ordinary SELECTs are
+    never touched."""
+    f = _find_kw(sql, "FROM", at_depth=0)
+    if f < 0:
+        return sql
+    s = _find_kw(sql, "SELECT", at_depth=0)
+    if 0 <= s < f:
+        return sql
+    # the statement must BEGIN with FROM, or with WITH whose CTE list
+    # ends right before the FROM — anything else (DELETE FROM,
+    # INSERT ... FROM, arbitrary fragments) is not FROM-first syntax
+    mask = _code_mask(sql)
+    first = _find_kw(sql, "FROM", at_depth=None)
+    starts_with_from = first == f and sql[:f].strip() == ""
+    if not starts_with_from:
+        w = _find_kw(sql, "WITH", at_depth=0)
+        if w < 0 or sql[:w].strip() != "":
+            return sql
+        j = f - 1
+        while j >= 0 and (sql[j] in _WS or not mask[j]):
+            j -= 1
+        if j < 0 or sql[j] != ")":
+            return sql
+    if s < 0:
+        return f"{sql[:f]}SELECT * {sql[f:]}"
+    from_clause = sql[f + 4 : s].strip()
+    rest = sql[s + 6 :]
+    end = len(rest)
+    for kw in _CLAUSE_KWS:
+        k = _find_kw(rest, kw, at_depth=0)
+        if 0 <= k < end:
+            end = k
+    select_list = rest[:end].strip()
+    tail = rest[end:]
+    if not from_clause or not select_list:
+        return sql
+    return f"{sql[:f]}SELECT {select_list} FROM {from_clause} {tail}".rstrip()
+
+
+def _rewrite_from_first_nested(sql: str) -> str:
+    """Apply the FROM-first rewrite inside paren fragments whose first
+    code token is FROM (subqueries, CTE bodies): ``(FROM t)`` →
+    ``(SELECT * FROM t)``."""
+    for _ in range(32):
+        positions = {i: d for i, _c, d, code in _scan(sql) if code}
+        mask = _code_mask(sql)
+        changed = False
+        i = 0
+        while True:
+            f = _find_kw(sql, "FROM", at_depth=None, start=i)
+            if f < 0:
+                break
+            i = f + 1
+            d = positions.get(f, 0)
+            if d == 0:
+                continue
+            j = f - 1
+            while j >= 0 and (sql[j] in _WS or not mask[j]):
+                j -= 1
+            if j < 0 or sql[j] != "(":
+                continue
+            closer = next(
+                (
+                    k
+                    for k in range(f, len(sql))
+                    if sql[k] == ")" and positions.get(k) == d - 1
+                ),
+                -1,
+            )
+            if closer < 0:
+                continue
+            inner = sql[j + 1 : closer]
+            rewritten = _rewrite_from_first(inner)
+            if rewritten == inner:
+                continue
+            sql = f"{sql[:j + 1]}{rewritten}{sql[closer:]}"
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
 def _rewrite_indexing(sql: str) -> str:
     """Postfix ``base[i]`` → ``element_at(base, i)`` (1-based, DuckDB
     semantics; element_at is 1-based and supports negative-from-end
@@ -1037,6 +1132,8 @@ def duckdb_to_spark(
         # bracket-balanced input; on malformed text their "top level"
         # is meaningless and rewriting could corrupt instead of
         # passing the original through to Spark's real parse error
+        out = _rewrite_from_first(out)
+        out = _rewrite_from_first_nested(out)
         out = _rewrite_distinct_on(out)
         out = _rewrite_distinct_on_nested(out)
         out = _rewrite_qualify(out)

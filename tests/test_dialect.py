@@ -425,3 +425,29 @@ def test_intdiv_mixed_int_and_double_sites(eng5):
     # semantics) while the double site goes float
     rows = _both5(eng5, "SELECT v // 7 AS d, w // 2 AS h FROM dw ORDER BY id")
     assert rows[0] == (1, 0.75)
+
+
+def test_from_first_syntax(eng5):
+    # DuckDB FROM-first statements (`FROM t`, `FROM t SELECT ...`)
+    for q in (
+        "FROM dw SELECT g, v WHERE v > 15 ORDER BY v",
+        "WITH c AS (FROM dw WHERE v > 15) FROM c SELECT g, v ORDER BY v",
+        "SELECT q.g FROM (FROM dw WHERE id = 1) q",
+        "FROM dw SELECT g, count(*) AS n GROUP BY g ORDER BY g",
+    ):
+        _both5(eng5, q)
+
+
+def test_from_first_bare_table(eng5):
+    got = eng5.sql("FROM dw ORDER BY id").collect()
+    want = _duck5("FROM dw ORDER BY id")
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_from_first_never_touches_dml():
+    for q in (
+        "DELETE FROM t WHERE x IN (SELECT k FROM s)",
+        "INSERT INTO t2 SELECT * FROM t",
+        "SELECT a FROM t",
+    ):
+        assert duckdb_to_spark(q) == q

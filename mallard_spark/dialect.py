@@ -320,6 +320,56 @@ def _replace_exclude(sql: str) -> str:
     return _EXCLUDE_RE.sub(sub, sql)
 
 
+_STAR_REPLACE_RE = re.compile(r"\*\s*REPLACE\s*\(", re.IGNORECASE)
+
+
+def _rewrite_star_replace(sql: str) -> str:
+    """DuckDB ``* REPLACE (expr AS col, ...)`` → ``* EXCEPT (col, ...),
+    expr AS col, ...`` — Spark has no REPLACE clause, but EXCEPT plus
+    re-projection computes the same columns. Documented caveat: the
+    replaced columns move to the END of the projection (DuckDB keeps
+    their original position) — values and names are identical, order
+    is not; positional consumers should list columns explicitly."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _STAR_REPLACE_RE.finditer(sql)
+                if all(mask[k] for k in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        open_p = m.end() - 1
+        depth = 0
+        close_p = -1
+        for j in range(open_p, len(sql)):
+            if sql[j] in "([" and mask[j]:
+                depth += 1
+            elif sql[j] in ")]" and mask[j]:
+                depth -= 1
+                if depth == 0:
+                    close_p = j
+                    break
+        if close_p < 0:
+            return sql
+        items = _split_top_level_commas(sql[open_p + 1 : close_p])
+        names = []
+        for it in items:
+            am = _AS_ALIAS_RE.search(it.rstrip())
+            if am is None:
+                return sql  # malformed item — pass through to the parser
+            names.append(am.group(1))
+        repl = (
+            f"* EXCEPT ({', '.join(names)}), "
+            + ", ".join(it.strip() for it in items)
+        )
+        sql = f"{sql[:m.start()]}{repl}{sql[close_p + 1:]}"
+    return sql
+
+
 def _split_tail(sql: str, start: int) -> tuple[str, str]:
     """Split ``sql[start:]`` into (head, tail) where tail begins at
     the first top-level ORDER BY / LIMIT (or is empty)."""
@@ -1122,6 +1172,7 @@ def duckdb_to_spark(
     """
     out = _replace_intdiv(sql, as_float=float_intdiv, float_mask=intdiv_mask)
     out = _replace_exclude(out)
+    out = _rewrite_star_replace(out)
     out = _rename_functions(out)
     if list_len:
         out = _replace_len(out)

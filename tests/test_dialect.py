@@ -451,3 +451,22 @@ def test_from_first_never_touches_dml():
         "SELECT a FROM t",
     ):
         assert duckdb_to_spark(q) == q
+
+
+def test_star_replace(eng5):
+    # values identical to DuckDB; replaced columns move to the END of
+    # the projection (documented order caveat), so compare by name
+    got = {
+        (r.id, r.v) for r in eng5.sql("SELECT * REPLACE (v * 2 AS v) FROM dw").collect()
+    }
+    want = {(r[0], r[2]) for r in _duck5("SELECT * REPLACE (v * 2 AS v) FROM dw")}
+    assert got == want
+
+
+def test_star_replace_multi(eng5):
+    rows = eng5.sql(
+        "SELECT * REPLACE (v * 2 AS v, upper(g) AS g) FROM dw ORDER BY id"
+    ).collect()
+    assert rows[0].v == 20 and rows[0].g == "A"
+    out = duckdb_to_spark("SELECT * REPLACE (v * 2 AS v) FROM t")
+    assert out == "SELECT * EXCEPT (v), v * 2 AS v FROM t"

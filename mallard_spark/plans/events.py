@@ -1640,6 +1640,13 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b", "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return hh_merge(c)
+
+
+def hh_merge(c: DataFrame) -> DataFrame:
+    """Bounded heavy-hitter merge over a (b, user_id, cnt) counts
+    table — ONE definition shared by the batch operator and the
+    streaming monitor (which maintains the counts incrementally)."""
     w = Window.partitionBy("b").orderBy(F.desc("cnt"), "user_id")
     ranked = c.select(
         "b",

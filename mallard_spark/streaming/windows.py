@@ -1211,3 +1211,87 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("source", "docs", "docs_flagged")
+
+
+def _hh_oracle() -> str:
+    from mallard_spark.plans.events import HH_BUCKETS, HH_PER_BUCKET, HH_TOPK
+
+    return f"""
+    WITH c AS (
+      SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % {HH_BUCKETS} AS b, user_id,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), top AS (
+      SELECT b, user_id, cnt FROM (
+        SELECT b, user_id, cnt,
+               ROW_NUMBER() OVER (PARTITION BY b
+                                  ORDER BY cnt DESC, user_id) AS rk
+        FROM c
+      ) WHERE rk <= {HH_PER_BUCKET}
+    ), cut AS (
+      SELECT t.b,
+             CASE WHEN (SELECT COUNT(*) FROM c WHERE c.b = t.b) > {HH_PER_BUCKET}
+                  THEN MIN(t.cnt) ELSE 0 END AS cutoff
+      FROM top t GROUP BY t.b
+    ), tot AS (
+      SELECT CAST(SUM(cutoff) AS BIGINT) AS total_cut FROM cut
+    ), agg AS (
+      SELECT t.user_id,
+             CAST(SUM(t.cnt) AS BIGINT) AS lower_bound,
+             CAST(SUM(u.cutoff) AS BIGINT) AS present_cut
+      FROM top t JOIN cut u ON u.b = t.b
+      GROUP BY t.user_id
+    )
+    SELECT user_id, lower_bound,
+           CAST(lower_bound + (total_cut - present_cut) AS BIGINT) AS upper_bound
+    FROM agg, tot
+    ORDER BY lower_bound DESC, user_id LIMIT {HH_TOPK}
+    """
+
+
+@query("stream_heavy_hitters", oracle=_hh_oracle())
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time hot-key monitoring: the per-(bucket, key)
+    counts are maintained INCREMENTALLY by a complete-mode streaming
+    aggregation (state = the key table, pruned nothing — the monitor
+    IS the count store), and the bounded heavy-hitter merge
+    (`plans.events.hh_merge` — the SAME definition the batch operator
+    uses, so the two can never disagree) runs as a batch query over
+    the sink's state whenever someone asks for the current top-k.
+    Oracle = the batch answer over the same corpus.
+    """
+    from mallard_spark.functions.hashing import md5_long
+    from mallard_spark.plans.events import HH_BUCKETS, hh_merge
+
+    stream = _events_stream(spark, sf_dir)
+    counts = (
+        stream.select(
+            (md5_long(F.col("user_id").cast("string")) % HH_BUCKETS).alias("b"),
+            "user_id",
+        )
+        .groupBy("b", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = "mallard_stream_heavy_hitters"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from mallard_spark.functions.exec import materialize
+
+    # snapshot the sink state through the parquet barrier: the merge
+    # self-joins the counts table, and a clean file-scan lineage both
+    # sidesteps MemorySink's self-join attribute clash and is what a
+    # production monitor would do (persist the state snapshot, query
+    # the snapshot)
+    return hh_merge(materialize(spark.table(name), "hh_stream_counts"))

@@ -2018,3 +2018,131 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos_sim") - F.col("cos_sim")).alias("margin"),
         "rank",
     )
+
+
+PCA_ITERS = 8
+PCA_S = GRAM_Q  # eigvec coordinate scale (1024)
+PCA_LIMIT = 200
+
+
+def _pca_oracle() -> str:
+    gram = f"""
+    q AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                    x -> CAST(FLOOR(x * {GRAM_Q}) AS BIGINT)) AS qv
+      FROM embeddings
+    ), pairs AS (
+      SELECT i.i AS di, j.j AS dj, qv[i.i] * qv[j.j] AS prod
+      FROM q,
+           UNNEST(range(1, len(qv) + 1)) i(i),
+           UNNEST(range(1, len(qv) + 1)) j(j)
+      WHERE i.i <= j.j
+    ), gram AS MATERIALIZED (
+      SELECT di - 1 AS gi, dj - 1 AS gj, SUM(prod) AS gram_q
+      FROM pairs GROUP BY di, dj
+    ), gfull AS MATERIALIZED (
+      SELECT gi AS i, gj AS j, gram_q FROM gram
+      UNION ALL
+      SELECT gj, gi, gram_q FROM gram WHERE gi <> gj
+    ),
+    v0 AS (SELECT DISTINCT gi AS i, {PCA_S}::HUGEINT AS v FROM gram)"""
+    ctes = [gram]
+    for k in range(PCA_ITERS):
+        ctes.append(f"""w{k} AS MATERIALIZED (
+      SELECT g.i, SUM(g.gram_q::HUGEINT * v.v) AS w
+      FROM gfull g JOIN v{k} v ON v.i = g.j GROUP BY g.i
+    )""")
+        ctes.append(f"""v{k + 1} AS MATERIALIZED (
+      SELECT i, (w * {PCA_S}) // (SELECT MAX(ABS(w)) FROM w{k}) AS v FROM w{k}
+    )""")
+    T = PCA_ITERS
+    ctes.append(f"""wf AS MATERIALIZED (
+      SELECT g.i, SUM(g.gram_q::HUGEINT * v.v) AS w
+      FROM gfull g JOIN v{T} v ON v.i = g.j GROUP BY g.i
+    )""")
+    ctes.append(f"""sgn AS (
+      SELECT CASE WHEN (SELECT v FROM v{T}
+                        WHERE i = (SELECT MIN(i) FROM v{T} WHERE v <> 0)) < 0
+                  THEN -1 ELSE 1 END AS s
+    )""")
+    ctes.append(f"""lam AS (
+      SELECT CAST((SELECT SUM(v.v * w.w) FROM v{T} v JOIN wf w ON w.i = v.i)
+                  // (SELECT SUM(v * v) FROM v{T}) AS BIGINT) AS lambda_q
+    )""")
+    ctes.append(f"""vec AS MATERIALIZED (
+      SELECT i, CAST(v * (SELECT s FROM sgn) AS BIGINT) AS v FROM v{T}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT q.vec_id,
+           CAST(SUM(q.qv[vec.i + 1] * vec.v) AS BIGINT) AS proj_q,
+           (SELECT lambda_q FROM lam) AS lambda_q
+    FROM q, vec
+    GROUP BY q.vec_id
+    ORDER BY q.vec_id LIMIT {PCA_LIMIT}"""
+    )
+
+
+@query("emb_pca_top_component", oracle=_pca_oracle())
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus in EXACT
+    integer arithmetic end-to-end — the "all-but-the-top" /
+    whitening primitive (removing the top component is the standard
+    post-processing that makes embedding similarity discriminative).
+
+    Pipeline: the exact integer Gram matrix (emb_gram_matrix's
+    mapInPandas partials — one corpus pass, vectors never shuffle) is
+    COLLECTED (d×d, bounded at any corpus size — the Bloom-bitmap
+    precedent), the power iteration runs driver-side in arbitrary-
+    precision Python ints ({PCA_ITERS} rounds, renormalized to scale
+    2^10 with truncating division each round — the DuckDB oracle
+    replays the identical integer recurrence in HUGEINT CTEs), and
+    the per-vector projection onto the eigendirection is one
+    distributed integer fold against the 64-int literal. Rayleigh
+    quotient reported as lambda_q (the explained-variance numerator).
+    """
+    rows = emb_gram_matrix(spark, sf_dir).collect()
+    dims = sorted({int(r["dim_i"]) for r in rows} | {int(r["dim_j"]) for r in rows})
+    d = len(dims)
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        i, j, g = int(r["dim_i"]), int(r["dim_j"]), int(r["gram_q"])
+        G[i][j] = g
+        G[j][i] = g
+
+    def matvec(v):
+        return [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+
+    def trunc_div(a, b):
+        # DuckDB integer // truncates toward zero; Python // floors
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = [PCA_S] * d
+    for _ in range(PCA_ITERS):
+        w = matvec(v)
+        m = max(abs(x) for x in w)
+        v = [trunc_div(x * PCA_S, m) for x in w]
+    w = matvec(v)
+    first = next((x for x in v if x != 0), 1)
+    s = -1 if first < 0 else 1
+    lambda_q = sum(a * b for a, b in zip(v, w)) // sum(a * a for a in v)
+    v = [s * x for x in v]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v_sql = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    proj = (
+        f"aggregate(zip_with(transform(v, x -> cast(floor(x * {GRAM_Q}) as bigint)), "
+        f"{v_sql}, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"
+    )
+    return (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .select(
+            "vec_id",
+            F.expr(proj).cast("long").alias("proj_q"),
+            F.lit(int(lambda_q)).cast("long").alias("lambda_q"),
+        )
+        .orderBy("vec_id")
+        .limit(PCA_LIMIT)
+    )

@@ -1737,17 +1737,17 @@ PQT_ITERS = 2
 PQT_RERANK = 100
 
 
-def _pqt_assign_sql(cb: str) -> str:
+def _pqt_assign_sql(cb: str, src: str = "sub") -> str:
     """argmin code per (vec, subspace): MIN(micro*100 + cid)."""
     micro = f"CAST(ROUND({_pq_l2_sql('t.sub', 'c.code')} * 1000000) AS BIGINT)"
     return f"""(
       SELECT t.vec_id AS vec_id, t.s AS s, MIN({micro} * 100 + c.cid) % 100 AS cid
-      FROM sub t JOIN {cb} c ON t.s = c.s
+      FROM {src} t JOIN {cb} c ON t.s = c.s
       GROUP BY t.vec_id, t.s
     )"""
 
 
-def _pqt_update_sql(asg: str) -> str:
+def _pqt_update_sql(asg: str, src: str = "sub") -> str:
     """Exact quantized mean per (s, cid, dim), rebuilt into code arrays."""
     return f"""(
       SELECT s, cid, list(m ORDER BY pos) AS code FROM (
@@ -1755,7 +1755,7 @@ def _pqt_update_sql(asg: str) -> str:
                CAST(SUM(CAST(FLOOR(t.sub[u.i] * {Q_SCALE}) AS BIGINT)) AS DOUBLE)
                  / {Q_SCALE} / COUNT(*) AS m
         FROM {asg} a
-        JOIN sub t ON t.vec_id = a.vec_id AND t.s = a.s,
+        JOIN {src} t ON t.vec_id = a.vec_id AND t.s = a.s,
         UNNEST(range(1, {PQ_DSUB} + 1)) u(i)
         GROUP BY a.s, a.cid, u.i - 1
       ) GROUP BY s, cid
@@ -1774,10 +1774,16 @@ def _knn_pq_trained_oracle() -> str:
         f"""cb0 AS (
       SELECT s, vec_id AS cid, sub AS code FROM sub WHERE vec_id < {PQT_K}
     )""",
+        f"""tr AS (
+      SELECT t.* FROM sub t
+      JOIN (SELECT vec_id FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {KM_TRAIN_CAP}) k ON k.vec_id = t.vec_id
+    )""",
     ]
     for i in range(PQT_ITERS):
-        ctes.append(f"a{i} AS {_pqt_assign_sql(f'cb{i}')}")
-        ctes.append(f"cb{i + 1} AS {_pqt_update_sql(f'a{i}')}")
+        ctes.append(f"a{i} AS {_pqt_assign_sql(f'cb{i}', src='tr')}")
+        ctes.append(f"cb{i + 1} AS {_pqt_update_sql(f'a{i}', src='tr')}")
     cb = f"cb{PQT_ITERS}"
     ctes.append(f"codes AS {_pqt_assign_sql(cb)}")
     ctes.append(
@@ -1856,40 +1862,66 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = materialize(
         vecs.select("vec_id", F.posexplode(subs_arr).alias("s", "sub")), "pqt_sub"
     )
-    cb = sub.filter(F.col("vec_id") < PQT_K).select(
-        "s", F.col("vec_id").alias("cid"), F.col("sub").alias("code")
+
+    # Lloyd training runs DRIVER-SIDE in numpy over a bounded
+    # md5-ordered sample (KM_TRAIN_CAP rows — constant training cost
+    # at any corpus size; codebooks need ~100k vectors, never the
+    # corpus). The identical IEEE/integer chains as the old
+    # distributed rounds: dim-sequential l2 folds, _np_round_scaled
+    # decimal-exact rounding, exact floor(x*2^20) integer means —
+    # verified bit-equal to the DuckDB oracle's HUGE CTE replay.
+    # At the test SFs the sample covers the whole corpus, so trained
+    # codebooks (and recall) are unchanged.
+    import numpy as np
+
+    seed_rows = (
+        vecs.filter(F.col("vec_id") < PQT_K).orderBy("vec_id").collect()
+    )
+    train_rows = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KM_TRAIN_CAP)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"]) for r in train_rows])
+    cb_np = {
+        s: {
+            int(r["vec_id"]): list(r["v"])[s * PQ_DSUB : (s + 1) * PQ_DSUB]
+            for r in seed_rows
+        }
+        for s in range(PQ_M)
+    }
+    for _ in range(PQT_ITERS):
+        new_cb = {}
+        for s in range(PQ_M):
+            cids = sorted(cb_np[s])
+            C = np.asarray([cb_np[s][c] for c in cids])
+            Xs = X[:, s * PQ_DSUB : (s + 1) * PQ_DSUB]
+            D = np.zeros((len(Xs), len(cids)))
+            for d in range(PQ_DSUB):
+                diff = Xs[:, d, None] - C[None, :, d]
+                D = D + diff * diff
+            micro_np = _np_round_scaled(D * 1_000_000.0, 0).astype(np.int64)
+            comb = micro_np * 100 + np.asarray(cids)
+            best = np.argmin(comb, axis=1)
+            new_cb[s] = {}
+            for k, cid in enumerate(cids):
+                members = Xs[best == k]
+                if not len(members):
+                    continue  # orphan code drops, like the SQL GROUP BY
+                qsum = np.floor(members * Q_SCALE).astype(np.int64).sum(axis=0)
+                n = len(members)
+                new_cb[s][cid] = [float(q) / Q_SCALE / n for q in qsum]
+        cb_np = new_cb
+
+    cb = spark.createDataFrame(
+        [(s, cid, code) for s in range(PQ_M) for cid, code in sorted(cb_np[s].items())],
+        "s int, cid long, code array<double>",
     )
     micro = F.round(_l2sq(F.col("sub"), F.col("code")) * 1_000_000).cast("long")
 
     def assign(codebook):
         # same nearest-code argmin as every other PQ operator
         return _pq_encode(codebook, sub, micro)
-
-    for i in range(PQT_ITERS):
-        asg = assign(cb)
-        means = (
-            asg.join(sub, ["vec_id", "s"])
-            .select("s", "cid", F.posexplode("sub").alias("pos", "val"))
-            .groupBy("s", "cid", "pos")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("val") * F.lit(Q_SCALE)).cast("long"))
-                    .cast("double")
-                    / F.lit(Q_SCALE)
-                    / F.count("*")
-                ).alias("m")
-            )
-        )
-        cb = materialize(
-            means.groupBy("s", "cid").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda st: st["m"],
-                ).alias("code")
-            ),
-            f"pqt_cb_{i}",
-            n_partitions=1,  # PQ_M*PQT_K = 256 rows at ANY scale
-        )
 
     enc = assign(cb)
     dt = _pq_dtable(cb, sub, micro)

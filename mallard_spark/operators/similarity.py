@@ -1270,6 +1270,14 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_codes = len(cb_rows)
+    if not seed_rows or not cb_rows:
+        # zero-row corpus (empty partition/day): no index, no matches
+        return vecs.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos_sim"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
 
     # The collected index parameters ride along as ONE broadcast
     # params row (arrow-exact doubles) instead of literal expression
@@ -1882,7 +1890,11 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KM_TRAIN_CAP)
         .collect()
     )
-    X = np.stack([np.asarray(r["v"]) for r in train_rows])
+    X = (
+        np.stack([np.asarray(r["v"]) for r in train_rows])
+        if train_rows
+        else np.zeros((0, PQ_M * PQ_DSUB))
+    )
     cb_np = {
         s: {
             int(r["vec_id"]): list(r["v"])[s * PQ_DSUB : (s + 1) * PQ_DSUB]
@@ -1890,7 +1902,7 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for s in range(PQ_M)
     }
-    for _ in range(PQT_ITERS):
+    for _ in range(PQT_ITERS if (train_rows and seed_rows) else 0):
         new_cb = {}
         for s in range(PQ_M):
             cids = sorted(cb_np[s])
@@ -2135,6 +2147,13 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient reported as lambda_q (the explained-variance numerator).
     """
     rows = emb_gram_matrix(spark, sf_dir).collect()
+    if not rows:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("proj_q"),
+            F.lit(0).cast("long").alias("lambda_q"),
+        ).limit(0)
     dims = sorted({int(r["dim_i"]) for r in rows} | {int(r["dim_j"]) for r in rows})
     d = len(dims)
     G = [[0] * d for _ in range(d)]

@@ -330,6 +330,12 @@ def test_operators_tolerate_empty_input(spark, tmp_path):
         "quality_perplexity_buckets",
         "decontaminate_bloom",
         "knn_pq_trained",
+        "knn_ivf",
+        "knn_ivfpq",
+        "emb_pca_top_component",
+        "decontaminate_minhash",
+        "ngram_novelty_score",
+        "tokenizer_fertility_report",
         "bpe_train_merges",
         "mm_phash_dedup",
         "hard_negative_mining",

@@ -1180,14 +1180,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping idiom and offset parity — pure window functions,
     identical logic on both engines, no UDF.
 
-    Shape at 100 TB: training operates on the WORD-FREQUENCY table
-    (vocabulary-bounded — millions of rows, not the corpus), exactly
-    like reference BPE trainers; the corpus is touched once to build
-    it. Each round is: one lead() window over word-partitioned
-    symbols, one partial-combined pair count, a 1-ROW broadcast of
-    the winning pair, and two broadcast anti/semi joins against the
-    (tiny) candidate set — materialized per round so the plan stays
-    linear in rounds instead of exponential.
+    Shape at 100 TB: the corpus is touched ONCE by the distributed
+    word count; training then operates on the collected
+    WORD-FREQUENCY table (vocabulary-bounded — what reference BPE
+    trainers hold in memory too; production caps it with a
+    min-frequency floor). Round 5 moved the merge loop driver-side:
+    pure integer/string recurrence (no float-parity surface), 4.1 s →
+    0.8 s at sf0.1, while the DuckDB oracle still replays the merges
+    with its independent run-parity window formulation — the
+    cross-implementation check is unchanged (plus the naive-reference
+    test as a third implementation).
     """
     from mallard_spark.functions.text import TOKENS_EXPR
 
@@ -1197,79 +1199,52 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    s = materialize(
-        w.select(
-            "word",
-            "freq",
-            F.posexplode(
-                F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
-            ).alias("pos", "sym"),
-        ),
-        "bpe_s0",
-    )
-    win = Window.partitionBy("word").orderBy("pos")
-    step_dfs = []
-    for i in range(BPE_MERGES):
-        p = s.withColumn("nxt", F.lead("sym").over(win))
-        # materialized: `best` is referenced by cand, the next-round
-        # rebuild, AND the final step report — without the barrier the
-        # 1-row winner's groupBy+sort re-runs at every reference
-        best = materialize(
-            p.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
-            .agg(F.sum("freq").cast("long").alias("cnt"))
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1),
-            f"bpe_best_{i}",
-            n_partitions=1,
+    # The corpus-scale work is the distributed word count above; the
+    # merge loop runs DRIVER-SIDE over the collected word-frequency
+    # table (vocabulary-bounded — the Bloom/PQ collected-parameter
+    # precedent, and exactly what reference BPE trainers do: HF
+    # tokenizers hold the word-count dict in memory; a production run
+    # caps it with a min-frequency floor). Pure integer/string ops,
+    # so there is no float-parity surface at all; the DuckDB oracle
+    # still replays the merges with its INDEPENDENT run-parity window
+    # formulation, keeping the cross-implementation check.
+    rows = w.collect()
+    words = {r["word"]: int(r["freq"]) for r in rows}
+    syms = {t: list(t) for t in words}
+    steps = []
+    for step in range(BPE_MERGES):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t, freq in words.items():
+            s = syms[t]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += freq
+        if not counts:
+            break
+        # winner: max count, ties by (l, r) ascending — python string
+        # comparison is code-point order, same as the engines' binary
+        # collation on these lowercased tokens
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        cand = p.join(
-            F.broadcast(best), (p.sym == best.l) & (p.nxt == best.r)
-        ).select("word", "pos")
-        keep = (
-            cand.withColumn("rn", F.row_number().over(win))
-            .withColumn(
-                "g0",
-                F.min("pos").over(
-                    Window.partitionBy("word", F.col("pos") - F.col("rn"))
-                ),
-            )
-            .filter(((F.col("pos") - F.col("g0")) % 2) == 0)
-            .select("word", "pos")
-        )
-        merged = keep.withColumn("is_k", F.lit(1))
-        dropped = keep.select("word", (F.col("pos") + 1).alias("pos")).withColumn(
-            "is_d", F.lit(1)
-        )
-        s = materialize(
-            s.join(merged, ["word", "pos"], "left")
-            .join(dropped, ["word", "pos"], "left")
-            .filter(F.col("is_d").isNull())
-            .crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                "freq",
-                (F.row_number().over(win) - 1).alias("pos"),
-                F.when(F.col("is_k") == 1, F.concat("sym", "r"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            ),
-            f"bpe_s{i + 1}",
-        )
-        n_sym = s.agg(F.sum("freq").cast("long").alias("n_symbols"))
-        step_dfs.append(
-            best.crossJoin(F.broadcast(n_sym)).select(
-                F.lit(i + 1).alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
-                F.col("n_symbols").alias("corpus_symbols_after"),
-            )
-        )
-    out = step_dfs[0]
-    for d in step_dfs[1:]:
-        out = out.unionByName(d)
-    return out.orderBy("step")
+        for t in syms:
+            s, out, i = syms[t], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2  # leftmost-nonoverlapping
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[t] = out
+        n_after = sum(len(syms[t]) * f for t, f in words.items())
+        steps.append((step + 1, left, right, cnt, n_after))
+    return spark.createDataFrame(
+        steps,
+        "step int, left_sym string, right_sym string, "
+        "pair_count long, corpus_symbols_after long",
+    ).orderBy("step")
 
 
 def _decontaminate_minhash_oracle() -> str:

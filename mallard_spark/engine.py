@@ -67,6 +67,11 @@ _ALTER_RENAME_RE = re.compile(
     re.IGNORECASE,
 )
 _DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w]*)\s+TO\s+"
+    r"'(?P<path>[^']+)'\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+(?P<name>[A-Za-z_][\w]*)\s*;?\s*$", re.IGNORECASE
@@ -388,6 +393,69 @@ class MallardEngine:
         """
         return bool(_DML_RE.match(sql))
 
+    @staticmethod
+    def is_copy(sql: str) -> bool:
+        """``COPY <table|(query)> TO 'path' [(options)]`` statement?
+
+        Parity: the reference passes COPY tickets straight to DuckDB
+        (flight_server.py:342-352), whose clients use it to export
+        query results to files."""
+        return bool(_COPY_RE.match(sql))
+
+    def copy_to(self, sql: str) -> str:
+        """Execute ``COPY ... TO 'path'`` and return "OK" (same
+        answer shape as :meth:`ddl`).
+
+        DuckDB file semantics: ONE file at the target path (not a
+        Spark part-file directory) — the write coalesces to a single
+        task and the part file is moved onto the path, overwriting
+        like DuckDB does. Format: explicit ``FORMAT`` option, else
+        the path extension, else CSV (DuckDB's default); CSV writes a
+        header (DuckDB's default). The single-file move is the export
+        semantics clients expect — for corpus-scale distributed
+        exports use the `sources/` writers, which keep many files.
+        """
+        import os
+        import shutil
+        import tempfile
+
+        m = _COPY_RE.match(sql)
+        if not m:
+            raise ValueError(f"unsupported COPY statement: {sql!r}")
+        src, path, opts = m.group("src"), m.group("path"), m.group("opts") or ""
+        df = (
+            self.sql(src[1:-1])
+            if src.startswith("(")
+            else self.sql(f"SELECT * FROM {src}")
+        )
+        om = re.search(r"\bFORMAT\s+'?(\w+)'?", opts, re.IGNORECASE)
+        fmt = (
+            om.group(1).lower()
+            if om
+            else {
+                ".parquet": "parquet",
+                ".json": "json",
+                ".csv": "csv",
+            }.get(os.path.splitext(path)[1].lower(), "csv")
+        )
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"COPY TO: unsupported format {fmt!r}")
+        stage = tempfile.mkdtemp(prefix="mallard_copy_")
+        out = os.path.join(stage, "out")
+        w = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(out)
+        part = next(
+            f for f in os.listdir(out) if f.startswith("part-")
+        )
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        if os.path.exists(path):
+            os.remove(path)
+        shutil.move(os.path.join(out, part), path)
+        shutil.rmtree(stage, ignore_errors=True)
+        return "OK"
+
     def dml(self, sql: str) -> str:
         """Execute INSERT / UPDATE / DELETE against a catalog table and
         return "OK" (same answer shape as :meth:`ddl`).
@@ -691,6 +759,10 @@ class MallardEngine:
                 return self.spark.createDataFrame([(self.ddl(command),)], "status string")
             if self.is_dml(command):
                 return self.spark.createDataFrame([(self.dml(command),)], "status string")
+            if self.is_copy(command):
+                return self.spark.createDataFrame(
+                    [(self.copy_to(command),)], "status string"
+                )
             return self.sql(command)
         raise KeyError(
             f"no exchanger registered for command {command!r}; "

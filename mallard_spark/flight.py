@@ -152,6 +152,11 @@ class SparkFlightServer(flight.FlightServerBase):
             # OK answer shape as DDL.
             status = self.engine.dml(sql)
             return flight.RecordBatchStream(pa.table({"status": [status]}))
+        if self.engine.is_copy(sql):
+            # COPY ... TO 'path' — DuckDB clients export query results
+            # through tickets; single-file semantics in engine.copy_to
+            status = self.engine.copy_to(sql)
+            return flight.RecordBatchStream(pa.table({"status": [status]}))
         schema, batches = self.engine.stream_arrow(sql)
         return flight.GeneratorStream(schema, batches)
 

@@ -464,3 +464,29 @@ def test_dml_update_shadowed_column_with_subquery(spark):
     )
     rows = {(r.id, r.source) for r in eng.table("stats_t").collect()}
     assert rows == {(1, "z"), (2, "a"), (3, "b")}
+
+
+def test_copy_to_parquet_and_csv(spark, tmp_path):
+    """COPY ... TO 'path' — the DuckDB client export path (the
+    reference executes it verbatim). Single-file semantics: the
+    target is ONE readable file, verified by reading it back with
+    DuckDB itself."""
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_copy")
+    eng.put("t", pa.table({"id": [3, 1, 2], "g": ["c", "a", "b"]}))
+    pq = str(tmp_path / "out.parquet")
+    assert eng.copy_to(f"COPY t TO '{pq}'") == "OK"
+    got = duckdb.sql(f"SELECT id, g FROM '{pq}' ORDER BY id").fetchall()
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    csv = str(tmp_path / "out.csv")
+    assert eng.copy_to(f"COPY (SELECT id * 2 AS d FROM t WHERE id > 1) TO '{csv}'") == "OK"
+    got = duckdb.sql(f"SELECT d FROM read_csv('{csv}') ORDER BY d").fetchall()
+    assert got == [(4,), (6,)]
+
+    # explicit FORMAT option wins over the extension
+    p2 = str(tmp_path / "noext")
+    eng.copy_to(f"COPY t TO '{p2}' (FORMAT PARQUET)")
+    assert duckdb.sql(f"SELECT count(*) FROM read_parquet('{p2}')").fetchone()[0] == 3

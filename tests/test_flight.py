@@ -527,3 +527,27 @@ def test_show_tables_and_describe_over_wire(servers):
     assert all("__" not in n for n in listed)
     desc = client.do_get(flight.Ticket(b"DESCRIBE cat_t")).read_all()
     assert {"id", "value"} <= set(desc.column("col_name").to_pylist())
+
+
+def test_copy_to_ticket_over_wire(spark, tmp_path):
+    """COPY ... TO 'path' through a do_get ticket — the DuckDB client
+    export flow the reference serves by passing the SQL to DuckDB."""
+    import duckdb
+
+    eng = MallardEngine(spark, "fl_copy")
+    eng.put("t", _sample())
+    server = SparkFlightServer("grpc://localhost:0", eng, auth_token="tok")
+    serve_in_background(server)
+    try:
+        client = flight.connect(f"grpc://localhost:{server.port}")
+        opts = flight.FlightCallOptions(headers=[(b"authorization", b"Bearer tok")])
+        target = str(tmp_path / "export.parquet")
+        ok = client.do_get(
+            flight.Ticket(f"COPY t TO '{target}'".encode()), options=opts
+        ).read_all()
+        assert ok.column("status").to_pylist() == ["OK"]
+        assert duckdb.sql(f"SELECT count(*) FROM '{target}'").fetchone()[0] == len(
+            _sample()
+        )
+    finally:
+        server.shutdown()

@@ -72,6 +72,11 @@ _COPY_RE = re.compile(
     r"'(?P<path>[^']+)'\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+(?P<name>[A-Za-z_][\w]*)\s+FROM\s+"
+    r"'(?P<path>[^']+)'\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+(?P<name>[A-Za-z_][\w]*)\s*;?\s*$", re.IGNORECASE
@@ -395,12 +400,13 @@ class MallardEngine:
 
     @staticmethod
     def is_copy(sql: str) -> bool:
-        """``COPY <table|(query)> TO 'path' [(options)]`` statement?
+        """``COPY <table|(query)> TO 'path'`` or ``COPY <table> FROM
+        'path'`` statement?
 
         Parity: the reference passes COPY tickets straight to DuckDB
-        (flight_server.py:342-352), whose clients use it to export
-        query results to files."""
-        return bool(_COPY_RE.match(sql))
+        (flight_server.py:342-352), whose clients use them to export
+        results and ingest files."""
+        return bool(_COPY_RE.match(sql) or _COPY_FROM_RE.match(sql))
 
     def copy_to(self, sql: str) -> str:
         """Execute ``COPY ... TO 'path'`` and return "OK" (same
@@ -419,6 +425,11 @@ class MallardEngine:
         import shutil
         import tempfile
 
+        fm = _COPY_FROM_RE.match(sql)
+        if fm and not _COPY_RE.match(sql):
+            return self._copy_from(
+                fm.group("name"), fm.group("path"), fm.group("opts") or ""
+            )
         m = _COPY_RE.match(sql)
         if not m:
             raise ValueError(f"unsupported COPY statement: {sql!r}")
@@ -454,6 +465,49 @@ class MallardEngine:
             os.remove(path)
         shutil.move(os.path.join(out, part), path)
         shutil.rmtree(stage, ignore_errors=True)
+        return "OK"
+
+    def _copy_from(self, name: str, path: str, opts: str) -> str:
+        """``COPY name FROM 'path'`` — ingest a file into an existing
+        catalog table (schema-aligned append, like the reference's
+        DuckDB) or register a new table when the name is unknown."""
+        import os
+
+        om = re.search(r"\bFORMAT\s+'?(\w+)'?", opts, re.IGNORECASE)
+        fmt = (
+            om.group(1).lower()
+            if om
+            else {
+                ".parquet": "parquet",
+                ".json": "json",
+                ".csv": "csv",
+            }.get(os.path.splitext(path)[1].lower(), "csv")
+        )
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"COPY FROM: unsupported format {fmt!r}")
+        r = self.spark.read
+        if fmt == "csv":
+            r = r.option("header", "true").option("inferSchema", "true")
+        new = r.format(fmt).load(path)
+        if name in self._tables:
+            # schema-aligned append, same routing as INSERT INTO
+            tbl = self._tables[name]
+            schema = tbl.schema
+            if len(new.columns) != len(schema.fields):
+                raise ValueError(
+                    f"COPY FROM {path!r}: file has {len(new.columns)} "
+                    f"columns; table {name!r} has {len(schema.fields)}"
+                )
+            renamed = new.toDF(*schema.fieldNames())
+            new = renamed.select(
+                *[
+                    renamed[f.name].cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            self._write_back(name, tbl.unionByName(new))
+        else:
+            self.put(name, new)
         return "OK"
 
     def dml(self, sql: str) -> str:

@@ -490,3 +490,21 @@ def test_copy_to_parquet_and_csv(spark, tmp_path):
     p2 = str(tmp_path / "noext")
     eng.copy_to(f"COPY t TO '{p2}' (FORMAT PARQUET)")
     assert duckdb.sql(f"SELECT count(*) FROM read_parquet('{p2}')").fetchone()[0] == 3
+
+
+def test_copy_from_appends_and_creates(spark, tmp_path):
+    """COPY name FROM 'path': append into an existing table
+    (schema-aligned) or register a new one."""
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_copyfrom")
+    eng.put("t", pa.table({"id": [1, 2], "g": ["a", "b"]}))
+    pq = str(tmp_path / "more.parquet")
+    duckdb.sql(f"COPY (SELECT 3 AS id, 'c' AS g) TO '{pq}' (FORMAT PARQUET)")
+    assert eng.copy_to(f"COPY t FROM '{pq}'") == "OK"
+    rows = sorted((r.id, r.g) for r in eng.table("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # unknown table name registers a new table
+    eng.copy_to(f"COPY fresh FROM '{pq}'")
+    assert [(r.id, r.g) for r in eng.table("fresh").collect()] == [(3, "c")]

@@ -78,6 +78,18 @@ _COPY_FROM_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_PIVOT_RE = re.compile(
+    r"^\s*PIVOT\s+(?P<src>\(.*\)|[A-Za-z_][\w]*)\s+ON\s+"
+    r"(?P<on>[A-Za-z_][\w]*)\s+USING\s+(?P<using>.+?)"
+    r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w\s,]+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w\s,]+?))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_ITEM_RE = re.compile(
+    r"^\s*(?P<fn>[A-Za-z_]\w*)\s*\((?P<arg>.*)\)\s*(?:AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+(?P<name>[A-Za-z_][\w]*)\s*;?\s*$", re.IGNORECASE
 )
@@ -263,6 +275,9 @@ class MallardEngine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.list_tables()], "name string"
             )
+        pm = _PIVOT_RE.match(sql)
+        if pm:
+            return self._pivot_statement(pm)
         m = _SUMMARIZE_RE.match(sql)
         if m and m.group("name") in self._tables:
             # DuckDB's SUMMARIZE <t>: per-column profile. Spark's
@@ -308,6 +323,88 @@ class MallardEngine:
                 except Exception:
                     continue
             raise first_err
+
+    def _pivot_statement(self, m: "re.Match") -> DataFrame:
+        """DuckDB ``PIVOT src ON col USING aggs [GROUP BY ...]`` with
+        AUTOMATIC pivot-value detection — the engine runs the distinct
+        probe DuckDB runs internally, then builds Spark's PIVOT-IN
+        form. Column names/order mirror DuckDB (values ascending;
+        single agg → value name, multiple → value_aggalias); COUNT
+        cells for absent combinations are coalesced to 0 like DuckDB.
+        NULL pivot values are skipped (unsupported edge, like a
+        >1000-value pivot column, which errors rather than exploding
+        the schema).
+        """
+        src, on = m.group("src"), m.group("on")
+        frm = src if src.startswith("(") else src
+        vals = [
+            r[0]
+            for r in self.sql(
+                f"SELECT DISTINCT {on} FROM {frm} __p WHERE {on} IS NOT NULL"
+            ).collect()
+        ]
+        if len(vals) > 1000:
+            raise ValueError(
+                f"PIVOT ON {on}: {len(vals)} distinct values (max 1000)"
+            )
+        vals = sorted(vals)
+        aggs = []
+        for i, item in enumerate(_split_top_level(m.group("using"))):
+            am = _AGG_ITEM_RE.match(item)
+            if not am:
+                raise ValueError(f"PIVOT USING: unsupported aggregate {item!r}")
+            fn, arg = am.group("fn"), am.group("arg").strip()
+            if arg == "*":
+                arg = "1"
+            name = am.group("alias") or f"{fn}({am.group('arg').strip()})"
+            aggs.append((fn, arg, name, fn.lower().startswith("count")))
+        grp = m.group("grp")
+        if grp:
+            grp_cols = [g.strip() for g in grp.split(",")]
+        else:
+            # implicit grouping: every column not pivoted and not
+            # consumed by an aggregate (requires plain-column aggs)
+            cols = self.sql(f"SELECT * FROM {frm} __p LIMIT 0").columns
+            used = {a[1] for a in aggs}
+            if any(u not in cols and u != "1" for u in used):
+                raise ValueError(
+                    "PIVOT without GROUP BY needs plain-column aggregates"
+                )
+            grp_cols = [c for c in cols if c != on and c not in used]
+        proj = (
+            ", ".join(grp_cols)
+            + f", {on}"
+            + "".join(f", {arg} AS __pv{i}" for i, (fn, arg, _n, _c) in enumerate(aggs))
+        )
+        def lit(v):
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return repr(v)
+        def vname(v, aname):
+            base = str(v)
+            return base if len(aggs) == 1 else f"{base}_{aname}"
+        in_list = ", ".join(f"{lit(v)} AS `{v}`" for v in vals)
+        agg_list = ", ".join(
+            f"{fn}(__pv{i})" + (f" AS `{name}`" if len(aggs) > 1 else "")
+            for i, (fn, _a, name, _c) in enumerate(aggs)
+        )
+        out_cols = list(grp_cols)
+        for v in vals:
+            for _fn, _a, name, is_count in aggs:
+                col = vname(v, name) if len(aggs) > 1 else str(v)
+                out_cols.append(
+                    f"coalesce(`{col}`, 0) AS `{col}`" if is_count else f"`{col}`"
+                )
+        stmt = (
+            f"SELECT {', '.join(out_cols)} FROM "
+            f"(SELECT {proj} FROM {frm} __p) "
+            f"PIVOT ({agg_list} FOR {on} IN ({in_list}))"
+        )
+        if m.group("ord"):
+            stmt += f" ORDER BY {m.group('ord')}"
+        if m.group("lim"):
+            stmt += f" LIMIT {m.group('lim')}"
+        return self.sql(stmt)
 
     def get_arrow(self, sql: str) -> "pa.Table":
         """GET returning an Arrow table (the reference's wire format).

@@ -470,3 +470,23 @@ def test_star_replace_multi(eng5):
     assert rows[0].v == 20 and rows[0].g == "A"
     out = duckdb_to_spark("SELECT * REPLACE (v * 2 AS v) FROM t")
     assert out == "SELECT * EXCEPT (v), v * 2 AS v FROM t"
+
+
+def test_pivot_statement_single_agg(eng5):
+    # DuckDB PIVOT with automatic value detection: the engine runs
+    # the distinct probe and builds Spark's PIVOT-IN form; column
+    # names/order mirror DuckDB (values ascending)
+    _both5(eng5, "PIVOT dw ON g USING sum(v) GROUP BY id ORDER BY id")
+
+
+def test_pivot_statement_multi_agg_count_fill(eng5):
+    # count cells for absent (group, value) combos are 0 like DuckDB
+    _both5(eng5, "PIVOT dw ON g USING sum(v), count(*) AS n GROUP BY id ORDER BY id")
+
+
+def test_pivot_statement_implicit_grouping(eng5):
+    _both5(
+        eng5,
+        "PIVOT (SELECT g, CASE WHEN v > 25 THEN 'hi' ELSE 'lo' END AS band, v FROM dw) "
+        "ON band USING sum(v) GROUP BY g ORDER BY g",
+    )

@@ -86,6 +86,14 @@ _PIVOT_RE = re.compile(
     r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UNPIVOT_RE = re.compile(
+    r"^\s*UNPIVOT\s+(?P<src>\(.*\)|[A-Za-z_][\w]*)\s+ON\s+"
+    r"(?P<cols>[\w\s,]+?)\s+INTO\s+NAME\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"VALUE\s+(?P<value>[A-Za-z_]\w*)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w\s,]+?))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _AGG_ITEM_RE = re.compile(
     r"^\s*(?P<fn>[A-Za-z_]\w*)\s*\((?P<arg>.*)\)\s*(?:AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -278,6 +286,21 @@ class MallardEngine:
         pm = _PIVOT_RE.match(sql)
         if pm:
             return self._pivot_statement(pm)
+        um = _UNPIVOT_RE.match(sql)
+        if um:
+            # DuckDB UNPIVOT ... INTO NAME/VALUE → Spark's native
+            # UNPIVOT(value FOR name IN (cols)); identical output
+            # shape and ordering (value-checked in tests)
+            stmt = (
+                f"SELECT * FROM {um.group('src')} __u "
+                f"UNPIVOT ({um.group('value')} FOR {um.group('name')} "
+                f"IN ({um.group('cols')}))"
+            )
+            if um.group("ord"):
+                stmt += f" ORDER BY {um.group('ord')}"
+            if um.group("lim"):
+                stmt += f" LIMIT {um.group('lim')}"
+            return self.sql(stmt)
         m = _SUMMARIZE_RE.match(sql)
         if m and m.group("name") in self._tables:
             # DuckDB's SUMMARIZE <t>: per-column profile. Spark's

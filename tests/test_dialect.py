@@ -490,3 +490,18 @@ def test_pivot_statement_implicit_grouping(eng5):
         "PIVOT (SELECT g, CASE WHEN v > 25 THEN 'hi' ELSE 'lo' END AS band, v FROM dw) "
         "ON band USING sum(v) GROUP BY g ORDER BY g",
     )
+
+
+def test_unpivot_statement(eng5):
+    _both5(
+        eng5,
+        "UNPIVOT dw ON v, w INTO NAME metric VALUE val ORDER BY id, metric",
+    )
+
+
+def test_unpivot_statement_subquery(eng5):
+    _both5(
+        eng5,
+        "UNPIVOT (SELECT id, v, v * 2 AS v2 FROM dw) ON v, v2 "
+        "INTO NAME m VALUE x ORDER BY id, m",
+    )

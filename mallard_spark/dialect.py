@@ -220,8 +220,19 @@ def _operand_end(sql: str, mask: list[bool], start: int) -> int:
                 j += 1
         elif sql[j : j + 2] == "::" and mask[j]:
             j += 2
-            while j < n and (sql[j].isalnum() or sql[j] in "_ ") and mask[j]:
+            while j < n and (sql[j].isalnum() or sql[j] == "_") and mask[j]:
                 j += 1
+            if j < n and sql[j] == "(" and mask[j]:  # DECIMAL(p,s)
+                depth = 0
+                while j < n:
+                    if sql[j] == "(" and mask[j]:
+                        depth += 1
+                    elif sql[j] == ")" and mask[j]:
+                        depth -= 1
+                        if depth == 0:
+                            j += 1
+                            break
+                    j += 1
         else:
             break
     return j
@@ -962,10 +973,54 @@ def _rewrite_from_first(sql: str) -> str:
     """DuckDB FROM-first syntax: ``FROM t [SELECT list] ...`` →
     ``SELECT list FROM t ...`` (``SELECT *`` when no SELECT clause).
 
+    Set-operation statements are split at the top-level UNION /
+    EXCEPT / INTERSECT keywords and each operand rewritten on its own
+    (``FROM a UNION ALL FROM b`` — without the split, operand 2's
+    SELECT would be misread as operand 1's FROM-first select list).
+
     Fires only when a depth-0 FROM has NO depth-0 SELECT before it
     AND is the first code token or directly follows a CTE's closing
     paren — so ``DELETE FROM``/``INSERT INTO``/ordinary SELECTs are
     never touched."""
+    cuts = []
+    start = 0
+    for kw in ("UNION", "EXCEPT", "INTERSECT"):
+        p = 0
+        while True:
+            k = _find_kw(sql, kw, at_depth=0, start=p)
+            if k < 0:
+                break
+            cuts.append((k, len(kw)))
+            p = k + 1
+    if cuts:
+        cuts.sort()
+        out = []
+        pos = 0
+        first = True
+        for k, klen in cuts:
+            seg = sql[pos:k]
+            out.append(_rewrite_from_first_one(seg, allow_with=first))
+            out.append(sql[k : k + klen])
+            pos = k + klen
+            first = False
+            # strip an ALL / DISTINCT modifier into the connector
+            rest = sql[pos:]
+            lead = rest[: len(rest) - len(rest.lstrip())]
+            word = rest.lstrip()[:8].upper()
+            for mod in ("ALL", "DISTINCT"):
+                if word.startswith(mod) and not (
+                    len(rest.lstrip()) > len(mod)
+                    and (rest.lstrip()[len(mod)].isalnum() or rest.lstrip()[len(mod)] == "_")
+                ):
+                    out.append(lead + rest.lstrip()[: len(mod)])
+                    pos += len(lead) + len(mod)
+                    break
+        out.append(_rewrite_from_first_one(sql[pos:], allow_with=False))
+        return "".join(out)
+    return _rewrite_from_first_one(sql, allow_with=True)
+
+
+def _rewrite_from_first_one(sql: str, allow_with: bool) -> str:
     f = _find_kw(sql, "FROM", at_depth=0)
     if f < 0:
         return sql
@@ -979,7 +1034,7 @@ def _rewrite_from_first(sql: str) -> str:
     first = _find_kw(sql, "FROM", at_depth=None)
     starts_with_from = first == f and sql[:f].strip() == ""
     if not starts_with_from:
-        w = _find_kw(sql, "WITH", at_depth=0)
+        w = _find_kw(sql, "WITH", at_depth=0) if allow_with else -1
         if w < 0 or sql[:w].strip() != "":
             return sql
         j = f - 1
@@ -1048,9 +1103,10 @@ def _rewrite_from_first_nested(sql: str) -> str:
 
 
 def _rewrite_indexing(sql: str) -> str:
-    """Postfix ``base[i]`` → ``element_at(base, i)`` (1-based, DuckDB
-    semantics; element_at is 1-based and supports negative-from-end
-    exactly like DuckDB).
+    """Postfix ``base[i]`` → ``try_element_at(base, i)`` (1-based,
+    DuckDB semantics: negative-from-end works and an out-of-bounds
+    index answers NULL — plain element_at would THROW under Spark's
+    default ANSI mode where DuckDB returns NULL).
 
     Applied ONLY when another dialect rule already fired: a query
     that reached the shim necessarily contains DuckDB-only syntax, so
@@ -1092,7 +1148,7 @@ def _rewrite_indexing(sql: str) -> str:
             base = sql[b:i] if b >= 0 else ""
             if not base.strip():
                 continue
-            sql = f"{sql[:b]}element_at({base}, {c}){sql[j + 1:]}"
+            sql = f"{sql[:b]}try_element_at({base}, {c}){sql[j + 1:]}"
             changed = True
             break
         if not changed:

@@ -121,6 +121,26 @@ _DELETE_RE = re.compile(
 )
 
 
+def _copy_format(path: str, opts: str, verb: str) -> str:
+    """COPY format: explicit ``FORMAT`` option, else path extension,
+    else CSV (DuckDB's default). One definition for both directions."""
+    import os
+
+    om = re.search(r"\bFORMAT\s+'?(\w+)'?", opts, re.IGNORECASE)
+    fmt = (
+        om.group(1).lower()
+        if om
+        else {
+            ".parquet": "parquet",
+            ".json": "json",
+            ".csv": "csv",
+        }.get(os.path.splitext(path)[1].lower(), "csv")
+    )
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"{verb}: unsupported format {fmt!r}")
+    return fmt
+
+
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split ``s`` on ``sep`` at paren/bracket depth 0, outside quotes.
 
@@ -359,7 +379,7 @@ class MallardEngine:
         the schema).
         """
         src, on = m.group("src"), m.group("on")
-        frm = src if src.startswith("(") else src
+        frm = src
         vals = [
             r[0]
             for r in self.sql(
@@ -400,9 +420,20 @@ class MallardEngine:
             + "".join(f", {arg} AS __pv{i}" for i, (fn, arg, _n, _c) in enumerate(aggs))
         )
         def lit(v):
+            import datetime
+            import decimal
+
             if isinstance(v, str):
                 return "'" + v.replace("'", "''") + "'"
-            return repr(v)
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, datetime.datetime):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            if isinstance(v, datetime.date):
+                return f"DATE '{v.isoformat()}'"
+            if isinstance(v, (int, float, decimal.Decimal)):
+                return str(v)
+            raise ValueError(f"PIVOT ON: unsupported value type {type(v).__name__}")
         def vname(v, aname):
             base = str(v)
             return base if len(aggs) == 1 else f"{base}_{aname}"
@@ -532,18 +563,18 @@ class MallardEngine:
         """Execute ``COPY ... TO 'path'`` and return "OK" (same
         answer shape as :meth:`ddl`).
 
-        DuckDB file semantics: ONE file at the target path (not a
-        Spark part-file directory) — the write coalesces to a single
-        task and the part file is moved onto the path, overwriting
-        like DuckDB does. Format: explicit ``FORMAT`` option, else
-        the path extension, else CSV (DuckDB's default); CSV writes a
-        header (DuckDB's default). The single-file move is the export
-        semantics clients expect — for corpus-scale distributed
-        exports use the `sources/` writers, which keep many files.
+        DuckDB file semantics: ONE file at the target path — the
+        result is STREAMED through the driver batch-at-a-time
+        (``stream_arrow``, bounded driver memory) into a pyarrow
+        writer on the target, never through executor-local temp
+        directories (which would break on a real cluster — the same
+        driver-local-/tmp trap the materialize barrier fixes).
+        Format: explicit ``FORMAT`` option, else the path extension,
+        else CSV (DuckDB's default); CSV writes a header (DuckDB's
+        default). For corpus-scale distributed exports use the
+        `sources/` writers, which keep many files.
         """
         import os
-        import shutil
-        import tempfile
 
         fm = _COPY_FROM_RE.match(sql)
         if fm and not _COPY_RE.match(sql):
@@ -554,60 +585,49 @@ class MallardEngine:
         if not m:
             raise ValueError(f"unsupported COPY statement: {sql!r}")
         src, path, opts = m.group("src"), m.group("path"), m.group("opts") or ""
-        df = (
-            self.sql(src[1:-1])
-            if src.startswith("(")
-            else self.sql(f"SELECT * FROM {src}")
-        )
-        om = re.search(r"\bFORMAT\s+'?(\w+)'?", opts, re.IGNORECASE)
-        fmt = (
-            om.group(1).lower()
-            if om
-            else {
-                ".parquet": "parquet",
-                ".json": "json",
-                ".csv": "csv",
-            }.get(os.path.splitext(path)[1].lower(), "csv")
-        )
-        if fmt not in ("parquet", "csv", "json"):
-            raise ValueError(f"COPY TO: unsupported format {fmt!r}")
-        stage = tempfile.mkdtemp(prefix="mallard_copy_")
-        out = os.path.join(stage, "out")
-        w = df.coalesce(1).write.mode("overwrite")
-        if fmt == "csv":
-            w = w.option("header", "true")
-        w.format(fmt).save(out)
-        part = next(
-            f for f in os.listdir(out) if f.startswith("part-")
-        )
+        query = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
+        fmt = _copy_format(path, opts, verb="COPY TO")
+        schema, batches = self.stream_arrow(query)
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-        if os.path.exists(path):
-            os.remove(path)
-        shutil.move(os.path.join(out, part), path)
-        shutil.rmtree(stage, ignore_errors=True)
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            with pq.ParquetWriter(path, schema) as w:
+                for b in batches:
+                    w.write_batch(b)
+        elif fmt == "csv":
+            import pyarrow.csv as pacsv
+
+            with pacsv.CSVWriter(path, schema) as w:
+                for b in batches:
+                    w.write_batch(b)
+        else:  # json lines
+            import pyarrow as pa
+
+            with open(path, "w", encoding="utf-8") as f:
+                for b in batches:
+                    f.write(
+                        pa.Table.from_batches([b], schema)
+                        .to_pandas()
+                        .to_json(orient="records", lines=True)
+                    )
         return "OK"
 
     def _copy_from(self, name: str, path: str, opts: str) -> str:
         """``COPY name FROM 'path'`` — ingest a file into an existing
         catalog table (schema-aligned append, like the reference's
-        DuckDB) or register a new table when the name is unknown."""
-        import os
+        DuckDB) or register a new table when the name is unknown.
 
-        om = re.search(r"\bFORMAT\s+'?(\w+)'?", opts, re.IGNORECASE)
-        fmt = (
-            om.group(1).lower()
-            if om
-            else {
-                ".parquet": "parquet",
-                ".json": "json",
-                ".csv": "csv",
-            }.get(os.path.splitext(path)[1].lower(), "csv")
-        )
-        if fmt not in ("parquet", "csv", "json"):
-            raise ValueError(f"COPY FROM: unsupported format {fmt!r}")
+        CSV header: honors an explicit ``HEADER``/``HEADER false``
+        option; defaults to header-present (DuckDB sniffs — a token
+        pass can't, so headerless files must say ``(HEADER false)``,
+        documented divergence)."""
+        fmt = _copy_format(path, opts, verb="COPY FROM")
         r = self.spark.read
         if fmt == "csv":
-            r = r.option("header", "true").option("inferSchema", "true")
+            hm = re.search(r"\bHEADER\s*(?:\b(false|0|true|1))?", opts, re.IGNORECASE)
+            header = "false" if hm and hm.group(1) in ("false", "0") else "true"
+            r = r.option("header", header).option("inferSchema", "true")
         new = r.format(fmt).load(path)
         if name in self._tables:
             # schema-aligned append, same routing as INSERT INTO

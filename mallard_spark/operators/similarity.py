@@ -1412,8 +1412,12 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # build from `vecs` directly — the numpy closure carries the
+    # parameters; routing the corpus pass through `base` would pay a
+    # per-row broadcast join against the params relation for columns
+    # the build never reads (review r5)
     indexed = materialize(
-        base.select("vec_id", "v").mapInPandas(
+        vecs.mapInPandas(
             index_batches,
             "vec_id long, v array<double>, codes array<int>, lists array<bigint>",
         ),

@@ -1572,9 +1572,10 @@ HH_PER_BUCKET = 8  # partial top-m retained per bucket
 HH_TOPK = 10
 
 
-@query(
-    "heavy_hitters_topk",
-    oracle=f"""
+def heavy_hitters_oracle_sql() -> str:
+    """ONE oracle definition for the batch operator and the streaming
+    monitor (they already share `hh_merge` on the engine side)."""
+    return f"""
     WITH c AS (
       SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % {HH_BUCKETS} AS b, user_id,
              COUNT(*) AS cnt
@@ -1583,8 +1584,7 @@ HH_TOPK = 10
       SELECT b, user_id, cnt FROM (
         SELECT b, user_id, cnt,
                ROW_NUMBER() OVER (PARTITION BY b
-                                  ORDER BY cnt DESC, user_id) AS rk,
-               COUNT(*) OVER (PARTITION BY b) AS nk
+                                  ORDER BY cnt DESC, user_id) AS rk
         FROM c
       ) WHERE rk <= {HH_PER_BUCKET}
     ), cut AS (
@@ -1607,8 +1607,10 @@ HH_TOPK = 10
            CAST(lower_bound + (total_cut - present_cut) AS BIGINT) AS upper_bound
     FROM agg, tot
     ORDER BY lower_bound DESC, user_id LIMIT {HH_TOPK}
-    """,
-)
+    """
+
+
+@query("heavy_hitters_topk", oracle=heavy_hitters_oracle_sql())
 def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed heavy hitters with DETERMINISTIC error bounds —
     the skew-diagnosis / hot-key mining primitive (SURVEY round-5

@@ -1214,39 +1214,9 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hh_oracle() -> str:
-    from mallard_spark.plans.events import HH_BUCKETS, HH_PER_BUCKET, HH_TOPK
+    from mallard_spark.plans.events import heavy_hitters_oracle_sql
 
-    return f"""
-    WITH c AS (
-      SELECT {md5_long_sql("CAST(user_id AS VARCHAR)")} % {HH_BUCKETS} AS b, user_id,
-             COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2
-    ), top AS (
-      SELECT b, user_id, cnt FROM (
-        SELECT b, user_id, cnt,
-               ROW_NUMBER() OVER (PARTITION BY b
-                                  ORDER BY cnt DESC, user_id) AS rk
-        FROM c
-      ) WHERE rk <= {HH_PER_BUCKET}
-    ), cut AS (
-      SELECT t.b,
-             CASE WHEN (SELECT COUNT(*) FROM c WHERE c.b = t.b) > {HH_PER_BUCKET}
-                  THEN MIN(t.cnt) ELSE 0 END AS cutoff
-      FROM top t GROUP BY t.b
-    ), tot AS (
-      SELECT CAST(SUM(cutoff) AS BIGINT) AS total_cut FROM cut
-    ), agg AS (
-      SELECT t.user_id,
-             CAST(SUM(t.cnt) AS BIGINT) AS lower_bound,
-             CAST(SUM(u.cutoff) AS BIGINT) AS present_cut
-      FROM top t JOIN cut u ON u.b = t.b
-      GROUP BY t.user_id
-    )
-    SELECT user_id, lower_bound,
-           CAST(lower_bound + (total_cut - present_cut) AS BIGINT) AS upper_bound
-    FROM agg, tot
-    ORDER BY lower_bound DESC, user_id LIMIT {HH_TOPK}
-    """
+    return heavy_hitters_oracle_sql()
 
 
 @query("stream_heavy_hitters", oracle=_hh_oracle())

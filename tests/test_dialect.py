@@ -505,3 +505,19 @@ def test_unpivot_statement_subquery(eng5):
         "UNPIVOT (SELECT id, v, v * 2 AS v2 FROM dw) ON v, v2 "
         "INTO NAME m VALUE x ORDER BY id, m",
     )
+
+
+def test_from_first_union_operands(eng5):
+    _both5(eng5, "FROM dw SELECT g, v WHERE v > 40 UNION ALL FROM dw SELECT g, v WHERE v < 15 ORDER BY v")
+
+
+def test_one_based_index_out_of_bounds_is_null(eng5):
+    # DuckDB answers NULL for an out-of-range index; plain element_at
+    # would THROW under Spark's default ANSI mode — try_element_at
+    # matches the reference
+    rows = _both5(eng5, "SELECT [10, 20][5] AS x, v // 7 AS d FROM dw WHERE id = 1")
+    assert rows[0][0] is None
+
+
+def test_intdiv_cast_operand(eng5):
+    _both5(eng5, "SELECT w // CAST(id AS BIGINT) AS h, v // id::BIGINT AS d FROM dw ORDER BY id")

@@ -508,3 +508,42 @@ def test_copy_from_appends_and_creates(spark, tmp_path):
     # unknown table name registers a new table
     eng.copy_to(f"COPY fresh FROM '{pq}'")
     assert [(r.id, r.g) for r in eng.table("fresh").collect()] == [(3, "c")]
+
+
+def test_copy_from_header_false(spark, tmp_path):
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_copyhdr")
+    eng.put("t", pa.table({"id": [1], "g": ["a"]}))
+    csv = tmp_path / "raw.csv"
+    csv.write_text("2,b\n3,c\n")  # headerless
+    eng.copy_to(f"COPY t FROM '{csv}' (HEADER false)")
+    rows = sorted((r.id, r.g) for r in eng.table("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_pivot_on_date_column(spark):
+    import datetime
+
+    import duckdb
+
+    eng = MallardEngine(spark, "t_pivdate")
+    df = spark.createDataFrame(
+        [
+            ("a", datetime.date(2024, 1, 1), 10),
+            ("a", datetime.date(2024, 2, 1), 20),
+            ("b", datetime.date(2024, 1, 1), 30),
+        ],
+        "g string, d date, v long",
+    )
+    eng.put("t", df)
+    got = [tuple(r) for r in eng.sql("PIVOT t ON d USING sum(v) GROUP BY g ORDER BY g").collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "('a', DATE '2024-01-01', 10), ('a', DATE '2024-02-01', 20), "
+        "('b', DATE '2024-01-01', 30)) v(g, d, v)"
+    )
+    want = [tuple(r) for r in con.execute("PIVOT t ON d USING sum(v) GROUP BY g ORDER BY g").fetchall()]
+    assert got == want

@@ -46,12 +46,15 @@ GOPHER_MIN_STOP = 2  # ≥ 2 distinct English stopwords
 _STOP = "('the','a','of','and','to','in','is','that','with','for')"
 
 
-def gopher_flags(docs: DataFrame) -> DataFrame:
-    """(source, ok_words, ok_mwl, ok_stop, ok_alpha) per document —
-    pure column expressions (streaming-safe: ``stream_quality_filter``
-    applies the identical flags per micro-batch)."""
+def gopher_flags(docs: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(source, *extra, ok_words, ok_mwl, ok_stop, ok_alpha) per
+    document — pure column expressions (streaming-safe:
+    ``stream_quality_filter`` applies the identical flags per
+    micro-batch; ``curation_dashboard`` threads doc identity through
+    ``extra``)."""
     scored = docs.select(
         "source",
+        *extra,
         F.expr(f"size({TOKENS_EXPR})").alias("n"),
         F.expr(
             f"cast(aggregate(transform({TOKENS_EXPR}, t -> length(t)),"
@@ -64,6 +67,7 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     )
     return scored.select(
         "source",
+        *scored.columns[1 : 1 + len(extra)],  # extra by OUTPUT name
         F.when(
             (F.col("n") >= GOPHER_MIN_WORDS) & (F.col("n") <= GOPHER_MAX_WORDS), 1
         ).otherwise(0).alias("ok_words"),
@@ -265,6 +269,102 @@ def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("doc_kept") == 1, F.coalesce("chars_kept", F.lit(0)))
                 .otherwise(0)
             ).cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "curation_dashboard",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, md5(text) AS h,
+             len({TOKENS_SQL}) AS n,
+             COALESCE(CAST(list_aggregate(list_transform({TOKENS_SQL}, t -> length(t)), 'sum') AS BIGINT), 0) AS chars,
+             len(list_filter(list_distinct({TOKENS_SQL}), t -> t IN {_STOP})) AS n_stop,
+             len(list_filter({TOKENS_SQL}, t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+      FROM documents
+    ), dup AS (
+      SELECT h, COUNT(*) AS copies FROM scored GROUP BY h
+    ), per_doc AS (
+      SELECT s.source, s.n, s.chars,
+             CASE WHEN d.copies > 1 THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN s.n >= {GOPHER_MIN_WORDS} AND s.n <= {GOPHER_MAX_WORDS}
+                   AND s.chars >= {GOPHER_MIN_MWL} * s.n AND s.chars <= {GOPHER_MAX_MWL} * s.n
+                   AND s.n_stop >= {GOPHER_MIN_STOP}
+                   AND 10 * s.n_alpha >= 8 * s.n
+                  THEN 1 ELSE 0 END AS ok
+      FROM scored s JOIN dup d ON d.h = s.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST((SUM(is_dup) * 1000000) // COUNT(*) AS BIGINT) AS exact_dup_ppm,
+           CAST((SUM(ok) * 1000000) // COUNT(*) AS BIGINT) AS gopher_pass_ppm,
+           CAST(SUM(n) // COUNT(*) AS BIGINT) AS tokens_per_doc
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def curation_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-stop per-source curation dashboard: volume (docs,
+    token/char mass), exact-duplication rate, and Gopher-pass rate —
+    the numbers a data-mix owner compares across sources before
+    setting `mix_sources`/`mix_temperature` weights. Reuses the ONE
+    `gopher_flags` definition (batch filter, streaming filter, and
+    this dashboard can never disagree); duplication is the
+    cross-source md5 cluster test. One scan + one hash-linear
+    dup join-back + a #sources-row aggregate; exact integer ppm.
+    """
+    from mallard_spark.functions.exec import materialize
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # flags + identity + mass in ONE scan (gopher_flags threads the
+    # extra columns through); staged because the dup aggregate and
+    # the join-back both consume it
+    scored = materialize(
+        gopher_flags(
+            docs,
+            extra=(
+                F.md5("text").alias("h"),
+                F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_toks"),
+                F.expr(
+                    f"coalesce(cast(aggregate(transform({TOKENS_EXPR},"
+                    f" t -> length(t)), 0L, (acc, x) -> acc + x) as bigint), 0)"
+                ).alias("n_chars"),
+            ),
+        ),
+        "curation_flags",
+    )
+    dup = scored.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    ok = (
+        (F.col("ok_words") == 1)
+        & (F.col("ok_mwl") == 1)
+        & (F.col("ok_stop") == 1)
+        & (F.col("ok_alpha") == 1)
+    ).cast("int")
+    per_doc = scored.join(dup, "h").select(
+        "source",
+        "n_toks",
+        "n_chars",
+        F.when(F.col("copies") > 1, 1).otherwise(0).alias("is_dup"),
+        ok.alias("ok"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("(sum(is_dup) * 1000000) div count(*)")
+            .cast("long")
+            .alias("exact_dup_ppm"),
+            F.expr("(sum(ok) * 1000000) div count(*)")
+            .cast("long")
+            .alias("gopher_pass_ppm"),
+            F.expr("sum(n_toks) div count(*)").cast("long").alias("tokens_per_doc"),
         )
         .orderBy("source")
     )

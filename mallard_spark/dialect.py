@@ -43,7 +43,22 @@ module translates the common constructs that don't:
                           the query's ORDER BY; without ORDER BY the
                           keys themselves order the tiebreak here,
                           which is DETERMINISTIC where DuckDB's pick
-                          is arbitrary)
+                          is arbitrary); works nested in subqueries /
+                          CTE bodies
+- ``FROM t [SELECT ...]`` → ordinary SELECT statements (FROM-first
+                          syntax, incl. per-operand rewriting across
+                          top-level UNION/EXCEPT/INTERSECT)
+- ``* REPLACE (e AS c)``  → ``* EXCEPT (c), e AS c`` (replaced
+                          columns move to the END of the projection —
+                          values/names identical, order not)
+- 1-based ``base[i]``     → ``try_element_at(base, i)`` whenever ANY
+                          other rule fired (DuckDB NULL on
+                          out-of-bounds; string-keyed access and
+                          untranslated queries untouched)
+
+``PIVOT`` / ``UNPIVOT`` / ``COPY ... TO/FROM`` statements are handled
+in ``MallardEngine.sql`` (they need catalog access — the pivot-value
+probe, the file writers), not here.
 
 ``MallardEngine.sql`` applies this ONLY after vanilla Spark parsing/
 analysis fails, so no already-working query can change meaning. The

@@ -212,3 +212,44 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk", "doc_id")
         .limit(100)
     )
+
+
+K_FOLDS = 5
+
+
+@query(
+    "split_kfold",
+    oracle=f"""
+    WITH folds AS (
+      SELECT {md5_long_sql("'kf:' || CAST(doc_id AS VARCHAR)")} % {K_FOLDS} AS fold,
+             lang, n_chars
+      FROM documents
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {K_FOLDS}-fold cross-validation assignment —
+    content-addressed like split_train_test (a salted md5 of doc_id,
+    so the folds are INDEPENDENT of the 80/10/10 split's buckets),
+    reported as per-fold balance (docs, char mass, language spread:
+    the sanity check before running a CV sweep). Fold membership is
+    reproducible across engines, partitionings, and reruns; one scan,
+    one {K_FOLDS}-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = md5_long(F.concat(F.lit("kf:"), F.col("doc_id").cast("string"))) % K_FOLDS
+    return (
+        docs.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("fold")
+    )

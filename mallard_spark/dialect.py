@@ -55,6 +55,28 @@ module translates the common constructs that don't:
                           other rule fired (DuckDB NULL on
                           out-of-bounds; string-keyed access and
                           untranslated queries untouched)
+- ``a ** b``            → ``power(a, b)`` (always — ``**`` never
+                          parses on Spark); ``a ^ b`` → ``power``
+                          only when another rule fired (``^`` is XOR
+                          on Spark, power in DuckDB — same fired-only
+                          policy as 1-based indexing)
+- ``ASOF [LEFT] JOIN``  → LEAD-interval equi-join (linear plan) when
+                          the owning select list is star-free, else a
+                          correlated LATERAL top-1 (see
+                          ``_rewrite_asof_join``)
+- ``USING SAMPLE``      → ``TABLESAMPLE`` (relocated before a client
+                          alias to fit Spark's grammar; seeds →
+                          ``REPEATABLE``)
+- ``FROM generate_series(a,b[,s])`` / ``FROM unnest(l)`` → derived
+                          tables over ``explode``; scalar
+                          ``generate_series`` → ``sequence``,
+                          select-list ``unnest`` → ``explode``
+- ``arg_max``/``arg_min`` (and argmax/argmin) → max_by / min_by;
+  ``strftime``/``strptime`` with literal formats → date_format /
+  to_timestamp (% codes mapped to Java patterns);
+  ``list_sort(l, 'DESC')`` → the null-placement-faithful Spark sort;
+  in-call ordered ``string_agg(x, sep ORDER BY k)`` → ``listagg ...
+  WITHIN GROUP``; unparameterized ``VARCHAR`` casts → ``STRING``
 
 ``PIVOT`` / ``UNPIVOT`` / ``COPY ... TO/FROM`` statements are handled
 in ``MallardEngine.sql`` (they need catalog access — the pivot-value
@@ -847,12 +869,13 @@ def _split_top_level_commas(s: str) -> list[str]:
 # DuckDB→Spark function renames where semantics and argument order
 # are 1:1 (verified case by case; see tests). Deliberately excluded:
 # len (strings vs lists is ambiguous), string_split (Spark's split
-# takes a REGEX separator), list_position (NULL vs 0 when absent).
+# takes a REGEX separator), list_position (NULL vs 0 when absent),
+# epoch_ms (overloaded: ms→timestamp AND timestamp→ms — a token pass
+# can't pick the direction).
 _FUNC_RENAMES = {
     "list_transform": "transform",
     "list_filter": "filter",
     "list_distinct": "array_distinct",
-    "list_sort": "array_sort",
     "list_reverse": "reverse",
     "list_contains": "array_contains",
     "list_min": "array_min",
@@ -861,6 +884,15 @@ _FUNC_RENAMES = {
     "list_append": "array_append",
     "list_prepend": "array_prepend",
     "regexp_matches": "rlike",
+    "arg_max": "max_by",
+    "argmax": "max_by",
+    "arg_min": "min_by",
+    "argmin": "min_by",
+    "unnest": "explode",
+    # scalar-context generate_series answers the inclusive list, which
+    # is exactly Spark's sequence(); FROM-position calls are rewritten
+    # to derived tables BEFORE renames run (_rewrite_from_table_fns)
+    "generate_series": "sequence",
 }
 
 _FUNC_RENAME_RE = re.compile(
@@ -976,6 +1008,276 @@ def _replace_string_split(sql: str) -> str:
         repl = f"split({args[0].strip()}, {_regex_escape_literal(sep)})"
         sql = f"{sql[:m.start()]}{repl}{sql[close_p + 1:]}"
     return sql
+
+
+def _replace_power_op(sql: str, needle: str) -> str:
+    """``a ** b`` / ``a ^ b`` → ``power(a, b)``.
+
+    DuckDB's exponentiation operators (both return DOUBLE, matching
+    Spark's ``power``). ``**`` never parses on Spark so it is always
+    safe; ``^`` is XOR on Spark and parses fine, so the caller applies
+    it only when another dialect rule already fired (same policy as
+    1-based indexing: a query that reached the shim is DuckDB-dialect,
+    where ``^`` means power — DuckDB spells XOR ``xor()``). Both are
+    left-associative in DuckDB (PostgreSQL heritage), which the
+    left-to-right scan reproduces."""
+    ln = len(needle)
+    for _ in range(64):
+        mask = _code_mask(sql)
+        starts = _region_starts(sql)
+        pos = -1
+        for i in range(len(sql) - ln + 1):
+            if sql[i : i + ln] == needle and all(mask[i + k] for k in range(ln)):
+                if needle == "^" and sql[i : i + 2] == "**":
+                    continue
+                pos = i
+                break
+        if pos < 0:
+            return sql
+        lend = pos
+        while lend > 0 and sql[lend - 1] in _WS:
+            lend -= 1
+        b = _base_start(sql, mask, lend, starts)
+        while b >= 2 and sql[b - 2 : b] == "::":
+            b = _base_start(sql, mask, b - 2, starts)
+        left = sql[b:lend].strip() if b >= 0 else ""
+        rend = _operand_end(sql, mask, pos + ln)
+        right = sql[pos + ln : rend].strip()
+        if not left or not right:
+            return sql  # malformed operand — surface Spark's parse error
+        sql = f"{sql[:b]}power({left}, {right}){sql[rend:]}"
+    return sql
+
+
+def _rewrite_calls(sql: str, call_re: re.Pattern, build) -> str:
+    """Generic per-call-site rewriter: for each code-level match of
+    ``call_re`` (whose match must end at the opening paren), split the
+    balanced argument list and replace the whole call with
+    ``build(args)``; a ``None`` from build refuses that site (left
+    untouched — Spark's own error surfaces)."""
+    skipped: set[tuple[int, str]] = set()
+    for _ in range(64):
+        mask = _code_mask(sql)
+        m = None
+        for cand in call_re.finditer(sql):
+            if (cand.start(), cand.group(0)) in skipped:
+                continue
+            if all(mask[k] for k in range(cand.start(), cand.end())):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_p = m.end() - 1
+        depth = 0
+        close_p = -1
+        for j in range(open_p, len(sql)):
+            if sql[j] in "([" and mask[j]:
+                depth += 1
+            elif sql[j] in ")]" and mask[j]:
+                depth -= 1
+                if depth == 0:
+                    close_p = j
+                    break
+        if close_p < 0:
+            return sql
+        args = _split_top_level_commas(sql[open_p + 1 : close_p])
+        repl = build(args)
+        if repl is None:
+            skipped.add((m.start(), m.group(0)))
+            continue
+        sql = f"{sql[:m.start()]}{repl}{sql[close_p + 1:]}"
+    return sql
+
+
+_LIST_SORT_RE = re.compile(r"\blist_sort\s*\(", re.IGNORECASE)
+
+
+def _replace_list_sort(sql: str) -> str:
+    """``list_sort(l [, order])`` → the Spark sort whose null
+    placement matches DuckDB's default (NULLS LAST for both
+    directions, value-checked in tests): 1-arg / 'ASC' →
+    ``array_sort`` (asc, nulls last), 'DESC' → ``sort_array(l,
+    false)`` (desc, nulls last); explicit NULLS FIRST forms →
+    ``sort_array(l, true)`` (asc) / ``reverse(array_sort(l))``
+    (desc). Non-literal order arguments are refused."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) == 1:
+            return f"array_sort({args[0].strip()})"
+        if len(args) != 2:
+            return None
+        order = _unquote_sql_literal(args[1])
+        if order is None:
+            return None
+        key = " ".join(order.upper().split())
+        l = args[0].strip()
+        if key in ("ASC", "ASC NULLS LAST"):
+            return f"array_sort({l})"
+        if key in ("DESC", "DESC NULLS LAST"):
+            return f"sort_array({l}, false)"
+        if key == "ASC NULLS FIRST":
+            return f"sort_array({l}, true)"
+        if key == "DESC NULLS FIRST":
+            return f"reverse(array_sort({l}))"
+        return None
+
+    return _rewrite_calls(sql, _LIST_SORT_RE, build)
+
+
+# DuckDB strftime % codes → Java SimpleDateFormat/DateTimeFormatter
+# letters (the subset with exact equivalents; anything else refuses
+# the site). %-X are DuckDB's no-padding variants.
+_STRF_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "-m": "M", "d": "dd", "-d": "d",
+    "H": "HH", "-H": "H", "I": "hh", "-I": "h", "M": "mm", "-M": "m",
+    "S": "ss", "-S": "s", "p": "a", "j": "DDD", "-j": "D",
+    "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "G": "yyyy",
+}
+
+
+def _strf_to_java(fmt: str) -> str | None:
+    """Convert a DuckDB/C strftime format string to the equivalent
+    Java datetime pattern (literal text single-quoted); None when the
+    format uses a % code with no exact Java equivalent."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        text = "".join(lit)
+        if any(c.isalpha() or c == "'" for c in text):
+            out.append("'" + text.replace("'", "''") + "'")
+        else:
+            out.append(text)
+        lit.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= n:
+                return None
+            code = fmt[i + 1]
+            if code == "%":
+                lit.append("%")
+                i += 2
+                continue
+            if code == "-" and i + 2 < n:
+                code = "-" + fmt[i + 2]
+                i += 3
+            else:
+                i += 2
+            java = _STRF_MAP.get(code)
+            if java is None:
+                return None
+            flush()
+            out.append(java)
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+_STRFTIME_RE = re.compile(r"\bstrftime\s*\(", re.IGNORECASE)
+_STRPTIME_RE = re.compile(r"\bstrptime\s*\(", re.IGNORECASE)
+
+
+def _replace_strftime(sql: str) -> str:
+    """``strftime(ts, '%fmt')`` → ``date_format(ts, '<java>')`` and
+    ``strptime(s, '%fmt')`` → ``to_timestamp(s, '<java>')`` for
+    literal formats whose % codes all have exact Java equivalents
+    (value-checked per code in tests); other sites are refused."""
+
+    def build_for(target: str):
+        def build(args: list[str]) -> str | None:
+            if len(args) != 2:
+                return None
+            fmt = _unquote_sql_literal(args[1])
+            if fmt is None:
+                return None
+            java = _strf_to_java(fmt)
+            if java is None:
+                return None
+            lit = "'" + java.replace("'", "''") + "'"
+            return f"{target}({args[0].strip()}, {lit})"
+
+        return build
+
+    sql = _rewrite_calls(sql, _STRFTIME_RE, build_for("date_format"))
+    return _rewrite_calls(sql, _STRPTIME_RE, build_for("to_timestamp"))
+
+
+_STRING_AGG_RE = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+
+
+def _rewrite_ordered_string_agg(sql: str) -> str:
+    """DuckDB's in-call ordered aggregation ``string_agg(x, sep ORDER
+    BY k)`` → Spark's ``string_agg(x, sep) WITHIN GROUP (ORDER BY
+    k)``. Plain string_agg is native Spark 4 and untouched (build
+    answers None when no in-call ORDER BY is present)."""
+
+    def split_order(arg: str) -> tuple[str, str] | None:
+        mask = _code_mask(arg)
+        up = arg.upper()
+        depth = 0
+        for i, ch in enumerate(arg):
+            if not mask[i]:
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and up[i : i + 5] == "ORDER":
+                before = arg[i - 1] if i else " "
+                m = re.match(r"ORDER\s+BY\b", up[i:])
+                if m and not (before.isalnum() or before == "_"):
+                    return arg[:i].strip(), arg[i + m.end():].strip()
+        return None
+
+    def build(args: list[str]) -> str | None:
+        if not args:
+            return None
+        parts = split_order(args[-1])
+        if parts is None:
+            return None
+        head, order = parts
+        inner = [a.strip() for a in args[:-1]] + ([head] if head else [])
+        if len(inner) == 1:
+            inner.append("','")  # DuckDB's default separator
+        if len(inner) != 2:
+            return None
+        return (
+            f"listagg({inner[0]}, {inner[1]}) "
+            f"WITHIN GROUP (ORDER BY {order})"
+        )
+
+    return _rewrite_calls(sql, _STRING_AGG_RE, build)
+
+
+_VARCHAR_CAST_RE = re.compile(
+    r"(::\s*)VARCHAR\b(?!\s*\()|(\bAS\s+)VARCHAR(\s*\))", re.IGNORECASE
+)
+
+
+def _replace_varchar_casts(sql: str) -> str:
+    """Unparameterized VARCHAR casts (``x::VARCHAR`` / ``CAST(x AS
+    VARCHAR)``) → STRING: DuckDB's VARCHAR is unbounded, which is
+    exactly Spark's STRING, and Spark refuses VARCHAR without a
+    length. Parameterized ``VARCHAR(n)`` is valid Spark and
+    untouched; so is any other use of the word (column names etc. —
+    only the two cast positions match)."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if not all(mask[k] for k in range(m.start(), m.end())):
+            return m.group(0)
+        if m.group(1) is not None:
+            return m.group(1) + "STRING"
+        return m.group(2) + "STRING" + m.group(3)
+
+    return _VARCHAR_CAST_RE.sub(sub, sql)
 
 
 _CLAUSE_KWS = (
@@ -1221,6 +1523,445 @@ def _rewrite_distinct_on_nested(sql: str) -> str:
     return sql
 
 
+_TABLE_FN_RE = re.compile(
+    r"\b(FROM|JOIN)(\s+)(generate_series|unnest)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_from_table_fns(sql: str) -> str:
+    """DuckDB table functions in FROM/JOIN position →
+    equivalent derived tables (column names match DuckDB's):
+
+    - ``FROM generate_series(a, b[, s])`` → ``FROM (SELECT
+      explode(sequence(a, b[, s])) AS generate_series)`` —
+      both inclusive of the end bound; timestamp + INTERVAL steps
+      work through sequence() too.
+    - ``FROM unnest(l)`` → ``FROM (SELECT explode(l) AS unnest)``.
+
+    Trailing aliases (``AS t`` / ``t(x)``) survive untouched after the
+    replaced call. Select-list ``unnest(...)`` is handled by the
+    ``unnest``→``explode`` rename instead (this pass runs first)."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        m = None
+        for cand in _TABLE_FN_RE.finditer(sql):
+            if all(mask[k] for k in range(cand.start(), cand.end())):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_p = m.end() - 1
+        depth = 0
+        close_p = -1
+        for j in range(open_p, len(sql)):
+            if sql[j] in "([" and mask[j]:
+                depth += 1
+            elif sql[j] in ")]" and mask[j]:
+                depth -= 1
+                if depth == 0:
+                    close_p = j
+                    break
+        if close_p < 0:
+            return sql
+        inner = sql[open_p + 1 : close_p].strip()
+        fn = m.group(3).lower()
+        if fn == "generate_series":
+            derived = f"(SELECT explode(sequence({inner})) AS generate_series)"
+        else:
+            if len(_split_top_level_commas(inner)) != 1:
+                return sql  # multi-arg unnest zips in DuckDB — unsupported
+            derived = f"(SELECT explode({inner}) AS unnest)"
+        sql = f"{sql[:m.start()]}{m.group(1)}{m.group(2)}{derived}{sql[close_p + 1:]}"
+    return sql
+
+
+_USING_SAMPLE_RE = re.compile(
+    r"\bUSING\s+SAMPLE\s+"
+    r"(?:(?P<meth>[A-Za-z_]+)\s*\(\s*)?"
+    r"(?P<n>\d+(?:\.\d+)?)\s*"
+    r"(?P<unit>%|PERCENT\b|ROWS?\b)?"
+    r"(?(meth)\s*\))"
+    r"(?:\s*\(\s*(?P<meth2>[A-Za-z_]+)\s*(?:,\s*(?P<seed>\d+))?\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_using_sample(sql: str) -> str:
+    """DuckDB ``USING SAMPLE`` → Spark ``TABLESAMPLE``: ``10%`` /
+    ``10 PERCENT`` → ``TABLESAMPLE (10 PERCENT)``, ``50 ROWS`` (or a
+    bare row count, DuckDB's default unit) → ``TABLESAMPLE (50
+    ROWS)``; a ``(method, seed)`` qualifier keeps the seed as
+    ``REPEATABLE (seed)`` and drops the method name (both engines'
+    methods are engine-specific approximations). The substitution is
+    positional — DuckDB's post-WHERE result sampling lands where
+    Spark requires a table-adjacent TABLESAMPLE, so a misplaced
+    clause surfaces Spark's parse error rather than silently
+    resampling a different stage.
+
+    Spark's grammar puts TABLESAMPLE BEFORE the table alias, DuckDB's
+    USING SAMPLE after it — when the words preceding the clause are an
+    alias (``FROM t [AS] x USING SAMPLE …``), the TABLESAMPLE is
+    inserted in front of the alias."""
+    for _ in range(16):
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _USING_SAMPLE_RE.finditer(sql)
+                if all(mask[k] for k in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        unit = (m.group("unit") or "").upper().rstrip()
+        pct = unit in ("%", "PERCENT")
+        ts = f"TABLESAMPLE ({m.group('n')} {'PERCENT' if pct else 'ROWS'})"
+        if m.group("seed"):
+            ts += f" REPEATABLE ({m.group('seed')})"
+        ins = m.start()
+        k = m.start() - 1
+        while k >= 0 and sql[k] in _WS:
+            k -= 1
+        e = k
+        while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+            k -= 1
+        w1_start = k + 1
+        w1 = sql[w1_start : e + 1]
+        if w1:
+            k2 = k
+            while k2 >= 0 and sql[k2] in _WS:
+                k2 -= 1
+            e2 = k2
+            while k2 >= 0 and (sql[k2].isalnum() or sql[k2] == "_"):
+                k2 -= 1
+            w2 = sql[k2 + 1 : e2 + 1]
+            prev_ch = sql[e2] if (not w2 and e2 >= 0) else ""
+            if w2.upper() == "AS":
+                ins = k2 + 1  # FROM t AS x USING SAMPLE → sample before AS x
+            elif (w2 and w2.upper() not in ("FROM", "JOIN")) or prev_ch == ")":
+                ins = w1_start  # FROM t x / FROM (q) x → sample before x
+        sql = f"{sql[:ins]}{ts} {sql[ins:m.start()]}{sql[m.end():]}"
+    return sql
+
+
+_ASOF_JOIN_END_KWS = (
+    "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+    "UNION", "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "FULL",
+    "INNER", "CROSS", "ASOF", "SEMI", "ANTI", "POSITIONAL",
+)
+
+_CMP_OPS = (">=", "<=", ">", "<")
+
+
+def _split_top_level_and(cond: str) -> list[str]:
+    mask = _code_mask(cond)
+    up = cond.upper()
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(cond):
+        if mask[i]:
+            c = cond[i]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0 and up[i : i + 3] == "AND":
+                before = cond[i - 1] if i else " "
+                after = cond[i + 3] if i + 3 < len(cond) else " "
+                if not (before.isalnum() or before == "_") and not (
+                    after.isalnum() or after == "_"
+                ):
+                    parts.append(cond[start:i])
+                    start = i + 3
+                    i += 3
+                    continue
+        i += 1
+    parts.append(cond[start:])
+    return parts
+
+
+def _top_level_cmp(conj: str) -> tuple[str, str, str] | None:
+    """(left, op, right) for the single top-level comparison in a
+    conjunct; None when there is no top-level <,>,<=,>= (equality
+    conjuncts answer op '=')."""
+    mask = _code_mask(conj)
+    depth = 0
+    i = 0
+    while i < len(conj):
+        if mask[i]:
+            c = conj[i]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0 and c in "<>=":
+                if conj[i : i + 2] in ("<>", "!=", ">=", "<="):
+                    op = conj[i : i + 2]
+                    return conj[:i], op, conj[i + 2 :]
+                return conj[:i], c, conj[i + 1 :]
+        i += 1
+    return None
+
+
+def _word_in(expr: str, word: str) -> bool:
+    return re.search(rf"(?i)(?<![\w.]){re.escape(word)}\b", expr) is not None
+
+
+def _has_top_level_star(span: str) -> bool:
+    """True when the select-list fragment contains a projection star
+    (``*`` / ``t.*``) at its own top paren depth — ``count(*)`` is
+    depth 1 and multiplication (operand ``*`` operand) is lexically
+    excluded."""
+    mask = _code_mask(span)
+    depth = 0
+    for i, ch in enumerate(span):
+        if not mask[i]:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "*" and depth == 0:
+            prev = ""
+            j = i - 1
+            while j >= 0:
+                if span[j] in _WS:
+                    j -= 1
+                    continue
+                prev = span[j]
+                break
+            k = i + 1
+            while k < len(span) and span[k] in _WS:
+                k += 1
+            nxt = span[k] if k < len(span) else ""
+            if prev == ".":
+                return True  # t.*
+            mult = bool(prev) and bool(nxt) and (
+                prev.isalnum() or prev in "_)]'\"`"
+            ) and (nxt.isalnum() or nxt in "_('\"`")
+            if not mult:
+                return True
+    return False
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """DuckDB ``ASOF [LEFT] JOIN r [AS a] ON eqs AND l.ts >= a.ts``.
+
+    Two rewrites, picked per site:
+
+    1. **LEAD-interval join** (the default — fully linear): the right
+       table becomes a derived table carrying the NEXT right time per
+       equality-partition, and the join condition adds the interval
+       guard, so each left row equi-joins to exactly the as-of row::
+
+           [LEFT] JOIN (SELECT a.*, LEAD(a.ts) OVER (PARTITION BY
+               a.k ORDER BY a.ts) AS __asof_bound FROM r AS a) AS a
+           ON eqs AND l.ts >= a.ts
+              AND (a.__asof_bound IS NULL OR a.__asof_bound > l.ts)
+
+       The plan is the plain equi-join on the eq keys (sort-merge /
+       broadcast) — no domain join, no nested loop. Used when the
+       owning select list has no ``*`` (the derived table adds the
+       ``__asof_bound`` column, which a star would leak) and every
+       right-referencing conjunct is an equality with the right alias
+       on exactly one side (anything fancier falls back to 2).
+
+    2. **Correlated LATERAL top-1** (always-correct fallback)::
+
+           [LEFT] JOIN LATERAL (SELECT * FROM r AS a WHERE eqs AND
+               l.ts >= a.ts ORDER BY a.ts DESC LIMIT 1) AS a ON TRUE
+
+       Spark decorrelates this through a distinct-domain join — fine
+       for client-SQL acceptance, quadratic in distinct left times at
+       corpus scale (the scalable batch path is the ``ev_asof_join``
+       operator's union-window merge).
+
+    All four inequality directions are supported (>= / > pick the
+    greatest right time below the bound, <= / < the smallest above),
+    with the inequality written either way around. Alias-free right
+    tables get their (last dotted component) table name as the alias,
+    preserving outer references. Refused (left for Spark's parse
+    error): ``USING`` form, quoted right-table names, conditions with
+    zero or several top-level inequalities, or an inequality where
+    the right alias appears on both sides."""
+    for _ in range(16):
+        a_idx = _find_kw(sql, "ASOF", at_depth=None)
+        if a_idx < 0:
+            return sql
+        positions = {i: d for i, _c, d, code in _scan(sql) if code}
+        dep = positions.get(a_idx, 0)
+        n = len(sql)
+
+        def skip_ws(k: int) -> int:
+            while k < n and sql[k] in _WS:
+                k += 1
+            return k
+
+        def read_word(k: int) -> tuple[str, int]:
+            j = k
+            while j < n and (sql[j].isalnum() or sql[j] in "_."):
+                j += 1
+            return sql[k:j], j
+
+        k = skip_ws(a_idx + 4)
+        word, k2 = read_word(k)
+        left_join = False
+        if word.upper() == "LEFT":
+            left_join = True
+            k = skip_ws(k2)
+            word, k2 = read_word(k)
+        elif word.upper() == "INNER":
+            k = skip_ws(k2)
+            word, k2 = read_word(k)
+        if word.upper() != "JOIN":
+            return sql
+        k = skip_ws(k2)
+        # right table reference: (subquery) or dotted identifier
+        if k < n and sql[k] == "(":
+            depth = 0
+            j = k
+            while j < n:
+                if sql[j] == "(" and positions.get(j) is not None:
+                    depth += 1
+                elif sql[j] == ")" and positions.get(j) is not None:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                return sql
+            tbl = sql[k : j + 1]
+            tbl_name = ""
+            k = skip_ws(j + 1)
+        else:
+            if k < n and sql[k] in "'\"`":
+                return sql  # quoted table name — refuse
+            tbl, j = read_word(k)
+            if not tbl:
+                return sql
+            tbl_name = tbl.split(".")[-1]
+            k = skip_ws(j)
+        # optional alias
+        alias = ""
+        word, j = read_word(k)
+        if word.upper() == "AS":
+            k = skip_ws(j)
+            alias, j = read_word(k)
+            k = skip_ws(j)
+        elif word and word.upper() not in ("ON", "USING"):
+            alias = word
+            k = skip_ws(j)
+        word, j = read_word(k)
+        if word.upper() != "ON":
+            return sql  # USING form or malformed — refuse
+        cstart = skip_ws(j)
+        # condition runs to the next clause keyword at this depth, a
+        # paren close below this depth, or end of statement
+        cend = n
+        for kw in _ASOF_JOIN_END_KWS:
+            p = _find_kw(sql, kw, at_depth=dep, start=cstart)
+            if 0 <= p < cend:
+                cend = p
+        for p in range(cstart, cend):
+            if sql[p] == ")" and positions.get(p, dep) < dep:
+                cend = p
+                break
+        cond = sql[cstart:cend].strip()
+        if not cond:
+            return sql
+        eff_alias = alias or tbl_name
+        if not eff_alias:
+            return sql  # aliasless subquery — refuse
+        conjuncts = _split_top_level_and(cond)
+        ineqs = []
+        part_keys: list[str] = []
+        plain_eqs = True
+        for conj in conjuncts:
+            cmp = _top_level_cmp(conj)
+            if cmp and cmp[1] in _CMP_OPS:
+                ineqs.append(cmp)
+                continue
+            if not _word_in(conj, eff_alias):
+                continue  # no right-table refs — harmless in the ON
+            if cmp and cmp[1] == "=":
+                lh_a = _word_in(cmp[0], eff_alias)
+                rh_a = _word_in(cmp[2], eff_alias)
+                if lh_a != rh_a:
+                    part_keys.append((cmp[0] if lh_a else cmp[2]).strip())
+                    continue
+            plain_eqs = False  # anything fancier → LATERAL fallback
+        if len(ineqs) != 1:
+            return sql
+        lhs, op, rhs = ineqs[0]
+        l_has, r_has = _word_in(lhs, eff_alias), _word_in(rhs, eff_alias)
+        if l_has == r_has:
+            return sql  # can't tell which side is the right table
+        r_expr = (lhs if l_has else rhs).strip()
+        other = (rhs if l_has else lhs).strip()
+        # normalize to the bound ON the right side: r_expr <op'> other
+        if not l_has:
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+        direction = "DESC" if op in ("<", "<=") else "ASC"
+        alias_sql = f" AS {alias}" if alias else (
+            f" AS {tbl_name}" if tbl and tbl != tbl_name else ""
+        )
+        # mode 1 needs a star-free owning select list (the derived
+        # table adds __asof_bound, which a * projection would leak)
+        star = True
+        from_idx = -1
+        p = 0
+        while True:
+            p = _find_kw(sql, "FROM", at_depth=dep, start=p)
+            if p < 0 or p > a_idx:
+                break
+            from_idx = p
+            p += 1
+        if from_idx >= 0:
+            sel_idx = -1
+            p = 0
+            while True:
+                p = _find_kw(sql, "SELECT", at_depth=dep, start=p)
+                if p < 0 or p > from_idx:
+                    break
+                sel_idx = p
+                p += 1
+            if sel_idx >= 0:
+                star = _has_top_level_star(sql[sel_idx + 6 : from_idx])
+        if plain_eqs and not star:
+            # LEAD-interval join — the linear plan
+            over = (
+                f"PARTITION BY {', '.join(part_keys)} " if part_keys else ""
+            ) + f"ORDER BY {r_expr}"
+            fn = "LEAD" if op in ("<", "<=") else "LAG"
+            bound = f"{eff_alias}.__asof_bound"
+            guard = {
+                "<=": f"({bound} IS NULL OR {bound} > {other})",
+                "<": f"({bound} IS NULL OR {bound} >= {other})",
+                ">=": f"({bound} IS NULL OR {bound} < {other})",
+                ">": f"({bound} IS NULL OR {bound} <= {other})",
+            }[op]
+            derived = (
+                f"(SELECT {eff_alias}.*, {fn}({r_expr}) OVER ({over}) "
+                f"AS __asof_bound FROM {tbl}{alias_sql})"
+            )
+            joined = (
+                f"{'LEFT ' if left_join else ''}JOIN {derived} "
+                f"AS {eff_alias} ON {cond} AND {guard} "
+            )
+        else:
+            joined = (
+                f"{'LEFT ' if left_join else ''}JOIN LATERAL "
+                f"(SELECT * FROM {tbl}{alias_sql} WHERE {cond} "
+                f"ORDER BY {r_expr} {direction} LIMIT 1) "
+                f"AS {eff_alias} ON TRUE "
+            )
+        sql = f"{sql[:a_idx]}{joined}{sql[cend:]}"
+    return sql
+
+
 def duckdb_to_spark(
     sql: str,
     *,
@@ -1242,18 +1983,26 @@ def duckdb_to_spark(
     and the engine keeps the first that passes Spark analysis.
     """
     out = _replace_intdiv(sql, as_float=float_intdiv, float_mask=intdiv_mask)
+    out = _replace_power_op(out, "**")
     out = _replace_exclude(out)
     out = _rewrite_star_replace(out)
+    out = _rewrite_from_table_fns(out)
     out = _rename_functions(out)
     if list_len:
         out = _replace_len(out)
     out = _replace_string_split(out)
+    out = _replace_list_sort(out)
+    out = _replace_strftime(out)
+    out = _rewrite_ordered_string_agg(out)
+    out = _replace_varchar_casts(out)
     out = _rewrite_collections(out)
     if _balanced(out):
         # the depth-based statement rewrites are only well-defined on
         # bracket-balanced input; on malformed text their "top level"
         # is meaningless and rewriting could corrupt instead of
         # passing the original through to Spark's real parse error
+        out = _rewrite_using_sample(out)
+        out = _rewrite_asof_join(out)
         out = _rewrite_from_first(out)
         out = _rewrite_from_first_nested(out)
         out = _rewrite_distinct_on(out)
@@ -1279,6 +2028,9 @@ def duckdb_to_spark(
             if nxt == out:
                 break
             out = nxt
+        # same fired-only policy for `^`: XOR on Spark, power in the
+        # DuckDB dialect this query demonstrably is
+        out = _replace_power_op(out, "^")
     return out
 
 

@@ -1077,6 +1077,19 @@ def _is_sql_command(command: str) -> bool:
     return command.upper().lstrip().startswith(_SQL_KEYWORDS)
 
 
+# keywords that may directly follow an unaliased FROM/JOIN table
+# reference — anything else in identifier position is a client alias
+_TABLE_REF_FOLLOW_KWS = frozenset(
+    {
+        "ON", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+        "UNION", "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT",
+        "FULL", "INNER", "CROSS", "ASOF", "NATURAL", "SEMI", "ANTI",
+        "QUALIFY", "WINDOW", "POSITIONAL", "PIVOT", "UNPIVOT", "USING",
+        "LATERAL", "SELECT",
+    }
+)
+
+
 def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
     """Replace whole-word table references at identifier positions.
 
@@ -1095,15 +1108,76 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
     distinguished from a table reference without a full SQL parser;
     clients should qualify such columns (``t.orders``), which this
     rewriter leaves untouched.
+
+    FROM/JOIN-position references that the client did NOT alias are
+    rewritten to ``qualified AS name`` so the client's logical-name
+    column qualifiers (``SELECT r.rts FROM r`` — valid against the
+    reference, where the table IS called ``r``) keep resolving.
+    References followed by an alias, ``TABLESAMPLE``, or ``USING
+    SAMPLE`` (Spark's sample clause must precede the alias) get the
+    plain physical name as before.
     """
     word = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])")
     out: list[str] = []
     i, n = 0, len(sql)
     seg_start = 0
 
+    def _word_at(k: int) -> str:
+        j = k
+        while j < n and (sql[j].isalnum() or sql[j] == "_"):
+            j += 1
+        return sql[k:j]
+
+    def _alias_here(abs_start: int, abs_end: int) -> bool:
+        """True when this occurrence is a FROM/JOIN table reference
+        with no client alias following — the positions where the
+        engine appends ``AS name``."""
+        k = abs_start - 1
+        while k >= 0 and sql[k] in " \t\r\n":
+            k -= 1
+        e = k
+        while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+            k -= 1
+        if sql[k + 1 : e + 1].upper() not in ("FROM", "JOIN"):
+            return False
+        k = abs_end
+        while k < n and sql[k] in " \t\r\n":
+            k += 1
+        if k >= n or sql[k] in ",);":
+            return True
+        if not (sql[k].isalpha() or sql[k] == "_"):
+            return False
+        nxt = _word_at(k).upper()
+        if nxt in ("AS", "TABLESAMPLE"):
+            return False  # client alias / sample-precedes-alias grammar
+        if nxt == "USING":
+            k2 = k + len(nxt)
+            while k2 < n and sql[k2] in " \t\r\n":
+                k2 += 1
+            return _word_at(k2).upper() != "SAMPLE"
+        return nxt in _TABLE_REF_FOLLOW_KWS
+
     def flush(end: int) -> None:
         seg = sql[seg_start:end]
-        out.append(word.sub(qualified, seg))
+        base = seg_start
+
+        def sub(m: re.Match) -> str:
+            # an identifier directly after AS is an alias, never a
+            # table reference (also keeps the pass idempotent: the
+            # `qualified AS name` output below must not re-match)
+            k = base + m.start() - 1
+            while k >= 0 and sql[k] in " \t\r\n":
+                k -= 1
+            e = k
+            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                k -= 1
+            if sql[k + 1 : e + 1].upper() == "AS":
+                return m.group(0)
+            if _alias_here(base + m.start(), base + m.end()):
+                return f"{qualified} AS {name}"
+            return qualified
+
+        out.append(word.sub(sub, seg))
 
     while i < n:
         ch = sql[i]
@@ -1130,7 +1204,16 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
                 # Spark too (Spark treats bare double quotes as string
                 # literals). Limitation: a quoted NON-table identifier
                 # that happens to equal a table name is also rewritten.
-                span = f"`{qualified}`"
+                k = i - 1
+                while k >= 0 and sql[k] in " \t\r\n":
+                    k -= 1
+                e = k
+                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                    k -= 1
+                if sql[k + 1 : e + 1].upper() != "AS":  # alias position
+                    span = f"`{qualified}`"
+                    if _alias_here(i, j):
+                        span += f" AS `{name}`"
             out.append(span)
             i = seg_start = j
         elif ch == "-" and sql[i : i + 2] == "--":

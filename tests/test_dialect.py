@@ -521,3 +521,212 @@ def test_one_based_index_out_of_bounds_is_null(eng5):
 
 def test_intdiv_cast_operand(eng5):
     _both5(eng5, "SELECT w // CAST(id AS BIGINT) AS h, v // id::BIGINT AS d FROM dw ORDER BY id")
+
+
+# ---- round-5 session-2 constructs: power ops, asof join, sampling,
+# table functions, function renames (each value-checked vs DuckDB) ----
+
+
+@pytest.fixture()
+def eng6(spark):
+    e = MallardEngine(spark, "t_dialect6")
+    e.put(
+        "lv",
+        pa.table({"eid": [1, 2, 3], "k": [1, 1, 2], "lts": [10, 20, 15]}),
+    )
+    e.put(
+        "rv",
+        pa.table(
+            {"rid": [1, 2, 3, 4], "k": [1, 1, 1, 2], "rts": [5, 15, 25, 10]}
+        ),
+    )
+    return e
+
+
+def _duck6(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lv AS SELECT * FROM (VALUES "
+        "(1,1,10),(2,1,20),(3,2,15)) t(eid, k, lts)"
+    )
+    con.execute(
+        "CREATE TABLE rv AS SELECT * FROM (VALUES "
+        "(1,1,5),(2,1,15),(3,1,25),(4,2,10)) t(rid, k, rts)"
+    )
+    return con.execute(sql).fetchall()
+
+
+def _both6(eng6, sql: str):
+    got = [tuple(r) for r in eng6.sql(sql).collect()]
+    want = [tuple(r) for r in _duck6(sql)]
+    assert sorted(map(repr, got)) == sorted(map(repr, want)), (got, want)
+    return got
+
+
+def test_power_double_star(eng6):
+    rows = _both6(eng6, "SELECT eid ** 2 AS p, 2.5 ** 2 AS q FROM lv ORDER BY eid")
+    assert rows[0][1] == 6.25
+
+
+def test_power_caret_when_dialect_fired(eng6):
+    # `^` is XOR on Spark but power in DuckDB; rewritten only when the
+    # query demonstrably is DuckDB-dialect (another rule fired — the
+    # `//` here)
+    rows = _both6(eng6, "SELECT eid // 2 AS d, eid ^ 2 AS p FROM lv ORDER BY eid")
+    assert rows[0][1] == 1.0
+
+
+def test_caret_untouched_without_dialect_markers():
+    # pure-Spark queries keep XOR semantics — the shim never fires
+    assert duckdb_to_spark("SELECT 2 ^ 3 AS x") == "SELECT 2 ^ 3 AS x"
+
+
+def test_qualified_logical_name_refs(eng6):
+    # valid against the reference, where the table really is named rv
+    _both6(eng6, "SELECT rv.rts FROM rv ORDER BY rv.rts")
+    _both6(
+        eng6,
+        "SELECT lv.eid, rv.rts FROM lv JOIN rv ON lv.k = rv.k "
+        "AND lv.lts = rv.rts + 5 ORDER BY lv.eid",
+    )
+
+
+def test_asof_join_inner(eng6):
+    _both6(
+        eng6,
+        "SELECT lv.eid, lv.lts, rv.rts FROM lv ASOF JOIN rv "
+        "ON lv.k = rv.k AND lv.lts >= rv.rts ORDER BY lv.eid",
+    )
+
+
+def test_asof_join_left_forward(eng6):
+    # < direction: smallest right time strictly above the bound; LEFT
+    # keeps the unmatched row with NULLs
+    _both6(
+        eng6,
+        "SELECT lv.eid, rv.rid FROM lv ASOF LEFT JOIN rv "
+        "ON lv.k = rv.k AND lv.lts < rv.rts ORDER BY lv.eid",
+    )
+
+
+def test_asof_join_reversed_inequality_and_alias(eng6):
+    _both6(
+        eng6,
+        "SELECT e.eid, x.rts FROM lv e ASOF JOIN rv AS x "
+        "ON x.k = e.k AND x.rts <= e.lts ORDER BY e.eid",
+    )
+
+
+def test_asof_join_subquery_right_side(eng6):
+    _both6(
+        eng6,
+        "SELECT lv.eid, z.rts FROM lv ASOF JOIN "
+        "(SELECT * FROM rv WHERE rid <> 3) z "
+        "ON lv.k = z.k AND lv.lts >= z.rts ORDER BY lv.eid",
+    )
+
+
+def test_asof_join_star_and_trailing_where(eng6):
+    _both6(
+        eng6,
+        "SELECT * FROM lv ASOF JOIN rv ON lv.k = rv.k AND lv.lts >= rv.rts "
+        "ORDER BY eid",
+    )
+    _both6(
+        eng6,
+        "SELECT lv.eid FROM lv ASOF JOIN rv ON lv.k = rv.k "
+        "AND lv.lts >= rv.rts WHERE rv.rts > 5 ORDER BY lv.eid",
+    )
+
+
+def test_asof_join_decorrelates_to_linear_plan(eng6):
+    # the LATERAL top-1 must decorrelate into join+window — a
+    # nested-loop per left row would be quadratic at scale
+    df = eng6.sql(
+        "SELECT lv.eid, rv.rts FROM lv ASOF JOIN rv "
+        "ON lv.k = rv.k AND lv.lts >= rv.rts"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_using_sample_rows_and_percent(eng6):
+    _both6(
+        eng6,
+        "SELECT count(*) AS c FROM (SELECT * FROM rv USING SAMPLE 3 ROWS) t",
+    )
+    _both6(
+        eng6,
+        "SELECT count(*) AS c FROM (SELECT * FROM rv USING SAMPLE 100%) t",
+    )
+
+
+def test_using_sample_after_client_alias(eng6):
+    # DuckDB puts the sample clause AFTER the alias, Spark's grammar
+    # BEFORE it — the rewrite relocates it
+    _both6(
+        eng6,
+        "SELECT count(*) AS c FROM "
+        "(SELECT * FROM rv AS x USING SAMPLE 3 ROWS) t",
+    )
+    _both6(
+        eng6,
+        "SELECT count(*) AS c FROM (SELECT * FROM rv x USING SAMPLE 3 ROWS) t",
+    )
+
+
+def test_generate_series_table_function(eng6):
+    _both6(eng6, "SELECT * FROM generate_series(2, 5) ORDER BY generate_series")
+    _both6(eng6, "SELECT generate_series(1, 3) AS l")
+
+
+def test_unnest_select_and_from(eng6):
+    _both6(eng6, "SELECT unnest([4, 5, 6]) AS u ORDER BY u")
+    _both6(eng6, "SELECT * FROM unnest([7, 8]) ORDER BY unnest")
+
+
+def test_arg_max_arg_min(eng6):
+    _both6(
+        eng6,
+        "SELECT k, arg_max(rid, rts) AS am, arg_min(rid, rts) AS an "
+        "FROM rv GROUP BY ALL ORDER BY k",
+    )
+
+
+def test_list_sort_directions(eng6):
+    rows = _both6(
+        eng6,
+        "SELECT list_sort([3, 1, 2], 'DESC') AS d, list_sort([3, NULL, 2]) AS a",
+    )
+    assert rows[0][0] == [3, 2, 1]
+
+
+def test_strftime_strptime(eng6):
+    _both6(
+        eng6,
+        "SELECT strftime(TIMESTAMP '2020-03-04 05:06:07', "
+        "'%Y-%m-%d %H:%M:%S') AS s",
+    )
+    _both6(
+        eng6,
+        "SELECT strftime(TIMESTAMP '2020-03-04 05:06:07', 'at %H h on %d') AS s",
+    )
+    _both6(eng6, "SELECT strptime('04/03/2020', '%d/%m/%Y') AS ts")
+
+
+def test_string_agg_in_call_order_by(eng6):
+    _both6(
+        eng6,
+        "SELECT k, string_agg(rid::VARCHAR, '|' ORDER BY rts DESC) AS s "
+        "FROM rv GROUP BY k ORDER BY k",
+    )
+
+
+def test_varchar_cast_without_length(eng6):
+    _both6(
+        eng6,
+        "SELECT CAST(rid AS VARCHAR) AS a, rid::VARCHAR AS b, rid // 2 AS d "
+        "FROM rv ORDER BY rid",
+    )

@@ -57,8 +57,14 @@ _CREATE_AS_RE = re.compile(
     r"(?P<name>[A-Za-z_][\w]*)\s+AS\s+(?P<select>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s+AS\s+"
+    r"(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
+    r"^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME_RE = re.compile(
@@ -351,6 +357,18 @@ class MallardEngine:
                     "cyclic walks: dedup_clusters (connected "
                     "components) and graph_pagerank (iterative rank)."
                 ) from first_err
+            if re.search(r"(?i)\bPOSITIONAL\s+JOIN\b", out):
+                # DuckDB's POSITIONAL JOIN zips tables by physical row
+                # order — a property a distributed engine does not
+                # have (partitioned scans define no global order), so
+                # a mechanical rewrite would silently zip arbitrary
+                # rows. Refuse with the deterministic alternative.
+                raise NotImplementedError(
+                    "POSITIONAL JOIN is not supported: row order is "
+                    "undefined on a distributed engine. Join on an "
+                    "explicit key instead, e.g. row_number() OVER "
+                    "(ORDER BY <deterministic key>) on both sides."
+                ) from first_err
             # DuckDB-dialect fallback: the reference's engine IS
             # DuckDB, so clients send DuckDB SQL (`//`, QUALIFY,
             # EXCLUDE, DISTINCT ON). Translate and retry ONLY after
@@ -508,6 +526,20 @@ class MallardEngine:
                 self.sql(m.group("select").rstrip("; \n")),
                 persist=self.ddl_persist,
             )
+            return "OK"
+        m = _CREATE_VIEW_RE.match(sql)
+        if m:
+            name = m.group("name")
+            if name in self._tables and not m.group("replace"):
+                raise ValueError(f"CREATE VIEW: {name} already exists "
+                                 "(use CREATE OR REPLACE VIEW)")
+            # A view registers the query PLAN (lazy — data is read at
+            # query time, so source-file changes show through). One
+            # documented divergence from DuckDB's late-binding views:
+            # re-registering a source table after the view is created
+            # does not rebind the view; recreate it.
+            self._tables[name] = self.sql(m.group("select").rstrip("; \n"))
+            self._tables[name].createOrReplaceTempView(self._qualified(name))
             return "OK"
         m = _DROP_RE.match(sql)
         if m:

@@ -699,6 +699,27 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MAX_COMPONENT = 256
 
 
+def _cc_labels_ctes() -> str:
+    """CTE chain (for a ``WITH RECURSIVE`` prologue) ending in
+    ``labels(node, label)`` — the connected-component labeling of the
+    MinHash-LSH near-dup pair graph. ONE definition shared by the
+    ``dedup_clusters`` and ``dedup_canonical_select`` oracles so the
+    two can never drift."""
+    return f"""pairsrc AS (
+      SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairsrc
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairsrc
+    ), reach(node, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ), labels AS (
+      SELECT node, LEAST(node, MIN(dst)) AS label FROM reach GROUP BY node
+    )"""
+
+
 def _clusters_oracle() -> str:
     """Connected components as a recursive CTE: transitive closure of
     the (tiny, near-dup) pair graph, label = component minimum. The
@@ -712,19 +733,7 @@ def _clusters_oracle() -> str:
     no such bound — label propagation carries one label per node
     regardless of component size.)"""
     return f"""
-    WITH RECURSIVE pairsrc AS (
-      SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
-    ), edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairsrc
-      UNION
-      SELECT doc_b AS a, doc_a AS b FROM pairsrc
-    ), reach(node, dst) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.dst
-    ), labels AS (
-      SELECT node, LEAST(node, MIN(dst)) AS label FROM reach GROUP BY node
-    ), guarded AS (
+    WITH RECURSIVE {_cc_labels_ctes()}, guarded AS (
       SELECT label AS cluster_id,
              MIN(node) AS rep_doc,
              COUNT(*) AS cluster_size
@@ -742,10 +751,11 @@ def _clusters_oracle() -> str:
     """
 
 
-@query("dedup_clusters", oracle=_clusters_oracle())
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS: connected components over the MinHash-LSH
-    near-dup pair graph, by iterative min-label propagation.
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) connected-component labels over the MinHash-LSH
+    near-dup pair graph by iterative min-label propagation — the
+    engine-side mirror of :func:`_cc_labels_ctes`, shared by
+    ``dedup_clusters`` and ``dedup_canonical_select``.
 
     Each iteration is two shuffle joins (label lookup across edges +
     min-aggregate); convergence is checked with a driver-side count
@@ -788,10 +798,87 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = materialize(new_labels, "cc_labels")
         if changed == 0:
             break
+    return labels
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    near-dup pair graph (see :func:`_cc_labels` for the propagation
+    loop and its scale shape)."""
+    labels = _cc_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("cluster_size"), F.min("node").alias("rep_doc"))
         .select(F.col("label").alias("cluster_id"), "rep_doc", "cluster_size")
+    )
+
+
+def _canonical_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_labels_ctes()}, joined AS (
+      SELECT l.label, d.doc_id, d.n_chars
+      FROM labels l JOIN documents d ON d.doc_id = l.node
+    ), agg AS (
+      SELECT label AS cluster_id,
+             arg_max(doc_id, n_chars * 10000000 - doc_id) AS canonical_doc,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             CAST(COUNT(*) - 1 AS BIGINT) AS removed_docs,
+             CAST(SUM(n_chars)
+                  - arg_max(n_chars, n_chars * 10000000 - doc_id)
+               AS BIGINT) AS removed_chars
+      FROM joined GROUP BY label
+    )
+    SELECT cluster_id, canonical_doc,
+           CASE WHEN cluster_size > {ORACLE_MAX_COMPONENT}
+                THEN CAST(error('dedup_canonical_select oracle: component '
+                                || 'exceeds {ORACLE_MAX_COMPONENT} nodes; the '
+                                || 'O(k^2) closure oracle is not sized for '
+                                || 'this graph') AS BIGINT)
+                ELSE cluster_size END AS cluster_size,
+           removed_docs, removed_chars
+    FROM agg
+    """
+
+
+@query("dedup_canonical_select", oracle=_canonical_oracle())
+def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per duplicate cluster — the
+    step that turns the near-dup GRAPH into an actionable removal
+    list: keep the longest document (tiebreak: smallest doc_id) of
+    every connected component, drop the rest. Reports per cluster the
+    canonical doc, the removal count, and the characters removed —
+    the numbers a curation run logs before rewriting the corpus.
+
+    The keep-rule is one integer composite (n_chars·10⁷ − doc_id,
+    exact at any corpus scale since doc_id < 10⁷ here and max_by is
+    order-exact on int64), so both engines pick identical
+    representatives. Scale shape: labels are bounded by near-dup
+    GRAPH nodes (≪ corpus), broadcast onto the documents scan; the
+    per-cluster aggregate is one exchange on the label key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = _cc_labels(spark, sf_dir)
+    score = (F.col("n_chars") * F.lit(10000000) - F.col("doc_id")).alias("score")
+    return (
+        docs.join(F.broadcast(labels), docs.doc_id == labels.node)
+        .select(F.col("label"), "doc_id", "n_chars", score)
+        .groupBy("label")
+        .agg(
+            F.max_by("doc_id", "score").alias("canonical_doc"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("removed_docs"),
+            (F.sum("n_chars") - F.max_by("n_chars", "score"))
+            .cast("long")
+            .alias("removed_chars"),
+        )
+        .select(
+            F.col("label").alias("cluster_id"),
+            "canonical_doc",
+            "cluster_size",
+            "removed_docs",
+            "removed_chars",
+        )
     )
 
 

@@ -712,6 +712,98 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source epoch factors in ppm (frozen from a quality review —
+# the operator is weight-agnostic). 2_500_000 = "see this source 2.5
+# times per training epoch": 2 full copies plus a 50% hash-sampled
+# third. Sources absent from the dict train at 1 epoch.
+UPSAMPLE_PPM = {
+    "src0": 3_000_000,
+    "src1": 2_500_000,
+    "src2": 1_500_000,
+    "src3": 1_250_000,
+}
+UPSAMPLE_DEFAULT_PPM = MIX_PPM
+
+
+def _upsample_ppm_case() -> str:
+    """CASE expression mapping source → epoch ppm — ONE definition
+    rendered into both the Spark plan and the DuckDB oracle."""
+    whens = " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(UPSAMPLE_PPM.items()))
+    return f"CASE source {whens} ELSE {UPSAMPLE_DEFAULT_PPM} END"
+
+
+@query(
+    "mix_upsample_epochs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({TOKENS_SQL}) AS n_tok,
+             {_upsample_ppm_case()} AS ppm,
+             {md5_long_sql("CAST(doc_id AS VARCHAR) || ':up'")} % {MIX_PPM} AS h
+      FROM documents
+    ), c AS (
+      SELECT source, n_tok, ppm,
+             ppm // {MIX_PPM}
+               + CASE WHEN h < ppm % {MIX_PPM} THEN 1 ELSE 0 END AS copies
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ppm) AS epochs_ppm,
+           CAST(SUM(copies) AS BIGINT) AS out_docs,
+           CAST(SUM(n_tok * copies) AS BIGINT) AS out_tokens,
+           CAST(SUM(copies) * {MIX_PPM} // COUNT(*) AS BIGINT) AS realized_ppm
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style UP-sampling mix (the Llama/Gopher data recipe
+    direction mix_sources/mix_temperature don't cover: repeating
+    high-quality sources several times per epoch instead of cutting
+    the big ones). A factor of e.g. 2.5 materializes as 2 full copies
+    plus a 50% content-addressed sample for the third — per-doc
+    copies = ppm div 10⁶ + (md5(doc) % 10⁶ < ppm mod 10⁶), all int64,
+    so the realized mix is bit-stable under any partitioning and
+    engine. The report carries configured vs realized ppm per source
+    (they converge as n_docs grows — the hash sample is unbiased).
+
+    Scale shape: one corpus scan → per-source aggregate; the
+    materialized training corpus (not built here) is the same scan
+    followed by ``explode(sequence(1, copies))`` — a pure map with no
+    shuffle, writing straight into `shard_assignment`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.size(tokens()).alias("n_tok"),
+        F.expr(_upsample_ppm_case()).alias("ppm"),
+        (
+            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":up")))
+            % MIX_PPM
+        ).alias("h"),
+    ).select(
+        "source",
+        "n_tok",
+        "ppm",
+        (
+            F.expr(f"ppm div {MIX_PPM}")
+            + F.when(F.col("h") < F.col("ppm") % MIX_PPM, 1).otherwise(0)
+        ).alias("copies"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ppm").cast("long").alias("epochs_ppm"),
+            F.sum("copies").cast("long").alias("out_docs"),
+            F.sum(F.col("n_tok") * F.col("copies")).cast("long").alias("out_tokens"),
+            F.expr(f"(sum(copies) * {MIX_PPM}) div count(1)")
+            .cast("long")
+            .alias("realized_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "pack_efficiency_report",
     oracle=f"""

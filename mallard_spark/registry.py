@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     import mallard_spark.operators.quality  # noqa: F401
     import mallard_spark.operators.sampling  # noqa: F401
     import mallard_spark.operators.similarity  # noqa: F401
+    import mallard_spark.operators.sketches  # noqa: F401
     import mallard_spark.operators.text  # noqa: F401
     import mallard_spark.operators.web  # noqa: F401
     import mallard_spark.plans.bucketed  # noqa: F401

@@ -547,3 +547,32 @@ def test_pivot_on_date_column(spark):
     )
     want = [tuple(r) for r in con.execute("PIVOT t ON d USING sum(v) GROUP BY g ORDER BY g").fetchall()]
     assert got == want
+
+
+def test_create_and_drop_view(spark):
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_view")
+    eng.put("base", pa.table({"id": [1, 2, 3], "v": [10, 20, 30]}))
+    assert eng.ddl("CREATE VIEW big AS SELECT * FROM base WHERE v > 15") == "OK"
+    assert [r.id for r in eng.sql("SELECT id FROM big ORDER BY id").collect()] == [2, 3]
+    # view composes with other queries like any table
+    assert eng.sql("SELECT count(*) AS c FROM big").collect()[0].c == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        eng.ddl("CREATE VIEW big AS SELECT 1 AS x")
+    assert eng.ddl("CREATE OR REPLACE VIEW big AS SELECT * FROM base WHERE v > 25") == "OK"
+    assert eng.sql("SELECT count(*) AS c FROM big").collect()[0].c == 1
+    assert eng.ddl("DROP VIEW big") == "OK"
+    assert "big" not in eng.list_tables()
+
+
+def test_positional_join_documented_refusal(spark):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_posj")
+    eng.put("a", pa.table({"x": [1, 2]}))
+    with _pytest.raises(NotImplementedError, match="POSITIONAL JOIN"):
+        eng.sql("SELECT * FROM a POSITIONAL JOIN a")

@@ -611,3 +611,78 @@ def test_heavy_hitters_finds_hot_key_with_tight_bounds(spark, tmp_path):
     assert out[0].user_id == 999
     assert out[0].lower_bound == 1000
     assert out[0].upper_bound - out[0].lower_bound <= 2 * 31
+
+
+def test_cms_estimates_never_undercount(spark):
+    """CMS invariant: est >= true for EVERY key (min over rows of
+    non-negative colliding mass), with real collisions at this width."""
+    from mallard_spark.operators.sketches import cms_topk_estimate
+
+    rows = cms_topk_estimate(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.est_cnt == r.true_cnt + r.overcount for r in rows)
+    # CMS_W=64 vs 150 keys: collisions must actually occur, otherwise
+    # the bound arithmetic is vacuously green
+    assert any(r.overcount > 0 for r in rows)
+
+
+def test_quantile_histogram_error_within_bucket(spark):
+    """The deterministic sketch guarantee: the exact quantile lies in
+    the reported bucket, i.e. 0 <= err < bucket width."""
+    from mallard_spark.operators.sketches import (
+        QH_BUCKET_CENTS,
+        quantile_histogram_merge,
+    )
+
+    rows = quantile_histogram_merge(spark, "/root/testdata/sf0.01").collect()
+    assert [r.q for r in rows] == [50, 90, 99]
+    for r in rows:
+        assert 0 <= r.err_cents < QH_BUCKET_CENTS
+        assert r.exact_cents == r.est_lo_cents + r.err_cents
+
+
+def test_canonical_select_keeps_longest_then_smallest_id(spark, tmp_path):
+    """Micro-fixture: three exact near-dup docs (identical text ->
+    same minhash bands -> one cluster); the canonical pick must be
+    max n_chars with doc_id as the tiebreak."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 50],
+            "text": [base, base, base + "iota kappa", "totally different words here"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(base), len(base), len(base) + 10, 28],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from mallard_spark.operators.dedup import dedup_canonical_select
+
+    out = dedup_canonical_select(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    c = out[0]
+    assert c.canonical_doc == 3  # longest wins
+    assert c.cluster_size == 3 and c.removed_docs == 2
+    assert c.removed_chars == 2 * len(base)
+
+
+def test_upsample_epochs_realized_matches_configured(spark):
+    """Full-epoch sources replicate exactly; fractional sources land
+    near the configured rate (hash sample, exact integer report)."""
+    from mallard_spark.operators.llm import (
+        UPSAMPLE_DEFAULT_PPM,
+        UPSAMPLE_PPM,
+        mix_upsample_epochs,
+    )
+
+    rows = {r.source: r for r in mix_upsample_epochs(spark, "/root/testdata/sf0.01").collect()}
+    assert rows["src0"].out_docs == 3 * rows["src0"].n_docs  # 3.0 exact
+    assert rows["src5"].out_docs == rows["src5"].n_docs  # default 1.0
+    assert rows["src5"].epochs_ppm == UPSAMPLE_DEFAULT_PPM
+    r1 = rows["src1"]
+    assert UPSAMPLE_PPM["src1"] == 2_500_000
+    assert 2 * r1.n_docs <= r1.out_docs <= 3 * r1.n_docs

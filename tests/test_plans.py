@@ -523,3 +523,38 @@ def test_kmeans_training_input_is_capped_sample(spark, sf_dir):
     train = spark.read.parquet(materialize_path("kmeans_train"))
     vecs = spark.read.parquet(materialize_path("kmeans_vecs"))
     assert train.count() == min(S.KM_TRAIN_CAP, vecs.count())
+
+
+def test_cms_probe_join_is_broadcast_no_cartesian(spark, sf_dir):
+    # the 30-row probe set must broadcast against the bounded cell
+    # grid; key counting is one partial-combined exchange
+    plan = _plan(spark, sf_dir, "cms_topk_estimate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantile_histogram_windows_run_on_bucket_table(spark, sf_dir):
+    # the cumulative window and target probing operate on the bucket
+    # table / target rows (broadcast), never a global sort of events;
+    # the only per-row window is the 3-target-bucket refinement
+    plan = _plan(spark, sf_dir, "quantile_histogram_merge")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # targets + cum_before
+
+
+def test_canonical_select_broadcasts_labels_onto_docs(spark, sf_dir):
+    # cluster labels are bounded by near-dup-graph nodes << corpus —
+    # they broadcast onto the documents scan, which never shuffles
+    plan = _plan(spark, sf_dir, "dedup_canonical_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_upsample_epochs_single_scan_single_exchange(spark, sf_dir):
+    # pure row-local integer math + one per-source aggregate
+    plan = _plan(spark, sf_dir, "mix_upsample_epochs")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

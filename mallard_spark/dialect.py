@@ -869,9 +869,9 @@ def _split_top_level_commas(s: str) -> list[str]:
 # DuckDB→Spark function renames where semantics and argument order
 # are 1:1 (verified case by case; see tests). Deliberately excluded:
 # len (strings vs lists is ambiguous), string_split (Spark's split
-# takes a REGEX separator), list_position (NULL vs 0 when absent),
-# epoch_ms (overloaded: ms→timestamp AND timestamp→ms — a token pass
-# can't pick the direction).
+# takes a REGEX separator), list_position (NULL vs 0 when absent);
+# epoch_ms is type-overloaded and goes through the variant ladder
+# instead (_replace_epoch_ms).
 _FUNC_RENAMES = {
     "list_transform": "transform",
     "list_filter": "filter",
@@ -912,6 +912,26 @@ def _rename_functions(sql: str) -> str:
 
 
 _LEN_RE = re.compile(r"\blen(?=\s*\()", re.IGNORECASE)
+_EPOCH_MS_RE = re.compile(r"\bepoch_ms(?=\s*\()", re.IGNORECASE)
+
+
+def _replace_epoch_ms(sql: str, to_ts: bool) -> str:
+    """DuckDB's ``epoch_ms`` is overloaded by ARGUMENT type —
+    ``epoch_ms(ts)`` → BIGINT milliseconds, ``epoch_ms(ms)`` →
+    TIMESTAMP — which a token pass can't resolve. Same treatment as
+    ``len``: the engine tries ``unix_millis`` (the timestamp→ms
+    reading) first and retries with ``timestamp_millis`` when
+    analysis fails; a query mixing both directions keeps its type
+    error."""
+    target = "timestamp_millis" if to_ts else "unix_millis"
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if all(mask[k] for k in range(m.start(), m.end())):
+            return target
+        return m.group(0)
+
+    return _EPOCH_MS_RE.sub(sub, sql)
 
 
 def _replace_len(sql: str) -> str:
@@ -1028,8 +1048,6 @@ def _replace_power_op(sql: str, needle: str) -> str:
         pos = -1
         for i in range(len(sql) - ln + 1):
             if sql[i : i + ln] == needle and all(mask[i + k] for k in range(ln)):
-                if needle == "^" and sql[i : i + 2] == "**":
-                    continue
                 pos = i
                 break
         if pos < 0:
@@ -1038,8 +1056,46 @@ def _replace_power_op(sql: str, needle: str) -> str:
         while lend > 0 and sql[lend - 1] in _WS:
             lend -= 1
         b = _base_start(sql, mask, lend, starts)
-        while b >= 2 and sql[b - 2 : b] == "::":
-            b = _base_start(sql, mask, b - 2, starts)
+        while b >= 0:
+            if b >= 2 and sql[b - 2 : b] == "::":
+                b = _base_start(sql, mask, b - 2, starts)
+            elif (
+                b >= 2
+                and sql[b - 1] in "+-"
+                and sql[b - 2] in "eE"
+                and sql[b:lend].isdigit()
+                and (b < 3 or sql[b - 3].isdigit() or sql[b - 3] == ".")
+            ):
+                b = _base_start(sql, mask, b - 1, starts)
+            else:
+                break
+        if b >= 0:
+            # a UNARY sign binds tighter than **/^ in DuckDB
+            # ((-2) ** 2 = 4), so pull it into the left operand; a
+            # BINARY minus (operand before it) binds looser and stays
+            # outside (a - 2 ** 2 = a - power(2, 2))
+            k = b - 1
+            while k >= 0 and sql[k] in _WS:
+                k -= 1
+            if k >= 0 and sql[k] in "+-":
+                prev = _prev_code_char(sql, mask, k, starts)
+                unary = not prev or not (prev.isalnum() or prev in "_)]'\"`")
+                if not unary and (prev.isalnum() or prev == "_"):
+                    # a word before the sign: expression KEYWORDS make
+                    # it unary (SELECT -2 ** 2, WHEN -x ^ 2, ...)
+                    j2 = k - 1
+                    while j2 >= 0 and (sql[j2] in _WS or not mask[j2]):
+                        j2 -= 1
+                    e2 = j2
+                    while (
+                        j2 >= 0
+                        and (sql[j2].isalnum() or sql[j2] == "_")
+                        and mask[j2]
+                    ):
+                        j2 -= 1
+                    unary = sql[j2 + 1 : e2 + 1].upper() in _EXPR_KEYWORDS
+                if unary:
+                    b = k
         left = sql[b:lend].strip() if b >= 0 else ""
         rend = _operand_end(sql, mask, pos + ln)
         right = sql[pos + ln : rend].strip()
@@ -1131,7 +1187,11 @@ _STRF_MAP = {
     "Y": "yyyy", "y": "yy", "m": "MM", "-m": "M", "d": "dd", "-d": "d",
     "H": "HH", "-H": "H", "I": "hh", "-I": "h", "M": "mm", "-M": "m",
     "S": "ss", "-S": "s", "p": "a", "j": "DDD", "-j": "D",
-    "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "G": "yyyy",
+    "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM",
+    # deliberately absent: %G (ISO week-based year — Spark's pattern
+    # dialect has no exact equivalent; 'yyyy' would silently answer
+    # the CALENDAR year near year boundaries), %f/%g/%n/%W/%U/%w —
+    # unknown codes refuse the site so DuckDB semantics never drift
 }
 
 
@@ -1146,7 +1206,10 @@ def _strf_to_java(fmt: str) -> str | None:
         if not lit:
             return
         text = "".join(lit)
-        if any(c.isalpha() or c == "'" for c in text):
+        # letters are pattern letters and []#{} are reserved markers
+        # in Java's DateTimeFormatter ([] = optional section) — quote
+        # any literal run containing them so they come out verbatim
+        if any(c.isalpha() or c in "'[]#{}" for c in text):
             out.append("'" + text.replace("'", "''") + "'")
         else:
             out.append(text)
@@ -1787,10 +1850,27 @@ def _rewrite_asof_join(sql: str) -> str:
     error): ``USING`` form, quoted right-table names, conditions with
     zero or several top-level inequalities, or an inequality where
     the right alias appears on both sides."""
-    for _ in range(16):
-        a_idx = _find_kw(sql, "ASOF", at_depth=None)
+    start = 0
+    for _ in range(64):
+        a_idx = _find_kw(sql, "ASOF", at_depth=None, start=start)
         if a_idx < 0:
             return sql
+        new = _asof_rewrite_at(sql, a_idx)
+        if new is None:
+            # an identifier merely NAMED asof, or a refused site —
+            # keep scanning so a real ASOF JOIN later still rewrites
+            start = a_idx + 1
+            continue
+        sql = new
+        start = 0
+    return sql
+
+
+def _asof_rewrite_at(sql: str, a_idx: int) -> str | None:
+    """Attempt the ASOF rewrite for the occurrence at ``a_idx``;
+    None = not an ASOF JOIN site / refused (see _rewrite_asof_join's
+    refusal list)."""
+    if True:
         positions = {i: d for i, _c, d, code in _scan(sql) if code}
         dep = positions.get(a_idx, 0)
         n = len(sql)
@@ -1817,7 +1897,7 @@ def _rewrite_asof_join(sql: str) -> str:
             k = skip_ws(k2)
             word, k2 = read_word(k)
         if word.upper() != "JOIN":
-            return sql
+            return None
         k = skip_ws(k2)
         # right table reference: (subquery) or dotted identifier
         if k < n and sql[k] == "(":
@@ -1832,7 +1912,7 @@ def _rewrite_asof_join(sql: str) -> str:
                         break
                 j += 1
             if j >= n:
-                return sql
+                return None
             tbl = sql[k : j + 1]
             tbl_name = ""
             k = skip_ws(j + 1)
@@ -1841,7 +1921,7 @@ def _rewrite_asof_join(sql: str) -> str:
                 return sql  # quoted table name — refuse
             tbl, j = read_word(k)
             if not tbl:
-                return sql
+                return None
             tbl_name = tbl.split(".")[-1]
             k = skip_ws(j)
         # optional alias
@@ -1871,7 +1951,7 @@ def _rewrite_asof_join(sql: str) -> str:
                 break
         cond = sql[cstart:cend].strip()
         if not cond:
-            return sql
+            return None
         eff_alias = alias or tbl_name
         if not eff_alias:
             return sql  # aliasless subquery — refuse
@@ -1894,7 +1974,7 @@ def _rewrite_asof_join(sql: str) -> str:
                     continue
             plain_eqs = False  # anything fancier → LATERAL fallback
         if len(ineqs) != 1:
-            return sql
+            return None
         lhs, op, rhs = ineqs[0]
         l_has, r_has = _word_in(lhs, eff_alias), _word_in(rhs, eff_alias)
         if l_has == r_has:
@@ -1958,8 +2038,7 @@ def _rewrite_asof_join(sql: str) -> str:
                 f"ORDER BY {r_expr} {direction} LIMIT 1) "
                 f"AS {eff_alias} ON TRUE "
             )
-        sql = f"{sql[:a_idx]}{joined}{sql[cend:]}"
-    return sql
+        return f"{sql[:a_idx]}{joined}{sql[cend:]}"
 
 
 def duckdb_to_spark(
@@ -1968,6 +2047,7 @@ def duckdb_to_spark(
     float_intdiv: bool = False,
     list_len: bool = False,
     intdiv_mask: tuple[bool, ...] | None = None,
+    epoch_ms_ts: bool = False,
 ) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
 
@@ -1988,6 +2068,7 @@ def duckdb_to_spark(
     out = _rewrite_star_replace(out)
     out = _rewrite_from_table_fns(out)
     out = _rename_functions(out)
+    out = _replace_epoch_ms(out, to_ts=epoch_ms_ts)
     if list_len:
         out = _replace_len(out)
     out = _replace_string_split(out)
@@ -2050,6 +2131,7 @@ def translate_variants(sql: str) -> list[str]:
     all-float."""
     n_sites = _count_intdiv_sites(sql)
     has_len = _LEN_RE.search(sql) is not None
+    has_epoch = _EPOCH_MS_RE.search(sql) is not None
     if 0 < n_sites <= _MAX_INTDIV_SITES:
         masks = sorted(
             (tuple(bool(m >> k & 1) for k in range(n_sites)) for m in range(1 << n_sites)),
@@ -2060,11 +2142,12 @@ def translate_variants(sql: str) -> list[str]:
     else:
         masks = [()]
     outs: list[str] = []
-    for ll in ((False, True) if has_len else (False,)):
-        for mask in masks:
-            t = duckdb_to_spark(sql, list_len=ll, intdiv_mask=mask)
-            if t != sql and t not in outs:
-                outs.append(t)
+    for ep in ((False, True) if has_epoch else (False,)):
+        for ll in ((False, True) if has_len else (False,)):
+            for mask in masks:
+                t = duckdb_to_spark(sql, list_len=ll, intdiv_mask=mask, epoch_ms_ts=ep)
+                if t != sql and t not in outs:
+                    outs.append(t)
     return outs
 
 

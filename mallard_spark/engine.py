@@ -59,12 +59,12 @@ _CREATE_AS_RE = re.compile(
 )
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s+AS\s+"
+    r"(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s+AS\s+"
     r"(?P<select>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_RE = re.compile(
-    r"^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
+    r"^\s*DROP\s+(?P<kind>TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME_RE = re.compile(
@@ -199,6 +199,7 @@ class MallardEngine:
         self.ddl_persist = ddl_persist
         self._tables: dict[str, DataFrame] = {}
         self._persistent: set[str] = set()
+        self._views: set[str] = set()
         self._exchangers: dict[str, Exchanger] = {}
         self._discover_persistent()
 
@@ -251,6 +252,7 @@ class MallardEngine:
         else:
             df.createOrReplaceTempView(self._qualified(name))
         self._tables[name] = df
+        self._views.discard(name)  # PUT over a view name makes it a table
         return df.count() if count else None
 
     def row_count(self, name: str) -> int:
@@ -276,6 +278,7 @@ class MallardEngine:
         else:
             self.spark.catalog.dropTempView(self._qualified(name))
         self._tables.pop(name, None)
+        self._views.discard(name)
 
     def health_check(self) -> bool:
         """Liveness probe: run ``SELECT 1`` through the session.
@@ -531,6 +534,8 @@ class MallardEngine:
         if m:
             name = m.group("name")
             if name in self._tables and not m.group("replace"):
+                if m.group("ifne"):
+                    return "OK"  # IF NOT EXISTS: idempotent no-op
                 raise ValueError(f"CREATE VIEW: {name} already exists "
                                  "(use CREATE OR REPLACE VIEW)")
             # A view registers the query PLAN (lazy — data is read at
@@ -540,11 +545,24 @@ class MallardEngine:
             # does not rebind the view; recreate it.
             self._tables[name] = self.sql(m.group("select").rstrip("; \n"))
             self._tables[name].createOrReplaceTempView(self._qualified(name))
+            self._views.add(name)
             return "OK"
         m = _DROP_RE.match(sql)
         if m:
             name = m.group("name")
             if name in self._tables:
+                # object-class check, like the reference's DuckDB
+                # catalog: DROP VIEW on a table (or DROP TABLE on a
+                # view) must refuse — the destructive path is the
+                # TABLE drop, which deletes persisted data
+                is_view = name in self._views
+                kind = m.group("kind").upper()
+                if kind == "VIEW" and not is_view:
+                    raise ValueError(f"DROP VIEW: {name} is a table "
+                                     "(use DROP TABLE)")
+                if kind == "TABLE" and is_view:
+                    raise ValueError(f"DROP TABLE: {name} is a view "
+                                     "(use DROP VIEW)")
                 self.drop(name)
             return "OK"
         m = _ALTER_RENAME_RE.match(sql)
@@ -564,8 +582,11 @@ class MallardEngine:
                 self._tables.pop(name, None)
                 self._tables[new] = self.spark.table(self._qualified(new))
             else:
+                was_view = name in self._views
                 self.put(new, self.table(name))
                 self.drop(name)
+                if was_view:
+                    self._views.add(new)
             return "OK"
         self.sql(sql)
         return "OK"

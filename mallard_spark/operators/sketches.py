@@ -191,15 +191,32 @@ def quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets via a broadcast semi-join.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
+    v = qh_cents(ev)
+    partials = qh_partials(v)
+    return qh_report(v, partials)
+
+
+def qh_cents(ev: DataFrame) -> DataFrame:
+    """(event_id, day, cents) projection — ONE definition for the
+    batch operator and the streaming monitor."""
+    return ev.select(
         "event_id",
         F.to_date(F.date_trunc("day", "ts")).alias("day"),
         (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
-    partials = (
-        v.groupBy("day", F.expr(f"cents div {QH_BUCKET_CENTS}").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+
+
+def qh_partials(v: DataFrame) -> DataFrame:
+    """The persisted per-day sketch: (day, bucket, cnt)."""
+    return v.groupBy(
+        "day", F.expr(f"cents div {QH_BUCKET_CENTS}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def qh_report(v: DataFrame, partials: DataFrame) -> DataFrame:
+    """Merge partial histograms → quantile estimates + exact-arm
+    refinement — shared by the batch operator and the streaming
+    monitor (which maintains the partials incrementally)."""
     merged = partials.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
     wc = Window.orderBy("bucket")
     cum = merged.select(

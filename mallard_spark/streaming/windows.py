@@ -1265,3 +1265,49 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production monitor would do (persist the state snapshot, query
     # the snapshot)
     return hh_merge(materialize(spark.table(name), "hh_stream_counts"))
+
+
+def _qh_oracle() -> str:
+    import mallard_spark.operators.sketches  # noqa: F401 — registers the batch op
+    from mallard_spark.registry import REGISTRY
+
+    return REGISTRY["quantile_histogram_merge"].oracle
+
+
+@query("stream_quantile_histogram", oracle=_qh_oracle())
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time latency/value-distribution monitoring: the
+    (day, bucket) partial histograms are maintained INCREMENTALLY by
+    a complete-mode streaming aggregation (state = the bucket table,
+    bounded by value-range/width × days, corpus-size-independent),
+    and the quantile merge + exact-arm refinement
+    (`operators.sketches.qh_report` — the SAME definition the batch
+    operator uses, so the two can never disagree) runs over the state
+    snapshot on demand. Oracle = the batch answer over the same
+    corpus.
+    """
+    from mallard_spark.functions.exec import materialize
+    from mallard_spark.operators.sketches import qh_cents, qh_partials, qh_report
+    from mallard_spark.sources.readers import load_table
+
+    stream = _events_stream(spark, sf_dir)
+    partials = qh_partials(qh_cents(stream))
+    name = "mallard_stream_quantile_histogram"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            partials.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the exact-refinement arm reads the same corpus in batch (a
+    # production monitor refines against the lake it just ingested)
+    v = qh_cents(load_table(spark, sf_dir, "events"))
+    return qh_report(v, materialize(spark.table(name), "qh_stream_partials"))

@@ -639,9 +639,9 @@ def test_asof_join_star_and_trailing_where(eng6):
     )
 
 
-def test_asof_join_decorrelates_to_linear_plan(eng6):
-    # the LATERAL top-1 must decorrelate into join+window — a
-    # nested-loop per left row would be quadratic at scale
+def test_asof_lead_mode_linear_plan(eng6):
+    # star-free select list -> LEAD-interval mode: plain equi-join +
+    # one window, no nested loop, no domain join
     df = eng6.sql(
         "SELECT lv.eid, rv.rts FROM lv ASOF JOIN rv "
         "ON lv.k = rv.k AND lv.lts >= rv.rts"
@@ -650,6 +650,56 @@ def test_asof_join_decorrelates_to_linear_plan(eng6):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_lateral_mode_decorrelates(eng6):
+    # star projection -> LATERAL top-1 fallback; Spark decorrelates
+    # through a distinct-domain join (a bounded BroadcastNestedLoopJoin
+    # over DISTINCT left times is expected and accepted here — the
+    # linear batch path is ev_asof_join), but there must be a Window,
+    # never a per-left-row subquery or a full cartesian product
+    df = eng6.sql(
+        "SELECT * FROM lv ASOF JOIN rv ON lv.k = rv.k AND lv.lts >= rv.rts"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_after_asof_named_identifier(eng6):
+    # a column aliased "asof" must not stop the scan from reaching
+    # the real ASOF JOIN later in the statement
+    got = eng6.sql(
+        "SELECT lv.eid AS asof, rv.rts FROM lv ASOF JOIN rv "
+        "ON lv.k = rv.k AND lv.lts >= rv.rts ORDER BY lv.eid"
+    ).collect()
+    assert [(r.asof, r.rts) for r in got] == [(1, 5), (2, 15), (3, 10)]
+
+
+def test_power_unary_vs_binary_minus(eng6):
+    # DuckDB binds unary minus TIGHTER than ** ((-2)**2 = 4) but a
+    # binary minus looser (a - 2**2); both must survive translation
+    rows = _both6(eng6, "SELECT -2 ** 2 AS u, 10 - 2 ** 2 AS b, eid // 2 AS d FROM lv ORDER BY eid")
+    assert rows[0][0] == 4.0 and rows[0][1] == 6.0
+
+
+def test_strftime_bracket_literals_preserved(eng6):
+    # [ ] are optional-section markers in Java patterns — they must be
+    # quoted so they come out verbatim like DuckDB prints them
+    rows = _both6(
+        eng6,
+        "SELECT strftime(TIMESTAMP '2020-03-04 05:06:07', '[%H]') AS s",
+    )
+    assert rows[0][0] == "[05]"
+
+
+def test_strftime_iso_year_refused_not_wrong(eng6):
+    # %G (ISO week-based year) has no exact Spark equivalent; the site
+    # must refuse (error), never silently answer the calendar year
+    import pytest as _p
+
+    with _p.raises(Exception):
+        eng6.sql("SELECT strftime(DATE '2021-01-01', '%G') AS s").collect()
 
 
 def test_using_sample_rows_and_percent(eng6):
@@ -730,3 +780,15 @@ def test_varchar_cast_without_length(eng6):
         "SELECT CAST(rid AS VARCHAR) AS a, rid::VARCHAR AS b, rid // 2 AS d "
         "FROM rv ORDER BY rid",
     )
+
+
+def test_epoch_ms_both_directions_via_analyzer_retry(eng6):
+    # DuckDB's epoch_ms is overloaded by argument type: ts -> BIGINT
+    # ms and ms -> TIMESTAMP; the engine's variant ladder picks the
+    # typed reading that passes analysis
+    _both6(
+        eng6,
+        "SELECT epoch_ms(TIMESTAMP '2020-03-04 05:06:07') AS ms, eid // 2 AS d "
+        "FROM lv ORDER BY eid",
+    )
+    _both6(eng6, "SELECT epoch_ms(1583298367000) AS ts")

@@ -566,6 +566,20 @@ def test_create_and_drop_view(spark):
     assert eng.sql("SELECT count(*) AS c FROM big").collect()[0].c == 1
     assert eng.ddl("DROP VIEW big") == "OK"
     assert "big" not in eng.list_tables()
+    # idempotent setup pattern: IF NOT EXISTS is a no-op, not an error
+    assert eng.ddl("CREATE VIEW v2 AS SELECT 1 AS x") == "OK"
+    assert eng.ddl("CREATE VIEW IF NOT EXISTS v2 AS SELECT 2 AS x") == "OK"
+    assert eng.sql("SELECT x FROM v2").collect()[0].x == 1
+    # object-class checks (the reference's DuckDB catalog refuses
+    # cross-kind drops; the TABLE drop path is destructive for
+    # persisted data, so the guard matters)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="is a view"):
+        eng.ddl("DROP TABLE v2")
+    with _pytest.raises(ValueError, match="is a table"):
+        eng.ddl("DROP VIEW base")
+    assert eng.ddl("DROP VIEW v2") == "OK"
 
 
 def test_positional_join_documented_refusal(spark):

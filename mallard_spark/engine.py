@@ -330,6 +330,17 @@ class MallardEngine:
             if um.group("lim"):
                 stmt += f" LIMIT {um.group('lim')}"
             return self.sql(stmt)
+        dm = re.match(r"^\s*DESCRIBE\s+(SELECT|WITH|FROM)\b", sql, re.IGNORECASE)
+        if dm:
+            # DuckDB's DESCRIBE <query>; Spark spells it DESCRIBE QUERY
+            return self.sql(
+                re.sub(r"^\s*DESCRIBE\s+", "DESCRIBE QUERY ", sql, count=1)
+            )
+        sm = re.match(r"^\s*SUMMARIZE\s+(?P<q>(SELECT|WITH|FROM)\b.*)$",
+                      sql, re.IGNORECASE | re.DOTALL)
+        if sm:
+            # DuckDB's SUMMARIZE <query> — profile the query result
+            return self.sql(sm.group("q")).summary()
         m = _SUMMARIZE_RE.match(sql)
         if m and m.group("name") in self._tables:
             # DuckDB's SUMMARIZE <t>: per-column profile. Spark's

@@ -590,3 +590,16 @@ def test_positional_join_documented_refusal(spark):
     eng.put("a", pa.table({"x": [1, 2]}))
     with _pytest.raises(NotImplementedError, match="POSITIONAL JOIN"):
         eng.sql("SELECT * FROM a POSITIONAL JOIN a")
+
+
+def test_describe_and_summarize_query_forms(spark):
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_descq")
+    eng.put("t", pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    cols = [r.col_name for r in eng.sql("DESCRIBE SELECT a, b FROM t").collect()]
+    assert cols == ["a", "b"]
+    # DuckDB's SUMMARIZE <query> — per-column profile of the result
+    summ = eng.sql("SUMMARIZE SELECT a FROM t WHERE a > 1").collect()
+    stats = {r.summary: r.a for r in summ}
+    assert stats["count"] == "2" and stats["max"] == "3"

@@ -2062,6 +2062,13 @@ def duckdb_to_spark(
     types, so :func:`translate_variants` enumerates the combinations
     and the engine keeps the first that passes Spark analysis.
     """
+    if not _balanced(sql) or not _STMT_START_RE.match(sql):
+        # malformed bracketing / a non-statement can never be valid
+        # SQL on EITHER engine (the engine routes DML/DDL/COPY/PIVOT
+        # before this fallback); operand extraction on such text can
+        # mispair groups (breaking idempotence on garbage), so pass
+        # it through to Spark's real parse error untouched
+        return sql
     out = _replace_intdiv(sql, as_float=float_intdiv, float_mask=intdiv_mask)
     out = _replace_power_op(out, "**")
     out = _replace_exclude(out)
@@ -2155,7 +2162,7 @@ _MAX_INTDIV_SITES = 4
 
 
 def _balanced(sql: str) -> bool:
-    depth = 0
+    depth = braces = 0
     for i, ch, _, in_code in _scan(sql):
         if not in_code:
             continue
@@ -2165,4 +2172,18 @@ def _balanced(sql: str) -> bool:
             depth -= 1
             if depth < 0:
                 return False
-    return depth == 0
+        elif ch == "{":
+            braces += 1
+        elif ch == "}":
+            braces -= 1
+            if braces < 0:
+                return False
+    return depth == 0 and braces == 0
+
+
+# statement-leading keywords the engine can hand the translator (DML /
+# DDL / COPY / PIVOT are routed before the dialect fallback)
+_STMT_START_RE = re.compile(
+    r"^\s*(SELECT|WITH|FROM|VALUES|TABLE|DESCRIBE|SHOW|SUMMARIZE|EXPLAIN)\b",
+    re.IGNORECASE,
+)

@@ -401,3 +401,47 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(stages)}, {stack_args}) AS (stage_no, stage, n_docs, sum_chars)"
     ).orderBy("stage_no")
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT md5(text) AS ch, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_texts
+    FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY shared_texts DESC, source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every source pair,
+    how many distinct texts they SHARE — the "who is mirroring whom"
+    view that decides which source to keep when curation drops
+    duplicates (companion to `curation_dashboard`'s per-source dup
+    rate and `dedup_canonical_select`'s removal list).
+
+    Scale shape: one (md5, source) distinct aggregate, then a
+    self-join ON the content hash — join fan-out is bounded by
+    duplicate-cluster sizes (a hash shared by k sources yields
+    k·(k−1)/2 pairs), never corpus×corpus; the pair aggregate is keyed
+    on ≤ #sources² rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(F.md5("text").alias("ch"), "source").distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_texts"))
+        .orderBy(F.desc("shared_texts"), "source_a", "source_b")
+    )

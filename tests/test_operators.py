@@ -686,3 +686,30 @@ def test_upsample_epochs_realized_matches_configured(spark):
     r1 = rows["src1"]
     assert UPSAMPLE_PPM["src1"] == 2_500_000
     assert 2 * r1.n_docs <= r1.out_docs <= 3 * r1.n_docs
+
+
+def test_source_overlap_matrix_counts_shared_texts(spark, tmp_path):
+    """Micro-fixture (the synthetic corpus only has cross-source dups
+    at sf0.1): identical texts across sources count once per DISTINCT
+    text, pairs are ordered source_a < source_b, within-source dups
+    are ignored."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": ["aa", "aa", "bb", "aa", "bb", "cc", "cc"],
+            "lang": ["en"] * 7,
+            "source": ["s1", "s1", "s1", "s2", "s2", "s2", "s3"],
+            "n_chars": [2] * 7,
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from mallard_spark.operators.web import source_overlap_matrix
+
+    rows = {(r.source_a, r.source_b): r.shared_texts
+            for r in source_overlap_matrix(spark, str(tmp_path)).collect()}
+    # s1∩s2 = {aa, bb} (the duplicate 'aa' inside s1 counts once);
+    # s2∩s3 = {cc}; s1∩s3 = ∅ (absent row, not zero)
+    assert rows == {("s1", "s2"): 2, ("s2", "s3"): 1}

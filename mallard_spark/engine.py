@@ -295,6 +295,61 @@ class MallardEngine:
             return False
 
     # -- GET ----------------------------------------------------------
+    @staticmethod
+    def split_statements(sql: str) -> list[str]:
+        """Top-level ``;``-separated statements (quote-, comment- and
+        paren-aware) — DuckDB's ``conn.sql`` executes multi-statement
+        scripts and answers the LAST statement's relation, so wire
+        tickets may carry whole setup scripts."""
+        from mallard_spark.dialect import _scan
+
+        parts: list[str] = []
+        start = 0
+        for i, ch, depth, in_code in _scan(sql):
+            if in_code and depth == 0 and ch == ";":
+                parts.append(sql[start:i])
+                start = i + 1
+        parts.append(sql[start:])
+        return [s.strip() for s in parts if s.strip()]
+
+    def run_statement(self, stmt: str) -> None:
+        """Execute one NON-FINAL script statement for its side
+        effects: DDL/DML/COPY dispatch to their routers; a bare query
+        has no side effects (DuckDB discards non-final relations) and
+        is skipped without execution."""
+        if self.is_ddl(stmt):
+            self.ddl(stmt)
+        elif self.is_dml(stmt):
+            self.dml(stmt)
+        elif self.is_copy(stmt):
+            self.copy(stmt)
+        # bare SELECT/SHOW/...: result would be discarded — skip
+
+    def execute(self, sql: str) -> DataFrame:
+        """Run a (possibly multi-statement) script and return the
+        final statement's result — the reference's ``db_conn.sql``
+        contract. Single statements route exactly like :meth:`sql`;
+        DDL/DML/COPY finals answer the one-row OK status frame the
+        wire path uses."""
+        stmts = self.split_statements(sql) or [sql]
+        for pre in stmts[:-1]:
+            self.run_statement(pre)
+        last = stmts[-1]
+        if self.is_ddl(last):
+            status = self.ddl(last)
+        elif self.is_dml(last):
+            status = self.dml(last)
+        elif self.is_copy(last):
+            status = self.copy(last)
+        else:
+            return self.sql(last)
+        return self.spark.createDataFrame([(status,)], "status string")
+
+    def copy(self, sql: str) -> str:
+        """Dispatch a COPY statement (either direction —
+        :meth:`copy_to` routes ``COPY ... FROM`` internally)."""
+        return self.copy_to(sql)
+
     def sql(self, sql: str) -> DataFrame:
         """GET: run SQL against this namespace's tables.
 
@@ -330,6 +385,33 @@ class MallardEngine:
             if um.group("lim"):
                 stmt += f" LIMIT {um.group('lim')}"
             return self.sql(stmt)
+        pm2 = re.match(
+            r"^\s*PRAGMA\s+(?P<p>\w+)\s*(?:\(\s*'?(?P<arg>[\w.]*)'?\s*\))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if pm2:
+            # the PRAGMAs DuckDB clients actually read; the rest get
+            # a named refusal instead of a parse error
+            p = pm2.group("p").lower()
+            if p == "table_info" and pm2.group("arg"):
+                return self.sql(f"DESCRIBE {pm2.group('arg')}")
+            if p == "show_tables":
+                return self.sql("SHOW TABLES")
+            if p == "version":
+                return self.spark.createDataFrame(
+                    [(f"spark-{self.spark.version}",)], "library_version string"
+                )
+            if p == "database_list":
+                return self.spark.createDataFrame(
+                    [(0, self.namespace, None)], "seq long, name string, file string"
+                )
+            raise NotImplementedError(
+                f"PRAGMA {p} has no Spark equivalent (supported: "
+                "table_info, show_tables, version, database_list; "
+                "engine tuning PRAGMAs do not apply to a Spark session "
+                "— use Spark confs)"
+            )
         dm = re.match(r"^\s*DESCRIBE\s+(SELECT|WITH|FROM)\b", sql, re.IGNORECASE)
         if dm:
             # DuckDB's DESCRIBE <query>; Spark spells it DESCRIBE QUERY

@@ -141,6 +141,13 @@ class SparkFlightServer(flight.FlightServerBase):
     # -- GET: SQL ticket → Arrow stream --------------------------------
     def do_get(self, context, ticket: flight.Ticket):
         sql = ticket.ticket.decode("utf-8")
+        stmts = self.engine.split_statements(sql)
+        if len(stmts) > 1:
+            # DuckDB's conn.sql runs whole scripts and answers the
+            # last statement; mirror that for setup-script tickets
+            for pre in stmts[:-1]:
+                self.engine.run_statement(pre)
+            sql = stmts[-1]
         if self.engine.is_ddl(sql):
             # Parity: flight_server.py:357-359 — run DDL, answer OK.
             status = self.engine.ddl(sql)

@@ -603,3 +603,36 @@ def test_describe_and_summarize_query_forms(spark):
     summ = eng.sql("SUMMARIZE SELECT a FROM t WHERE a > 1").collect()
     stats = {r.summary: r.a for r in summ}
     assert stats["count"] == "2" and stats["max"] == "3"
+
+
+def test_multi_statement_script_answers_last(spark):
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_script")
+    eng.put("seed", pa.table({"a": [1, 2, 3]}))
+    out = eng.execute(
+        "CREATE TABLE big AS SELECT a FROM seed WHERE a > 1; "
+        "INSERT INTO big VALUES (9); "
+        "SELECT count(*) AS c FROM big"
+    )
+    assert out.collect()[0].c == 3
+    # semicolons inside string literals must not split
+    r = eng.execute("SELECT 'a;b' AS s").collect()
+    assert r[0].s == "a;b"
+    # DDL-final scripts answer the OK status frame
+    st = eng.execute("DROP TABLE big; CREATE TABLE big2 AS SELECT 1 AS x")
+    assert st.collect()[0].status == "OK"
+
+
+def test_pragma_surface(spark):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_pragma")
+    eng.put("t", pa.table({"a": [1], "b": ["x"]}))
+    cols = [r.col_name for r in eng.sql("PRAGMA table_info('t')").collect()]
+    assert cols == ["a", "b"]
+    assert [r.name for r in eng.sql("PRAGMA show_tables").collect()] == ["t"]
+    assert eng.sql("PRAGMA version").collect()[0].library_version.startswith("spark-")
+    with _pytest.raises(NotImplementedError, match="memory_limit"):
+        eng.sql("PRAGMA memory_limit('2GB')")

@@ -551,3 +551,19 @@ def test_copy_to_ticket_over_wire(spark, tmp_path):
         )
     finally:
         server.shutdown()
+
+
+def test_multi_statement_ticket_answers_last(servers):
+    """DuckDB's conn.sql executes setup scripts and answers the last
+    statement — wire tickets carry the same shape."""
+    s1, _ = servers
+    client = _client(s1)
+    _put(client, "script_seed", _sample())
+    got = client.do_get(
+        flight.Ticket(
+            b"CREATE TABLE script_big AS SELECT * FROM script_seed WHERE value > 15; "
+            b"INSERT INTO script_big VALUES (99, 1.0); "
+            b"SELECT COUNT(*) AS n FROM script_big"
+        )
+    ).read_all()
+    assert got.column("n").to_pylist() == [5]

@@ -1870,175 +1870,174 @@ def _asof_rewrite_at(sql: str, a_idx: int) -> str | None:
     """Attempt the ASOF rewrite for the occurrence at ``a_idx``;
     None = not an ASOF JOIN site / refused (see _rewrite_asof_join's
     refusal list)."""
-    if True:
-        positions = {i: d for i, _c, d, code in _scan(sql) if code}
-        dep = positions.get(a_idx, 0)
-        n = len(sql)
+    positions = {i: d for i, _c, d, code in _scan(sql) if code}
+    dep = positions.get(a_idx, 0)
+    n = len(sql)
 
-        def skip_ws(k: int) -> int:
-            while k < n and sql[k] in _WS:
-                k += 1
-            return k
+    def skip_ws(k: int) -> int:
+        while k < n and sql[k] in _WS:
+            k += 1
+        return k
 
-        def read_word(k: int) -> tuple[str, int]:
-            j = k
-            while j < n and (sql[j].isalnum() or sql[j] in "_."):
-                j += 1
-            return sql[k:j], j
+    def read_word(k: int) -> tuple[str, int]:
+        j = k
+        while j < n and (sql[j].isalnum() or sql[j] in "_."):
+            j += 1
+        return sql[k:j], j
 
-        k = skip_ws(a_idx + 4)
-        word, k2 = read_word(k)
-        left_join = False
-        if word.upper() == "LEFT":
-            left_join = True
-            k = skip_ws(k2)
-            word, k2 = read_word(k)
-        elif word.upper() == "INNER":
-            k = skip_ws(k2)
-            word, k2 = read_word(k)
-        if word.upper() != "JOIN":
-            return None
+    k = skip_ws(a_idx + 4)
+    word, k2 = read_word(k)
+    left_join = False
+    if word.upper() == "LEFT":
+        left_join = True
         k = skip_ws(k2)
-        # right table reference: (subquery) or dotted identifier
-        if k < n and sql[k] == "(":
-            depth = 0
-            j = k
-            while j < n:
-                if sql[j] == "(" and positions.get(j) is not None:
-                    depth += 1
-                elif sql[j] == ")" and positions.get(j) is not None:
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            if j >= n:
-                return None
-            tbl = sql[k : j + 1]
-            tbl_name = ""
-            k = skip_ws(j + 1)
-        else:
-            if k < n and sql[k] in "'\"`":
-                return sql  # quoted table name — refuse
-            tbl, j = read_word(k)
-            if not tbl:
-                return None
-            tbl_name = tbl.split(".")[-1]
-            k = skip_ws(j)
-        # optional alias
-        alias = ""
-        word, j = read_word(k)
-        if word.upper() == "AS":
-            k = skip_ws(j)
-            alias, j = read_word(k)
-            k = skip_ws(j)
-        elif word and word.upper() not in ("ON", "USING"):
-            alias = word
-            k = skip_ws(j)
-        word, j = read_word(k)
-        if word.upper() != "ON":
-            return sql  # USING form or malformed — refuse
-        cstart = skip_ws(j)
-        # condition runs to the next clause keyword at this depth, a
-        # paren close below this depth, or end of statement
-        cend = n
-        for kw in _ASOF_JOIN_END_KWS:
-            p = _find_kw(sql, kw, at_depth=dep, start=cstart)
-            if 0 <= p < cend:
-                cend = p
-        for p in range(cstart, cend):
-            if sql[p] == ")" and positions.get(p, dep) < dep:
-                cend = p
-                break
-        cond = sql[cstart:cend].strip()
-        if not cond:
+        word, k2 = read_word(k)
+    elif word.upper() == "INNER":
+        k = skip_ws(k2)
+        word, k2 = read_word(k)
+    if word.upper() != "JOIN":
+        return None
+    k = skip_ws(k2)
+    # right table reference: (subquery) or dotted identifier
+    if k < n and sql[k] == "(":
+        depth = 0
+        j = k
+        while j < n:
+            if sql[j] == "(" and positions.get(j) is not None:
+                depth += 1
+            elif sql[j] == ")" and positions.get(j) is not None:
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
             return None
-        eff_alias = alias or tbl_name
-        if not eff_alias:
-            return sql  # aliasless subquery — refuse
-        conjuncts = _split_top_level_and(cond)
-        ineqs = []
-        part_keys: list[str] = []
-        plain_eqs = True
-        for conj in conjuncts:
-            cmp = _top_level_cmp(conj)
-            if cmp and cmp[1] in _CMP_OPS:
-                ineqs.append(cmp)
+        tbl = sql[k : j + 1]
+        tbl_name = ""
+        k = skip_ws(j + 1)
+    else:
+        if k < n and sql[k] in "'\"`":
+            return None  # quoted table name — refuse
+        tbl, j = read_word(k)
+        if not tbl:
+            return None
+        tbl_name = tbl.split(".")[-1]
+        k = skip_ws(j)
+    # optional alias
+    alias = ""
+    word, j = read_word(k)
+    if word.upper() == "AS":
+        k = skip_ws(j)
+        alias, j = read_word(k)
+        k = skip_ws(j)
+    elif word and word.upper() not in ("ON", "USING"):
+        alias = word
+        k = skip_ws(j)
+    word, j = read_word(k)
+    if word.upper() != "ON":
+        return None  # USING form or malformed — refuse
+    cstart = skip_ws(j)
+    # condition runs to the next clause keyword at this depth, a
+    # paren close below this depth, or end of statement
+    cend = n
+    for kw in _ASOF_JOIN_END_KWS:
+        p = _find_kw(sql, kw, at_depth=dep, start=cstart)
+        if 0 <= p < cend:
+            cend = p
+    for p in range(cstart, cend):
+        if sql[p] == ")" and positions.get(p, dep) < dep:
+            cend = p
+            break
+    cond = sql[cstart:cend].strip()
+    if not cond:
+        return None
+    eff_alias = alias or tbl_name
+    if not eff_alias:
+        return None  # aliasless subquery — refuse
+    conjuncts = _split_top_level_and(cond)
+    ineqs = []
+    part_keys: list[str] = []
+    plain_eqs = True
+    for conj in conjuncts:
+        cmp = _top_level_cmp(conj)
+        if cmp and cmp[1] in _CMP_OPS:
+            ineqs.append(cmp)
+            continue
+        if not _word_in(conj, eff_alias):
+            continue  # no right-table refs — harmless in the ON
+        if cmp and cmp[1] == "=":
+            lh_a = _word_in(cmp[0], eff_alias)
+            rh_a = _word_in(cmp[2], eff_alias)
+            if lh_a != rh_a:
+                part_keys.append((cmp[0] if lh_a else cmp[2]).strip())
                 continue
-            if not _word_in(conj, eff_alias):
-                continue  # no right-table refs — harmless in the ON
-            if cmp and cmp[1] == "=":
-                lh_a = _word_in(cmp[0], eff_alias)
-                rh_a = _word_in(cmp[2], eff_alias)
-                if lh_a != rh_a:
-                    part_keys.append((cmp[0] if lh_a else cmp[2]).strip())
-                    continue
-            plain_eqs = False  # anything fancier → LATERAL fallback
-        if len(ineqs) != 1:
-            return None
-        lhs, op, rhs = ineqs[0]
-        l_has, r_has = _word_in(lhs, eff_alias), _word_in(rhs, eff_alias)
-        if l_has == r_has:
-            return sql  # can't tell which side is the right table
-        r_expr = (lhs if l_has else rhs).strip()
-        other = (rhs if l_has else lhs).strip()
-        # normalize to the bound ON the right side: r_expr <op'> other
-        if not l_has:
-            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
-        direction = "DESC" if op in ("<", "<=") else "ASC"
-        alias_sql = f" AS {alias}" if alias else (
-            f" AS {tbl_name}" if tbl and tbl != tbl_name else ""
-        )
-        # mode 1 needs a star-free owning select list (the derived
-        # table adds __asof_bound, which a * projection would leak)
-        star = True
-        from_idx = -1
+        plain_eqs = False  # anything fancier → LATERAL fallback
+    if len(ineqs) != 1:
+        return None
+    lhs, op, rhs = ineqs[0]
+    l_has, r_has = _word_in(lhs, eff_alias), _word_in(rhs, eff_alias)
+    if l_has == r_has:
+        return None  # can't tell which side is the right table
+    r_expr = (lhs if l_has else rhs).strip()
+    other = (rhs if l_has else lhs).strip()
+    # normalize to the bound ON the right side: r_expr <op'> other
+    if not l_has:
+        op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+    direction = "DESC" if op in ("<", "<=") else "ASC"
+    alias_sql = f" AS {alias}" if alias else (
+        f" AS {tbl_name}" if tbl and tbl != tbl_name else ""
+    )
+    # mode 1 needs a star-free owning select list (the derived
+    # table adds __asof_bound, which a * projection would leak)
+    star = True
+    from_idx = -1
+    p = 0
+    while True:
+        p = _find_kw(sql, "FROM", at_depth=dep, start=p)
+        if p < 0 or p > a_idx:
+            break
+        from_idx = p
+        p += 1
+    if from_idx >= 0:
+        sel_idx = -1
         p = 0
         while True:
-            p = _find_kw(sql, "FROM", at_depth=dep, start=p)
-            if p < 0 or p > a_idx:
+            p = _find_kw(sql, "SELECT", at_depth=dep, start=p)
+            if p < 0 or p > from_idx:
                 break
-            from_idx = p
+            sel_idx = p
             p += 1
-        if from_idx >= 0:
-            sel_idx = -1
-            p = 0
-            while True:
-                p = _find_kw(sql, "SELECT", at_depth=dep, start=p)
-                if p < 0 or p > from_idx:
-                    break
-                sel_idx = p
-                p += 1
-            if sel_idx >= 0:
-                star = _has_top_level_star(sql[sel_idx + 6 : from_idx])
-        if plain_eqs and not star:
-            # LEAD-interval join — the linear plan
-            over = (
-                f"PARTITION BY {', '.join(part_keys)} " if part_keys else ""
-            ) + f"ORDER BY {r_expr}"
-            fn = "LEAD" if op in ("<", "<=") else "LAG"
-            bound = f"{eff_alias}.__asof_bound"
-            guard = {
-                "<=": f"({bound} IS NULL OR {bound} > {other})",
-                "<": f"({bound} IS NULL OR {bound} >= {other})",
-                ">=": f"({bound} IS NULL OR {bound} < {other})",
-                ">": f"({bound} IS NULL OR {bound} <= {other})",
-            }[op]
-            derived = (
-                f"(SELECT {eff_alias}.*, {fn}({r_expr}) OVER ({over}) "
-                f"AS __asof_bound FROM {tbl}{alias_sql})"
-            )
-            joined = (
-                f"{'LEFT ' if left_join else ''}JOIN {derived} "
-                f"AS {eff_alias} ON {cond} AND {guard} "
-            )
-        else:
-            joined = (
-                f"{'LEFT ' if left_join else ''}JOIN LATERAL "
-                f"(SELECT * FROM {tbl}{alias_sql} WHERE {cond} "
-                f"ORDER BY {r_expr} {direction} LIMIT 1) "
-                f"AS {eff_alias} ON TRUE "
-            )
-        return f"{sql[:a_idx]}{joined}{sql[cend:]}"
+        if sel_idx >= 0:
+            star = _has_top_level_star(sql[sel_idx + 6 : from_idx])
+    if plain_eqs and not star:
+        # LEAD-interval join — the linear plan
+        over = (
+            f"PARTITION BY {', '.join(part_keys)} " if part_keys else ""
+        ) + f"ORDER BY {r_expr}"
+        fn = "LEAD" if op in ("<", "<=") else "LAG"
+        bound = f"{eff_alias}.__asof_bound"
+        guard = {
+            "<=": f"({bound} IS NULL OR {bound} > {other})",
+            "<": f"({bound} IS NULL OR {bound} >= {other})",
+            ">=": f"({bound} IS NULL OR {bound} < {other})",
+            ">": f"({bound} IS NULL OR {bound} <= {other})",
+        }[op]
+        derived = (
+            f"(SELECT {eff_alias}.*, {fn}({r_expr}) OVER ({over}) "
+            f"AS __asof_bound FROM {tbl}{alias_sql})"
+        )
+        joined = (
+            f"{'LEFT ' if left_join else ''}JOIN {derived} "
+            f"AS {eff_alias} ON {cond} AND {guard} "
+        )
+    else:
+        joined = (
+            f"{'LEFT ' if left_join else ''}JOIN LATERAL "
+            f"(SELECT * FROM {tbl}{alias_sql} WHERE {cond} "
+            f"ORDER BY {r_expr} {direction} LIMIT 1) "
+            f"AS {eff_alias} ON TRUE "
+        )
+    return f"{sql[:a_idx]}{joined}{sql[cend:]}"
 
 
 def duckdb_to_spark(
@@ -2062,7 +2061,7 @@ def duckdb_to_spark(
     types, so :func:`translate_variants` enumerates the combinations
     and the engine keeps the first that passes Spark analysis.
     """
-    if not _balanced(sql) or not _STMT_START_RE.match(sql):
+    if not _balanced(sql) or not _statement_shaped(sql):
         # malformed bracketing / a non-statement can never be valid
         # SQL on EITHER engine (the engine routes DML/DDL/COPY/PIVOT
         # before this fallback); operand extraction on such text can
@@ -2137,8 +2136,18 @@ def translate_variants(sql: str) -> list[str]:
     ``_MAX_INTDIV_SITES`` sites the ladder degrades to all-DIV /
     all-float."""
     n_sites = _count_intdiv_sites(sql)
-    has_len = _LEN_RE.search(sql) is not None
-    has_epoch = _EPOCH_MS_RE.search(sql) is not None
+
+    def _code_hit(rx: re.Pattern) -> bool:
+        mask = _code_mask(sql)
+        return any(
+            all(mask[k] for k in range(m.start(), m.end()))
+            for m in rx.finditer(sql)
+        )
+
+    # masked checks: a `len(`/`epoch_ms(` inside a string literal or
+    # comment must not double the variant enumeration
+    has_len = _code_hit(_LEN_RE)
+    has_epoch = _code_hit(_EPOCH_MS_RE)
     if 0 < n_sites <= _MAX_INTDIV_SITES:
         masks = sorted(
             (tuple(bool(m >> k & 1) for k in range(n_sites)) for m in range(1 << n_sites)),
@@ -2181,9 +2190,29 @@ def _balanced(sql: str) -> bool:
     return depth == 0 and braces == 0
 
 
-# statement-leading keywords the engine can hand the translator (DML /
-# DDL / COPY / PIVOT are routed before the dialect fallback)
-_STMT_START_RE = re.compile(
-    r"^\s*(SELECT|WITH|FROM|VALUES|TABLE|DESCRIBE|SHOW|SUMMARIZE|EXPLAIN)\b",
-    re.IGNORECASE,
+# statement-leading keywords the engine can hand the translator
+# (DML / COPY / PIVOT are routed before the dialect fallback; CREATE /
+# ALTER / DROP reach it through engine.ddl's pass-through branch)
+_STMT_START_KWS = frozenset(
+    {
+        "SELECT", "WITH", "FROM", "VALUES", "TABLE", "DESCRIBE", "SHOW",
+        "SUMMARIZE", "EXPLAIN", "CREATE", "ALTER", "DROP",
+    }
 )
+
+
+def _statement_shaped(sql: str) -> bool:
+    """True when the first CODE token (comments and whitespace
+    skipped) is a statement-leading keyword or an opening paren
+    (parenthesized set-operation operands)."""
+    i = next(
+        (i for i, ch, _d, code in _scan(sql) if code and ch not in _WS), None
+    )
+    if i is None:
+        return False
+    if sql[i] == "(":
+        return True
+    j = i
+    while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
+        j += 1
+    return sql[i:j].upper() in _STMT_START_KWS

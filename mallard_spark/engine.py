@@ -310,20 +310,32 @@ class MallardEngine:
                 parts.append(sql[start:i])
                 start = i + 1
         parts.append(sql[start:])
-        return [s.strip() for s in parts if s.strip()]
+
+        def has_code(s: str) -> bool:
+            # a fragment that is only comments/whitespace ("...; --
+            # done") is not a statement — DuckDB ignores it too
+            return any(
+                code and c not in " \t\r\n" for _i, c, _d, code in _scan(s)
+            )
+
+        return [s.strip() for s in parts if s.strip() and has_code(s)]
 
     def run_statement(self, stmt: str) -> None:
         """Execute one NON-FINAL script statement for its side
-        effects: DDL/DML/COPY dispatch to their routers; a bare query
-        has no side effects (DuckDB discards non-final relations) and
-        is skipped without execution."""
+        effects: DDL/DML/COPY dispatch to their routers. A bare query
+        is ANALYZED but not executed — its relation would be
+        discarded (DuckDB does the same with non-final results), but
+        analysis errors (missing table, bad column) still surface
+        like they would on the reference instead of being silently
+        swallowed."""
         if self.is_ddl(stmt):
             self.ddl(stmt)
         elif self.is_dml(stmt):
             self.dml(stmt)
         elif self.is_copy(stmt):
             self.copy(stmt)
-        # bare SELECT/SHOW/...: result would be discarded — skip
+        else:
+            self.sql(stmt)  # builds/analyzes the plan; no job runs
 
     def execute(self, sql: str) -> DataFrame:
         """Run a (possibly multi-statement) script and return the
@@ -386,7 +398,10 @@ class MallardEngine:
                 stmt += f" LIMIT {um.group('lim')}"
             return self.sql(stmt)
         pm2 = re.match(
-            r"^\s*PRAGMA\s+(?P<p>\w+)\s*(?:\(\s*'?(?P<arg>[\w.]*)'?\s*\))?\s*;?\s*$",
+            # both PRAGMA forms: call `PRAGMA p('arg')` and assignment
+            # `PRAGMA p=value` (DuckDB's primary syntax)
+            r"^\s*PRAGMA\s+(?P<p>\w+)\s*"
+            r"(?:\(\s*'?(?P<arg>[\w.]*)'?\s*\)|=\s*\S+)?\s*;?\s*$",
             sql,
             re.IGNORECASE,
         )
@@ -626,6 +641,15 @@ class MallardEngine:
         m = _CREATE_VIEW_RE.match(sql)
         if m:
             name = m.group("name")
+            if name in self._tables and name not in self._views:
+                # existing object is a TABLE — DuckDB refuses CREATE
+                # [OR REPLACE] VIEW over a different object class, and
+                # silently converting would let a later DROP VIEW
+                # delete persisted warehouse data
+                raise ValueError(
+                    f"CREATE VIEW: {name} is a table "
+                    "(DROP TABLE it first, or pick another name)"
+                )
             if name in self._tables and not m.group("replace"):
                 if m.group("ifne"):
                     return "OK"  # IF NOT EXISTS: idempotent no-op

@@ -792,3 +792,22 @@ def test_epoch_ms_both_directions_via_analyzer_retry(eng6):
         "FROM lv ORDER BY eid",
     )
     _both6(eng6, "SELECT epoch_ms(1583298367000) AS ts")
+
+
+def test_dialect_translates_after_leading_comment(eng6):
+    _both6(eng6, "-- latest snapshot\nSELECT eid // 2 AS h FROM lv ORDER BY eid")
+    _both6(eng6, "/* hdr */ SELECT eid // 2 AS h FROM lv ORDER BY eid")
+
+
+def test_asof_refused_site_does_not_block_later_join(eng6):
+    # first ASOF site is refused (USING form); the second must still
+    # rewrite — the scan continues past refusals
+    from mallard_spark.dialect import duckdb_to_spark
+
+    sql = (
+        "SELECT 1 FROM a ASOF JOIN b USING (k) "
+        "JOIN (SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts) z"
+    )
+    out = duckdb_to_spark(sql)
+    assert "ASOF JOIN b USING (k)" in out  # refused site untouched
+    assert "LEAD(" in out or "LATERAL" in out  # later site rewritten

@@ -636,3 +636,36 @@ def test_pragma_surface(spark):
     assert eng.sql("PRAGMA version").collect()[0].library_version.startswith("spark-")
     with _pytest.raises(NotImplementedError, match="memory_limit"):
         eng.sql("PRAGMA memory_limit('2GB')")
+
+
+def test_script_trailing_comment_and_error_surface(spark):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_script2")
+    eng.put("s", pa.table({"a": [1]}))
+    # comment-only tail fragment must not become a statement
+    out = eng.execute("CREATE TABLE c1 AS SELECT a FROM s; SELECT count(*) AS c FROM c1; -- done\n")
+    assert out.collect()[0].c == 1
+    # a broken non-final statement surfaces (DuckDB errors too),
+    # instead of being silently skipped
+    with _pytest.raises(Exception):
+        eng.execute("SELECT * FROM missing_table; SELECT 1")
+
+
+def test_create_view_over_table_refused(spark):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_view2")
+    eng.put("t", pa.table({"a": [1]}))
+    with _pytest.raises(ValueError, match="is a table"):
+        eng.ddl("CREATE OR REPLACE VIEW t AS SELECT 1 AS x")
+
+
+def test_pragma_assignment_form_named_refusal(spark):
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_pragma2")
+    with _pytest.raises(NotImplementedError, match="threads"):
+        eng.sql("PRAGMA threads=4")

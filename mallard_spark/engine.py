@@ -1119,15 +1119,10 @@ class MallardEngine:
         if command in self._exchangers:
             return self._exchangers[command].apply(self._to_df(data))
         if _is_sql_command(command):
-            if self.is_ddl(command):
-                return self.spark.createDataFrame([(self.ddl(command),)], "status string")
-            if self.is_dml(command):
-                return self.spark.createDataFrame([(self.dml(command),)], "status string")
-            if self.is_copy(command):
-                return self.spark.createDataFrame(
-                    [(self.copy_to(command),)], "status string"
-                )
-            return self.sql(command)
+            # execute() routes DDL/DML/COPY to their executors (OK
+            # status frame) and queries to sql(), and runs
+            # multi-statement scripts like the reference's conn.sql
+            return self.execute(command)
         raise KeyError(
             f"no exchanger registered for command {command!r}; "
             f"available: {self.list_exchangers()}"

@@ -67,6 +67,15 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+(?P<kind>TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_MACRO_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s*\((?P<params>[^)]*)\)\s+AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MACRO_RE = re.compile(
+    r"^\s*DROP\s+MACRO\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+RENAME\s+TO\s+"
     r"(?P<new>[A-Za-z_][\w]*)\s*;?\s*$",
@@ -200,6 +209,7 @@ class MallardEngine:
         self._tables: dict[str, DataFrame] = {}
         self._persistent: set[str] = set()
         self._views: set[str] = set()
+        self._macros: dict[str, tuple[list[str], str]] = {}
         self._exchangers: dict[str, Exchanger] = {}
         self._discover_persistent()
 
@@ -362,6 +372,47 @@ class MallardEngine:
         :meth:`copy_to` routes ``COPY ... FROM`` internally)."""
         return self.copy_to(sql)
 
+    def _expand_macros(self, sql: str) -> str:
+        """Inline registered macros — DuckDB's own bind-time
+        semantics for its untyped macro templates. Calls are found
+        with the dialect's quote/comment-aware call rewriter;
+        parameters substitute SIMULTANEOUSLY (an argument that
+        happens to contain another parameter's name is never
+        re-scanned), each argument parenthesized like DuckDB's
+        inliner. Nested/chained macros expand to a fixpoint with a
+        depth cap (a self-recursive macro surfaces Spark's analysis
+        error instead of looping)."""
+        from mallard_spark.dialect import _code_mask, _rewrite_calls
+
+        def substitute(params: list[str], body: str, args: list[str]) -> str | None:
+            if len(args) != len(params):
+                return None
+            mask = _code_mask(body)
+            spans: list[tuple[int, int, str]] = []
+            for p, a in zip(params, args):
+                for m in re.finditer(rf"(?<![\w.]){re.escape(p)}(?![\w.])", body):
+                    if all(mask[k] for k in range(m.start(), m.end())):
+                        spans.append((m.start(), m.end(), f"({a.strip()})"))
+            spans.sort()
+            out, pos = [], 0
+            for s, e, r in spans:
+                out.append(body[pos:s])
+                out.append(r)
+                pos = e
+            out.append(body[pos:])
+            return "(" + "".join(out) + ")"
+
+        for _ in range(8):
+            before = sql
+            for name, (params, body) in self._macros.items():
+                call_re = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+                sql = _rewrite_calls(
+                    sql, call_re, lambda args, p=params, b=body: substitute(p, b, args)
+                )
+            if sql == before:
+                return sql
+        return sql
+
     def sql(self, sql: str) -> DataFrame:
         """GET: run SQL against this namespace's tables.
 
@@ -445,6 +496,8 @@ class MallardEngine:
             # min/quartiles/max per column); the column layout differs
             # from DuckDB's, which a porting client reads, not joins.
             return self.table(m.group("name")).summary()
+        if self._macros:
+            sql = self._expand_macros(sql)
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))
@@ -637,6 +690,36 @@ class MallardEngine:
                 self.sql(m.group("select").rstrip("; \n")),
                 persist=self.ddl_persist,
             )
+            return "OK"
+        m = _CREATE_MACRO_RE.match(sql)
+        if m:
+            # DuckDB macros are UNTYPED lexical templates inlined at
+            # bind time; the faithful Spark rendering is the same
+            # lexical inlining at query time (Spark's SQL UDFs need
+            # typed parameters, which a macro doesn't have).
+            name = m.group("name")
+            if name in self._macros and not m.group("replace"):
+                raise ValueError(f"CREATE MACRO: {name} already exists "
+                                 "(use CREATE OR REPLACE MACRO)")
+            body = m.group("body").strip().rstrip("; \n\t")
+            if re.match(r"(?i)^TABLE\b", body):
+                raise NotImplementedError(
+                    "table macros (CREATE MACRO ... AS TABLE) are not "
+                    "supported; CREATE VIEW covers the no-parameter "
+                    "case"
+                )
+            params = [p.strip() for p in m.group("params").split(",") if p.strip()]
+            bad = [p for p in params if not re.fullmatch(r"[A-Za-z_]\w*", p)]
+            if bad:
+                raise NotImplementedError(
+                    f"macro parameters with defaults/types are not "
+                    f"supported: {bad!r}"
+                )
+            self._macros[name] = (params, body)
+            return "OK"
+        m = _DROP_MACRO_RE.match(sql)
+        if m:
+            self._macros.pop(m.group("name"), None)
             return "OK"
         m = _CREATE_VIEW_RE.match(sql)
         if m:

@@ -669,3 +669,55 @@ def test_pragma_assignment_form_named_refusal(spark):
     eng = MallardEngine(spark, "t_pragma2")
     with _pytest.raises(NotImplementedError, match="threads"):
         eng.sql("PRAGMA threads=4")
+
+
+def test_create_macro_inlines_like_duckdb(spark):
+    """DuckDB macros are untyped lexical templates; the engine's
+    inliner must produce the same values DuckDB's bind-time inlining
+    does (checked against a live DuckDB connection)."""
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_macro")
+    eng.put("t", pa.table({"a": [1, 2, 3], "b": [10, 20, 30]}))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1,10),(2,20),(3,30)) v(a, b)")
+    script = [
+        "CREATE MACRO addm(x, y) AS x + y",
+        "CREATE MACRO double_it(x) AS addm(x, x)",  # nested macro
+    ]
+    for s in script:
+        eng.ddl(s)
+        con.execute(s)
+    for q in [
+        # precedence trap: args must inline parenthesized
+        "SELECT addm(a, b) * 2 AS r FROM t ORDER BY a",
+        "SELECT double_it(a + 1) AS d FROM t ORDER BY a",
+        # capture trap: the arg for x is the COLUMN named y... er, b —
+        # simultaneous substitution must not rescan substituted args
+        "SELECT addm(b, a) AS r FROM t ORDER BY a",
+    ]:
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        want = [tuple(r) for r in con.execute(q).fetchall()]
+        assert got == want, (q, got, want)
+    # macros work through scripts and DROP MACRO removes them
+    out = eng.execute("CREATE MACRO inc(v) AS v + 1; SELECT inc(41) AS x")
+    assert out.collect()[0].x == 42
+    eng.ddl("DROP MACRO inc")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.sql("SELECT inc(1)").collect()
+
+
+def test_macro_wrong_arity_and_table_macro_refusal(spark):
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_macro2")
+    eng.ddl("CREATE MACRO m1(x) AS x + 1")
+    with _pytest.raises(Exception):  # arity mismatch -> unexpanded -> analysis error
+        eng.sql("SELECT m1(1, 2)").collect()
+    with _pytest.raises(NotImplementedError, match="table macros"):
+        eng.ddl("CREATE MACRO tm() AS TABLE SELECT 1")
+    with _pytest.raises(NotImplementedError, match="defaults"):
+        eng.ddl("CREATE MACRO dm(a := 3) AS a + 1")

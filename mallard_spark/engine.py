@@ -521,6 +521,38 @@ class MallardEngine:
                     "cyclic walks: dedup_clusters (connected "
                     "components) and graph_pagerank (iterative rank)."
                 ) from first_err
+            um = re.match(
+                r"(?i)^\s*(ATTACH|DETACH|EXPORT\s+DATABASE|IMPORT\s+DATABASE|"
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE|"
+                r"CHECKPOINT|INSTALL|LOAD|FORCE)\b",
+                out,
+            )
+            if um:
+                # DuckDB session/storage statements with no Spark
+                # equivalent — name the alternative instead of leaking
+                # a parse error
+                verb = " ".join(um.group(1).upper().split())
+                hints = {
+                    "ATTACH": "each namespace IS a catalog — connect a "
+                              "second server/engine instead",
+                    "DETACH": "each namespace IS a catalog",
+                    "EXPORT DATABASE": "use COPY <table> TO 'path' per table",
+                    "IMPORT DATABASE": "use COPY <table> FROM 'path' per table",
+                    "CHECKPOINT": "Spark tables persist via "
+                                  "put(persist=True)/CREATE TABLE AS",
+                    "INSTALL": "extensions do not apply to a Spark engine",
+                    "LOAD": "extensions do not apply to a Spark engine",
+                    "FORCE": "extensions do not apply to a Spark engine",
+                }
+                hint = hints.get(
+                    verb,
+                    "a global sequential counter contradicts distributed "
+                    "execution — use monotonically_increasing_id() or "
+                    "row_number() OVER an explicit order",
+                )
+                raise NotImplementedError(
+                    f"{verb} is not supported on this engine: {hint}"
+                ) from first_err
             if re.search(r"(?i)\bPOSITIONAL\s+JOIN\b", out):
                 # DuckDB's POSITIONAL JOIN zips tables by physical row
                 # order — a property a distributed engine does not

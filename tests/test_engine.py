@@ -721,3 +721,17 @@ def test_macro_wrong_arity_and_table_macro_refusal(spark):
         eng.ddl("CREATE MACRO tm() AS TABLE SELECT 1")
     with _pytest.raises(NotImplementedError, match="defaults"):
         eng.ddl("CREATE MACRO dm(a := 3) AS a + 1")
+
+
+def test_session_storage_statements_named_refusals(spark):
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_refuse")
+    for sql, frag in [
+        ("ATTACH 'other.db' AS other", "namespace IS a catalog"),
+        ("EXPORT DATABASE 'dir'", "COPY <table> TO"),
+        ("CREATE SEQUENCE seq START 1", "monotonically_increasing_id"),
+        ("INSTALL httpfs", "extensions"),
+    ]:
+        with _pytest.raises(NotImplementedError, match=frag):
+            eng.sql(sql)

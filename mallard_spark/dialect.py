@@ -991,43 +991,16 @@ def _replace_string_split(sql: str) -> str:
     """``string_split(s, sep)`` (and aliases) → ``split(s, <regex>)``
     when the separator is a string LITERAL (escaped so Spark's regex
     split matches it literally — same answer as DuckDB's plain-string
-    split). A non-literal separator is left untouched: silently
-    passing it to a regex split would change meaning for separators
-    like ``.``."""
-    skipped: set[str] = set()
-    for _ in range(64):
-        mask = _code_mask(sql)
-        m = None
-        for cand in _SPLIT_RE.finditer(sql):
-            if (cand.start(), cand.group(0)) in skipped:
-                continue
-            if all(mask[k] for k in range(cand.start(), cand.end())):
-                m = cand
-                break
-        if m is None:
-            return sql
-        open_p = m.end() - 1
-        depth = 0
-        close_p = -1
-        for j in range(open_p, len(sql)):
-            if sql[j] in "([" and mask[j]:
-                depth += 1
-            elif sql[j] in ")]" and mask[j]:
-                depth -= 1
-                if depth == 0:
-                    close_p = j
-                    break
-        if close_p < 0:
-            return sql
-        args = _split_top_level_commas(sql[open_p + 1 : close_p])
+    split). A non-literal separator is refused: silently passing it
+    to a regex split would change meaning for separators like ``.``."""
+
+    def build(args: list[str]) -> str | None:
         sep = _unquote_sql_literal(args[1]) if len(args) == 2 else None
         if sep is None:
-            # non-literal separator — documented refusal for this site
-            skipped.add((m.start(), m.group(0)))
-            continue
-        repl = f"split({args[0].strip()}, {_regex_escape_literal(sep)})"
-        sql = f"{sql[:m.start()]}{repl}{sql[close_p + 1:]}"
-    return sql
+            return None
+        return f"split({args[0].strip()}, {_regex_escape_literal(sep)})"
+
+    return _rewrite_calls(sql, _SPLIT_RE, build)
 
 
 def _replace_power_op(sql: str, needle: str) -> str:

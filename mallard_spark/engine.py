@@ -1408,17 +1408,21 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
             j += 1
         return sql[k:j]
 
-    def _alias_here(abs_start: int, abs_end: int) -> bool:
-        """True when this occurrence is a FROM/JOIN table reference
-        with no client alias following — the positions where the
-        engine appends ``AS name``."""
-        k = abs_start - 1
+    def _prev_word(k: int) -> str:
+        """The identifier ending at or before index ``k`` (whitespace
+        skipped)."""
         while k >= 0 and sql[k] in " \t\r\n":
             k -= 1
         e = k
         while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
             k -= 1
-        if sql[k + 1 : e + 1].upper() not in ("FROM", "JOIN"):
+        return sql[k + 1 : e + 1]
+
+    def _alias_here(abs_start: int, abs_end: int) -> bool:
+        """True when this occurrence is a FROM/JOIN table reference
+        with no client alias following — the positions where the
+        engine appends ``AS name``."""
+        if _prev_word(abs_start - 1).upper() not in ("FROM", "JOIN"):
             return False
         k = abs_end
         while k < n and sql[k] in " \t\r\n":
@@ -1445,13 +1449,7 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
             # an identifier directly after AS is an alias, never a
             # table reference (also keeps the pass idempotent: the
             # `qualified AS name` output below must not re-match)
-            k = base + m.start() - 1
-            while k >= 0 and sql[k] in " \t\r\n":
-                k -= 1
-            e = k
-            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
-                k -= 1
-            if sql[k + 1 : e + 1].upper() == "AS":
+            if _prev_word(base + m.start() - 1).upper() == "AS":
                 return m.group(0)
             if _alias_here(base + m.start(), base + m.end()):
                 return f"{qualified} AS {name}"
@@ -1484,13 +1482,7 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
                 # Spark too (Spark treats bare double quotes as string
                 # literals). Limitation: a quoted NON-table identifier
                 # that happens to equal a table name is also rewritten.
-                k = i - 1
-                while k >= 0 and sql[k] in " \t\r\n":
-                    k -= 1
-                e = k
-                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
-                    k -= 1
-                if sql[k + 1 : e + 1].upper() != "AS":  # alias position
+                if _prev_word(i - 1).upper() != "AS":  # alias position
                     span = f"`{qualified}`"
                     if _alias_here(i, j):
                         span += f" AS `{name}`"

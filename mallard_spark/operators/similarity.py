@@ -438,7 +438,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan shape is what matters at 100 TB: assignment is one
     broadcast pass, the search is an equi-join on list id, and
     multi-assignment grows the index ×IVF_ASSIGN without adding
-    shuffles.)
+    shuffles. Measured 1×/10×/100× scaling is linear — see PLANS.md —
+    but the constant is JVM-expression-bound; `knn_ivfpq`'s fused
+    Arrow-vectorized index build is the throughput architecture to
+    copy when this family needs to go faster per vector.)
     """
     from mallard_spark.functions.exec import materialize
 

@@ -553,6 +553,15 @@ class MallardEngine:
                 raise NotImplementedError(
                     f"{verb} is not supported on this engine: {hint}"
                 ) from first_err
+            if re.search(r"(?i)\bCOLUMNS\s*\(", out):
+                # DuckDB's dynamic star — applies an expression/regex
+                # over a column SET, which needs schema access at
+                # parse time; the static forms cover the common uses
+                raise NotImplementedError(
+                    "COLUMNS(...) dynamic star is not supported: use "
+                    "the static forms — * EXCLUDE (cols), * REPLACE "
+                    "(expr AS col), or list the columns explicitly."
+                ) from first_err
             if re.search(r"(?i)\bPOSITIONAL\s+JOIN\b", out):
                 # DuckDB's POSITIONAL JOIN zips tables by physical row
                 # order — a property a distributed engine does not

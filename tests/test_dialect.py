@@ -811,3 +811,71 @@ def test_asof_refused_site_does_not_block_later_join(eng6):
     out = duckdb_to_spark(sql)
     assert "ASOF JOIN b USING (k)" in out  # refused site untouched
     assert "LEAD(" in out or "LATERAL" in out  # later site rewritten
+
+
+@pytest.fixture()
+def eng7(spark):
+    e = MallardEngine(spark, "t_dialect7")
+    e.put(
+        "lv7",
+        pa.table({"eid": [1, 2, 3], "k": [1, 1, 2], "lts": [10, 20, 15]}),
+    )
+    e.put(
+        "rv7",
+        pa.table(
+            {
+                "rid": [1, 2, 3, 4],
+                "k": [1, 1, 1, 2],
+                "rts": [5, 15, 25, 10],
+                "flag": [1, 0, 1, 1],
+            }
+        ),
+    )
+    return e
+
+
+def _both7(eng7, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lv7 AS SELECT * FROM (VALUES (1,1,10),(2,1,20),(3,2,15)) t(eid,k,lts)"
+    )
+    con.execute(
+        "CREATE TABLE rv7 AS SELECT * FROM (VALUES "
+        "(1,1,5,1),(2,1,15,0),(3,1,25,1),(4,2,10,1)) t(rid,k,rts,flag)"
+    )
+    got = [tuple(r) for r in eng7.sql(sql).collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert sorted(map(repr, got)) == sorted(map(repr, want)), (got, want)
+    return got
+
+
+def test_asof_join_extra_right_filter_conjunct(eng7):
+    # a right-only equality joins the LEAD partition key set — the
+    # filtered-out rows must not break the neighbor chain
+    _both7(
+        eng7,
+        "SELECT lv7.eid, rv7.rid FROM lv7 ASOF JOIN rv7 "
+        "ON lv7.k = rv7.k AND rv7.flag = 1 AND lv7.lts >= rv7.rts "
+        "ORDER BY lv7.eid",
+    )
+    _both7(
+        eng7,
+        "SELECT lv7.eid, rv7.rid FROM lv7 ASOF LEFT JOIN rv7 "
+        "ON lv7.k = rv7.k AND rv7.flag = 1 AND lv7.lts < rv7.rts "
+        "ORDER BY lv7.eid",
+    )
+
+
+def test_asof_join_nested_in_cte_and_subquery(eng7):
+    _both7(
+        eng7,
+        "WITH m AS (SELECT lv7.eid, rv7.rts FROM lv7 ASOF JOIN rv7 "
+        "ON lv7.k = rv7.k AND lv7.lts >= rv7.rts) "
+        "SELECT * FROM m ORDER BY eid",
+    )
+    _both7(
+        eng7,
+        "SELECT t.eid FROM (SELECT lv7.eid, rv7.rts FROM lv7 ASOF JOIN rv7 "
+        "ON lv7.k = rv7.k AND lv7.lts >= rv7.rts) t "
+        "WHERE t.rts > 5 ORDER BY t.eid",
+    )

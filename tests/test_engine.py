@@ -735,3 +735,13 @@ def test_session_storage_statements_named_refusals(spark):
     ]:
         with _pytest.raises(NotImplementedError, match=frag):
             eng.sql(sql)
+
+
+def test_columns_dynamic_star_named_refusal(spark):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_cols")
+    eng.put("t", pa.table({"a": [1]}))
+    with _pytest.raises(NotImplementedError, match="EXCLUDE"):
+        eng.sql("SELECT COLUMNS('a.*') FROM t")

@@ -448,19 +448,44 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double("embedding").alias("v"))
     seeds = _ivf_seeds(vecs)
-    # assign every vector to its nearest seed (broadcast pass + top-1)
     from pyspark.sql import Window as W
 
-    scored = vecs.join(F.broadcast(seeds)).select(
-        "vec_id", "v", "seed_id", cosine6(F.col("v"), F.col("vs")).alias("sim")
-    )
-    w1 = W.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    # assignment: ONE Arrow-vectorized corpus pass (the fused shape
+    # knn_ivfpq proved) — the 48 seed vectors ride in the numpy
+    # closure and _np_coarse_lists reproduces the cosine6 + ordered
+    # window chain bit-exactly, so the oracle is unchanged. The
+    # previous broadcast-join + row_number form materialized and
+    # SORTED 48·N rows (round-5 scaling sweep: 0.9 ms/vector).
+    seed_rows = seeds.collect()  # bounded: IVF_NLIST rows
+    sv_np = [list(r["vs"]) for r in seed_rows]
+    sid_np = [r["seed_id"] for r in seed_rows]
+    assign_k = IVF_ASSIGN
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        SV = np.asarray(sv_np)
+        SID = np.asarray(sid_np, dtype=np.int64)
+        NS = _np_seed_norms(sv_np)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "v": pdf["v"],
+                    "lists": _np_coarse_lists(X, SV, SID, NS, assign_k),
+                }
+            )
+
     assigned = materialize(
-        scored.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") <= IVF_ASSIGN)
-        .select("vec_id", "v", F.col("seed_id").alias("list_id")),
+        vecs.mapInPandas(
+            assign_batches, "vec_id long, v array<double>, lists array<bigint>"
+        ),
         "ivf_assigned",
-    )
+    ).select("vec_id", "v", F.explode("lists").alias("list_id"))
     # probes search their N_PROBE_LISTS nearest lists
     probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("vp")
@@ -659,8 +684,43 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # index assignment is multi-assignment (training above stayed
-    # strict top-1 — Lloyd semantics)
-    assigned = materialize(assign(centroids, k=KM_ASSIGN), "kmeans_assigned")
+    # strict top-1 — Lloyd semantics). The corpus-wide pass uses the
+    # fused Arrow shape (knn_ivf/knn_ivfpq): trained centroids ride
+    # in the numpy closure, _np_coarse_lists reproduces the cosine6 +
+    # ordered-window chain bit-exactly — the Lloyd LOOP keeps the
+    # join+window form over its capped sample where plan simplicity
+    # beats the per-row constant.
+    cent_rows = centroids.collect()  # bounded: ≤ IVF_NLIST rows
+    cv_np = [list(r["c"]) for r in cent_rows]
+    cid_np = [r["cid"] for r in cent_rows]
+    km_assign = KM_ASSIGN
+
+    def final_assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        CV = np.asarray(cv_np)
+        CID = np.asarray(cid_np, dtype=np.int64)
+        NC = _np_seed_norms(cv_np)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "v": pdf["v"],
+                    "lists": _np_coarse_lists(X, CV, CID, NC, km_assign),
+                }
+            )
+
+    assigned = materialize(
+        vecs.mapInPandas(
+            final_assign_batches,
+            "vec_id long, v array<double>, lists array<bigint>",
+        ),
+        "kmeans_assigned",
+    ).select("vec_id", "v", F.explode("lists").alias("cid"))
     # probe side searches its KM_NPROBE nearest trained clusters
     probes = (
         vecs.filter(F.col("vec_id") < N_PROBES)
@@ -1151,6 +1211,42 @@ def _np_round_scaled(z, scale: int):
     return r
 
 
+def _np_seed_norms(sv_np):
+    """Seed-vector norms via the same dim-SEQUENTIAL fold the JVM
+    runs (IEEE addition is order-dependent; vectorized np.sum would
+    be a different chain)."""
+    import numpy as np
+
+    ns = []
+    for vs in sv_np:
+        acc = 0.0
+        for x in vs:
+            acc = acc + x * x
+        ns.append(acc)
+    return np.sqrt(np.asarray(ns))
+
+
+def _np_coarse_lists(X, SV, SID, NS, k):
+    """Top-k coarse lists per row of X by 6-dp cosine — the numpy
+    twin of ``cosine6(v, vs)`` + ``ORDER BY sim DESC, seed_id``:
+    dim-sequential dot/norm folds (the JVM aggregate's order) and
+    HALF_UP rounding via :func:`_np_round_scaled`, verified bit-equal
+    to the SQL chain by the oracle sweeps. ONE definition shared by
+    knn_ivf's fused assignment and knn_ivfpq's fused index build."""
+    import numpy as np
+
+    n = X.shape[0]
+    DOT = np.zeros((n, len(SID)))
+    for d in range(X.shape[1]):
+        DOT = DOT + X[:, d, None] * SV[None, :, d]
+    NV = np.zeros(n)
+    for d in range(X.shape[1]):
+        NV = NV + X[:, d] * X[:, d]
+    NV = np.sqrt(NV)
+    r6 = _np_round_scaled(DOT / (NV[:, None] * NS[None, :]), 6).astype(np.int64)
+    return [SID[np.lexsort((SID, -r6[i]))[:k]].tolist() for i in range(n)]
+
+
 # IVF+PQ dials (FAISS-standard composition): coarse lists bound the
 # scan, PQ codes compress it. Measured recall@5 at sf0.1 with the
 # fixed md5-sampled IVF_NLIST=48 seed set (round-5 sweep):
@@ -1369,14 +1465,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         CB = np.asarray(cb_np)  # (M, K, DSUB)
         SV = np.asarray(sv_np)  # (nlist, dim)
         SID = np.asarray(sid_np, dtype=np.int64)
-        # seed norms: the same sequential fold the JVM runs
-        ns = []
-        for vs in sv_np:
-            acc = 0.0
-            for x in vs:
-                acc = acc + x * x
-            ns.append(acc)
-        NS = np.sqrt(np.asarray(ns))
+        NS = _np_seed_norms(sv_np)
         M, K = CB.shape[0], CB.shape[1]
         for pdf in batches:
             n = len(pdf)
@@ -1392,20 +1481,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 micro = _np_round_scaled(D * 1_000_000.0, 0).astype(np.int64)
                 # min(micro*100+cid) % 100 == first argmin == lowest cid
                 codes[:, s] = np.argmin(micro * 100 + np.arange(K), axis=1)
-            DOT = np.zeros((n, len(SID)))
-            for d in range(X.shape[1]):
-                DOT = DOT + X[:, d, None] * SV[None, :, d]
-            NV = np.zeros(n)
-            for d in range(X.shape[1]):
-                NV = NV + X[:, d] * X[:, d]
-            NV = np.sqrt(NV)
-            r6 = _np_round_scaled(DOT / (NV[:, None] * NS[None, :]), 6).astype(
-                np.int64
-            )
-            lists = [
-                SID[np.lexsort((SID, -r6[i]))[:assign_k]].tolist()
-                for i in range(n)
-            ]
+            lists = _np_coarse_lists(X, SV, SID, NS, assign_k)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].astype("int64"),

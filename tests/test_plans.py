@@ -496,10 +496,19 @@ def test_ivf_seed_set_is_bounded_top_k_not_corpus_fraction(spark, sf_dir):
     splan = seeds._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan
     assert seeds.count() == min(IVF_NLIST, vecs.count())
-    # knn_ivf assigns in-plan: the bounded seed set must be selected
-    # by a top-K and be the BROADCAST side of the assignment pass
+    # knn_ivf's fused assignment carries the bounded seed set in the
+    # numpy closure (knn_ivfpq's proven build shape) and runs behind
+    # the materialize barrier; the SERVING plan reads the staged
+    # index, explodes the per-vector list array, and must not contain
+    # the old 48×N assignment join's vec_id window sort (the only
+    # remaining windows are the probe-side and final top-k ranks,
+    # both bounded by the probe set)
     plan = _plan(spark, sf_dir, "knn_ivf")
-    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" in plan
+    # "Window [" counts exec nodes only (WindowGroupLimit helpers
+    # print as a single word and don't match)
+    assert plan.count("Window [") <= 2
+    # the serving side still broadcasts the small probe-list relation
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # knn_ivfpq collects the same bounded seed set up front (driver
     # side) and bakes it into the broadcast params row; its serving

@@ -353,3 +353,50 @@ def test_kafka_source_swap_error_path(spark):
     schema = StructType.fromDDL(docs_schema)
     with _pytest.raises(RuntimeError, match="--packages"):
         kafka_json_source(spark, "broker:9092", "docs", schema)
+
+
+def test_quantile_histogram_state_survives_restart(spark, tmp_path, sf_dir):
+    """The streaming quantile monitor's state is the complete-mode
+    (day, bucket) partial-histogram table. Stop mid-stream, append
+    the rest, restart on the same checkpoint: the resumed partials
+    must merge to the batch answer over the WHOLE corpus, with the
+    second run reading only the appended files."""
+    import os
+
+    from mallard_spark.functions.exec import materialize
+    from mallard_spark.operators.sketches import qh_cents, qh_partials, qh_report
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt_qh")
+    name = "qh_restart_probe"
+    ev.filter("event_id % 2 = 0").write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            qh_partials(qh_cents(stream))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q
+
+    run_once()
+    mid = {tuple(r) for r in spark.table(name).collect()}
+    assert mid
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+    q2 = run_once()
+    read2 = sum(p.numInputRows for p in q2.recentProgress)
+    assert read2 == ev.filter("event_id % 2 = 1").count()
+    # the resumed partials merge to the WHOLE-corpus batch answer
+    got = qh_report(
+        qh_cents(ev), materialize(spark.table(name), "qh_restart_partials")
+    ).collect()
+    want = qh_report(qh_cents(ev), qh_partials(qh_cents(ev))).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert {tuple(r) for r in spark.table(name).collect()} != mid

@@ -1611,6 +1611,61 @@ def _rewrite_from_table_fns(sql: str) -> str:
     return sql
 
 
+_FILE_REF_RE = re.compile(
+    r"\b(FROM|JOIN)(\s+)"
+    r"(?:'(?P<path>[^']+)'"
+    r"|read_parquet\s*\(\s*'(?P<pq>[^']+)'\s*\)"
+    r"|read_json(?:_auto)?\s*\(\s*'(?P<js>[^']+)'\s*\)"
+    r"|read_csv(?:_auto)?\s*\(\s*'(?P<csv>[^']+)'[^)]*\))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_file_refs(sql: str) -> str:
+    """DuckDB's direct file queries → Spark's path-table syntax:
+
+    - ``FROM 'x.parquet'`` / ``read_parquet('x')`` →
+      ``FROM parquet.`x``` (globs pass through — both engines expand
+      them)
+    - ``FROM 'x.json'`` / ``read_json_auto('x')`` → ``FROM json.`x```
+      (both read newline-delimited JSON records)
+    - ``read_csv_auto`` / ``'x.csv'`` is REFUSED by leaving the site
+      untouched: DuckDB sniffs headers and types, Spark's ``csv.``
+      table reads headerless _c0/_c1 strings — a silent schema
+      divergence; ``COPY <table> FROM 'x.csv'`` is the faithful
+      ingest path.
+    A bare quoted path takes its format from the extension (csv-less
+    unknowns refuse)."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        # the path literal itself is masked (it IS a string); require
+        # only the leading keyword to be code
+        kw_end = m.start() + len(m.group(1))
+        if not all(mask[k] for k in range(m.start(), kw_end)):
+            return m.group(0)
+        path = m.group("pq") or m.group("js") or m.group("path")
+        if m.group("csv"):
+            return m.group(0)
+        if path is None or "`" in path:
+            return m.group(0)
+        if m.group("pq"):
+            fmt = "parquet"
+        elif m.group("js"):
+            fmt = "json"
+        else:
+            low = path.lower()
+            if low.endswith(".parquet"):
+                fmt = "parquet"
+            elif low.endswith((".json", ".ndjson", ".jsonl")):
+                fmt = "json"
+            else:
+                return m.group(0)  # .csv / unknown — refuse the site
+        return f"{m.group(1)}{m.group(2)}{fmt}.`{path}`"
+
+    return _FILE_REF_RE.sub(sub, sql)
+
+
 _USING_SAMPLE_RE = re.compile(
     r"\bUSING\s+SAMPLE\s+"
     r"(?:(?P<meth>[A-Za-z_]+)\s*\(\s*)?"
@@ -2046,6 +2101,7 @@ def duckdb_to_spark(
     out = _replace_exclude(out)
     out = _rewrite_star_replace(out)
     out = _rewrite_from_table_fns(out)
+    out = _rewrite_file_refs(out)
     out = _rename_functions(out)
     out = _replace_epoch_ms(out, to_ts=epoch_ms_ts)
     if list_len:

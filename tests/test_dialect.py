@@ -879,3 +879,33 @@ def test_asof_join_nested_in_cte_and_subquery(eng7):
         "ON lv7.k = rv7.k AND lv7.lts >= rv7.rts) t "
         "WHERE t.rts > 5 ORDER BY t.eid",
     )
+
+
+def test_direct_file_queries(eng6, tmp_path):
+    """DuckDB clients query files directly (FROM 'x.parquet',
+    read_parquet) — the engine must answer the same rows DuckDB
+    reads from the same file."""
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "direct.parquet")
+    pq.write_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}), f)
+    for q in [
+        f"SELECT a, b FROM '{f}' WHERE a > 1 ORDER BY a",
+        f"SELECT count(*) AS c FROM read_parquet('{f}')",
+        f"SELECT t.a FROM read_parquet('{f}') t ORDER BY t.a",
+    ]:
+        got = [tuple(r) for r in eng6.sql(q).collect()]
+        want = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+        assert got == want, (q, got, want)
+
+
+def test_direct_csv_query_refused_not_wrong(eng6, tmp_path):
+    # DuckDB sniffs CSV headers/types; Spark's csv. table reads
+    # headerless strings — a silent schema divergence, so the site
+    # refuses (Spark's parse error) instead of answering wrong rows
+    import pytest as _p
+
+    f = str(tmp_path / "x.csv")
+    open(f, "w").write("a,b\n1,x\n")
+    with _p.raises(Exception):
+        eng6.sql(f"SELECT * FROM read_csv_auto('{f}')").collect()

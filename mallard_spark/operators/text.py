@@ -107,28 +107,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_langid",
-    oracle=f"""
-    WITH scored AS (
+# ONE definition site for the langid scorer — the accuracy view
+# (text_langid) and the confusion matrix (langid_confusion) share it
+# on both engines, so they can never drift.
+_LANGID_PRED_SQL = (
+    "CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' "
+    "WHEN s_de >= s_es THEN 'de' ELSE 'es' END"
+)
+
+
+def _langid_scored_cte() -> str:
+    return f"""scored AS (
       SELECT doc_id, lang,
              len(list_filter({TOKENS_SQL}, t -> t IN {STOP_EN})) AS s_en,
              len(list_filter({TOKENS_SQL}, t -> t IN {STOP_DE})) AS s_de,
              len(list_filter({TOKENS_SQL}, t -> t IN {STOP_ES})) AS s_es
       FROM documents
-    )
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
-                               WHEN s_de >= s_es THEN 'de' ELSE 'es' END) = lang
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_match
-    FROM scored
-    GROUP BY lang
-    """,
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID vs the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    )"""
+
+
+def _langid_pred_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, pred) — the Spark twin of the oracle CTE."""
     scored = docs.select(
         "doc_id", "lang", F.expr(TOKENS_EXPR).alias("toks")
     ).select(
@@ -138,11 +137,26 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size(filter(toks, t -> t IN {STOP_DE}))").alias("s_de"),
         F.expr(f"size(filter(toks, t -> t IN {STOP_ES}))").alias("s_es"),
     )
-    pred = F.when(
-        (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en"
-    ).when(F.col("s_de") >= F.col("s_es"), "de").otherwise("es")
+    return scored.withColumn("pred", F.expr(_LANGID_PRED_SQL))
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH {_langid_scored_cte()}
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ({_LANGID_PRED_SQL}) = lang
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_match
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        scored.withColumn("pred", pred)
+        _langid_pred_df(docs)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -150,6 +164,60 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_pred_match"
             ),
         )
+    )
+
+
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH {_langid_scored_cte()}, p AS (
+      SELECT lang, {_LANGID_PRED_SQL} AS pred FROM scored
+    ), cells AS (
+      SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ), lt AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS label_total FROM cells GROUP BY lang
+    ), pt AS (
+      SELECT pred, CAST(SUM(n) AS BIGINT) AS pred_total FROM cells GROUP BY pred
+    )
+    SELECT c.lang, c.pred, c.n,
+           CAST(c.n * 1000000 // lt.label_total AS BIGINT) AS recall_ppm,
+           CAST(c.n * 1000000 // pt.pred_total AS BIGINT) AS precision_ppm
+    FROM cells c JOIN lt USING (lang) JOIN pt USING (pred)
+    ORDER BY c.lang, c.pred
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval view of the language-ID heuristic: the full
+    label × prediction confusion matrix with per-cell recall (share
+    of the true label) and precision (share of the prediction) in
+    exact integer ppm — the dashboard that says WHICH languages the
+    router confuses before a curation run trusts its lang column.
+    Shares the scorer definition with `text_langid` (cannot drift).
+
+    Scale shape: one corpus scan → (lang, pred) aggregate (≤ #langs²
+    rows); the marginals join back onto that tiny matrix, never the
+    corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        _langid_pred_df(docs)
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lt = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("label_total"))
+    pt = cells.groupBy("pred").agg(F.sum("n").cast("long").alias("pred_total"))
+    return (
+        cells.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(pt), "pred")
+        .select(
+            "lang",
+            "pred",
+            "n",
+            F.expr("(n * 1000000) div label_total").cast("long").alias("recall_ppm"),
+            F.expr("(n * 1000000) div pred_total").cast("long").alias("precision_ppm"),
+        )
+        .orderBy("lang", "pred")
     )
 
 

@@ -909,3 +909,33 @@ def test_direct_csv_query_refused_not_wrong(eng6, tmp_path):
     open(f, "w").write("a,b\n1,x\n")
     with _p.raises(Exception):
         eng6.sql(f"SELECT * FROM read_csv_auto('{f}')").collect()
+
+
+def test_native_duckdb_constructs_run_unchanged(eng6):
+    """Constructs both engines share natively — no shim involvement,
+    but the 'a Mallard client's SQL runs unchanged' claim covers
+    them, so value-check the battery."""
+    for q in [
+        # postfix casts, ILIKE, GROUP BY ALL / ORDER BY ALL
+        "SELECT eid::BIGINT AS i FROM lv ORDER BY ALL",
+        "SELECT k, count(*) AS c FROM rv GROUP BY ALL ORDER BY ALL",
+        "SELECT eid FROM lv WHERE 'Spark' ILIKE 's%' ORDER BY eid",
+        # FILTER clause, string concat ||
+        "SELECT count(*) FILTER (WHERE rts > 10) AS c FROM rv",
+        "SELECT 'a' || 'b' || eid AS s FROM lv ORDER BY eid",
+        # struct literal access (shim handles the literal; dot access
+        # is native on both)
+        "SELECT {'a': eid, 'b': lts}.a AS x FROM lv ORDER BY eid",
+        # window frames and named windows
+        "SELECT eid, sum(lts) OVER w AS s FROM lv "
+        "WINDOW w AS (ORDER BY eid ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) "
+        "ORDER BY eid",
+        # VALUES lists and set ops
+        "SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(a, b) ORDER BY a",
+        "SELECT k FROM lv INTERSECT SELECT k FROM rv ORDER BY k",
+        # CASE, COALESCE/NULLIF, BETWEEN
+        "SELECT eid, CASE WHEN lts BETWEEN 10 AND 15 THEN 'mid' ELSE 'out' END AS b "
+        "FROM lv ORDER BY eid",
+        "SELECT coalesce(nullif(k, 1), 99) AS c FROM lv ORDER BY eid",
+    ]:
+        _both6(eng6, q)

@@ -1635,8 +1635,20 @@ def _rewrite_file_refs(sql: str) -> str:
       divergence; ``COPY <table> FROM 'x.csv'`` is the faithful
       ingest path.
     A bare quoted path takes its format from the extension (csv-less
-    unknowns refuse)."""
+    unknowns refuse). Expression-context FROM (``trim(BOTH '/' FROM
+    'x.parquet')``, EXTRACT, SUBSTRING, POSITION, OVERLAY) is
+    excluded: a FROM inside a paren group whose opener follows a
+    plain identifier is a function argument, not a table clause."""
     mask = _code_mask(sql)
+    # innermost-opener index per position (for function-context check)
+    opener_at: list[int] = [-1] * len(sql)
+    stack: list[int] = []
+    for i, ch, _d, code in _scan(sql):
+        if code and ch in "([":
+            stack.append(i)
+        opener_at[i] = stack[-1] if stack else -1
+        if code and ch in ")]" and stack:
+            stack.pop()
 
     def sub(m: re.Match) -> str:
         # the path literal itself is masked (it IS a string); require
@@ -1644,6 +1656,19 @@ def _rewrite_file_refs(sql: str) -> str:
         kw_end = m.start() + len(m.group(1))
         if not all(mask[k] for k in range(m.start(), kw_end)):
             return m.group(0)
+        op = opener_at[m.start()]
+        if op >= 0 and sql[op] == "(":
+            k = op - 1
+            while k >= 0 and sql[k] in _WS:
+                k -= 1
+            e = k
+            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                k -= 1
+            word = sql[k + 1 : e + 1].upper()
+            if word and word not in _EXPR_KEYWORDS and word not in (
+                "FROM", "JOIN", "USING", "LATERAL",
+            ):
+                return m.group(0)  # function argument (trim/extract/...)
         path = m.group("pq") or m.group("js") or m.group("path")
         if m.group("csv"):
             return m.group(0)

@@ -385,12 +385,18 @@ class MallardEngine:
         from mallard_spark.dialect import _code_mask, _rewrite_calls
 
         def substitute(params: list[str], body: str, args: list[str]) -> str | None:
+            if not params and len(args) == 1 and not args[0].strip():
+                args = []  # zero-arg call: f() splits to one empty arg
             if len(args) != len(params):
                 return None
             mask = _code_mask(body)
             spans: list[tuple[int, int, str]] = []
             for p, a in zip(params, args):
-                for m in re.finditer(rf"(?<![\w.]){re.escape(p)}(?![\w.])", body):
+                # identifiers are case-insensitive: a body may spell a
+                # parameter in any case
+                for m in re.finditer(
+                    rf"(?i)(?<![\w.]){re.escape(p)}(?![\w.])", body
+                ):
                     if all(mask[k] for k in range(m.start(), m.end())):
                         spans.append((m.start(), m.end(), f"({a.strip()})"))
             spans.sort()
@@ -524,7 +530,8 @@ class MallardEngine:
             um = re.match(
                 r"(?i)^\s*(ATTACH|DETACH|EXPORT\s+DATABASE|IMPORT\s+DATABASE|"
                 r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE|"
-                r"CHECKPOINT|INSTALL|LOAD|FORCE)\b",
+                r"FORCE\s+CHECKPOINT|FORCE\s+INSTALL|"
+                r"CHECKPOINT|INSTALL|LOAD)\b",
                 out,
             )
             if um:
@@ -532,6 +539,7 @@ class MallardEngine:
                 # equivalent — name the alternative instead of leaking
                 # a parse error
                 verb = " ".join(um.group(1).upper().split())
+                verb = verb.removeprefix("FORCE ")  # same guidance
                 hints = {
                     "ATTACH": "each namespace IS a catalog — connect a "
                               "second server/engine instead",
@@ -542,7 +550,6 @@ class MallardEngine:
                                   "put(persist=True)/CREATE TABLE AS",
                     "INSTALL": "extensions do not apply to a Spark engine",
                     "LOAD": "extensions do not apply to a Spark engine",
-                    "FORCE": "extensions do not apply to a Spark engine",
                 }
                 hint = hints.get(
                     verb,
@@ -552,27 +559,6 @@ class MallardEngine:
                 )
                 raise NotImplementedError(
                     f"{verb} is not supported on this engine: {hint}"
-                ) from first_err
-            if re.search(r"(?i)\bCOLUMNS\s*\(", out):
-                # DuckDB's dynamic star — applies an expression/regex
-                # over a column SET, which needs schema access at
-                # parse time; the static forms cover the common uses
-                raise NotImplementedError(
-                    "COLUMNS(...) dynamic star is not supported: use "
-                    "the static forms — * EXCLUDE (cols), * REPLACE "
-                    "(expr AS col), or list the columns explicitly."
-                ) from first_err
-            if re.search(r"(?i)\bPOSITIONAL\s+JOIN\b", out):
-                # DuckDB's POSITIONAL JOIN zips tables by physical row
-                # order — a property a distributed engine does not
-                # have (partitioned scans define no global order), so
-                # a mechanical rewrite would silently zip arbitrary
-                # rows. Refuse with the deterministic alternative.
-                raise NotImplementedError(
-                    "POSITIONAL JOIN is not supported: row order is "
-                    "undefined on a distributed engine. Join on an "
-                    "explicit key instead, e.g. row_number() OVER "
-                    "(ORDER BY <deterministic key>) on both sides."
                 ) from first_err
             # DuckDB-dialect fallback: the reference's engine IS
             # DuckDB, so clients send DuckDB SQL (`//`, QUALIFY,
@@ -588,6 +574,33 @@ class MallardEngine:
                     return self.spark.sql(translated)
                 except Exception:
                     continue
+            # untranslatable DuckDB constructs get NAMED refusals
+            # instead of the raw parse error — checked AFTER the
+            # translation attempt (a query that merely MENTIONS the
+            # construct in a literal, or that another rule could fix,
+            # must not be refused) and only at code level (the mask
+            # skips string literals and comments)
+            if _code_level_search(r"(?i)\bCOLUMNS\s*\(", out):
+                # DuckDB's dynamic star — applies an expression/regex
+                # over a column SET, which needs schema access at
+                # parse time; the static forms cover the common uses
+                raise NotImplementedError(
+                    "COLUMNS(...) dynamic star is not supported: use "
+                    "the static forms — * EXCLUDE (cols), * REPLACE "
+                    "(expr AS col), or list the columns explicitly."
+                ) from first_err
+            if _code_level_search(r"(?i)\bPOSITIONAL\s+JOIN\b", out):
+                # DuckDB's POSITIONAL JOIN zips tables by physical row
+                # order — a property a distributed engine does not
+                # have (partitioned scans define no global order), so
+                # a mechanical rewrite would silently zip arbitrary
+                # rows. Refuse with the deterministic alternative.
+                raise NotImplementedError(
+                    "POSITIONAL JOIN is not supported: row order is "
+                    "undefined on a distributed engine. Join on an "
+                    "explicit key instead, e.g. row_number() OVER "
+                    "(ORDER BY <deterministic key>) on both sides."
+                ) from first_err
             raise first_err
 
     def _pivot_statement(self, m: "re.Match") -> DataFrame:
@@ -738,7 +751,8 @@ class MallardEngine:
             # bind time; the faithful Spark rendering is the same
             # lexical inlining at query time (Spark's SQL UDFs need
             # typed parameters, which a macro doesn't have).
-            name = m.group("name")
+            name = m.group("name").lower()  # SQL identifiers are
+            # case-insensitive: one catalog entry per lowercased name
             if name in self._macros and not m.group("replace"):
                 raise ValueError(f"CREATE MACRO: {name} already exists "
                                  "(use CREATE OR REPLACE MACRO)")
@@ -760,7 +774,7 @@ class MallardEngine:
             return "OK"
         m = _DROP_MACRO_RE.match(sql)
         if m:
-            self._macros.pop(m.group("name"), None)
+            self._macros.pop(m.group("name").lower(), None)
             return "OK"
         m = _CREATE_VIEW_RE.match(sql)
         if m:
@@ -1007,6 +1021,8 @@ class MallardEngine:
             # Warehouse table: Spark's native INSERT INTO appends
             # without rewriting existing data — the scale path.
             collist = f"({cols}) " if cols else ""
+            if self._macros:
+                rest = self._expand_macros(rest)  # same as the view path
             for t in self._tables:
                 rest = _replace_table_ref(rest, t, self._qualified(t))
             self.spark.sql(f"INSERT INTO {self._qualified(name)} {collist}{rest}")
@@ -1377,6 +1393,19 @@ _TABLE_REF_FOLLOW_KWS = frozenset(
         "LATERAL", "SELECT",
     }
 )
+
+
+def _code_level_search(pattern: str, sql: str) -> bool:
+    """re.search restricted to CODE (string literals and comments are
+    masked out) — for construct-refusal checks that must not fire on
+    a query merely mentioning the construct in a literal."""
+    from mallard_spark.dialect import _code_mask
+
+    mask = _code_mask(sql)
+    return any(
+        all(mask[k] for k in range(m.start(), m.end()))
+        for m in re.finditer(pattern, sql)
+    )
 
 
 def _replace_table_ref(sql: str, name: str, qualified: str) -> str:

@@ -457,32 +457,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous broadcast-join + row_number form materialized and
     # SORTED 48·N rows (round-5 scaling sweep: 0.9 ms/vector).
     seed_rows = seeds.collect()  # bounded: IVF_NLIST rows
-    sv_np = [list(r["vs"]) for r in seed_rows]
-    sid_np = [r["seed_id"] for r in seed_rows]
-    assign_k = IVF_ASSIGN
-
-    def assign_batches(batches):
-        import numpy as np
-        import pandas as pd
-
-        SV = np.asarray(sv_np)
-        SID = np.asarray(sid_np, dtype=np.int64)
-        NS = _np_seed_norms(sv_np)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["v"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "v": pdf["v"],
-                    "lists": _np_coarse_lists(X, SV, SID, NS, assign_k),
-                }
-            )
-
     assigned = materialize(
-        vecs.mapInPandas(
-            assign_batches, "vec_id long, v array<double>, lists array<bigint>"
+        _fused_coarse_assign(
+            vecs,
+            [list(r["vs"]) for r in seed_rows],
+            [r["seed_id"] for r in seed_rows],
+            IVF_ASSIGN,
         ),
         "ivf_assigned",
     ).select("vec_id", "v", F.explode("lists").alias("list_id"))
@@ -691,33 +671,12 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join+window form over its capped sample where plan simplicity
     # beats the per-row constant.
     cent_rows = centroids.collect()  # bounded: ≤ IVF_NLIST rows
-    cv_np = [list(r["c"]) for r in cent_rows]
-    cid_np = [r["cid"] for r in cent_rows]
-    km_assign = KM_ASSIGN
-
-    def final_assign_batches(batches):
-        import numpy as np
-        import pandas as pd
-
-        CV = np.asarray(cv_np)
-        CID = np.asarray(cid_np, dtype=np.int64)
-        NC = _np_seed_norms(cv_np)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["v"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "v": pdf["v"],
-                    "lists": _np_coarse_lists(X, CV, CID, NC, km_assign),
-                }
-            )
-
     assigned = materialize(
-        vecs.mapInPandas(
-            final_assign_batches,
-            "vec_id long, v array<double>, lists array<bigint>",
+        _fused_coarse_assign(
+            vecs,
+            [list(r["c"]) for r in cent_rows],
+            [r["cid"] for r in cent_rows],
+            KM_ASSIGN,
         ),
         "kmeans_assigned",
     ).select("vec_id", "v", F.explode("lists").alias("cid"))
@@ -1243,8 +1202,44 @@ def _np_coarse_lists(X, SV, SID, NS, k):
     for d in range(X.shape[1]):
         NV = NV + X[:, d] * X[:, d]
     NV = np.sqrt(NV)
+    # a zero vector has no cosine to anything: give it sim 0 to every
+    # seed deterministically (lists = k smallest seed_ids) instead of
+    # letting 0/0 produce NaN→int64 garbage (platform-dependent);
+    # no oracle exercises this — the synthetic corpus has no zero
+    # vectors — so determinism is the contract here
+    NV = np.where(NV == 0.0, np.inf, NV)
     r6 = _np_round_scaled(DOT / (NV[:, None] * NS[None, :]), 6).astype(np.int64)
     return [SID[np.lexsort((SID, -r6[i]))[:k]].tolist() for i in range(n)]
+
+
+def _fused_coarse_assign(vecs, cv_np, cid_np, k):
+    """The fused assignment pass shared by knn_ivf and
+    knn_ivf_kmeans: one mapInPandas over (vec_id, v) emitting the
+    per-vector top-k coarse lists, with the (bounded) center set in
+    the numpy closure."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        CV = np.asarray(cv_np)
+        CID = np.asarray(cid_np, dtype=np.int64)
+        NC = _np_seed_norms(cv_np)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "v": pdf["v"],
+                    "lists": _np_coarse_lists(X, CV, CID, NC, k),
+                }
+            )
+
+    return vecs.mapInPandas(
+        batches, "vec_id long, v array<double>, lists array<bigint>"
+    )
 
 
 # IVF+PQ dials (FAISS-standard composition): coarse lists bound the

@@ -939,3 +939,13 @@ def test_native_duckdb_constructs_run_unchanged(eng6):
         "SELECT coalesce(nullif(k, 1), 99) AS c FROM lv ORDER BY eid",
     ]:
         _both6(eng6, q)
+
+
+def test_file_ref_not_rewritten_in_function_args():
+    # TRIM/EXTRACT-style `FROM '<lit>'` is an expression, not a table
+    # clause — the literal must survive even when another rule fires
+    out = duckdb_to_spark(
+        "SELECT trim(BOTH '/' FROM 'p/x.parquet') AS s, a // 2 FROM t"
+    )
+    assert "parquet.`" not in out
+    assert "'p/x.parquet'" in out

@@ -745,3 +745,56 @@ def test_columns_dynamic_star_named_refusal(spark):
     eng.put("t", pa.table({"a": [1]}))
     with _pytest.raises(NotImplementedError, match="EXCLUDE"):
         eng.sql("SELECT COLUMNS('a.*') FROM t")
+
+
+def test_macro_case_insensitive_and_zero_arg(spark):
+    """SQL identifiers are case-insensitive: a body may spell a
+    parameter in another case, DROP/REPLACE match any case, and
+    zero-arg macros expand."""
+    import duckdb
+    import pyarrow as pa
+    import pytest as _pytest
+
+    eng = MallardEngine(spark, "t_mcase")
+    eng.put("t", pa.table({"a": [1, 2], "b": [10, 20]}))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1,10),(2,20)) v(a,b)")
+    for s in ["CREATE MACRO mixcase(x) AS X + 1", "CREATE MACRO answer() AS 41 + 1"]:
+        eng.ddl(s)
+        con.execute(s)
+    for q in ["SELECT mixcase(b) AS r FROM t ORDER BY a", "SELECT answer() AS x"]:
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        want = [tuple(r) for r in con.execute(q).fetchall()]
+        assert got == want, q
+    eng.ddl("CREATE MACRO Foo(x) AS x + 1")
+    eng.ddl("DROP MACRO foo")  # any case removes the one entry
+    with _pytest.raises(Exception):
+        eng.sql("SELECT foo(1)").collect()
+
+
+def test_macro_expands_in_persistent_insert(spark):
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_mpersist")
+    eng.put("src", pa.table({"a": [1, 2]}))
+    eng.put("dst", pa.table({"a": [0]}), persist=True)
+    try:
+        eng.ddl("CREATE MACRO inc(v) AS v + 1")
+        eng.dml("INSERT INTO dst SELECT inc(a) FROM src")
+        got = sorted(r.a for r in eng.sql("SELECT a FROM dst").collect())
+        assert got == [0, 2, 3]
+    finally:
+        eng.drop("dst")
+
+
+def test_refusals_not_triggered_by_literals(spark):
+    """A failing query that merely MENTIONS a refused construct in a
+    string literal must still translate and run."""
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_litref")
+    eng.put("t", pa.table({"a": [1, 2]}))
+    got = eng.sql(
+        "SELECT a // 2 AS h FROM t WHERE 'COLUMNS(a)' = 'COLUMNS(a)' ORDER BY a"
+    ).collect()
+    assert [r.h for r in got] == [0, 1]

@@ -949,3 +949,19 @@ def test_file_ref_not_rewritten_in_function_args():
     )
     assert "parquet.`" not in out
     assert "'p/x.parquet'" in out
+
+
+def test_file_ref_glob(eng6, tmp_path):
+    """DuckDB glob file queries ('dir/*.parquet') expand on both
+    engines — value-checked reading the same directory."""
+    import pyarrow.parquet as pq
+
+    for i in range(2):
+        pq.write_table(
+            pa.table({"a": [i * 10 + 1, i * 10 + 2]}),
+            str(tmp_path / f"part{i}.parquet"),
+        )
+    q = f"SELECT a FROM '{tmp_path}/*.parquet' ORDER BY a"
+    got = [r.a for r in eng6.sql(q).collect()]
+    want = [r[0] for r in duckdb.connect().execute(q).fetchall()]
+    assert got == want == [1, 2, 11, 12]

@@ -283,3 +283,55 @@ def test_dialect_string_literals_never_touched(lit):
     sql = f"SELECT '{lit}' AS s, v // 2 FROM t"
     out = duckdb_to_spark(sql)
     assert f"'{lit}'" in out
+
+
+_MACRO_FRAGMENTS = st.sampled_from(
+    [
+        "SELECT ",
+        "addm(a, b)",
+        "addm(",
+        "addm)",
+        "addm",
+        "'addm(1,2) in a literal'",
+        "-- addm(x) in a comment\n",
+        "nested(addm(a, b), c)",
+        "FROM t ",
+        "(",
+        ")",
+        ",",
+    ]
+)
+
+
+@given(st.lists(_MACRO_FRAGMENTS, min_size=0, max_size=8))
+@settings(max_examples=150, deadline=None, derandomize=True)
+def test_macro_expansion_total_and_stable(parts):
+    """Macro inlining is textual rewriting like the dialect shim: it
+    must never crash on garbage, never touch masked text, and reach a
+    fixpoint on its own output."""
+
+    class _Eng:
+        _macros = {"addm": (["x", "y"], "x + y")}
+        _expand_macros = None
+
+    from mallard_spark.engine import MallardEngine
+
+    eng = _Eng()
+    expand = MallardEngine._expand_macros.__get__(eng)
+    sql = "".join(parts)
+    once = expand(sql)  # totality
+    assert expand(once) == once  # fixpoint
+    if "addm(" not in sql.replace("'", "").replace("--", ""):
+        pass  # masked/partial occurrences: just the totality check
+
+
+def test_macro_expansion_leaves_masked_text():
+    from mallard_spark.engine import MallardEngine
+
+    class _Eng:
+        _macros = {"inc": (["v"], "v + 1")}
+
+    expand = MallardEngine._expand_macros.__get__(_Eng())
+    out = expand("SELECT 'inc(1)' AS s, inc(a) FROM t -- inc(9)\n")
+    assert "'inc(1)'" in out and "-- inc(9)" in out
+    assert "((a) + 1)" in out

@@ -1337,14 +1337,25 @@ def _rewrite_from_first(sql: str) -> str:
     never touched."""
     cuts = []
     start = 0
+    mask0 = _code_mask(sql)
     for kw in ("UNION", "EXCEPT", "INTERSECT"):
         p = 0
         while True:
             k = _find_kw(sql, kw, at_depth=0, start=p)
             if k < 0:
                 break
-            cuts.append((k, len(kw)))
             p = k + 1
+            # a select-list `* EXCEPT (cols)` (produced by the
+            # EXCLUDE rewrite, which runs first) is NOT a set
+            # operation — skip any EXCEPT whose preceding code
+            # character is `*` (round-5 ADVICE)
+            if kw == "EXCEPT":
+                j = k - 1
+                while j >= 0 and (sql[j] in _WS or not mask0[j]):
+                    j -= 1
+                if j >= 0 and sql[j] == "*":
+                    continue
+            cuts.append((k, len(kw)))
     if cuts:
         cuts.sort()
         out = []
@@ -1352,7 +1363,12 @@ def _rewrite_from_first(sql: str) -> str:
         first = True
         for k, klen in cuts:
             seg = sql[pos:k]
-            out.append(_rewrite_from_first_one(seg, allow_with=first))
+            seg_out = _rewrite_from_first_one(seg, allow_with=first)
+            # the rewrite rstrips its result — restore the separator
+            # so the connector never fuses onto the operand
+            if seg_out and seg_out[-1] not in _WS:
+                seg_out += " "
+            out.append(seg_out)
             out.append(sql[k : k + klen])
             pos = k + klen
             first = False
@@ -1400,10 +1416,26 @@ def _rewrite_from_first_one(sql: str, allow_with: bool) -> str:
     from_clause = sql[f + 4 : s].strip()
     rest = sql[s + 6 :]
     end = len(rest)
+    rmask = _code_mask(rest)
     for kw in _CLAUSE_KWS:
-        k = _find_kw(rest, kw, at_depth=0)
-        if 0 <= k < end:
-            end = k
+        p = 0
+        while True:
+            k = _find_kw(rest, kw, at_depth=0, start=p)
+            if k < 0:
+                break
+            p = k + 1
+            if kw == "EXCEPT":
+                # select-list `* EXCEPT (...)` (from the EXCLUDE /
+                # REPLACE rewrites) is part of the select list, not a
+                # set-operation terminator (round-5 ADVICE)
+                j = k - 1
+                while j >= 0 and (rest[j] in _WS or not rmask[j]):
+                    j -= 1
+                if j >= 0 and rest[j] == "*":
+                    continue
+            if k < end:
+                end = k
+            break
     select_list = rest[:end].strip()
     tail = rest[end:]
     if not from_clause or not select_list:
@@ -1455,7 +1487,16 @@ def _rewrite_from_first_nested(sql: str) -> str:
     return sql
 
 
-def _rewrite_indexing(sql: str) -> str:
+def _is_nonzero_int_literal(expr: str) -> bool:
+    """True for a plain non-zero integer literal like ``3`` / ``-2`` —
+    the only indexes that can skip the nullif-zero guard."""
+    t = expr.strip()
+    if t.startswith(("-", "+")):
+        t = t[1:].strip()
+    return t.isdigit() and int(t) != 0
+
+
+def _rewrite_indexing(sql: str, plain_index: bool = False) -> str:
     """Postfix ``base[i]`` → ``try_element_at(base, i)`` (1-based,
     DuckDB semantics: negative-from-end works and an out-of-bounds
     index answers NULL — plain element_at would THROW under Spark's
@@ -1501,7 +1542,18 @@ def _rewrite_indexing(sql: str) -> str:
             base = sql[b:i] if b >= 0 else ""
             if not base.strip():
                 continue
-            sql = f"{sql[:b]}try_element_at({base}, {c}){sql[j + 1:]}"
+            # DuckDB `arr[0]` answers NULL; Spark's try_element_at
+            # throws INVALID_INDEX_OF_ZERO — nullif guards a dynamic
+            # index that evaluates to 0 (round-5 ADVICE). The INT cast
+            # satisfies element_at's index type (a BIGINT expression
+            # inside nullif is not coerced); a non-integer map key
+            # fails analysis on this form and the engine's variant
+            # ladder retries with the plain index (``index_plain``).
+            if _is_nonzero_int_literal(c) or plain_index:
+                idx = c
+            else:
+                idx = f"nullif(CAST(({c}) AS INT), 0)"
+            sql = f"{sql[:b]}try_element_at({base}, {idx}){sql[j + 1:]}"
             changed = True
             break
         if not changed:
@@ -2100,6 +2152,7 @@ def duckdb_to_spark(
     list_len: bool = False,
     intdiv_mask: tuple[bool, ...] | None = None,
     epoch_ms_ts: bool = False,
+    index_plain: bool = False,
 ) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
 
@@ -2165,7 +2218,9 @@ def duckdb_to_spark(
         # be a clear literal — iterate with the collections pass to a
         # fixpoint so the output is stable under re-translation
         for _ in range(8):
-            nxt = _rewrite_collections(_rewrite_indexing(out))
+            nxt = _rewrite_collections(
+                _rewrite_indexing(out, plain_index=index_plain)
+            )
             if nxt == out:
                 break
             out = nxt
@@ -2218,6 +2273,16 @@ def translate_variants(sql: str) -> list[str]:
                 t = duckdb_to_spark(sql, list_len=ll, intdiv_mask=mask, epoch_ms_ts=ep)
                 if t != sql and t not in outs:
                     outs.append(t)
+                if "nullif(CAST((" in t:
+                    # the zero-guarded INT index fails analysis on a
+                    # non-integer map key — enumerate the plain-index
+                    # reading as the fallback variant
+                    t2 = duckdb_to_spark(
+                        sql, list_len=ll, intdiv_mask=mask,
+                        epoch_ms_ts=ep, index_plain=True,
+                    )
+                    if t2 != sql and t2 not in outs:
+                        outs.append(t2)
     return outs
 
 

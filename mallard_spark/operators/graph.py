@@ -214,8 +214,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-        .crossJoin(wedge_stats)  # three 1-row aggregates; broadcast NL
+        # three 1-row aggregates: hint broadcast so the combine is a
+        # BroadcastNestedLoopJoin by PLAN, not by AQE rescue (codebase
+        # convention — same fix ev_funnel got; round-5 VERDICT #2)
+        .crossJoin(F.broadcast(
+            edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        ))
+        .crossJoin(F.broadcast(wedge_stats))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
 

@@ -965,3 +965,55 @@ def test_file_ref_glob(eng6, tmp_path):
     got = [r.a for r in eng6.sql(q).collect()]
     want = [r[0] for r in duckdb.connect().execute(q).fetchall()]
     assert got == want == [1, 2, 11, 12]
+
+
+# ---- round-6 ADVICE fixes ----
+
+
+def test_from_first_with_exclude(eng5):
+    # round-5 ADVICE (medium): the EXCLUDE rewrite runs first and
+    # produces a select-list `* EXCEPT (...)` — the FROM-first
+    # set-operation splitter must NOT treat that EXCEPT as a set op
+    _both5(eng5, "FROM dw SELECT * EXCLUDE (g) ORDER BY id")
+
+
+def test_from_first_with_star_replace(eng5):
+    # `* REPLACE` also lowers to a select-list EXCEPT before the
+    # FROM-first rewrite runs
+    got = {
+        (r.id, r.v)
+        for r in eng5.sql("FROM dw SELECT * REPLACE (v * 2 AS v)").collect()
+    }
+    want = {
+        (r[0], r[2]) for r in _duck5("FROM dw SELECT * REPLACE (v * 2 AS v)")
+    }
+    assert got == want
+
+
+def test_from_first_union_keeps_separator(eng5):
+    # the rewrite rstrips each operand — the connector must not fuse
+    # onto the operand text (`...dwUNION ALL...`)
+    _both5(
+        eng5,
+        "FROM dw SELECT g, v WHERE v > 40 UNION ALL "
+        "FROM dw SELECT g, v WHERE v < 15 ORDER BY v",
+    )
+
+
+def test_exclude_then_real_set_op(eng5):
+    # a genuine set-op EXCEPT in the same statement as an EXCLUDE:
+    # only the select-list EXCEPT is protected
+    _both5(
+        eng5,
+        "FROM dw SELECT * EXCLUDE (g, w) EXCEPT FROM dw SELECT * "
+        "EXCLUDE (g, w) WHERE v > 25 ORDER BY id",
+    )
+
+
+def test_index_zero_answers_null(eng5):
+    # DuckDB arr[0] → NULL; Spark's try_element_at throws
+    # INVALID_INDEX_OF_ZERO, so dynamic indexes get a nullif guard
+    rows = _both5(
+        eng5, "SELECT [10, 20, 30][id - 1] AS x FROM dw ORDER BY id"
+    )
+    assert rows[0][0] is None and rows[1][0] == 10

@@ -492,6 +492,64 @@ def test_copy_to_parquet_and_csv(spark, tmp_path):
     assert duckdb.sql(f"SELECT count(*) FROM read_parquet('{p2}')").fetchone()[0] == 3
 
 
+def test_copy_to_json_duckdb_format(spark, tmp_path):
+    """COPY ... TO '<path>.json' must match DuckDB's export format
+    (round-5 ADVICE): timestamps/dates as ISO strings (not epoch
+    ints), unicode unescaped — so round-tripping through a json
+    reader keeps column types. Verified against DuckDB's own export
+    of the same rows, and by DuckDB reading ours back."""
+    import datetime
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_copyjson")
+    eng.put(
+        "t",
+        pa.table({
+            "id": [1, 2],
+            "ts": pa.array(
+                [datetime.datetime(2024, 3, 1, 10, 30),
+                 datetime.datetime(2024, 3, 1, 10, 30, 0, 123456)],
+                pa.timestamp("us"),
+            ),
+            "d": pa.array(
+                [datetime.date(2024, 3, 1), datetime.date(2024, 3, 2)]
+            ),
+            "s": ["héllo✓", "plain"],
+        }),
+    )
+    ours = str(tmp_path / "ours.json")
+    assert eng.copy_to(f"COPY (SELECT * FROM t ORDER BY id) TO '{ours}'") == "OK"
+    theirs = str(tmp_path / "theirs.json")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-03-01 10:30:00', DATE '2024-03-01', 'héllo✓'), "
+        "(2, TIMESTAMP '2024-03-01 10:30:00.123456', DATE '2024-03-02', 'plain')"
+        ") v(id, ts, d, s)"
+    )
+    con.execute(f"COPY (SELECT * FROM t ORDER BY id) TO '{theirs}'")
+    import json as _json
+    ours_rows = [_json.loads(l) for l in open(ours, encoding="utf-8")]
+    theirs_rows = [_json.loads(l) for l in open(theirs, encoding="utf-8")]
+    assert ours_rows == theirs_rows
+    # round-trip type parity: DuckDB sniffs OUR export to exactly the
+    # same types as ITS OWN export of the same rows (uniform-format
+    # timestamps round-trip as TIMESTAMP; pre-fix they were epoch ints)
+    def sniff(path):
+        return [
+            (r[0], r[1])
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_json_auto('{path}')"
+            ).fetchall()
+        ]
+
+    assert sniff(ours) == sniff(theirs)
+    uni = str(tmp_path / "uniform.json")
+    eng.copy_to(f"COPY (SELECT d, ts FROM t WHERE id = 2) TO '{uni}'")
+    assert dict(sniff(uni)) == {"d": "DATE", "ts": "TIMESTAMP"}
+
+
 def test_copy_from_appends_and_creates(spark, tmp_path):
     """COPY name FROM 'path': append into an existing table
     (schema-aligned) or register a new one."""
@@ -634,8 +692,13 @@ def test_pragma_surface(spark):
     assert cols == ["a", "b"]
     assert [r.name for r in eng.sql("PRAGMA show_tables").collect()] == ["t"]
     assert eng.sql("PRAGMA version").collect()[0].library_version.startswith("spark-")
-    with _pytest.raises(NotImplementedError, match="memory_limit"):
-        eng.sql("PRAGMA memory_limit('2GB')")
+    # engine-tuning pragmas are logged no-ops (round-5 ADVICE): the
+    # reference passes them to DuckDB where they succeed, so a setup
+    # script containing them must not fail the ticket
+    assert eng.sql("PRAGMA memory_limit('2GB')").collect()[0].status == "OK"
+    # unknown read-pragmas keep the named refusal
+    with _pytest.raises(NotImplementedError, match="storage_info"):
+        eng.sql("PRAGMA storage_info")
 
 
 def test_script_trailing_comment_and_error_surface(spark):
@@ -663,12 +726,14 @@ def test_create_view_over_table_refused(spark):
         eng.ddl("CREATE OR REPLACE VIEW t AS SELECT 1 AS x")
 
 
-def test_pragma_assignment_form_named_refusal(spark):
-    import pytest as _pytest
-
+def test_pragma_tuning_noop_in_script(spark):
+    # `PRAGMA threads=4; SELECT ...` — the reference runs the whole
+    # script (DuckDB applies the pragma); the engine must answer the
+    # final statement instead of failing the ticket (round-5 ADVICE)
     eng = MallardEngine(spark, "t_pragma2")
-    with _pytest.raises(NotImplementedError, match="threads"):
-        eng.sql("PRAGMA threads=4")
+    assert eng.sql("PRAGMA threads=4").collect()[0].status == "OK"
+    out = eng.execute("PRAGMA threads=4; PRAGMA enable_progress_bar; SELECT 2 AS x")
+    assert out.collect()[0].x == 2
 
 
 def test_create_macro_inlines_like_duckdb(spark):

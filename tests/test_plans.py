@@ -567,3 +567,13 @@ def test_upsample_epochs_single_scan_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_triangle_count_broadcasts_one_row_aggs(spark, sf_dir):
+    """graph_triangle_count combines three 1-row aggregates — each
+    crossJoin must be a PLANNED broadcast (round-5 VERDICT #2: the
+    codebase convention ev_funnel follows), never a CartesianProduct
+    left for AQE to rescue."""
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

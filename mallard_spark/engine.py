@@ -1026,9 +1026,10 @@ class MallardEngine:
         - ``DELETE FROM name [WHERE cond]`` — keep-filter
           ``NOT (cond IS TRUE)`` (NULL-condition rows survive, SQL
           semantics) and written back.
-        - ``MERGE`` (and any unmatched form) raises
-          ``NotImplementedError`` — Spark has no MERGE outside Delta;
-          use the SCD2 operator (operators/merge.py) instead.
+        - ``MERGE INTO name USING src ON cond WHEN ...`` — rewritten
+          to one full-outer-join plan with CASE-cascade clause logic
+          (``merge_sql.py``; the SQL-standard multiple-match error is
+          enforced). Any other form raises ``NotImplementedError``.
 
         Writes back through a parquet stage for persisted tables (a
         distributed write; breaks the read-overwrite cycle), or a view
@@ -1050,10 +1051,14 @@ class MallardEngine:
         m = _DELETE_RE.match(sql)
         if m:
             return self._dml_delete(m.group("name"), m.group("where"))
+        if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
+            from mallard_spark.merge_sql import execute_merge
+
+            return execute_merge(self, sql)
         raise NotImplementedError(
-            f"unsupported mutation SQL (only INSERT INTO / UPDATE ... SET / "
-            f"DELETE FROM on a single catalog table are supported; for MERGE "
-            f"semantics use the SCD2 operator, operators/merge.py): {sql[:120]!r}"
+            f"unsupported mutation SQL (INSERT INTO / UPDATE ... SET / "
+            f"DELETE FROM / MERGE INTO on a single catalog table): "
+            f"{sql[:120]!r}"
         )
 
     def _dml_table(self, name: str) -> DataFrame:

@@ -247,12 +247,204 @@ def test_dml_delete_where_and_all(engines):
     assert eng1.row_count("del_t") == 0
 
 
-def test_dml_merge_raises_documented_error(engines):
+def test_merge_upsert_state_parity_duckdb(engines):
+    """Classic MERGE upsert. The container's DuckDB (1.0) predates
+    MERGE (added in 1.3), so state parity is checked against DuckDB
+    executing the equivalent UPDATE..FROM + anti-INSERT — the exact
+    rewrite the reference's engine performs internally."""
+    import duckdb
+    import pyarrow as pa
+
     eng1, _ = engines
-    eng1.put("mrg_t", _sample_table())
-    assert eng1.is_dml("MERGE INTO mrg_t USING x ON 1=1")
-    with pytest.raises(NotImplementedError, match="SCD2"):
-        eng1.dml("MERGE INTO mrg_t USING x ON 1=1")
+    eng1.put("mg_t", pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    eng1.put("mg_s", pa.table({"k": [2, 3, 4], "v": [99, 33, 40]}))
+    assert eng1.is_dml("MERGE INTO mg_t USING mg_s ON mg_t.k = mg_s.k")
+    assert eng1.dml(
+        "MERGE INTO mg_t USING mg_s ON mg_t.k = mg_s.k "
+        "WHEN MATCHED THEN UPDATE SET v = mg_s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (mg_s.k, mg_s.v)"
+    ) == "OK"
+    got = sorted((r.k, r.v) for r in eng1.table("mg_t").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1,10),(2,20),(3,30)) v(k,v)")
+    con.execute("CREATE TABLE s AS SELECT * FROM (VALUES (2,99),(3,33),(4,40)) v(k,v)")
+    con.execute("UPDATE t SET v = s.v FROM s WHERE t.k = s.k")
+    con.execute("INSERT INTO t SELECT k, v FROM s WHERE k NOT IN (SELECT k FROM t)")
+    want = sorted(map(tuple, con.execute("SELECT k, v FROM t").fetchall()))
+    assert got == want == [(1, 10), (2, 99), (3, 33), (4, 40)]
+
+
+def test_merge_guarded_delete_update_insert_by_source(engines):
+    """Clause order + guards: the FIRST clause whose guard holds
+    applies; DELETE, guarded INSERT, and NOT MATCHED BY SOURCE all in
+    one statement."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mg2_t", pa.table({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+    eng1.put("mg2_s", pa.table({"k": [2, 3, 5, 6], "v": [200, 300, 500, 600]}))
+    eng1.dml(
+        "MERGE INTO mg2_t AS tt USING mg2_s AS ss ON tt.k = ss.k "
+        "WHEN MATCHED AND ss.v > 250 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = ss.v + 1 "
+        "WHEN NOT MATCHED AND ss.v < 600 THEN INSERT (k, v) VALUES (ss.k, ss.v) "
+        "WHEN NOT MATCHED BY SOURCE AND tt.k = 1 THEN UPDATE SET v = 0"
+    )
+    got = sorted((r.k, r.v) for r in eng1.table("mg2_t").collect())
+    # k=2: guard 200>250 false → second clause updates to 201
+    # k=3: 300>250 → deleted;  k=5: inserted (500<600);  k=6: guard
+    # false, no insert;  k=1: by-source update;  k=4: untouched
+    assert got == [(1, 0), (2, 201), (4, 40), (5, 500)]
+
+
+def test_merge_using_keys_abbreviated_update_bare_insert(engines):
+    """DuckDB's USING (key) join form plus the abbreviated UPDATE
+    (all columns by name) and bare INSERT (source row)."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mg3_t", pa.table({"k": [1, 2], "v": [10, 20]}))
+    eng1.put("mg3_s", pa.table({"k": [2, 3], "v": [99, 30]}))
+    eng1.dml(
+        "MERGE INTO mg3_t USING mg3_s AS s USING (k) "
+        "WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT"
+    )
+    got = sorted((r.k, r.v) for r in eng1.table("mg3_t").collect())
+    assert got == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_merge_multiple_match_error(engines):
+    """Two source rows firing a matched action on one target row is a
+    runtime error (SQL standard; Delta errors too) — never a silent
+    nondeterministic pick."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mg4_t", pa.table({"k": [1], "v": [10]}))
+    eng1.put("mg4_s", pa.table({"k": [1, 1], "v": [5, 6]}))
+    with pytest.raises(ValueError, match="matched multiple source rows"):
+        eng1.dml(
+            "MERGE INTO mg4_t USING mg4_s ON mg4_t.k = mg4_s.k "
+            "WHEN MATCHED THEN UPDATE SET v = mg4_s.v"
+        )
+    # the table is untouched after the refused statement
+    assert [(r.k, r.v) for r in eng1.table("mg4_t").collect()] == [(1, 10)]
+
+
+def test_merge_unfired_matched_row_survives_once(engines):
+    """A target row whose matching pairs fire NO clause survives
+    unchanged exactly once — even with multiple matching source rows
+    (the window path)."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mg5_t", pa.table({"k": [1, 2], "v": [10, 20]}))
+    eng1.put("mg5_s", pa.table({"k": [1, 1, 2], "v": [5, 6, 999]}))
+    eng1.dml(
+        "MERGE INTO mg5_t USING mg5_s ON mg5_t.k = mg5_s.k "
+        "WHEN MATCHED AND mg5_s.v > 100 THEN DELETE"
+    )
+    got = sorted((r.k, r.v) for r in eng1.table("mg5_t").collect())
+    assert got == [(1, 10)]  # k=2 deleted; k=1 survives ONCE
+
+
+def test_merge_subquery_source_and_case_in_guard(engines):
+    """Subquery sources and CASE..END inside guards/actions — the
+    clause splitter must not mistake the CASE's WHEN/THEN for clause
+    boundaries."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mg6_t", pa.table({"k": [1, 2], "v": [10, 20]}))
+    eng1.put("mg6_raw", pa.table({"k": [1, 2, 3], "n": [1, 2, 3]}))
+    eng1.dml(
+        "MERGE INTO mg6_t USING (SELECT k, n * 10 AS v FROM mg6_raw) AS s "
+        "ON mg6_t.k = s.k "
+        "WHEN MATCHED AND CASE WHEN s.v > 15 THEN 1 ELSE 0 END = 1 "
+        "THEN UPDATE SET v = CASE WHEN s.v > 15 THEN s.v ELSE 0 END "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)"
+    )
+    got = sorted((r.k, r.v) for r in eng1.table("mg6_t").collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_merge_refusals_and_errors(engines):
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mg7_t", pa.table({"k": [1], "v": [10]}))
+    eng1.put("mg7_s", pa.table({"k": [1], "v": [2]}))
+    with pytest.raises(NotImplementedError, match="RETURNING"):
+        eng1.dml(
+            "MERGE INTO mg7_t USING mg7_s ON mg7_t.k = mg7_s.k "
+            "WHEN MATCHED THEN DELETE RETURNING *"
+        )
+    with pytest.raises(ValueError, match="no WHEN clauses"):
+        eng1.dml("MERGE INTO mg7_t USING mg7_s ON mg7_t.k = mg7_s.k")
+    with pytest.raises(ValueError, match="unknown column"):
+        eng1.dml(
+            "MERGE INTO mg7_t USING mg7_s ON mg7_t.k = mg7_s.k "
+            "WHEN MATCHED THEN UPDATE SET nope = 1"
+        )
+    with pytest.raises(KeyError, match="unknown table"):
+        eng1.dml(
+            "MERGE INTO missing USING mg7_s ON 1 = 1 "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_plan_single_join_no_window_on_fast_path(engines):
+    """Scale audit: an unguarded MERGE compiles to ONE full-outer
+    join (equi-keys extracted for sort-merge) with clause logic in a
+    codegen'd projection — no per-target-row window, no cartesian
+    product, no triple target re-scan."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mgp_t", pa.table({"k": [1, 2], "v": [10, 20]}))
+    eng1.put("mgp_s", pa.table({"k": [2, 3], "v": [99, 30]}))
+    plans = []
+    orig = eng1._write_back
+    eng1._write_back = lambda name, df: plans.append(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    try:
+        eng1.dml(
+            "MERGE INTO mgp_t USING mgp_s ON mgp_t.k = mgp_s.k "
+            "WHEN MATCHED THEN UPDATE SET v = mgp_s.v "
+            "WHEN NOT MATCHED THEN INSERT VALUES (mgp_s.k, mgp_s.v)"
+        )
+    finally:
+        eng1._write_back = orig
+    plan = plans[0]
+    assert plan.count("Join") == 1 and "FullOuter" in plan
+    assert "Window" not in plan  # unguarded fast path skips it
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_persistent_table_and_script_ticket(spark):
+    """MERGE against a warehouse table, issued the way a wire client
+    does — inside a script ticket through execute(), answered with
+    the OK status frame."""
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_merge_persist")
+    try:
+        eng.put("pm", pa.table({"k": [1, 2], "v": [10, 20]}), persist=True)
+        eng.put("pm_s", pa.table({"k": [2, 3], "v": [99, 30]}))
+        out = eng.execute(
+            "MERGE INTO pm USING pm_s ON pm.k = pm_s.k "
+            "WHEN MATCHED THEN UPDATE SET v = pm_s.v "
+            "WHEN NOT MATCHED THEN INSERT VALUES (pm_s.k, pm_s.v)"
+        )
+        assert out.collect()[0].status == "OK"
+        got = sorted((r.k, r.v) for r in eng.table("pm").collect())
+        assert got == [(1, 10), (2, 99), (3, 30)]
+        # survives into a fresh engine over the same warehouse
+        eng2 = MallardEngine(spark, "t_merge_persist")
+        assert eng2.row_count("pm") == 3
+    finally:
+        eng.drop("pm")
 
 
 def test_dml_persistent_table_insert_update_delete(spark):

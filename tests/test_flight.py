@@ -425,15 +425,33 @@ def test_mutation_sql_over_wire(servers):
     assert got.column("n").to_pylist() == [1]  # only id=1 (value 0.0) survives
 
 
-def test_unsupported_merge_over_wire_is_explicit(servers):
+def test_merge_over_wire(servers):
+    """MERGE INTO carried by a do_get ticket (the reference executes
+    any ticket SQL on DuckDB verbatim, flight_server.py:342-352) —
+    answers the OK stream; the upserted state is visible to the next
+    GET. A MERGE-shaped exchange command routes the same way."""
     s1, _ = servers
     client = _client(s1)
-    _put(client, "mrg_wire", _sample())
-    # the server's NotImplementedError maps onto gRPC UNIMPLEMENTED and
-    # surfaces client-side as ArrowNotImplementedError with the full
-    # "use the SCD2 operator" guidance in the message
-    with pytest.raises(Exception, match="SCD2"):
-        client.do_get(flight.Ticket(b"MERGE INTO mrg_wire USING x ON 1=1")).read_all()
+    _put(client, "mrg_wire", _sample())  # ids 1-5, value 10.5..30.0
+
+    ok = client.do_get(flight.Ticket(
+        b"MERGE INTO mrg_wire USING (SELECT 1 AS id, 0.0 AS value "
+        b"UNION ALL SELECT 9, 90.0) AS s ON mrg_wire.id = s.id "
+        b"WHEN MATCHED THEN UPDATE SET value = s.value "
+        b"WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.value)"
+    )).read_all()
+    assert ok.column("status").to_pylist() == ["OK"]
+    got = client.do_get(flight.Ticket(
+        b"SELECT value FROM mrg_wire WHERE id IN (1, 9) ORDER BY id"
+    )).read_all()
+    assert got.column("value").to_pylist() == [0.0, 90.0]
+
+    # RETURNING keeps a named refusal over the wire
+    with pytest.raises(Exception, match="RETURNING"):
+        client.do_get(flight.Ticket(
+            b"MERGE INTO mrg_wire USING (SELECT 1 AS id, 0.0 AS value) s "
+            b"ON mrg_wire.id = s.id WHEN MATCHED THEN DELETE RETURNING *"
+        )).read_all()
 
 
 def test_health_check_action(servers):

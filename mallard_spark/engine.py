@@ -70,6 +70,17 @@ _TUNING_PRAGMAS = frozenset({
     "disable_verification", "verify_parallelism", "disable_verify_parallelism",
     "explain_output", "default_collation", "progress_bar_time",
 })
+# DuckDB csv-sniffer types with a faithful Spark csv reading. TIME is
+# deliberately absent (Spark's csv source cannot read a bare time-of-
+# day) — it refuses by name. DuckDB TIMESTAMP is naive wall-clock →
+# Spark timestamp_ntz, so values compare equal across engines.
+_DUCK_CSV_TYPES = {
+    "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "HUGEINT": "decimal(38,0)",
+    "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "string",
+    "BOOLEAN": "boolean", "DATE": "date", "TIMESTAMP": "timestamp_ntz",
+    "SQLNULL": "string",
+}
 _CREATE_AS_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][\w]*)\s+AS\s+(?P<select>.+)$",
@@ -228,6 +239,7 @@ class MallardEngine:
         self._persistent: set[str] = set()
         self._views: set[str] = set()
         self._macros: dict[str, tuple[list[str], str]] = {}
+        self._csv_views: dict[str, str] = {}  # sniffed read_csv_auto paths
         self._exchangers: dict[str, Exchanger] = {}
         self._discover_persistent()
 
@@ -597,7 +609,9 @@ class MallardEngine:
             # dispatch: first variant Spark accepts wins).
             from mallard_spark.dialect import translate_variants
 
-            for translated in translate_variants(out):
+            for translated in translate_variants(
+                out, csv_resolver=self._csv_auto_view
+            ):
                 try:
                     return self.spark.sql(translated)
                 except Exception:
@@ -617,6 +631,17 @@ class MallardEngine:
                     "the static forms — * EXCLUDE (cols), * REPLACE "
                     "(expr AS col), or list the columns explicitly."
                 ) from first_err
+            if _code_level_search(r"(?i)\bread_csv(?:_auto)?\s*\(", out):
+                # the bare single-path form is handled by the sniffing
+                # resolver above — only calls carrying DuckDB reader
+                # OPTIONS reach here (they belong to DuckDB's reader
+                # and must not be silently dropped)
+                raise NotImplementedError(
+                    "read_csv with reader options is not supported "
+                    "(the bare read_csv_auto('path') form is — the "
+                    "engine sniffs it); for option-controlled csv "
+                    "ingest use COPY <table> FROM 'path' (HEADER ...)"
+                ) from first_err
             if _code_level_search(r"(?i)\bPOSITIONAL\s+JOIN\b", out):
                 # DuckDB's POSITIONAL JOIN zips tables by physical row
                 # order — a property a distributed engine does not
@@ -630,6 +655,88 @@ class MallardEngine:
                     "(ORDER BY <deterministic key>) on both sides."
                 ) from first_err
             raise first_err
+
+    def _csv_auto_view(self, path: str) -> str:
+        """``read_csv_auto('path')`` support (round-5 VERDICT #3): the
+        engine sniffs the file the way DuckDB does and registers a
+        temp view over a schema-EXPLICIT Spark csv read, so the
+        dialect shim can substitute the view name into the query.
+
+        The sniff uses DuckDB's own ``sniff_csv`` when the library is
+        importable (exact reference parity: delimiter, header,
+        per-column types — and the sniff reads only a bounded sample);
+        without it, Spark's ``header + inferSchema`` read is the
+        fallback. Either way the DISTRIBUTED read uses an explicit
+        schema or one inference pass — never a silent headerless
+        ``_c0`` string scan. Sniffed types with no faithful Spark CSV
+        reading (TIME, nonstandard date formats without an exact Java
+        pattern) get a NAMED refusal pointing at ``COPY <table> FROM``
+        rather than silently diverging. Views are cached per path —
+        repeated queries re-use one sniff."""
+        if path in self._csv_views:
+            return self._csv_views[path]
+        import hashlib
+
+        name = "__mallard_csv_" + hashlib.md5(path.encode()).hexdigest()[:12]
+        reader = self.spark.read
+        try:
+            import duckdb
+        except ImportError:
+            duckdb = None
+        if duckdb is not None:
+            from mallard_spark.dialect import _strf_to_java
+
+            lit = path.replace("'", "''")
+            try:
+                row = duckdb.connect().execute(
+                    "SELECT Delimiter, HasHeader, SkipRows, Columns, "
+                    f"DateFormat, TimestampFormat FROM sniff_csv('{lit}')"
+                ).fetchone()
+            except Exception as e:
+                raise ValueError(
+                    f"read_csv_auto: cannot sniff {path!r}: {e}"
+                ) from e
+            delim, header, skip, cols, datef, tsf = row
+            if skip:
+                raise NotImplementedError(
+                    f"read_csv_auto('{path}'): the sniffer skips "
+                    f"{skip} leading rows, which Spark's csv reader "
+                    f"cannot — use COPY <table> FROM with a cleaned file"
+                )
+            fields = []
+            for c in cols:
+                t = _DUCK_CSV_TYPES.get(str(c["type"]).upper())
+                if t is None:
+                    raise NotImplementedError(
+                        f"read_csv_auto('{path}'): sniffed column "
+                        f"{c['name']!r} as {c['type']}, which has no "
+                        f"faithful Spark csv reading — use COPY <table> "
+                        f"FROM '{path}' and cast explicitly"
+                    )
+                fields.append((c["name"], t))
+            reader = (
+                reader.schema(", ".join(f"`{n}` {t}" for n, t in fields))
+                .option("header", "true" if header else "false")
+                .option("sep", delim)
+            )
+            for fmt, opt in ((datef, "dateFormat"), (tsf, "timestampFormat")):
+                if fmt:
+                    java = _strf_to_java(fmt)
+                    if java is None:
+                        raise NotImplementedError(
+                            f"read_csv_auto('{path}'): sniffed "
+                            f"{opt} {fmt!r} has no exact Java pattern "
+                            f"equivalent — use COPY <table> FROM and "
+                            f"to_date/to_timestamp explicitly"
+                        )
+                    reader = reader.option(opt, java)
+        else:
+            reader = (
+                reader.option("header", "true").option("inferSchema", "true")
+            )
+        reader.csv(path).createOrReplaceTempView(name)
+        self._csv_views[path] = name
+        return name
 
     def _pivot_statement(self, m: "re.Match") -> DataFrame:
         """DuckDB ``PIVOT src ON col USING aggs [GROUP BY ...]`` with

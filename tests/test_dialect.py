@@ -899,16 +899,16 @@ def test_direct_file_queries(eng6, tmp_path):
         assert got == want, (q, got, want)
 
 
-def test_direct_csv_query_refused_not_wrong(eng6, tmp_path):
-    # DuckDB sniffs CSV headers/types; Spark's csv. table reads
-    # headerless strings — a silent schema divergence, so the site
-    # refuses (Spark's parse error) instead of answering wrong rows
-    import pytest as _p
-
+def test_direct_csv_query_sniffs_like_duckdb(eng6, tmp_path):
+    # round 6: read_csv_auto no longer refuses — the engine sniffs
+    # headers/types with DuckDB's own sniffer (see the round-6
+    # battery below for the full value/type checks)
     f = str(tmp_path / "x.csv")
     open(f, "w").write("a,b\n1,x\n")
-    with _p.raises(Exception):
-        eng6.sql(f"SELECT * FROM read_csv_auto('{f}')").collect()
+    got = [tuple(r) for r in eng6.sql(
+        f"SELECT a, b FROM read_csv_auto('{f}')"
+    ).collect()]
+    assert got == [(1, "x")]
 
 
 def test_native_duckdb_constructs_run_unchanged(eng6):
@@ -1017,3 +1017,72 @@ def test_index_zero_answers_null(eng5):
         eng5, "SELECT [10, 20, 30][id - 1] AS x FROM dw ORDER BY id"
     )
     assert rows[0][0] is None and rows[1][0] == 10
+
+
+# ---- round-6: read_csv_auto via DuckDB-parity sniffing ----
+
+
+def test_read_csv_auto_sniffs_header_and_types(eng6, tmp_path):
+    """read_csv_auto('path') sniffs delimiter/header/types like the
+    reference (the engine uses DuckDB's own sniffer) — value- AND
+    type-checked against DuckDB reading the same file."""
+    p = tmp_path / "typed.csv"
+    p.write_text(
+        "id,name,d,ok,score\n1,ann,2024-03-01,true,1.5\n"
+        "2,bob,2024-03-02,false,2.5\n"
+    )
+    q = f"SELECT id, name, d, ok, score FROM read_csv_auto('{p}') ORDER BY id"
+    got = [tuple(r) for r in eng6.sql(q).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+    assert got == want
+    dtypes = dict(eng6.sql(f"SELECT * FROM read_csv_auto('{p}')").dtypes)
+    assert dtypes == {
+        "id": "bigint", "name": "string", "d": "date",
+        "ok": "boolean", "score": "double",
+    }
+
+
+def test_read_csv_auto_headerless_and_delimiter(eng6, tmp_path):
+    """Headerless files get DuckDB's column0/column1 names; a sniffed
+    ';' delimiter carries over to the Spark read."""
+    p1 = tmp_path / "nohdr.csv"
+    p1.write_text("1,x\n2,y\n")
+    q1 = f"SELECT column0, column1 FROM read_csv_auto('{p1}') ORDER BY column0"
+    got = [tuple(r) for r in eng6.sql(q1).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q1).fetchall()]
+    assert got == want == [(1, "x"), (2, "y")]
+    p2 = tmp_path / "semi.csv"
+    p2.write_text("a;b\n1;2.5\n3;4.5\n")
+    q2 = f"SELECT a, b FROM '{p2}' ORDER BY a"
+    got = [tuple(r) for r in eng6.sql(q2).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q2).fetchall()]
+    assert got == want == [(1, 2.5), (3, 4.5)]
+
+
+def test_read_csv_with_options_refused(eng6, tmp_path):
+    """Option-carrying read_csv calls belong to DuckDB's reader —
+    named refusal pointing at COPY FROM, never silently dropped
+    options."""
+    import pytest as _p
+
+    p = tmp_path / "o.csv"
+    p.write_text("a,b\n1,2\n")
+    with _p.raises(NotImplementedError, match="COPY"):
+        eng6.sql(f"SELECT * FROM read_csv('{p}', header=false)")
+
+
+def test_read_csv_auto_time_column_refused(eng6, tmp_path):
+    """The types-disagree case: DuckDB sniffs TIME, which Spark's csv
+    source cannot read faithfully — documented refusal instead of a
+    silent string/NULL divergence."""
+    import pytest as _p
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,tm\n1,10:30:00\n2,11:00:00\n")
+    # confirm the premise: DuckDB really sniffs TIME here
+    sniffed = duckdb.connect().execute(
+        f"DESCRIBE SELECT * FROM read_csv_auto('{p}')"
+    ).fetchall()
+    assert dict((r[0], r[1]) for r in sniffed)["tm"] == "TIME"
+    with _p.raises(NotImplementedError, match="TIME"):
+        eng6.sql(f"SELECT * FROM read_csv_auto('{p}')").collect()

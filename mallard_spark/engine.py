@@ -238,7 +238,8 @@ class MallardEngine:
         self._tables: dict[str, DataFrame] = {}
         self._persistent: set[str] = set()
         self._views: set[str] = set()
-        self._macros: dict[str, tuple[list[str], str]] = {}
+        # name → (params [(name, default|None)], body, is_table)
+        self._macros: dict[str, tuple[list, str, bool]] = {}
         self._csv_views: dict[str, str] = {}  # sniffed read_csv_auto paths
         self._exchangers: dict[str, Exchanger] = {}
         self._discover_persistent()
@@ -409,19 +410,68 @@ class MallardEngine:
         parameters substitute SIMULTANEOUSLY (an argument that
         happens to contain another parameter's name is never
         re-scanned), each argument parenthesized like DuckDB's
-        inliner. Nested/chained macros expand to a fixpoint with a
-        depth cap (a self-recursive macro surfaces Spark's analysis
-        error instead of looping)."""
-        from mallard_spark.dialect import _code_mask, _rewrite_calls
+        inliner. Named arguments (``x := e``) and parameter defaults
+        bind like DuckDB's; TABLE macros expand only in FROM/JOIN
+        position as a derived table carrying the macro's name as its
+        alias (unless the call site supplies one). Nested/chained
+        macros expand to a fixpoint with a depth cap (a
+        self-recursive macro surfaces Spark's analysis error instead
+        of looping)."""
+        from mallard_spark.dialect import (
+            _code_mask,
+            _rewrite_calls,
+            _split_top_level_commas,
+        )
 
-        def substitute(params: list[str], body: str, args: list[str]) -> str | None:
-            if not params and len(args) == 1 and not args[0].strip():
+        def bind(
+            params: list[tuple[str, str | None]], args: list[str]
+        ) -> dict[str, str] | None:
+            """Positional-then-named argument binding with defaults —
+            None on arity/name mismatch (site left for Spark's own
+            error)."""
+            if len(args) == 1 and not args[0].strip():
                 args = []  # zero-arg call: f() splits to one empty arg
-            if len(args) != len(params):
+            by_lower = {p.lower(): p for p, _d in params}
+            named: dict[str, str] = {}
+            pos: list[str] = []
+            for a in args:
+                nm = re.match(
+                    r"^\s*([A-Za-z_]\w*)\s*(?::=|=>)\s*(.+)$", a, re.DOTALL
+                )
+                if nm and nm.group(1).lower() in by_lower:
+                    named[nm.group(1).lower()] = nm.group(2)
+                else:
+                    pos.append(a)
+            # DuckDB (verified live): defaulted parameters bind by
+            # NAME only — positional arguments may fill just the
+            # non-defaulted prefix
+            if len(pos) > sum(1 for _p, d in params if d is None):
+                return None
+            out: dict[str, str] = {}
+            for (p, dflt), a in zip(params, pos):
+                if p.lower() in named:
+                    return None  # bound both positionally and by name
+                out[p] = a
+            for p, dflt in params[len(pos):]:
+                if p.lower() in named:
+                    out[p] = named.pop(p.lower())
+                elif dflt is not None:
+                    out[p] = dflt
+                else:
+                    return None  # missing required argument
+            if named:
+                return None  # unknown named argument
+            return out
+
+        def substitute(
+            params: list[tuple[str, str | None]], body: str, args: list[str]
+        ) -> str | None:
+            bound = bind(params, args)
+            if bound is None:
                 return None
             mask = _code_mask(body)
             spans: list[tuple[int, int, str]] = []
-            for p, a in zip(params, args):
+            for p, a in bound.items():
                 # identifiers are case-insensitive: a body may spell a
                 # parameter in any case
                 for m in re.finditer(
@@ -438,9 +488,55 @@ class MallardEngine:
             out.append(body[pos:])
             return "(" + "".join(out) + ")"
 
+        def expand_table_calls(sql: str, name: str, params, body) -> str:
+            """FROM/JOIN-position expansion of one table macro:
+            ``FROM m(1)`` → ``FROM (inlined body)``. No implicit
+            alias: DuckDB (1.0, verified live) binds the call as an
+            unnamed subquery — qualifying columns by the macro name
+            errors there too, so adding one would diverge. A call-site
+            alias (``FROM m(1) x``) passes through untouched."""
+            pat = re.compile(
+                rf"\b(FROM|JOIN)(\s+){re.escape(name)}\s*\(", re.IGNORECASE
+            )
+            for _ in range(32):
+                mask = _code_mask(sql)
+                m2 = next(
+                    (
+                        c for c in pat.finditer(sql)
+                        if all(mask[k] for k in range(c.start(), c.end()))
+                    ),
+                    None,
+                )
+                if m2 is None:
+                    return sql
+                open_p = m2.end() - 1
+                depth, close_p = 0, -1
+                for j in range(open_p, len(sql)):
+                    if sql[j] in "([" and mask[j]:
+                        depth += 1
+                    elif sql[j] in ")]" and mask[j]:
+                        depth -= 1
+                        if depth == 0:
+                            close_p = j
+                            break
+                if close_p < 0:
+                    return sql
+                args = _split_top_level_commas(sql[open_p + 1 : close_p])
+                inlined = substitute(params, body, args)
+                if inlined is None:
+                    return sql  # arity mismatch — Spark's error surfaces
+                sql = (
+                    f"{sql[:m2.start()]}{m2.group(1)}{m2.group(2)}"
+                    f"{inlined}{sql[close_p + 1:]}"
+                )
+            return sql
+
         for _ in range(8):
             before = sql
-            for name, (params, body) in self._macros.items():
+            for name, (params, body, is_table) in self._macros.items():
+                if is_table:
+                    sql = expand_table_calls(sql, name, params, body)
+                    continue
                 call_re = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
                 sql = _rewrite_calls(
                     sql, call_re, lambda args, p=params, b=body: substitute(p, b, args)
@@ -892,20 +988,41 @@ class MallardEngine:
                 raise ValueError(f"CREATE MACRO: {name} already exists "
                                  "(use CREATE OR REPLACE MACRO)")
             body = m.group("body").strip().rstrip("; \n\t")
-            if re.match(r"(?i)^TABLE\b", body):
-                raise NotImplementedError(
-                    "table macros (CREATE MACRO ... AS TABLE) are not "
-                    "supported; CREATE VIEW covers the no-parameter "
-                    "case"
+            # table macros (round 6): `CREATE MACRO m(a) AS TABLE
+            # SELECT ...` — DuckDB's parameterized-view idiom. Same
+            # lexical inlining as scalar macros, expanded in
+            # FROM/JOIN position as a derived table.
+            tm = re.match(r"(?i)^TABLE\b(?P<q>.*)$", body, re.DOTALL)
+            is_table = bool(tm)
+            if tm:
+                body = tm.group("q").strip()
+            params: list[tuple[str, str | None]] = []
+            for p in _split_top_level(m.group("params")):
+                p = p.strip()
+                if not p:
+                    continue
+                dm = re.match(
+                    r"^([A-Za-z_]\w*)\s*(?::=|=>)\s*(.+)$", p, re.DOTALL
                 )
-            params = [p.strip() for p in m.group("params").split(",") if p.strip()]
-            bad = [p for p in params if not re.fullmatch(r"[A-Za-z_]\w*", p)]
-            if bad:
-                raise NotImplementedError(
-                    f"macro parameters with defaults/types are not "
-                    f"supported: {bad!r}"
-                )
-            self._macros[name] = (params, body)
+                if dm:  # parameter default (round 6): a := expr
+                    params.append((dm.group(1), dm.group(2).strip()))
+                elif re.fullmatch(r"[A-Za-z_]\w*", p):
+                    params.append((p, None))
+                else:
+                    raise NotImplementedError(
+                        f"unsupported macro parameter {p!r} (name or "
+                        f"name := default; typed parameters are not)"
+                    )
+            after_default = False
+            for pname, dflt in params:
+                if dflt is not None:
+                    after_default = True
+                elif after_default:
+                    raise ValueError(
+                        f"CREATE MACRO {name}: parameter {pname!r} "
+                        f"without a default follows a defaulted one"
+                    )
+            self._macros[name] = (params, body, is_table)
             return "OK"
         m = _DROP_MACRO_RE.match(sql)
         if m:

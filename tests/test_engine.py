@@ -974,10 +974,12 @@ def test_macro_wrong_arity_and_table_macro_refusal(spark):
     eng.ddl("CREATE MACRO m1(x) AS x + 1")
     with _pytest.raises(Exception):  # arity mismatch -> unexpanded -> analysis error
         eng.sql("SELECT m1(1, 2)").collect()
-    with _pytest.raises(NotImplementedError, match="table macros"):
-        eng.ddl("CREATE MACRO tm() AS TABLE SELECT 1")
-    with _pytest.raises(NotImplementedError, match="defaults"):
-        eng.ddl("CREATE MACRO dm(a := 3) AS a + 1")
+    # typed parameters still refuse by name
+    with _pytest.raises(NotImplementedError, match="parameter"):
+        eng.ddl("CREATE MACRO tp(a INT) AS a + 1")
+    # a required parameter after a defaulted one is a definition error
+    with _pytest.raises(ValueError, match="without a default"):
+        eng.ddl("CREATE MACRO bad(a := 3, b) AS a + b")
 
 
 def test_session_storage_statements_named_refusals(spark):
@@ -1055,3 +1057,50 @@ def test_refusals_not_triggered_by_literals(spark):
         "SELECT a // 2 AS h FROM t WHERE 'COLUMNS(a)' = 'COLUMNS(a)' ORDER BY a"
     ).collect()
     assert [r.h for r in got] == [0, 1]
+
+
+def test_table_macros_and_defaults_match_duckdb(spark):
+    """Round 6: CREATE MACRO ... AS TABLE (parameterized views) and
+    parameter defaults with named-argument binding — value-checked
+    against a live DuckDB running the identical script. No implicit
+    relation alias: DuckDB binds the call as an unnamed subquery
+    (verified), so a call-site alias is the only way to qualify."""
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_tmacro")
+    eng.put("t", pa.table({
+        "id": [1, 2, 3, 4], "g": ["a", "a", "b", "b"], "v": [10, 40, 20, 50],
+    }))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1,'a',10),(2,'a',40),(3,'b',20),(4,'b',50)) x(id,g,v)"
+    )
+    for s in [
+        "CREATE MACRO topv(grp) AS TABLE SELECT id, v FROM t WHERE g = grp",
+        "CREATE MACRO addm(a, b := 5) AS a + b",
+        "CREATE MACRO bigv(lim := 15) AS TABLE SELECT * FROM t WHERE v > lim",
+        "CREATE MACRO nested(grp) AS TABLE "
+        "SELECT id, addm(v) AS av FROM topv(grp)",
+    ]:
+        assert eng.ddl(s) == "OK"
+        con.execute(s)
+    for q in [
+        "SELECT * FROM topv('a') ORDER BY id",
+        "SELECT x.v FROM topv('a') x ORDER BY x.v",  # call-site alias
+        "SELECT addm(1) AS a, addm(1, b := 20) AS c",  # default + named
+        "SELECT count(*) AS n FROM bigv()",
+        "SELECT count(*) AS n FROM bigv(lim := 45)",
+        "SELECT s.id FROM t JOIN topv('a') s ON t.id = s.id ORDER BY s.id",
+        "SELECT * FROM topv('a') WHERE v > 15",  # clause right after call
+        "SELECT * FROM nested('b') ORDER BY id",  # nested table macro
+    ]:
+        got = sorted(tuple(r) for r in eng.sql(q).collect())
+        want = sorted(tuple(r) for r in con.execute(q).fetchall())
+        assert got == want, (q, got, want)
+    # defaulted parameters bind by NAME only — positional binding
+    # errors on BOTH engines (DuckDB 1.0 semantics, verified live)
+    for run in (lambda s: eng.sql(s).collect(), con.execute):
+        with pytest.raises(Exception):
+            run("SELECT addm(1, 10) AS b")

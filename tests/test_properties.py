@@ -311,7 +311,7 @@ def test_macro_expansion_total_and_stable(parts):
     fixpoint on its own output."""
 
     class _Eng:
-        _macros = {"addm": (["x", "y"], "x + y")}
+        _macros = {"addm": ([("x", None), ("y", None)], "x + y", False)}
         _expand_macros = None
 
     from mallard_spark.engine import MallardEngine
@@ -329,7 +329,7 @@ def test_macro_expansion_leaves_masked_text():
     from mallard_spark.engine import MallardEngine
 
     class _Eng:
-        _macros = {"inc": (["v"], "v + 1")}
+        _macros = {"inc": ([("v", None)], "v + 1", False)}
 
     expand = MallardEngine._expand_macros.__get__(_Eng())
     out = expand("SELECT 'inc(1)' AS s, inc(a) FROM t -- inc(9)\n")

@@ -719,13 +719,20 @@ class MallardEngine:
             # must not be refused) and only at code level (the mask
             # skips string literals and comments)
             if _code_level_search(r"(?i)\bCOLUMNS\s*\(", out):
-                # DuckDB's dynamic star — applies an expression/regex
-                # over a column SET, which needs schema access at
-                # parse time; the static forms cover the common uses
+                # DuckDB's dynamic star (round 6): the engine HAS
+                # catalog access, so COLUMNS(*) / COLUMNS('regex')
+                # expand against the resolved FROM schema at rewrite
+                # time (the PIVOT distinct-probe pattern). Lambda /
+                # list / renaming forms keep the refusal.
+                expanded = self._expand_columns_star(out)
+                if expanded is not None:
+                    return self.sql(expanded)
                 raise NotImplementedError(
-                    "COLUMNS(...) dynamic star is not supported: use "
-                    "the static forms — * EXCLUDE (cols), * REPLACE "
-                    "(expr AS col), or list the columns explicitly."
+                    "this COLUMNS(...) form is not supported (the "
+                    "engine expands COLUMNS(*) and COLUMNS('regex') "
+                    "in select lists and WHERE of a plain SELECT): "
+                    "use * EXCLUDE (cols), * REPLACE (expr AS col), "
+                    "or list the columns explicitly."
                 ) from first_err
             if _code_level_search(r"(?i)\bread_csv(?:_auto)?\s*\(", out):
                 # the bare single-path form is handled by the sniffing
@@ -751,6 +758,149 @@ class MallardEngine:
                     "(ORDER BY <deterministic key>) on both sides."
                 ) from first_err
             raise first_err
+
+    def _expand_columns_star(self, sql: str) -> str | None:
+        """Expand DuckDB's ``COLUMNS(*)`` / ``COLUMNS('regex')``
+        dynamic star against the resolved FROM schema (round-5
+        VERDICT #5). DuckDB 1.0 semantics, verified live:
+
+        - the regex is a SEARCH (``'al_a'`` matches ``val_a``);
+        - each expanded output column carries the SOURCE column's
+          name (``MIN(COLUMNS(*))`` yields columns ``id, v, ...``);
+        - an explicit alias replicates onto every expansion;
+        - in WHERE, the expanded predicates combine with AND.
+
+        Returns None (→ named refusal) for the forms this does not
+        cover: lambda/list arguments, multiple COLUMNS in one item,
+        COLUMNS outside select list/WHERE, non-SELECT statements.
+        """
+        from mallard_spark.dialect import (
+            _code_mask,
+            _find_kw,
+            _split_top_level_commas,
+        )
+
+        if not re.match(r"^\s*SELECT\b", sql, re.IGNORECASE):
+            return None
+        f = _find_kw(sql, "FROM", at_depth=0)
+        if f < 0:
+            return None
+        sm = re.match(r"^\s*SELECT\s+(DISTINCT\s+)?", sql, re.IGNORECASE)
+        select_list = sql[sm.end() : f]
+        tail = sql[f:]
+        # FROM clause text = up to the first depth-0 clause keyword
+        from_end = len(tail)
+        for kw in ("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+                   "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT"):
+            k = _find_kw(tail, kw, at_depth=0)
+            if 0 <= k < from_end:
+                from_end = k
+        from_text = tail[4:from_end].strip()
+        try:
+            cols = self.sql(f"SELECT * FROM {from_text} LIMIT 0").columns
+        except Exception:
+            return None
+
+        def find_call(text: str):
+            """(start, end_after_close, arg) of the single COLUMNS
+            call in ``text``; None if absent; ... if unsupported."""
+            mask = _code_mask(text)
+            hits = [
+                m for m in re.finditer(r"(?i)\bCOLUMNS\s*\(", text)
+                if all(mask[k] for k in range(m.start(), m.end()))
+            ]
+            if not hits:
+                return None
+            if len(hits) > 1:
+                return ...
+            m = hits[0]
+            depth, close = 0, -1
+            for j in range(m.end() - 1, len(text)):
+                if text[j] in "([" and mask[j]:
+                    depth += 1
+                elif text[j] in ")]" and mask[j]:
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close < 0:
+                return ...
+            return (m.start(), close + 1, text[m.end() : close].strip())
+
+        def matches(arg: str) -> list[str] | None:
+            if arg == "*":
+                return list(cols)
+            lm = re.fullmatch(r"'([^']*)'", arg)
+            if not lm:
+                return None  # lambda / list / expression argument
+            try:
+                rx = re.compile(lm.group(1))
+            except re.error:
+                return None
+            return [c for c in cols if rx.search(c)]
+
+        def expand_expr(text: str, col: str) -> str:
+            s, e, _a = find_call(text)
+            return f"{text[:s]}`{col}`{text[e:]}"
+
+        out_items: list[str] = []
+        for item in _split_top_level_commas(select_list):
+            call = find_call(item)
+            if call is None:
+                out_items.append(item)
+                continue
+            if call is ...:
+                return None
+            matched = matches(call[2])
+            if matched is None:
+                return None
+            if not matched:
+                raise ValueError(
+                    f"COLUMNS({call[2]}) matched no columns of "
+                    f"{cols}"
+                )
+            am = re.search(
+                r"\s+AS\s+([A-Za-z_]\w*|`[^`]+`)\s*$", item, re.IGNORECASE
+            )
+            body = item[: am.start()] if am else item
+            alias = am.group(1) if am else None
+            for c in matched:
+                ex = expand_expr(body, c)
+                out_items.append(
+                    f"{ex} AS {alias}" if alias
+                    # DuckDB names each expansion after the SOURCE
+                    # column, not the expression text
+                    else f"{ex} AS `{c}`"
+                )
+        new_tail = tail
+        w = _find_kw(tail, "WHERE", at_depth=0)
+        if w >= 0:
+            w_end = len(tail)
+            for kw in ("GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER",
+                       "LIMIT", "UNION", "EXCEPT", "INTERSECT"):
+                k = _find_kw(tail, kw, at_depth=0, start=w)
+                if 0 <= k < w_end:
+                    w_end = k
+            pred = tail[w + 5 : w_end].strip()
+            call = find_call(pred)
+            if call is ...:
+                return None
+            if call is not None:
+                matched = matches(call[2])
+                if matched is None:
+                    return None
+                if not matched:
+                    raise ValueError(
+                        f"COLUMNS({call[2]}) matched no columns of {cols}"
+                    )
+                conj = " AND ".join(
+                    f"({expand_expr(pred, c)})" for c in matched
+                )
+                new_tail = f"{tail[:w]}WHERE {conj} {tail[w_end:]}"
+        if find_call(new_tail) is not None:
+            return None  # COLUMNS outside select list / WHERE
+        distinct = sm.group(1) or ""
+        return f"SELECT {distinct}{', '.join(out_items)} {new_tail}"
 
     def _csv_auto_view(self, path: str) -> str:
         """``read_csv_auto('path')`` support (round-5 VERDICT #3): the

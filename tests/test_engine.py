@@ -996,14 +996,14 @@ def test_session_storage_statements_named_refusals(spark):
             eng.sql(sql)
 
 
-def test_columns_dynamic_star_named_refusal(spark):
+def test_columns_dynamic_star_now_expands(spark):
+    # round 6: the static refusal became a real expansion (see
+    # test_columns_dynamic_star_matches_duckdb for the full battery)
     import pyarrow as pa
-    import pytest as _pytest
 
-    eng = MallardEngine(spark, "t_cols")
+    eng = MallardEngine(spark, "t_cols0")
     eng.put("t", pa.table({"a": [1]}))
-    with _pytest.raises(NotImplementedError, match="EXCLUDE"):
-        eng.sql("SELECT COLUMNS('a.*') FROM t")
+    assert [r.a for r in eng.sql("SELECT COLUMNS('a.*') FROM t").collect()] == [1]
 
 
 def test_macro_case_insensitive_and_zero_arg(spark):
@@ -1104,3 +1104,44 @@ def test_table_macros_and_defaults_match_duckdb(spark):
     for run in (lambda s: eng.sql(s).collect(), con.execute):
         with pytest.raises(Exception):
             run("SELECT addm(1, 10) AS b")
+
+
+def test_columns_dynamic_star_matches_duckdb(spark):
+    """Round 6: COLUMNS(*) / COLUMNS('regex') expand against the
+    resolved FROM schema — names AND values checked against a live
+    DuckDB (regex is a SEARCH; expansions carry the SOURCE column
+    name; aliases replicate; WHERE expands as a conjunction)."""
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_cols")
+    eng.put("t", pa.table({
+        "id": [1, 2], "val_a": [10, 30], "val_b": [20, 40],
+        "name": ["x", "y"],
+    }))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,10,20,'x'),"
+        "(2,30,40,'y')) v(id,val_a,val_b,name)"
+    )
+    for q in [
+        "SELECT COLUMNS('val.*') FROM t ORDER BY val_a",
+        "SELECT MIN(COLUMNS(*)) FROM t",
+        "SELECT COLUMNS('val_.') + 1 FROM t ORDER BY val_a",
+        "SELECT MIN(COLUMNS('val.*')) AS m FROM t",  # alias replicates
+        "SELECT id FROM t WHERE COLUMNS('val.*') > 15 ORDER BY id",
+        "SELECT COLUMNS(*) FROM t WHERE COLUMNS(*) IS NOT NULL ORDER BY id",
+    ]:
+        g = eng.sql(q)
+        d = con.execute(q)
+        assert g.columns == [x[0] for x in d.description], q
+        assert [tuple(r) for r in g.collect()] == [
+            tuple(r) for r in d.fetchall()
+        ], q
+    # lambda form keeps the named refusal
+    with pytest.raises(NotImplementedError, match="COLUMNS"):
+        eng.sql("SELECT COLUMNS(c -> c LIKE 'v%') FROM t").collect()
+    # a regex matching nothing errors on both engines
+    for run in (lambda s: eng.sql(s).collect(), con.execute):
+        with pytest.raises(Exception):
+            run("SELECT COLUMNS('zzz') FROM t")

@@ -648,19 +648,23 @@ class MallardEngine:
         except Exception as first_err:
             if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in str(first_err):
                 # WITH RECURSIVE ... UNION ALL runs natively on Spark 4
-                # (value-checked vs DuckDB in tests/test_dialect.py);
-                # only DuckDB's deduplicating UNION form has no Spark
-                # equivalent — and it CANNOT be mechanically rewritten
-                # to UNION ALL, because the dedup is what terminates a
-                # cyclic walk. Refuse with the alternatives instead of
-                # Spark's bare analysis error (round-4 VERDICT #3).
+                # (value-checked vs DuckDB in tests/test_dialect.py).
+                # The deduplicating UNION form CANNOT be mechanically
+                # rewritten to UNION ALL (the dedup is what terminates
+                # a cyclic walk) — round 6 runs it as a driver-side
+                # semi-naive FIXPOINT instead (the textbook Datalog
+                # evaluation): iterate the recursive arm, keep only
+                # never-seen rows, stop when a round adds nothing.
+                fixed = self._recursive_union_fixpoint(out)
+                if fixed is not None:
+                    return fixed
                 raise NotImplementedError(
-                    "WITH RECURSIVE ... UNION (deduplicating) is not "
-                    "supported: Spark only runs the UNION ALL form. "
-                    "Rewrite with UNION ALL plus an explicit "
-                    "termination predicate (depth counter / visited "
-                    "check), or use the built-in graph operators for "
-                    "cyclic walks: dedup_clusters (connected "
+                    "this WITH RECURSIVE ... UNION form is not "
+                    "supported (single recursive CTE with base UNION "
+                    "step runs as a fixpoint loop): rewrite with "
+                    "UNION ALL plus an explicit termination "
+                    "predicate, or use the built-in graph operators "
+                    "for cyclic walks: dedup_clusters (connected "
                     "components) and graph_pagerank (iterative rank)."
                 ) from first_err
             um = re.match(
@@ -758,6 +762,121 @@ class MallardEngine:
                     "(ORDER BY <deterministic key>) on both sides."
                 ) from first_err
             raise first_err
+
+    def _recursive_union_fixpoint(self, sql: str) -> DataFrame | None:
+        """DuckDB's deduplicating ``WITH RECURSIVE name AS (base
+        UNION step) outer`` as a driver-side fixpoint (round 6 — was
+        a named refusal). SQL-standard recursive semantics: each
+        round's working table is ONLY the rows the previous round
+        ADDED (never-seen rows), and the loop stops when a round adds
+        nothing — which is exactly what terminates a cyclic walk.
+
+        Scale shape: every round is a distributed step + anti-join
+        against the accumulated set; each frontier is materialized
+        through the parquet barrier so plans stay shallow and the
+        accumulator is a union of bounded scans. Rounds are capped by
+        ``spark.mallard.recursiveMaxIterations`` (default 100) — a
+        non-converging recursion errors instead of looping.
+
+        Returns None for shapes this does not cover (multiple CTEs,
+        several deduplicating UNIONs, a CTE shadowing an engine
+        table) — the caller keeps the named refusal.
+        """
+        from pyspark.sql import functions as F
+
+        from mallard_spark.dialect import _code_mask, _find_kw
+        from mallard_spark.functions.exec import materialize
+
+        m = re.match(
+            r"^\s*WITH\s+RECURSIVE\s+(?P<name>[A-Za-z_]\w*)\s*"
+            r"(?:\((?P<cols>[^)]*)\)\s*)?AS\s*\(",
+            sql, re.IGNORECASE,
+        )
+        if not m:
+            return None
+        name = m.group("name")
+        if name in self._tables:
+            return None  # table refs were already rewritten under it
+        mask = _code_mask(sql)
+        open_p, depth, close_p = m.end() - 1, 0, -1
+        for j in range(m.end() - 1, len(sql)):
+            if sql[j] in "([" and mask[j]:
+                depth += 1
+            elif sql[j] in ")]" and mask[j]:
+                depth -= 1
+                if depth == 0:
+                    close_p = j
+                    break
+        if close_p < 0:
+            return None
+        body = sql[open_p + 1 : close_p]
+        outer = sql[close_p + 1 :].strip().rstrip("; \t\n")
+        if not outer or outer.startswith(","):
+            return None  # additional CTEs — unsupported shape
+        cuts = []
+        p = 0
+        while True:
+            k = _find_kw(body, "UNION", at_depth=0, start=p)
+            if k < 0:
+                break
+            p = k + 1
+            rest = body[k + 5 :].lstrip()
+            if rest[:3].upper() == "ALL" and (
+                len(rest) == 3 or not (rest[3].isalnum() or rest[3] == "_")
+            ):
+                continue  # UNION ALL — part of an arm, not the split
+            cuts.append(k)
+        if len(cuts) != 1:
+            return None
+        base_sql, step_sql = body[: cuts[0]], body[cuts[0] + 5 :]
+
+        base_df = self.spark.sql(base_sql)
+        if m.group("cols"):
+            cols = [c.strip().strip('`"') for c in m.group("cols").split(",")]
+            if len(cols) != len(base_df.columns):
+                return None
+            base_df = base_df.toDF(*cols)
+        schema = base_df.schema
+
+        def align(df: DataFrame) -> DataFrame:
+            if len(df.columns) != len(schema.fields):
+                raise ValueError(
+                    f"WITH RECURSIVE {name}: the recursive arm yields "
+                    f"{len(df.columns)} columns, the base {len(schema.fields)}"
+                )
+            df = df.toDF(*[f.name for f in schema.fields])
+            return df.select(
+                [F.col(f.name).cast(f.dataType).alias(f.name)
+                 for f in schema.fields]
+            )
+
+        max_rounds = int(
+            self.spark.conf.get("spark.mallard.recursiveMaxIterations", "100")
+        )
+        # every frontier gets a UNIQUE barrier path — a reused path
+        # would be overwritten while the accumulator still scans it.
+        # The accumulator is a union of those bounded scans, re-pinned
+        # every 8 rounds so deep recursions keep shallow plans.
+        frontier = materialize(base_df.distinct(), f"rec_{name}_f0")
+        acc = frontier
+        for i in range(1, max_rounds + 1):
+            if frontier.isEmpty():
+                break
+            frontier.createOrReplaceTempView(name)
+            new = align(self.spark.sql(step_sql)).distinct().subtract(acc)
+            frontier = materialize(new, f"rec_{name}_f{i}")
+            acc = acc.union(frontier)
+            if i % 8 == 0:
+                acc = materialize(acc, f"rec_{name}_acc{i}")
+        else:
+            raise ValueError(
+                f"WITH RECURSIVE {name}: no fixpoint after "
+                f"{max_rounds} rounds (raise "
+                f"spark.mallard.recursiveMaxIterations if the "
+                f"recursion genuinely needs more)"
+            )
+        acc.createOrReplaceTempView(name)
+        return self.spark.sql(outer)
 
     def _expand_columns_star(self, sql: str) -> str | None:
         """Expand DuckDB's ``COLUMNS(*)`` / ``COLUMNS('regex')``

@@ -374,12 +374,58 @@ def test_recursive_cte_over_table(eng5):
     )
 
 
-def test_recursive_union_dedup_form_documented_refusal(eng5):
-    with pytest.raises(NotImplementedError, match="dedup_clusters"):
-        eng5.sql(
-            "WITH RECURSIVE t AS (SELECT 1 AS n UNION SELECT n + 1 FROM t WHERE n < 6) "
-            "SELECT sum(n) AS s FROM t"
-        )
+def test_recursive_union_dedup_runs_as_fixpoint(eng5):
+    # round 6: the deduplicating UNION form (was a named refusal)
+    # runs as a driver-side fixpoint — value parity with DuckDB
+    _both5(
+        eng5,
+        "WITH RECURSIVE t AS (SELECT 1 AS n UNION SELECT n + 1 FROM t WHERE n < 6) "
+        "SELECT CAST(sum(n) AS BIGINT) AS s FROM t",
+    )
+
+
+def test_recursive_union_cyclic_walk(eng5):
+    """The case UNION ALL cannot express: a CYCLIC graph walk whose
+    only termination is the dedup. Both engines converge to the same
+    reachable set."""
+    import duckdb as _dk
+
+    eng5.put(
+        "redges", pa.table({"src": [1, 2, 3, 3], "dst": [2, 3, 1, 4]})
+    )
+    q = (
+        "WITH RECURSIVE reach AS (SELECT 1 AS node UNION "
+        "SELECT e.dst FROM redges e JOIN reach r ON e.src = r.node) "
+        "SELECT node FROM reach ORDER BY node"
+    )
+    got = [r.node for r in eng5.sql(q).collect()]
+    con = _dk.connect()
+    con.execute(
+        "CREATE TABLE redges AS SELECT * FROM (VALUES (1,2),(2,3),"
+        "(3,1),(3,4)) e(src,dst)"
+    )
+    want = [r[0] for r in con.execute(q).fetchall()]
+    assert got == want == [1, 2, 3, 4]
+
+
+def test_recursive_union_column_list_and_cap(eng5):
+    # column-list form; the round cap errors instead of looping on a
+    # non-converging recursion
+    _both5(
+        eng5,
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n % 6) + 1 FROM t) "
+        "SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(n) AS BIGINT) AS s FROM t",
+    )
+    spark = eng5.spark
+    spark.conf.set("spark.mallard.recursiveMaxIterations", "5")
+    try:
+        with pytest.raises(ValueError, match="no fixpoint"):
+            eng5.sql(
+                "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n + 1 FROM t) "
+                "SELECT count(*) FROM t"
+            )
+    finally:
+        spark.conf.unset("spark.mallard.recursiveMaxIterations")
 
 
 def test_distinct_on_nested_in_subquery(eng5):

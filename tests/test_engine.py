@@ -1145,3 +1145,44 @@ def test_columns_dynamic_star_matches_duckdb(spark):
     for run in (lambda s: eng.sql(s).collect(), con.execute):
         with pytest.raises(Exception):
             run("SELECT COLUMNS('zzz') FROM t")
+
+
+def test_merge_delete_only_full_sync_do_nothing_order(engines):
+    """The three canonical MERGE shapes beyond upsert: delete-only
+    (decontamination), full table sync (BY SOURCE DELETE), and DO
+    NOTHING short-circuiting later clauses (clause order matters)."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("ms1_t", pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    eng1.put("ms1_bad", pa.table({"k": [2]}))
+    eng1.dml(
+        "MERGE INTO ms1_t USING ms1_bad ON ms1_t.k = ms1_bad.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert sorted((r.k, r.v) for r in eng1.table("ms1_t").collect()) == [
+        (1, 10), (3, 30),
+    ]
+
+    eng1.put("ms2_t", pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    eng1.put("ms2_s", pa.table({"k": [2, 4], "v": [99, 40]}))
+    eng1.dml(
+        "MERGE INTO ms2_t USING ms2_s ON ms2_t.k = ms2_s.k "
+        "WHEN MATCHED THEN UPDATE SET v = ms2_s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (ms2_s.k, ms2_s.v) "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert sorted((r.k, r.v) for r in eng1.table("ms2_t").collect()) == [
+        (2, 99), (4, 40),
+    ]
+
+    eng1.put("ms3_t", pa.table({"k": [1, 2], "v": [10, 20]}))
+    eng1.put("ms3_s", pa.table({"k": [1, 2], "v": [100, 200]}))
+    eng1.dml(
+        "MERGE INTO ms3_t USING ms3_s ON ms3_t.k = ms3_s.k "
+        "WHEN MATCHED AND ms3_s.v = 100 THEN DO NOTHING "
+        "WHEN MATCHED THEN UPDATE SET v = ms3_s.v"
+    )
+    assert sorted((r.k, r.v) for r in eng1.table("ms3_t").collect()) == [
+        (1, 10), (2, 200),
+    ]

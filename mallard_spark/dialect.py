@@ -2241,6 +2241,25 @@ def duckdb_to_spark(
     return out
 
 
+def translate_expression(fragment: str) -> str:
+    """Expression-level entry for the translator (round 6): DML and
+    MERGE fragments (SET right-hand sides, WHERE predicates, guards,
+    INSERT value expressions) are not statements, so the engine wraps
+    them in ``SELECT`` for the token pass and strips the prefix.
+    Statement-relocating rules (QUALIFY, FROM-first, DISTINCT ON)
+    cannot fire without a FROM, so the wrapper round-trips exactly.
+    Returns the fragment unchanged when nothing applies; ``//`` takes
+    its lexical default (DIV unless an operand looks float) — the
+    full analyzer variant ladder needs a complete statement."""
+    wrapped = f"SELECT {fragment}"
+    out = duckdb_to_spark(wrapped)
+    if out == wrapped:
+        return fragment
+    if out.upper().startswith("SELECT "):
+        return out[7:]
+    return fragment  # a statement-level rewrite fired — not a fragment
+
+
 def translate_variants(sql: str, csv_resolver=None) -> list[str]:
     """All distinct typed readings of the translation, base first.
     The engine tries each in order and keeps the first that Spark

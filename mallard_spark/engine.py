@@ -1554,6 +1554,33 @@ class MallardEngine:
             f"{sql[:120]!r}"
         )
 
+    def _duck_expr(self, fragment: str):
+        """``F.expr`` with the DuckDB-dialect fallback (round 6) —
+        mutation fragments (UPDATE SET/WHERE, DELETE WHERE, MERGE
+        guards and values) accept the same dialect the query path
+        does, under the same fired-only policy: the translator runs
+        ONLY after Spark's parser rejects the fragment, so valid
+        Spark expressions can never change meaning."""
+        from pyspark.sql import functions as F
+
+        try:
+            # F.expr defers parsing to plan build (Spark 4), so probe
+            # the session parser EAGERLY — the only way to know the
+            # fragment needs translation before the error escapes
+            self.spark._jsparkSession.sessionState().sqlParser().parseExpression(
+                fragment
+            )
+            return F.expr(fragment)
+        except Exception:
+            from mallard_spark.dialect import translate_expression
+
+            t = translate_expression(fragment)
+            if t != fragment:
+                return F.expr(t)
+            # untranslatable: hand back the lazy column so Spark's
+            # original parse error surfaces at plan build
+            return F.expr(fragment)
+
     def _dml_table(self, name: str) -> DataFrame:
         if name not in self._tables:
             raise KeyError(
@@ -1688,7 +1715,7 @@ class MallardEngine:
             # as no-WHERE would silently update EVERY row
             raise ValueError(f"UPDATE {name}: empty WHERE clause")
         where = where and self._rewrite_refs(where).rstrip("; \n\t ")
-        cond = F.expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
+        cond = self._duck_expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
         # SET column names resolve case-insensitively (SQL identifier
         # semantics on both engines — same rule as _dml_insert). Only
         # the RHS expressions get table-ref rewriting: a SET target
@@ -1709,7 +1736,7 @@ class MallardEngine:
                     f"UPDATE {name}: multiple assignments to column {resolved!r}"
                 )
             else:
-                updates[resolved] = F.expr(self._rewrite_refs(expr.strip()))
+                updates[resolved] = self._duck_expr(self._rewrite_refs(expr.strip()))
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
         # ONE select: every SET expression (and the WHERE) sees the OLD
@@ -1741,7 +1768,7 @@ class MallardEngine:
             raise ValueError(f"DELETE FROM {name}: empty WHERE clause")
         where = self._rewrite_refs(where).rstrip("; \n\t ")
         # Keep rows where the condition is NOT TRUE (false or NULL).
-        keep = ~F.expr(where).eqNullSafe(F.lit(True))
+        keep = ~self._duck_expr(where).eqNullSafe(F.lit(True))
         self._write_back(name, tbl.filter(keep))
         return "OK"
 

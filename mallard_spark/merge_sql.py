@@ -336,6 +336,11 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
     )
     rw = engine._rewrite_refs  # namespace-qualify subquery spans only
 
+    def ex(fragment: str):
+        # ref-rewritten fragment through F.expr with the DuckDB-
+        # dialect fallback (same fired-only policy as the query path)
+        return engine._duck_expr(rw(fragment))
+
     fields = tgt.schema.fields
     t_by_lower = {f.name.lower(): f.name for f in fields}
     s_by_lower = {c.lower(): c for c in src.columns}
@@ -346,7 +351,7 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
         .alias(ta)
     )
     s_df = src.withColumn(_S_PRESENT, F.lit(True)).alias(sa)
-    joined = t_df.join(s_df, F.expr(rw(cond)), "full_outer")
+    joined = t_df.join(s_df, ex(cond), "full_outer")
 
     matched = (
         F.col(_T_PRESENT).eqNullSafe(F.lit(True))
@@ -360,7 +365,7 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
 
     def guard_col(c: _Clause):
         return (
-            F.expr(rw(c.guard)).eqNullSafe(F.lit(True))
+            ex(c.guard).eqNullSafe(F.lit(True))
             if c.guard else F.lit(True)
         )
 
@@ -394,7 +399,7 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
                     f"MERGE SET: multiple assignments to {resolved!r}"
                 )
             seen.add(resolved)
-            out[resolved] = F.expr(rw(expr.strip()))
+            out[resolved] = ex(expr.strip())
         return out
 
     def insert_vals(c: _Clause) -> dict:
@@ -422,7 +427,7 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
                     f"columns"
                 )
             return {
-                f.name: F.expr(rw(v))
+                f.name: ex(v)
                 for f, v in zip(fields, c.ins_vals)
             }
         unknown = [c_ for c_ in c.ins_cols
@@ -430,7 +435,7 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
         if unknown:
             raise ValueError(f"MERGE INSERT: unknown columns {unknown}")
         by_name = {
-            t_by_lower[c_.strip("`").lower()]: F.expr(rw(v))
+            t_by_lower[c_.strip("`").lower()]: ex(v)
             for c_, v in zip(c.ins_cols, c.ins_vals)
         }
         return {

@@ -1186,3 +1186,38 @@ def test_merge_delete_only_full_sync_do_nothing_order(engines):
     assert sorted((r.k, r.v) for r in eng1.table("ms3_t").collect()) == [
         (1, 10), (2, 200),
     ]
+
+
+def test_dml_fragments_accept_duckdb_dialect(engines):
+    """Round 6: UPDATE/DELETE/MERGE expression fragments accept the
+    same DuckDB dialect the query path does (fired-only: the
+    translator runs only after Spark's parser rejects the fragment).
+    State parity against DuckDB running the identical statements."""
+    import duckdb
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("dk_t", pa.table({"k": [1, 2, 3, 4], "v": [10, 25, 30, 45]}))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE dk_t AS SELECT * FROM (VALUES (1,10),(2,25),"
+        "(3,30),(4,45)) x(k,v)"
+    )
+    for s in [
+        "UPDATE dk_t SET v = v // 2 WHERE v // 10 = 2",  # typed intdiv
+        "DELETE FROM dk_t WHERE k IN ([1, 4][1], [1, 4][2])",  # list + index
+    ]:
+        eng1.dml(s)
+        con.execute(s)
+        got = sorted((r.k, r.v) for r in eng1.table("dk_t").collect())
+        want = sorted(map(tuple, con.execute("SELECT * FROM dk_t").fetchall()))
+        assert got == want, s
+    # MERGE guard and SET expressions take the dialect too
+    eng1.put("dk_m", pa.table({"k": [2, 3], "v": [100, 200]}))
+    eng1.dml(
+        "MERGE INTO dk_t USING dk_m ON dk_t.k = dk_m.k "
+        "WHEN MATCHED AND dk_m.v ** 1 > 150 THEN UPDATE SET v = dk_m.v // 3 "
+        "WHEN MATCHED THEN UPDATE SET v = 0"
+    )
+    got = sorted((r.k, r.v) for r in eng1.table("dk_t").collect())
+    assert got == [(2, 0), (3, 66)]

@@ -949,6 +949,22 @@ class MallardEngine:
         def matches(arg: str) -> list[str] | None:
             if arg == "*":
                 return list(cols)
+            em = re.fullmatch(
+                r"\*\s+EXCLUDE\s*\(\s*([^)]*?)\s*\)", arg, re.IGNORECASE
+            )
+            if em:  # COLUMNS(* EXCLUDE (a, b)) — DuckDB-verified live
+                dropped = {
+                    c.strip().strip('`"').lower()
+                    for c in em.group(1).split(",")
+                }
+                unknown = [d for d in dropped
+                           if d not in {c.lower() for c in cols}]
+                if unknown:
+                    raise ValueError(
+                        f"COLUMNS(* EXCLUDE ...): unknown columns "
+                        f"{sorted(unknown)} of {cols}"
+                    )
+                return [c for c in cols if c.lower() not in dropped]
             lm = re.fullmatch(r"'([^']*)'", arg)
             if not lm:
                 return None  # lambda / list / expression argument

@@ -1221,3 +1221,56 @@ def test_dml_fragments_accept_duckdb_dialect(engines):
     )
     got = sorted((r.k, r.v) for r in eng1.table("dk_t").collect())
     assert got == [(2, 0), (3, 66)]
+
+
+def test_columns_star_exclude_matches_duckdb(spark):
+    """COLUMNS(* EXCLUDE (cols)) — the combined form, DuckDB-verified."""
+    import duckdb
+    import pyarrow as pa
+
+    eng = MallardEngine(spark, "t_colex")
+    eng.put("t", pa.table({"id": [1, 2], "val_a": [10, 30], "val_b": [20, 40]}))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,10,20),(2,30,40)) "
+        "v(id,val_a,val_b)"
+    )
+    for q in [
+        "SELECT MIN(COLUMNS(* EXCLUDE (id))) FROM t",
+        "SELECT COLUMNS(* EXCLUDE (val_b)) FROM t ORDER BY id",
+    ]:
+        g = eng.sql(q)
+        d = con.execute(q)
+        assert g.columns == [x[0] for x in d.description], q
+        assert [tuple(r) for r in g.collect()] == [
+            tuple(r) for r in d.fetchall()
+        ], q
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng.sql("SELECT COLUMNS(* EXCLUDE (nope)) FROM t").collect()
+
+
+def test_merge_guarded_path_plan_single_join_one_window(engines):
+    """Scale audit for the GUARDED merge path: still ONE full-outer
+    join; the per-target-row single-survivor rule adds window
+    functions but no extra join or cartesian product."""
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("mgw_t", pa.table({"k": [1, 2], "v": [10, 20]}))
+    eng1.put("mgw_s", pa.table({"k": [2, 3], "v": [99, 30]}))
+    plans = []
+    orig = eng1._write_back
+    eng1._write_back = lambda name, df: plans.append(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    try:
+        eng1.dml(
+            "MERGE INTO mgw_t USING mgw_s ON mgw_t.k = mgw_s.k "
+            "WHEN MATCHED AND mgw_s.v > 50 THEN UPDATE SET v = mgw_s.v"
+        )
+    finally:
+        eng1._write_back = orig
+    plan = plans[0]
+    assert plan.count("Join") == 1 and "FullOuter" in plan
+    assert "Window" in plan  # the single-survivor rule needs it
+    assert "CartesianProduct" not in plan

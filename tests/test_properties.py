@@ -335,3 +335,90 @@ def test_macro_expansion_leaves_masked_text():
     out = expand("SELECT 'inc(1)' AS s, inc(a) FROM t -- inc(9)\n")
     assert "'inc(1)'" in out and "-- inc(9)" in out
     assert "((a) + 1)" in out
+
+
+# ---- round 6: MERGE parser + expression translator totality ----
+
+_MERGE_FRAGMENTS = st.sampled_from(
+    [
+        "MERGE INTO t ",
+        "USING s ",
+        "USING (SELECT 1 AS k) s ",
+        "ON t.k = s.k ",
+        "USING (k) ",
+        "WHEN MATCHED ",
+        "WHEN NOT MATCHED ",
+        "WHEN NOT MATCHED BY SOURCE ",
+        "AND CASE WHEN s.v > 1 THEN 1 ELSE 0 END = 1 ",
+        "THEN UPDATE SET v = s.v ",
+        "THEN UPDATE SET v = CASE WHEN s.v > 2 THEN 2 ELSE 0 END ",
+        "THEN DELETE ",
+        "THEN DO NOTHING ",
+        "THEN INSERT VALUES (s.k, s.v) ",
+        "THEN INSERT ",
+        "'WHEN MATCHED THEN inside a literal' ",
+        "-- THEN DELETE in a comment\n",
+        "(",
+        ")",
+        ",",
+    ]
+)
+
+
+@given(st.lists(_MERGE_FRAGMENTS, min_size=1, max_size=10))
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_merge_parser_total(parts):
+    """parse_merge on arbitrary fragment soup either yields a parsed
+    statement or raises a CLEAN error (ValueError /
+    NotImplementedError) — never an unhandled crash, never a hang.
+    CASE..END inside guards/actions must not derail the WHEN/THEN
+    clause splitter."""
+    from mallard_spark.merge_sql import parse_merge
+
+    sql = "".join(parts)
+    try:
+        p = parse_merge(sql)
+    except (ValueError, NotImplementedError):
+        return
+    # a successful parse is structurally sound
+    assert p.target and p.clauses
+    assert p.on_cond or p.using_cols
+
+
+def test_merge_parser_case_everywhere():
+    """CASE..END carrying WHEN/THEN in guard AND action of multiple
+    clauses parses into exactly those clauses."""
+    from mallard_spark.merge_sql import parse_merge
+
+    p = parse_merge(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND CASE WHEN s.v > 1 THEN 1 ELSE 0 END = 1 "
+        "THEN UPDATE SET v = CASE WHEN s.v > 2 THEN 2 ELSE 3 END "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, "
+        "CASE WHEN s.v > 4 THEN 4 ELSE 5 END)"
+    )
+    assert len(p.clauses) == 2
+    assert p.clauses[0].klass == "matched" and p.clauses[0].guard
+    assert p.clauses[1].klass == "not_matched"
+    assert len(p.clauses[1].ins_vals) == 2
+
+
+_EXPR_FRAGMENTS = st.sampled_from(
+    [
+        "a // 2", "a ** 2", "[1, 2][1]", "len(x)", "a + b", "'lit // 2'",
+        "CASE WHEN a THEN 1 END", "(", ")", ",", "--c\n", "a", "1",
+    ]
+)
+
+
+@given(st.lists(_EXPR_FRAGMENTS, min_size=0, max_size=6))
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_translate_expression_total_and_stable(parts):
+    """translate_expression never crashes on fragment soup and is
+    idempotent on its own output (re-translating a translated
+    fragment changes nothing)."""
+    from mallard_spark.dialect import translate_expression
+
+    frag = " ".join(parts)
+    once = translate_expression(frag)
+    assert translate_expression(once) == once

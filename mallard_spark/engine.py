@@ -240,7 +240,7 @@ class MallardEngine:
         self._views: set[str] = set()
         # name → (params [(name, default|None)], body, is_table)
         self._macros: dict[str, tuple[list, str, bool]] = {}
-        self._csv_views: dict[str, str] = {}  # sniffed read_csv_auto paths
+        self._csv_views: dict[tuple, str] = {}  # sniffed csv (path, stat)
         self._exchangers: dict[str, Exchanger] = {}
         self._discover_persistent()
 
@@ -1052,11 +1052,20 @@ class MallardEngine:
         ``_c0`` string scan. Sniffed types with no faithful Spark CSV
         reading (TIME, nonstandard date formats without an exact Java
         pattern) get a NAMED refusal pointing at ``COPY <table> FROM``
-        rather than silently diverging. Views are cached per path —
-        repeated queries re-use one sniff."""
-        if path in self._csv_views:
-            return self._csv_views[path]
+        rather than silently diverging. Views are cached per
+        (path, mtime, size) so repeated queries re-use one sniff and
+        a REWRITTEN file re-sniffs instead of serving a stale
+        schema."""
         import hashlib
+        import os as _os
+
+        try:
+            st = _os.stat(path)
+            key = (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (path, 0, 0)  # glob / missing — the sniff decides
+        if key in self._csv_views:
+            return self._csv_views[key]
 
         name = "__mallard_csv_" + hashlib.md5(path.encode()).hexdigest()[:12]
         reader = self.spark.read
@@ -1116,7 +1125,7 @@ class MallardEngine:
                 reader.option("header", "true").option("inferSchema", "true")
             )
         reader.csv(path).createOrReplaceTempView(name)
-        self._csv_views[path] = name
+        self._csv_views[key] = name
         return name
 
     def _pivot_statement(self, m: "re.Match") -> DataFrame:

@@ -1132,3 +1132,21 @@ def test_read_csv_auto_time_column_refused(eng6, tmp_path):
     assert dict((r[0], r[1]) for r in sniffed)["tm"] == "TIME"
     with _p.raises(NotImplementedError, match="TIME"):
         eng6.sql(f"SELECT * FROM read_csv_auto('{p}')").collect()
+
+
+def test_read_csv_auto_rewritten_file_resniffs(eng6, tmp_path):
+    """The csv view cache keys on file stats — rewriting the file
+    with a different schema must re-sniff, not serve stale columns."""
+    import os
+    import time
+
+    p = tmp_path / "mut.csv"
+    p.write_text("a,b\n1,2\n")
+    assert [tuple(r) for r in eng6.sql(
+        f"SELECT a, b FROM read_csv_auto('{p}')"
+    ).collect()] == [(1, 2)]
+    time.sleep(0.01)  # ensure a distinct mtime
+    p.write_text("x,y,z\n7,8,hi\n")
+    os.utime(p)
+    got = eng6.sql(f"SELECT x, y, z FROM read_csv_auto('{p}')").collect()
+    assert [tuple(r) for r in got] == [(7, 8, "hi")]

@@ -714,7 +714,14 @@ class MallardEngine:
             ):
                 try:
                     return self.spark.sql(translated)
-                except Exception:
+                except Exception as retry_err:
+                    if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in str(retry_err):
+                        # dialect syntax AND a deduplicating recursive
+                        # UNION in one statement: run the fixpoint on
+                        # the TRANSLATED text
+                        fixed = self._recursive_union_fixpoint(translated)
+                        if fixed is not None:
+                            return fixed
                     continue
             # untranslatable DuckDB constructs get NAMED refusals
             # instead of the raw parse error — checked AFTER the

@@ -1150,3 +1150,16 @@ def test_read_csv_auto_rewritten_file_resniffs(eng6, tmp_path):
     os.utime(p)
     got = eng6.sql(f"SELECT x, y, z FROM read_csv_auto('{p}')").collect()
     assert [tuple(r) for r in got] == [(7, 8, "hi")]
+
+
+def test_recursive_union_with_dialect_syntax(eng5):
+    """Dialect syntax (`//`) AND a deduplicating recursive UNION in
+    ONE statement: the fixpoint must run on the TRANSLATED text (the
+    variant-ladder retry path)."""
+    _both5(
+        eng5,
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION "
+        "SELECT ((n * 10) // 3) % 7 + 1 FROM t) "
+        "SELECT CAST(count(*) AS BIGINT) AS c, "
+        "CAST(sum(n) AS BIGINT) AS s FROM t",
+    )

@@ -185,6 +185,25 @@ def _copy_format(path: str, opts: str, verb: str) -> str:
     return fmt
 
 
+def _split_on_conflict(sql: str) -> tuple[str, str] | None:
+    """Split an INSERT statement at its top-level ``ON CONFLICT``
+    keyword pair — None when absent (quote/comment/paren aware, so a
+    string literal containing the words never splits)."""
+    from mallard_spark.dialect import _find_kw
+
+    p = 0
+    while True:
+        k = _find_kw(sql, "ON", at_depth=0, start=p)
+        if k < 0:
+            return None
+        p = k + 1
+        rest = sql[k + 2 :].lstrip()
+        if rest[:8].upper() == "CONFLICT" and not (
+            len(rest) > 8 and (rest[8].isalnum() or rest[8] == "_")
+        ):
+            return sql[:k], sql[k:].lstrip()
+
+
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split ``s`` on ``sep`` at paren/bracket depth 0, outside quotes.
 
@@ -1561,6 +1580,16 @@ class MallardEngine:
         re-registration for session tables — both bounded-memory at
         any table size.
         """
+        if re.match(r"^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\b", sql, re.IGNORECASE):
+            raise NotImplementedError(
+                "INSERT OR REPLACE / OR IGNORE need a declared PRIMARY "
+                "KEY, which this catalog does not track — use the "
+                "explicit form INSERT ... ON CONFLICT (key_cols) DO "
+                "UPDATE/NOTHING, or MERGE INTO"
+            )
+        oc = _split_on_conflict(sql)
+        if oc is not None and re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
+            return self._dml_insert_conflict(oc[0], oc[1])
         m = _INSERT_RE.match(sql)
         if m:
             return self._dml_insert(m.group("name"), m.group("cols"), m.group("rest"))
@@ -1623,6 +1652,86 @@ class MallardEngine:
         # whose definition read the view itself would be recursive.
         return self._tables[name]
 
+    def _dml_insert_conflict(self, head: str, tail: str) -> str:
+        """DuckDB's ``INSERT ... ON CONFLICT (cols) DO NOTHING |
+        DO UPDATE SET ... [WHERE ...]`` upsert (round 6) — lowered
+        onto the MERGE machinery: the proposed rows become a source
+        relation aliased ``excluded`` (so DuckDB's ``excluded.col``
+        references resolve), the named conflict columns become the
+        join keys, and the DO-clause becomes the WHEN MATCHED clause.
+
+        The key-less form (and INSERT OR REPLACE/IGNORE) refuses by
+        name: conflict detection without an explicit column list
+        needs a declared PRIMARY KEY/UNIQUE constraint, which this
+        catalog does not track (the reference's arrow-registered
+        tables carry none either). Note: since no constraint is
+        ENFORCED, proposed rows with duplicate NEW keys all insert —
+        DuckDB with a real PK would reject them (documented
+        divergence); duplicate conflicts against ONE target row error
+        via MERGE's multiple-match check, like DuckDB's "cannot
+        update the same row twice"."""
+        from mallard_spark.dialect import _find_kw
+
+        m = _INSERT_RE.match(head)
+        if m is None:
+            raise ValueError(f"malformed INSERT ... ON CONFLICT: {head[:120]!r}")
+        name, cols, src = m.group("name"), m.group("cols"), m.group("rest")
+        tm = re.match(
+            r"^\s*ON\s+CONFLICT\s*"
+            r"(?:\(\s*(?P<ccols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?"
+            r"DO\s+(?:(?P<nothing>NOTHING)|UPDATE\s+SET\b(?P<sets>.*))\s*;?\s*$",
+            tail, re.IGNORECASE | re.DOTALL,
+        )
+        if tm is None:
+            raise ValueError(
+                f"unsupported ON CONFLICT clause (DO NOTHING / DO "
+                f"UPDATE SET ... [WHERE ...]): {tail[:120]!r}"
+            )
+        if not tm.group("ccols"):
+            raise NotImplementedError(
+                "ON CONFLICT without a conflict-column list needs a "
+                "declared PRIMARY KEY/UNIQUE constraint, which this "
+                "catalog does not track — name the key columns: "
+                "ON CONFLICT (k) DO ..., or use MERGE INTO"
+            )
+        tbl = self._dml_table(name)
+        if name.lower() == "excluded":
+            raise ValueError("ON CONFLICT: target cannot be named 'excluded'")
+        by_lower = {c.lower(): c for c in tbl.columns}
+        ccols = []
+        for c in tm.group("ccols").split(","):
+            r = by_lower.get(c.strip().strip("`").lower())
+            if r is None:
+                raise ValueError(
+                    f"ON CONFLICT: unknown column {c.strip()!r} on {name!r}"
+                )
+            ccols.append(r)
+        if tm.group("nothing"):
+            matched = "WHEN MATCHED THEN DO NOTHING"
+        else:
+            sets = tm.group("sets").rstrip("; \n\t")
+            w = _find_kw(sets, "WHERE", at_depth=0)
+            guard = None
+            if w >= 0:
+                guard = sets[w + 5 :].strip()
+                sets = sets[:w].rstrip()
+            if not sets.strip():
+                raise ValueError("ON CONFLICT DO UPDATE: empty SET list")
+            matched = (
+                f"WHEN MATCHED {f'AND {guard} ' if guard else ''}"
+                f"THEN UPDATE SET {sets}"
+            )
+        aligned = self._insert_source_df(name, cols, src)
+        aligned.createOrReplaceTempView("__mallard_upsert_src")
+        cond = " AND ".join(f"{name}.{c} = excluded.{c}" for c in ccols)
+        from mallard_spark.merge_sql import execute_merge
+
+        return execute_merge(
+            self,
+            f"MERGE INTO {name} USING __mallard_upsert_src AS excluded "
+            f"ON {cond} {matched} WHEN NOT MATCHED THEN INSERT",
+        )
+
     def _dml_insert(self, name: str, cols: str | None, rest: str) -> str:
         from pyspark.sql import functions as F
 
@@ -1639,7 +1748,20 @@ class MallardEngine:
             self._tables[name] = self.spark.table(self._qualified(name))
             return "OK"
         tbl = self._dml_table(name)
-        schema = tbl.schema
+        aligned = self._insert_source_df(name, cols, rest)
+        self._write_back(name, tbl.unionByName(aligned))
+        return "OK"
+
+    def _insert_source_df(self, name: str, cols: str | None, rest: str) -> DataFrame:
+        """The aligned proposed-rows relation for an INSERT-shaped
+        source (VALUES / SELECT / WITH / TABLE / FROM): column list
+        resolved case-insensitively, unlisted columns NULL-filled,
+        everything cast to the target schema — shared by plain INSERT
+        and the ON CONFLICT upsert path."""
+        from pyspark.sql import functions as F
+
+        schema = self._dml_table(name).schema
+        rest = rest.rstrip("; \n\t ")
         if rest.upper().startswith("VALUES"):
             new = self.spark.sql(f"SELECT * FROM ({rest})")
         else:
@@ -1661,7 +1783,7 @@ class MallardEngine:
                 raise ValueError(f"INSERT INTO {name}: unknown columns {unknown}")
             resolved = {by_lower[n.lower()] for n in names}
             new = new.toDF(*[by_lower[n.lower()] for n in names])
-            aligned = new.select(
+            return new.select(
                 *[
                     (F.col(f.name) if f.name in resolved else F.lit(None))
                     .cast(f.dataType)
@@ -1669,18 +1791,15 @@ class MallardEngine:
                     for f in schema.fields
                 ]
             )
-        else:
-            if len(new.columns) != len(schema.fields):
-                raise ValueError(
-                    f"INSERT source has {len(new.columns)} columns; table "
-                    f"{name!r} has {len(schema.fields)}"
-                )
-            new = new.toDF(*schema.fieldNames())
-            aligned = new.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        if len(new.columns) != len(schema.fields):
+            raise ValueError(
+                f"INSERT source has {len(new.columns)} columns; table "
+                f"{name!r} has {len(schema.fields)}"
             )
-        self._write_back(name, tbl.unionByName(aligned))
-        return "OK"
+        new = new.toDF(*schema.fieldNames())
+        return new.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
 
     def _rewrite_refs(self, sql: str) -> str:
         """Namespace-qualify table references in an expression string —

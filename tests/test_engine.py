@@ -1274,3 +1274,47 @@ def test_merge_guarded_path_plan_single_join_one_window(engines):
     assert plan.count("Join") == 1 and "FullOuter" in plan
     assert "Window" in plan  # the single-survivor rule needs it
     assert "CartesianProduct" not in plan
+
+
+def test_insert_on_conflict_upsert_matches_duckdb(engines):
+    """DuckDB's INSERT ... ON CONFLICT (k) DO UPDATE/NOTHING upsert,
+    lowered onto the MERGE machinery — state parity against DuckDB
+    running the identical statements on a real PRIMARY KEY table
+    (which is what makes ON CONFLICT legal there)."""
+    import duckdb
+    import pyarrow as pa
+
+    eng1, _ = engines
+    eng1.put("oc_t", pa.table({"k": [1, 2], "v": [10, 20]}))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE oc_t (k INT PRIMARY KEY, v INT)")
+    con.execute("INSERT INTO oc_t VALUES (1,10),(2,20)")
+    for s in [
+        "INSERT INTO oc_t VALUES (2, 99), (3, 30) "
+        "ON CONFLICT (k) DO UPDATE SET v = excluded.v",
+        "INSERT INTO oc_t VALUES (1, 5), (4, 40) ON CONFLICT (k) DO NOTHING",
+        # WHERE-guarded update, both directions
+        "INSERT INTO oc_t VALUES (3, 500) ON CONFLICT (k) "
+        "DO UPDATE SET v = excluded.v WHERE oc_t.v < excluded.v",
+        "INSERT INTO oc_t VALUES (4, 1) ON CONFLICT (k) "
+        "DO UPDATE SET v = excluded.v WHERE oc_t.v < excluded.v",
+    ]:
+        eng1.dml(s)
+        con.execute(s)
+        got = sorted((r.k, r.v) for r in eng1.table("oc_t").collect())
+        want = sorted(map(tuple, con.execute("SELECT * FROM oc_t").fetchall()))
+        assert got == want, s
+    # the key-less form (needs a declared constraint) refuses by name,
+    # as do INSERT OR REPLACE / OR IGNORE
+    with pytest.raises(NotImplementedError, match="conflict-column"):
+        eng1.dml("INSERT INTO oc_t VALUES (9, 9) ON CONFLICT DO NOTHING")
+    with pytest.raises(NotImplementedError, match="MERGE"):
+        eng1.dml("INSERT OR REPLACE INTO oc_t VALUES (1, 1)")
+    # two proposed rows conflicting with ONE target row error (the
+    # engine's MERGE multiple-match check = DuckDB's "cannot update
+    # the same row twice")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        eng1.dml(
+            "INSERT INTO oc_t VALUES (1, 7), (1, 8) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v"
+        )

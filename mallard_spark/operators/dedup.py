@@ -814,6 +814,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_size_histogram_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_labels_ctes()}, sizes AS (
+      SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS docs_covered
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+@query("dedup_cluster_size_histogram", oracle=_cluster_size_histogram_oracle())
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution (round 6) — the audit a
+    curation run reads BEFORE choosing removal policy: a corpus whose
+    duplicate mass sits in a few giant clusters needs template/
+    boilerplate removal (cluster-level ops), while a long tail of
+    small clusters is what pairwise canonical-select handles.
+    One row per observed cluster size with the cluster count and the
+    document mass it covers.
+
+    Scale: reuses the shared CC labels (ONE definition with
+    dedup_clusters/dedup_canonical_select — they cannot drift); the
+    two aggregates beyond the label table are bounded by cluster
+    count, then by distinct cluster SIZES. The PLANS.md sweep
+    measures the label machinery linear to 100× with output exactly
+    10×/decade.
+    """
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("docs_covered"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def _canonical_oracle() -> str:
     return f"""
     WITH RECURSIVE {_cc_labels_ctes()}, joined AS (

@@ -712,6 +712,96 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mix_token_budget",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total,
+             CAST(SUM(avail_tokens) // 2 AS BIGINT) AS budget
+      FROM avail
+    ),
+    alloc AS (
+      SELECT a.source, a.avail_tokens,
+             (t.budget * a.avail_tokens) // t.total AS base,
+             (t.budget * a.avail_tokens) % t.total AS rem,
+             t.budget AS budget
+      FROM avail a CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             budget - SUM(base) OVER () AS leftover
+      FROM alloc
+    )
+    SELECT source, avail_tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_tokens
+    FROM ranked ORDER BY source
+    """,
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources (round 6): given a
+    training budget (here floor(total/2) tokens), split it
+    proportionally to each source's available token mass with
+    LARGEST-REMAINDER rounding — the apportionment method whose
+    per-source allocations are integers that sum EXACTLY to the
+    budget (plain floor leaves a shortfall, plain round can
+    overshoot). Remainder ties break by source name, so the
+    allocation is bit-deterministic on both engines: every step is
+    int64 arithmetic ((budget*avail) div/mod total), no floats
+    anywhere.
+
+    Shape at 100 TB: one per-source aggregate exchange over the
+    corpus; the allocation itself runs on the SOURCE table (bounded
+    by the number of sources, by definition tiny), with the two
+    1-row aggregates broadcast per codebase convention. The corpus
+    is never reshuffled — same scan shape as mix_sources.
+
+    Reference parity: a Mallard client computes this as plain
+    DuckDB SQL over the wire (flight_server.py:342); the oracle IS
+    that SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(tokens())).cast("long").alias("avail_tokens")
+    )
+    t = avail.agg(F.sum("avail_tokens").cast("long").alias("total")).select(
+        "total", F.expr("total DIV 2").alias("budget")
+    )
+    alloc = avail.crossJoin(F.broadcast(t)).select(
+        "source",
+        "avail_tokens",
+        F.expr("(budget * avail_tokens) DIV total").alias("base"),
+        F.expr("(budget * avail_tokens) % total").alias("rem"),
+        "budget",
+    )
+    # the window runs over the SOURCE table — one partition of a
+    # by-definition-tiny relation, not a corpus-wide sort
+    w = Window.orderBy(F.desc("rem"), "source")
+    ranked = alloc.withColumn("rk", F.row_number().over(w)).withColumn(
+        "leftover",
+        F.col("budget")
+        - F.sum("base").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return ranked.select(
+        "source",
+        "avail_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    ).orderBy("source")
+
+
 # Per-source epoch factors in ppm (frozen from a quality review —
 # the operator is weight-agnostic). 2_500_000 = "see this source 2.5
 # times per training epoch": 2 full copies plus a 50% hash-sampled

@@ -757,3 +757,15 @@ def test_source_overlap_matrix_counts_shared_texts(spark, tmp_path):
     # s1∩s2 = {aa, bb} (the duplicate 'aa' inside s1 counts once);
     # s2∩s3 = {cc}; s1∩s3 = ∅ (absent row, not zero)
     assert rows == {("s1", "s2"): 2, ("s2", "s3"): 1}
+
+
+def test_mix_token_budget_sums_exactly(spark):
+    """Largest-remainder apportionment invariant: integer allocations
+    sum EXACTLY to the budget (floor(total/2)) — the property plain
+    floor (shortfall) or plain rounding (overshoot) would break."""
+    from mallard_spark.operators.llm import mix_token_budget
+
+    rows = mix_token_budget(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.avail_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == total // 2
+    assert all(0 <= r.alloc_tokens <= r.avail_tokens for r in rows)

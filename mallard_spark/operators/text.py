@@ -1283,3 +1283,98 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+ZIPF_TOP_V = 100  # head tokens fitted (a regression wants the head,
+# where Zipf holds; the tail bends and would need a truncated fit)
+
+# ONE textual definition of the least-squares formulas, evaluated
+# verbatim by BOTH engines so every IEEE operation happens in the
+# same order on the same (decimal-exact) inputs.
+_ZIPF_SLOPE_SQL = (
+    "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_ZIPF_INTERCEPT_SQL = (
+    f"(CAST(sy AS DOUBLE) - ({_ZIPF_SLOPE_SQL}) * CAST(sx AS DOUBLE)) / n"
+)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t.tok AS token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM documents, UNNEST({TOKENS_SQL}) t(tok)
+      GROUP BY t.tok
+    ),
+    ranked AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM tf
+    ),
+    terms AS (
+      SELECT ROUND(ln(CAST(rank AS DOUBLE)), 9) AS x9,
+             ROUND(ln(CAST(freq AS DOUBLE)), 9) AS y9
+      FROM ranked WHERE rank <= {ZIPF_TOP_V}
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x9 AS DECIMAL(20,9))) AS sx,
+             SUM(CAST(y9 AS DECIMAL(20,9))) AS sy,
+             SUM(CAST(ROUND(x9 * y9, 9) AS DECIMAL(20,9))) AS sxy,
+             SUM(CAST(ROUND(x9 * x9, 9) AS DECIMAL(20,9))) AS sxx
+      FROM terms
+    )
+    SELECT n AS n_fit,
+           ROUND({_ZIPF_SLOPE_SQL}, 6) AS zipf_slope,
+           ROUND({_ZIPF_INTERCEPT_SQL}, 6) AS intercept
+    FROM sums
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the token frequency head (round 6): the
+    least-squares slope of ln(freq) vs ln(rank) for the top-{V}
+    tokens — the corpus-health statistic data-QA dashboards track (a
+    natural-language corpus sits near slope −1; boilerplate-heavy or
+    synthetic text drifts off it).
+
+    Determinism: per-term ln values round to 9 dp (ln + ROUND proven
+    bit-stable across these engines by the tfidf/pmi/perplexity
+    oracles), the four regression sums aggregate in exact DECIMAL
+    (order-independent), and the final slope/intercept arithmetic is
+    ONE textual formula evaluated verbatim by both engines — every
+    IEEE op in the same order on identical inputs, rounded at 6 dp.
+
+    Shape at 100 TB: one corpus exchange for the token counts; the
+    top-V head comes from a distributed TakeOrdered (orderBy+limit —
+    never a global sort), ranks assigned by a window over the
+    {V}-row result; the regression runs on one bounded row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "token").limit(ZIPF_TOP_V)
+    from pyspark.sql import Window as W
+
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), "token"))
+    )
+    terms = ranked.select(
+        F.expr("ROUND(ln(CAST(rank AS DOUBLE)), 9)").alias("x9"),
+        F.expr("ROUND(ln(CAST(freq AS DOUBLE)), 9)").alias("y9"),
+    )
+    sums = terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(x9 AS DECIMAL(20,9))")).alias("sx"),
+        F.sum(F.expr("CAST(y9 AS DECIMAL(20,9))")).alias("sy"),
+        F.sum(F.expr("CAST(ROUND(x9 * y9, 9) AS DECIMAL(20,9))")).alias("sxy"),
+        F.sum(F.expr("CAST(ROUND(x9 * x9, 9) AS DECIMAL(20,9))")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").alias("n_fit"),
+        F.expr(f"ROUND({_ZIPF_SLOPE_SQL}, 6)").alias("zipf_slope"),
+        F.expr(f"ROUND({_ZIPF_INTERCEPT_SQL}, 6)").alias("intercept"),
+    )

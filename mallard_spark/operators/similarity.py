@@ -2349,3 +2349,86 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(PCA_LIMIT)
     )
+
+
+DIMSTAT_Q = 1 << 20  # per-dimension quantization step (exact integers)
+
+# ONE textual definition of the de-quantized statistics, evaluated
+# verbatim by both engines (the zipf-fit convention): integer sums
+# arrive exact, so every IEEE division/multiply below runs in the
+# same order on identical inputs.
+_DIMSTAT_MEAN_SQL = (
+    f"ROUND(CAST(sq AS DOUBLE) / n / {DIMSTAT_Q}.0, 6)"
+)
+_DIMSTAT_VAR_SQL = (
+    f"ROUND((CAST(ssq AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * "
+    f"(CAST(sq AS DOUBLE) / n)) / ({DIMSTAT_Q}.0 * {DIMSTAT_Q}.0), 6)"
+)
+
+
+@query(
+    "emb_dim_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT i.i AS dim,
+             CAST(FLOOR(v[i.i] * {DIMSTAT_Q}) AS BIGINT) AS qx
+      FROM e, UNNEST(range(1, len(v) + 1)) i(i)
+    ),
+    sums AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(qx AS DECIMAL(38,0))) AS sq,
+             SUM(CAST(qx * qx AS DECIMAL(38,0))) AS ssq,
+             MIN(qx) AS min_q, MAX(qx) AS max_q
+      FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n,
+           {_DIMSTAT_MEAN_SQL} AS mean_val,
+           {_DIMSTAT_VAR_SQL} AS var_val,
+           ROUND(CAST(min_q AS DOUBLE) / {DIMSTAT_Q}.0, 6) AS min_val,
+           ROUND(CAST(max_q AS DOUBLE) / {DIMSTAT_Q}.0, 6) AS max_val
+    FROM sums ORDER BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (round 6): mean, variance,
+    min, max for each of the d dimensions — the embedding-QA report
+    that catches dead dimensions (variance ≈ 0), scale drift between
+    encoder versions, and un-normalized batches before they poison an
+    ANN index.
+
+    Determinism: values quantize to integers (FLOOR(x·Q), the
+    emb_gram_matrix precedent), all sums run in exact DECIMAL — at
+    ANY corpus size (int64 would overflow the sum of squares near
+    1e9 vectors) — and the de-quantizing arithmetic is ONE textual
+    formula evaluated verbatim by both engines, rounded at 6 dp.
+
+    Shape at 100 TB: posexplode fans each vector into d rows, but the
+    per-dimension aggregate partial-combines map-side, so the shuffle
+    carries ≤ d rows per task — the exchange is DIMENSION-bounded,
+    not corpus-bounded, and the output is d rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(as_double("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x") * DIMSTAT_Q).cast("long").alias("qx"),
+    )
+    sums = q.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("sq"),
+        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,0)")).alias("ssq"),
+        F.min("qx").alias("min_q"),
+        F.max("qx").alias("max_q"),
+    )
+    return sums.select(
+        "dim",
+        "n",
+        F.expr(_DIMSTAT_MEAN_SQL).alias("mean_val"),
+        F.expr(_DIMSTAT_VAR_SQL).alias("var_val"),
+        F.expr(f"ROUND(CAST(min_q AS DOUBLE) / {DIMSTAT_Q}.0, 6)").alias("min_val"),
+        F.expr(f"ROUND(CAST(max_q AS DOUBLE) / {DIMSTAT_Q}.0, 6)").alias("max_val"),
+    ).orderBy("dim")

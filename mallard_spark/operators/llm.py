@@ -765,8 +765,16 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     that SQL.
     """
     docs = load_table(spark, sf_dir, "documents")
-    avail = docs.groupBy("source").agg(
-        F.sum(F.size(tokens())).cast("long").alias("avail_tokens")
+    # ONE corpus pass into the (source-bounded, tiny) barrier — the
+    # totals and allocation branches both read it; without the
+    # barrier each branch re-scans the corpus (aliased subplans get
+    # fresh expression ids, so ReuseExchange can't dedupe them — the
+    # measured pathology exec.py documents)
+    avail = materialize(
+        docs.groupBy("source").agg(
+            F.sum(F.size(tokens())).cast("long").alias("avail_tokens")
+        ),
+        "mix_token_budget_avail",
     )
     t = avail.agg(F.sum("avail_tokens").cast("long").alias("total")).select(
         "total", F.expr("total DIV 2").alias("budget")

@@ -577,3 +577,24 @@ def test_triangle_count_broadcasts_one_row_aggs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_emb_dim_stats_dimension_bounded_exchange(spark, sf_dir):
+    """emb_dim_stats: the posexplode fan-out must partial-combine
+    map-side — exactly one hash exchange (keyed by dimension), no
+    join, no corpus-wide sort."""
+    plan = _plan(spark, sf_dir, "emb_dim_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_mix_token_budget_no_corpus_shuffle(spark, sf_dir):
+    """mix_token_budget: the corpus is touched ONCE (the per-source
+    aggregate into the materialize barrier); the serving plan reads
+    the tiny artifact — no corpus-keyed exchange, no cartesian, the
+    hinted 1-row totals broadcast (codebase convention)."""
+    plan = _plan(spark, sf_dir, "mix_token_budget")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the hinted 1-row totals
+    assert "documents" not in plan  # corpus scan happened at build time

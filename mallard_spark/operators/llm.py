@@ -712,9 +712,7 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mix_token_budget",
-    oracle=f"""
+_MIX_TOKEN_BUDGET_ORACLE = f"""
     WITH avail AS (
       SELECT source, CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS avail_tokens
       FROM documents GROUP BY source
@@ -740,8 +738,47 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
                AS alloc_tokens
     FROM ranked ORDER BY source
-    """,
-)
+    """
+
+
+def _allocate_budget(avail: DataFrame) -> DataFrame:
+    """Largest-remainder allocation over a (source, avail_tokens)
+    relation — ONE definition shared by mix_token_budget and its
+    streaming arm so the two can never drift. All int64 arithmetic;
+    the windows run on the by-definition-tiny source table."""
+    t = avail.agg(F.sum("avail_tokens").cast("long").alias("total")).select(
+        "total", F.expr("total DIV 2").alias("budget")
+    )
+    alloc = avail.crossJoin(F.broadcast(t)).select(
+        "source",
+        "avail_tokens",
+        F.expr("(budget * avail_tokens) DIV total").alias("base"),
+        F.expr("(budget * avail_tokens) % total").alias("rem"),
+        "budget",
+    )
+    w = Window.orderBy(F.desc("rem"), "source")
+    ranked = alloc.withColumn("rk", F.row_number().over(w)).withColumn(
+        "leftover",
+        F.col("budget")
+        - F.sum("base").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return ranked.select(
+        "source",
+        "avail_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    ).orderBy("source")
+
+
+@query("mix_token_budget", oracle=_MIX_TOKEN_BUDGET_ORACLE)
 def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget allocation across sources (round 6): given a
     training budget (here floor(total/2) tokens), split it
@@ -776,38 +813,7 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "mix_token_budget_avail",
     )
-    t = avail.agg(F.sum("avail_tokens").cast("long").alias("total")).select(
-        "total", F.expr("total DIV 2").alias("budget")
-    )
-    alloc = avail.crossJoin(F.broadcast(t)).select(
-        "source",
-        "avail_tokens",
-        F.expr("(budget * avail_tokens) DIV total").alias("base"),
-        F.expr("(budget * avail_tokens) % total").alias("rem"),
-        "budget",
-    )
-    # the window runs over the SOURCE table — one partition of a
-    # by-definition-tiny relation, not a corpus-wide sort
-    w = Window.orderBy(F.desc("rem"), "source")
-    ranked = alloc.withColumn("rk", F.row_number().over(w)).withColumn(
-        "leftover",
-        F.col("budget")
-        - F.sum("base").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
-    )
-    return ranked.select(
-        "source",
-        "avail_tokens",
-        (
-            F.col("base")
-            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("alloc_tokens"),
-    ).orderBy("source")
+    return _allocate_budget(avail)
 
 
 # Per-source epoch factors in ppm (frozen from a quality review —

@@ -1311,3 +1311,56 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production monitor refines against the lake it just ingested)
     v = qh_cents(load_table(spark, sf_dir, "events"))
     return qh_report(v, materialize(spark.table(name), "qh_stream_partials"))
+
+
+from mallard_spark.operators.llm import _MIX_TOKEN_BUDGET_ORACLE
+
+
+@query("stream_token_budget", oracle=_MIX_TOKEN_BUDGET_ORACLE)
+def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arm of ``mix_token_budget`` (round 6): per-source
+    token mass aggregated in COMPLETE mode over the streaming
+    documents source, then the SAME largest-remainder allocation
+    (``operators/llm._allocate_budget`` — one definition site, the
+    two cannot drift) runs on the source-bounded sink table.
+    Micro-batched ingest must produce exactly the batch allocation —
+    the oracle IS the batch operator's SQL, so the driver's value
+    gate checks stream-equals-batch directly.
+
+    State: the complete-mode aggregate holds one row per source — the
+    monitor's state is bounded by the source count at any ingest
+    volume, the streaming analogue of the batch plan's single
+    per-source exchange.
+    """
+    from mallard_spark.functions.text import tokens
+    from mallard_spark.operators.llm import _allocate_budget
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    agg = stream.groupBy("source").agg(
+        F.sum(F.size(tokens())).cast("long").alias("avail_tokens")
+    )
+    name = "mallard_stream_token_budget"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _allocate_budget(spark.table(name))

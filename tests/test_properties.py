@@ -422,3 +422,49 @@ def test_translate_expression_total_and_stable(parts):
     frag = " ".join(parts)
     once = translate_expression(frag)
     assert translate_expression(once) == once
+
+
+_INSERT_FRAGMENTS = st.sampled_from(
+    [
+        "INSERT INTO t ", "VALUES (1, 2) ", "SELECT a FROM x JOIN y ON x.k = y.k ",
+        "ON CONFLICT ", "(k) ", "DO NOTHING", "DO UPDATE SET v = excluded.v ",
+        "WHERE t.v < excluded.v", "'ON CONFLICT in a literal' ",
+        "-- ON CONFLICT in a comment\n", "(", ")", ",",
+    ]
+)
+
+
+@given(st.lists(_INSERT_FRAGMENTS, min_size=0, max_size=8))
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_split_on_conflict_total_and_masked(parts):
+    """_split_on_conflict never crashes on fragment soup; when it
+    splits, the tail genuinely starts with ON CONFLICT at code level
+    (join-ON, literals, and comments never split)."""
+    from mallard_spark.engine import _split_on_conflict
+
+    sql = "".join(parts)
+    out = _split_on_conflict(sql)
+    if out is None:
+        return
+    head, tail = out
+    import re as _re
+
+    assert _re.match(r"(?i)^ON\s+CONFLICT\b", tail)
+    assert sql.startswith(head)  # the split is a clean prefix cut
+
+
+def test_split_on_conflict_skips_join_on_and_literals():
+    from mallard_spark.engine import _split_on_conflict
+
+    assert _split_on_conflict(
+        "INSERT INTO t SELECT a FROM x JOIN y ON x.k = y.k"
+    ) is None
+    assert _split_on_conflict(
+        "INSERT INTO t VALUES ('ON CONFLICT (k) DO NOTHING')"
+    ) is None
+    head, tail = _split_on_conflict(
+        "INSERT INTO t SELECT a FROM x JOIN y ON x.k = y.k "
+        "ON CONFLICT (a) DO NOTHING"
+    )
+    assert tail.upper().startswith("ON CONFLICT")
+    assert "JOIN y ON x.k" in head

@@ -1668,7 +1668,8 @@ _FILE_REF_RE = re.compile(
     r"(?:'(?P<path>[^']+)'"
     r"|read_parquet\s*\(\s*'(?P<pq>[^']+)'\s*\)"
     r"|read_json(?:_auto)?\s*\(\s*'(?P<js>[^']+)'\s*\)"
-    r"|read_csv(?:_auto)?\s*\(\s*'(?P<csv>[^']+)'\s*(?P<csvargs>[^)]*)\))",
+    r"|read_csv(?:_auto)?\s*\(\s*'(?P<csv>[^']+)'\s*"
+    r"(?P<csvargs>[^()]*(?:\([^()]*\)[^()]*)*)\))",
     re.IGNORECASE,
 )
 
@@ -1685,13 +1686,13 @@ def _rewrite_file_refs(sql: str, csv_resolver=None) -> str:
       ``csv_resolver`` (the ENGINE does — it needs a session to sniff
       headers/types the way DuckDB does; see
       ``MallardEngine._csv_auto_view``), the site becomes the
-      resolver's returned view name. Without a resolver (bare
-      translator use) the site is left untouched, since Spark's
-      ``csv.`` table would read headerless _c0/_c1 strings — a
-      silent schema divergence. ``read_csv`` calls WITH extra
-      arguments always refuse (the options belong to DuckDB's
-      reader); ``COPY <table> FROM 'x.csv'`` is the option-faithful
-      ingest path.
+      resolver's returned view name; named reader arguments are
+      handed to the resolver, which maps the supported set
+      (delim/header/quote/columns/names/...) onto Spark reader
+      options and refuses the rest BY NAME (round 8 — previously any
+      argument refused). Without a resolver (bare translator use) the
+      site is left untouched, since Spark's ``csv.`` table would read
+      headerless _c0/_c1 strings — a silent schema divergence.
     A bare quoted path takes its format from the extension.
     Expression-context FROM (``trim(BOTH '/' FROM 'x.parquet')``,
     EXTRACT, SUBSTRING, POSITION, OVERLAY) is excluded: a FROM inside
@@ -1729,9 +1730,13 @@ def _rewrite_file_refs(sql: str, csv_resolver=None) -> str:
                 return m.group(0)  # function argument (trim/extract/...)
         path = m.group("pq") or m.group("js") or m.group("path")
         if m.group("csv"):
-            if csv_resolver is not None and not (m.group("csvargs") or "").strip():
-                return f"{m.group(1)}{m.group(2)}{csv_resolver(m.group('csv'))}"
-            return m.group(0)  # option-ful call / no session to sniff
+            if csv_resolver is not None:
+                args = (m.group("csvargs") or "").strip().lstrip(",").strip()
+                return (
+                    f"{m.group(1)}{m.group(2)}"
+                    f"{csv_resolver(m.group('csv'), args)}"
+                )
+            return m.group(0)  # no session to sniff — leave untouched
         if path is None or "`" in path:
             return m.group(0)
         if m.group("pq"):
@@ -1745,7 +1750,7 @@ def _rewrite_file_refs(sql: str, csv_resolver=None) -> str:
             elif low.endswith((".json", ".ndjson", ".jsonl")):
                 fmt = "json"
             elif low.endswith(".csv") and csv_resolver is not None:
-                return f"{m.group(1)}{m.group(2)}{csv_resolver(path)}"
+                return f"{m.group(1)}{m.group(2)}{csv_resolver(path, '')}"
             else:
                 return m.group(0)  # .csv / unknown — refuse the site
         return f"{m.group(1)}{m.group(2)}{fmt}.`{path}`"

@@ -86,6 +86,31 @@ _CREATE_AS_RE = re.compile(
     r"(?P<name>[A-Za-z_][\w]*)\s+AS\s+(?P<select>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_EMPTY_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
+    r"\((?P<defs>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# DuckDB column-definition types → Spark DDL types (CREATE TABLE with
+# explicit columns). TIMESTAMP maps to timestamp_ntz — DuckDB's
+# TIMESTAMP is naive wall-clock, same choice as the csv sniff map.
+_DUCK_DDL_TYPES = {
+    "TINYINT": "tinyint", "INT1": "tinyint",
+    "SMALLINT": "smallint", "INT2": "smallint", "SHORT": "smallint",
+    "INTEGER": "int", "INT": "int", "INT4": "int", "SIGNED": "int",
+    "BIGINT": "bigint", "INT8": "bigint", "LONG": "bigint",
+    "HUGEINT": "decimal(38,0)",
+    "UTINYINT": "smallint", "USMALLINT": "int", "UINTEGER": "bigint",
+    "UBIGINT": "decimal(20,0)",
+    "REAL": "float", "FLOAT4": "float", "FLOAT": "float",
+    "DOUBLE": "double", "FLOAT8": "double",
+    "VARCHAR": "string", "TEXT": "string", "STRING": "string",
+    "CHAR": "string", "BPCHAR": "string", "UUID": "string",
+    "BOOLEAN": "boolean", "BOOL": "boolean", "LOGICAL": "boolean",
+    "DATE": "date", "TIMESTAMP": "timestamp_ntz", "DATETIME": "timestamp_ntz",
+    "BLOB": "binary", "BYTEA": "binary", "VARBINARY": "binary",
+}
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
     r"(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s+AS\s+"
@@ -188,7 +213,12 @@ def _copy_format(path: str, opts: str, verb: str) -> str:
 def _split_on_conflict(sql: str) -> tuple[str, str] | None:
     """Split an INSERT statement at its top-level ``ON CONFLICT``
     keyword pair — None when absent (quote/comment/paren aware, so a
-    string literal containing the words never splits)."""
+    string literal containing the words never splits).
+
+    ``ON CONFLICT`` is an upsert clause only when what follows is a
+    conflict-column list ``(`` or a ``DO`` action — a join predicate
+    over an identifier named ``conflict`` (``JOIN b ON conflict = 1``)
+    is ordinary SQL that DuckDB executes, not an upsert."""
     from mallard_spark.dialect import _find_kw
 
     p = 0
@@ -198,8 +228,15 @@ def _split_on_conflict(sql: str) -> tuple[str, str] | None:
             return None
         p = k + 1
         rest = sql[k + 2 :].lstrip()
-        if rest[:8].upper() == "CONFLICT" and not (
-            len(rest) > 8 and (rest[8].isalnum() or rest[8] == "_")
+        if not (
+            rest[:8].upper() == "CONFLICT"
+            and not (len(rest) > 8 and (rest[8].isalnum() or rest[8] == "_"))
+        ):
+            continue
+        after = rest[8:].lstrip()
+        if after[:1] == "(" or (
+            after[:2].upper() == "DO"
+            and not (len(after) > 2 and (after[2].isalnum() or after[2] == "_"))
         ):
             return sql[:k], sql[k:].lstrip()
 
@@ -226,9 +263,9 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
                     in_str = None
         elif ch in ("'", '"', "`"):
             in_str = ch
-        elif ch in "([":
+        elif ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         elif ch == sep and depth == 0:
             parts.append(s[start:i])
@@ -257,6 +294,14 @@ class MallardEngine:
         self._tables: dict[str, DataFrame] = {}
         self._persistent: set[str] = set()
         self._views: set[str] = set()
+        # name → declared PRIMARY KEY / UNIQUE columns (round 8). The
+        # engine does not ENFORCE uniqueness on plain INSERT (a check
+        # join on every ingest is the wrong default at corpus scale —
+        # documented divergence from DuckDB's constraint errors); the
+        # declaration powers the upsert surface: key-less ON CONFLICT,
+        # INSERT OR REPLACE, INSERT OR IGNORE all lower onto MERGE
+        # using these columns.
+        self._keys: dict[str, list[str]] = {}
         # name → (params [(name, default|None)], body, is_table)
         self._macros: dict[str, tuple[list, str, bool]] = {}
         self._csv_views: dict[tuple, str] = {}  # sniffed csv (path, stat)
@@ -285,6 +330,17 @@ class MallardEngine:
                 short = t.name[len(prefix):]
                 self._tables[short] = self.spark.table(t.name)
                 self._persistent.add(short)
+                try:  # declared keys ride along as a table property
+                    props = {
+                        r[0]: r[1]
+                        for r in self.spark.sql(
+                            f"SHOW TBLPROPERTIES {t.name}"
+                        ).collect()
+                    }
+                    if props.get("mallard.keys"):
+                        self._keys[short] = props["mallard.keys"].split(",")
+                except Exception:  # pragma: no cover - props unreadable
+                    pass
 
     def put(
         self,
@@ -292,6 +348,7 @@ class MallardEngine:
         data: Any,
         persist: bool = False,
         count: bool = False,
+        keys: list[str] | None = None,
     ) -> int | None:
         """PUT: register arrow Table / pandas / Spark DataFrame as ``name``.
 
@@ -303,16 +360,46 @@ class MallardEngine:
         ``persist=True`` writes a warehouse table (``saveAsTable``) so
         the data survives the session, like the reference's on-disk
         ``db_path`` (flight_server.py:166-180).
+        ``keys`` declares the table's PRIMARY KEY/unique columns —
+        recorded as catalog metadata (and a ``mallard.keys`` table
+        property on persisted tables, so they survive the session)
+        to power key-less ``ON CONFLICT`` / ``INSERT OR REPLACE`` /
+        ``INSERT OR IGNORE`` lowering. Uniqueness is NOT enforced on
+        plain INSERT (documented divergence).
         """
         df = self._to_df(data)
+        if keys is not None:
+            by_lower = {c.lower(): c for c in df.columns}
+            missing = [k for k in keys if k.lower() not in by_lower]
+            if missing:
+                raise ValueError(
+                    f"put({name!r}): key columns {missing} not in "
+                    f"{df.columns}"
+                )
+            keys = [by_lower[k.lower()] for k in keys]
         if persist:
             df.write.mode("overwrite").saveAsTable(self._qualified(name))
+            if keys:
+                self.spark.sql(
+                    f"ALTER TABLE {self._qualified(name)} SET TBLPROPERTIES "
+                    f"('mallard.keys' = '{','.join(keys)}')"
+                )
             df = self.spark.table(self._qualified(name))
             self._persistent.add(name)
         else:
             df.createOrReplaceTempView(self._qualified(name))
         self._tables[name] = df
         self._views.discard(name)  # PUT over a view name makes it a table
+        if keys:
+            self._keys[name] = keys
+        elif name in self._keys:
+            # re-PUT without keys: prior declaration survives while
+            # every key column still exists in the new schema (DML
+            # write-backs re-register through here), and is dropped
+            # when the replacement schema no longer carries them
+            lower = {c.lower() for c in df.columns}
+            if not all(k.lower() in lower for k in self._keys[name]):
+                self._keys.pop(name)
         return df.count() if count else None
 
     def row_count(self, name: str) -> int:
@@ -339,6 +426,7 @@ class MallardEngine:
             self.spark.catalog.dropTempView(self._qualified(name))
         self._tables.pop(name, None)
         self._views.discard(name)
+        self._keys.pop(name, None)
 
     def health_check(self) -> bool:
         """Liveness probe: run ``SELECT 1`` through the session.
@@ -750,17 +838,19 @@ class MallardEngine:
             # skips string literals and comments)
             if _code_level_search(r"(?i)\bCOLUMNS\s*\(", out):
                 # DuckDB's dynamic star (round 6): the engine HAS
-                # catalog access, so COLUMNS(*) / COLUMNS('regex')
-                # expand against the resolved FROM schema at rewrite
-                # time (the PIVOT distinct-probe pattern). Lambda /
-                # list / renaming forms keep the refusal.
+                # catalog access, so COLUMNS(*) / COLUMNS('regex') /
+                # COLUMNS(['a','b']) / COLUMNS(c -> pred) expand
+                # against the resolved FROM schema at rewrite time
+                # (the PIVOT distinct-probe pattern). Expression-
+                # argument / renaming forms keep the refusal.
                 expanded = self._expand_columns_star(out)
                 if expanded is not None:
                     return self.sql(expanded)
                 raise NotImplementedError(
                     "this COLUMNS(...) form is not supported (the "
-                    "engine expands COLUMNS(*) and COLUMNS('regex') "
-                    "in select lists and WHERE of a plain SELECT): "
+                    "engine expands COLUMNS(*), COLUMNS('regex'), "
+                    "COLUMNS(['a','b']), and COLUMNS(c -> pred) in "
+                    "select lists and WHERE of a plain SELECT): "
                     "use * EXCLUDE (cols), * REPLACE (expr AS col), "
                     "or list the columns explicitly."
                 ) from first_err
@@ -804,41 +894,99 @@ class MallardEngine:
         ``spark.mallard.recursiveMaxIterations`` (default 100) — a
         non-converging recursion errors instead of looping.
 
-        Returns None for shapes this does not cover (multiple CTEs,
-        several deduplicating UNIONs, a CTE shadowing an engine
-        table) — the caller keeps the named refusal.
+        Multi-CTE statements (round 8): non-recursive helper CTEs
+        before and/or after the ONE self-referencing CTE are inlined —
+        leading helpers prefix the base/step arms as a ``WITH``, and
+        all helpers are re-rendered into the outer query's ``WITH``.
+        Returns None for shapes this does not cover (several
+        self-referencing CTEs i.e. mutual recursion, several
+        deduplicating UNIONs, a CTE shadowing an engine table) — the
+        caller keeps the named refusal.
         """
         from pyspark.sql import functions as F
 
         from mallard_spark.dialect import _code_mask, _find_kw
         from mallard_spark.functions.exec import materialize
 
-        m = re.match(
-            r"^\s*WITH\s+RECURSIVE\s+(?P<name>[A-Za-z_]\w*)\s*"
-            r"(?:\((?P<cols>[^)]*)\)\s*)?AS\s*\(",
-            sql, re.IGNORECASE,
-        )
-        if not m:
+        hm = re.match(r"^\s*WITH\s+RECURSIVE\s+", sql, re.IGNORECASE)
+        if not hm:
             return None
-        name = m.group("name")
+        mask = _code_mask(sql)
+
+        def _refs(text: str, ident: str) -> bool:
+            tmask = _code_mask(text)
+            return any(
+                all(tmask[k] for k in range(w.start(), w.end()))
+                for w in re.finditer(
+                    rf"(?i)(?<![\w.`\"]){re.escape(ident)}(?![\w`\"])", text
+                )
+            )
+
+        # parse the full CTE list: name [(cols)] AS ( body ) [, ...]
+        ctes: list[tuple[str, str | None, str]] = []
+        pos = hm.end()
+        while True:
+            cm = re.compile(
+                r"(?P<name>[A-Za-z_]\w*)\s*"
+                r"(?:\((?P<cols>[^)]*)\)\s*)?AS\s*\(",
+                re.IGNORECASE,
+            ).match(sql, pos)
+            if not cm:
+                return None
+            open_p, depth, close_p = cm.end() - 1, 0, -1
+            for j in range(open_p, len(sql)):
+                if sql[j] in "([" and mask[j]:
+                    depth += 1
+                elif sql[j] in ")]" and mask[j]:
+                    depth -= 1
+                    if depth == 0:
+                        close_p = j
+                        break
+            if close_p < 0:
+                return None
+            ctes.append(
+                (cm.group("name"), cm.group("cols"), sql[open_p + 1 : close_p])
+            )
+            pos = close_p + 1
+            while pos < len(sql) and sql[pos].isspace():
+                pos += 1
+            if pos < len(sql) and sql[pos] == ",":
+                pos += 1
+                while pos < len(sql) and sql[pos].isspace():
+                    pos += 1
+                continue
+            break
+        outer = sql[pos:].strip().rstrip("; \t\n")
+        if not outer:
+            return None
+
+        self_refs = [i for i, (n, _c, b) in enumerate(ctes) if _refs(b, n)]
+        if len(self_refs) != 1:
+            return None  # mutual / zero recursion — unsupported shape
+        ri = self_refs[0]
+        name, rcols, body = ctes[ri]
         if name in self._tables:
             return None  # table refs were already rewritten under it
-        mask = _code_mask(sql)
-        open_p, depth, close_p = m.end() - 1, 0, -1
-        for j in range(m.end() - 1, len(sql)):
-            if sql[j] in "([" and mask[j]:
-                depth += 1
-            elif sql[j] in ")]" and mask[j]:
-                depth -= 1
-                if depth == 0:
-                    close_p = j
-                    break
-        if close_p < 0:
+        lead, trail = ctes[:ri], ctes[ri + 1 :]
+        if any(_refs(b, name) for _n, _c, b in lead):
+            return None  # forward reference into the recursion — mutual
+        if any(_refs(body, n) for n, _c, _b in trail):
+            # the recursion reads a LATER cte: out of scope for the
+            # arms (and it must not silently resolve to an engine
+            # table of the same name)
             return None
-        body = sql[open_p + 1 : close_p]
-        outer = sql[close_p + 1 :].strip().rstrip("; \t\n")
-        if not outer or outer.startswith(","):
-            return None  # additional CTEs — unsupported shape
+
+        def _render(items) -> str:
+            return ", ".join(
+                f"{n} {'(' + c + ') ' if c else ''}AS ({b})"
+                for n, c, b in items
+            )
+
+        # leading helpers are in scope for BOTH recursion arms;
+        # all helpers stay in scope for the outer query
+        arm_prefix = f"WITH {_render(lead)} " if lead else ""
+        if lead or trail:
+            outer = f"WITH {_render(lead + trail)} {outer}"
         cuts = []
         p = 0
         while True:
@@ -854,11 +1002,12 @@ class MallardEngine:
             cuts.append(k)
         if len(cuts) != 1:
             return None
-        base_sql, step_sql = body[: cuts[0]], body[cuts[0] + 5 :]
+        base_sql = arm_prefix + body[: cuts[0]]
+        step_sql = arm_prefix + body[cuts[0] + 5 :]
 
         base_df = self.spark.sql(base_sql)
-        if m.group("cols"):
-            cols = [c.strip().strip('`"') for c in m.group("cols").split(",")]
+        if rcols:
+            cols = [c.strip().strip('`"') for c in rcols.split(",")]
             if len(cols) != len(base_df.columns):
                 return None
             base_df = base_df.toDF(*cols)
@@ -879,44 +1028,72 @@ class MallardEngine:
         max_rounds = int(
             self.spark.conf.get("spark.mallard.recursiveMaxIterations", "100")
         )
-        # every frontier gets a UNIQUE barrier path — a reused path
-        # would be overwritten while the accumulator still scans it.
-        # The accumulator is a union of those bounded scans, re-pinned
-        # every 8 rounds so deep recursions keep shallow plans.
-        frontier = materialize(base_df.distinct(), f"rec_{name}_f0")
-        acc = frontier
-        for i in range(1, max_rounds + 1):
-            if frontier.isEmpty():
-                break
-            frontier.createOrReplaceTempView(name)
-            new = align(self.spark.sql(step_sql)).distinct().subtract(acc)
-            frontier = materialize(new, f"rec_{name}_f{i}")
-            acc = acc.union(frontier)
-            if i % 8 == 0:
-                acc = materialize(acc, f"rec_{name}_acc{i}")
-        else:
-            raise ValueError(
-                f"WITH RECURSIVE {name}: no fixpoint after "
-                f"{max_rounds} rounds (raise "
-                f"spark.mallard.recursiveMaxIterations if the "
-                f"recursion genuinely needs more)"
-            )
-        acc.createOrReplaceTempView(name)
-        return self.spark.sql(outer)
+        # The CTE name resolves through a UNIQUIFIED internal view:
+        # binding the user's name directly would clobber a
+        # pre-existing same-named temp view and leave the name bound
+        # to stale fixpoint rows after the query. The step and outer
+        # SQL are rewritten to scan the internal view ``AS name`` (so
+        # the user's ``name.col`` qualifiers keep resolving) and the
+        # view is dropped once the outer query is analyzed —
+        # ``spark.sql`` analyzes eagerly, so the returned DataFrame
+        # holds the resolved plan and never re-reads the view.
+        # Every frontier gets a UNIQUE barrier path — a reused path
+        # would be overwritten while the accumulator still scans it —
+        # and the paths carry a per-invocation salt, so a re-run never
+        # overwrites parquet a previously returned lazy DataFrame
+        # still scans. The accumulator is a union of those bounded
+        # scans, re-pinned every 8 rounds so deep recursions keep
+        # shallow plans.
+        import uuid
+
+        salt = uuid.uuid4().hex[:12]
+        iview = f"__mallard_rec_{salt}"
+        step_sql = _replace_table_ref(step_sql, name, iview)
+        outer = _replace_table_ref(outer, name, iview)
+        try:
+            frontier = materialize(base_df.distinct(), f"rec_{salt}_f0")
+            acc = frontier
+            if not frontier.isEmpty():
+                for i in range(1, max_rounds + 1):
+                    frontier.createOrReplaceTempView(iview)
+                    new = align(self.spark.sql(step_sql)).distinct().subtract(acc)
+                    frontier = materialize(new, f"rec_{salt}_f{i}")
+                    if frontier.isEmpty():
+                        break  # fixpoint — even in round max_rounds exactly
+                    acc = acc.union(frontier)
+                    if i % 8 == 0:
+                        acc = materialize(acc, f"rec_{salt}_acc{i}")
+                else:
+                    raise ValueError(
+                        f"WITH RECURSIVE {name}: no fixpoint after "
+                        f"{max_rounds} rounds (raise "
+                        f"spark.mallard.recursiveMaxIterations if the "
+                        f"recursion genuinely needs more)"
+                    )
+            acc.createOrReplaceTempView(iview)
+            return self.spark.sql(outer)
+        finally:
+            self.spark.catalog.dropTempView(iview)
 
     def _expand_columns_star(self, sql: str) -> str | None:
-        """Expand DuckDB's ``COLUMNS(*)`` / ``COLUMNS('regex')``
-        dynamic star against the resolved FROM schema (round-5
-        VERDICT #5). DuckDB 1.0 semantics, verified live:
+        """Expand DuckDB's ``COLUMNS(*)`` / ``COLUMNS('regex')`` /
+        ``COLUMNS(['a','b'])`` / ``COLUMNS(c -> pred)`` dynamic star
+        against the resolved FROM schema (round-5 VERDICT #5; list and
+        lambda forms round 8). DuckDB 1.0 semantics, verified live:
 
         - the regex is a SEARCH (``'al_a'`` matches ``val_a``);
+        - the list form resolves case-insensitively, collapses
+          duplicates, and expands in TABLE order (not list order);
+        - the lambda runs over the column NAMES — evaluated by
+          DuckDB's own ``list_filter`` when importable, Spark's
+          higher-order ``filter`` otherwise;
         - each expanded output column carries the SOURCE column's
           name (``MIN(COLUMNS(*))`` yields columns ``id, v, ...``);
         - an explicit alias replicates onto every expansion;
         - in WHERE, the expanded predicates combine with AND.
 
         Returns None (→ named refusal) for the forms this does not
-        cover: lambda/list arguments, multiple COLUMNS in one item,
+        cover: expression arguments, multiple COLUMNS in one item,
         COLUMNS outside select list/WHERE, non-SELECT statements.
         """
         from mallard_spark.dialect import (
@@ -991,9 +1168,55 @@ class MallardEngine:
                         f"{sorted(unknown)} of {cols}"
                     )
                 return [c for c in cols if c.lower() not in dropped]
+            if arg.startswith("[") and arg.endswith("]"):
+                # COLUMNS(['a','b']) — DuckDB-verified live: names
+                # resolve case-insensitively, duplicates collapse, and
+                # the expansion follows TABLE order, not list order
+                wanted: set[str] = set()
+                for it in _split_top_level(arg[1:-1]):
+                    it = it.strip()
+                    if not it:
+                        continue
+                    nm = re.fullmatch(r"'([^']*)'", it)
+                    if not nm:
+                        return None  # non-literal element
+                    if nm.group(1).lower() not in {c.lower() for c in cols}:
+                        raise ValueError(
+                            f"COLUMNS({arg}): column {nm.group(1)!r} "
+                            f"was not found in the FROM clause {cols}"
+                        )
+                    wanted.add(nm.group(1).lower())
+                return [c for c in cols if c.lower() in wanted]
+            if re.match(r"^[A-Za-z_]\w*\s*->", arg):
+                # COLUMNS(c -> predicate) — the lambda is evaluated
+                # over the column NAMES by DuckDB's own list_filter
+                # (exact reference semantics for LIKE/SIMILAR TO/
+                # string functions in the body); Spark's higher-order
+                # filter — same `->` syntax — is the fallback when
+                # duckdb is not importable
+                arr = ", ".join(
+                    "'" + c.replace("'", "''") + "'" for c in cols
+                )
+                try:
+                    import duckdb as _dk
+                except ImportError:
+                    _dk = None
+                try:
+                    if _dk is not None:
+                        return list(_dk.connect().execute(
+                            f"SELECT list_filter([{arr}], {arg})"
+                        ).fetchone()[0])
+                    return list(self.spark.sql(
+                        f"SELECT filter(array({arr}), {arg})"
+                    ).first()[0])
+                except Exception as e:
+                    raise ValueError(
+                        f"COLUMNS({arg}): cannot evaluate the lambda "
+                        f"over {cols}: {e}"
+                    ) from e
             lm = re.fullmatch(r"'([^']*)'", arg)
             if not lm:
-                return None  # lambda / list / expression argument
+                return None  # expression argument
             try:
                 rx = re.compile(lm.group(1))
             except re.error:
@@ -1063,11 +1286,119 @@ class MallardEngine:
         distinct = sm.group(1) or ""
         return f"SELECT {distinct}{', '.join(out_items)} {new_tail}"
 
-    def _csv_auto_view(self, path: str) -> str:
-        """``read_csv_auto('path')`` support (round-5 VERDICT #3): the
-        engine sniffs the file the way DuckDB does and registers a
-        temp view over a schema-EXPLICIT Spark csv read, so the
-        dialect shim can substitute the view name into the query.
+    def _ddl_create_empty(self, m: "re.Match") -> str:
+        """``CREATE TABLE name (col type ..., PRIMARY KEY (...))`` —
+        an EMPTY table with a declared schema (round 8). DuckDB
+        clients create PK tables exactly this way before using
+        ``INSERT OR REPLACE`` / key-less ``ON CONFLICT`` (the
+        reference executes the DDL verbatim, flight_server.py:342-352).
+        Column types map per ``_DUCK_DDL_TYPES``; inline ``PRIMARY
+        KEY``/``UNIQUE`` modifiers and table-level ``PRIMARY KEY
+        (cols)`` / ``UNIQUE (cols)`` constraints are recorded as the
+        table's declared keys, which power the upsert lowering.
+        Uniqueness is NOT enforced on plain INSERT (a check join per
+        ingest is the wrong default at corpus scale — documented
+        divergence from DuckDB's constraint errors).
+        ``DEFAULT``/``CHECK``/``REFERENCES``/``COLLATE`` and
+        TIME/INTERVAL/nested types refuse by name.
+        """
+        name = m.group("name")
+        if name in self._tables and not m.group("replace"):
+            if m.group("ifne"):
+                return "OK"  # IF NOT EXISTS: idempotent no-op
+            raise ValueError(
+                f"CREATE TABLE: {name} already exists "
+                "(use CREATE OR REPLACE TABLE)"
+            )
+        fields: list[str] = []
+        keys: list[str] = []
+        for item in _split_top_level(m.group("defs")):
+            item = " ".join(item.split())
+            if not item:
+                continue
+            km = re.match(
+                r"(?i)^(?:PRIMARY\s+KEY|UNIQUE)\s*\(\s*(?P<cols>[^)]+?)\s*\)$",
+                item,
+            )
+            if km:
+                keys.extend(
+                    c.strip().strip('`"') for c in km.group("cols").split(",")
+                )
+                continue
+            cm = re.match(
+                r'(?i)^(?P<col>[A-Za-z_]\w*|"[^"]+")\s+(?P<type>[A-Za-z_]\w*)'
+                r"(?:\s*\(\s*(?P<args>\d+(?:\s*,\s*\d+)?)\s*\))?"
+                r"(?P<mods>(?:\s+.*)?)$",
+                item,
+            )
+            if cm is None:
+                raise NotImplementedError(
+                    f"CREATE TABLE {name}: unsupported column "
+                    f"definition {item!r}"
+                )
+            col = cm.group("col").strip('"')
+            tname = cm.group("type").upper()
+            args = cm.group("args")
+            mods = " " + (cm.group("mods") or "").upper().strip() + " "
+            if tname in ("DECIMAL", "NUMERIC"):
+                # DuckDB's default DECIMAL is (18,3)
+                stype = f"decimal({args or '18,3'})"
+            elif tname in ("VARCHAR", "CHAR", "BPCHAR"):
+                stype = "string"  # a length argument is advisory
+            elif args:
+                raise NotImplementedError(
+                    f"CREATE TABLE {name}: parameterized type "
+                    f"{tname}({args}) is not supported"
+                )
+            else:
+                stype = _DUCK_DDL_TYPES.get(tname)
+                if stype is None:
+                    raise NotImplementedError(
+                        f"CREATE TABLE {name}: column {col!r} has type "
+                        f"{tname}, which has no faithful Spark mapping "
+                        f"(TIME/INTERVAL/nested types are not supported)"
+                    )
+            if re.search(
+                r"\b(DEFAULT|CHECK|REFERENCES|COLLATE|GENERATED)\b", mods
+            ):
+                raise NotImplementedError(
+                    f"CREATE TABLE {name}: column modifier in {item!r} "
+                    f"is not supported "
+                    f"(DEFAULT/CHECK/REFERENCES/COLLATE/GENERATED)"
+                )
+            leftover = re.sub(
+                r"\b(PRIMARY\s+KEY|UNIQUE|NOT\s+NULL|NULL)\b", " ", mods
+            ).strip()
+            if leftover:
+                raise NotImplementedError(
+                    f"CREATE TABLE {name}: unsupported column modifier "
+                    f"{leftover!r} in {item!r}"
+                )
+            if re.search(r"\b(PRIMARY\s+KEY|UNIQUE)\b", mods):
+                keys.append(col)
+            fields.append(f"`{col}` {stype}")
+        if not fields:
+            raise ValueError(f"CREATE TABLE {name}: no columns declared")
+        # dedupe declared keys, preserving order
+        seen: set[str] = set()
+        keys = [k for k in keys if not (k in seen or seen.add(k))]
+        unknown = [k for k in keys if f"`{k}`" not in
+                   {f.split(" ")[0] for f in fields}]
+        if unknown:
+            raise ValueError(
+                f"CREATE TABLE {name}: key columns {unknown} are not "
+                f"declared columns"
+            )
+        empty = self.spark.createDataFrame([], ", ".join(fields))
+        self.put(name, empty, persist=self.ddl_persist, keys=keys or None)
+        return "OK"
+
+    def _csv_auto_view(self, path: str, args: str = "") -> str:
+        """``read_csv_auto('path' [, options])`` support (round-5
+        VERDICT #3; named options round 8): the engine sniffs the file
+        the way DuckDB does and registers a temp view over a
+        schema-EXPLICIT Spark csv read, so the dialect shim can
+        substitute the view name into the query.
 
         The sniff uses DuckDB's own ``sniff_csv`` when the library is
         importable (exact reference parity: delimiter, header,
@@ -1075,38 +1406,118 @@ class MallardEngine:
         without it, Spark's ``header + inferSchema`` read is the
         fallback. Either way the DISTRIBUTED read uses an explicit
         schema or one inference pass — never a silent headerless
-        ``_c0`` string scan. Sniffed types with no faithful Spark CSV
-        reading (TIME, nonstandard date formats without an exact Java
-        pattern) get a NAMED refusal pointing at ``COPY <table> FROM``
-        rather than silently diverging. Views are cached per
-        (path, mtime, size) so repeated queries re-use one sniff and
-        a REWRITTEN file re-sniffs instead of serving a stale
-        schema."""
+        ``_c0`` string scan.
+
+        Named reader options: the schema-shaping set (delim/sep,
+        header, names, columns, types/dtypes, all_varchar, dateformat,
+        timestampformat, sample_size, normalize_names) forwards
+        VERBATIM into ``sniff_csv`` — DuckDB's own sniffer resolves
+        them into the result schema, so option semantics are its, not
+        a re-implementation — and the parse-behavior set maps onto the
+        Spark reader (quote/escape → quote/escape, nullstr →
+        nullValue, ignore_errors → DROPMALFORMED). Everything else —
+        ``skip`` (Spark's csv reader cannot drop arbitrary leading
+        rows), compression, decimal_separator, … — refuses BY NAME,
+        pointing at ``COPY <table> FROM`` as the option-faithful
+        ingest path. Sniffed types with no faithful Spark CSV reading
+        (TIME, nonstandard date formats without an exact Java pattern)
+        get the same NAMED refusal rather than silently diverging.
+        Views are cached per (path, options, mtime, size) so repeated
+        queries re-use one sniff and a REWRITTEN file re-sniffs
+        instead of serving a stale schema."""
         import hashlib
         import os as _os
 
+        args = (args or "").strip()
         try:
             st = _os.stat(path)
-            key = (path, st.st_mtime_ns, st.st_size)
+            key = (path, args, st.st_mtime_ns, st.st_size)
         except OSError:
-            key = (path, 0, 0)  # glob / missing — the sniff decides
+            key = (path, args, 0, 0)  # glob / missing — the sniff decides
         if key in self._csv_views:
             return self._csv_views[key]
 
-        name = "__mallard_csv_" + hashlib.md5(path.encode()).hexdigest()[:12]
+        def _sql_str(raw: str, opt: str) -> str:
+            # a plain single-quoted SQL literal → its python value
+            raw = raw.strip()
+            if (
+                len(raw) < 2
+                or raw[0] != "'"
+                or raw[-1] != "'"
+                or "'" in raw[1:-1].replace("''", "")
+            ):
+                raise NotImplementedError(
+                    f"read_csv_auto('{path}'): option {opt} only "
+                    f"supports a single quoted string here, got "
+                    f"{raw!r} — use COPY <table> FROM for "
+                    f"option-faithful ingest"
+                )
+            return raw[1:-1].replace("''", "'")
+
+        sniff_args: list[str] = []  # forwarded verbatim to sniff_csv
+        spark_opts: dict[str, str] = {}  # mapped onto the Spark reader
+        for item in _split_top_level(args) if args else []:
+            am = re.match(
+                r"(?s)^\s*(?P<name>[A-Za-z_]\w*)\s*(?::?=)\s*(?P<val>.+?)\s*$",
+                item,
+            )
+            if am is None:
+                raise NotImplementedError(
+                    f"read_csv_auto('{path}'): unsupported argument "
+                    f"{item.strip()!r} (named option=value forms only) "
+                    f"— use COPY <table> FROM for option-faithful ingest"
+                )
+            opt, val = am.group("name").lower(), am.group("val")
+            if opt in (
+                "delim", "sep", "header", "names", "columns", "types",
+                "dtypes", "all_varchar", "dateformat", "timestampformat",
+                "sample_size", "normalize_names",
+            ):
+                sniff_args.append(f"{opt}={val}")
+                continue
+            if opt in ("quote", "escape"):
+                spark_opts[opt] = _sql_str(val, opt)
+                # the sniffer must lex quoted fields the same way
+                sniff_args.append(f"{opt}={val}")
+            elif opt == "nullstr":
+                spark_opts["nullValue"] = _sql_str(val, opt)
+                sniff_args.append(f"nullstr={val}")
+            elif opt == "ignore_errors":
+                if val.strip().lower() not in ("true", "1"):
+                    continue  # ignore_errors=false is the default
+                spark_opts["mode"] = "DROPMALFORMED"
+                sniff_args.append(f"ignore_errors={val}")
+            else:
+                raise NotImplementedError(
+                    f"read_csv_auto('{path}'): option {opt!r} has no "
+                    f"faithful Spark csv reader mapping — use "
+                    f"COPY <table> FROM for option-faithful ingest"
+                )
+
+        name = (
+            "__mallard_csv_"
+            + hashlib.md5(f"{path}\x00{args}".encode()).hexdigest()[:12]
+        )
         reader = self.spark.read
         try:
             import duckdb
         except ImportError:
             duckdb = None
+        if duckdb is None and (sniff_args or spark_opts):
+            raise NotImplementedError(
+                f"read_csv_auto('{path}'): named options need the "
+                f"duckdb sniffer, which is not importable here — use "
+                f"COPY <table> FROM"
+            )
         if duckdb is not None:
             from mallard_spark.dialect import _strf_to_java
 
             lit = path.replace("'", "''")
+            call = ", ".join([f"'{lit}'"] + sniff_args)
             try:
                 row = duckdb.connect().execute(
                     "SELECT Delimiter, HasHeader, SkipRows, Columns, "
-                    f"DateFormat, TimestampFormat FROM sniff_csv('{lit}')"
+                    f"DateFormat, TimestampFormat FROM sniff_csv({call})"
                 ).fetchone()
             except Exception as e:
                 raise ValueError(
@@ -1150,6 +1561,8 @@ class MallardEngine:
             reader = (
                 reader.option("header", "true").option("inferSchema", "true")
             )
+        for opt, val in spark_opts.items():
+            reader = reader.option(opt, val)
         reader.csv(path).createOrReplaceTempView(name)
         self._csv_views[key] = name
         return name
@@ -1296,6 +1709,9 @@ class MallardEngine:
                 persist=self.ddl_persist,
             )
             return "OK"
+        m = _CREATE_EMPTY_RE.match(sql)
+        if m:
+            return self._ddl_create_empty(m)
         m = _CREATE_MACRO_RE.match(sql)
         if m:
             # DuckDB macros are UNTYPED lexical templates inlined at
@@ -1395,6 +1811,7 @@ class MallardEngine:
         m = _ALTER_RENAME_RE.match(sql)
         if m:
             name, new = m.group("name"), m.group("new")
+            keys = self._keys.get(name)
             if name in self._persistent:
                 # Native catalog rename: the warehouse data moves with
                 # the table. (Re-registering a view over the old files
@@ -1414,6 +1831,9 @@ class MallardEngine:
                 self.drop(name)
                 if was_view:
                     self._views.add(new)
+            if keys:  # declared keys follow the rename
+                self._keys.pop(name, None)
+                self._keys[new] = keys
             return "OK"
         self.sql(sql)
         return "OK"
@@ -1491,6 +1911,13 @@ class MallardEngine:
             import decimal
             import json as _json
 
+            class _Raw(str):
+                # a pre-rendered JSON number token. Decimals go
+                # through exact digit formatting — ``float(v)`` loses
+                # digits past ~15-16 significant figures, where DuckDB
+                # (the reference behavior) emits the exact value.
+                pass
+
             def _cell(v):
                 if isinstance(v, _dt.datetime):
                     # Spark timestamps are session-tz-aware; DuckDB's
@@ -1499,7 +1926,10 @@ class MallardEngine:
                 if isinstance(v, (_dt.date, _dt.time)):
                     return v.isoformat()
                 if isinstance(v, decimal.Decimal):
-                    return float(v)
+                    # 'f' format: plain positional digits at the
+                    # declared scale (never scientific notation);
+                    # scale-0 decimals render as bare integers
+                    return _Raw(format(v, "f"))
                 if isinstance(v, (bytes, bytearray)):
                     return v.decode("utf-8", "backslashreplace")
                 if isinstance(v, list):
@@ -1508,13 +1938,26 @@ class MallardEngine:
                     return {k: _cell(x) for k, x in v.items()}
                 return v
 
+            def _enc(v) -> str:
+                # json.dumps has no raw-token hook (its C encoder
+                # bypasses __repr__ overrides), so nested containers
+                # are rendered by this 3-case walk; every leaf that
+                # is not a _Raw token still goes through json.dumps.
+                if isinstance(v, _Raw):
+                    return str(v)
+                if isinstance(v, list):
+                    return "[" + ",".join(_enc(x) for x in v) + "]"
+                if isinstance(v, dict):
+                    return "{" + ",".join(
+                        f"{_json.dumps(k, ensure_ascii=False)}:{_enc(x)}"
+                        for k, x in v.items()
+                    ) + "}"
+                return _json.dumps(v, ensure_ascii=False)
+
             with open(path, "w", encoding="utf-8") as f:
                 for b in batches:
                     for row in b.to_pylist():
-                        f.write(_json.dumps(
-                            {k: _cell(v) for k, v in row.items()},
-                            ensure_ascii=False, separators=(",", ":"),
-                        ))
+                        f.write(_enc({k: _cell(v) for k, v in row.items()}))
                         f.write("\n")
         return "OK"
 
@@ -1580,12 +2023,54 @@ class MallardEngine:
         re-registration for session tables — both bounded-memory at
         any table size.
         """
-        if re.match(r"^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\b", sql, re.IGNORECASE):
-            raise NotImplementedError(
-                "INSERT OR REPLACE / OR IGNORE need a declared PRIMARY "
-                "KEY, which this catalog does not track — use the "
-                "explicit form INSERT ... ON CONFLICT (key_cols) DO "
-                "UPDATE/NOTHING, or MERGE INTO"
+        orm = re.match(
+            r"^\s*INSERT\s+OR\s+(?P<mode>REPLACE|IGNORE)\s+INTO\b(?P<rest>.*)$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if orm:
+            # round 8: lowered onto the ON CONFLICT → MERGE machinery
+            # using the table's DECLARED keys (CREATE TABLE ... PRIMARY
+            # KEY / put(keys=...)) — DuckDB resolves these against the
+            # PK the same way (flight_server.py:342-352 executes them
+            # verbatim).
+            mode = orm.group("mode").upper()
+            head = "INSERT INTO" + orm.group("rest")
+            if _split_on_conflict(head) is not None:
+                # DuckDB: "Cannot combine ON CONFLICT with OR REPLACE"
+                raise ValueError(
+                    f"INSERT OR {mode} cannot also carry an ON CONFLICT "
+                    f"clause (DuckDB rejects the combination)"
+                )
+            im = _INSERT_RE.match(head)
+            if im is None:
+                raise ValueError(
+                    f"malformed INSERT OR {mode}: {sql[:120]!r}"
+                )
+            name = im.group("name")
+            keys = self._keys.get(name)
+            if not keys:
+                raise NotImplementedError(
+                    f"INSERT OR {mode} needs declared key columns on "
+                    f"{name!r} — create the table with a PRIMARY KEY "
+                    f"(CREATE TABLE ... PRIMARY KEY) or put(keys=[...]), "
+                    f"or use the explicit INSERT ... ON CONFLICT "
+                    f"(key_cols) DO UPDATE/NOTHING, or MERGE INTO"
+                )
+            if mode == "REPLACE":
+                non_keys = [
+                    c for c in self._dml_table(name).columns if c not in keys
+                ]
+                action = (
+                    "DO UPDATE SET "
+                    + ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+                    if non_keys
+                    # all columns ARE the key: replacing equals keeping
+                    else "DO NOTHING"
+                )
+            else:
+                action = "DO NOTHING"
+            return self._dml_insert_conflict(
+                head, f"ON CONFLICT ({', '.join(keys)}) {action}"
             )
         oc = _split_on_conflict(sql)
         if oc is not None and re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
@@ -1615,15 +2100,41 @@ class MallardEngine:
             f"{sql[:120]!r}"
         )
 
-    def _duck_expr(self, fragment: str):
-        """``F.expr`` with the DuckDB-dialect fallback (round 6) —
-        mutation fragments (UPDATE SET/WHERE, DELETE WHERE, MERGE
-        guards and values) accept the same dialect the query path
-        does, under the same fired-only policy: the translator runs
-        ONLY after Spark's parser rejects the fragment, so valid
-        Spark expressions can never change meaning."""
+    def _duck_expr(self, fragment: str, probe: DataFrame | None = None):
+        """``F.expr`` with the DuckDB-dialect fallback (round 6;
+        probe hardened round 8) — mutation fragments (UPDATE
+        SET/WHERE, DELETE WHERE, MERGE guards and values) accept the
+        same dialect the query path does, under the same fired-only
+        policy: the translator runs ONLY after Spark rejects the
+        fragment, so a valid Spark expression can never change
+        meaning. Two probes, mirroring the query path:
+
+        - a PARSE probe against the session parser, where only a
+          genuine ``ParseException`` fires the translator (a bare
+          ``except`` here would reroute every fragment through DuckDB
+          semantics on environments without ``_jsparkSession``, e.g.
+          Spark Connect — those fall through to the analysis probe
+          instead);
+        - an eager ANALYSIS probe against ``probe`` (the relation the
+          fragment will run against), so DuckDB-isms that PARSE as
+          Spark but fail analysis (``len(x)``, ``list_contains``)
+          still reach the translator — and the translated form is
+          only used when it itself analyzes against ``probe``.
+        """
         from pyspark.sql import functions as F
 
+        def _is_parse_error(e: Exception) -> bool:
+            try:
+                from pyspark.errors import ParseException
+
+                if isinstance(e, ParseException):
+                    return True
+            except ImportError:
+                pass
+            j = getattr(e, "java_exception", None)
+            return j is not None and "ParseException" in j.getClass().getName()
+
+        parse_ok: bool | None = None  # None: parser unavailable
         try:
             # F.expr defers parsing to plan build (Spark 4), so probe
             # the session parser EAGERLY — the only way to know the
@@ -1631,16 +2142,36 @@ class MallardEngine:
             self.spark._jsparkSession.sessionState().sqlParser().parseExpression(
                 fragment
             )
-            return F.expr(fragment)
-        except Exception:
-            from mallard_spark.dialect import translate_expression
+            parse_ok = True
+        except Exception as e:
+            parse_ok = False if _is_parse_error(e) else None
 
+        from mallard_spark.dialect import translate_expression
+
+        if parse_ok is False:
             t = translate_expression(fragment)
             if t != fragment:
                 return F.expr(t)
             # untranslatable: hand back the lazy column so Spark's
             # original parse error surfaces at plan build
             return F.expr(fragment)
+
+        if probe is not None:
+            try:
+                probe.select(F.expr(fragment))  # analyzes eagerly
+                return F.expr(fragment)
+            except Exception:
+                t = translate_expression(fragment)
+                if t != fragment:
+                    try:
+                        probe.select(F.expr(t))
+                        return F.expr(t)
+                    except Exception:
+                        pass
+                # keep Spark semantics: the original analysis error
+                # surfaces when the real plan builds
+                return F.expr(fragment)
+        return F.expr(fragment)
 
     def _dml_table(self, name: str) -> DataFrame:
         if name not in self._tables:
@@ -1660,16 +2191,14 @@ class MallardEngine:
         references resolve), the named conflict columns become the
         join keys, and the DO-clause becomes the WHEN MATCHED clause.
 
-        The key-less form (and INSERT OR REPLACE/IGNORE) refuses by
-        name: conflict detection without an explicit column list
-        needs a declared PRIMARY KEY/UNIQUE constraint, which this
-        catalog does not track (the reference's arrow-registered
-        tables carry none either). Note: since no constraint is
-        ENFORCED, proposed rows with duplicate NEW keys all insert —
-        DuckDB with a real PK would reject them (documented
-        divergence); duplicate conflicts against ONE target row error
-        via MERGE's multiple-match check, like DuckDB's "cannot
-        update the same row twice"."""
+        The key-less form resolves against the table's DECLARED keys
+        (CREATE TABLE ... PRIMARY KEY / put(keys=...)), the way DuckDB
+        resolves it against the PK; without declared keys it refuses
+        by name. Note: since no constraint is ENFORCED, proposed rows
+        with duplicate NEW keys all insert — DuckDB with a real PK
+        would reject them (documented divergence); duplicate conflicts
+        against ONE target row error via MERGE's multiple-match check,
+        like DuckDB's "cannot update the same row twice"."""
         from mallard_spark.dialect import _find_kw
 
         m = _INSERT_RE.match(head)
@@ -1687,19 +2216,26 @@ class MallardEngine:
                 f"unsupported ON CONFLICT clause (DO NOTHING / DO "
                 f"UPDATE SET ... [WHERE ...]): {tail[:120]!r}"
             )
-        if not tm.group("ccols"):
-            raise NotImplementedError(
-                "ON CONFLICT without a conflict-column list needs a "
-                "declared PRIMARY KEY/UNIQUE constraint, which this "
-                "catalog does not track — name the key columns: "
-                "ON CONFLICT (k) DO ..., or use MERGE INTO"
-            )
+        listed = tm.group("ccols")
+        if not listed:
+            # key-less form (round 8): resolved against the table's
+            # DECLARED keys, exactly how DuckDB resolves it against
+            # the PRIMARY KEY
+            declared = self._keys.get(name)
+            if not declared:
+                raise NotImplementedError(
+                    "ON CONFLICT without a conflict-column list needs "
+                    "declared key columns — create the table with a "
+                    "PRIMARY KEY or put(keys=[...]), name the columns "
+                    "(ON CONFLICT (k) DO ...), or use MERGE INTO"
+                )
+            listed = ", ".join(declared)
         tbl = self._dml_table(name)
         if name.lower() == "excluded":
             raise ValueError("ON CONFLICT: target cannot be named 'excluded'")
         by_lower = {c.lower(): c for c in tbl.columns}
         ccols = []
-        for c in tm.group("ccols").split(","):
+        for c in listed.split(","):
             r = by_lower.get(c.strip().strip("`").lower())
             if r is None:
                 raise ValueError(
@@ -1866,7 +2402,11 @@ class MallardEngine:
             # as no-WHERE would silently update EVERY row
             raise ValueError(f"UPDATE {name}: empty WHERE clause")
         where = where and self._rewrite_refs(where).rstrip("; \n\t ")
-        cond = self._duck_expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
+        cond = (
+            self._duck_expr(where, probe=tbl).eqNullSafe(F.lit(True))
+            if where
+            else F.lit(True)
+        )
         # SET column names resolve case-insensitively (SQL identifier
         # semantics on both engines — same rule as _dml_insert). Only
         # the RHS expressions get table-ref rewriting: a SET target
@@ -1887,7 +2427,9 @@ class MallardEngine:
                     f"UPDATE {name}: multiple assignments to column {resolved!r}"
                 )
             else:
-                updates[resolved] = self._duck_expr(self._rewrite_refs(expr.strip()))
+                updates[resolved] = self._duck_expr(
+                    self._rewrite_refs(expr.strip()), probe=tbl
+                )
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
         # ONE select: every SET expression (and the WHERE) sees the OLD
@@ -1919,7 +2461,7 @@ class MallardEngine:
             raise ValueError(f"DELETE FROM {name}: empty WHERE clause")
         where = self._rewrite_refs(where).rstrip("; \n\t ")
         # Keep rows where the condition is NOT TRUE (false or NULL).
-        keep = ~self._duck_expr(where).eqNullSafe(F.lit(True))
+        keep = ~self._duck_expr(where, probe=tbl).eqNullSafe(F.lit(True))
         self._write_back(name, tbl.filter(keep))
         return "OK"
 
@@ -1938,6 +2480,13 @@ class MallardEngine:
                 staged.write.mode("overwrite").saveAsTable(self._qualified(name))
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
+            if self._keys.get(name):
+                # overwrite drops table properties — re-pin the
+                # declared keys so a later session rediscovers them
+                self.spark.sql(
+                    f"ALTER TABLE {self._qualified(name)} SET TBLPROPERTIES "
+                    f"('mallard.keys' = '{','.join(self._keys[name])}')"
+                )
             self._tables[name] = self.spark.table(self._qualified(name))
         else:
             self.put(name, df)

@@ -336,11 +336,6 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
     )
     rw = engine._rewrite_refs  # namespace-qualify subquery spans only
 
-    def ex(fragment: str):
-        # ref-rewritten fragment through F.expr with the DuckDB-
-        # dialect fallback (same fired-only policy as the query path)
-        return engine._duck_expr(rw(fragment))
-
     fields = tgt.schema.fields
     t_by_lower = {f.name.lower(): f.name for f in fields}
     s_by_lower = {c.lower(): c for c in src.columns}
@@ -351,6 +346,15 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
         .alias(ta)
     )
     s_df = src.withColumn(_S_PRESENT, F.lit(True)).alias(sa)
+    # analysis-probe relation for _duck_expr: both aliases' columns in
+    # scope, exactly what every MERGE fragment resolves against (never
+    # executed — only analyzed)
+    probe = t_df.crossJoin(s_df)
+
+    def ex(fragment: str):
+        # ref-rewritten fragment through F.expr with the DuckDB-
+        # dialect fallback (same fired-only policy as the query path)
+        return engine._duck_expr(rw(fragment), probe=probe)
     joined = t_df.join(s_df, ex(cond), "full_outer")
 
     matched = (

@@ -428,6 +428,117 @@ def test_recursive_union_column_list_and_cap(eng5):
         spark.conf.unset("spark.mallard.recursiveMaxIterations")
 
 
+def test_recursive_union_preserves_user_temp_view(eng5):
+    """Round-8 fix (r6 ADVICE #1): the fixpoint resolves the CTE name
+    through a uniquified internal view — a pre-existing SAME-NAMED
+    temp view survives the query, and the CTE name is not left bound
+    to stale fixpoint rows afterwards."""
+    spark = eng5.spark
+    spark.sql("SELECT 99 AS n").createOrReplaceTempView("rt_keep")
+    try:
+        rows = eng5.sql(
+            "WITH RECURSIVE rt_keep AS (SELECT 1 AS n UNION "
+            "SELECT n + 1 FROM rt_keep WHERE n < 4) "
+            "SELECT CAST(sum(n) AS BIGINT) AS s FROM rt_keep"
+        ).collect()
+        assert rows[0][0] == 10
+        # (a) the user's view still answers with ITS data
+        assert [r.n for r in spark.table("rt_keep").collect()] == [99]
+    finally:
+        spark.catalog.dropTempView("rt_keep")
+    # (b) with NO pre-existing view, the name ends the query unbound
+    rows = eng5.sql(
+        "WITH RECURSIVE rt_gone AS (SELECT 1 AS n UNION "
+        "SELECT n + 1 FROM rt_gone WHERE n < 3) "
+        "SELECT CAST(count(*) AS BIGINT) AS c FROM rt_gone"
+    ).collect()
+    assert rows[0][0] == 3
+    assert not spark.catalog.tableExists("rt_gone")
+    # and no internal fixpoint views leak either
+    leaked = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__mallard_rec_")
+    ]
+    assert leaked == []
+
+
+def test_recursive_union_converges_at_exact_cap(eng5):
+    """Round-8 fix (r6 ADVICE #2): a recursion that converges in
+    EXACTLY recursiveMaxIterations rounds succeeds (the old loop only
+    checked emptiness at the top of the NEXT round, so the for/else
+    raised a spurious 'no fixpoint')."""
+    spark = eng5.spark
+    # f0={1}; rounds 1-4 add {2..5}; round 5 computes an empty
+    # frontier — convergence lands exactly on the cap
+    spark.conf.set("spark.mallard.recursiveMaxIterations", "5")
+    try:
+        rows = eng5.sql(
+            "WITH RECURSIVE t AS (SELECT 1 AS n UNION "
+            "SELECT n + 1 FROM t WHERE n < 5) "
+            "SELECT CAST(sum(n) AS BIGINT) AS s FROM t"
+        ).collect()
+        assert rows[0][0] == 15
+    finally:
+        spark.conf.unset("spark.mallard.recursiveMaxIterations")
+
+
+def test_recursive_union_with_helper_ctes(eng5):
+    """Round-8: non-recursive helper CTEs around the ONE recursive
+    CTE — leading helpers feed the recursion arms, trailing helpers
+    consume the fixpoint; DuckDB-value-checked. Mutual recursion keeps
+    the named refusal."""
+    # leading helper feeding base AND step
+    _both5(
+        eng5,
+        "WITH RECURSIVE seed AS (SELECT min(v) // 10 AS n FROM dw), "
+        "t AS (SELECT n FROM seed UNION SELECT n + 1 FROM t WHERE n < 4) "
+        "SELECT CAST(sum(n) AS BIGINT) AS s FROM t",
+    )
+    # trailing helper consuming the fixpoint
+    _both5(
+        eng5,
+        "WITH RECURSIVE t AS (SELECT 1 AS n UNION "
+        "SELECT n + 1 FROM t WHERE n < 4), "
+        "agg AS (SELECT CAST(sum(n) AS BIGINT) AS s, count(*) AS c FROM t) "
+        "SELECT s, c FROM agg",
+    )
+    # both sides at once
+    _both5(
+        eng5,
+        "WITH RECURSIVE lim AS (SELECT 3 AS top), "
+        "t AS (SELECT 1 AS n UNION "
+        "SELECT n + 1 FROM t, lim WHERE n < lim.top), "
+        "sq AS (SELECT n * n AS q FROM t) "
+        "SELECT CAST(sum(q) AS BIGINT) AS s FROM sq",
+    )
+    # two self-referencing CTEs (mutual recursion) — named refusal
+    import pytest as _p
+
+    with _p.raises(Exception, match="RECURSIVE|recursive"):
+        eng5.sql(
+            "WITH RECURSIVE a AS (SELECT 1 AS n UNION "
+            "SELECT n + 1 FROM a WHERE n < 3), "
+            "b AS (SELECT 1 AS m UNION SELECT m + 1 FROM b WHERE m < 3) "
+            "SELECT * FROM a, b"
+        ).collect()
+
+
+def test_recursive_union_rerun_keeps_first_result_live(eng5):
+    """Round-8 fix (r6 ADVICE #1, barrier half): materialize paths are
+    salted per invocation, so re-running the same recursive query
+    never overwrites parquet a previously returned lazy DataFrame
+    still scans."""
+    q = (
+        "WITH RECURSIVE t AS (SELECT 1 AS n UNION "
+        "SELECT n + 1 FROM t WHERE n < 4) SELECT n FROM t"
+    )
+    first = eng5.sql(q)  # keep lazy
+    second = eng5.sql(q)
+    assert sorted(r.n for r in second.collect()) == [1, 2, 3, 4]
+    # the first result's barrier files must still be intact
+    assert sorted(r.n for r in first.collect()) == [1, 2, 3, 4]
+
+
 def test_distinct_on_nested_in_subquery(eng5):
     _both5(
         eng5,
@@ -1105,16 +1216,75 @@ def test_read_csv_auto_headerless_and_delimiter(eng6, tmp_path):
     assert got == want == [(1, 2.5), (3, 4.5)]
 
 
-def test_read_csv_with_options_refused(eng6, tmp_path):
-    """Option-carrying read_csv calls belong to DuckDB's reader —
-    named refusal pointing at COPY FROM, never silently dropped
-    options."""
+def test_read_csv_options_schema_shaping(eng6, tmp_path):
+    """Round-8: the schema-shaping option set (delim/header/names/
+    columns/all_varchar/dateformat) forwards into DuckDB's own
+    sniffer, so option semantics are DuckDB's — value- and
+    type-checked against DuckDB reading with the identical call."""
+    p = tmp_path / "opt.csv"
+    p.write_text("1|x|05/01/2024\n2|y|06/02/2024\n")
+    q = (
+        f"SELECT * FROM read_csv_auto('{p}', delim='|', header=false, "
+        f"names=['k','s','d'], dateformat='%d/%m/%Y') ORDER BY k"
+    )
+    got = [tuple(r) for r in eng6.sql(q).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+    assert got == want
+    assert dict(eng6.sql(q).dtypes) == {"k": "bigint", "s": "string",
+                                        "d": "date"}
+    # full columns= override (names AND types, parameterized DECIMAL)
+    q2 = (
+        f"SELECT * FROM read_csv('{p}', delim='|', "
+        f"columns={{'k': 'INTEGER', 's': 'VARCHAR', 'd': 'VARCHAR'}}) "
+        f"ORDER BY k"
+    )
+    got = [tuple(r) for r in eng6.sql(q2).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q2).fetchall()]
+    assert got == want
+    assert dict(eng6.sql(q2).dtypes)["k"] == "int"
+    # all_varchar
+    q3 = f"SELECT * FROM read_csv_auto('{p}', delim='|', all_varchar=true)"
+    assert set(dict(eng6.sql(q3).dtypes).values()) == {"string"}
+
+
+def test_read_csv_options_parse_behavior(eng6, tmp_path):
+    """Round-8: nullstr → nullValue, ignore_errors → DROPMALFORMED,
+    quote — behavior-checked against DuckDB on the same files."""
+    p = tmp_path / "nul.csv"
+    p.write_text("k,s\n1,NA\n2,y\n")
+    q = f"SELECT * FROM read_csv_auto('{p}', nullstr='NA') ORDER BY k"
+    got = [tuple(r) for r in eng6.sql(q).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+    assert got == want == [(1, None), (2, "y")]
+    # ignore_errors drops the arity-mismatched row on both engines
+    p2 = tmp_path / "bad.csv"
+    p2.write_text("a,b\n1,2\nonlyone\n3,4\n")
+    q2 = f"SELECT * FROM read_csv_auto('{p2}', ignore_errors=true) ORDER BY a"
+    got = [tuple(r) for r in eng6.sql(q2).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q2).fetchall()]
+    assert got == want == [(1, 2), (3, 4)]
+    # a custom quote character carries to BOTH the sniff and the read
+    p3 = tmp_path / "qt.csv"
+    p3.write_text("a,b\n1,~x, y~\n2,plain\n")
+    q3 = f"SELECT * FROM read_csv_auto('{p3}', quote='~') ORDER BY a"
+    got = [tuple(r) for r in eng6.sql(q3).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q3).fetchall()]
+    assert got == want == [(1, "x, y"), (2, "plain")]
+
+
+def test_read_csv_unsupported_options_refuse_by_name(eng6, tmp_path):
+    """Options with no faithful Spark reader mapping refuse BY NAME
+    pointing at COPY FROM — never silently dropped."""
     import pytest as _p
 
     p = tmp_path / "o.csv"
     p.write_text("a,b\n1,2\n")
-    with _p.raises(NotImplementedError, match="COPY"):
-        eng6.sql(f"SELECT * FROM read_csv('{p}', header=false)")
+    with _p.raises(NotImplementedError, match="skip"):
+        eng6.sql(f"SELECT * FROM read_csv('{p}', skip=1)")
+    with _p.raises(NotImplementedError, match="decimal_separator"):
+        eng6.sql(
+            f"SELECT * FROM read_csv('{p}', decimal_separator=',')"
+        )
 
 
 def test_read_csv_auto_time_column_refused(eng6, tmp_path):

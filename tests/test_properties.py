@@ -85,7 +85,7 @@ def test_split_routing_is_total_and_stable(doc_id):
 @given(
     st.lists(
         st.text(
-            alphabet=st.characters(blacklist_characters=",()[]'\"`"),
+            alphabet=st.characters(blacklist_characters=",()[]{}'\"`"),
             min_size=1,
             max_size=12,
         ),
@@ -116,6 +116,12 @@ def test_split_top_level_respects_nesting_and_quotes():
     assert _split_top_level("a = array[1, 2], b = 'it''s, ok'") == [
         "a = array[1, 2]",
         " b = 'it''s, ok'",
+    ]
+    # round 8: struct/dict literals nest too (COLUMNS(['a','b']) and
+    # read_csv columns={'a': 'INT', 'b': 'TEXT'} arguments)
+    assert _split_top_level("columns={'a': 'INT', 'b': 'TEXT'}, x=1") == [
+        "columns={'a': 'INT', 'b': 'TEXT'}",
+        " x=1",
     ]
 
 
@@ -430,6 +436,11 @@ _INSERT_FRAGMENTS = st.sampled_from(
         "ON CONFLICT ", "(k) ", "DO NOTHING", "DO UPDATE SET v = excluded.v ",
         "WHERE t.v < excluded.v", "'ON CONFLICT in a literal' ",
         "-- ON CONFLICT in a comment\n", "(", ")", ",",
+        # round-8 (r6 ADVICE #4): CONFLICT as an ordinary identifier —
+        # a join predicate / select item must never trigger the upsert
+        # splitter
+        "JOIN y ON conflict = 1 ", "SELECT conflict FROM x ",
+        "ON conflict AND b.k = 2 ",
     ]
 )
 
@@ -439,7 +450,9 @@ _INSERT_FRAGMENTS = st.sampled_from(
 def test_split_on_conflict_total_and_masked(parts):
     """_split_on_conflict never crashes on fragment soup; when it
     splits, the tail genuinely starts with ON CONFLICT at code level
-    (join-ON, literals, and comments never split)."""
+    AND is followed by a conflict-column list or DO action (join-ON
+    over a column named conflict, literals, and comments never
+    split)."""
     from mallard_spark.engine import _split_on_conflict
 
     sql = "".join(parts)
@@ -449,7 +462,7 @@ def test_split_on_conflict_total_and_masked(parts):
     head, tail = out
     import re as _re
 
-    assert _re.match(r"(?i)^ON\s+CONFLICT\b", tail)
+    assert _re.match(r"(?i)^ON\s+CONFLICT\s*(\(|DO\b)", tail)
     assert sql.startswith(head)  # the split is a clean prefix cut
 
 
@@ -462,6 +475,21 @@ def test_split_on_conflict_skips_join_on_and_literals():
     assert _split_on_conflict(
         "INSERT INTO t VALUES ('ON CONFLICT (k) DO NOTHING')"
     ) is None
+    # round-8 (r6 ADVICE #4): an identifier named conflict in a join
+    # predicate is ordinary SQL — DuckDB executes it
+    assert _split_on_conflict(
+        "INSERT INTO t SELECT a FROM x JOIN y ON conflict = 1"
+    ) is None
+    assert _split_on_conflict(
+        "INSERT INTO t SELECT a FROM x JOIN y ON conflict"
+    ) is None
+    # ...but a real upsert clause after such a join still splits
+    head, tail = _split_on_conflict(
+        "INSERT INTO t SELECT a FROM x JOIN y ON conflict = 1 "
+        "ON CONFLICT (a) DO NOTHING"
+    )
+    assert tail.upper().startswith("ON CONFLICT (")
+    assert "ON conflict = 1" in head
     head, tail = _split_on_conflict(
         "INSERT INTO t SELECT a FROM x JOIN y ON x.k = y.k "
         "ON CONFLICT (a) DO NOTHING"

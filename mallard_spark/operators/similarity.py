@@ -2432,3 +2432,125 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND(CAST(min_q AS DOUBLE) / {DIMSTAT_Q}.0, 6)").alias("min_val"),
         F.expr(f"ROUND(CAST(max_q AS DOUBLE) / {DIMSTAT_Q}.0, 6)").alias("max_val"),
     ).orderBy("dim")
+
+
+RANGE_TAU = 0.25  # cosine threshold for the radius search demo
+
+
+@query(
+    "knn_range_search",
+    oracle=f"""
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+    WHERE p.vec_id < {N_PROBES}
+      AND round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[]), 6) >= {RANGE_TAU}
+    """,
+)
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (threshold) similarity search: ALL corpus vectors with
+    cosine ≥ τ of each probe — the service shape behind
+    find-everything-similar (dedup candidate pull, recall-oriented
+    retrieval), complementing top-k (reference parity: the vector
+    surface Mallard serves through DuckDB; demo.py:40-175 ticket
+    shape).
+
+    Shape at 100 TB: identical to knn_bruteforce — the bounded probe
+    set broadcasts, the corpus is scanned ONCE with the cosine and
+    the τ filter fused into the scan projection (whole-stage
+    codegen), and no window is needed at all: output is
+    filter-selected, not ranked, so the per-probe sort of top-k
+    disappears and the operator is a pure linear pass whose output
+    is τ-bounded. At scale the same τ filter composes with any
+    candidate generator (LSH buckets, IVF lists) unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), as_double("embedding").alias("vp")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("vc")
+    )
+    return (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine6(F.col("vp"), F.col("vc")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+    )
+
+
+PREFIX_DIMS = (8, 16, 32)  # matryoshka truncation points to audit
+
+
+@query(
+    "emb_prefix_fidelity",
+    oracle=f"""
+    WITH r AS (
+      SELECT d.d AS dim_prefix,
+             round(sqrt(list_dot_product(list_slice(v, 1, d.d),
+                                         list_slice(v, 1, d.d)))
+                   / sqrt(list_dot_product(v, v)), 6) AS retention
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+           UNNEST([{", ".join(str(d) for d in PREFIX_DIMS)}]) d(d)
+    )
+    SELECT CAST(dim_prefix AS INT) AS dim_prefix,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(retention AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS avg_retention,
+           MIN(retention) AS min_retention,
+           MAX(retention) AS max_retention
+    FROM r GROUP BY dim_prefix ORDER BY dim_prefix
+    """,
+)
+def emb_prefix_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality report: for each prefix length d,
+    how much of each vector's norm the first d dimensions retain —
+    cosine(v, zero-padded v[:d]) reduces to ‖v[:d]‖/‖v‖, so this IS
+    the cosine fidelity of serving truncated embeddings (the
+    dim-vs-cost knob MRL-style encoders expose). Low avg retention at
+    a truncation point means that index tier would silently lose
+    recall.
+
+    Determinism: per-row retention rounds at 6 dp (the cosine6
+    precedent — both engines' sequential double folds agree there),
+    the mean runs over exact DECIMAL(25,6) sums (emb_norm_stats
+    precedent), so the |dims|-row report is bit-identical at any
+    corpus size.
+
+    Shape at 100 TB: one corpus scan; the explode fans each row into
+    |PREFIX_DIMS| rows but the per-dim aggregate partial-combines
+    map-side, so the exchange carries ≤ |dims| rows per task —
+    dimension-bounded, not corpus-bounded (the emb_dim_stats shape).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = F.array(*[F.lit(d) for d in PREFIX_DIMS])
+    r = emb.select(
+        as_double("embedding").alias("v"),
+        F.explode(dims).alias("dim_prefix"),
+    ).select(
+        F.col("dim_prefix").cast("int").alias("dim_prefix"),
+        F.round(
+            F.sqrt(dot(F.slice("v", 1, F.col("dim_prefix")),
+                       F.slice("v", 1, F.col("dim_prefix"))))
+            / F.sqrt(dot(F.col("v"), F.col("v"))),
+            6,
+        ).alias("retention"),
+    )
+    return (
+        r.groupBy("dim_prefix")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.sum(F.col("retention").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_retention"),
+            F.min("retention").alias("min_retention"),
+            F.max("retention").alias("max_retention"),
+        )
+        .orderBy("dim_prefix")
+    )

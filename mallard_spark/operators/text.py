@@ -1378,3 +1378,49 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_ZIPF_SLOPE_SQL}, 6)").alias("zipf_slope"),
         F.expr(f"ROUND({_ZIPF_INTERCEPT_SQL}, 6)").alias("intercept"),
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, t.t AS token
+      FROM documents, UNNEST({TOKENS_SQL}) t(t)
+    ), cnt AS (
+      SELECT source, token, COUNT(*) AS c FROM w GROUP BY source, token
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS distinct_words,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS hapax_count,
+           round(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE) / COUNT(*), 6)
+             AS hapax_ratio
+    FROM cnt GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon ratio per source: the fraction of a source's
+    vocabulary occurring exactly once. A classic corpus-quality
+    signal — generated/spam text collapses the ratio (template
+    repetition), OCR/encoding damage inflates it (garbled one-off
+    "words"); tracking it per source flags which feeds drift.
+
+    Shape at 100 TB: explode → (source, token) count → per-source
+    fold. Both aggregates partial-combine map-side, so the first
+    exchange carries distinct (source, token) pairs (vocabulary-
+    not corpus-bounded) and the second |sources| rows. The division
+    is exact-integer → one correctly-rounded double op, identical on
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(F.expr(TOKENS_EXPR)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("source").agg(
+        F.count("*").cast("long").alias("distinct_words"),
+        F.count_if(F.col("c") == 1).cast("long").alias("hapax_count"),
+        F.round(
+            F.count_if(F.col("c") == 1).cast("double") / F.count("*"), 6
+        ).alias("hapax_ratio"),
+    )

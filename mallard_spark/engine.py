@@ -173,6 +173,7 @@ _SUMMARIZE_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?:(?P<byname>BY\s+NAME)\s+)?"
     r"(?P<rest>(?:VALUES|SELECT|WITH|TABLE|FROM)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -855,15 +856,18 @@ class MallardEngine:
                     "or list the columns explicitly."
                 ) from first_err
             if _code_level_search(r"(?i)\bread_csv(?:_auto)?\s*\(", out):
-                # the bare single-path form is handled by the sniffing
-                # resolver above — only calls carrying DuckDB reader
-                # OPTIONS reach here (they belong to DuckDB's reader
-                # and must not be silently dropped)
+                # single-literal-path calls — bare or with the mapped
+                # named options — are handled by the sniffing resolver
+                # above; only unresolvable call shapes reach here
+                # (non-literal/expression path, list-of-paths
+                # argument) and must not be silently dropped
                 raise NotImplementedError(
-                    "read_csv with reader options is not supported "
-                    "(the bare read_csv_auto('path') form is — the "
-                    "engine sniffs it); for option-controlled csv "
-                    "ingest use COPY <table> FROM 'path' (HEADER ...)"
+                    "this read_csv call shape is not supported (the "
+                    "engine sniffs read_csv_auto('path') with a "
+                    "single quoted path, plus named reader options — "
+                    "delim/header/quote/names/columns/types/nullstr/"
+                    "ignore_errors/...); for anything else use "
+                    "COPY <table> FROM 'path' (HEADER ...)"
                 ) from first_err
             if _code_level_search(r"(?i)\bPOSITIONAL\s+JOIN\b", out):
                 # DuckDB's POSITIONAL JOIN zips tables by physical row
@@ -2077,7 +2081,10 @@ class MallardEngine:
             return self._dml_insert_conflict(oc[0], oc[1])
         m = _INSERT_RE.match(sql)
         if m:
-            return self._dml_insert(m.group("name"), m.group("cols"), m.group("rest"))
+            return self._dml_insert(
+                m.group("name"), m.group("cols"), m.group("rest"),
+                by_name=bool(m.group("byname")),
+            )
         m = _UPDATE_RE.match(sql)
         if m:
             from mallard_spark.dialect import _find_kw
@@ -2205,6 +2212,7 @@ class MallardEngine:
         if m is None:
             raise ValueError(f"malformed INSERT ... ON CONFLICT: {head[:120]!r}")
         name, cols, src = m.group("name"), m.group("cols"), m.group("rest")
+        by_name = bool(m.group("byname"))
         tm = re.match(
             r"^\s*ON\s+CONFLICT\s*"
             r"(?:\(\s*(?P<ccols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?"
@@ -2257,7 +2265,7 @@ class MallardEngine:
                 f"WHEN MATCHED {f'AND {guard} ' if guard else ''}"
                 f"THEN UPDATE SET {sets}"
             )
-        aligned = self._insert_source_df(name, cols, src)
+        aligned = self._insert_source_df(name, cols, src, by_name=by_name)
         aligned.createOrReplaceTempView("__mallard_upsert_src")
         cond = " AND ".join(f"{name}.{c} = excluded.{c}" for c in ccols)
         from mallard_spark.merge_sql import execute_merge
@@ -2268,14 +2276,25 @@ class MallardEngine:
             f"ON {cond} {matched} WHEN NOT MATCHED THEN INSERT",
         )
 
-    def _dml_insert(self, name: str, cols: str | None, rest: str) -> str:
+    def _dml_insert(
+        self, name: str, cols: str | None, rest: str, by_name: bool = False
+    ) -> str:
         from pyspark.sql import functions as F
 
         rest = rest.rstrip("; \n\t ")
+        if by_name and cols:
+            raise ValueError(
+                f"INSERT INTO {name}: a column list cannot be combined "
+                f"with BY NAME (DuckDB rejects the combination)"
+            )
         if name in self._persistent:
             # Warehouse table: Spark's native INSERT INTO appends
             # without rewriting existing data — the scale path.
+            # (Spark supports BY NAME natively, incl. NULL-filling
+            # missing target columns — same semantics as DuckDB.)
             collist = f"({cols}) " if cols else ""
+            if by_name:
+                collist = "BY NAME "
             if self._macros:
                 rest = self._expand_macros(rest)  # same as the view path
             for t in self._tables:
@@ -2284,24 +2303,66 @@ class MallardEngine:
             self._tables[name] = self.spark.table(self._qualified(name))
             return "OK"
         tbl = self._dml_table(name)
-        aligned = self._insert_source_df(name, cols, rest)
+        aligned = self._insert_source_df(name, cols, rest, by_name=by_name)
         self._write_back(name, tbl.unionByName(aligned))
         return "OK"
 
-    def _insert_source_df(self, name: str, cols: str | None, rest: str) -> DataFrame:
+    def _insert_source_df(
+        self, name: str, cols: str | None, rest: str, by_name: bool = False
+    ) -> DataFrame:
         """The aligned proposed-rows relation for an INSERT-shaped
         source (VALUES / SELECT / WITH / TABLE / FROM): column list
         resolved case-insensitively, unlisted columns NULL-filled,
         everything cast to the target schema — shared by plain INSERT
-        and the ON CONFLICT upsert path."""
+        and the ON CONFLICT upsert path. ``by_name`` (DuckDB's
+        ``INSERT INTO t BY NAME select`` — round 8) maps the SOURCE's
+        column names onto the target instead of taking a column list:
+        unknown source columns error like DuckDB, missing target
+        columns NULL-fill."""
         from pyspark.sql import functions as F
 
         schema = self._dml_table(name).schema
         rest = rest.rstrip("; \n\t ")
+        if by_name and cols:
+            raise ValueError(
+                f"INSERT INTO {name}: a column list cannot be combined "
+                f"with BY NAME (DuckDB rejects the combination)"
+            )
+        if by_name and rest.upper().startswith("VALUES"):
+            raise ValueError(
+                f"INSERT INTO {name} BY NAME needs a SELECT source "
+                f"(VALUES rows carry no column names)"
+            )
         if rest.upper().startswith("VALUES"):
             new = self.spark.sql(f"SELECT * FROM ({rest})")
         else:
             new = self.sql(rest)  # SELECT/WITH/TABLE form, refs rewritten
+        if by_name:
+            by_lower = {f.name.lower(): f.name for f in schema.fields}
+            unknown = [c for c in new.columns if c.lower() not in by_lower]
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {name} BY NAME: table has no columns "
+                    f"{unknown}"
+                )
+            src_by_lower = {c.lower(): c for c in new.columns}
+            if len(src_by_lower) != len(new.columns):
+                raise ValueError(
+                    f"INSERT INTO {name} BY NAME: duplicate source "
+                    f"column names in {new.columns}"
+                )
+            return new.select(
+                *[
+                    (
+                        F.col(src_by_lower[f.name.lower()])
+                        if f.name.lower() in src_by_lower
+                        else F.lit(None)
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         if cols:
             names = [c.strip().strip("`") for c in cols.split(",")]
             if len(names) != len(new.columns):

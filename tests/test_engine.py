@@ -1520,6 +1520,54 @@ def test_declared_key_upserts_match_duckdb(engines):
         )
 
 
+def test_insert_by_name_matches_duckdb(engines):
+    """Round-8: DuckDB's INSERT INTO t BY NAME select — source column
+    NAMES map onto the target (case-insensitive), missing target
+    columns NULL-fill, unknown source columns error; composes with
+    ON CONFLICT. State parity with DuckDB executing the identical
+    statements."""
+    import duckdb
+
+    eng1, _ = engines
+    con = duckdb.connect()
+    eng1.put("bn_t", pa.table({"a": [0], "b": ["z"], "c": [0.5]}))
+    con.execute(
+        "CREATE TABLE bn_t AS SELECT 0 AS a, 'z' AS b, CAST(0.5 AS DOUBLE) AS c"
+    )
+    for stmt in [
+        "INSERT INTO bn_t BY NAME SELECT 'x' AS b, 1 AS a, 1.5 AS c",
+        "INSERT INTO bn_t BY NAME SELECT 2 AS a",  # missing cols NULL
+        "INSERT INTO bn_t BY NAME SELECT 'Y' AS B, 3 AS A",  # case-insensitive
+    ]:
+        eng1.dml(stmt)
+        con.execute(stmt)
+        got = sorted(map(repr, (tuple(r) for r in eng1.table("bn_t").collect())))
+        want = sorted(map(repr, map(tuple, con.execute("SELECT * FROM bn_t").fetchall())))
+        assert got == want, stmt
+    # unknown source column errors on both engines
+    for run in (eng1.dml, con.execute):
+        with pytest.raises(Exception):
+            run("INSERT INTO bn_t BY NAME SELECT 1 AS nope")
+    # composes with the upsert path
+    ddl = "CREATE TABLE bn_pk (k INTEGER PRIMARY KEY, v INTEGER)"
+    eng1.ddl(ddl); con.execute(ddl)
+    for stmt in [
+        "INSERT INTO bn_pk BY NAME SELECT 1 AS k, 10 AS v",
+        "INSERT INTO bn_pk BY NAME SELECT 99 AS v, 1 AS k "
+        "ON CONFLICT (k) DO UPDATE SET v = excluded.v",
+        "INSERT OR IGNORE INTO bn_pk BY NAME SELECT 1 AS k, 7 AS v",
+    ]:
+        eng1.dml(stmt)
+        con.execute(stmt)
+        got = sorted(tuple(r) for r in eng1.table("bn_pk").collect())
+        want = sorted(map(tuple, con.execute("SELECT * FROM bn_pk").fetchall()))
+        assert got == want, stmt
+    # VALUES has no column names — both engines refuse
+    for run in (eng1.dml, con.execute):
+        with pytest.raises(Exception):
+            run("INSERT INTO bn_t BY NAME VALUES (1, 'q', 0.1)")
+
+
 def test_put_keys_persist_across_sessions(spark):
     """Round-8: put(keys=...) records declared keys; on persisted
     tables they ride a table property and a NEW engine instance

@@ -1668,8 +1668,12 @@ _FILE_REF_RE = re.compile(
     r"(?:'(?P<path>[^']+)'"
     r"|read_parquet\s*\(\s*'(?P<pq>[^']+)'\s*\)"
     r"|read_json(?:_auto)?\s*\(\s*'(?P<js>[^']+)'\s*\)"
+    # csvargs: quoted strings are opaque atoms (so a ')' or '(' inside
+    # an option value like quote='(' never derails the match), plus
+    # one paren-nesting level whose body may itself contain quoted
+    # strings (types={'a': 'DECIMAL(10,2)'})
     r"|read_csv(?:_auto)?\s*\(\s*'(?P<csv>[^']+)'\s*"
-    r"(?P<csvargs>[^()]*(?:\([^()]*\)[^()]*)*)\))",
+    r"(?P<csvargs>(?:'[^']*'|\((?:'[^']*'|[^()'])*\)|[^()'])*)\))",
     re.IGNORECASE,
 )
 

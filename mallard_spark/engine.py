@@ -303,6 +303,9 @@ class MallardEngine:
         # INSERT OR REPLACE, INSERT OR IGNORE all lower onto MERGE
         # using these columns.
         self._keys: dict[str, list[str]] = {}
+        # salts of past recursive-fixpoint runs (oldest first) — their
+        # parquet barrier dirs are GC'd beyond recursiveKeepRuns
+        self._rec_salts: list[str] = []
         # name → (params [(name, default|None)], body, is_table)
         self._macros: dict[str, tuple[list, str, bool]] = {}
         self._csv_views: dict[tuple, str] = {}  # sniffed csv (path, stat)
@@ -350,6 +353,7 @@ class MallardEngine:
         persist: bool = False,
         count: bool = False,
         keys: list[str] | None = None,
+        _keep_keys: bool = False,
     ) -> int | None:
         """PUT: register arrow Table / pandas / Spark DataFrame as ``name``.
 
@@ -367,6 +371,15 @@ class MallardEngine:
         to power key-less ``ON CONFLICT`` / ``INSERT OR REPLACE`` /
         ``INSERT OR IGNORE`` lowering. Uniqueness is NOT enforced on
         plain INSERT (documented divergence).
+
+        A PUT (or CREATE [OR REPLACE] TABLE routing through here)
+        REPLACES the table definition, so without ``keys`` any prior
+        declaration is dropped — DuckDB's replaced table has no PK
+        either, and retaining one would make a later INSERT OR
+        REPLACE silently upsert where the reference errors. DML
+        write-backs are the one caller that must NOT drop the
+        declaration (they re-register the same logical table); they
+        pass ``_keep_keys=True``.
         """
         df = self._to_df(data)
         if keys is not None:
@@ -378,6 +391,8 @@ class MallardEngine:
                     f"{df.columns}"
                 )
             keys = [by_lower[k.lower()] for k in keys]
+        if _keep_keys and keys is None:
+            keys = self._keys.get(name)
         if persist:
             df.write.mode("overwrite").saveAsTable(self._qualified(name))
             if keys:
@@ -393,14 +408,8 @@ class MallardEngine:
         self._views.discard(name)  # PUT over a view name makes it a table
         if keys:
             self._keys[name] = keys
-        elif name in self._keys:
-            # re-PUT without keys: prior declaration survives while
-            # every key column still exists in the new schema (DML
-            # write-backs re-register through here), and is dropped
-            # when the replacement schema no longer carries them
-            lower = {c.lower() for c in df.columns}
-            if not all(k.lower() in lower for k in self._keys[name]):
-                self._keys.pop(name)
+        else:
+            self._keys.pop(name, None)  # replaced definition: no PK
         return df.count() if count else None
 
     def row_count(self, name: str) -> int:
@@ -1051,6 +1060,30 @@ class MallardEngine:
         import uuid
 
         salt = uuid.uuid4().hex[:12]
+        # bounded retention (round-8 review): the salted barrier dirs
+        # of runs older than the last recursiveKeepRuns invocations
+        # are garbage-collected — unbounded salting would leak a
+        # parquet dir per frontier per run on a long-lived engine.
+        # Lazy DataFrames returned MORE than keepRuns recursive
+        # invocations ago must be consumed (or re-materialized) by
+        # then; the most recent keepRuns results stay live.
+        self._rec_salts.append(salt)
+        keep = int(self.spark.conf.get("spark.mallard.recursiveKeepRuns", "4"))
+        while len(self._rec_salts) > max(keep, 1):
+            old = self._rec_salts.pop(0)
+            try:
+                from mallard_spark.functions.exec import materialize_base
+
+                base = materialize_base(self.spark).rstrip("/")
+                jvm = self.spark._jvm
+                pattern = jvm.org.apache.hadoop.fs.Path(f"{base}/rec_{old}_*")
+                fs = pattern.getFileSystem(self.spark._jsc.hadoopConfiguration())
+                for st in fs.globStatus(pattern) or []:
+                    fs.delete(st.getPath(), True)
+            except Exception:  # pragma: no cover - best-effort GC
+                # Connect / exotic FS: the dirs stay (the prior leak
+                # behavior) — never a wrong result
+                pass
         iview = f"__mallard_rec_{salt}"
         step_sql = _replace_table_ref(step_sql, name, iview)
         outer = _replace_table_ref(outer, name, iview)
@@ -1315,6 +1348,7 @@ class MallardEngine:
                 "(use CREATE OR REPLACE TABLE)"
             )
         fields: list[str] = []
+        colnames: list[str] = []
         keys: list[str] = []
         for item in _split_top_level(m.group("defs")):
             item = " ".join(item.split())
@@ -1381,18 +1415,26 @@ class MallardEngine:
             if re.search(r"\b(PRIMARY\s+KEY|UNIQUE)\b", mods):
                 keys.append(col)
             fields.append(f"`{col}` {stype}")
+            colnames.append(col)
         if not fields:
             raise ValueError(f"CREATE TABLE {name}: no columns declared")
-        # dedupe declared keys, preserving order
-        seen: set[str] = set()
-        keys = [k for k in keys if not (k in seen or seen.add(k))]
-        unknown = [k for k in keys if f"`{k}`" not in
-                   {f.split(" ")[0] for f in fields}]
+        # resolve declared keys against the declared columns the way
+        # SQL identifiers resolve — case-insensitively (PRIMARY KEY
+        # (ID) binds to column id, as DuckDB does) — then dedupe
+        # preserving order
+        declared_by_lower = {c.lower(): c for c in colnames}
+        unknown = [k for k in keys if k.lower() not in declared_by_lower]
         if unknown:
             raise ValueError(
                 f"CREATE TABLE {name}: key columns {unknown} are not "
                 f"declared columns"
             )
+        seen: set[str] = set()
+        keys = [
+            declared_by_lower[k.lower()]
+            for k in keys
+            if not (k.lower() in seen or seen.add(k.lower()))
+        ]
         empty = self.spark.createDataFrame([], ", ".join(fields))
         self.put(name, empty, persist=self.ddl_persist, keys=keys or None)
         return "OK"
@@ -1536,7 +1578,17 @@ class MallardEngine:
                 )
             fields = []
             for c in cols:
-                t = _DUCK_CSV_TYPES.get(str(c["type"]).upper())
+                tname = str(c["type"]).upper()
+                t = _DUCK_CSV_TYPES.get(tname)
+                if t is None:
+                    # user-provided columns={'x': 'DECIMAL(10,2)'}
+                    # sniffs back parameterized — map it faithfully
+                    dm = re.fullmatch(
+                        r"(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+                        tname,
+                    )
+                    if dm:
+                        t = f"decimal({dm.group(1)},{dm.group(2)})"
                 if t is None:
                     raise NotImplementedError(
                         f"read_csv_auto('{path}'): sniffed column "
@@ -2051,6 +2103,7 @@ class MallardEngine:
                     f"malformed INSERT OR {mode}: {sql[:120]!r}"
                 )
             name = im.group("name")
+            self._dml_table(name)  # unknown table → the standard error
             keys = self._keys.get(name)
             if not keys:
                 raise NotImplementedError(
@@ -2165,13 +2218,18 @@ class MallardEngine:
 
         if probe is not None:
             try:
-                probe.select(F.expr(fragment))  # analyzes eagerly
+                # .columns FORCES analysis: classic Spark analyzes at
+                # Dataset construction, but Spark Connect builds plans
+                # lazily — without the schema access the probe would
+                # never raise there and the translator would never
+                # fire (the exact environment the probe exists for)
+                probe.select(F.expr(fragment)).columns
                 return F.expr(fragment)
             except Exception:
                 t = translate_expression(fragment)
                 if t != fragment:
                     try:
-                        probe.select(F.expr(t))
+                        probe.select(F.expr(t)).columns
                         return F.expr(t)
                     except Exception:
                         pass
@@ -2229,6 +2287,7 @@ class MallardEngine:
             # key-less form (round 8): resolved against the table's
             # DECLARED keys, exactly how DuckDB resolves it against
             # the PRIMARY KEY
+            self._dml_table(name)  # unknown table → the standard error
             declared = self._keys.get(name)
             if not declared:
                 raise NotImplementedError(
@@ -2286,6 +2345,13 @@ class MallardEngine:
             raise ValueError(
                 f"INSERT INTO {name}: a column list cannot be combined "
                 f"with BY NAME (DuckDB rejects the combination)"
+            )
+        if by_name and rest.upper().startswith("VALUES"):
+            # checked BEFORE the warehouse branch so the persistent
+            # path gets this named error too, not a raw Spark one
+            raise ValueError(
+                f"INSERT INTO {name} BY NAME needs a SELECT source "
+                f"(VALUES rows carry no column names)"
             )
         if name in self._persistent:
             # Warehouse table: Spark's native INSERT INTO appends
@@ -2550,7 +2616,10 @@ class MallardEngine:
                 )
             self._tables[name] = self.spark.table(self._qualified(name))
         else:
-            self.put(name, df)
+            # a write-back re-registers the SAME logical table — the
+            # declared keys must survive (put() without _keep_keys
+            # treats a PUT as a replacement and drops them)
+            self.put(name, df, _keep_keys=True)
 
     # -- TRANSFER -----------------------------------------------------
     def transfer(

@@ -523,6 +523,40 @@ def test_recursive_union_with_helper_ctes(eng5):
         ).collect()
 
 
+def test_recursive_barrier_dirs_garbage_collected(eng5):
+    """Round-8 review: salted fixpoint barrier dirs are GC'd beyond
+    spark.mallard.recursiveKeepRuns — a long-lived engine must not
+    leak a parquet dir per frontier per run. Tracks THIS engine's
+    salts only (the materialize base is shared across engines)."""
+    import glob
+    import os
+
+    from mallard_spark.functions.exec import materialize_base
+
+    spark = eng5.spark
+    base = materialize_base(spark)
+    spark.conf.set("spark.mallard.recursiveKeepRuns", "2")
+    try:
+        q = ("WITH RECURSIVE t AS (SELECT 1 AS n UNION "
+             "SELECT n + 1 FROM t WHERE n < 3) SELECT n FROM t")
+        seen = set(eng5._rec_salts)
+        for _ in range(4):
+            eng5.sql(q).collect()
+            seen |= set(eng5._rec_salts)
+        live = set(eng5._rec_salts)
+        assert len(live) <= 2
+        evicted = seen - live
+        assert evicted  # the loop must actually have evicted runs
+        for s in live:  # retained runs' dirs exist...
+            assert glob.glob(os.path.join(base, f"rec_{s}_*")), s
+        for s in evicted:  # ...evicted runs' dirs are deleted
+            assert not glob.glob(os.path.join(base, f"rec_{s}_*")), s
+        # and the engine still answers correctly after GC
+        assert sorted(r.n for r in eng5.sql(q).collect()) == [1, 2, 3]
+    finally:
+        spark.conf.unset("spark.mallard.recursiveKeepRuns")
+
+
 def test_recursive_union_rerun_keeps_first_result_live(eng5):
     """Round-8 fix (r6 ADVICE #1, barrier half): materialize paths are
     salted per invocation, so re-running the same recursive query
@@ -1270,6 +1304,25 @@ def test_read_csv_options_parse_behavior(eng6, tmp_path):
     got = [tuple(r) for r in eng6.sql(q3).collect()]
     want = [tuple(r) for r in duckdb.connect().execute(q3).fetchall()]
     assert got == want == [(1, "x, y"), (2, "plain")]
+
+
+def test_read_csv_option_values_with_parens(eng6, tmp_path):
+    """Round-8 review: a '(' or ')' INSIDE a quoted option value must
+    not derail the csvargs match — quoted strings are opaque atoms."""
+    p = tmp_path / "par.csv"
+    p.write_text("a,b\n1,(x\n2,y)\n")
+    q = f"SELECT * FROM read_csv_auto('{p}', nullstr='(x') ORDER BY a"
+    got = [tuple(r) for r in eng6.sql(q).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+    assert got == want == [(1, None), (2, "y)")]
+    # parameterized types inside columns= still parse (paren nesting)
+    q2 = (
+        f"SELECT * FROM read_csv('{p}', header=true, "
+        f"columns={{'a': 'DECIMAL(10,2)', 'b': 'VARCHAR'}}) ORDER BY a"
+    )
+    got = [tuple(r) for r in eng6.sql(q2).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q2).fetchall()]
+    assert got == want
 
 
 def test_read_csv_unsupported_options_refuse_by_name(eng6, tmp_path):

@@ -1568,6 +1568,58 @@ def test_insert_by_name_matches_duckdb(engines):
             run("INSERT INTO bn_t BY NAME VALUES (1, 'q', 0.1)")
 
 
+def test_replace_table_drops_declared_keys(engines):
+    """Round-8 review: CREATE OR REPLACE TABLE (and any plain re-PUT)
+    REPLACES the definition — the old PRIMARY KEY must not survive,
+    or INSERT OR REPLACE would silently upsert where DuckDB errors.
+    DML write-backs keep the declaration (same logical table)."""
+    eng1, _ = engines
+    eng1.ddl("CREATE TABLE rk (k INTEGER PRIMARY KEY, v INTEGER)")
+    eng1.dml("INSERT OR REPLACE INTO rk VALUES (1, 10)")
+    # DML write-backs retain the declaration
+    eng1.dml("UPDATE rk SET v = 11 WHERE k = 1")
+    eng1.dml("INSERT OR REPLACE INTO rk VALUES (1, 12)")
+    assert [(r.k, r.v) for r in eng1.table("rk").collect()] == [(1, 12)]
+    # replacement WITHOUT a key drops it — upserts now refuse
+    eng1.ddl("CREATE OR REPLACE TABLE rk (k INTEGER, v INTEGER)")
+    with pytest.raises(NotImplementedError, match="declared key"):
+        eng1.dml("INSERT OR REPLACE INTO rk VALUES (1, 99)")
+    # CTAS replacement drops it too
+    eng1.ddl("CREATE TABLE rk2 (k INTEGER PRIMARY KEY, v INTEGER)")
+    eng1.put("rk2", pa.table({"k": [1], "v": [1]}))
+    with pytest.raises(NotImplementedError, match="declared key"):
+        eng1.dml("INSERT OR IGNORE INTO rk2 VALUES (1, 2)")
+    # unknown target table reports the standard unknown-table error,
+    # not a missing-PRIMARY-KEY message
+    with pytest.raises(KeyError, match="unknown table"):
+        eng1.dml("INSERT OR REPLACE INTO rk_nope VALUES (1, 1)")
+    with pytest.raises(KeyError, match="unknown table"):
+        eng1.dml("INSERT INTO rk_nope VALUES (1) ON CONFLICT DO NOTHING")
+
+
+def test_create_table_key_case_insensitive(engines):
+    """Round-8 review: PRIMARY KEY (ID) resolves against column id the
+    way SQL identifiers do — DuckDB accepts this DDL."""
+    eng1, _ = engines
+    eng1.ddl("CREATE TABLE ck (id INTEGER, v INTEGER, PRIMARY KEY (ID))")
+    assert eng1._keys["ck"] == ["id"]
+    eng1.dml("INSERT OR REPLACE INTO ck VALUES (1, 5)")
+    eng1.dml("INSERT OR REPLACE INTO ck VALUES (1, 7)")
+    assert [(r.id, r.v) for r in eng1.table("ck").collect()] == [(1, 7)]
+
+
+def test_by_name_values_named_error_on_persistent(spark):
+    """Round-8 review: BY NAME VALUES refuses with the NAMED error on
+    the warehouse path too, not a raw Spark parse error."""
+    eng = MallardEngine(spark, "t_bnp")
+    try:
+        eng.put("p", pa.table({"a": [1]}), persist=True)
+        with pytest.raises(ValueError, match="SELECT source"):
+            eng.dml("INSERT INTO p BY NAME VALUES (2)")
+    finally:
+        eng.drop("p")
+
+
 def test_put_keys_persist_across_sessions(spark):
     """Round-8: put(keys=...) records declared keys; on persisted
     tables they ride a table property and a NEW engine instance

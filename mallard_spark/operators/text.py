@@ -1424,3 +1424,105 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c") == 1).cast("double") / F.count("*"), 6
         ).alias("hapax_ratio"),
     )
+
+
+# the same character class, written once per engine's string-literal
+# escape rules: Spark SQL literals consume one backslash level before
+# the Java regex compiler sees the pattern; DuckDB passes the literal
+# to RE2 verbatim
+CODE_SYMBOLS_SPARK = r"[{}();=\\[\\]<>]"
+CODE_SYMBOLS_DUCK = r"[{}();=\[\]<>]"
+CODE_KEYWORDS = (
+    "('def','class','return','import','function','var','const',"
+    "'if','else','for','while','int','void','public','static')"
+)
+
+
+@query(
+    "text_code_detect",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{CODE_SYMBOLS_DUCK}')) AS BIGINT)
+             AS n_symbols,
+           CAST(len(list_filter({TOKENS_SQL}, t -> t IN {CODE_KEYWORDS}))
+                AS BIGINT) AS n_keywords,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE round(
+                  (3.0 * len(regexp_extract_all(text, '{CODE_SYMBOLS_DUCK}'))
+                   + 5.0 * len(list_filter({TOKENS_SQL},
+                                           t -> t IN {CODE_KEYWORDS})))
+                  / length(text), 6) END AS code_score
+    FROM documents
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic per document: code-symbol density
+    (braces/brackets/semicolons/assignment) plus code-keyword token
+    hits, combined into one score — the filter a pretraining mix uses
+    to route documents to a code pipeline (or exclude them from a
+    prose-quality model). Pure per-row codegen expressions — one
+    scan, zero shuffles, zero Python; the score arithmetic is
+    exact-integer counts through one rounded division, identical on
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sym = F.size(F.expr(f"regexp_extract_all(text, '{CODE_SYMBOLS_SPARK}', 0)"))
+    kw = F.size(F.expr(
+        f"filter({TOKENS_EXPR}, t -> t IN {CODE_KEYWORDS})"
+    ))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        sym.cast("long").alias("n_symbols"),
+        kw.cast("long").alias("n_keywords"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(
+            F.round((3.0 * sym + 5.0 * kw) / F.length("text"), 6)
+        )
+        .alias("code_score"),
+    )
+
+
+@query(
+    "text_encoding_report",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (text LIKE '%' || chr(65533) || '%')
+                AS BIGINT) AS docs_with_replacement,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f]'))) AS BIGINT)
+             AS control_chars,
+           round(CAST(SUM(len(regexp_extract_all(text, '[^\x00-\x7f]')))
+                      AS DOUBLE)
+                 / greatest(SUM(length(text)), 1), 6) AS non_ascii_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def text_encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage report per source: U+FFFD replacement-character
+    documents (the signature of decode-with-wrong-charset), control
+    characters, and the non-ASCII character ratio — the triage that
+    catches a feed whose upstream changed charset before the mojibake
+    poisons tokenizer training. Integer counts partial-combine
+    map-side (|sources| rows shuffle); the ratio is one division of
+    exact integer sums, identical on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ctrl = F.size(F.expr(
+        r"regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', 0)"
+    ))
+    non_ascii = F.size(F.expr(r"regexp_extract_all(text, '[^\\x00-\\x7f]', 0)"))
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("text").contains(chr(65533)))
+        .cast("long")
+        .alias("docs_with_replacement"),
+        F.sum(ctrl).cast("long").alias("control_chars"),
+        F.round(
+            F.sum(non_ascii).cast("double")
+            / F.greatest(F.sum(F.length("text")), F.lit(1)),
+            6,
+        ).alias("non_ascii_ratio"),
+    )

@@ -679,6 +679,26 @@ class MallardEngine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.list_tables()], "name string"
             )
+        sm2 = re.match(
+            # DuckDB session-tuning SET/RESET (SET threads = 8,
+            # SET memory_limit TO '2GB', RESET threads): the reference
+            # applies them via DuckDB; on Spark they are the same
+            # logged no-ops as the tuning PRAGMAs. Intercepted BEFORE
+            # vanilla execution because Spark's own SET would
+            # otherwise silently store a meaningless conf key.
+            # Dotted Spark confs (SET spark.sql.x = y) and unknown
+            # names fall through to Spark's native SET untouched.
+            r"^\s*(?:SET|RESET)\s+(?:SESSION\s+|GLOBAL\s+)?"
+            r"(?P<name>[A-Za-z_]\w*)\s*(?:(?:=|\bTO\b)\s*\S.*)?;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if sm2 and sm2.group("name").lower() in _TUNING_PRAGMAS:
+            logging.getLogger(__name__).info(
+                "SET/RESET %s ignored: engine-tuning setting has no "
+                "effect on a Spark session (use Spark confs)",
+                sm2.group("name"),
+            )
+            return self.spark.createDataFrame([("OK",)], "status string")
         pm = _PIVOT_RE.match(sql)
         if pm:
             return self._pivot_statement(pm)

@@ -1520,6 +1520,31 @@ def test_declared_key_upserts_match_duckdb(engines):
         )
 
 
+def test_set_tuning_settings_logged_noop(engines):
+    """Round-8: DuckDB session-tuning SET/RESET (threads, memory_limit
+    ...) succeed as logged no-ops — the reference applies them via
+    DuckDB; Spark's native SET would silently store a meaningless
+    conf. Spark confs and unknown names still pass through natively."""
+    eng1, _ = engines
+    spark = eng1.spark
+    for stmt in ["SET threads = 8", "SET memory_limit TO '2GB'",
+                 "RESET threads", "SET enable_progress_bar = true"]:
+        assert [tuple(r) for r in eng1.execute(stmt).collect()] == [("OK",)]
+    assert spark.conf.get("threads", None) is None
+    # a setup script with a tuning prelude runs end-to-end
+    eng1.put("st_t", pa.table({"a": [7]}))
+    assert eng1.execute(
+        "SET threads=4; SELECT a FROM st_t"
+    ).collect()[0][0] == 7
+    # real Spark confs pass through to Spark's own SET
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        eng1.execute("SET spark.sql.shuffle.partitions = 7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def test_insert_by_name_matches_duckdb(engines):
     """Round-8: DuckDB's INSERT INTO t BY NAME select — source column
     NAMES map onto the target (case-insensitive), missing target

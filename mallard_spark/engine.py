@@ -994,20 +994,49 @@ class MallardEngine:
             return None
 
         self_refs = [i for i, (n, _c, b) in enumerate(ctes) if _refs(b, n)]
-        if len(self_refs) != 1:
-            return None  # mutual / zero recursion — unsupported shape
-        ri = self_refs[0]
-        name, rcols, body = ctes[ri]
-        if name in self._tables:
+        if not self_refs:
+            return None  # nothing self-referencing — not our shape
+        rec_names = {ctes[i][0] for i in self_refs}
+        # TRUE mutual/chained recursion (one recursive CTE reading
+        # ANOTHER recursive CTE) keeps the refusal: DuckDB evaluates
+        # those with LOCKSTEP working tables — each round of every
+        # member sees the other members' FRONTIERS, which a sequential
+        # per-CTE fixpoint cannot reproduce. Multiple INDEPENDENT
+        # recursive CTEs (round 8) run as sequential fixpoints.
+        for i in self_refs:
+            n_i, _c, b_i = ctes[i]
+            if any(_refs(b_i, m) for m in rec_names if m != n_i):
+                return None
+        # no forward references: every CTE may only read EARLIER CTEs
+        # (or itself when recursive) — a later name would silently
+        # resolve to an engine table of the same name in the arms
+        for idx in range(len(ctes)):
+            later = [ctes[j][0] for j in range(idx + 1, len(ctes))]
+            if any(_refs(ctes[idx][2], m) for m in later):
+                return None
+        if any(n in self._tables for n in rec_names):
             return None  # table refs were already rewritten under it
-        lead, trail = ctes[:ri], ctes[ri + 1 :]
-        if any(_refs(b, name) for _n, _c, b in lead):
-            return None  # forward reference into the recursion — mutual
-        if any(_refs(body, n) for n, _c, _b in trail):
-            # the recursion reads a LATER cte: out of scope for the
-            # arms (and it must not silently resolve to an engine
-            # table of the same name)
-            return None
+
+        def _split_union(body: str) -> int | None:
+            """Offset of the ONE deduplicating UNION — None otherwise."""
+            cuts = []
+            p = 0
+            while True:
+                k = _find_kw(body, "UNION", at_depth=0, start=p)
+                if k < 0:
+                    break
+                p = k + 1
+                rest = body[k + 5 :].lstrip()
+                if rest[:3].upper() == "ALL" and (
+                    len(rest) == 3 or not (rest[3].isalnum() or rest[3] == "_")
+                ):
+                    continue  # UNION ALL — part of an arm, not the split
+                cuts.append(k)
+            return cuts[0] if len(cuts) == 1 else None
+
+        splits = {i: _split_union(ctes[i][2]) for i in self_refs}
+        if any(c is None for c in splits.values()):
+            return None  # several dedup UNIONs in one body — unsupported
 
         def _render(items) -> str:
             return ", ".join(
@@ -1015,61 +1044,18 @@ class MallardEngine:
                 for n, c, b in items
             )
 
-        # leading helpers are in scope for BOTH recursion arms;
-        # all helpers stay in scope for the outer query
-        arm_prefix = f"WITH {_render(lead)} " if lead else ""
-        if lead or trail:
-            outer = f"WITH {_render(lead + trail)} {outer}"
-        cuts = []
-        p = 0
-        while True:
-            k = _find_kw(body, "UNION", at_depth=0, start=p)
-            if k < 0:
-                break
-            p = k + 1
-            rest = body[k + 5 :].lstrip()
-            if rest[:3].upper() == "ALL" and (
-                len(rest) == 3 or not (rest[3].isalnum() or rest[3] == "_")
-            ):
-                continue  # UNION ALL — part of an arm, not the split
-            cuts.append(k)
-        if len(cuts) != 1:
-            return None
-        base_sql = arm_prefix + body[: cuts[0]]
-        step_sql = arm_prefix + body[cuts[0] + 5 :]
-
-        base_df = self.spark.sql(base_sql)
-        if rcols:
-            cols = [c.strip().strip('`"') for c in rcols.split(",")]
-            if len(cols) != len(base_df.columns):
-                return None
-            base_df = base_df.toDF(*cols)
-        schema = base_df.schema
-
-        def align(df: DataFrame) -> DataFrame:
-            if len(df.columns) != len(schema.fields):
-                raise ValueError(
-                    f"WITH RECURSIVE {name}: the recursive arm yields "
-                    f"{len(df.columns)} columns, the base {len(schema.fields)}"
-                )
-            df = df.toDF(*[f.name for f in schema.fields])
-            return df.select(
-                [F.col(f.name).cast(f.dataType).alias(f.name)
-                 for f in schema.fields]
-            )
-
         max_rounds = int(
             self.spark.conf.get("spark.mallard.recursiveMaxIterations", "100")
         )
-        # The CTE name resolves through a UNIQUIFIED internal view:
-        # binding the user's name directly would clobber a
-        # pre-existing same-named temp view and leave the name bound
-        # to stale fixpoint rows after the query. The step and outer
-        # SQL are rewritten to scan the internal view ``AS name`` (so
-        # the user's ``name.col`` qualifiers keep resolving) and the
-        # view is dropped once the outer query is analyzed —
-        # ``spark.sql`` analyzes eagerly, so the returned DataFrame
-        # holds the resolved plan and never re-reads the view.
+        # Each recursive CTE's name resolves through a UNIQUIFIED
+        # internal view: binding the user's name directly would
+        # clobber a pre-existing same-named temp view and leave the
+        # name bound to stale fixpoint rows after the query. Arm and
+        # outer SQL are rewritten to scan the internal views (user
+        # ``name.col`` qualifiers keep resolving) and the views are
+        # dropped once the outer query is analyzed — ``spark.sql``
+        # analyzes eagerly, so the returned DataFrame holds the
+        # resolved plan and never re-reads the views.
         # Every frontier gets a UNIQUE barrier path — a reused path
         # would be overwritten while the accumulator still scans it —
         # and the paths carry a per-invocation salt, so a re-run never
@@ -1104,22 +1090,64 @@ class MallardEngine:
                 # Connect / exotic FS: the dirs stay (the prior leak
                 # behavior) — never a wrong result
                 pass
-        iview = f"__mallard_rec_{salt}"
-        step_sql = _replace_table_ref(step_sql, name, iview)
-        outer = _replace_table_ref(outer, name, iview)
-        try:
-            frontier = materialize(base_df.distinct(), f"rec_{salt}_f0")
+
+        subst: dict[str, str] = {}  # recursive name → internal view
+        iviews: list[str] = []
+        prefix_items: list[tuple[str, str | None, str]] = []  # helpers
+
+        def apply_subst(text: str) -> str:
+            for nm, iv in subst.items():
+                text = _replace_table_ref(text, nm, iv)
+            return text
+
+        def run_fixpoint(
+            name: str, rcols: str | None, body: str, cut: int,
+            iview: str, tag: str
+        ) -> DataFrame | None:
+            arm_prefix = (
+                f"WITH {_render(prefix_items)} " if prefix_items else ""
+            )
+            base_sql = arm_prefix + body[:cut]
+            step_sql = _replace_table_ref(
+                arm_prefix + body[cut + 5 :], name, iview
+            )
+            base_df = self.spark.sql(base_sql)
+            if rcols:
+                cols = [c.strip().strip('`"') for c in rcols.split(",")]
+                if len(cols) != len(base_df.columns):
+                    return None
+                base_df = base_df.toDF(*cols)
+            schema = base_df.schema
+
+            def align(df: DataFrame) -> DataFrame:
+                if len(df.columns) != len(schema.fields):
+                    raise ValueError(
+                        f"WITH RECURSIVE {name}: the recursive arm yields "
+                        f"{len(df.columns)} columns, the base "
+                        f"{len(schema.fields)}"
+                    )
+                df = df.toDF(*[f.name for f in schema.fields])
+                return df.select(
+                    [F.col(f.name).cast(f.dataType).alias(f.name)
+                     for f in schema.fields]
+                )
+
+            frontier = materialize(
+                base_df.distinct(), f"rec_{salt}_{tag}_f0"
+            )
             acc = frontier
             if not frontier.isEmpty():
                 for i in range(1, max_rounds + 1):
                     frontier.createOrReplaceTempView(iview)
                     new = align(self.spark.sql(step_sql)).distinct().subtract(acc)
-                    frontier = materialize(new, f"rec_{salt}_f{i}")
+                    frontier = materialize(new, f"rec_{salt}_{tag}_f{i}")
                     if frontier.isEmpty():
                         break  # fixpoint — even in round max_rounds exactly
                     acc = acc.union(frontier)
                     if i % 8 == 0:
-                        acc = materialize(acc, f"rec_{salt}_acc{i}")
+                        acc = materialize(
+                            acc, f"rec_{salt}_{tag}_acc{i}"
+                        )
                 else:
                     raise ValueError(
                         f"WITH RECURSIVE {name}: no fixpoint after "
@@ -1128,9 +1156,29 @@ class MallardEngine:
                         f"recursion genuinely needs more)"
                     )
             acc.createOrReplaceTempView(iview)
+            return acc
+
+        try:
+            for idx, (n_i, c_i, b_i) in enumerate(ctes):
+                b2 = apply_subst(b_i)
+                if idx not in self_refs:
+                    # non-recursive helper: inlined into later arms
+                    # and the outer WITH (earlier completed fixpoints
+                    # already substituted in its body)
+                    prefix_items.append((n_i, c_i, b2))
+                    continue
+                iview = f"__mallard_rec_{salt}_{idx}"
+                iviews.append(iview)
+                if run_fixpoint(n_i, c_i, b2, splits[idx], iview, str(idx)) is None:
+                    return None  # column-list arity mismatch
+                subst[n_i] = iview
+            outer = apply_subst(outer)
+            if prefix_items:
+                outer = f"WITH {_render(prefix_items)} {outer}"
             return self.spark.sql(outer)
         finally:
-            self.spark.catalog.dropTempView(iview)
+            for iv in iviews:
+                self.spark.catalog.dropTempView(iv)
 
     def _expand_columns_star(self, sql: str) -> str | None:
         """Expand DuckDB's ``COLUMNS(*)`` / ``COLUMNS('regex')`` /

@@ -511,14 +511,39 @@ def test_recursive_union_with_helper_ctes(eng5):
         "sq AS (SELECT n * n AS q FROM t) "
         "SELECT CAST(sum(q) AS BIGINT) AS s FROM sq",
     )
-    # two self-referencing CTEs (mutual recursion) — named refusal
+    # two INDEPENDENT recursive CTEs in one statement run as
+    # sequential fixpoints (round-8 session 2) — DuckDB-value-checked
+    _both5(
+        eng5,
+        "WITH RECURSIVE a AS (SELECT 1 AS n UNION "
+        "SELECT n + 1 FROM a WHERE n < 3), "
+        "b AS (SELECT 10 AS m UNION SELECT m + 10 FROM b WHERE m < 30) "
+        "SELECT CAST((SELECT sum(n) FROM a) + (SELECT sum(m) FROM b) "
+        "AS BIGINT) AS s",
+    )
+    # ...and a later recursive CTE may chain off an earlier completed
+    # fixpoint THROUGH a non-recursive helper (direct recursive→
+    # recursive references keep the refusal — see below)
+    _both5(
+        eng5,
+        "WITH RECURSIVE a AS (SELECT 1 AS n UNION "
+        "SELECT n + 1 FROM a WHERE n < 3), "
+        "mid AS (SELECT CAST(max(n) AS INT) AS top FROM a), "
+        "c AS (SELECT top AS w FROM mid UNION "
+        "SELECT w * 2 FROM c WHERE w < 20) "
+        "SELECT CAST(sum(w) AS BIGINT) AS s FROM c",
+    )
+    # TRUE mutual recursion (a reads b, b reads a) keeps erroring:
+    # DuckDB runs it with lockstep working tables a sequential
+    # fixpoint cannot reproduce (neither CTE is SELF-referencing, so
+    # Spark's forward-reference error surfaces unchanged)
     import pytest as _p
 
-    with _p.raises(Exception, match="RECURSIVE|recursive"):
+    with _p.raises(Exception, match="RECURSIVE|recursive|cannot be found"):
         eng5.sql(
             "WITH RECURSIVE a AS (SELECT 1 AS n UNION "
-            "SELECT n + 1 FROM a WHERE n < 3), "
-            "b AS (SELECT 1 AS m UNION SELECT m + 1 FROM b WHERE m < 3) "
+            "SELECT m + 1 FROM b WHERE m < 3), "
+            "b AS (SELECT 1 AS m UNION SELECT n + 1 FROM a WHERE n < 3) "
             "SELECT * FROM a, b"
         ).collect()
 

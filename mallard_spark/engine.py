@@ -171,10 +171,14 @@ _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+(?P<name>[A-Za-z_][\w]*)\s*;?\s*$", re.IGNORECASE
 )
 _INSERT_RE = re.compile(
+    # the source is VALUES/SELECT/WITH/TABLE/FROM or a PARENTHESIZED
+    # query — DuckDB's docs write BY NAME as `INSERT INTO t BY NAME
+    # (SELECT ...)`; the cols group cannot eat the paren because it
+    # requires the keyword-led rest to follow (backtracks otherwise)
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?:(?P<byname>BY\s+NAME)\s+)?"
-    r"(?P<rest>(?:VALUES|SELECT|WITH|TABLE|FROM)\b.*)$",
+    r"(?P<rest>(?:VALUES|SELECT|WITH|TABLE|FROM)\b.*|\(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
@@ -209,6 +213,20 @@ def _copy_format(path: str, opts: str, verb: str) -> str:
     if fmt not in ("parquet", "csv", "json"):
         raise ValueError(f"{verb}: unsupported format {fmt!r}")
     return fmt
+
+
+def _by_name_checks(name: str, cols: str | None, rest: str) -> None:
+    """Shared BY NAME validation (DuckDB-parity named errors)."""
+    if cols:
+        raise ValueError(
+            f"INSERT INTO {name}: a column list cannot be combined "
+            f"with BY NAME (DuckDB rejects the combination)"
+        )
+    if rest.upper().startswith("VALUES"):
+        raise ValueError(
+            f"INSERT INTO {name} BY NAME needs a SELECT source "
+            f"(VALUES rows carry no column names)"
+        )
 
 
 def _split_on_conflict(sql: str) -> tuple[str, str] | None:
@@ -403,6 +421,17 @@ class MallardEngine:
             df = self.spark.table(self._qualified(name))
             self._persistent.add(name)
         else:
+            if name in self._persistent:
+                # a PUT replaces the definition: re-registering a
+                # persisted name as a session table must DROP the
+                # warehouse table — a temp view under the same
+                # qualified name would merely SHADOW it, leaving DML
+                # routing and drop() pointed at the stale catalog
+                # table (round-8 review #5)
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._qualified(name)}"
+                )
+                self._persistent.discard(name)
             df.createOrReplaceTempView(self._qualified(name))
         self._tables[name] = df
         self._views.discard(name)  # PUT over a view name makes it a table
@@ -688,15 +717,22 @@ class MallardEngine:
             # otherwise silently store a meaningless conf key.
             # Dotted Spark confs (SET spark.sql.x = y) and unknown
             # names fall through to Spark's native SET untouched.
-            r"^\s*(?:SET|RESET)\s+(?:SESSION\s+|GLOBAL\s+)?"
-            r"(?P<name>[A-Za-z_]\w*)\s*(?:(?:=|\bTO\b)\s*\S.*)?;?\s*$",
+            # The value is bounded at ';' (review #4: `\S.*` swallowed
+            # one-line compounds like `SET threads=4; SELECT 1`,
+            # silently discarding the query), and SET without a value
+            # falls through (DuckDB rejects it at parse time).
+            r"^\s*(?:SET\s+(?:SESSION\s+|GLOBAL\s+)?"
+            r"(?P<sname>[A-Za-z_]\w*)\s*(?:=|\bTO\b)\s*[^;]+"
+            r"|RESET\s+(?:SESSION\s+|GLOBAL\s+)?(?P<rname>[A-Za-z_]\w*)"
+            r")\s*;?\s*$",
             sql, re.IGNORECASE,
         )
-        if sm2 and sm2.group("name").lower() in _TUNING_PRAGMAS:
+        sm2_name = sm2 and (sm2.group("sname") or sm2.group("rname"))
+        if sm2_name and sm2_name.lower() in _TUNING_PRAGMAS:
             logging.getLogger(__name__).info(
                 "SET/RESET %s ignored: engine-tuning setting has no "
                 "effect on a Spark session (use Spark confs)",
-                sm2.group("name"),
+                sm2_name,
             )
             return self.spark.createDataFrame([("OK",)], "status string")
         pm = _PIVOT_RE.match(sql)
@@ -1020,6 +1056,7 @@ class MallardEngine:
         def _split_union(body: str) -> int | None:
             """Offset of the ONE deduplicating UNION — None otherwise."""
             cuts = []
+            alls = []
             p = 0
             while True:
                 k = _find_kw(body, "UNION", at_depth=0, start=p)
@@ -1030,9 +1067,23 @@ class MallardEngine:
                 if rest[:3].upper() == "ALL" and (
                     len(rest) == 3 or not (rest[3].isalnum() or rest[3] == "_")
                 ):
-                    continue  # UNION ALL — part of an arm, not the split
+                    alls.append(k)  # UNION ALL — an all-arm split
+                    continue
                 cuts.append(k)
-            return cuts[0] if len(cuts) == 1 else None
+            if len(cuts) == 1:
+                # (base_end, step_start, deduplicating)
+                return (cuts[0], cuts[0] + 5, True)
+            if not cuts and len(alls) == 1:
+                # UNION ALL recursion (round-8 review #6): normally
+                # Spark runs it natively, but a statement MIXING it
+                # with a dedup-UNION recursive CTE lands here whole —
+                # run it as a fixpoint too, with standard UNION ALL
+                # semantics (no dedup, no anti-join; the working table
+                # is the previous round's output verbatim)
+                k = alls[0]
+                am = re.match(r"\s*ALL", body[k + 5 :])
+                return (k, k + 5 + am.end(), False)
+            return None
 
         splits = {i: _split_union(ctes[i][2]) for i in self_refs}
         if any(c is None for c in splits.values()):
@@ -1101,15 +1152,16 @@ class MallardEngine:
             return text
 
         def run_fixpoint(
-            name: str, rcols: str | None, body: str, cut: int,
-            iview: str, tag: str
+            name: str, rcols: str | None, body: str,
+            split: tuple, iview: str, tag: str
         ) -> DataFrame | None:
+            base_end, step_start, dedup = split
             arm_prefix = (
                 f"WITH {_render(prefix_items)} " if prefix_items else ""
             )
-            base_sql = arm_prefix + body[:cut]
+            base_sql = arm_prefix + body[:base_end]
             step_sql = _replace_table_ref(
-                arm_prefix + body[cut + 5 :], name, iview
+                arm_prefix + body[step_start:], name, iview
             )
             base_df = self.spark.sql(base_sql)
             if rcols:
@@ -1133,13 +1185,18 @@ class MallardEngine:
                 )
 
             frontier = materialize(
-                base_df.distinct(), f"rec_{salt}_{tag}_f0"
+                base_df.distinct() if dedup else base_df,
+                f"rec_{salt}_{tag}_f0",
             )
             acc = frontier
             if not frontier.isEmpty():
                 for i in range(1, max_rounds + 1):
                     frontier.createOrReplaceTempView(iview)
-                    new = align(self.spark.sql(step_sql)).distinct().subtract(acc)
+                    new = align(self.spark.sql(step_sql))
+                    if dedup:
+                        # SQL-standard deduplicating semantics: the
+                        # working table is ONLY the never-seen rows
+                        new = new.distinct().subtract(acc)
                     frontier = materialize(new, f"rec_{salt}_{tag}_f{i}")
                     if frontier.isEmpty():
                         break  # fixpoint — even in round max_rounds exactly
@@ -1175,7 +1232,13 @@ class MallardEngine:
             outer = apply_subst(outer)
             if prefix_items:
                 outer = f"WITH {_render(prefix_items)} {outer}"
-            return self.spark.sql(outer)
+            result = self.spark.sql(outer)
+            # force analysis before the internal views are dropped:
+            # classic Spark analyzes at Dataset construction, but
+            # Spark Connect is lazy — without this the views would be
+            # gone when .collect() finally analyzes the plan
+            result.columns
+            return result
         finally:
             for iv in iviews:
                 self.spark.catalog.dropTempView(iv)
@@ -2409,18 +2472,10 @@ class MallardEngine:
         from pyspark.sql import functions as F
 
         rest = rest.rstrip("; \n\t ")
-        if by_name and cols:
-            raise ValueError(
-                f"INSERT INTO {name}: a column list cannot be combined "
-                f"with BY NAME (DuckDB rejects the combination)"
-            )
-        if by_name and rest.upper().startswith("VALUES"):
+        if by_name:
             # checked BEFORE the warehouse branch so the persistent
-            # path gets this named error too, not a raw Spark one
-            raise ValueError(
-                f"INSERT INTO {name} BY NAME needs a SELECT source "
-                f"(VALUES rows carry no column names)"
-            )
+            # path gets the named errors too, not raw Spark ones
+            _by_name_checks(name, cols, rest)
         if name in self._persistent:
             # Warehouse table: Spark's native INSERT INTO appends
             # without rewriting existing data — the scale path.
@@ -2457,16 +2512,8 @@ class MallardEngine:
 
         schema = self._dml_table(name).schema
         rest = rest.rstrip("; \n\t ")
-        if by_name and cols:
-            raise ValueError(
-                f"INSERT INTO {name}: a column list cannot be combined "
-                f"with BY NAME (DuckDB rejects the combination)"
-            )
-        if by_name and rest.upper().startswith("VALUES"):
-            raise ValueError(
-                f"INSERT INTO {name} BY NAME needs a SELECT source "
-                f"(VALUES rows carry no column names)"
-            )
+        if by_name:
+            _by_name_checks(name, cols, rest)
         if rest.upper().startswith("VALUES"):
             new = self.spark.sql(f"SELECT * FROM ({rest})")
         else:

@@ -2494,7 +2494,8 @@ PREFIX_DIMS = (8, 16, 32)  # matryoshka truncation points to audit
       SELECT d.d AS dim_prefix,
              round(sqrt(list_dot_product(list_slice(v, 1, d.d),
                                          list_slice(v, 1, d.d)))
-                   / sqrt(list_dot_product(v, v)), 6) AS retention
+                   / nullif(sqrt(list_dot_product(v, v)), 0.0), 6)
+               AS retention
       FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
            UNNEST([{", ".join(str(d) for d in PREFIX_DIMS)}]) d(d)
     )
@@ -2534,10 +2535,14 @@ def emb_prefix_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(dims).alias("dim_prefix"),
     ).select(
         F.col("dim_prefix").cast("int").alias("dim_prefix"),
+        # nullif guards the zero-norm vector: 0/0 would be NaN on
+        # Spark but NULL on DuckDB (its double division by zero) —
+        # NULL on BOTH engines keeps the aggregates identical (the
+        # review's live-verified divergence)
         F.round(
             F.sqrt(dot(F.slice("v", 1, F.col("dim_prefix")),
                        F.slice("v", 1, F.col("dim_prefix"))))
-            / F.sqrt(dot(F.col("v"), F.col("v"))),
+            / F.nullif(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(0.0)),
             6,
         ).alias("retention"),
     )

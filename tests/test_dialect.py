@@ -533,6 +533,17 @@ def test_recursive_union_with_helper_ctes(eng5):
         "SELECT w * 2 FROM c WHERE w < 20) "
         "SELECT CAST(sum(w) AS BIGINT) AS s FROM c",
     )
+    # a statement MIXING a UNION ALL recursive CTE with a dedup-UNION
+    # recursive CTE (round-8 review #6): the UNION ALL member runs as
+    # a no-dedup fixpoint instead of refusing the whole statement
+    _both5(
+        eng5,
+        "WITH RECURSIVE a AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM a WHERE n < 4), "
+        "b AS (SELECT 1 AS m UNION SELECT m * 2 FROM b WHERE m < 8) "
+        "SELECT CAST((SELECT sum(n) FROM a) * (SELECT sum(m) FROM b) "
+        "AS BIGINT) AS s",
+    )
     # TRUE mutual recursion (a reads b, b reads a) keeps erroring:
     # DuckDB runs it with lockstep working tables a sequential
     # fixpoint cannot reproduce (neither CTE is SELF-referencing, so

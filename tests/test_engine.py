@@ -1563,6 +1563,9 @@ def test_insert_by_name_matches_duckdb(engines):
         "INSERT INTO bn_t BY NAME SELECT 'x' AS b, 1 AS a, 1.5 AS c",
         "INSERT INTO bn_t BY NAME SELECT 2 AS a",  # missing cols NULL
         "INSERT INTO bn_t BY NAME SELECT 'Y' AS B, 3 AS A",  # case-insensitive
+        # the PARENTHESIZED source — DuckDB's documented canonical
+        # form (round-8 review #2)
+        "INSERT INTO bn_t BY NAME (SELECT 'p' AS b, 4 AS a)",
     ]:
         eng1.dml(stmt)
         con.execute(stmt)
@@ -1631,6 +1634,27 @@ def test_create_table_key_case_insensitive(engines):
     eng1.dml("INSERT OR REPLACE INTO ck VALUES (1, 5)")
     eng1.dml("INSERT OR REPLACE INTO ck VALUES (1, 7)")
     assert [(r.id, r.v) for r in eng1.table("ck").collect()] == [(1, 7)]
+
+
+def test_put_session_over_persistent_replaces(spark):
+    """Round-8 review #5: re-registering a persisted name as a SESSION
+    table replaces the definition — the warehouse table is dropped,
+    not shadowed (DML routes to the new table; drop() unbinds it)."""
+    eng = MallardEngine(spark, "t_ps")
+    try:
+        eng.put("p", pa.table({"a": [1]}), persist=True)
+        eng.put("p", pa.table({"a": [10], "b": ["x"]}))  # session re-PUT
+        assert "p" not in eng._persistent
+        eng.dml("INSERT INTO p VALUES (20, 'y')")  # session-table path
+        assert sorted((r.a, r.b) for r in eng.table("p").collect()) == [
+            (10, "x"), (20, "y")
+        ]
+        eng.drop("p")
+        assert "p" not in eng.list_tables()
+        # the warehouse table is genuinely gone, not shadowed
+        assert not spark.catalog.tableExists(eng._qualified("p"))
+    finally:
+        eng.drop("p") if "p" in eng._tables else None
 
 
 def test_by_name_values_named_error_on_persistent(spark):

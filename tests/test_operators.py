@@ -769,3 +769,34 @@ def test_mix_token_budget_sums_exactly(spark):
     total = sum(r.avail_tokens for r in rows)
     assert sum(r.alloc_tokens for r in rows) == total // 2
     assert all(0 <= r.alloc_tokens <= r.avail_tokens for r in rows)
+
+
+def test_emb_prefix_fidelity_zero_norm_vector(spark, tmp_path):
+    """Round-8 review #3: a zero-norm embedding yields retention NULL
+    on BOTH engines (Spark 0/0 would be NaN — and ANSI's NaN→decimal
+    cast errors — where DuckDB's double division by zero gives NULL;
+    the nullif guard aligns them). Oracle-compared on a corpus that
+    CONTAINS a zero vector."""
+    import duckdb
+    import pyarrow as pa
+
+    from mallard_spark.registry import load_all
+    from mallard_spark.testing import run_compare
+
+    d = str(tmp_path)
+    vecs = [[0.0] * 64, [1.0] * 64, [0.5] * 32 + [0.0] * 32]
+    pa_tbl = pa.table({
+        "vec_id": [0, 1, 2],
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": [0, 1, 1],
+    })
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_tbl, f"{d}/embeddings.parquet")
+    spec = load_all()["emb_prefix_fidelity"]
+    df = spec.fn(spark, d)
+    run_compare(spark, d, df, spec.oracle, "emb_prefix_fidelity_zero")
+    # n counts ALL rows (NULL retention included) on both engines
+    rows = {r.dim_prefix: r for r in df.collect()}
+    assert rows[32].n == 3
+    assert rows[32].max_retention == 1.0

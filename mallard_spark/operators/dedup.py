@@ -1365,3 +1365,73 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_equal", "n_pairs", "est_ppm", "avg_jaccard_ppm", "avg_abs_err_ppm")
         .orderBy("n_equal")
     )
+
+
+def _leakage_safe_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_labels_ctes()}, g AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(l.label, d.doc_id) AS grp,
+             CASE WHEN l.label IS NULL THEN 0 ELSE 1 END AS clustered
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    )
+    SELECT CASE WHEN {md5_long_sql("CAST(grp AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {md5_long_sql("CAST(grp AS VARCHAR)")} % 100 < 90
+                THEN 'valid' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(clustered) AS BIGINT) AS n_clustered_docs,
+           COUNT(DISTINCT grp) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM g GROUP BY 1 ORDER BY split
+    """
+
+
+@query("split_leakage_safe", oracle=_leakage_safe_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: documents are bucketed by
+    their near-dup CLUSTER (connected component of the MinHash-LSH
+    pair graph; singletons bucket by their own doc_id), so two
+    near-duplicates can never straddle the train/test boundary — the
+    split-level companion to decontamination (a test doc whose
+    near-twin sits in train leaks just as surely as an exact copy).
+    Routing is the same content-addressed md5 bucketing as
+    split_train_test: reproducible at any partitioning, on any
+    engine. Reports per split the doc count, how many docs ride a
+    cluster assignment, the group count, and the character mass.
+
+    Scale: reuses the shared CC labels (ONE definition with
+    dedup_clusters — they cannot drift; measured linear to 100× in
+    PLANS.md); beyond the label table this is one left join keyed on
+    doc_id plus a 3-row aggregate — the join is corpus ⋈
+    cluster-membership (near-dup-bounded, usually ≪ corpus), and
+    the split itself adds NO shuffle: the bucket is a per-row hash.
+    """
+    labels = _cc_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    g = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("label", "doc_id").alias("grp"),
+            F.when(F.col("label").isNull(), 0).otherwise(1).alias("clustered"),
+        )
+    )
+    bucket = md5_long(F.col("grp").cast("string")) % 100
+    return (
+        g.withColumn(
+            "split",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "valid")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("clustered").cast("long").alias("n_clustered_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )

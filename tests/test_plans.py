@@ -598,3 +598,39 @@ def test_mix_token_budget_no_corpus_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the hinted 1-row totals
     assert "documents" not in plan  # corpus scan happened at build time
+
+
+def test_range_search_broadcast_single_pass(spark, sf_dir):
+    """Round-8: radius search is a broadcast-probe single corpus scan
+    — no sort-merge join, no window/rank (output is filter-selected),
+    no cartesian."""
+    plan = _plan(spark, sf_dir, "knn_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # no rank — τ filter only
+
+
+def test_prefix_fidelity_dimension_bounded(spark, sf_dir):
+    """Round-8: the matryoshka report partial-combines map-side, so
+    the exchange carries ≤|dims| rows per task — no join at all."""
+    plan = _plan(spark, sf_dir, "emb_prefix_fidelity")
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_hapax_ratio_partial_aggregates(spark, sf_dir):
+    """Round-8: both hapax aggregates partial-combine (vocabulary-
+    bounded exchange) — no join, no window."""
+    plan = _plan(spark, sf_dir, "text_hapax_ratio")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_leakage_safe_split_no_extra_shuffle(spark, sf_dir):
+    """Round-8: beyond the shared CC label machinery, the split is a
+    left join on doc_id plus a 3-row aggregate — the bucket routing
+    itself adds no exchange (per-row hash) and never a cartesian."""
+    plan = _plan(spark, sf_dir, "split_leakage_safe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -735,6 +735,55 @@ class MallardEngine:
                 sm2_name,
             )
             return self.spark.createDataFrame([("OK",)], "status string")
+        tx = re.match(
+            r"^\s*(?P<verb>BEGIN(?:\s+TRANSACTION)?|COMMIT|"
+            r"END(?:\s+TRANSACTION)?|ROLLBACK|ABORT|"
+            r"VACUUM(?:\s+ANALYZE)?|ANALYZE)"
+            r"(?:\s+(?P<tbl>[A-Za-z_]\w*))?\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if tx:
+            verb = " ".join(tx.group("verb").upper().split())
+            if verb in ("ROLLBACK", "ABORT"):
+                # cannot be faithful: every statement auto-committed
+                raise NotImplementedError(
+                    "ROLLBACK is not supported: statements auto-commit "
+                    "on this engine (no multi-statement transactions); "
+                    "BEGIN/COMMIT are accepted as no-ops so setup "
+                    "scripts run, but their atomicity is NOT provided"
+                )
+            if verb.startswith(("BEGIN", "COMMIT", "END", "VACUUM")):
+                # BEGIN/COMMIT: script compatibility no-ops (documented
+                # divergence — each statement auto-commits). VACUUM:
+                # DuckDB's own VACUUM is essentially a no-op too.
+                logging.getLogger(__name__).info(
+                    "%s accepted as a no-op: statements auto-commit on "
+                    "this engine", verb,
+                )
+                if not verb.endswith("ANALYZE"):
+                    return self.spark.createDataFrame(
+                        [("OK",)], "status string"
+                    )
+            # ANALYZE [table] / VACUUM ANALYZE: recompute optimizer
+            # statistics — REAL work for warehouse tables (Spark's
+            # ANALYZE TABLE), a no-op for session views (Spark derives
+            # their stats from the plan)
+            targets = (
+                [tx.group("tbl")] if tx.group("tbl") else
+                sorted(self._persistent)
+            )
+            for t in targets:
+                if t in self._persistent:
+                    self.spark.sql(
+                        f"ANALYZE TABLE {self._qualified(t)} "
+                        f"COMPUTE STATISTICS"
+                    )
+                elif t not in self._tables:
+                    raise KeyError(
+                        f"ANALYZE: unknown table {t!r} in namespace "
+                        f"{self.namespace!r}"
+                    )
+            return self.spark.createDataFrame([("OK",)], "status string")
         pm = _PIVOT_RE.match(sql)
         if pm:
             return self._pivot_statement(pm)

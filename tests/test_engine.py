@@ -1545,6 +1545,39 @@ def test_set_tuning_settings_logged_noop(engines):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_transaction_vacuum_analyze_surface(spark):
+    """Round-8: BEGIN/COMMIT/END accepted as no-ops (script
+    compatibility — statements auto-commit; documented divergence),
+    ROLLBACK refuses by name, VACUUM no-ops like DuckDB's own, and
+    ANALYZE recomputes Spark statistics for warehouse tables while
+    no-opping session views."""
+    eng = MallardEngine(spark, "t_txs")
+    eng.put("s", pa.table({"a": [1]}))
+    eng.put("p", pa.table({"a": [1, 2]}), persist=True)
+    try:
+        for stmt in ["BEGIN TRANSACTION", "BEGIN", "COMMIT", "END",
+                     "VACUUM", "ANALYZE", "ANALYZE p", "ANALYZE s",
+                     "VACUUM ANALYZE"]:
+            assert [tuple(r) for r in eng.execute(stmt).collect()] == [
+                ("OK",)
+            ], stmt
+        # the common client script shape runs end-to-end
+        assert eng.execute(
+            "BEGIN; INSERT INTO s VALUES (2); COMMIT; "
+            "SELECT count(*) AS c FROM s"
+        ).collect()[0][0] == 2
+        with pytest.raises(NotImplementedError, match="auto-commit"):
+            eng.execute("ROLLBACK")
+        with pytest.raises(KeyError, match="unknown table"):
+            eng.execute("ANALYZE nope")
+        # Spark's own ANALYZE TABLE form still reaches Spark natively
+        eng.spark.sql(
+            f"ANALYZE TABLE {eng._qualified('p')} COMPUTE STATISTICS"
+        )
+    finally:
+        eng.drop("p")
+
+
 def test_insert_by_name_matches_duckdb(engines):
     """Round-8: DuckDB's INSERT INTO t BY NAME select — source column
     NAMES map onto the target (case-insensitive), missing target

@@ -1948,6 +1948,66 @@ class MallardEngine:
         m = _CREATE_EMPTY_RE.match(sql)
         if m:
             return self._ddl_create_empty(m)
+        m = re.match(
+            r"^\s*CREATE\s+(?P<uniq>UNIQUE\s+)?INDEX\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<iname>[A-Za-z_]\w*)\s+"
+            r"ON\s+(?P<name>[A-Za-z_]\w*)\s*"
+            r"\(\s*(?P<cols>.+?)\s*\)\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # CREATE INDEX (round 8): a scan-accelerating ART index
+            # has no Spark equivalent (layout is the lever here —
+            # write_zorder / bucketed writes), so the index itself is
+            # a logged no-op; a UNIQUE index additionally DECLARES the
+            # key columns, powering INSERT OR REPLACE / key-less ON
+            # CONFLICT exactly like an inline PRIMARY KEY (DuckDB
+            # treats a unique index as the constraint too). Expression
+            # indexes refuse by name below (non-identifier column).
+            name = m.group("name")
+            tbl = self._dml_table(name)  # unknown table → standard error
+            by_lower = {c.lower(): c for c in tbl.columns}
+            cols = [
+                c.strip().strip('`"')
+                for c in _split_top_level(m.group("cols"))
+            ]
+            bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_]\w*", c)]
+            if bad:
+                raise NotImplementedError(
+                    f"CREATE INDEX {m.group('iname')}: expression index "
+                    f"terms {bad} are not supported (plain columns only)"
+                )
+            unknown = [c for c in cols if c.lower() not in by_lower]
+            if unknown:
+                raise ValueError(
+                    f"CREATE INDEX {m.group('iname')}: unknown columns "
+                    f"{unknown} on {name!r}"
+                )
+            if m.group("uniq"):
+                keys = [by_lower[c.lower()] for c in cols]
+                self._keys[name] = keys
+                if name in self._persistent:
+                    self.spark.sql(
+                        f"ALTER TABLE {self._qualified(name)} "
+                        f"SET TBLPROPERTIES "
+                        f"('mallard.keys' = '{','.join(keys)}')"
+                    )
+            logging.getLogger(__name__).info(
+                "CREATE INDEX %s accepted as a no-op (data layout is "
+                "the Spark-side lever: write_zorder / bucketed writes)%s",
+                m.group("iname"),
+                "; UNIQUE columns recorded as declared keys"
+                if m.group("uniq") else "",
+            )
+            return "OK"
+        m = re.match(
+            r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?[A-Za-z_]\w*\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            # the no-op mirror; declared keys stay declared (replace
+            # the table definition to clear them)
+            return "OK"
         m = _CREATE_MACRO_RE.match(sql)
         if m:
             # DuckDB macros are UNTYPED lexical templates inlined at

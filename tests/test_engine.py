@@ -1545,6 +1545,42 @@ def test_set_tuning_settings_logged_noop(engines):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_create_index_surface(engines):
+    """Round-8: CREATE INDEX is a logged no-op (layout is the Spark
+    lever); a UNIQUE index DECLARES the key columns — DuckDB treats a
+    unique index as the constraint, so the identical script drives the
+    upsert surface with state parity. Expression indexes and unknown
+    tables/columns get named errors."""
+    import duckdb
+
+    eng1, _ = engines
+    con = duckdb.connect()
+    eng1.put("ix_t", pa.table({"k": [0], "v": [0]}))
+    con.execute("CREATE TABLE ix_t AS SELECT 0 AS k, 0 AS v")
+    for stmt in ["CREATE INDEX i1 ON ix_t (v)",
+                 "CREATE UNIQUE INDEX u1 ON ix_t (k)",
+                 "DROP INDEX i1"]:
+        assert eng1.ddl(stmt) == "OK"
+        con.execute(stmt)
+    assert eng1._keys["ix_t"] == ["k"]
+    for stmt in [
+        "INSERT OR REPLACE INTO ix_t VALUES (0, 9), (1, 1)",
+        "INSERT INTO ix_t VALUES (1, 5) "
+        "ON CONFLICT DO UPDATE SET v = excluded.v",
+    ]:
+        eng1.dml(stmt)
+        con.execute(stmt)
+        got = sorted(tuple(r) for r in eng1.table("ix_t").collect())
+        want = sorted(map(tuple, con.execute("SELECT * FROM ix_t").fetchall()))
+        assert got == want, stmt
+    with pytest.raises(NotImplementedError, match="expression index"):
+        eng1.ddl("CREATE INDEX e ON ix_t (lower(v))")
+    with pytest.raises(KeyError, match="unknown table"):
+        eng1.ddl("CREATE INDEX e ON nope_t (v)")
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng1.ddl("CREATE INDEX e ON ix_t (zz)")
+
+
 def test_transaction_vacuum_analyze_surface(spark):
     """Round-8: BEGIN/COMMIT/END accepted as no-ops (script
     compatibility — statements auto-commit; documented divergence),

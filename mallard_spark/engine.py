@@ -137,8 +137,12 @@ _ALTER_RENAME_RE = re.compile(
 )
 _DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
 _COPY_RE = re.compile(
+    # opts allows one paren-nesting level with quoted strings as
+    # opaque atoms — PARTITION_BY (col, col) and quoted option values
     r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w]*)\s+TO\s+"
-    r"'(?P<path>[^']+)'\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    r"'(?P<path>[^']+)'\s*"
+    r"(?:\((?P<opts>(?:'[^']*'|\((?:'[^']*'|[^()'])*\)|[^()'])*)\))?"
+    r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COPY_FROM_RE = re.compile(
@@ -2183,6 +2187,44 @@ class MallardEngine:
         src, path, opts = m.group("src"), m.group("path"), m.group("opts") or ""
         query = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
         fmt = _copy_format(path, opts, verb="COPY TO")
+        pbm = re.search(
+            r"\bPARTITION_BY\s*(?:\(\s*(?P<cols>[^)]+?)\s*\)"
+            r"|(?P<col>[A-Za-z_]\w*))",
+            opts, re.IGNORECASE,
+        )
+        if pbm:
+            # COPY TO ... (PARTITION_BY (cols)) — DuckDB writes a
+            # hive-partitioned directory tree; Spark's DISTRIBUTED
+            # partitionBy writer produces the identical layout
+            # (col=val/ dirs, partition columns excluded from the
+            # files), and unlike the single-file stream above it
+            # never routes the data through the driver — the
+            # correct shape for a corpus-scale export. OVERWRITE /
+            # OVERWRITE_OR_IGNORE maps to mode=overwrite; without it
+            # an existing target errors, like DuckDB.
+            pcols = [
+                c.strip().strip('`"')
+                for c in (pbm.group("cols") or pbm.group("col")).split(",")
+            ]
+            df = self.sql(query)
+            by_lower = {c.lower(): c for c in df.columns}
+            unknown = [c for c in pcols if c.lower() not in by_lower]
+            if unknown:
+                raise ValueError(
+                    f"COPY TO PARTITION_BY: unknown columns {unknown} "
+                    f"of {df.columns}"
+                )
+            pcols = [by_lower[c.lower()] for c in pcols]
+            mode = (
+                "overwrite"
+                if re.search(r"\bOVERWRITE(_OR_IGNORE)?\b", opts, re.IGNORECASE)
+                else "errorifexists"
+            )
+            w = df.write.mode(mode).partitionBy(*pcols)
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.format(fmt).save(path)
+            return "OK"
         schema, batches = self.stream_arrow(query)
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
         if fmt == "parquet":

@@ -1545,6 +1545,51 @@ def test_set_tuning_settings_logged_noop(engines):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_copy_to_partition_by_matches_duckdb(spark, tmp_path):
+    """Round-8: COPY TO ... (PARTITION_BY (cols)) writes the same
+    hive-partitioned tree DuckDB writes (col=val dirs, partition
+    columns excluded from files) — via Spark's DISTRIBUTED writer,
+    never the single-file driver stream. Read-back parity on both
+    engines; existing target errors without OVERWRITE_OR_IGNORE."""
+    import duckdb
+
+    eng = MallardEngine(spark, "t_copypart")
+    con = duckdb.connect()
+    eng.put("t", pa.table({"k": [1, 2, 3], "g": ["a", "a", "b"],
+                           "v": [1.5, 2.5, 3.5]}))
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,'a',1.5),(2,'a',2.5),"
+        "(3,'b',3.5)) x(k,g,v)"
+    )
+    d_s, d_d = str(tmp_path / "s"), str(tmp_path / "d")
+    eng.copy_to(f"COPY t TO '{d_s}' (FORMAT PARQUET, PARTITION_BY (g))")
+    con.execute(f"COPY t TO '{d_d}' (FORMAT PARQUET, PARTITION_BY (g))")
+    a = con.execute(
+        f"SELECT k, g, v FROM read_parquet('{d_s}/*/*.parquet', "
+        f"hive_partitioning=true) ORDER BY k"
+    ).fetchall()
+    b = con.execute(
+        f"SELECT k, g, v FROM read_parquet('{d_d}/*/*.parquet', "
+        f"hive_partitioning=true) ORDER BY k"
+    ).fetchall()
+    assert a == b
+    s = sorted(
+        (r.k, str(r.g), r.v)
+        for r in spark.read.parquet(d_s).select("k", "g", "v").collect()
+    )
+    assert s == [(k, g, v) for k, g, v in a]
+    with pytest.raises(Exception):  # target exists, no OVERWRITE
+        eng.copy_to(f"COPY t TO '{d_s}' (FORMAT PARQUET, PARTITION_BY (g))")
+    eng.copy_to(
+        f"COPY t TO '{d_s}' (FORMAT PARQUET, PARTITION_BY (g), "
+        f"OVERWRITE_OR_IGNORE)"
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng.copy_to(
+            f"COPY t TO '{d_s}2' (FORMAT PARQUET, PARTITION_BY (zz))"
+        )
+
+
 def test_create_index_surface(engines):
     """Round-8: CREATE INDEX is a logged no-op (layout is the Spark
     lever); a UNIQUE index DECLARES the key columns — DuckDB treats a

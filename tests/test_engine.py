@@ -1545,6 +1545,50 @@ def test_set_tuning_settings_logged_noop(engines):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_copy_options_mapped_or_refused(spark, tmp_path):
+    """Round-8: COPY writer/reader options are HONORED (DELIMITER,
+    HEADER, COMPRESSION on TO; DELIM/QUOTE/NULL/IGNORE_ERRORS on FROM)
+    or refused BY NAME — never silently dropped (a dropped writer
+    option produces a file the client's reader misparses)."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    eng = MallardEngine(spark, "t_copyopt")
+    con = duckdb.connect()
+    eng.put("t", pa.table({"k": [1, 2], "s": ["a,b", "c"]}))
+    # DELIMITER: DuckDB reads our export back with the same option
+    p = str(tmp_path / "d.csv")
+    eng.copy_to(f"COPY (SELECT * FROM t ORDER BY k) TO '{p}' (DELIMITER '|')")
+    got = con.execute(
+        f"SELECT * FROM read_csv_auto('{p}', delim='|') ORDER BY k"
+    ).fetchall()
+    assert got == [(1, "a,b"), (2, "c")]
+    # HEADER false
+    p2 = str(tmp_path / "h.csv")
+    eng.copy_to(f"COPY (SELECT * FROM t ORDER BY k) TO '{p2}' (HEADER false)")
+    assert con.execute(
+        f"SELECT count(*) FROM read_csv_auto('{p2}', header=false)"
+    ).fetchone()[0] == 2
+    # parquet COMPRESSION honored
+    p3 = str(tmp_path / "c.parquet")
+    eng.copy_to(f"COPY t TO '{p3}' (COMPRESSION 'zstd')")
+    assert pq.ParquetFile(p3).metadata.row_group(0).column(0).compression == "ZSTD"
+    # COPY FROM honors DELIM and NULL
+    p4 = str(tmp_path / "in.csv")
+    open(p4, "w").write("k|s\n1|NA\n2|x\n")
+    eng.ddl("CREATE TABLE rt (k INTEGER, s VARCHAR)")
+    eng.copy_to(f"COPY rt FROM '{p4}' (DELIM '|', NULL 'NA')")
+    assert sorted(
+        (r.k, r.s) for r in eng.table("rt").collect()
+    ) == [(1, None), (2, "x")]
+    # unknown options refuse by name, both directions
+    with pytest.raises(NotImplementedError, match="PER_THREAD_OUTPUT"):
+        eng.copy_to(f"COPY t TO '{tmp_path}/x.csv' (PER_THREAD_OUTPUT true)")
+    with pytest.raises(NotImplementedError, match="SKIP"):
+        eng.copy_to(f"COPY rt FROM '{p4}' (SKIP 1)")
+
+
 def test_copy_to_partition_by_matches_duckdb(spark, tmp_path):
     """Round-8: COPY TO ... (PARTITION_BY (cols)) writes the same
     hive-partitioned tree DuckDB writes (col=val dirs, partition

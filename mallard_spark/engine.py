@@ -199,15 +199,16 @@ _DELETE_RE = re.compile(
 )
 
 
-def _copy_format(path: str, opts: str, verb: str) -> str:
-    """COPY format: explicit ``FORMAT`` option, else path extension,
-    else CSV (DuckDB's default). One definition for both directions."""
+def _copy_format(path: str, fmt_value: str | None, verb: str) -> str:
+    """COPY format: explicit ``FORMAT`` option value (already parsed —
+    both ``FORMAT PARQUET`` and ``FORMAT = 'parquet'`` spellings reach
+    here), else path extension, else CSV (DuckDB's default). One
+    definition for both directions."""
     import os
 
-    om = re.search(r"\bFORMAT\s+'?(\w+)'?", opts, re.IGNORECASE)
     fmt = (
-        om.group(1).lower()
-        if om
+        fmt_value.strip().strip("'").lower()
+        if fmt_value
         else {
             ".parquet": "parquet",
             ".json": "json",
@@ -252,7 +253,10 @@ def _by_name_checks(name: str, cols: str | None, rest: str) -> None:
             f"INSERT INTO {name}: a column list cannot be combined "
             f"with BY NAME (DuckDB rejects the combination)"
         )
-    if rest.upper().startswith("VALUES"):
+    if re.match(r"\s*\(*\s*VALUES\b", rest, re.IGNORECASE):
+        # incl. the parenthesized form (VALUES ...) — Spark would
+        # auto-name its columns col1/col2 and the mapping would be
+        # confusing-or-wrong instead of this named error
         raise ValueError(
             f"INSERT INTO {name} BY NAME needs a SELECT source "
             f"(VALUES rows carry no column names)"
@@ -457,7 +461,19 @@ class MallardEngine:
                 # warehouse table — a temp view under the same
                 # qualified name would merely SHADOW it, leaving DML
                 # routing and drop() pointed at the stale catalog
-                # table (round-8 review #5)
+                # table (round-8 review #5). The incoming plan may
+                # DERIVE from that very table (put('p', table('p')
+                # .filter(...))), so stage it through the parquet
+                # barrier FIRST — dropping the managed table deletes
+                # the files a lazy derived plan would still scan
+                # (round-8 review pass 3).
+                import uuid as _uuid
+
+                from mallard_spark.functions.exec import materialize
+
+                df = materialize(
+                    df, f"putswap_{name}_{_uuid.uuid4().hex[:12]}"
+                )
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._qualified(name)}"
                 )
@@ -1132,8 +1148,11 @@ class MallardEngine:
         if any(n in self._tables for n in rec_names):
             return None  # table refs were already rewritten under it
 
-        def _split_union(body: str) -> int | None:
-            """Offset of the ONE deduplicating UNION — None otherwise."""
+        def _split_union(body: str) -> tuple | None:
+            """(base_end, step_start, dedup) of the recursion's UNION
+            split — dedup=True for the ONE deduplicating UNION,
+            dedup=False for the ONE UNION ALL (mixed-statement case);
+            None for unsupported shapes."""
             cuts = []
             alls = []
             p = 0
@@ -1160,7 +1179,7 @@ class MallardEngine:
                 # semantics (no dedup, no anti-join; the working table
                 # is the previous round's output verbatim)
                 k = alls[0]
-                am = re.match(r"\s*ALL", body[k + 5 :])
+                am = re.match(r"(?i)\s*ALL", body[k + 5 :])
                 return (k, k + 5 + am.end(), False)
             return None
 
@@ -2014,7 +2033,27 @@ class MallardEngine:
                     f"{unknown} on {name!r}"
                 )
             if m.group("uniq"):
+                from pyspark.sql import functions as F
+
                 keys = [by_lower[c.lower()] for c in cols]
+                # DuckDB fails UNIQUE index creation when existing
+                # data violates it — declaring keys over duplicate
+                # data would let the identical client script diverge
+                # on every later upsert (round-8 review pass 3). One
+                # early-exiting aggregate job, same scan DuckDB pays
+                # to build the index.
+                dup = (
+                    self._dml_table(name)
+                    .groupBy(*keys)
+                    .agg(F.count("*").alias("c"))
+                    .filter(F.col("c") > 1)
+                )
+                if not dup.isEmpty():
+                    raise ValueError(
+                        f"CREATE UNIQUE INDEX {m.group('iname')}: "
+                        f"existing rows violate uniqueness on {keys} "
+                        f"(DuckDB fails the index creation too)"
+                    )
                 self._keys[name] = keys
                 if name in self._persistent:
                     self.spark.sql(
@@ -2212,8 +2251,8 @@ class MallardEngine:
             raise ValueError(f"unsupported COPY statement: {sql!r}")
         src, path, opts = m.group("src"), m.group("path"), m.group("opts") or ""
         query = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
-        fmt = _copy_format(path, opts, verb="COPY TO")
         parsed = _parse_copy_opts(opts, "COPY TO")
+        fmt = _copy_format(path, parsed.get("FORMAT"), verb="COPY TO")
         known = {
             "FORMAT", "PARTITION_BY", "OVERWRITE", "OVERWRITE_OR_IGNORE",
             "DELIMITER", "DELIM", "SEP", "HEADER", "COMPRESSION", "CODEC",
@@ -2244,12 +2283,25 @@ class MallardEngine:
             raise ValueError(
                 "COPY TO: DELIMITER/HEADER only apply to FORMAT CSV"
             )
-        pbm = re.search(
-            r"\bPARTITION_BY\s*(?:\(\s*(?P<cols>[^)]+?)\s*\)"
-            r"|(?P<col>[A-Za-z_]\w*))",
-            opts, re.IGNORECASE,
-        )
-        if pbm:
+        if ("COMPRESSION" in parsed or "CODEC" in parsed) and fmt != "parquet":
+            # DuckDB gzips csv/json exports here — a plain-text file
+            # returned as OK would misparse at the gzip-expecting
+            # reader, so refuse rather than silently drop
+            raise NotImplementedError(
+                f"COPY TO: COMPRESSION only applies to FORMAT PARQUET "
+                f"on this engine (got format {fmt!r})"
+            )
+        pbv = parsed.get("PARTITION_BY")
+        if pbv is not None:
+            pbm = re.match(
+                r"^\(\s*(?P<cols>.+?)\s*\)$|^(?P<col>[A-Za-z_]\w*)$",
+                pbv.strip(), re.DOTALL,
+            )
+            if pbm is None:
+                raise ValueError(
+                    f"COPY TO: cannot parse PARTITION_BY {pbv!r}"
+                )
+        if pbv is not None:
             # COPY TO ... (PARTITION_BY (cols)) — DuckDB writes a
             # hive-partitioned directory tree; Spark's DISTRIBUTED
             # partitionBy writer produces the identical layout
@@ -2274,7 +2326,7 @@ class MallardEngine:
             pcols = [by_lower[c.lower()] for c in pcols]
             mode = (
                 "overwrite"
-                if re.search(r"\bOVERWRITE(_OR_IGNORE)?\b", opts, re.IGNORECASE)
+                if ("OVERWRITE" in parsed or "OVERWRITE_OR_IGNORE" in parsed)
                 else "errorifexists"
             )
             w = df.write.mode(mode).partitionBy(*pcols)
@@ -2388,8 +2440,8 @@ class MallardEngine:
         bridge, IGNORE_ERRORS → DROPMALFORMED); unmappable options
         (SKIP, ...) refuse BY NAME instead of silently dropping — this
         is the advertised option-faithful ingest path."""
-        fmt = _copy_format(path, opts, verb="COPY FROM")
         parsed = _parse_copy_opts(opts, "COPY FROM")
+        fmt = _copy_format(path, parsed.get("FORMAT"), verb="COPY FROM")
         known = {
             "FORMAT", "HEADER", "AUTO_DETECT", "DELIMITER", "DELIM",
             "SEP", "QUOTE", "ESCAPE", "NULL", "NULLSTR", "DATEFORMAT",
@@ -2401,7 +2453,41 @@ class MallardEngine:
                 f"COPY FROM: options {unknown_opts} have no faithful "
                 f"Spark reader mapping (supported: {sorted(known)})"
             )
+        if fmt != "csv":
+            # reader-behavior options apply per format: json keeps the
+            # mappable subset below; any option that would be silently
+            # dropped refuses by name (the docstring's contract)
+            json_ok = {"FORMAT", "IGNORE_ERRORS", "DATEFORMAT",
+                       "TIMESTAMPFORMAT"}
+            inert = sorted(
+                set(parsed) - (json_ok if fmt == "json" else {"FORMAT"})
+            )
+            if inert:
+                raise NotImplementedError(
+                    f"COPY FROM: options {inert} do not apply to "
+                    f"format {fmt!r} on this engine"
+                )
         r = self.spark.read
+        if fmt == "json":
+            if parsed.get("IGNORE_ERRORS", "x").lower() in ("true", "1", ""):
+                if "IGNORE_ERRORS" in parsed:
+                    r = r.option("mode", "DROPMALFORMED")
+            for k, opt in (
+                ("DATEFORMAT", "dateFormat"),
+                ("TIMESTAMPFORMAT", "timestampFormat"),
+            ):
+                if k in parsed:
+                    from mallard_spark.dialect import _strf_to_java
+
+                    java = _strf_to_java(
+                        _copy_opt_str(parsed[k], k, "COPY FROM")
+                    )
+                    if java is None:
+                        raise NotImplementedError(
+                            f"COPY FROM: {k} {parsed[k]} has no exact "
+                            f"Java pattern equivalent"
+                        )
+                    r = r.option(opt, java)
         if fmt == "csv":
             header = parsed.get("HEADER", "true").lower() not in (
                 "false", "0",

@@ -538,7 +538,9 @@ def test_recursive_union_with_helper_ctes(eng5):
     # a no-dedup fixpoint instead of refusing the whole statement
     _both5(
         eng5,
-        "WITH RECURSIVE a AS (SELECT 1 AS n UNION ALL "
+        # lowercase 'union all' — the split offset must be computed
+        # case-insensitively (round-8 review pass 3)
+        "WITH RECURSIVE a AS (SELECT 1 AS n union all "
         "SELECT n + 1 FROM a WHERE n < 4), "
         "b AS (SELECT 1 AS m UNION SELECT m * 2 FROM b WHERE m < 8) "
         "SELECT CAST((SELECT sum(n) FROM a) * (SELECT sum(m) FROM b) "

@@ -1587,6 +1587,22 @@ def test_copy_options_mapped_or_refused(spark, tmp_path):
         eng.copy_to(f"COPY t TO '{tmp_path}/x.csv' (PER_THREAD_OUTPUT true)")
     with pytest.raises(NotImplementedError, match="SKIP"):
         eng.copy_to(f"COPY rt FROM '{p4}' (SKIP 1)")
+    # round-8 pass 3: options that would be silently dropped refuse
+    with pytest.raises(NotImplementedError, match="COMPRESSION"):
+        eng.copy_to(f"COPY t TO '{tmp_path}/z.csv' (COMPRESSION gzip)")
+    pj = str(tmp_path / "i.json")
+    open(pj, "w").write('{"k": 9, "s": "w"}\n')
+    with pytest.raises(NotImplementedError, match="DELIM"):
+        eng.copy_to(f"COPY rt FROM '{pj}' (DELIM '|')")
+    # ...while the KEY = value spelling is honored, not dropped
+    p5 = str(tmp_path / "eq")
+    eng.put("pt", pa.table({"k": [1, 2], "g": ["a", "b"]}))
+    eng.copy_to(f"COPY pt TO '{p5}' (FORMAT = PARQUET, PARTITION_BY = (g))")
+    import glob as _g
+
+    assert sorted(
+        x.rsplit("/", 1)[-1] for x in _g.glob(f"{p5}/g=*")
+    ) == ["g=a", "g=b"]
 
 
 def test_copy_to_partition_by_matches_duckdb(spark, tmp_path):
@@ -1668,6 +1684,12 @@ def test_create_index_surface(engines):
         eng1.ddl("CREATE INDEX e ON nope_t (v)")
     with pytest.raises(ValueError, match="unknown columns"):
         eng1.ddl("CREATE INDEX e ON ix_t (zz)")
+    # UNIQUE over duplicate data refuses like DuckDB's constraint error
+    eng1.put("ix_d", pa.table({"k": [1, 1]}))
+    con.execute("CREATE TABLE ix_d AS SELECT 1 AS k UNION ALL SELECT 1")
+    for run in (eng1.ddl, con.execute):
+        with pytest.raises(Exception):
+            run("CREATE UNIQUE INDEX ud ON ix_d (k)")
 
 
 def test_transaction_vacuum_analyze_surface(spark):
@@ -1752,6 +1774,9 @@ def test_insert_by_name_matches_duckdb(engines):
     for run in (eng1.dml, con.execute):
         with pytest.raises(Exception):
             run("INSERT INTO bn_t BY NAME VALUES (1, 'q', 0.1)")
+    # ...including the PARENTHESIZED VALUES form (round-8 pass 3)
+    with pytest.raises(ValueError, match="SELECT source"):
+        eng1.dml("INSERT INTO bn_t BY NAME (VALUES (1, 'q', 0.1))")
 
 
 def test_replace_table_drops_declared_keys(engines):
@@ -1801,6 +1826,13 @@ def test_put_session_over_persistent_replaces(spark):
     eng = MallardEngine(spark, "t_ps")
     try:
         eng.put("p", pa.table({"a": [1]}), persist=True)
+        # a re-PUT whose plan DERIVES from the persisted table itself
+        # must survive the underlying drop (staged through the
+        # parquet barrier — round-8 pass 3)
+        eng.put("pderiv", pa.table({"a": [1, 2, 3]}), persist=True)
+        eng.put("pderiv", eng.table("pderiv").filter("a > 1"))
+        assert sorted(r.a for r in eng.table("pderiv").collect()) == [2, 3]
+        eng.drop("pderiv")
         eng.put("p", pa.table({"a": [10], "b": ["x"]}))  # session re-PUT
         assert "p" not in eng._persistent
         eng.dml("INSERT INTO p VALUES (20, 'y')")  # session-table path

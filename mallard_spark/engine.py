@@ -37,6 +37,7 @@ Scale notes (round-3 changes):
 
 from __future__ import annotations
 
+import json
 import logging
 import re
 import shutil
@@ -246,6 +247,55 @@ def _copy_opt_str(v: str, key: str, verb: str) -> str:
     return v
 
 
+def _copy_opt_bool(v: str, key: str, verb: str) -> bool:
+    """A boolean option value → bool, quote-stripped like DuckDB's cast.
+
+    DuckDB casts option values to BOOLEAN, so ``HEADER 'false'``,
+    ``HEADER false`` and ``HEADER 0`` all disable the header. A bare
+    flag (``HEADER``) means true. Unrecognized tokens refuse by name
+    rather than silently defaulting.
+    """
+    s = _copy_opt_str(v, key, verb).strip().lower()
+    if s in ("", "true", "1", "t", "yes", "on"):
+        return True
+    if s in ("false", "0", "f", "no", "off"):
+        return False
+    raise ValueError(
+        f"{verb}: cannot cast {key} value {v!r} to BOOLEAN"
+    )
+
+
+def _bt(col: str) -> str:
+    """Backtick-quote an identifier for generated SQL fragments —
+    key columns reachable via ``put(name, df, keys=[...])`` on
+    arbitrary DataFrames may carry spaces, quotes, or reserved words
+    (ADVICE r8)."""
+    return "`" + col.replace("`", "``") + "`"
+
+
+def _encode_keys_prop(constraints: list[list[str]]) -> str:
+    """Declared unique constraints → the ``mallard.keys`` property.
+
+    A single constraint of plain identifiers keeps the legacy
+    comma-join (tables persisted by earlier rounds stay readable);
+    anything else — several independent constraints, or column names
+    a comma-join would corrupt — is JSON-encoded (ADVICE r8: escape,
+    don't raw-join).
+    """
+    if len(constraints) == 1 and all(
+        re.fullmatch(r"[A-Za-z_]\w*", c) for c in constraints[0]
+    ):
+        return ",".join(constraints[0])
+    return json.dumps(constraints)
+
+
+def _decode_keys_prop(v: str) -> list[list[str]]:
+    v = v.strip()
+    if v.startswith("["):
+        return [[str(c) for c in grp] for grp in json.loads(v)]
+    return [v.split(",")] if v else []
+
+
 def _by_name_checks(name: str, cols: str | None, rest: str) -> None:
     """Shared BY NAME validation (DuckDB-parity named errors)."""
     if cols:
@@ -354,7 +404,10 @@ class MallardEngine:
         # declaration powers the upsert surface: key-less ON CONFLICT,
         # INSERT OR REPLACE, INSERT OR IGNORE all lower onto MERGE
         # using these columns.
-        self._keys: dict[str, list[str]] = {}
+        # declared unique constraints per table: a LIST of independent
+        # constraints (PRIMARY KEY (a) + UNIQUE (b) stays two entries,
+        # never one composite [a, b] — ADVICE r8)
+        self._keys: dict[str, list[list[str]]] = {}
         # salts of past recursive-fixpoint runs (oldest first) — their
         # parquet barrier dirs are GC'd beyond recursiveKeepRuns
         self._rec_salts: list[str] = []
@@ -394,7 +447,9 @@ class MallardEngine:
                         ).collect()
                     }
                     if props.get("mallard.keys"):
-                        self._keys[short] = props["mallard.keys"].split(",")
+                        self._keys[short] = _decode_keys_prop(
+                            props["mallard.keys"]
+                        )
                 except Exception:  # pragma: no cover - props unreadable
                     pass
 
@@ -404,7 +459,7 @@ class MallardEngine:
         data: Any,
         persist: bool = False,
         count: bool = False,
-        keys: list[str] | None = None,
+        keys: list[str] | list[list[str]] | None = None,
         _keep_keys: bool = False,
     ) -> int | None:
         """PUT: register arrow Table / pandas / Spark DataFrame as ``name``.
@@ -418,9 +473,12 @@ class MallardEngine:
         the data survives the session, like the reference's on-disk
         ``db_path`` (flight_server.py:166-180).
         ``keys`` declares the table's PRIMARY KEY/unique columns —
-        recorded as catalog metadata (and a ``mallard.keys`` table
-        property on persisted tables, so they survive the session)
-        to power key-less ``ON CONFLICT`` / ``INSERT OR REPLACE`` /
+        a flat list is ONE constraint; a list of lists declares
+        several independent constraints (key-less upsert lowering
+        then refuses as ambiguous, like DuckDB's binder). Recorded as
+        catalog metadata (and a ``mallard.keys`` table property on
+        persisted tables, so they survive the session) to power
+        key-less ``ON CONFLICT`` / ``INSERT OR REPLACE`` /
         ``INSERT OR IGNORE`` lowering. Uniqueness is NOT enforced on
         plain INSERT (documented divergence).
 
@@ -434,24 +492,32 @@ class MallardEngine:
         pass ``_keep_keys=True``.
         """
         df = self._to_df(data)
+        cons: list[list[str]] | None = None
         if keys is not None:
+            # accept a flat column list (one constraint) or a list of
+            # lists (several independent constraints)
+            groups = (
+                [list(g) for g in keys]
+                if keys and isinstance(keys[0], (list, tuple))
+                else [list(keys)]
+            )
             by_lower = {c.lower(): c for c in df.columns}
-            missing = [k for k in keys if k.lower() not in by_lower]
-            if missing:
-                raise ValueError(
-                    f"put({name!r}): key columns {missing} not in "
-                    f"{df.columns}"
-                )
-            keys = [by_lower[k.lower()] for k in keys]
-        if _keep_keys and keys is None:
-            keys = self._keys.get(name)
+            cons = []
+            for grp in groups:
+                missing = [k for k in grp if k.lower() not in by_lower]
+                if missing:
+                    raise ValueError(
+                        f"put({name!r}): key columns {missing} not in "
+                        f"{df.columns}"
+                    )
+                cons.append([by_lower[k.lower()] for k in grp])
+        if _keep_keys and cons is None:
+            cons = self._keys.get(name)
         if persist:
             df.write.mode("overwrite").saveAsTable(self._qualified(name))
-            if keys:
-                self.spark.sql(
-                    f"ALTER TABLE {self._qualified(name)} SET TBLPROPERTIES "
-                    f"('mallard.keys' = '{','.join(keys)}')"
-                )
+            if cons:
+                self._keys[name] = cons
+                self._pin_keys_prop(name)
             df = self.spark.table(self._qualified(name))
             self._persistent.add(name)
         else:
@@ -481,11 +547,45 @@ class MallardEngine:
             df.createOrReplaceTempView(self._qualified(name))
         self._tables[name] = df
         self._views.discard(name)  # PUT over a view name makes it a table
-        if keys:
-            self._keys[name] = keys
+        if cons:
+            self._keys[name] = cons
         else:
             self._keys.pop(name, None)  # replaced definition: no PK
         return df.count() if count else None
+
+    def _pin_keys_prop(self, name: str) -> None:
+        """Re-pin the declared constraints as the ``mallard.keys``
+        table property on a persisted table (overwrites drop table
+        properties). Escaped via :func:`_encode_keys_prop` so names a
+        raw comma-join would corrupt survive the round-trip."""
+        cons = self._keys.get(name)
+        if not cons:
+            return
+        prop = _encode_keys_prop(cons).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self._qualified(name)} SET TBLPROPERTIES "
+            f"('mallard.keys' = '{prop}')"
+        )
+
+    def _upsert_key(self, name: str, verb: str) -> list[str] | None:
+        """The table's single declared unique constraint, powering
+        key-less upsert lowering; ``None`` when none is declared.
+        Multiple DISTINCT constraints refuse by name — DuckDB's binder
+        rejects a key-less DO UPDATE the same way when the conflict
+        target is ambiguous (ADVICE r8: never conflate independent
+        constraints into one composite key)."""
+        cons = self._keys.get(name)
+        if not cons:
+            return None
+        if len(cons) > 1:
+            raise NotImplementedError(
+                f"{verb}: {name!r} declares multiple UNIQUE/PRIMARY "
+                f"KEY constraints {cons} — name an explicit conflict "
+                f"target (INSERT ... ON CONFLICT (cols) DO ...) or use "
+                f"MERGE INTO (DuckDB rejects the key-less form on "
+                f"multi-constraint tables the same way)"
+            )
+        return cons[0]
 
     def row_count(self, name: str) -> int:
         return self.table(name).count()
@@ -1578,7 +1678,12 @@ class MallardEngine:
             )
         fields: list[str] = []
         colnames: list[str] = []
-        keys: list[str] = []
+        # each PRIMARY KEY (...) / UNIQUE (...) clause and each
+        # column-level PRIMARY KEY/UNIQUE modifier is its OWN
+        # constraint — PRIMARY KEY (a), UNIQUE (b) stays two
+        # independent single-column keys, never one composite
+        # [a, b] (ADVICE r8)
+        constraints: list[list[str]] = []
         for item in _split_top_level(m.group("defs")):
             item = " ".join(item.split())
             if not item:
@@ -1588,8 +1693,11 @@ class MallardEngine:
                 item,
             )
             if km:
-                keys.extend(
-                    c.strip().strip('`"') for c in km.group("cols").split(",")
+                constraints.append(
+                    [
+                        c.strip().strip('`"')
+                        for c in km.group("cols").split(",")
+                    ]
                 )
                 continue
             cm = re.match(
@@ -1642,30 +1750,42 @@ class MallardEngine:
                     f"{leftover!r} in {item!r}"
                 )
             if re.search(r"\b(PRIMARY\s+KEY|UNIQUE)\b", mods):
-                keys.append(col)
+                constraints.append([col])
             fields.append(f"`{col}` {stype}")
             colnames.append(col)
         if not fields:
             raise ValueError(f"CREATE TABLE {name}: no columns declared")
         # resolve declared keys against the declared columns the way
         # SQL identifiers resolve — case-insensitively (PRIMARY KEY
-        # (ID) binds to column id, as DuckDB does) — then dedupe
-        # preserving order
+        # (ID) binds to column id, as DuckDB does); dedupe columns
+        # within a constraint, then dedupe whole constraints by
+        # column set (PRIMARY KEY (a) + UNIQUE (a) is one key)
         declared_by_lower = {c.lower(): c for c in colnames}
-        unknown = [k for k in keys if k.lower() not in declared_by_lower]
-        if unknown:
-            raise ValueError(
-                f"CREATE TABLE {name}: key columns {unknown} are not "
-                f"declared columns"
-            )
-        seen: set[str] = set()
-        keys = [
-            declared_by_lower[k.lower()]
-            for k in keys
-            if not (k.lower() in seen or seen.add(k.lower()))
-        ]
+        resolved: list[list[str]] = []
+        for grp in constraints:
+            unknown = [
+                k for k in grp if k.lower() not in declared_by_lower
+            ]
+            if unknown:
+                raise ValueError(
+                    f"CREATE TABLE {name}: key columns {unknown} are "
+                    f"not declared columns"
+                )
+            seen: set[str] = set()
+            grp = [
+                declared_by_lower[k.lower()]
+                for k in grp
+                if not (k.lower() in seen or seen.add(k.lower()))
+            ]
+            if not any(
+                {c.lower() for c in grp} == {c.lower() for c in prior}
+                for prior in resolved
+            ):
+                resolved.append(grp)
         empty = self.spark.createDataFrame([], ", ".join(fields))
-        self.put(name, empty, persist=self.ddl_persist, keys=keys or None)
+        self.put(
+            name, empty, persist=self.ddl_persist, keys=resolved or None
+        )
         return "OK"
 
     def _csv_auto_view(self, path: str, args: str = "") -> str:
@@ -1758,8 +1878,18 @@ class MallardEngine:
                 spark_opts["nullValue"] = _sql_str(val, opt)
                 sniff_args.append(f"nullstr={val}")
             elif opt == "ignore_errors":
-                if val.strip().lower() not in ("true", "1"):
+                # DuckDB casts the value to BOOLEAN, so 'true' (quoted)
+                # enables the option just like bare true/1
+                bv = val.strip().lower()
+                if len(bv) >= 2 and bv[0] == "'" and bv[-1] == "'":
+                    bv = bv[1:-1].strip()
+                if bv in ("false", "0", "f", "no", "off"):
                     continue  # ignore_errors=false is the default
+                if bv not in ("true", "1", "t", "yes", "on", ""):
+                    raise ValueError(
+                        f"read_csv_auto('{path}'): cannot cast "
+                        f"ignore_errors value {val!r} to BOOLEAN"
+                    )
                 spark_opts["mode"] = "DROPMALFORMED"
                 sniff_args.append(f"ignore_errors={val}")
             else:
@@ -2054,13 +2184,18 @@ class MallardEngine:
                         f"existing rows violate uniqueness on {keys} "
                         f"(DuckDB fails the index creation too)"
                     )
-                self._keys[name] = keys
+                # a UNIQUE index ADDS an independent constraint — it
+                # must not overwrite a declared PRIMARY KEY (ADVICE
+                # r8); a duplicate of an existing constraint is a
+                # no-op, like DuckDB's idempotent re-index
+                cons = self._keys.get(name) or []
+                if not any(
+                    {c.lower() for c in grp} == {c.lower() for c in keys}
+                    for grp in cons
+                ):
+                    self._keys[name] = cons + [keys]
                 if name in self._persistent:
-                    self.spark.sql(
-                        f"ALTER TABLE {self._qualified(name)} "
-                        f"SET TBLPROPERTIES "
-                        f"('mallard.keys' = '{','.join(keys)}')"
-                    )
+                    self._pin_keys_prop(name)
             logging.getLogger(__name__).info(
                 "CREATE INDEX %s accepted as a no-op (data layout is "
                 "the Spark-side lever: write_zorder / bucketed writes)%s",
@@ -2274,7 +2409,9 @@ class MallardEngine:
             ),
             ",",
         )
-        header = parsed.get("HEADER", "true").lower() not in ("false", "0")
+        header = _copy_opt_bool(
+            parsed.get("HEADER", "true"), "HEADER", "COPY TO"
+        )
         compression = _copy_opt_str(
             parsed.get("COMPRESSION", parsed.get("CODEC", "snappy")),
             "COMPRESSION", "COPY TO",
@@ -2326,7 +2463,11 @@ class MallardEngine:
             pcols = [by_lower[c.lower()] for c in pcols]
             mode = (
                 "overwrite"
-                if ("OVERWRITE" in parsed or "OVERWRITE_OR_IGNORE" in parsed)
+                if any(
+                    k in parsed
+                    and _copy_opt_bool(parsed[k], k, "COPY TO")
+                    for k in ("OVERWRITE", "OVERWRITE_OR_IGNORE")
+                )
                 else "errorifexists"
             )
             w = df.write.mode(mode).partitionBy(*pcols)
@@ -2469,9 +2610,10 @@ class MallardEngine:
                 )
         r = self.spark.read
         if fmt == "json":
-            if parsed.get("IGNORE_ERRORS", "x").lower() in ("true", "1", ""):
-                if "IGNORE_ERRORS" in parsed:
-                    r = r.option("mode", "DROPMALFORMED")
+            if "IGNORE_ERRORS" in parsed and _copy_opt_bool(
+                parsed["IGNORE_ERRORS"], "IGNORE_ERRORS", "COPY FROM"
+            ):
+                r = r.option("mode", "DROPMALFORMED")
             for k, opt in (
                 ("DATEFORMAT", "dateFormat"),
                 ("TIMESTAMPFORMAT", "timestampFormat"),
@@ -2489,8 +2631,8 @@ class MallardEngine:
                         )
                     r = r.option(opt, java)
         if fmt == "csv":
-            header = parsed.get("HEADER", "true").lower() not in (
-                "false", "0",
+            header = _copy_opt_bool(
+                parsed.get("HEADER", "true"), "HEADER", "COPY FROM"
             )
             r = (
                 r.option("header", str(header).lower())
@@ -2523,9 +2665,10 @@ class MallardEngine:
                             f"Java pattern equivalent"
                         )
                     r = r.option(opt, java)
-            if parsed.get("IGNORE_ERRORS", "").lower() in ("true", "1", ""):
-                if "IGNORE_ERRORS" in parsed:
-                    r = r.option("mode", "DROPMALFORMED")
+            if "IGNORE_ERRORS" in parsed and _copy_opt_bool(
+                parsed["IGNORE_ERRORS"], "IGNORE_ERRORS", "COPY FROM"
+            ):
+                r = r.option("mode", "DROPMALFORMED")
         new = r.format(fmt).load(path)
         if name in self._tables:
             # schema-aligned append, same routing as INSERT INTO
@@ -2598,7 +2741,7 @@ class MallardEngine:
                 )
             name = im.group("name")
             self._dml_table(name)  # unknown table → the standard error
-            keys = self._keys.get(name)
+            keys = self._upsert_key(name, f"INSERT OR {mode}")
             if not keys:
                 raise NotImplementedError(
                     f"INSERT OR {mode} needs declared key columns on "
@@ -2613,15 +2756,20 @@ class MallardEngine:
                 ]
                 action = (
                     "DO UPDATE SET "
-                    + ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+                    + ", ".join(
+                        f"{_bt(c)} = excluded.{_bt(c)}" for c in non_keys
+                    )
                     if non_keys
                     # all columns ARE the key: replacing equals keeping
                     else "DO NOTHING"
                 )
             else:
                 action = "DO NOTHING"
+            # pass the resolved key columns directly instead of
+            # re-serializing them into the clause text — a name with
+            # a comma or quote would not survive the regex round-trip
             return self._dml_insert_conflict(
-                head, f"ON CONFLICT ({', '.join(keys)}) {action}"
+                head, f"ON CONFLICT {action}", _ccols=keys
             )
         oc = _split_on_conflict(sql)
         if oc is not None and re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
@@ -2742,7 +2890,9 @@ class MallardEngine:
         # whose definition read the view itself would be recursive.
         return self._tables[name]
 
-    def _dml_insert_conflict(self, head: str, tail: str) -> str:
+    def _dml_insert_conflict(
+        self, head: str, tail: str, _ccols: list[str] | None = None
+    ) -> str:
         """DuckDB's ``INSERT ... ON CONFLICT (cols) DO NOTHING |
         DO UPDATE SET ... [WHERE ...]`` upsert (round 6) — lowered
         onto the MERGE machinery: the proposed rows become a source
@@ -2777,32 +2927,36 @@ class MallardEngine:
                 f"UPDATE SET ... [WHERE ...]): {tail[:120]!r}"
             )
         listed = tm.group("ccols")
-        if not listed:
+        if _ccols is None and not listed:
             # key-less form (round 8): resolved against the table's
             # DECLARED keys, exactly how DuckDB resolves it against
-            # the PRIMARY KEY
+            # the PRIMARY KEY — ambiguous (multi-constraint) tables
+            # refuse by name inside _upsert_key
             self._dml_table(name)  # unknown table → the standard error
-            declared = self._keys.get(name)
-            if not declared:
+            _ccols = self._upsert_key(name, "INSERT ... ON CONFLICT")
+            if not _ccols:
                 raise NotImplementedError(
                     "ON CONFLICT without a conflict-column list needs "
                     "declared key columns — create the table with a "
                     "PRIMARY KEY or put(keys=[...]), name the columns "
                     "(ON CONFLICT (k) DO ...), or use MERGE INTO"
                 )
-            listed = ", ".join(declared)
         tbl = self._dml_table(name)
         if name.lower() == "excluded":
             raise ValueError("ON CONFLICT: target cannot be named 'excluded'")
         by_lower = {c.lower(): c for c in tbl.columns}
-        ccols = []
-        for c in listed.split(","):
-            r = by_lower.get(c.strip().strip("`").lower())
-            if r is None:
-                raise ValueError(
-                    f"ON CONFLICT: unknown column {c.strip()!r} on {name!r}"
-                )
-            ccols.append(r)
+        if _ccols is not None:
+            ccols = list(_ccols)  # pre-resolved (declared keys)
+        else:
+            ccols = []
+            for c in listed.split(","):
+                r = by_lower.get(c.strip().strip("`").lower())
+                if r is None:
+                    raise ValueError(
+                        f"ON CONFLICT: unknown column {c.strip()!r} on "
+                        f"{name!r}"
+                    )
+                ccols.append(r)
         if tm.group("nothing"):
             matched = "WHEN MATCHED THEN DO NOTHING"
         else:
@@ -2820,7 +2974,9 @@ class MallardEngine:
             )
         aligned = self._insert_source_df(name, cols, src, by_name=by_name)
         aligned.createOrReplaceTempView("__mallard_upsert_src")
-        cond = " AND ".join(f"{name}.{c} = excluded.{c}" for c in ccols)
+        cond = " AND ".join(
+            f"{name}.{_bt(c)} = excluded.{_bt(c)}" for c in ccols
+        )
         from mallard_spark.merge_sql import execute_merge
 
         return execute_merge(
@@ -3085,13 +3241,9 @@ class MallardEngine:
                 staged.write.mode("overwrite").saveAsTable(self._qualified(name))
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
-            if self._keys.get(name):
-                # overwrite drops table properties — re-pin the
-                # declared keys so a later session rediscovers them
-                self.spark.sql(
-                    f"ALTER TABLE {self._qualified(name)} SET TBLPROPERTIES "
-                    f"('mallard.keys' = '{','.join(self._keys[name])}')"
-                )
+            # overwrite drops table properties — re-pin the declared
+            # keys so a later session rediscovers them
+            self._pin_keys_prop(name)
             self._tables[name] = self.spark.table(self._qualified(name))
         else:
             # a write-back re-registers the SAME logical table — the

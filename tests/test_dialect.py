@@ -1424,3 +1424,23 @@ def test_recursive_union_with_dialect_syntax(eng5):
         "SELECT CAST(count(*) AS BIGINT) AS c, "
         "CAST(sum(n) AS BIGINT) AS s FROM t",
     )
+
+
+def test_read_csv_auto_quoted_boolean_options(eng6, tmp_path):
+    """Round-9 (r8 ADVICE #1): ignore_errors='true' (quoted) enables
+    the option exactly like bare true — DuckDB casts option values to
+    BOOLEAN; an uncastable token refuses instead of silently
+    defaulting to off."""
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nonlyone\n3,4\n")
+    q = (
+        f"SELECT * FROM read_csv_auto('{p}', ignore_errors='true') "
+        f"ORDER BY a"
+    )
+    got = [tuple(r) for r in eng6.sql(q).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+    assert got == want == [(1, 2), (3, 4)]
+    with pytest.raises(ValueError, match="ignore_errors"):
+        eng6.sql(
+            f"SELECT * FROM read_csv_auto('{p}', ignore_errors=banana)"
+        ).collect()

@@ -1479,7 +1479,7 @@ def test_declared_key_upserts_match_duckdb(engines):
     eng1, _ = engines
     ddl = "CREATE TABLE pk_t (k INTEGER PRIMARY KEY, v INTEGER, s VARCHAR)"
     assert eng1.ddl(ddl) == "OK"
-    assert eng1._keys["pk_t"] == ["k"]
+    assert eng1._keys["pk_t"] == [["k"]]
     con = duckdb.connect()
     con.execute(ddl)
     for stmt in [
@@ -1667,7 +1667,7 @@ def test_create_index_surface(engines):
                  "DROP INDEX i1"]:
         assert eng1.ddl(stmt) == "OK"
         con.execute(stmt)
-    assert eng1._keys["ix_t"] == ["k"]
+    assert eng1._keys["ix_t"] == [["k"]]
     for stmt in [
         "INSERT OR REPLACE INTO ix_t VALUES (0, 9), (1, 1)",
         "INSERT INTO ix_t VALUES (1, 5) "
@@ -1813,7 +1813,7 @@ def test_create_table_key_case_insensitive(engines):
     way SQL identifiers do — DuckDB accepts this DDL."""
     eng1, _ = engines
     eng1.ddl("CREATE TABLE ck (id INTEGER, v INTEGER, PRIMARY KEY (ID))")
-    assert eng1._keys["ck"] == ["id"]
+    assert eng1._keys["ck"] == [["id"]]
     eng1.dml("INSERT OR REPLACE INTO ck VALUES (1, 5)")
     eng1.dml("INSERT OR REPLACE INTO ck VALUES (1, 7)")
     assert [(r.id, r.v) for r in eng1.table("ck").collect()] == [(1, 7)]
@@ -1873,7 +1873,7 @@ def test_put_keys_persist_across_sessions(spark):
         ]
         # a fresh engine (same warehouse) rediscovers table AND keys
         eng2 = MallardEngine(spark, "t_pkpersist")
-        assert eng2._keys.get("pt") == ["k"]
+        assert eng2._keys.get("pt") == [["k"]]
         eng2.dml("INSERT OR IGNORE INTO pt VALUES (2, 555), (3, 30)")
         assert sorted((r.k, r.v) for r in eng2.table("pt").collect()) == [
             (1, 99), (2, 20), (3, 30)
@@ -1883,3 +1883,132 @@ def test_put_keys_persist_across_sessions(spark):
             eng2.put("bad", pa.table({"x": [1]}), keys=["nope"])
     finally:
         eng.drop("pt")
+
+
+def test_copy_boolean_options_cast_like_duckdb(spark, tmp_path):
+    """Round-9 (r8 ADVICE #1): boolean COPY options are CAST the way
+    DuckDB casts them — HEADER 'false' (quoted) disables the header on
+    COPY TO, must NOT consume a data row on COPY FROM, and an
+    uncastable token refuses by name instead of silently defaulting."""
+    import duckdb
+
+    eng = MallardEngine(spark, "t_copybool")
+    con = duckdb.connect()
+    eng.put("t", pa.table({"k": [1, 2], "s": ["a", "b"]}))
+    p = str(tmp_path / "q.csv")
+    eng.copy_to(
+        f"COPY (SELECT * FROM t ORDER BY k) TO '{p}' (HEADER 'false')"
+    )
+    # headerless on disk: DuckDB reading header=false sees 2 data rows
+    assert con.execute(
+        f"SELECT count(*) FROM read_csv_auto('{p}', header=false)"
+    ).fetchone()[0] == 2
+    # COPY FROM (HEADER 'false'): first line is DATA, not a header
+    p2 = str(tmp_path / "in.csv")
+    open(p2, "w").write("1,x\n2,y\n")
+    eng.ddl("CREATE TABLE bt (k INTEGER, s VARCHAR)")
+    eng.copy_to(f"COPY bt FROM '{p2}' (HEADER 'false')")
+    assert sorted((r.k, r.s) for r in eng.table("bt").collect()) == [
+        (1, "x"), (2, "y")
+    ]
+    # quoted 'true' also casts (round-trips the same file WITH header)
+    p3 = str(tmp_path / "h.csv")
+    eng.copy_to(
+        f"COPY (SELECT * FROM t ORDER BY k) TO '{p3}' (HEADER 'true')"
+    )
+    eng.ddl("CREATE TABLE ht (k INTEGER, s VARCHAR)")
+    eng.copy_to(f"COPY ht FROM '{p3}' (HEADER 'true')")
+    assert eng.table("ht").count() == 2
+    # an uncastable boolean refuses by name — never a silent default
+    with pytest.raises(ValueError, match="HEADER"):
+        eng.copy_to(f"COPY t TO '{tmp_path}/x.csv' (HEADER maybe)")
+    with pytest.raises(ValueError, match="IGNORE_ERRORS"):
+        eng.copy_to(f"COPY bt FROM '{p2}' (HEADER 'false', "
+                    f"IGNORE_ERRORS sometimes)")
+    # OVERWRITE_OR_IGNORE false behaves like the option being absent:
+    # an existing partitioned target errors, like DuckDB
+    d = str(tmp_path / "part")
+    eng.put("pt2", pa.table({"k": [1], "g": ["a"]}))
+    eng.copy_to(f"COPY pt2 TO '{d}' (FORMAT PARQUET, PARTITION_BY (g))")
+    with pytest.raises(Exception):
+        eng.copy_to(
+            f"COPY pt2 TO '{d}' (FORMAT PARQUET, PARTITION_BY (g), "
+            f"OVERWRITE_OR_IGNORE false)"
+        )
+
+
+def test_multiple_unique_constraints_stay_independent(spark):
+    """Round-9 (r8 ADVICE #2): PRIMARY KEY (a) + UNIQUE (b) are TWO
+    independent constraints, never one composite [a, b]; key-less
+    upsert lowering refuses as ambiguous (DuckDB's binder rejects the
+    key-less form on multi-constraint tables too), and CREATE UNIQUE
+    INDEX adds a constraint instead of overwriting the PK."""
+    eng = MallardEngine(spark, "t_multikey")
+    eng.ddl(
+        "CREATE TABLE mk (a INTEGER PRIMARY KEY, b INTEGER UNIQUE, "
+        "v VARCHAR)"
+    )
+    assert eng._keys["mk"] == [["a"], ["b"]]
+    eng.dml("INSERT INTO mk VALUES (1, 10, 'x')")
+    with pytest.raises(NotImplementedError, match="multiple"):
+        eng.dml("INSERT OR REPLACE INTO mk VALUES (1, 11, 'y')")
+    with pytest.raises(NotImplementedError, match="multiple"):
+        eng.dml(
+            "INSERT INTO mk VALUES (1, 12, 'z') "
+            "ON CONFLICT DO UPDATE SET v = excluded.v"
+        )
+    # an EXPLICIT conflict target still works on either constraint
+    eng.dml(
+        "INSERT INTO mk VALUES (1, 13, 'upd') "
+        "ON CONFLICT (a) DO UPDATE SET v = excluded.v"
+    )
+    assert [(r.a, r.v) for r in eng.table("mk").collect()] == [(1, "upd")]
+    # table-level form: two clauses stay two constraints
+    eng.ddl(
+        "CREATE TABLE mk2 (a INTEGER, b INTEGER, "
+        "PRIMARY KEY (a), UNIQUE (b))"
+    )
+    assert eng._keys["mk2"] == [["a"], ["b"]]
+    # duplicate constraint (PK + UNIQUE on same column set) dedupes
+    eng.ddl(
+        "CREATE TABLE mk3 (a INTEGER PRIMARY KEY, v INTEGER, UNIQUE (a))"
+    )
+    assert eng._keys["mk3"] == [["a"]]
+    # CREATE UNIQUE INDEX on a PK table ADDS a constraint
+    eng.put("ixm", pa.table({"k": [1], "u": [5], "v": [0]}), keys=["k"])
+    eng.ddl("CREATE UNIQUE INDEX uix ON ixm (u)")
+    assert eng._keys["ixm"] == [["k"], ["u"]]
+    with pytest.raises(NotImplementedError, match="multiple"):
+        eng.dml("INSERT OR IGNORE INTO ixm VALUES (1, 5, 9)")
+    # re-declaring the SAME unique index is a no-op, not a third key
+    eng.ddl("CREATE UNIQUE INDEX uix2 ON ixm (u)")
+    assert eng._keys["ixm"] == [["k"], ["u"]]
+
+
+def test_generated_upsert_sql_quotes_identifiers(spark):
+    """Round-9 (r8 ADVICE #3): key/value columns with spaces or
+    reserved words — reachable via put(keys=[...]) on arbitrary
+    DataFrames — survive the generated MERGE fragments and the
+    persisted mallard.keys property round-trip."""
+    eng = MallardEngine(spark, "t_qid")
+    df = spark.createDataFrame(
+        [(1, 10, "a")], "`key col` int, `select` int, v string"
+    )
+    eng.put("qt", df, keys=["key col"])
+    eng.dml("INSERT OR REPLACE INTO qt VALUES (1, 99, 'b'), (2, 20, 'c')")
+    got = sorted(tuple(r) for r in eng.table("qt").collect())
+    assert got == [(1, 99, "b"), (2, 20, "c")]
+    eng.dml("INSERT OR IGNORE INTO qt VALUES (2, 555, 'nope'), (3, 30, 'd')")
+    got = sorted(tuple(r) for r in eng.table("qt").collect())
+    assert got == [(1, 99, "b"), (2, 20, "c"), (3, 30, "d")]
+    # persisted property round-trip: JSON-encoded, rediscovered intact
+    eng.put("qp", df, persist=True, keys=["key col"])
+    try:
+        eng2 = MallardEngine(spark, "t_qid")
+        assert eng2._keys.get("qp") == [["key col"]]
+        eng2.dml("INSERT OR REPLACE INTO qp VALUES (1, 77, 'z')")
+        assert sorted(tuple(r) for r in eng2.table("qp").collect()) == [
+            (1, 77, "z")
+        ]
+    finally:
+        eng.drop("qp")

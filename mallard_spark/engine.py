@@ -296,6 +296,111 @@ def _decode_keys_prop(v: str) -> list[list[str]]:
     return [v.split(",")] if v else []
 
 
+def _take_balanced(s: str, i: int) -> int:
+    """``s[i] == '('`` → index one past the matching ``)``,
+    honoring quoted spans."""
+    depth, q = 0, None
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                q = None
+        elif c in ("'", '"'):
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in {s!r}")
+
+
+def _extract_col_constraints(
+    mods: str, col: str, table: str
+) -> tuple[str | None, list[str], str]:
+    """Split a column definition's modifier tail into
+    ``(default_expr, check_exprs, residue)`` — the ``DEFAULT <expr>``
+    and ``CHECK (expr)`` spans are extracted with original case
+    preserved; everything else returns as the residue for the
+    PRIMARY KEY/UNIQUE/NOT NULL keyword handling (round 9)."""
+    default: str | None = None
+    checks: list[str] = []
+    residue: list[str] = []
+    i, n = 0, len(mods)
+    while i < n:
+        mm = re.match(r"\s*(?P<kw>[A-Za-z_]\w*)", mods[i:])
+        if not mm:
+            residue.append(mods[i:].strip())
+            break
+        kw = mm.group("kw").upper()
+        j = i + mm.end()
+        if kw == "CHECK":
+            k = j
+            while k < n and mods[k].isspace():
+                k += 1
+            if k >= n or mods[k] != "(":
+                raise ValueError(
+                    f"CREATE TABLE {table}: malformed CHECK on column "
+                    f"{col!r} (expected CHECK (expr))"
+                )
+            e = _take_balanced(mods, k)
+            checks.append(mods[k + 1 : e - 1].strip())
+            i = e
+        elif kw == "DEFAULT":
+            if default is not None:
+                raise ValueError(
+                    f"CREATE TABLE {table}: multiple DEFAULT clauses "
+                    f"on column {col!r}"
+                )
+            k = j
+            while k < n and mods[k].isspace():
+                k += 1
+            if k >= n:
+                raise ValueError(
+                    f"CREATE TABLE {table}: DEFAULT with no value on "
+                    f"column {col!r}"
+                )
+            if mods[k] == "(":
+                e = _take_balanced(mods, k)
+            elif mods[k] == "'":
+                e = k + 1
+                while e < n:
+                    if mods[e] == "'":
+                        if e + 1 < n and mods[e + 1] == "'":
+                            e += 2
+                            continue
+                        e += 1
+                        break
+                    e += 1
+                else:
+                    raise ValueError(
+                        f"CREATE TABLE {table}: unterminated DEFAULT "
+                        f"string on column {col!r}"
+                    )
+            else:
+                tm = re.match(r"[+-]?\w+(?:\.\w+)?", mods[k:])
+                if tm is None:
+                    raise ValueError(
+                        f"CREATE TABLE {table}: cannot parse DEFAULT "
+                        f"value on column {col!r}"
+                    )
+                e = k + tm.end()
+                # a function-call default: now(), current_date()
+                e2 = e
+                while e2 < n and mods[e2].isspace():
+                    e2 += 1
+                if e2 < n and mods[e2] == "(":
+                    e = _take_balanced(mods, e2)
+            default = mods[k:e].strip()
+            i = e
+        else:
+            residue.append(mm.group("kw"))
+            i = j
+    return default, checks, " ".join(residue)
+
+
 def _by_name_checks(name: str, cols: str | None, rest: str) -> None:
     """Shared BY NAME validation (DuckDB-parity named errors)."""
     if cols:
@@ -408,6 +513,12 @@ class MallardEngine:
         # constraints (PRIMARY KEY (a) + UNIQUE (b) stays two entries,
         # never one composite [a, b] — ADVICE r8)
         self._keys: dict[str, list[list[str]]] = {}
+        # declared column DEFAULT expressions (col → expr string) and
+        # table CHECK constraints (expr strings) — round 9; persisted
+        # tables carry them as mallard.defaults / mallard.checks
+        # properties, mirrored back by _discover_persistent
+        self._defaults: dict[str, dict[str, str]] = {}
+        self._checks: dict[str, list[str]] = {}
         # salts of past recursive-fixpoint runs (oldest first) — their
         # parquet barrier dirs are GC'd beyond recursiveKeepRuns
         self._rec_salts: list[str] = []
@@ -453,6 +564,14 @@ class MallardEngine:
                     if props.get("mallard.keys"):
                         self._keys[short] = _decode_keys_prop(
                             props["mallard.keys"]
+                        )
+                    if props.get("mallard.defaults"):
+                        self._defaults[short] = json.loads(
+                            props["mallard.defaults"]
+                        )
+                    if props.get("mallard.checks"):
+                        self._checks[short] = json.loads(
+                            props["mallard.checks"]
                         )
                 except Exception:  # pragma: no cover - props unreadable
                     pass
@@ -533,6 +652,8 @@ class MallardEngine:
                     self._keys[name] = cons
                 else:
                     self._keys.pop(name, None)
+                self._defaults.pop(name, None)
+                self._checks.pop(name, None)
                 return df.count() if count else None
             raise NotImplementedError(
                 f"put({name!r}, persist=True): overwriting an "
@@ -584,25 +705,45 @@ class MallardEngine:
             self._keys[name] = cons
         else:
             self._keys.pop(name, None)  # replaced definition: no PK
+        if not _keep_keys:
+            # a replaced definition loses its DEFAULT/CHECK
+            # declarations too (DML write-backs keep them)
+            self._defaults.pop(name, None)
+            self._checks.pop(name, None)
         return df.count() if count else None
 
     def _pin_keys_prop(self, name: str) -> None:
-        """Re-pin the declared constraints as the ``mallard.keys``
-        table property on a persisted table (overwrites drop table
-        properties). Escaped via :func:`_encode_keys_prop` so names a
-        raw comma-join would corrupt survive the round-trip."""
-        cons = self._keys.get(name)
-        if not cons:
+        """Re-pin the declared metadata (keys, column DEFAULTs, CHECK
+        constraints) as table properties on a persisted table
+        (overwrites drop table properties). Escaped so names a raw
+        comma-join would corrupt survive the round-trip."""
+        props: list[tuple[str, str]] = []
+        if self._keys.get(name):
+            props.append(
+                ("mallard.keys", _encode_keys_prop(self._keys[name]))
+            )
+        if self._defaults.get(name):
+            props.append(
+                ("mallard.defaults", json.dumps(self._defaults[name]))
+            )
+        if self._checks.get(name):
+            props.append(
+                ("mallard.checks", json.dumps(self._checks[name]))
+            )
+        if not props:
             return
         if self._tx is not None:
             # ALTER TABLE SET TBLPROPERTIES is a warehouse write —
             # deferred to COMMIT like every other warehouse effect
             self._tx["pin_keys"].add(name)
             return
-        prop = _encode_keys_prop(cons).replace("'", "''")
+        kv = ", ".join(
+            "'{}' = '{}'".format(k, v.replace("'", "''"))
+            for k, v in props
+        )
         self.spark.sql(
             f"ALTER TABLE {self._qualified(name)} SET TBLPROPERTIES "
-            f"('mallard.keys' = '{prop}')"
+            f"({kv})"
         )
 
     def _upsert_key(self, name: str, verb: str) -> list[str] | None:
@@ -655,6 +796,8 @@ class MallardEngine:
             "tables": dict(self._tables),
             "views": set(self._views),
             "keys": {k: [list(g) for g in v] for k, v in self._keys.items()},
+            "defaults": {k: dict(v) for k, v in self._defaults.items()},
+            "checks": {k: list(v) for k, v in self._checks.items()},
             "persistent": set(self._persistent),
             "macros": dict(self._macros),
             "staged": {},  # name -> staged tmp dir (persistent DML)
@@ -744,6 +887,8 @@ class MallardEngine:
             self._tables = snap_tables
             self._views = tx["views"]
             self._keys = tx["keys"]
+            self._defaults = tx["defaults"]
+            self._checks = tx["checks"]
             self._persistent = tx["persistent"]
             self._macros = tx["macros"]
         finally:
@@ -789,6 +934,8 @@ class MallardEngine:
         self._tables.pop(name, None)
         self._views.discard(name)
         self._keys.pop(name, None)
+        self._defaults.pop(name, None)
+        self._checks.pop(name, None)
 
     def health_check(self) -> bool:
         """Liveness probe: run ``SELECT 1`` through the session.
@@ -1849,8 +1996,17 @@ class MallardEngine:
         Uniqueness is NOT enforced on plain INSERT (a check join per
         ingest is the wrong default at corpus scale — documented
         divergence from DuckDB's constraint errors).
-        ``DEFAULT``/``CHECK``/``REFERENCES``/``COLLATE`` and
-        TIME/INTERVAL/nested types refuse by name.
+        Round 9: column ``DEFAULT <expr>`` declarations fill
+        column-list / BY NAME INSERT gaps (DuckDB semantics; the
+        expression binds at CREATE time and evaluates per insert, so
+        volatile defaults like ``now()`` stay volatile), and
+        column-level / table-level ``CHECK (expr)`` constraints are
+        ENFORCED on every write path (one bounded aggregate job over
+        the written rows; NULL passes, FALSE rejects — SQL
+        semantics). ``REFERENCES``/``COLLATE``/``GENERATED`` and
+        TIME/INTERVAL/nested types refuse by name. (Whitespace runs
+        inside DEFAULT/CHECK string literals collapse to one space —
+        the definition text is whitespace-normalized before parsing.)
         """
         name = m.group("name")
         if name in self._tables and not m.group("replace"):
@@ -1868,6 +2024,8 @@ class MallardEngine:
         # independent single-column keys, never one composite
         # [a, b] (ADVICE r8)
         constraints: list[list[str]] = []
+        defaults: dict[str, str] = {}
+        checks: list[str] = []
         for item in _split_top_level(m.group("defs")):
             item = " ".join(item.split())
             if not item:
@@ -1884,6 +2042,10 @@ class MallardEngine:
                     ]
                 )
                 continue
+            ck = re.match(r"(?is)^CHECK\s*\((?P<e>.*)\)\s*$", item)
+            if ck:  # table-level CHECK constraint
+                checks.append(ck.group("e").strip())
+                continue
             cm = re.match(
                 r'(?i)^(?P<col>[A-Za-z_]\w*|"[^"]+")\s+(?P<type>[A-Za-z_]\w*)'
                 r"(?:\s*\(\s*(?P<args>\d+(?:\s*,\s*\d+)?)\s*\))?"
@@ -1898,7 +2060,13 @@ class MallardEngine:
             col = cm.group("col").strip('"')
             tname = cm.group("type").upper()
             args = cm.group("args")
-            mods = " " + (cm.group("mods") or "").upper().strip() + " "
+            cdefault, cchecks, residue = _extract_col_constraints(
+                cm.group("mods") or "", col, name
+            )
+            if cdefault is not None:
+                defaults[col] = cdefault
+            checks.extend(cchecks)
+            mods = " " + residue.upper().strip() + " "
             if tname in ("DECIMAL", "NUMERIC"):
                 # DuckDB's default DECIMAL is (18,3)
                 stype = f"decimal({args or '18,3'})"
@@ -1917,13 +2085,11 @@ class MallardEngine:
                         f"{tname}, which has no faithful Spark mapping "
                         f"(TIME/INTERVAL/nested types are not supported)"
                     )
-            if re.search(
-                r"\b(DEFAULT|CHECK|REFERENCES|COLLATE|GENERATED)\b", mods
-            ):
+            if re.search(r"\b(REFERENCES|COLLATE|GENERATED)\b", mods):
                 raise NotImplementedError(
                     f"CREATE TABLE {name}: column modifier in {item!r} "
                     f"is not supported "
-                    f"(DEFAULT/CHECK/REFERENCES/COLLATE/GENERATED)"
+                    f"(REFERENCES/COLLATE/GENERATED)"
                 )
             leftover = re.sub(
                 r"\b(PRIMARY\s+KEY|UNIQUE|NOT\s+NULL|NULL)\b", " ", mods
@@ -1967,9 +2133,37 @@ class MallardEngine:
             ):
                 resolved.append(grp)
         empty = self.spark.createDataFrame([], ", ".join(fields))
+        # bind DEFAULT expressions and CHECK predicates NOW, like
+        # DuckDB's binder — a typo'd expression errors at CREATE, not
+        # on the first INSERT
+        from pyspark.sql import functions as F
+
+        type_of = {f.name: f.dataType for f in empty.schema.fields}
+        for c, d in defaults.items():
+            try:
+                empty.select(F.expr(d).cast(type_of[c]))
+            except Exception as e:
+                raise ValueError(
+                    f"CREATE TABLE {name}: DEFAULT expression {d!r} "
+                    f"for column {c!r} does not bind: {e}"
+                ) from None
+        for chk in checks:
+            try:
+                empty.filter(self._duck_expr(chk, probe=empty))
+            except Exception as e:
+                raise ValueError(
+                    f"CREATE TABLE {name}: CHECK expression {chk!r} "
+                    f"does not bind: {e}"
+                ) from None
         self.put(
             name, empty, persist=self.ddl_persist, keys=resolved or None
         )
+        if defaults:
+            self._defaults[name] = defaults
+        if checks:
+            self._checks[name] = checks
+        if (defaults or checks) and name in self._persistent:
+            self._pin_keys_prop(name)
         return "OK"
 
     def _csv_auto_view(self, path: str, args: str = "") -> str:
@@ -2524,6 +2718,9 @@ class MallardEngine:
             if keys:  # declared keys follow the rename
                 self._keys.pop(name, None)
                 self._keys[new] = keys
+            for store in (self._defaults, self._checks):
+                if name in store:  # DEFAULT/CHECK declarations too
+                    store[new] = store.pop(name)
             return "OK"
         self.sql(sql)
         return "OK"
@@ -3185,7 +3382,10 @@ class MallardEngine:
             # checked BEFORE the warehouse branch so the persistent
             # path gets the named errors too, not raw Spark ones
             _by_name_checks(name, cols, rest)
-        if name in self._persistent and self._tx is None:
+        needs_align = bool(
+            self._defaults.get(name) or self._checks.get(name)
+        )
+        if name in self._persistent and self._tx is None and not needs_align:
             # Warehouse table: Spark's native INSERT INTO appends
             # without rewriting existing data — the scale path.
             # (In a transaction this falls through to the staged
@@ -3205,6 +3405,15 @@ class MallardEngine:
             return "OK"
         tbl = self._dml_table(name)
         aligned = self._insert_source_df(name, cols, rest, by_name=by_name)
+        if name in self._persistent and self._tx is None:
+            # a warehouse table with DEFAULT/CHECK declarations: the
+            # aligned relation carries the default fills; CHECKs gate
+            # the proposed rows; insertInto APPENDS (aligned is in
+            # schema order) — existing data is never rewritten
+            self._enforce_checks(name, aligned, "INSERT")
+            aligned.write.insertInto(self._qualified(name))
+            self._tables[name] = self.spark.table(self._qualified(name))
+            return "OK"
         self._write_back(name, tbl.unionByName(aligned))
         return "OK"
 
@@ -3227,6 +3436,22 @@ class MallardEngine:
         if by_name:
             _by_name_checks(name, cols, rest)
         if rest.upper().startswith("VALUES"):
+            if re.search(r"(?i)\bDEFAULT\b", rest):
+                from mallard_spark.dialect import _scan
+
+                # only the bare keyword in CODE spans counts — a
+                # string literal 'DEFAULT' is data
+                masked = "".join(
+                    c if code else " " for _i, c, _d, code in _scan(rest)
+                )
+                if re.search(r"(?i)\bDEFAULT\b", masked):
+                    raise NotImplementedError(
+                        f"INSERT INTO {name}: the DEFAULT keyword "
+                        f"inside VALUES is not supported — omit the "
+                        f"column via a column list (INSERT INTO "
+                        f"{name} (cols...) VALUES ...) and the "
+                        f"declared DEFAULT fills it"
+                    )
             new = self.spark.sql(f"SELECT * FROM ({rest})")
         else:
             new = self.sql(rest)  # SELECT/WITH/TABLE form, refs rewritten
@@ -3249,7 +3474,7 @@ class MallardEngine:
                     (
                         F.col(src_by_lower[f.name.lower()])
                         if f.name.lower() in src_by_lower
-                        else F.lit(None)
+                        else self._default_col(name, f.name)
                     )
                     .cast(f.dataType)
                     .alias(f.name)
@@ -3275,7 +3500,11 @@ class MallardEngine:
             new = new.toDF(*[by_lower[n.lower()] for n in names])
             return new.select(
                 *[
-                    (F.col(f.name) if f.name in resolved else F.lit(None))
+                    (
+                        F.col(f.name)
+                        if f.name in resolved
+                        else self._default_col(name, f.name)
+                    )
                     .cast(f.dataType)
                     .alias(f.name)
                     for f in schema.fields
@@ -3419,6 +3648,45 @@ class MallardEngine:
         self._write_back(name, tbl.filter(keep))
         return "OK"
 
+    def _default_col(self, name: str, col: str):
+        """The fill expression for an omitted INSERT column: the
+        declared DEFAULT when one exists, else NULL (round 9)."""
+        from pyspark.sql import functions as F
+
+        d = self._defaults.get(name, {}).get(col)
+        return F.expr(d) if d is not None else F.lit(None)
+
+    def _enforce_checks(self, name: str, df: DataFrame, verb: str) -> None:
+        """Validate every declared CHECK constraint over ``df`` in ONE
+        bounded aggregate job (round 9). SQL semantics: a NULL
+        predicate passes, only FALSE violates — and the statement
+        errors like DuckDB's constraint failure. ``df`` is the
+        proposed-rows relation on append paths and the written result
+        on rewrite paths (rewrite paths scan the table anyway; tables
+        that declare CHECKs are dimension-scale by nature)."""
+        checks = self._checks.get(name)
+        if not checks:
+            return
+        from pyspark.sql import functions as F
+
+        aggs = [
+            F.sum(
+                F.when(
+                    self._duck_expr(c, probe=df).eqNullSafe(F.lit(False)),
+                    1,
+                ).otherwise(0)
+            ).alias(f"c{i}")
+            for i, c in enumerate(checks)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for i, c in enumerate(checks):
+            if row[i]:
+                raise ValueError(
+                    f"{verb}: CHECK constraint ({c}) on {name!r} "
+                    f"violated by {row[i]} row(s) — DuckDB rejects "
+                    f"the statement the same way"
+                )
+
     def _write_back(self, name: str, df: DataFrame) -> None:
         """Replace ``name``'s content with ``df``.
 
@@ -3426,6 +3694,9 @@ class MallardEngine:
         distributed write that breaks Spark's read/overwrite cycle on
         the warehouse path without collecting anything to the driver.
         """
+        # declared CHECK constraints gate every rewrite path (UPDATE,
+        # MERGE, upserts, session INSERT unions) in one place
+        self._enforce_checks(name, df, "DML")
         if name in self._persistent:
             if self._tx is not None:
                 # in-transaction: stage to temp parquet and SHADOW the

@@ -636,6 +636,13 @@ class MallardEngine:
                 cons.append([by_lower[k.lower()] for k in grp])
         if _keep_keys and cons is None:
             cons = self._keys.get(name)
+        if not _keep_keys:
+            # a replaced definition loses its DEFAULT/CHECK
+            # declarations too (DML write-backs keep them) — popped
+            # BEFORE any property pin so a persist cannot re-write
+            # the OLD declarations onto the new table
+            self._defaults.pop(name, None)
+            self._checks.pop(name, None)
         if persist and self._tx is not None:
             # in-transaction CREATE/PUT with persistence: register as
             # a session view now, defer the saveAsTable to COMMIT
@@ -652,8 +659,6 @@ class MallardEngine:
                     self._keys[name] = cons
                 else:
                     self._keys.pop(name, None)
-                self._defaults.pop(name, None)
-                self._checks.pop(name, None)
                 return df.count() if count else None
             raise NotImplementedError(
                 f"put({name!r}, persist=True): overwriting an "
@@ -705,11 +710,6 @@ class MallardEngine:
             self._keys[name] = cons
         else:
             self._keys.pop(name, None)  # replaced definition: no PK
-        if not _keep_keys:
-            # a replaced definition loses its DEFAULT/CHECK
-            # declarations too (DML write-backs keep them)
-            self._defaults.pop(name, None)
-            self._checks.pop(name, None)
         return df.count() if count else None
 
     def _pin_keys_prop(self, name: str) -> None:

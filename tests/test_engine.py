@@ -2298,3 +2298,28 @@ def test_check_constraints_persistent_append(spark):
         eng.ddl_persist = False
         if "pw" in eng._tables:
             eng.drop("pw")
+
+
+def test_replaced_table_drops_stale_default_check_props(spark):
+    """Round-9 review: re-persisting a table pops the OLD definition's
+    DEFAULT/CHECK declarations BEFORE the property pin — a fresh
+    engine must not rediscover phantom constraints from the replaced
+    definition."""
+    eng = MallardEngine(spark, "t_staleprops")
+    eng.ddl_persist = True
+    try:
+        eng.ddl(
+            "CREATE TABLE sp (k INTEGER, v INTEGER DEFAULT 9 CHECK (v > 0))"
+        )
+        # replace with a CONSTRAINT-FREE definition via put(persist)
+        eng.put("sp", pa.table({"k": [1], "v": [-5]}), persist=True)
+        eng2 = MallardEngine(spark, "t_staleprops")
+        assert eng2._defaults.get("sp") is None
+        assert eng2._checks.get("sp") is None
+        # and the new table accepts what the old CHECK would reject
+        eng2.dml("INSERT INTO sp VALUES (2, -1)")
+        assert eng2.table("sp").count() == 2
+    finally:
+        eng.ddl_persist = False
+        if "sp" in eng._tables:
+            eng.drop("sp")

@@ -573,8 +573,16 @@ class MallardEngine:
                         self._checks[short] = json.loads(
                             props["mallard.checks"]
                         )
-                except Exception:  # pragma: no cover - props unreadable
-                    pass
+                except Exception as e:  # pragma: no cover
+                    # unreadable/undecodable declaration properties:
+                    # never fail discovery, but say so — silently
+                    # dropping a CHECK means inserts DuckDB would
+                    # reject start succeeding (round-9 review)
+                    logging.getLogger(__name__).warning(
+                        "table %s: could not decode declaration "
+                        "properties (keys/defaults/checks ignored): %s",
+                        short, e,
+                    )
 
     def put(
         self,
@@ -673,6 +681,12 @@ class MallardEngine:
             df = self.spark.table(self._qualified(name))
             self._persistent.add(name)
         else:
+            if self._tx is not None and not _keep_keys:
+                # an explicit session-table redefinition cancels a
+                # deferred in-tx CREATE-with-persistence (the user's
+                # LAST definition wins); DML write-backs (_keep_keys)
+                # must keep the create pending (round-9 review)
+                self._tx["pending_creates"].discard(name)
             if name in self._persistent:
                 if self._tx is not None:
                     raise NotImplementedError(
@@ -737,8 +751,16 @@ class MallardEngine:
             # deferred to COMMIT like every other warehouse effect
             self._tx["pin_keys"].add(name)
             return
+        # Spark's SQL parser consumes one backslash level inside
+        # single-quoted literals (verified live: '\\' stores as '\'),
+        # so backslashes — present in JSON-encoded CHECK/DEFAULT
+        # expressions like LIKE '%\_%' — must be doubled or the
+        # stored property becomes invalid JSON and the declarations
+        # silently vanish on rediscovery (round-9 review)
         kv = ", ".join(
-            "'{}' = '{}'".format(k, v.replace("'", "''"))
+            "'{}' = '{}'".format(
+                k, v.replace("\\", "\\\\").replace("'", "''")
+            )
             for k, v in props
         )
         self.spark.sql(
@@ -804,7 +826,8 @@ class MallardEngine:
             "pending_creates": set(),  # saveAsTable deferred to COMMIT
             "pending_drops": set(),  # warehouse DROP deferred to COMMIT
             "pin_keys": set(),  # TBLPROPERTIES pins deferred to COMMIT
-            "dirs": [],  # temp dirs to clean at transaction end
+            "dirs": [],  # staged temp dirs (kept on disk at tx end:
+            # in-tx derived lazy plans may still scan them)
         }
 
     def _require_tx(self, verb: str) -> dict[str, Any]:
@@ -815,84 +838,96 @@ class MallardEngine:
             )
         return self._tx
 
-    def _tx_cleanup(self, tx: dict[str, Any]) -> None:
-        for d in tx["dirs"]:
-            shutil.rmtree(d, ignore_errors=True)
-
     def _commit(self) -> None:
         tx = self._require_tx("COMMIT")
         self._tx = None  # publishes below run as normal statements
         try:
-            for name in sorted(tx["pending_drops"]):
-                self.spark.sql(
-                    f"DROP TABLE IF EXISTS {self._qualified(name)}"
-                )
-            for name in sorted(tx["pending_creates"]):
-                if name not in self._tables:
-                    continue  # created then dropped inside the tx
-                df = self._tables[name]
-                self.spark.catalog.dropTempView(self._qualified(name))
-                df.write.mode("overwrite").saveAsTable(
-                    self._qualified(name)
-                )
-                self._persistent.add(name)
-                self._tables[name] = self.spark.table(self._qualified(name))
+            self._commit_publish(tx)
+        except Exception:
+            # a publish failed mid-way: re-open the transaction so
+            # ROLLBACK can still restore the SESSION catalog (staged
+            # dirs are untouched — cleanup only runs on success).
+            # Warehouse tables already published stay published —
+            # commit is not atomic ACROSS tables (documented
+            # divergence; DuckDB's single-file commit is).
+            self._tx = tx
+            raise
+        # staged parquet dirs are NOT deleted on commit: a plan
+        # derived inside the transaction (put('x', sql('... FROM
+        # shadowed_t'))) may still scan them — the round-8 lesson
+        # about deleting files under lazy plans. They live in the
+        # process temp dir, bounded by in-transaction DML count.
+
+    def _commit_publish(self, tx: dict[str, Any]) -> None:
+        for name in sorted(tx["pending_drops"]):
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._qualified(name)}"
+            )
+        for name in sorted(tx["pending_creates"]):
+            if name not in self._tables:
+                continue  # created then dropped inside the tx
+            df = self._tables[name]
+            self.spark.catalog.dropTempView(self._qualified(name))
+            df.write.mode("overwrite").saveAsTable(
+                self._qualified(name)
+            )
+            self._persistent.add(name)
+            self._tables[name] = self.spark.table(self._qualified(name))
+            self._pin_keys_prop(name)
+        for name in sorted(tx["staged"]):
+            if name not in self._tables or name not in self._persistent:
+                continue  # dropped (or re-created) later in the tx
+            df = self._tables[name]  # staged parquet read
+            self.spark.catalog.dropTempView(self._qualified(name))
+            df.write.mode("overwrite").saveAsTable(
+                self._qualified(name)
+            )
+            self._tables[name] = self.spark.table(self._qualified(name))
+            self._pin_keys_prop(name)
+        for name in sorted(tx["pin_keys"]):
+            if (
+                name in self._persistent
+                and name not in tx["staged"]
+                and name not in tx["pending_creates"]
+            ):
                 self._pin_keys_prop(name)
-            for name in sorted(tx["staged"]):
-                if name not in self._tables or name not in self._persistent:
-                    continue  # dropped (or re-created) later in the tx
-                df = self._tables[name]  # staged parquet read
-                self.spark.catalog.dropTempView(self._qualified(name))
-                df.write.mode("overwrite").saveAsTable(
-                    self._qualified(name)
-                )
-                self._tables[name] = self.spark.table(self._qualified(name))
-                self._pin_keys_prop(name)
-            for name in sorted(tx["pin_keys"]):
-                if (
-                    name in self._persistent
-                    and name not in tx["staged"]
-                    and name not in tx["pending_creates"]
-                ):
-                    self._pin_keys_prop(name)
-        finally:
-            self._tx_cleanup(tx)
 
     def _rollback(self) -> None:
         tx = self._require_tx("ROLLBACK")
         self._tx = None
-        try:
-            snap_tables = tx["tables"]
-            # names created during the transaction: unregister
-            for name in set(self._tables) - set(snap_tables):
+        snap_tables = tx["tables"]
+        # names created during the transaction: unregister
+        for name in set(self._tables) - set(snap_tables):
+            try:
+                self.spark.catalog.dropTempView(self._qualified(name))
+            except Exception:
+                pass
+        for name, df in snap_tables.items():
+            if name in tx["persistent"]:
+                # drop any staged shadow; reads resolve back to
+                # the untouched catalog table
                 try:
-                    self.spark.catalog.dropTempView(self._qualified(name))
+                    self.spark.catalog.dropTempView(
+                        self._qualified(name)
+                    )
                 except Exception:
                     pass
-            for name, df in snap_tables.items():
-                if name in tx["persistent"]:
-                    # drop any staged shadow; reads resolve back to
-                    # the untouched catalog table
-                    try:
-                        self.spark.catalog.dropTempView(
-                            self._qualified(name)
-                        )
-                    except Exception:
-                        pass
-                else:
-                    # re-register the snapshot plan (plans are
-                    # immutable; in-tx write-backs only ever staged
-                    # NEW files, so the old plan's inputs still exist)
-                    df.createOrReplaceTempView(self._qualified(name))
-            self._tables = snap_tables
-            self._views = tx["views"]
-            self._keys = tx["keys"]
-            self._defaults = tx["defaults"]
-            self._checks = tx["checks"]
-            self._persistent = tx["persistent"]
-            self._macros = tx["macros"]
-        finally:
-            self._tx_cleanup(tx)
+            else:
+                # re-register the snapshot plan (plans are
+                # immutable; in-tx write-backs only ever staged
+                # NEW files, so the old plan's inputs still exist)
+                df.createOrReplaceTempView(self._qualified(name))
+        self._tables = snap_tables
+        self._views = tx["views"]
+        self._keys = tx["keys"]
+        self._defaults = tx["defaults"]
+        self._checks = tx["checks"]
+        self._persistent = tx["persistent"]
+        self._macros = tx["macros"]
+        # staged dirs are left on disk: a DataFrame handed to user
+        # code inside the transaction may still scan them (deleting
+        # files under a lazy plan is the round-8 bug class).
+        # Process-temp, bounded by in-transaction DML count.
 
     def row_count(self, name: str) -> int:
         return self.table(name).count()
@@ -1441,15 +1476,37 @@ class MallardEngine:
                 try:
                     return self.spark.sql(translated)
                 except Exception as retry_err:
-                    if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in str(
-                        retry_err
-                    ) or re.match(
-                        r"^\s*WITH\s+RECURSIVE\b", translated, re.IGNORECASE
+                    retry_union = (
+                        "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"
+                        in str(retry_err)
+                    )
+                    if retry_union or (
+                        translated != out
+                        and re.match(
+                            r"^\s*WITH\s+RECURSIVE\b",
+                            translated, re.IGNORECASE,
+                        )
                     ):
                         # dialect syntax AND a recursive CTE (dedup
                         # UNION, chained, or mutual) in one statement:
-                        # run the fixpoint on the TRANSLATED text
-                        fixed = self._recursive_union_fixpoint(translated)
+                        # run the fixpoint on the TRANSLATED text.
+                        # translated == out is skipped — identical
+                        # text already failed the first attempt, so
+                        # re-running the fixpoint would just pay the
+                        # error path twice (round-9 review)
+                        if retry_union:
+                            fixed = self._recursive_union_fixpoint(
+                                translated
+                            )
+                        else:
+                            try:
+                                fixed = self._recursive_union_fixpoint(
+                                    translated
+                                )
+                            except (ValueError, NotImplementedError):
+                                raise
+                            except Exception:
+                                fixed = None
                         if fixed is not None:
                             return fixed
                     continue
@@ -2890,7 +2947,14 @@ class MallardEngine:
         m = _ALTER_RENAME_RE.match(sql)
         if m:
             name, new = m.group("name"), m.group("new")
+            # capture declarations BEFORE put/drop below pop them
             keys = self._keys.get(name)
+            carried_defaults = self._defaults.get(name)
+            carried_checks = self._checks.get(name)
+            was_pending = (
+                self._tx is not None
+                and name in self._tx["pending_creates"]
+            )
             if name in self._persistent and self._tx is not None:
                 raise NotImplementedError(
                     "ALTER TABLE RENAME on a persisted table inside a "
@@ -2916,12 +2980,21 @@ class MallardEngine:
                 self.drop(name)
                 if was_view:
                     self._views.add(new)
+                if was_pending:
+                    # an in-transaction CREATE-with-persistence being
+                    # renamed: the deferred saveAsTable follows the
+                    # NEW name instead of silently vanishing at
+                    # COMMIT (round-9 review)
+                    self._tx["pending_creates"].add(new)
             if keys:  # declared keys follow the rename
                 self._keys.pop(name, None)
                 self._keys[new] = keys
-            for store in (self._defaults, self._checks):
-                if name in store:  # DEFAULT/CHECK declarations too
-                    store[new] = store.pop(name)
+            if carried_defaults is not None:  # DEFAULT/CHECK too
+                self._defaults[new] = carried_defaults
+            if carried_checks is not None:
+                self._checks[new] = carried_checks
+            self._defaults.pop(name, None)
+            self._checks.pop(name, None)
             return "OK"
         self.sql(sql)
         return "OK"
@@ -3904,7 +3977,8 @@ class MallardEngine:
                 # catalog table with a temp view — the warehouse stays
                 # untouched until COMMIT publishes (ROLLBACK just
                 # drops the shadow). The staged dir must outlive this
-                # call; the transaction owns and cleans it.
+                # call (in-tx derived lazy plans may scan it), so it
+                # is left on disk at transaction end.
                 tmp = tempfile.mkdtemp(prefix="mallard_txdml_")
                 self._tx["dirs"].append(tmp)
                 df.write.mode("overwrite").parquet(tmp)

@@ -1420,10 +1420,8 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("rank"),
         ).limit(0)
 
-    cb_nested = [
-        [list(r["v"])[s * PQ_DSUB : (s + 1) * PQ_DSUB] for r in cb_rows]
-        for s in range(PQ_M)
-    ]
+    seeds = [[int(r["seed_id"]), list(r["vs"])] for r in seed_rows]
+    cb = [list(r["v"]) for r in cb_rows]
     # The persisted index: (vec_id, v, codes[8], lists[2]) — ONE
     # corpus pass computes it; the parquet barrier is both the
     # real-world index artifact and a fence that stops the optimizer
@@ -1431,52 +1429,6 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured: without it the BNL join re-evaluates the 48-cosine
     # list expression per (row, probe) pair — 5× the work)
     from mallard_spark.functions.exec import materialize
-
-    # Index build: ONE Arrow-vectorized corpus pass (mapInPandas +
-    # numpy). Interpreted per-row HOF folds measured ~2 ms/vector for
-    # the 512 subspace distances + 48 coarse cosines; the numpy pass
-    # does the identical IEEE chains (dim-sequential accumulation =
-    # the fold's order; ROUND emulated decimal-exactly, see
-    # _np_round_half_up) at microseconds/vector — the only build
-    # shape that survives a billion vectors.
-    cb_np = cb_nested
-    sv_np = [list(r["vs"]) for r in seed_rows]
-    sid_np = seed_ids
-    assign_k = IVFPQ_ASSIGN
-    dsub = PQ_DSUB
-
-    def index_batches(batches):
-        import numpy as np
-        import pandas as pd
-
-        CB = np.asarray(cb_np)  # (M, K, DSUB)
-        SV = np.asarray(sv_np)  # (nlist, dim)
-        SID = np.asarray(sid_np, dtype=np.int64)
-        NS = _np_seed_norms(sv_np)
-        M, K = CB.shape[0], CB.shape[1]
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            X = np.stack(pdf["v"].to_numpy())
-            codes = np.empty((n, M), dtype=np.int32)
-            for s in range(M):
-                D = np.zeros((n, K))
-                for d in range(dsub):
-                    diff = X[:, s * dsub + d, None] - CB[s, None, :, d]
-                    D = D + diff * diff
-                micro = _np_round_scaled(D * 1_000_000.0, 0).astype(np.int64)
-                # min(micro*100+cid) % 100 == first argmin == lowest cid
-                codes[:, s] = np.argmin(micro * 100 + np.arange(K), axis=1)
-            lists = _np_coarse_lists(X, SV, SID, NS, assign_k)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "v": pdf["v"],
-                    "codes": list(codes),
-                    "lists": lists,
-                }
-            )
 
     # build from `vecs` directly — the numpy closure carries the
     # parameters; routing the corpus pass through `base` would pay a
@@ -1498,13 +1450,12 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             indexed = None  # artifact vanished — rebuild below
     if indexed is None:
-        indexed = materialize(
-            vecs.mapInPandas(
-                index_batches,
-                "vec_id long, v array<double>, codes array<int>, lists array<bigint>",
-            ),
-            index_name,
-        )
+        # ONE Arrow-vectorized corpus pass — the SHARED encode
+        # definition (_ivfpq_encode, also the persisted-index build
+        # and incremental-add pass), so fused build, warehouse build,
+        # and add stay bit-identical by construction (round-9 review:
+        # one definition, no drift)
+        indexed = materialize(_ivfpq_encode(vecs, seeds, cb), index_name)
         _IVFPQ_INDEX_CACHE[cache_key] = {
             "seed_rows": seed_rows, "cb_rows": cb_rows,
         }
@@ -1515,14 +1466,9 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ivfpq_serve(indexed, cached_probes)
     # Probe side (round 6): the probe set is BOUNDED (N_PROBES rows),
     # so its coarse lists and ADC distance tables are computed
-    # driver-side with the SAME numpy chains the index build runs
-    # (_np_coarse_lists / dim-sequential accumulation /
-    # _np_round_scaled — bit-equal to the oracle, verified at 3 SFs).
-    # This replaces ~4k-node generated SQL expression trees whose
-    # PARSE alone measured ~0.5 s per call; the probe relation
-    # becomes a plain bounded local DataFrame, broadcast as before.
-    import numpy as np
-
+    # driver-side with the SAME numpy chains the index build runs —
+    # the shared _ivfpq_probe_relation (also the persisted-index
+    # serve path), bit-equal to the oracle, verified at 3 SFs.
     if "probe_rows" in entry:
         probe_rows = entry["probe_rows"]
     else:
@@ -1537,36 +1483,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("cos_sim"),
             F.lit(0).cast("int").alias("rank"),
         ).limit(0)
-    Xp = np.stack([np.asarray(r["v"]) for r in probe_rows])
-    plists = _np_coarse_lists(
-        Xp,
-        np.asarray(sv_np),
-        np.asarray(sid_np, dtype=np.int64),
-        _np_seed_norms(sv_np),
-        IVFPQ_NPROBE,
-    )
-    CBp = np.asarray(cb_np)  # (M, K, DSUB)
-    n_p = len(probe_rows)
-    dt_np = np.empty((n_p, PQ_M, n_codes), dtype=np.int64)
-    for s in range(PQ_M):
-        D = np.zeros((n_p, n_codes))
-        for dd in range(dsub):
-            diff = Xp[:, s * dsub + dd, None] - CBp[s, None, :, dd]
-            D = D + diff * diff
-        dt_np[:, s, :] = _np_round_scaled(D * 1_000_000.0, 0).astype(np.int64)
-    probes = spark.createDataFrame(
-        [
-            (
-                int(r["vec_id"]),
-                [float(x) for x in r["v"]],
-                [int(x) for x in plists[i]],
-                [[int(c) for c in dt_np[i, s]] for s in range(PQ_M)],
-            )
-            for i, r in enumerate(probe_rows)
-        ],
-        "probe_id long, vp array<double>, plists array<bigint>, "
-        "dt array<array<bigint>>",
-    )
+    probes = _ivfpq_probe_relation(spark, probe_rows, seeds, cb)
     entry.setdefault("probe_dfs", {})[id(spark)] = probes
     return _ivfpq_serve(indexed, probes)
 
@@ -1714,6 +1631,8 @@ def ivfpq_build_index(
         [int(r["seed_id"]), [float(x) for x in r["vs"]]] for r in seed_rows
     ]
     cb = [[float(x) for x in r["v"]] for r in cb_rows]
+    for t in (table, f"{table}__params"):
+        _drop_orphan_location(spark, t)
     _ivfpq_encode(vecs, seeds, cb).write.mode(mode).saveAsTable(table)
     params = [("seed", sid, vs) for sid, vs in seeds] + [
         ("code", i, c) for i, c in enumerate(cb)
@@ -1721,6 +1640,28 @@ def ivfpq_build_index(
     vecs.sparkSession.createDataFrame(
         params, "kind string, id long, vec array<double>"
     ).write.mode(mode).saveAsTable(f"{table}__params")
+
+
+def _drop_orphan_location(spark: SparkSession, table: str) -> None:
+    """A managed table's warehouse directory can outlive the
+    (in-memory) catalog entry of the session that wrote it — the next
+    session's ``saveAsTable`` then fails LOCATION_ALREADY_EXISTS.
+    When the catalog does NOT know the table but its location exists,
+    remove the orphan dir so build-overwrite stays idempotent across
+    sessions."""
+    try:
+        if spark.catalog.tableExists(table):
+            return  # catalog-managed: saveAsTable overwrite handles it
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            wh.rstrip("/") + "/" + table.lower()
+        )
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:  # pragma: no cover - Connect/exotic FS
+        pass
 
 
 def _ivfpq_read_params(spark: SparkSession, table: str) -> tuple:
@@ -1738,6 +1679,52 @@ def _ivfpq_read_params(spark: SparkSession, table: str) -> tuple:
         if r["kind"] == "code"
     )
     return [list(s) for s in seeds], [c for _i, c in cb_rows]
+
+
+def _ivfpq_probe_relation(
+    spark: SparkSession, probe_rows: list, seeds: list, cb: list
+) -> DataFrame:
+    """The bounded probe relation for IVF-PQ serving: coarse lists
+    and per-subspace ADC distance tables computed driver-side with
+    the SAME numpy chains as the encode pass — ONE definition shared
+    by the fused knn_ivfpq and the persisted-index serve (bit-equal
+    to the DuckDB oracle)."""
+    import numpy as np
+
+    sv_np = [vs for _sid, vs in seeds]
+    sid_np = [sid for sid, _vs in seeds]
+    cb_np = _ivfpq_cb_nested(cb)
+    n_codes = len(cb)
+    Xp = np.stack([np.asarray(r["v"]) for r in probe_rows])
+    plists = _np_coarse_lists(
+        Xp,
+        np.asarray(sv_np),
+        np.asarray(sid_np, dtype=np.int64),
+        _np_seed_norms(sv_np),
+        IVFPQ_NPROBE,
+    )
+    CBp = np.asarray(cb_np)
+    n_p = len(probe_rows)
+    dt_np = np.empty((n_p, PQ_M, n_codes), dtype=np.int64)
+    for s in range(PQ_M):
+        D = np.zeros((n_p, n_codes))
+        for dd in range(PQ_DSUB):
+            diff = Xp[:, s * PQ_DSUB + dd, None] - CBp[s, None, :, dd]
+            D = D + diff * diff
+        dt_np[:, s, :] = _np_round_scaled(D * 1_000_000.0, 0).astype(np.int64)
+    return spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                [float(x) for x in r["v"]],
+                [int(x) for x in plists[i]],
+                [[int(c) for c in dt_np[i, s]] for s in range(PQ_M)],
+            )
+            for i, r in enumerate(probe_rows)
+        ],
+        "probe_id long, vp array<double>, plists array<bigint>, "
+        "dt array<array<bigint>>",
+    )
 
 
 def ivfpq_index_add(
@@ -1760,8 +1747,6 @@ def knn_ivfpq_from_index(
     serving join (broadcast probes, arrays_overlap candidates,
     integer ADC fold, exact re-rank) runs against the warehouse scan
     — no rebuild, no corpus pass."""
-    import numpy as np
-
     seeds, cb = _ivfpq_read_params(spark, table)
     probe_rows = probes.select("vec_id", "v").orderBy("vec_id").collect()
     if not probe_rows:
@@ -1771,40 +1756,7 @@ def knn_ivfpq_from_index(
             F.lit(0.0).alias("cos_sim"),
             F.lit(0).cast("int").alias("rank"),
         ).limit(0)
-    sv_np = [vs for _sid, vs in seeds]
-    sid_np = [sid for sid, _vs in seeds]
-    cb_np = _ivfpq_cb_nested(cb)
-    n_codes = len(cb)
-    Xp = np.stack([np.asarray(r["v"]) for r in probe_rows])
-    plists = _np_coarse_lists(
-        Xp,
-        np.asarray(sv_np),
-        np.asarray(sid_np, dtype=np.int64),
-        _np_seed_norms(sv_np),
-        IVFPQ_NPROBE,
-    )
-    CBp = np.asarray(cb_np)
-    n_p = len(probe_rows)
-    dt_np = np.empty((n_p, PQ_M, n_codes), dtype=np.int64)
-    for s in range(PQ_M):
-        D = np.zeros((n_p, n_codes))
-        for dd in range(PQ_DSUB):
-            diff = Xp[:, s * PQ_DSUB + dd, None] - CBp[s, None, :, dd]
-            D = D + diff * diff
-        dt_np[:, s, :] = _np_round_scaled(D * 1_000_000.0, 0).astype(np.int64)
-    probes_rel = spark.createDataFrame(
-        [
-            (
-                int(r["vec_id"]),
-                [float(x) for x in r["v"]],
-                [int(x) for x in plists[i]],
-                [[int(c) for c in dt_np[i, s]] for s in range(PQ_M)],
-            )
-            for i, r in enumerate(probe_rows)
-        ],
-        "probe_id long, vp array<double>, plists array<bigint>, "
-        "dt array<array<bigint>>",
-    )
+    probes_rel = _ivfpq_probe_relation(spark, probe_rows, seeds, cb)
     return _ivfpq_serve(spark.table(table), probes_rel)
 
 

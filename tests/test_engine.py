@@ -2323,3 +2323,87 @@ def test_replaced_table_drops_stale_default_check_props(spark):
         eng.ddl_persist = False
         if "sp" in eng._tables:
             eng.drop("sp")
+
+
+def test_round9_review_fixes(spark):
+    """Round-9 self-review regressions: (1) backslashes in persisted
+    CHECK/DEFAULT properties survive the TBLPROPERTIES literal
+    round-trip; (2) session-table RENAME carries DEFAULT/CHECK
+    declarations; (3) an in-tx RENAME of a pending CREATE keeps the
+    deferred persist under the NEW name; (4) a session put() over a
+    pending create cancels the deferred persist; (5) staged dirs
+    survive COMMIT so in-tx derived plans still read."""
+    eng = MallardEngine(spark, "t_r9rev")
+    # (1) a backslash-bearing CHECK survives the TBLPROPERTIES
+    # literal round-trip VERBATIM (Spark's parser consumes one
+    # backslash level in quoted literals; without doubling, the
+    # stored JSON is invalid and the constraint silently vanishes).
+    # LIKE-escape semantics themselves differ between engines (DuckDB
+    # has no default escape char), so this asserts property fidelity
+    # + same-engine enforcement, not cross-engine LIKE parity.
+    eng.ddl_persist = True
+    try:
+        eng.ddl(
+            r"CREATE TABLE bs (s VARCHAR CHECK (s NOT LIKE '%\\_%'))"
+        )
+        declared = eng._checks["bs"]
+        eng2 = MallardEngine(spark, "t_r9rev")
+        assert eng2._checks.get("bs") == declared, (
+            "CHECK lost/corrupted in the property round-trip"
+        )
+        eng2.dml("INSERT INTO bs VALUES ('plain')")
+        with pytest.raises(ValueError, match="CHECK"):
+            eng2.dml("INSERT INTO bs VALUES ('has_underscore')")
+        assert [r.s for r in eng2.table("bs").collect()] == ["plain"]
+    finally:
+        eng.ddl_persist = False
+        if "bs" in eng._tables:
+            eng.drop("bs")
+    # (2) session RENAME carries DEFAULT/CHECK
+    eng.ddl("CREATE TABLE rn (k INTEGER, v INTEGER DEFAULT 4 CHECK (v > 0))")
+    eng.ddl("ALTER TABLE rn RENAME TO rn2")
+    assert eng._defaults.get("rn2") == {"v": "4"}
+    assert eng._checks.get("rn2") == ["v > 0"]
+    assert eng._defaults.get("rn") is None
+    eng.dml("INSERT INTO rn2 (k) VALUES (1)")
+    assert [(r.k, r.v) for r in eng.table("rn2").collect()] == [(1, 4)]
+    # (3) in-tx rename of a pending CREATE persists under the NEW name
+    eng.ddl_persist = True
+    try:
+        eng.execute("BEGIN")
+        eng.ddl("CREATE TABLE pc (a INTEGER)")
+        eng.dml("INSERT INTO pc VALUES (7)")
+        eng.ddl("ALTER TABLE pc RENAME TO pc2")
+        eng.execute("COMMIT")
+        fresh = MallardEngine(spark, "t_r9rev")
+        assert fresh.table("pc2").collect()[0][0] == 7
+        assert "pc" not in fresh.list_tables()
+        # (4) a session put over a pending create cancels the persist
+        eng.execute("BEGIN")
+        eng.ddl("CREATE TABLE sc (a INTEGER)")  # pending create
+        eng.put("sc", pa.table({"a": [9]}))  # session redefinition
+        eng.execute("COMMIT")
+        assert not any(
+            t.name == eng._qualified("sc") and not t.isTemporary
+            for t in spark.catalog.listTables()
+        ), "session redefinition must cancel the deferred persist"
+        assert eng.table("sc").collect()[0][0] == 9
+    finally:
+        eng.ddl_persist = False
+        for n in ("pc2", "sc"):
+            if n in eng._tables:
+                eng.drop(n)
+    # (5) a plan derived from a SHADOWED table inside the tx still
+    # reads after COMMIT (staged dirs are not deleted)
+    eng.put("pw9", pa.table({"k": [1], "v": [10]}), persist=True)
+    try:
+        eng.execute("BEGIN")
+        eng.dml("UPDATE pw9 SET v = 99 WHERE k = 1")
+        derived = eng.sql("SELECT v + 1 AS w FROM pw9")
+        eng.put("dx", derived)
+        eng.execute("COMMIT")
+        assert eng.table("dx").collect()[0][0] == 100
+    finally:
+        eng.drop("pw9")
+        if "dx" in eng._tables:
+            eng.drop("dx")

@@ -129,7 +129,12 @@ def main() -> None:
     ):
         p = os.path.join(dst, f"{t}.parquet")
         if not os.path.exists(p):
-            p = os.path.join(SRC, f"{t}.parquet")
+            raise SystemExit(
+                f"{p} missing — run the spark phase (which builds the "
+                f"10x replica) first; benchmarking DuckDB on the 1x "
+                f"source against Spark's 10x timings would fabricate "
+                f"the ratio"
+            )
         if os.path.isdir(p):  # Spark writes a directory of part files
             p = os.path.join(p, "*.parquet")
         con.execute(

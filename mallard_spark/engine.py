@@ -47,6 +47,7 @@ from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from mallard_spark.exchange import Exchanger
 
@@ -110,6 +111,9 @@ _DUCK_DDL_TYPES = {
     "CHAR": "string", "BPCHAR": "string", "UUID": "string",
     "BOOLEAN": "boolean", "BOOL": "boolean", "LOGICAL": "boolean",
     "DATE": "date", "TIMESTAMP": "timestamp_ntz", "DATETIME": "timestamp_ntz",
+    # DuckDB TIME is µs-precision — Spark 4.1's time(6) matches
+    # (requires spark.sql.timeType.enabled, set by get_spark)
+    "TIME": "time(6)",
     "BLOB": "binary", "BYTEA": "binary", "VARBINARY": "binary",
 }
 _CREATE_VIEW_RE = re.compile(
@@ -2262,7 +2266,8 @@ class MallardEngine:
         ENFORCED on every write path (one bounded aggregate job over
         the written rows; NULL passes, FALSE rejects — SQL
         semantics). ``REFERENCES``/``COLLATE``/``GENERATED`` and
-        TIME/INTERVAL/nested types refuse by name. (Whitespace runs
+        INTERVAL/nested types refuse by name; TIME maps to Spark
+        4.1's time(6) since round 9. (Whitespace runs
         inside DEFAULT/CHECK string literals collapse to one space —
         the definition text is whitespace-normalized before parsing.)
         """
@@ -2341,7 +2346,7 @@ class MallardEngine:
                     raise NotImplementedError(
                         f"CREATE TABLE {name}: column {col!r} has type "
                         f"{tname}, which has no faithful Spark mapping "
-                        f"(TIME/INTERVAL/nested types are not supported)"
+                        f"(INTERVAL/nested types are not supported)"
                     )
             if re.search(r"\b(REFERENCES|COLLATE|GENERATED)\b", mods):
                 raise NotImplementedError(
@@ -2550,6 +2555,7 @@ class MallardEngine:
                 f"duckdb sniffer, which is not importable here — use "
                 f"COPY <table> FROM"
             )
+        time_cols: list[str] = []  # sniffed TIME columns (cast post-read)
         if duckdb is not None:
             from mallard_spark.dialect import _strf_to_java
 
@@ -2575,6 +2581,13 @@ class MallardEngine:
             for c in cols:
                 tname = str(c["type"]).upper()
                 t = _DUCK_CSV_TYPES.get(tname)
+                if t is None and tname == "TIME":
+                    # Spark's csv SOURCE cannot decode a bare
+                    # time-of-day, but the TIME type itself works
+                    # (round 9): read the column as string and cast
+                    # post-read — value parity with DuckDB's parse
+                    t = "string"
+                    time_cols.append(c["name"])
                 if t is None:
                     # user-provided columns={'x': 'DECIMAL(10,2)'}
                     # sniffs back parameterized — map it faithfully
@@ -2614,7 +2627,19 @@ class MallardEngine:
             )
         for opt, val in spark_opts.items():
             reader = reader.option(opt, val)
-        reader.csv(path).createOrReplaceTempView(name)
+        df = reader.csv(path)
+        if time_cols:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(f"`{c}`").cast("time(6)").alias(c)
+                    if c in time_cols
+                    else F.col(f"`{c}`")
+                    for c in df.columns
+                ]
+            )
+        df.createOrReplaceTempView(name)
         self._csv_views[key] = name
         return name
 
@@ -3330,6 +3355,29 @@ class MallardEngine:
                 parsed["IGNORE_ERRORS"], "IGNORE_ERRORS", "COPY FROM"
             ):
                 r = r.option("mode", "DROPMALFORMED")
+        tgt = self._tables.get(name)
+        if (
+            fmt == "csv"
+            and tgt is not None
+            and any(
+                isinstance(f.dataType, T.TimeType)
+                for f in tgt.schema.fields
+            )
+        ):
+            # DuckDB's COPY FROM parses with the TABLE's types.
+            # Spark's csv SOURCE cannot decode a bare time-of-day
+            # (and inference reads one as TIMESTAMP, which cannot
+            # cast to TIME) — so read with the target's types, TIME
+            # columns as strings, and let the shared cast below
+            # finish the job (string → time(6) parses exactly).
+            r = r.schema(
+                ", ".join(
+                    f"`{f.name}` string"
+                    if isinstance(f.dataType, T.TimeType)
+                    else f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in tgt.schema.fields
+                )
+            )
         new = r.format(fmt).load(path)
         if name in self._tables:
             # schema-aligned append, same routing as INSERT INTO

@@ -83,6 +83,11 @@ def get_spark(
             str(shuffle_partitions or os.cpu_count() or 32),
         )
         .config("spark.ui.enabled", "false")
+        # Spark 4.1 ships the ANSI TIME type behind a flag; DuckDB
+        # clients use TIME columns, so the engine enables it (round 9
+        # — closes the CREATE TABLE ... TIME refusal). Purely
+        # additive: no existing type changes behavior.
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # serving-path collects (toArrow fast path, wire benchmarks)
         # legitimately move GB-scale Arrow data through the driver; the

@@ -1443,11 +1443,9 @@ def test_read_csv_unsupported_options_refuse_by_name(eng6, tmp_path):
 
 
 def test_read_csv_auto_time_column_refused(eng6, tmp_path):
-    """The types-disagree case: DuckDB sniffs TIME, which Spark's csv
-    source cannot read faithfully — documented refusal instead of a
-    silent string/NULL divergence."""
-    import pytest as _p
-
+    """Round-9 UPGRADE of the old refusal: DuckDB sniffs TIME, and
+    the engine now reads it (string + post-read cast to time(6)) with
+    value parity instead of refusing."""
     p = tmp_path / "t.csv"
     p.write_text("a,tm\n1,10:30:00\n2,11:00:00\n")
     # confirm the premise: DuckDB really sniffs TIME here
@@ -1455,8 +1453,10 @@ def test_read_csv_auto_time_column_refused(eng6, tmp_path):
         f"DESCRIBE SELECT * FROM read_csv_auto('{p}')"
     ).fetchall()
     assert dict((r[0], r[1]) for r in sniffed)["tm"] == "TIME"
-    with _p.raises(NotImplementedError, match="TIME"):
-        eng6.sql(f"SELECT * FROM read_csv_auto('{p}')").collect()
+    q = f"SELECT a, tm FROM read_csv_auto('{p}') ORDER BY a"
+    got = [tuple(r) for r in eng6.sql(q).collect()]
+    want = duckdb.connect().execute(q).fetchall()
+    assert got == want
 
 
 def test_read_csv_auto_rewritten_file_resniffs(eng6, tmp_path):
@@ -1508,3 +1508,16 @@ def test_read_csv_auto_quoted_boolean_options(eng6, tmp_path):
         eng6.sql(
             f"SELECT * FROM read_csv_auto('{p}', ignore_errors=banana)"
         ).collect()
+
+
+def test_read_csv_auto_time_column(eng6, tmp_path):
+    """Round-9: a sniffed TIME column reads as string and casts to
+    Spark 4.1's time(6) post-read — value parity with DuckDB reading
+    the same file (closes the round-8 named refusal)."""
+    p = tmp_path / "times.csv"
+    p.write_text("k,t\n1,13:45:30\n2,07:01:02.500\n3,\n")
+    q = f"SELECT k, t FROM read_csv_auto('{p}') ORDER BY k"
+    got = [tuple(r) for r in eng6.sql(q).collect()]
+    want = duckdb.connect().execute(q).fetchall()
+    assert got == want
+    assert dict(eng6.sql(q).dtypes)["t"].startswith("time")

@@ -1460,7 +1460,7 @@ def test_create_table_empty_schema_and_refusals(engines):
     with pytest.raises(NotImplementedError, match="REFERENCES"):
         eng1.ddl("CREATE TABLE et2 (x INT REFERENCES other(x))")
     with pytest.raises(NotImplementedError, match="faithful"):
-        eng1.ddl("CREATE TABLE et3 (t TIME)")
+        eng1.ddl("CREATE TABLE et3 (t INTERVAL)")
     # the empty table accepts INSERT and queries
     eng1.dml(
         "INSERT INTO et VALUES (1, 'a', 1.50, true, "
@@ -2407,3 +2407,58 @@ def test_round9_review_fixes(spark):
         eng.drop("pw9")
         if "dx" in eng._tables:
             eng.drop("dx")
+
+
+def test_time_columns_match_duckdb(spark):
+    """Round-9: TIME columns map to Spark 4.1's time(6) (enabled via
+    spark.sql.timeType.enabled in get_spark) — DuckDB state parity on
+    CREATE/INSERT/ORDER/min-max, closing the round-8 named refusal."""
+    import duckdb
+
+    eng = MallardEngine(spark, "t_time")
+    con = duckdb.connect()
+    ddl = "CREATE TABLE tt (k INTEGER, t TIME)"
+    eng.ddl(ddl)
+    con.execute(ddl)
+    for stmt in [
+        "INSERT INTO tt VALUES (1, '13:45:30'), (2, '07:01:02.500000')",
+        "INSERT INTO tt VALUES (3, NULL)",
+    ]:
+        eng.dml(stmt)
+        con.execute(stmt)
+    q = "SELECT k, t FROM tt ORDER BY k"
+    got = [(r.k, r.t) for r in eng.sql(q).collect()]
+    want = con.execute(q).fetchall()
+    assert got == want
+    q2 = "SELECT min(t) AS lo, max(t) AS hi, count(t) AS n FROM tt"
+    got = [tuple(r) for r in eng.sql(q2).collect()]
+    want = [tuple(r) for r in con.execute(q2).fetchall()]
+    assert got == want
+    # COPY FROM csv into a TIME table (the reader takes the TABLE's
+    # types; TIME columns read as string and cast post-read) and
+    # COPY TO round-trips through DuckDB's reader
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "in.csv")
+    open(src, "w").write("k,t\n7,10:30:00\n8,23:59:59.125\n")
+    eng.ddl("CREATE TABLE tc (k INTEGER, t TIME)")
+    con.execute("CREATE TABLE tc (k INTEGER, t TIME)")
+    eng.copy_to(f"COPY tc FROM '{src}'")
+    con.execute(f"COPY tc FROM '{src}'")
+    qq = "SELECT * FROM tc ORDER BY k"
+    assert [tuple(r) for r in eng.sql(qq).collect()] == con.execute(qq).fetchall()
+    out = os.path.join(d, "out.csv")
+    eng.copy_to(f"COPY tc TO '{out}'")
+    assert con.execute(
+        f"SELECT * FROM read_csv_auto('{out}') ORDER BY k"
+    ).fetchall() == con.execute(qq).fetchall()
+    # TIME survives warehouse persistence
+    eng.put("tp", eng.table("tt"), persist=True)
+    try:
+        back = MallardEngine(spark, "t_time").table("tp")
+        assert dict(back.dtypes)["t"].startswith("time")
+        assert back.count() == 3
+    finally:
+        eng.drop("tp")

@@ -2507,7 +2507,7 @@ class MallardEngine:
             if opt in (
                 "delim", "sep", "header", "names", "columns", "types",
                 "dtypes", "all_varchar", "dateformat", "timestampformat",
-                "sample_size", "normalize_names",
+                "sample_size", "normalize_names", "skip",
             ):
                 sniff_args.append(f"{opt}={val}")
                 continue
@@ -2571,12 +2571,14 @@ class MallardEngine:
                     f"read_csv_auto: cannot sniff {path!r}: {e}"
                 ) from e
             delim, header, skip, cols, datef, tsf = row
-            if skip:
-                raise NotImplementedError(
-                    f"read_csv_auto('{path}'): the sniffer skips "
-                    f"{skip} leading rows, which Spark's csv reader "
-                    f"cannot — use COPY <table> FROM with a cleaned file"
-                )
+            # skip>0 (sniffed junk prelude, or a user skip= option):
+            # Spark's csv source has no skip — the faithful
+            # DISTRIBUTED reading drops the first N physical lines in
+            # a text pass (zipWithIndex) and parses the REMAINDER as
+            # csv (round 9; costs one extra scan — prelude-skipping
+            # files are ingest-sized; quoted embedded newlines inside
+            # the prelude are not supported, same physical-line model
+            # DuckDB's skip uses)
             fields = []
             for c in cols:
                 tname = str(c["type"]).upper()
@@ -2627,7 +2629,15 @@ class MallardEngine:
             )
         for opt, val in spark_opts.items():
             reader = reader.option(opt, val)
-        df = reader.csv(path)
+        src: Any = path
+        if duckdb is not None and skip:
+            src = (
+                self.spark.sparkContext.textFile(path)
+                .zipWithIndex()
+                .filter(lambda t: t[1] >= skip)
+                .map(lambda t: t[0])
+            )
+        df = reader.csv(src)
         if time_cols:
             from pyspark.sql import functions as F
 
@@ -3264,15 +3274,18 @@ class MallardEngine:
         documented divergence). Round 8: the reader-behavior options
         map onto the Spark reader (DELIM/DELIMITER/SEP, QUOTE, ESCAPE,
         NULL → nullValue, DATEFORMAT/TIMESTAMPFORMAT via the strftime
-        bridge, IGNORE_ERRORS → DROPMALFORMED); unmappable options
-        (SKIP, ...) refuse BY NAME instead of silently dropping — this
-        is the advertised option-faithful ingest path."""
+        bridge, IGNORE_ERRORS → DROPMALFORMED; round 9: SKIP n drops
+        the first n physical lines via a distributed text pass — one
+        extra scan, the same physical-line model DuckDB uses);
+        remaining unmappable options refuse BY NAME instead of
+        silently dropping — this is the advertised option-faithful
+        ingest path."""
         parsed = _parse_copy_opts(opts, "COPY FROM")
         fmt = _copy_format(path, parsed.get("FORMAT"), verb="COPY FROM")
         known = {
             "FORMAT", "HEADER", "AUTO_DETECT", "DELIMITER", "DELIM",
             "SEP", "QUOTE", "ESCAPE", "NULL", "NULLSTR", "DATEFORMAT",
-            "TIMESTAMPFORMAT", "IGNORE_ERRORS",
+            "TIMESTAMPFORMAT", "IGNORE_ERRORS", "SKIP",
         }
         unknown_opts = sorted(set(parsed) - known)
         if unknown_opts:
@@ -3378,7 +3391,23 @@ class MallardEngine:
                     for f in tgt.schema.fields
                 )
             )
-        new = r.format(fmt).load(path)
+        if fmt == "csv" and "SKIP" in parsed:
+            # DuckDB's SKIP n drops the first n PHYSICAL lines before
+            # the (optional) header. Spark's csv source has no skip —
+            # one distributed text pass with line indices drops them,
+            # and the remainder parses as csv (reader options apply
+            # unchanged; quoted embedded newlines inside the skipped
+            # prelude are not supported — same physical-line model)
+            nskip = int(_copy_opt_str(parsed["SKIP"], "SKIP", "COPY FROM"))
+            lines = (
+                self.spark.sparkContext.textFile(path)
+                .zipWithIndex()
+                .filter(lambda t: t[1] >= nskip)
+                .map(lambda t: t[0])
+            )
+            new = r.csv(lines)
+        else:
+            new = r.format(fmt).load(path)
         if name in self._tables:
             # schema-aligned append, same routing as INSERT INTO
             tbl = self._tables[name]

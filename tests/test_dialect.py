@@ -1434,8 +1434,14 @@ def test_read_csv_unsupported_options_refuse_by_name(eng6, tmp_path):
 
     p = tmp_path / "o.csv"
     p.write_text("a,b\n1,2\n")
-    with _p.raises(NotImplementedError, match="skip"):
-        eng6.sql(f"SELECT * FROM read_csv('{p}', skip=1)")
+    # round 9: skip is SUPPORTED (distributed text pass) — parity
+    got = [tuple(r) for r in eng6.sql(
+        f"SELECT * FROM read_csv('{p}', skip=1, header=false)"
+    ).collect()]
+    want = duckdb.connect().execute(
+        f"SELECT * FROM read_csv('{p}', skip=1, header=false)"
+    ).fetchall()
+    assert got == want
     with _p.raises(NotImplementedError, match="decimal_separator"):
         eng6.sql(
             f"SELECT * FROM read_csv('{p}', decimal_separator=',')"
@@ -1521,3 +1527,18 @@ def test_read_csv_auto_time_column(eng6, tmp_path):
     want = duckdb.connect().execute(q).fetchall()
     assert got == want
     assert dict(eng6.sql(q).dtypes)["t"].startswith("time")
+
+
+def test_read_csv_auto_skip_rows(eng6, tmp_path):
+    """Round-9: skipped prelude lines (sniffed automatically or via
+    skip=N) drop through a distributed text pass before the csv parse
+    — value parity with DuckDB (closes the round-8 named refusal)."""
+    p = tmp_path / "skip.csv"
+    p.write_text("junk prelude\nmore junk\nk,v\n1,a\n2,b\n")
+    for q in (
+        f"SELECT * FROM read_csv_auto('{p}') ORDER BY k",
+        f"SELECT * FROM read_csv_auto('{p}', skip=2) ORDER BY k",
+    ):
+        got = [tuple(r) for r in eng6.sql(q).collect()]
+        want = duckdb.connect().execute(q).fetchall()
+        assert got == want == [(1, "a"), (2, "b")], q

@@ -1585,8 +1585,10 @@ def test_copy_options_mapped_or_refused(spark, tmp_path):
     # unknown options refuse by name, both directions
     with pytest.raises(NotImplementedError, match="PER_THREAD_OUTPUT"):
         eng.copy_to(f"COPY t TO '{tmp_path}/x.csv' (PER_THREAD_OUTPUT true)")
-    with pytest.raises(NotImplementedError, match="SKIP"):
-        eng.copy_to(f"COPY rt FROM '{p4}' (SKIP 1)")
+    # round 9: SKIP is SUPPORTED on COPY FROM (distributed text
+    # pass) — a remaining unmappable option still refuses by name
+    with pytest.raises(NotImplementedError, match="COMPRESSION"):
+        eng.copy_to(f"COPY rt FROM '{p4}' (COMPRESSION gzip)")
     # round-8 pass 3: options that would be silently dropped refuse
     with pytest.raises(NotImplementedError, match="COMPRESSION"):
         eng.copy_to(f"COPY t TO '{tmp_path}/z.csv' (COMPRESSION gzip)")
@@ -2462,3 +2464,21 @@ def test_time_columns_match_duckdb(spark):
         assert back.count() == 3
     finally:
         eng.drop("tp")
+
+
+def test_copy_from_skip_rows(spark, tmp_path):
+    """Round-9: COPY <table> FROM (SKIP n) drops the first n physical
+    lines via a distributed text pass — DuckDB state parity (closes
+    the round-8 named refusal)."""
+    import duckdb
+
+    eng = MallardEngine(spark, "t_skip")
+    con = duckdb.connect()
+    p = str(tmp_path / "s.csv")
+    open(p, "w").write("garbage line\nanother\nk,v\n1,x\n2,y\n")
+    eng.ddl("CREATE TABLE st (k INTEGER, v VARCHAR)")
+    con.execute("CREATE TABLE st (k INTEGER, v VARCHAR)")
+    eng.copy_to(f"COPY st FROM '{p}' (SKIP 2)")
+    con.execute(f"COPY st FROM '{p}' (SKIP 2)")
+    q = "SELECT * FROM st ORDER BY k"
+    assert [tuple(r) for r in eng.sql(q).collect()] == con.execute(q).fetchall()

@@ -269,6 +269,22 @@ def _copy_opt_bool(v: str, key: str, verb: str) -> bool:
     )
 
 
+def _single_source_check(path: str, verb: str) -> None:
+    """skip-rows drops the first N lines of THE INPUT — for a glob or
+    directory source that would skip only the first file's prelude
+    while DuckDB skips PER FILE (round-9 review pass 2): refuse the
+    multi-file combination by name."""
+    import os as _os
+
+    if any(ch in path for ch in "*?[") or _os.path.isdir(path):
+        raise NotImplementedError(
+            f"{verb}: skip-rows over a glob/directory source is not "
+            f"supported (DuckDB applies skip PER FILE; the "
+            f"distributed text pass is per-input) — ingest the files "
+            f"individually"
+        )
+
+
 def _bt(col: str) -> str:
     """Backtick-quote an identifier for generated SQL fragments —
     key columns reachable via ``put(name, df, keys=[...])`` on
@@ -534,6 +550,18 @@ class MallardEngine:
         # a snapshot of the session catalog plus deferred warehouse
         # effects; None outside a transaction (see _begin)
         self._tx: dict[str, Any] | None = None
+        # staged dirs of COMPLETED transactions, oldest first —
+        # retained for spark.mallard.txKeepRuns transactions (in-tx
+        # derived lazy plans may still scan them), then reclaimed
+        self._tx_old_dirs: list[list[str]] = []
+        try:
+            # the TIME type ships behind a flag in Spark 4.1;
+            # get_spark sets it at build time, but MallardEngine
+            # accepts ANY session — set it here too so CREATE TABLE
+            # ... TIME works instead of leaking a raw parse error
+            spark.conf.set("spark.sql.timeType.enabled", "true")
+        except Exception:  # pragma: no cover - conf locked down
+            pass
         self._discover_persistent()
 
     # -- catalog ------------------------------------------------------
@@ -648,13 +676,6 @@ class MallardEngine:
                 cons.append([by_lower[k.lower()] for k in grp])
         if _keep_keys and cons is None:
             cons = self._keys.get(name)
-        if not _keep_keys:
-            # a replaced definition loses its DEFAULT/CHECK
-            # declarations too (DML write-backs keep them) — popped
-            # BEFORE any property pin so a persist cannot re-write
-            # the OLD declarations onto the new table
-            self._defaults.pop(name, None)
-            self._checks.pop(name, None)
         if persist and self._tx is not None:
             # in-transaction CREATE/PUT with persistence: register as
             # a session view now, defer the saveAsTable to COMMIT
@@ -671,6 +692,8 @@ class MallardEngine:
                     self._keys[name] = cons
                 else:
                     self._keys.pop(name, None)
+                self._defaults.pop(name, None)
+                self._checks.pop(name, None)
                 return df.count() if count else None
             raise NotImplementedError(
                 f"put({name!r}, persist=True): overwriting an "
@@ -679,18 +702,9 @@ class MallardEngine:
             )
         if persist:
             df.write.mode("overwrite").saveAsTable(self._qualified(name))
-            if cons:
-                self._keys[name] = cons
-                self._pin_keys_prop(name)
             df = self.spark.table(self._qualified(name))
             self._persistent.add(name)
         else:
-            if self._tx is not None and not _keep_keys:
-                # an explicit session-table redefinition cancels a
-                # deferred in-tx CREATE-with-persistence (the user's
-                # LAST definition wins); DML write-backs (_keep_keys)
-                # must keep the create pending (round-9 review)
-                self._tx["pending_creates"].discard(name)
             if name in self._persistent:
                 if self._tx is not None:
                     raise NotImplementedError(
@@ -728,6 +742,21 @@ class MallardEngine:
             self._keys[name] = cons
         else:
             self._keys.pop(name, None)  # replaced definition: no PK
+        if not _keep_keys:
+            # a replaced definition loses its DEFAULT/CHECK
+            # declarations (DML write-backs keep them) — popped only
+            # on SUCCESSFUL registration, after every refusal path,
+            # so a refused put never strips enforcement (round-9
+            # review pass 2)
+            self._defaults.pop(name, None)
+            self._checks.pop(name, None)
+            if self._tx is not None and not persist:
+                # an explicit session redefinition cancels a deferred
+                # in-tx CREATE-with-persistence (last definition wins)
+                self._tx["pending_creates"].discard(name)
+        if persist:
+            # property pin AFTER declarations settle — never stale
+            self._pin_keys_prop(name)
         return df.count() if count else None
 
     def _pin_keys_prop(self, name: str) -> None:
@@ -842,6 +871,22 @@ class MallardEngine:
             )
         return self._tx
 
+    def _tx_retire_dirs(self, tx: dict[str, Any]) -> None:
+        """Queue a completed transaction's staged dirs for bounded
+        retention: kept for the last ``spark.mallard.txKeepRuns``
+        transactions (in-tx derived lazy plans may still scan them —
+        the round-8 delete-under-a-plan lesson), then reclaimed, so a
+        long-lived serving process does not leak a table copy per
+        transaction (round-9 review pass 2)."""
+        if tx["dirs"]:
+            self._tx_old_dirs.append(tx["dirs"])
+        keep = int(
+            self.spark.conf.get("spark.mallard.txKeepRuns", "4")
+        )
+        while len(self._tx_old_dirs) > max(keep, 0):
+            for d in self._tx_old_dirs.pop(0):
+                shutil.rmtree(d, ignore_errors=True)
+
     def _commit(self) -> None:
         tx = self._require_tx("COMMIT")
         self._tx = None  # publishes below run as normal statements
@@ -856,19 +901,28 @@ class MallardEngine:
             # divergence; DuckDB's single-file commit is).
             self._tx = tx
             raise
-        # staged parquet dirs are NOT deleted on commit: a plan
+        # staged parquet dirs are NOT deleted at commit — a plan
         # derived inside the transaction (put('x', sql('... FROM
-        # shadowed_t'))) may still scan them — the round-8 lesson
-        # about deleting files under lazy plans. They live in the
-        # process temp dir, bounded by in-transaction DML count.
+        # shadowed_t'))) may still scan them; they are reclaimed
+        # after txKeepRuns further transactions (_tx_retire_dirs).
+        self._tx_retire_dirs(tx)
 
     def _commit_publish(self, tx: dict[str, Any]) -> None:
+        # As each publish SUCCEEDS, the transaction snapshot is
+        # advanced to match: a ROLLBACK after a mid-commit failure
+        # must reflect what actually reached the warehouse (a
+        # published table cannot be unpublished), or the in-memory
+        # catalog desyncs from the warehouse (round-9 review pass 2).
         for name in sorted(tx["pending_drops"]):
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self._qualified(name)}"
             )
+            tx["tables"].pop(name, None)
+            tx["persistent"].discard(name)
+        tx["pending_drops"].clear()
         for name in sorted(tx["pending_creates"]):
             if name not in self._tables:
+                tx["pending_creates"].discard(name)
                 continue  # created then dropped inside the tx
             df = self._tables[name]
             self.spark.catalog.dropTempView(self._qualified(name))
@@ -878,8 +932,12 @@ class MallardEngine:
             self._persistent.add(name)
             self._tables[name] = self.spark.table(self._qualified(name))
             self._pin_keys_prop(name)
+            tx["tables"][name] = self._tables[name]
+            tx["persistent"].add(name)
+            tx["pending_creates"].discard(name)
         for name in sorted(tx["staged"]):
             if name not in self._tables or name not in self._persistent:
+                tx["staged"].pop(name, None)
                 continue  # dropped (or re-created) later in the tx
             df = self._tables[name]  # staged parquet read
             self.spark.catalog.dropTempView(self._qualified(name))
@@ -888,6 +946,8 @@ class MallardEngine:
             )
             self._tables[name] = self.spark.table(self._qualified(name))
             self._pin_keys_prop(name)
+            tx["tables"][name] = self._tables[name]
+            tx["staged"].pop(name, None)
         for name in sorted(tx["pin_keys"]):
             if (
                 name in self._persistent
@@ -928,10 +988,10 @@ class MallardEngine:
         self._checks = tx["checks"]
         self._persistent = tx["persistent"]
         self._macros = tx["macros"]
-        # staged dirs are left on disk: a DataFrame handed to user
-        # code inside the transaction may still scan them (deleting
-        # files under a lazy plan is the round-8 bug class).
-        # Process-temp, bounded by in-transaction DML count.
+        # staged dirs stay on disk for txKeepRuns more transactions
+        # (a DataFrame handed to user code inside the transaction may
+        # still scan them), then reclaim (_tx_retire_dirs)
+        self._tx_retire_dirs(tx)
 
     def row_count(self, name: str) -> int:
         return self.table(name).count()
@@ -2631,6 +2691,7 @@ class MallardEngine:
             reader = reader.option(opt, val)
         src: Any = path
         if duckdb is not None and skip:
+            _single_source_check(path, "read_csv_auto")
             src = (
                 self.spark.sparkContext.textFile(path)
                 .zipWithIndex()
@@ -3399,6 +3460,7 @@ class MallardEngine:
             # unchanged; quoted embedded newlines inside the skipped
             # prelude are not supported — same physical-line model)
             nskip = int(_copy_opt_str(parsed["SKIP"], "SKIP", "COPY FROM"))
+            _single_source_check(path, "COPY FROM")
             lines = (
                 self.spark.sparkContext.textFile(path)
                 .zipWithIndex()

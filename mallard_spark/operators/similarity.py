@@ -1631,8 +1631,12 @@ def ivfpq_build_index(
         [int(r["seed_id"]), [float(x) for x in r["vs"]]] for r in seed_rows
     ]
     cb = [[float(x) for x in r["v"]] for r in cb_rows]
-    for t in (table, f"{table}__params"):
-        _drop_orphan_location(spark, t)
+    if mode == "overwrite":
+        # only an explicit overwrite may clear a previous session's
+        # orphan location — error/ignore/append modes keep the old
+        # files and fail/skip loudly like vanilla saveAsTable
+        for t in (table, f"{table}__params"):
+            _drop_orphan_location(spark, t)
     _ivfpq_encode(vecs, seeds, cb).write.mode(mode).saveAsTable(table)
     params = [("seed", sid, vs) for sid, vs in seeds] + [
         ("code", i, c) for i, c in enumerate(cb)

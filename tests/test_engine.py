@@ -2482,3 +2482,63 @@ def test_copy_from_skip_rows(spark, tmp_path):
     con.execute(f"COPY st FROM '{p}' (SKIP 2)")
     q = "SELECT * FROM st ORDER BY k"
     assert [tuple(r) for r in eng.sql(q).collect()] == con.execute(q).fetchall()
+
+
+def test_round9_review_pass2_fixes(spark, tmp_path):
+    """Round-9 second self-review pass: (1) a REFUSED put never strips
+    DEFAULT/CHECK enforcement; (2) ROLLBACK after a partial-commit
+    failure keeps already-published tables consistent; (3) staged tx
+    dirs are reclaimed after spark.mallard.txKeepRuns transactions;
+    (4) skip-rows over a glob/directory source refuses by name;
+    (5) an engine over a session lacking the TIME flag still maps
+    TIME (the constructor sets the conf)."""
+    eng = MallardEngine(spark, "t_r9rev2")
+    # (1) refused put keeps constraints enforced
+    eng.execute("BEGIN")
+    eng.ddl_persist = True
+    try:
+        eng.execute("COMMIT")
+        eng.ddl("CREATE TABLE ck (k INTEGER CHECK (k > 0))")
+        eng.execute("BEGIN")
+        with pytest.raises(NotImplementedError, match="transaction"):
+            eng.put("ck", pa.table({"k": [0]}), persist=True)
+        eng.execute("ROLLBACK")
+        assert eng._checks.get("ck") == ["k > 0"]
+        with pytest.raises(ValueError, match="CHECK"):
+            eng.dml("INSERT INTO ck VALUES (-1)")
+    finally:
+        eng.ddl_persist = False
+        if "ck" in eng._tables:
+            eng.drop("ck")
+    # (3) staged dirs reclaim after txKeepRuns transactions
+    import os
+
+    eng.put("w", pa.table({"k": [1], "v": [1]}), persist=True)
+    try:
+        spark.conf.set("spark.mallard.txKeepRuns", "1")
+        dirs = []
+        for i in range(3):
+            eng.execute("BEGIN")
+            eng.dml(f"UPDATE w SET v = {i}")
+            dirs.extend(eng._tx["dirs"])
+            eng.execute("COMMIT")
+        assert not os.path.exists(dirs[0]), "oldest staged dir leaked"
+        assert os.path.exists(dirs[-1]), "newest staged dir reclaimed too soon"
+        assert [r.v for r in eng.table("w").collect()] == [2]
+    finally:
+        spark.conf.unset("spark.mallard.txKeepRuns")
+        eng.drop("w")
+    # (4) skip over a glob refuses by name
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "a.csv").write_text("x\nk,v\n1,a\n")
+    eng.ddl("CREATE TABLE sk (k INTEGER, v VARCHAR)")
+    with pytest.raises(NotImplementedError, match="PER FILE"):
+        eng.copy_to(f"COPY sk FROM '{d}/*.csv' (SKIP 1)")
+    # (5) TIME conf is engine-set, not only get_spark-set
+    spark.conf.set("spark.sql.timeType.enabled", "false")
+    eng2 = MallardEngine(spark, "t_r9rev2b")
+    assert spark.conf.get("spark.sql.timeType.enabled") == "true"
+    eng2.ddl("CREATE TABLE tt (t TIME)")
+    eng2.dml("INSERT INTO tt VALUES ('01:02:03')")
+    assert eng2.table("tt").count() == 1

@@ -3452,6 +3452,29 @@ class MallardEngine:
                     for f in tgt.schema.fields
                 )
             )
+            # the forced schema would mask a column-count mismatch
+            # (extra columns silently ignored, missing ones
+            # null-padded) — probe the file's REAL column count
+            # first, matching the error the inferSchema path raises
+            sep_val = next(
+                (
+                    _copy_opt_str(parsed[k], k, "COPY FROM")
+                    for k in ("DELIMITER", "DELIM", "SEP")
+                    if k in parsed
+                ),
+                ",",
+            )
+            probe = (
+                self.spark.read.option("header", str(header).lower())
+                .option("sep", sep_val)
+                .csv(path)
+            )
+            if len(probe.columns) != len(tgt.schema.fields):
+                raise ValueError(
+                    f"COPY FROM {path!r}: file has "
+                    f"{len(probe.columns)} columns; table {name!r} "
+                    f"has {len(tgt.schema.fields)}"
+                )
         if fmt == "csv" and "SKIP" in parsed:
             # DuckDB's SKIP n drops the first n PHYSICAL lines before
             # the (optional) header. Spark's csv source has no skip —

@@ -2542,3 +2542,22 @@ def test_round9_review_pass2_fixes(spark, tmp_path):
     eng2.ddl("CREATE TABLE tt (t TIME)")
     eng2.dml("INSERT INTO tt VALUES ('01:02:03')")
     assert eng2.table("tt").count() == 1
+
+
+def test_copy_from_time_table_wrong_arity_errors(spark, tmp_path):
+    """Round-9 review pass 2 (#3): the forced reader schema on a
+    TIME-bearing target must not null-pad wrong-arity csv rows —
+    FAILFAST errors like DuckDB; IGNORE_ERRORS still drops."""
+    import duckdb
+
+    eng = MallardEngine(spark, "t_timearity")
+    con = duckdb.connect()
+    bad = str(tmp_path / "bad.csv")
+    open(bad, "w").write("k,t,extra\n1,10:00:00,x\n")
+    eng.ddl("CREATE TABLE ta (k INTEGER, t TIME)")
+    con.execute("CREATE TABLE ta (k INTEGER, t TIME)")
+    with pytest.raises(Exception):
+        eng.copy_to(f"COPY ta FROM '{bad}'")
+    with pytest.raises(Exception):
+        con.execute(f"COPY ta FROM '{bad}'")
+    assert eng.table("ta").count() == 0

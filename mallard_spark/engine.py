@@ -276,7 +276,7 @@ def _single_source_check(path: str, verb: str) -> None:
     multi-file combination by name."""
     import os as _os
 
-    if any(ch in path for ch in "*?[") or _os.path.isdir(path):
+    if any(ch in path for ch in "*?[{,") or _os.path.isdir(path):
         raise NotImplementedError(
             f"{verb}: skip-rows over a glob/directory source is not "
             f"supported (DuckDB applies skip PER FILE; the "
@@ -688,12 +688,14 @@ class MallardEngine:
                 self._tables[name] = df
                 self._views.discard(name)
                 self._tx["pending_creates"].add(name)
+                self._tx["derived_plans"] = True
                 if cons:
                     self._keys[name] = cons
                 else:
                     self._keys.pop(name, None)
-                self._defaults.pop(name, None)
-                self._checks.pop(name, None)
+                if not _keep_keys:
+                    self._defaults.pop(name, None)
+                    self._checks.pop(name, None)
                 return df.count() if count else None
             raise NotImplementedError(
                 f"put({name!r}, persist=True): overwriting an "
@@ -738,6 +740,10 @@ class MallardEngine:
             df.createOrReplaceTempView(self._qualified(name))
         self._tables[name] = df
         self._views.discard(name)  # PUT over a view name makes it a table
+        if self._tx is not None and not persist:
+            # the registered plan may derive from a staged shadow —
+            # the transaction's staged dirs must outlive it
+            self._tx["derived_plans"] = True
         if cons:
             self._keys[name] = cons
         else:
@@ -879,10 +885,19 @@ class MallardEngine:
         long-lived serving process does not leak a table copy per
         transaction (round-9 review pass 2)."""
         if tx["dirs"]:
+            if tx.get("derived_plans"):
+                # a session table registered DURING the transaction
+                # may hold a lazy plan over these staged dirs with
+                # unbounded lifetime — pin them for the process
+                # (documented leak, bounded by such transactions)
+                return
             self._tx_old_dirs.append(tx["dirs"])
-        keep = int(
-            self.spark.conf.get("spark.mallard.txKeepRuns", "4")
-        )
+        try:  # (7) a malformed conf must not fail a completed COMMIT
+            keep = int(
+                self.spark.conf.get("spark.mallard.txKeepRuns", "4")
+            )
+        except (TypeError, ValueError):
+            keep = 4
         while len(self._tx_old_dirs) > max(keep, 0):
             for d in self._tx_old_dirs.pop(0):
                 shutil.rmtree(d, ignore_errors=True)
@@ -920,6 +935,7 @@ class MallardEngine:
             tx["tables"].pop(name, None)
             tx["persistent"].discard(name)
         tx["pending_drops"].clear()
+        pinned: set[str] = set()
         for name in sorted(tx["pending_creates"]):
             if name not in self._tables:
                 tx["pending_creates"].discard(name)
@@ -931,10 +947,14 @@ class MallardEngine:
             )
             self._persistent.add(name)
             self._tables[name] = self.spark.table(self._qualified(name))
-            self._pin_keys_prop(name)
+            # snapshot advance BEFORE the pin: once saveAsTable has
+            # published, a later failure (even the pin's) must leave
+            # ROLLBACK consistent with the warehouse
             tx["tables"][name] = self._tables[name]
             tx["persistent"].add(name)
             tx["pending_creates"].discard(name)
+            self._pin_keys_prop(name)
+            pinned.add(name)
         for name in sorted(tx["staged"]):
             if name not in self._tables or name not in self._persistent:
                 tx["staged"].pop(name, None)
@@ -945,15 +965,12 @@ class MallardEngine:
                 self._qualified(name)
             )
             self._tables[name] = self.spark.table(self._qualified(name))
-            self._pin_keys_prop(name)
             tx["tables"][name] = self._tables[name]
             tx["staged"].pop(name, None)
+            self._pin_keys_prop(name)
+            pinned.add(name)
         for name in sorted(tx["pin_keys"]):
-            if (
-                name in self._persistent
-                and name not in tx["staged"]
-                and name not in tx["pending_creates"]
-            ):
+            if name in self._persistent and name not in pinned:
                 self._pin_keys_prop(name)
 
     def _rollback(self) -> None:
@@ -3429,52 +3446,7 @@ class MallardEngine:
                 parsed["IGNORE_ERRORS"], "IGNORE_ERRORS", "COPY FROM"
             ):
                 r = r.option("mode", "DROPMALFORMED")
-        tgt = self._tables.get(name)
-        if (
-            fmt == "csv"
-            and tgt is not None
-            and any(
-                isinstance(f.dataType, T.TimeType)
-                for f in tgt.schema.fields
-            )
-        ):
-            # DuckDB's COPY FROM parses with the TABLE's types.
-            # Spark's csv SOURCE cannot decode a bare time-of-day
-            # (and inference reads one as TIMESTAMP, which cannot
-            # cast to TIME) — so read with the target's types, TIME
-            # columns as strings, and let the shared cast below
-            # finish the job (string → time(6) parses exactly).
-            r = r.schema(
-                ", ".join(
-                    f"`{f.name}` string"
-                    if isinstance(f.dataType, T.TimeType)
-                    else f"`{f.name}` {f.dataType.simpleString()}"
-                    for f in tgt.schema.fields
-                )
-            )
-            # the forced schema would mask a column-count mismatch
-            # (extra columns silently ignored, missing ones
-            # null-padded) — probe the file's REAL column count
-            # first, matching the error the inferSchema path raises
-            sep_val = next(
-                (
-                    _copy_opt_str(parsed[k], k, "COPY FROM")
-                    for k in ("DELIMITER", "DELIM", "SEP")
-                    if k in parsed
-                ),
-                ",",
-            )
-            probe = (
-                self.spark.read.option("header", str(header).lower())
-                .option("sep", sep_val)
-                .csv(path)
-            )
-            if len(probe.columns) != len(tgt.schema.fields):
-                raise ValueError(
-                    f"COPY FROM {path!r}: file has "
-                    f"{len(probe.columns)} columns; table {name!r} "
-                    f"has {len(tgt.schema.fields)}"
-                )
+        lines = None
         if fmt == "csv" and "SKIP" in parsed:
             # DuckDB's SKIP n drops the first n PHYSICAL lines before
             # the (optional) header. Spark's csv source has no skip —
@@ -3490,6 +3462,65 @@ class MallardEngine:
                 .filter(lambda t: t[1] >= nskip)
                 .map(lambda t: t[0])
             )
+        tgt = self._tables.get(name)
+        if (
+            fmt == "csv"
+            and tgt is not None
+            and any(
+                isinstance(f.dataType, T.TimeType)
+                for f in tgt.schema.fields
+            )
+        ):
+            # DuckDB's COPY FROM parses with the TABLE's types.
+            # Spark's csv SOURCE cannot decode a bare time-of-day
+            # (and inference reads one as TIMESTAMP, which cannot
+            # cast to TIME) — so read with the target's types, TIME
+            # columns as strings, and let the shared cast below
+            # finish the job (string → time(6) parses exactly).
+            # The forced schema would mask a column-count mismatch
+            # (extra columns silently ignored, missing ones
+            # null-padded) — probe the file's REAL column count
+            # first over the SAME post-SKIP lines with the SAME
+            # quote/escape options, matching the inferSchema path's
+            # error; IGNORE_ERRORS skips the probe (DuckDB's
+            # ignore_errors drops wrong-arity rows instead).
+            if not (
+                "IGNORE_ERRORS" in parsed
+                and _copy_opt_bool(
+                    parsed["IGNORE_ERRORS"], "IGNORE_ERRORS",
+                    "COPY FROM",
+                )
+            ):
+                pr = self.spark.read.option(
+                    "header", str(header).lower()
+                )
+                for keys2, opt2 in (
+                    (("DELIMITER", "DELIM", "SEP"), "sep"),
+                    (("QUOTE",), "quote"),
+                    (("ESCAPE",), "escape"),
+                ):
+                    for k2 in keys2:
+                        if k2 in parsed:
+                            pr = pr.option(
+                                opt2,
+                                _copy_opt_str(parsed[k2], k2, "COPY FROM"),
+                            )
+                probe = pr.csv(lines if lines is not None else path)
+                if len(probe.columns) != len(tgt.schema.fields):
+                    raise ValueError(
+                        f"COPY FROM {path!r}: file has "
+                        f"{len(probe.columns)} columns; table {name!r} "
+                        f"has {len(tgt.schema.fields)}"
+                    )
+            r = r.schema(
+                ", ".join(
+                    f"`{f.name}` string"
+                    if isinstance(f.dataType, T.TimeType)
+                    else f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in tgt.schema.fields
+                )
+            )
+        if lines is not None:
             new = r.csv(lines)
         else:
             new = r.format(fmt).load(path)

@@ -2561,3 +2561,58 @@ def test_copy_from_time_table_wrong_arity_errors(spark, tmp_path):
     with pytest.raises(Exception):
         con.execute(f"COPY ta FROM '{bad}'")
     assert eng.table("ta").count() == 0
+
+
+def test_round9_review_pass3_fixes(spark, tmp_path):
+    """Round-9 third review pass: (1) the TIME-target arity probe
+    runs over the post-SKIP lines with the reader's quote option and
+    is skipped under IGNORE_ERRORS; (2) staged dirs survive for the
+    process when a session table registered during the transaction
+    may hold a plan over them; (3) a malformed txKeepRuns conf cannot
+    fail a completed COMMIT; (4) {a,b} alternation counts as a
+    multi-file skip source."""
+    import duckdb
+    import os
+
+    eng = MallardEngine(spark, "t_r9rev3")
+    con = duckdb.connect()
+    # (1) skip + TIME target + custom quote, parity with DuckDB
+    p = str(tmp_path / "st.csv")
+    open(p, "w").write("junk\n~k,id~,t\n1,10:00:00\n")
+    eng.ddl('CREATE TABLE ta ("k,id" INTEGER, t TIME)')
+    con.execute('CREATE TABLE ta ("k,id" INTEGER, t TIME)')
+    eng.copy_to(f"COPY ta FROM '{p}' (SKIP 1, QUOTE '~')")
+    con.execute(f"COPY ta FROM '{p}' (SKIP 1, QUOTE '~')")
+    assert [tuple(r) for r in eng.table("ta").collect()] == con.execute(
+        "SELECT * FROM ta"
+    ).fetchall()
+    # (2) a session table derived from a staged shadow keeps reading
+    # even after txKeepRuns more transactions
+    spark.conf.set("spark.mallard.txKeepRuns", "0")
+    try:
+        eng.put("w", pa.table({"k": [1], "v": [10]}), persist=True)
+        eng.execute("BEGIN")
+        eng.dml("UPDATE w SET v = 99")
+        eng.put("dx", eng.sql("SELECT v + 1 AS w2 FROM w"))
+        eng.execute("COMMIT")
+        eng.execute("BEGIN")
+        eng.dml("UPDATE w SET v = 1")
+        eng.execute("COMMIT")  # would reclaim with keep=0 if unpinned
+        assert eng.table("dx").collect()[0][0] == 100
+        # (3) malformed conf: COMMIT still completes
+        spark.conf.set("spark.mallard.txKeepRuns", "banana")
+        eng.execute("BEGIN")
+        eng.dml("UPDATE w SET v = 2")
+        eng.execute("COMMIT")
+        assert [r.v for r in eng.table("w").collect()] == [2]
+    finally:
+        spark.conf.unset("spark.mallard.txKeepRuns")
+        for n in ("w", "dx"):
+            if n in eng._tables:
+                eng.drop(n)
+    # (4) alternation globs refuse skip by name
+    eng.ddl("CREATE TABLE sk2 (k INTEGER)")
+    with pytest.raises(NotImplementedError, match="PER FILE"):
+        eng.copy_to(
+            f"COPY sk2 FROM '{tmp_path}/{{a,b}}.csv' (SKIP 1)"
+        )

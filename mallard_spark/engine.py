@@ -259,8 +259,14 @@ def _copy_opt_bool(v: str, key: str, verb: str) -> bool:
     flag (``HEADER``) means true. Unrecognized tokens refuse by name
     rather than silently defaulting.
     """
+    if v.strip() == "":
+        # a BARE flag (key with no value token at all) means true;
+        # an explicit quoted empty value (HEADER '') reaches here as
+        # "''" and must refuse below like any uncastable token —
+        # DuckDB errors casting '' to BOOLEAN (ADVICE r9)
+        return True
     s = _copy_opt_str(v, key, verb).strip().lower()
-    if s in ("", "true", "1", "t", "yes", "on"):
+    if s in ("true", "1", "t", "yes", "on"):
         return True
     if s in ("false", "0", "f", "no", "off"):
         return False
@@ -269,20 +275,125 @@ def _copy_opt_bool(v: str, key: str, verb: str) -> bool:
     )
 
 
-def _single_source_check(path: str, verb: str) -> None:
-    """skip-rows drops the first N lines of THE INPUT — for a glob or
-    directory source that would skip only the first file's prelude
-    while DuckDB skips PER FILE (round-9 review pass 2): refuse the
-    multi-file combination by name."""
+class TransactionAbortedError(RuntimeError):
+    """A statement failed at RUNTIME inside an open transaction, which
+    aborts it until ROLLBACK — DuckDB's TransactionContext behavior
+    (round 10; verified live on 1.0: conversion/constraint errors
+    poison, parse/binder errors do not, and COMMIT on an aborted
+    transaction succeeds but performs a rollback)."""
+
+
+class ConstraintViolationError(ValueError):
+    """A declared constraint (CHECK, FOREIGN KEY) rejected written
+    rows — DuckDB's Constraint Error class; inside a transaction it
+    poisons like any runtime error. Subclasses ValueError so existing
+    callers catching the round-9 CHECK errors keep working."""
+
+
+def _is_tx_runtime_error(e: BaseException) -> bool:
+    """Whether a statement failure is a RUNTIME error in DuckDB's
+    taxonomy — the class that aborts an open transaction. Parse and
+    binder failures (bad syntax, missing tables/columns) leave the
+    transaction usable; execution failures (constraint violations,
+    conversion errors, failed jobs/IO) poison it."""
+    try:
+        from pyspark.errors import AnalysisException, ParseException
+
+        if isinstance(e, (AnalysisException, ParseException)):
+            return False
+    except ImportError:
+        pass
+    if isinstance(e, ConstraintViolationError):
+        return True
+    if isinstance(e, (NotImplementedError, ValueError, TypeError, KeyError)):
+        # engine-side validation raised BEFORE any job ran —
+        # DuckDB's equivalent is a parse/bind refusal
+        return False
+    return True
+
+
+def _skip_lines_rdd(
+    spark: SparkSession,
+    path: str,
+    skip: int,
+    verb: str,
+    header: bool = False,
+):
+    """The source's physical lines with the first ``skip`` lines of
+    EACH FILE dropped — DuckDB applies skip PER FILE, so a glob or
+    directory source skips every member's prelude, not just the
+    first's (round-10; the refusal this replaces also mis-fired on
+    literal single files named like ``data[1].csv`` — ADVICE r9).
+    One ``textFile(...).zipWithIndex()`` pass per file, unioned: the
+    file LIST is driver-side (Spark's own source listing is too) but
+    every line stays on executors. With ``header``, every file AFTER
+    the first also drops its header line — Spark's csv reader over an
+    RDD source consumes only the STREAM's first line as the header,
+    while DuckDB drops one per file. Quoted embedded newlines inside
+    a skipped prelude are not supported — the same physical-line
+    model DuckDB's skip uses."""
+    sc = spark.sparkContext
+
+    def one(f: str, extra: int = 0):
+        n = skip + extra
+        # f is a VERIFIED literal file by the time it reaches here —
+        # glob-escape it, or Hadoop's textFile globber re-expands
+        # names like data[1].csv into zero matches
+        lit = re.sub(r"([*?\[\]{}])", r"\\\1", f)
+        return (
+            sc.textFile(lit)
+            .zipWithIndex()
+            .filter(lambda t, n=n: t[1] >= n)
+            .map(lambda t: t[0])
+        )
+
+    files = _expand_source_files(path)
+    if not files:
+        raise ValueError(f"{verb}: no files match {path!r}")
+    if len(files) == 1:
+        return one(files[0])
+    h = 1 if header else 0
+    return sc.union([one(files[0])] + [one(f, h) for f in files[1:]])
+
+
+def _expand_source_files(path: str) -> list[str]:
+    """A source path → its ordered member files: a literal file
+    (even one NAMED like a glob — ADVICE r9), a directory's visible
+    files, or a glob expansion including Hadoop-style ``{a,b}``
+    alternation (the engine's non-skip read path goes through
+    Spark's Hadoop globber, which supports it; Python's glob does
+    not — expand before globbing)."""
+    import glob as _glob
     import os as _os
 
-    if any(ch in path for ch in "*?[{,") or _os.path.isdir(path):
-        raise NotImplementedError(
-            f"{verb}: skip-rows over a glob/directory source is not "
-            f"supported (DuckDB applies skip PER FILE; the "
-            f"distributed text pass is per-input) — ingest the files "
-            f"individually"
+    if _os.path.isfile(path):
+        return [path]
+    if _os.path.isdir(path):
+        return sorted(
+            _os.path.join(path, f)
+            for f in _os.listdir(path)
+            if _os.path.isfile(_os.path.join(path, f))
+            and not f.startswith((".", "_"))
         )
+
+    def expand(p: str) -> list[str]:
+        m = re.search(r"\{([^{}]*)\}", p)
+        if not m:
+            return [p]
+        return [
+            e
+            for alt in m.group(1).split(",")
+            for e in expand(p[: m.start()] + alt + p[m.end():])
+        ]
+
+    return sorted(
+        {
+            f
+            for pat in expand(path)
+            for f in _glob.glob(pat)
+            if _os.path.isfile(f)
+        }
+    )
 
 
 def _bt(col: str) -> str:
@@ -335,6 +446,28 @@ def _take_balanced(s: str, i: int) -> int:
                 return i + 1
         i += 1
     raise ValueError(f"unbalanced parentheses in {s!r}")
+
+
+def _normalize_def_ws(item: str) -> str:
+    """Collapse whitespace runs to single spaces OUTSIDE quoted
+    spans — a column definition's string literals (``DEFAULT 'a  b'``,
+    CHECK patterns with tabs) must reach the stored declaration
+    byte-identical to what DuckDB stores (ADVICE r9: the previous
+    blanket ``' '.join(item.split())`` silently altered them)."""
+    from mallard_spark.dialect import _scan
+
+    out: list[str] = []
+    pending_space = False
+    for _i, ch, _d, in_code in _scan(item):
+        if in_code and ch in " \t\r\n":
+            pending_space = True
+            continue
+        if pending_space:
+            if out:
+                out.append(" ")
+            pending_space = False
+        out.append(ch)
+    return "".join(out)
 
 
 def _extract_col_constraints(
@@ -400,7 +533,14 @@ def _extract_col_constraints(
                         f"string on column {col!r}"
                     )
             else:
-                tm = re.match(r"[+-]?\w+(?:\.\w+)?", mods[k:])
+                # numeric literals incl. scientific notation
+                # (DEFAULT 1.5e-3 — ADVICE r9), else a bare word /
+                # dotted name (function-call heads, qualified refs)
+                tm = re.match(
+                    r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?"
+                    r"|[+-]?\w+(?:\.\w+)?",
+                    mods[k:],
+                )
                 if tm is None:
                     raise ValueError(
                         f"CREATE TABLE {table}: cannot parse DEFAULT "
@@ -844,8 +984,9 @@ class MallardEngine:
     # see no isolation (single-writer assumption, same as the
     # reference's single DuckDB process); COPY TO writes external
     # files immediately (DuckDB's COPY is not undone by ROLLBACK
-    # either); a failed statement inside a transaction does not poison
-    # it (DuckDB requires ROLLBACK after an error).
+    # either). Round 10: a RUNTIME-failed statement POISONS the
+    # transaction until ROLLBACK like DuckDB (parse/binder errors do
+    # not; COMMIT on an aborted tx rolls back — see _tx_guard).
 
     def _begin(self) -> None:
         if self._tx is not None:
@@ -867,6 +1008,8 @@ class MallardEngine:
             "pin_keys": set(),  # TBLPROPERTIES pins deferred to COMMIT
             "dirs": [],  # staged temp dirs (kept on disk at tx end:
             # in-tx derived lazy plans may still scan them)
+            "poisoned": False,  # runtime-failed statement aborts the
+            # tx until ROLLBACK (DuckDB parity, round 10)
         }
 
     def _require_tx(self, verb: str) -> dict[str, Any]:
@@ -904,6 +1047,11 @@ class MallardEngine:
 
     def _commit(self) -> None:
         tx = self._require_tx("COMMIT")
+        if tx.get("poisoned"):
+            # DuckDB (verified live on 1.0): COMMIT on an aborted
+            # transaction does not error — it performs a ROLLBACK
+            self._rollback()
+            return
         self._tx = None  # publishes below run as normal statements
         try:
             self._commit_publish(tx)
@@ -928,6 +1076,27 @@ class MallardEngine:
         # must reflect what actually reached the warehouse (a
         # published table cannot be unpublished), or the in-memory
         # catalog desyncs from the warehouse (round-9 review pass 2).
+        #
+        # Materialize every pending-create's data BEFORE any pending
+        # drop runs: a deferred CREATE holds a LAZY plan that may scan
+        # a warehouse table the same transaction drops (BEGIN;
+        # put('copy', sql('... FROM w'), persist=True); drop('w');
+        # COMMIT) — publishing the drop first deletes w's files out
+        # from under the plan, the saveAsTable then fails
+        # FAILED_READ_FILE, and ROLLBACK cannot restore w:
+        # irrecoverable data loss from a script DuckDB handles (its
+        # CTAS materializes eagerly; ADVICE r9, verified live).
+        # Staging to temp parquet first makes every later warehouse
+        # mutation safe and a failed commit restartable.
+        staged_creates = tx.setdefault("create_staged", set())
+        for name in sorted(tx["pending_creates"]):
+            if name not in self._tables or name in staged_creates:
+                continue  # dropped in-tx / staged by a prior attempt
+            tmp = tempfile.mkdtemp(prefix="mallard_txcreate_")
+            tx["dirs"].append(tmp)
+            self._tables[name].write.mode("overwrite").parquet(tmp)
+            self._tables[name] = self.spark.read.parquet(tmp)
+            staged_creates.add(name)
         for name in sorted(tx["pending_drops"]):
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self._qualified(name)}"
@@ -1135,6 +1304,47 @@ class MallardEngine:
         :meth:`copy_to` routes ``COPY ... FROM`` internally)."""
         return self.copy_to(sql)
 
+    # -- transaction poisoning (round 10, DuckDB parity) ---------------
+    #
+    # DuckDB 1.0 (verified live): a RUNTIME-failed statement inside
+    # BEGIN aborts the transaction — every further statement errors
+    # "Current transaction is aborted (please ROLLBACK)" and COMMIT
+    # succeeds but performs a rollback. Parse/binder errors do NOT
+    # abort. The three mutating verbs run through these guards; the
+    # reference inherits the behavior by passing verbs to DuckDB
+    # verbatim (flight_server.py:342-352).
+
+    def _tx_check_poisoned(self) -> None:
+        if self._tx is not None and self._tx.get("poisoned"):
+            raise TransactionAbortedError(
+                "TransactionContext Error: Current transaction is "
+                "aborted (please ROLLBACK)"
+            )
+
+    def _tx_guard(self, impl, sql: str) -> str:
+        self._tx_check_poisoned()
+        try:
+            return impl(sql)
+        except Exception as e:
+            if self._tx is not None and _is_tx_runtime_error(e):
+                self._tx["poisoned"] = True
+            raise
+
+    def ddl(self, sql: str) -> str:
+        """Execute a DDL statement (see :meth:`_ddl_impl` for the
+        supported surface) under the transaction-poisoning guard."""
+        return self._tx_guard(self._ddl_impl, sql)
+
+    def dml(self, sql: str) -> str:
+        """Execute INSERT/UPDATE/DELETE/MERGE (see :meth:`_dml_impl`
+        for the supported surface) under the poisoning guard."""
+        return self._tx_guard(self._dml_impl, sql)
+
+    def copy_to(self, sql: str) -> str:
+        """Execute COPY TO/FROM (see :meth:`_copy_to_impl` for the
+        supported surface) under the poisoning guard."""
+        return self._tx_guard(self._copy_to_impl, sql)
+
     def _expand_macros(self, sql: str) -> str:
         """Inline registered macros — DuckDB's own bind-time
         semantics for its untyped macro templates. Calls are found
@@ -1290,6 +1500,12 @@ class MallardEngine:
         names and every other namespace's tables). ``DESCRIBE t``
         passes through the rewriter like any query.
         """
+        if self._tx is not None and self._tx.get("poisoned") and not re.match(
+            r"^\s*(ROLLBACK|ABORT|COMMIT|END\b|BEGIN)", sql, re.IGNORECASE
+        ):
+            # DuckDB refuses EVERY statement (even SELECT 1) in an
+            # aborted transaction except the transaction verbs
+            self._tx_check_poisoned()
         if _SHOW_TABLES_RE.match(sql):
             return self.spark.createDataFrame(
                 [(n,) for n in self.list_tables()], "name string"
@@ -2344,9 +2560,9 @@ class MallardEngine:
         the written rows; NULL passes, FALSE rejects — SQL
         semantics). ``REFERENCES``/``COLLATE``/``GENERATED`` and
         INTERVAL/nested types refuse by name; TIME maps to Spark
-        4.1's time(6) since round 9. (Whitespace runs
-        inside DEFAULT/CHECK string literals collapse to one space —
-        the definition text is whitespace-normalized before parsing.)
+        4.1's time(6) since round 9. (Whitespace normalizes only
+        OUTSIDE quoted spans — string literals inside DEFAULT/CHECK
+        reach the stored declaration byte-identical; round 10.)
         """
         name = m.group("name")
         if name in self._tables and not m.group("replace"):
@@ -2367,7 +2583,7 @@ class MallardEngine:
         defaults: dict[str, str] = {}
         checks: list[str] = []
         for item in _split_top_level(m.group("defs")):
-            item = " ".join(item.split())
+            item = _normalize_def_ws(item).strip()
             if not item:
                 continue
             km = re.match(
@@ -2528,11 +2744,14 @@ class MallardEngine:
         them into the result schema, so option semantics are its, not
         a re-implementation — and the parse-behavior set maps onto the
         Spark reader (quote/escape → quote/escape, nullstr →
-        nullValue, ignore_errors → DROPMALFORMED). Everything else —
-        ``skip`` (Spark's csv reader cannot drop arbitrary leading
-        rows), compression, decimal_separator, … — refuses BY NAME,
-        pointing at ``COPY <table> FROM`` as the option-faithful
-        ingest path. Sniffed types with no faithful Spark CSV reading
+        nullValue, ignore_errors → DROPMALFORMED). ``skip`` (explicit
+        or sniffed) drops the first N physical lines of EACH input
+        file via a distributed text pass (``_skip_lines_rdd`` —
+        per-file like DuckDB, globs/dirs included; round 9-10).
+        Everything else — compression, decimal_separator, … —
+        refuses BY NAME, pointing at ``COPY <table> FROM`` as the
+        option-faithful ingest path. Sniffed types with no faithful
+        Spark CSV reading
         (TIME, nonstandard date formats without an exact Java pattern)
         get the same NAMED refusal rather than silently diverging.
         Views are cached per (path, options, mtime, size) so repeated
@@ -2636,7 +2855,16 @@ class MallardEngine:
         if duckdb is not None:
             from mallard_spark.dialect import _strf_to_java
 
-            lit = path.replace("'", "''")
+            # DuckDB 1.0's sniff_csv does not operate on globs — for
+            # a glob/directory source, sniff the FIRST member file
+            # (what DuckDB's read_csv itself does on a glob); the
+            # READ still covers every file
+            sniff_path = path
+            if not _os.path.isfile(path):
+                members = _expand_source_files(path)
+                if members:
+                    sniff_path = members[0]
+            lit = sniff_path.replace("'", "''")
             call = ", ".join([f"'{lit}'"] + sniff_args)
             try:
                 row = duckdb.connect().execute(
@@ -2708,12 +2936,8 @@ class MallardEngine:
             reader = reader.option(opt, val)
         src: Any = path
         if duckdb is not None and skip:
-            _single_source_check(path, "read_csv_auto")
-            src = (
-                self.spark.sparkContext.textFile(path)
-                .zipWithIndex()
-                .filter(lambda t: t[1] >= skip)
-                .map(lambda t: t[0])
+            src = _skip_lines_rdd(
+                self.spark, path, skip, "read_csv_auto", header=bool(header)
             )
         df = reader.csv(src)
         if time_cols:
@@ -2856,7 +3080,7 @@ class MallardEngine:
         """Parity: flight_server.py:354-355 (_is_ddl_statement)."""
         return bool(_DDL_RE.match(sql))
 
-    def ddl(self, sql: str) -> str:
+    def _ddl_impl(self, sql: str) -> str:
         """Execute a CREATE / DROP / ALTER statement against this
         namespace and return "OK" (parity: flight_server.py:357-359,
         which runs the DDL and answers a one-row OK stream).
@@ -3133,7 +3357,7 @@ class MallardEngine:
         results and ingest files."""
         return bool(_COPY_RE.match(sql) or _COPY_FROM_RE.match(sql))
 
-    def copy_to(self, sql: str) -> str:
+    def _copy_to_impl(self, sql: str) -> str:
         """Execute ``COPY ... TO 'path'`` and return "OK" (same
         answer shape as :meth:`ddl`).
 
@@ -3455,12 +3679,8 @@ class MallardEngine:
             # unchanged; quoted embedded newlines inside the skipped
             # prelude are not supported — same physical-line model)
             nskip = int(_copy_opt_str(parsed["SKIP"], "SKIP", "COPY FROM"))
-            _single_source_check(path, "COPY FROM")
-            lines = (
-                self.spark.sparkContext.textFile(path)
-                .zipWithIndex()
-                .filter(lambda t: t[1] >= nskip)
-                .map(lambda t: t[0])
+            lines = _skip_lines_rdd(
+                self.spark, path, nskip, "COPY FROM", header=header
             )
         tgt = self._tables.get(name)
         if (
@@ -3545,7 +3765,7 @@ class MallardEngine:
             self.put(name, new)
         return "OK"
 
-    def dml(self, sql: str) -> str:
+    def _dml_impl(self, sql: str) -> str:
         """Execute INSERT / UPDATE / DELETE against a catalog table and
         return "OK" (same answer shape as :meth:`ddl`).
 
@@ -4148,7 +4368,7 @@ class MallardEngine:
         row = df.agg(*aggs).collect()[0]
         for i, c in enumerate(checks):
             if row[i]:
-                raise ValueError(
+                raise ConstraintViolationError(
                     f"{verb}: CHECK constraint ({c}) on {name!r} "
                     f"violated by {row[i]} row(s) — DuckDB rejects "
                     f"the statement the same way"

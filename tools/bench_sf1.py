@@ -1,22 +1,25 @@
-"""10× (synthetic sf1) headline bench with a SAME-SESSION DuckDB
-baseline (round 9, judge item #2).
+"""Scaled headline bench (synthetic sf1 / sf10) with a SAME-SESSION
+DuckDB baseline (round 9 judge item #2; round 10 adds --factor 100).
 
 At sf0.1, 17 of the 25 headline queries are scheduler-floor-bound
 (sub-second scans), so per-query DuckDB ratios measure the fixed
 per-job floor, not the plans. This harness re-runs the comparison at
-10× the data — where the floor amortizes — on a salted replica built
-by the scale_sweep machinery (documents token-salted so dup density
-stays fixed; lineitem/orders/embeddings replicated with offset keys;
-events replicated with offset event/user ids so the sessionize/asof
-structure replicates instead of densifying).
+10× / 100× the data — where the floor amortizes — on a salted replica
+built by the scale_sweep machinery (documents token-salted so dup
+density stays fixed; lineitem/orders/embeddings replicated with
+offset keys; events replicated with offset event/user ids so the
+sessionize/asof structure replicates instead of densifying).
 
-Both engines run the identical workload: Spark runs the registry
-DataFrame plans (noop sink, best-of-2), DuckDB 1.0 (all cores) runs
-the registry's own oracle SQL (best-of-2) over the same parquet.
+Both engines run the identical workload under a SYMMETRIC protocol
+(round 10, ADVICE r9): Spark runs the registry DataFrame plans (noop
+sink), DuckDB 1.0 (all cores) runs the registry's own oracle SQL over
+the same parquet — each engine gets one untimed warmup execution and
+the same best-of-N repeats (--duck-runs defaults to --runs).
 
 Usage:
-    python tools/bench_sf1.py [--workdir /tmp/mallard_sf1] [--runs 2] \
-        [--out BENCH10X_r09.json]
+    python tools/bench_sf1.py [--factor 10|100] \
+        [--workdir /tmp/mallard_sf{factor/10}] [--runs 2] \
+        [--out BENCH10X_r10.json]
 """
 
 from __future__ import annotations
@@ -33,14 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 KEY_OFFSET = 100_000_000
-FACTOR = 10
 SRC = "/root/testdata/sf0.1"
 
 
-def build_sf1(spark, dst: str) -> None:
+def build_scaled_full(spark, dst: str, factor: int) -> None:
     from tools.scale_sweep import build_scaled
 
-    build_scaled(spark, SRC, dst, FACTOR)
+    build_scaled(spark, SRC, dst, factor)
     # scale_sweep copies events verbatim (its ops don't read them);
     # the headline's event queries need the corpus to actually grow:
     # new users with the same temporal profile, so sessionization and
@@ -49,7 +51,7 @@ def build_sf1(spark, dst: str) -> None:
     parts = [
         ev.withColumn("event_id", F.col("event_id") + F.lit(r * KEY_OFFSET))
         .withColumn("user_id", F.col("user_id") + F.lit(r * KEY_OFFSET))
-        for r in range(FACTOR)
+        for r in range(factor)
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -59,24 +61,38 @@ def build_sf1(spark, dst: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/tmp/mallard_sf1")
+    ap.add_argument("--factor", type=int, default=10,
+                    help="replication factor over sf0.1 (10 → sf1, "
+                    "100 → sf10)")
+    ap.add_argument("--workdir", default=None)
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--duck-runs", type=int, default=1,
-                    help="DuckDB repeats (it is phase-stable; 1 suffices)")
+    ap.add_argument("--duck-runs", type=int, default=None,
+                    help="DuckDB repeats (default: same as --runs — "
+                    "a symmetric protocol)")
     ap.add_argument("--phase", choices=("both", "spark", "duckdb"),
                     default="both",
                     help="run one engine at a time (each phase writes "
                     "{out}.{phase}; 'both'/'duckdb' merges)")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of HEADLINE names")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.duck_runs is None:
+        args.duck_runs = args.runs
 
     from bench import HEADLINE
 
     from mallard_spark.registry import load_all
 
     specs = load_all()
-    dst = args.workdir
+    sf = round(0.1 * args.factor, 3)
+    dst = args.workdir or f"/tmp/mallard_sf{sf:g}".replace(".", "_")
     out = args.out or "BENCH10X.json"
+    names = (
+        [n.strip() for n in args.queries.split(",") if n.strip()]
+        if args.queries
+        else list(HEADLINE)
+    )
 
     spark_secs: dict[str, float] = {}
     if args.phase in ("both", "spark"):
@@ -91,18 +107,18 @@ def main() -> None:
             shuffle_partitions=int(cpus),
         )
         if not os.path.exists(os.path.join(dst, "events.parquet")):
-            print(f"# building 10x replica at {dst} ...", file=sys.stderr)
-            build_sf1(spark, dst)
+            print(f"# building {args.factor}x replica at {dst} ...",
+                  file=sys.stderr)
+            build_scaled_full(spark, dst, args.factor)
 
-        # warmup (JVM codegen + Python workers), same as bench.py
-        specs["q1_pricing_summary"].fn(
-            spark, "/root/testdata/sf0.001"
-        ).write.format("noop").mode("overwrite").save()
-        specs["exchange_add_processed"].fn(
-            spark, "/root/testdata/sf0.001"
-        ).write.format("noop").mode("overwrite").save()
+        # one untimed warmup run of the FIRST benched query at the
+        # BENCH scale (JVM codegen + Python workers + page cache) —
+        # DuckDB gets the mirror-image warmup below
+        specs[names[0]].fn(spark, dst).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
-        for name in HEADLINE:
+        for name in names:
             fn = specs[name].fn
             best = float("inf")
             for _ in range(args.runs):
@@ -131,8 +147,8 @@ def main() -> None:
         if not os.path.exists(p):
             raise SystemExit(
                 f"{p} missing — run the spark phase (which builds the "
-                f"10x replica) first; benchmarking DuckDB on the 1x "
-                f"source against Spark's 10x timings would fabricate "
+                f"scaled replica) first; benchmarking DuckDB on the 1x "
+                f"source against Spark's scaled timings would fabricate "
                 f"the ratio"
             )
         if os.path.isdir(p):  # Spark writes a directory of part files
@@ -141,10 +157,14 @@ def main() -> None:
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{p}')"
         )
-    for name in HEADLINE:
+    warmed = False
+    for name in names:
         sql = specs[name].oracle
         if not sql:
             continue
+        if not warmed:  # symmetric untimed warmup (ADVICE r9)
+            con.execute(sql).fetchall()
+            warmed = True
         best = float("inf")
         for _ in range(args.duck_runs):
             t0 = time.perf_counter()
@@ -156,17 +176,19 @@ def main() -> None:
     ratios = {
         n: round(spark_secs[n] / duck_secs[n], 2)
         for n in duck_secs
-        if duck_secs[n] > 0
+        if duck_secs[n] > 0 and n in spark_secs
     }
+    common = [n for n in duck_secs if n in spark_secs]
     result = {
-        "metric": "headline_queries_total_runtime_sf1",
-        "sf": 1.0,
-        "factor": FACTOR,
+        "metric": f"headline_queries_total_runtime_sf{sf:g}",
+        "sf": sf,
+        "factor": args.factor,
         "src": SRC,
         "spark_total": round(sum(spark_secs.values()), 3),
         "duckdb_total": round(sum(duck_secs.values()), 3),
         "ratio_total": round(
-            sum(spark_secs[n] for n in duck_secs) / sum(duck_secs.values()), 3
+            sum(spark_secs[n] for n in common)
+            / sum(duck_secs[n] for n in common), 3
         ),
         "spark": spark_secs,
         "duckdb": duck_secs,

@@ -102,6 +102,27 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Phase probe (round 10, judge item #6): the VM has multi-minute
+    # page-fault-servicing phases where identical plans run 2-10×
+    # slower (root-caused round 9, PLANS.md). One fixed control —
+    # q1 at sf0.1, best-of-3, ~0.7 s calm — is timed BEFORE the bench
+    # and recorded alongside the numbers, so a degraded-phase sample
+    # is labeled as such in the committed artifact instead of reading
+    # as a regression.
+    probe_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        specs["q1_pricing_summary"].fn(
+            spark, "/root/testdata/sf0.1"
+        ).write.format("noop").mode("overwrite").save()
+        probe_best = min(probe_best, time.perf_counter() - t0)
+    phase_probe = {
+        "control": "q1_pricing_summary@sf0.1 best-of-3",
+        "sec": round(probe_best, 3),
+        "calm_threshold_sec": 1.5,
+        "phase": "calm" if probe_best < 1.5 else "degraded",
+    }
+
     # best-of-2: single-run numbers on this box swing up to 10× on
     # identical plans (JVM compile/GC noise); the min is the plan cost.
     # Each run rebuilds the DataFrame (queries with an internal
@@ -163,6 +184,7 @@ def main() -> None:
         "iterative": per_iter,
         "iterative_total": round(sum(per_iter.values()), 3),
         "sf": sf_val,
+        "phase_probe": phase_probe,
     }
     # 10× (synthetic sf1) totals, measured by tools/bench_sf1.py with
     # a same-session DuckDB baseline and committed as BENCH10X_r09.json

@@ -764,6 +764,27 @@ def _rewrite_collections(sql: str) -> str:
                 continue
             content = sql[i + 1 : j]
             if sql[i] == "{":
+                # DuckDB MAP {'k': v, ...} literal → map(k, v, ...)
+                # (keys stay verbatim: map keys are EXPRESSIONS,
+                # unlike struct field names — round 10)
+                k0 = i - 1
+                while k0 >= 0 and (sql[k0] in _WS or not mask[k0]):
+                    k0 -= 1
+                e0 = k0
+                while k0 >= 0 and (
+                    sql[k0].isalnum() or sql[k0] == "_"
+                ) and mask[k0]:
+                    k0 -= 1
+                if sql[k0 + 1 : e0 + 1].upper() == "MAP":
+                    parts = _split_top_level_commas(content)
+                    kvs = [_split_on_colon(p) for p in parts]
+                    if all(kv is not None for kv in kvs) and kvs:
+                        pairs = ", ".join(
+                            f"{kk.strip()}, {v.strip()}" for kk, v in kvs
+                        )
+                        sql = f"{sql[:k0 + 1]}map({pairs}){sql[j + 1:]}"
+                        changed = True
+                        break
                 parts = _split_top_level_commas(content)
                 kvs = [_split_on_colon(p) for p in parts]
                 if any(kv is None for kv in kvs):

@@ -191,22 +191,23 @@ def main() -> None:
     # — attached here WITH PROVENANCE so the round record carries both
     # scales (round 9, judge item #2); this block is a copy of that
     # committed measurement, not a fresh run.
-    sf1_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH10X_r09.json"
-    )
-    if os.path.exists(sf1_path):
-        try:
-            with open(sf1_path) as f:
-                sf1 = json.load(f)
-            out["sf1"] = {
-                "source": "BENCH10X_r09.json (tools/bench_sf1.py, "
-                "committed round-9 measurement)",
-                "spark_total": sf1.get("spark_total"),
-                "duckdb_total": sf1.get("duckdb_total"),
-                "ratio_total": sf1.get("ratio_total"),
-            }
-        except Exception:
-            pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (("sf1", "BENCH10X_r09.json"),
+                       ("sf10", "BENCH100X_r10.json")):
+        p = os.path.join(here, fname)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    scaled = json.load(f)
+                out[key] = {
+                    "source": f"{fname} (tools/bench_sf1.py, committed "
+                    "measurement)",
+                    "spark_total": scaled.get("spark_total"),
+                    "duckdb_total": scaled.get("duckdb_total"),
+                    "ratio_total": scaled.get("ratio_total"),
+                }
+            except Exception:
+                pass
     print(json.dumps(out))
 
 

@@ -890,6 +890,10 @@ class MallardEngine:
         for t in listed:
             if t.tableType != "TEMPORARY" and t.name.startswith(prefix):
                 short = t.name[len(prefix):]
+                if re.search(r"__tx[cb][0-9a-f]{10}$", short):
+                    # commit staging/backup orphan (a crash inside the
+                    # metadata-swap span) — never serve it as a table
+                    continue
                 self._tables[short] = self.spark.table(t.name)
                 self._persistent.add(short)
                 try:  # declared keys ride along as a table property
@@ -1079,11 +1083,17 @@ class MallardEngine:
             self._pin_keys_prop(name)
         return df.count() if count else None
 
-    def _pin_keys_prop(self, name: str) -> None:
+    def _pin_keys_prop(
+        self, name: str, qualified: str | None = None, force: bool = False
+    ) -> None:
         """Re-pin the declared metadata (keys, column DEFAULTs, CHECK
-        constraints) as table properties on a persisted table
-        (overwrites drop table properties). Escaped so names a raw
-        comma-join would corrupt survive the round-trip."""
+        constraints, FOREIGN KEYs) as table properties on a persisted
+        table (overwrites drop table properties). Escaped so names a
+        raw comma-join would corrupt survive the round-trip.
+        ``qualified`` targets another catalog table carrying ``name``'s
+        declarations (the commit staging tables — properties travel
+        with the swap rename); ``force`` skips the in-transaction
+        deferral (commit publish runs with the tx already detached)."""
         props: list[tuple[str, str]] = []
         if self._keys.get(name):
             props.append(
@@ -1103,7 +1113,7 @@ class MallardEngine:
             )
         if not props:
             return
-        if self._tx is not None:
+        if self._tx is not None and not force:
             # ALTER TABLE SET TBLPROPERTIES is a warehouse write —
             # deferred to COMMIT like every other warehouse effect
             self._tx["pin_keys"].add(name)
@@ -1121,8 +1131,8 @@ class MallardEngine:
             for k, v in props
         )
         self.spark.sql(
-            f"ALTER TABLE {self._qualified(name)} SET TBLPROPERTIES "
-            f"({kv})"
+            f"ALTER TABLE {qualified or self._qualified(name)} "
+            f"SET TBLPROPERTIES ({kv})"
         )
 
     def _upsert_key(self, name: str, verb: str) -> list[str] | None:
@@ -1260,12 +1270,15 @@ class MallardEngine:
         try:
             self._commit_publish(tx)
         except Exception:
-            # a publish failed mid-way: re-open the transaction so
-            # ROLLBACK can still restore the SESSION catalog (staged
-            # dirs are untouched — cleanup only runs on success).
-            # Warehouse tables already published stay published —
-            # commit is not atomic ACROSS tables (documented
-            # divergence; DuckDB's single-file commit is).
+            # a publish failed: re-open the transaction so ROLLBACK
+            # can still restore the SESSION catalog (staged dirs are
+            # untouched — cleanup only runs on success). Round 10: the
+            # staged-swap protocol in _commit_publish leaves the
+            # warehouse byte-identical to pre-COMMIT on failure —
+            # cross-table commit is ATOMIC for in-process failures
+            # (the only residual window is a process crash inside the
+            # metadata-rename span; orphaned __txc/__txb tables are
+            # skipped by discovery).
             self._tx = tx
             raise
         # staged parquet dirs are NOT deleted at commit — a plan
@@ -1275,76 +1288,133 @@ class MallardEngine:
         self._tx_retire_dirs(tx)
 
     def _commit_publish(self, tx: dict[str, Any]) -> None:
-        # As each publish SUCCEEDS, the transaction snapshot is
-        # advanced to match: a ROLLBACK after a mid-commit failure
-        # must reflect what actually reached the warehouse (a
-        # published table cannot be unpublished), or the in-memory
-        # catalog desyncs from the warehouse (round-9 review pass 2).
-        #
-        # Materialize every pending-create's data BEFORE any pending
-        # drop runs: a deferred CREATE holds a LAZY plan that may scan
-        # a warehouse table the same transaction drops (BEGIN;
-        # put('copy', sql('... FROM w'), persist=True); drop('w');
-        # COMMIT) — publishing the drop first deletes w's files out
-        # from under the plan, the saveAsTable then fails
-        # FAILED_READ_FILE, and ROLLBACK cannot restore w:
-        # irrecoverable data loss from a script DuckDB handles (its
-        # CTAS materializes eagerly; ADVICE r9, verified live).
-        # Staging to temp parquet first makes every later warehouse
-        # mutation safe and a failed commit restartable.
-        staged_creates = tx.setdefault("create_staged", set())
-        for name in sorted(tx["pending_creates"]):
-            if name not in self._tables or name in staged_creates:
-                continue  # dropped in-tx / staged by a prior attempt
-            tmp = tempfile.mkdtemp(prefix="mallard_txcreate_")
-            tx["dirs"].append(tmp)
-            self._tables[name].write.mode("overwrite").parquet(tmp)
-            self._tables[name] = self.spark.read.parquet(tmp)
-            staged_creates.add(name)
-        for name in sorted(tx["pending_drops"]):
-            self.spark.sql(
-                f"DROP TABLE IF EXISTS {self._qualified(name)}"
-            )
-            tx["tables"].pop(name, None)
-            tx["persistent"].discard(name)
-        tx["pending_drops"].clear()
-        pinned: set[str] = set()
+        """Publish a transaction's deferred warehouse effects with a
+        STAGED-SWAP protocol (round 10 — closes the round-9 'commit
+        is not atomic across tables' divergence, and the ADVICE-r9
+        create-after-drop data loss, in one move):
+
+        1. DATA phase — every pending create / staged-DML table is
+           written to a ``__txc<salt>`` staging TABLE while the live
+           warehouse is untouched. All lazy plans evaluate here, so a
+           CREATE derived from a table the same transaction drops
+           reads the still-live files; any failure (the likely kind:
+           a long distributed write) aborts with the warehouse
+           byte-identical to pre-COMMIT. Declared-metadata pins go on
+           the STAGING table — properties travel with the rename.
+        2. SWAP phase — metadata-only catalog renames: pending drops
+           and replaced targets rename to ``__txb<salt>`` backups,
+           staging tables rename onto the live names. Every rename is
+           journaled; a failure undoes them in reverse, restoring the
+           pre-COMMIT catalog (an undo failure is loud-logged — the
+           only remaining non-atomic window is a crash INSIDE this
+           fast metadata span).
+        3. CLEANUP — backups drop best-effort (a leftover ``__txb``
+           table is an orphan, never served: discovery skips the
+           staging/backup suffixes).
+
+        DuckDB gets cross-table atomicity from its single-file WAL;
+        this is the warehouse-of-independent-tables equivalent."""
+        import uuid as _uuid
+
+        salt = _uuid.uuid4().hex[:10]
+        publishes: list[str] = []
         for name in sorted(tx["pending_creates"]):
             if name not in self._tables:
                 tx["pending_creates"].discard(name)
                 continue  # created then dropped inside the tx
-            df = self._tables[name]
-            self.spark.catalog.dropTempView(self._qualified(name))
-            df.write.mode("overwrite").saveAsTable(
-                self._qualified(name)
-            )
-            self._persistent.add(name)
-            self._tables[name] = self.spark.table(self._qualified(name))
-            # snapshot advance BEFORE the pin: once saveAsTable has
-            # published, a later failure (even the pin's) must leave
-            # ROLLBACK consistent with the warehouse
-            tx["tables"][name] = self._tables[name]
-            tx["persistent"].add(name)
-            tx["pending_creates"].discard(name)
-            self._pin_keys_prop(name)
-            pinned.add(name)
+            publishes.append(name)
         for name in sorted(tx["staged"]):
             if name not in self._tables or name not in self._persistent:
                 tx["staged"].pop(name, None)
                 continue  # dropped (or re-created) later in the tx
-            df = self._tables[name]  # staged parquet read
-            self.spark.catalog.dropTempView(self._qualified(name))
-            df.write.mode("overwrite").saveAsTable(
-                self._qualified(name)
-            )
-            self._tables[name] = self.spark.table(self._qualified(name))
+            if name not in publishes:
+                publishes.append(name)
+        # ---- 1. data phase (abortable: nothing visible mutates) ----
+        staging: dict[str, str] = {}
+        try:
+            for name in publishes:
+                stage = f"{self._qualified(name)}__txc{salt}"
+                self._tables[name].write.mode("overwrite").saveAsTable(
+                    stage
+                )
+                staging[name] = stage
+                self._pin_keys_prop(name, qualified=stage, force=True)
+        except Exception:
+            for stage in staging.values():
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+                except Exception:  # pragma: no cover - cleanup
+                    pass
+            raise
+        # ---- 2. swap phase (metadata-only, journaled undo) ----
+        undo: list[tuple[str, str]] = []  # renames performed (frm, to)
+        backups: list[str] = []
+
+        def _rename(frm: str, to: str) -> None:
+            self.spark.sql(f"ALTER TABLE {frm} RENAME TO {to}")
+            undo.append((frm, to))
+
+        try:
+            for name in publishes:
+                # any staged shadow must stop resolving the name, or
+                # the catalog rename below hits the TEMP VIEW
+                try:
+                    self.spark.catalog.dropTempView(self._qualified(name))
+                except Exception:
+                    pass
+            for name in sorted(tx["pending_drops"]):
+                b = f"{self._qualified(name)}__txb{salt}"
+                _rename(self._qualified(name), b)
+                backups.append(b)
+            for name in publishes:
+                q = self._qualified(name)
+                if name in self._persistent:
+                    b = f"{q}__txb{salt}"
+                    _rename(q, b)
+                    backups.append(b)
+                _rename(staging[name], q)
+        except Exception:
+            undo_failed = False
+            for frm, to in reversed(undo):
+                try:
+                    self.spark.sql(f"ALTER TABLE {to} RENAME TO {frm}")
+                except Exception:  # pragma: no cover - catastrophic
+                    undo_failed = True
+                    logging.getLogger(__name__).error(
+                        "COMMIT undo failed renaming %s back to %s — "
+                        "the warehouse may hold a partially-swapped "
+                        "state (backup/staging suffixes __txb%s/"
+                        "__txc%s)", to, frm, salt, salt,
+                    )
+            if not undo_failed:
+                for stage in staging.values():
+                    try:
+                        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+                    except Exception:  # pragma: no cover - cleanup
+                        pass
+            raise
+        # ---- success bookkeeping (no job runs past this point) ----
+        for name in sorted(tx["pending_drops"]):
+            tx["tables"].pop(name, None)
+            tx["persistent"].discard(name)
+        tx["pending_drops"].clear()
+        for name in publishes:
+            q = self._qualified(name)
+            self._persistent.add(name)
+            self._tables[name] = self.spark.table(q)
             tx["tables"][name] = self._tables[name]
+            tx["persistent"].add(name)
+            tx["pending_creates"].discard(name)
             tx["staged"].pop(name, None)
-            self._pin_keys_prop(name)
-            pinned.add(name)
         for name in sorted(tx["pin_keys"]):
-            if name in self._persistent and name not in pinned:
+            if name in self._persistent and name not in publishes:
                 self._pin_keys_prop(name)
+        # ---- 3. cleanup (best-effort; orphans are never served) ----
+        for b in backups:
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {b}")
+            except Exception:  # pragma: no cover - cleanup
+                pass
 
     def _rollback(self) -> None:
         tx = self._require_tx("ROLLBACK")

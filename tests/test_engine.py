@@ -2150,6 +2150,64 @@ def test_transaction_persistent_tables_deferred(spark):
                 eng.drop(n)
 
 
+def test_commit_staged_swap_is_atomic_across_tables(spark):
+    """Round-10: COMMIT publishes via staged tables + metadata-swap
+    renames, so a failure during the DATA phase leaves the warehouse
+    byte-identical to pre-COMMIT across ALL tables (the round-9
+    protocol left earlier tables published); ROLLBACK then restores
+    the session catalog, declarations included."""
+    eng = MallardEngine(spark, "t_atomic")
+    try:
+        eng.put("a", pa.table({"k": [1]}), persist=True, keys=["k"])
+        eng.put("b", pa.table({"k": [10]}), persist=True)
+        eng.execute("BEGIN")
+        eng.dml("UPDATE a SET k = 2")
+        eng.dml("UPDATE b SET k = 20")
+        # inject a failure into the DATA phase: break the second
+        # staging write by pointing table b at a plan over a path
+        # that disappears (simplest deterministic in-process failure:
+        # a DataFrame whose underlying staged dir is removed)
+        import shutil as _sh
+
+        bad_dir = eng._tx["staged"]["b"]
+        _sh.rmtree(bad_dir)
+        with pytest.raises(Exception):
+            eng.execute("COMMIT")
+        # COMMIT failed mid-way — the WAREHOUSE is untouched for BOTH
+        # tables (round 9 would have published a=2 already)
+        raw = lambda n: [  # noqa: E731
+            r.k for r in spark.sql(
+                f"SELECT k FROM spark_catalog.default."
+                f"{eng._qualified(n)}"
+            ).collect()
+        ]
+        assert raw("a") == [1] and raw("b") == [10]
+        # no staging/backup orphans are served to a fresh engine
+        fresh = MallardEngine(spark, "t_atomic")
+        assert set(fresh.list_tables()) == {"a", "b"}
+        eng.execute("ROLLBACK")
+        assert [r.k for r in eng.table("a").collect()] == [1]
+        assert [r.k for r in eng.table("b").collect()] == [10]
+        assert eng._keys.get("a") == [["k"]]  # declarations survive
+        # and a clean multi-table commit still publishes everything
+        eng.execute("BEGIN")
+        eng.dml("UPDATE a SET k = 3")
+        eng.dml("UPDATE b SET k = 30")
+        eng.put("c", eng.sql("SELECT k + 100 AS k FROM a"), persist=True)
+        eng.drop("b")
+        eng.execute("COMMIT")
+        fresh2 = MallardEngine(spark, "t_atomic")
+        assert [r.k for r in fresh2.table("a").collect()] == [3]
+        assert [r.k for r in fresh2.table("c").collect()] == [103]
+        assert "b" not in fresh2.list_tables()
+        assert fresh2._keys.get("a") == [["k"]]  # pin rode the swap
+    finally:
+        eng._tx = None
+        for n in ("a", "b", "c"):
+            if n in eng._tables:
+                eng.drop(n)
+
+
 def test_tx_derived_plan_pin_releases_after_drop(spark):
     """Round-10 (judge item #9): staged dirs pinned for an in-tx
     derived session table are RELEASED once that table is dropped —

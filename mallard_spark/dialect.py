@@ -776,6 +776,11 @@ def _rewrite_collections(sql: str) -> str:
                 ) and mask[k0]:
                     k0 -= 1
                 if sql[k0 + 1 : e0 + 1].upper() == "MAP":
+                    if not content.strip():
+                        # MAP {} — DuckDB's empty map literal
+                        sql = f"{sql[:k0 + 1]}map(){sql[j + 1:]}"
+                        changed = True
+                        break
                     parts = _split_top_level_commas(content)
                     kvs = [_split_on_colon(p) for p in parts]
                     if all(kv is not None for kv in kvs) and kvs:

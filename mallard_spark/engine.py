@@ -60,7 +60,7 @@ _DDL_RE = re.compile(
 )
 _EXPORT_DB_RE = re.compile(
     r"^\s*(?P<verb>EXPORT|IMPORT)\s+DATABASE\s+'(?P<dir>(?:[^']|'')+)'"
-    r"\s*(?:\(\s*FORMAT\s+'?(?P<fmt>\w+)'?\s*\))?\s*;?\s*$",
+    r"\s*(?:\(\s*(?P<opts>[^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 # DuckDB engine-tuning / session pragmas a client's setup script may
@@ -363,13 +363,47 @@ def _skip_lines_rdd(
             .map(lambda t: t[0])
         )
 
-    files = _expand_source_files(path)
+    def one_lazy(f: str, extra: int = 0):
+        # zipWithIndex runs an EAGER job per RDD to compute partition
+        # offsets — over a many-file glob that is N sequential driver
+        # round-trips before the read starts (round-10 review). The
+        # multi-file path instead drops the leading lines of
+        # PARTITION 0 lazily: with minPartitions=1 a file below one
+        # HDFS block is exactly one partition (any skip is exact),
+        # and a larger file's first partition holds ~one block of
+        # lines — far beyond any prelude (same prelude-sized model
+        # DuckDB's skip assumes).
+        from itertools import islice
+
+        n = skip + extra
+        lit = re.sub(r"([*?\[\]{}])", r"\\\1", f)
+        return sc.textFile(lit, minPartitions=1).mapPartitionsWithIndex(
+            lambda i, it, n=n: islice(it, n, None) if i == 0 else it
+        )
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path) and not path.startswith(
+        "file:"
+    ):
+        # a non-local filesystem URI (hdfs://, s3a://, ...): the local
+        # expansion below cannot list it — a single remote object
+        # reads via textFile directly (the pre-round-10 behavior);
+        # a remote GLOB + skip refuses by name (per-file skip needs a
+        # file list this driver cannot enumerate without the remote FS)
+        if any(ch in path for ch in "*?[{"):
+            raise NotImplementedError(
+                f"{verb}: skip-rows over a remote glob source is not "
+                f"supported — ingest the files individually"
+            )
+        return one(path)
+    files = _expand_source_files(path.removeprefix("file:"))
     if not files:
         raise ValueError(f"{verb}: no files match {path!r}")
     if len(files) == 1:
         return one(files[0])
     h = 1 if header else 0
-    return sc.union([one(files[0])] + [one(f, h) for f in files[1:]])
+    return sc.union(
+        [one_lazy(files[0])] + [one_lazy(f, h) for f in files[1:]]
+    )
 
 
 def _expand_source_files(path: str) -> list[str]:
@@ -969,6 +1003,25 @@ class MallardEngine:
         pass ``_keep_keys=True``.
         """
         df = self._to_df(data)
+        if name in self._tables and not _keep_keys:
+            # replacing a table other tables' FOREIGN KEYs reference
+            # would orphan their rows — refuse like drop()/RENAME do
+            # (round-10 review; DML write-backs pass _keep_keys and
+            # are allowed: the parent-side FK check gates them)
+            refby = sorted(
+                c
+                for c, fks in self._fkeys.items()
+                if c != name
+                and c in self._tables
+                and any(fk.get("ref") == name for fk in fks)
+            )
+            if refby:
+                raise ValueError(
+                    f"put({name!r}): cannot replace the table because "
+                    f"it is main key table of the table "
+                    f"\"{refby[0]}\" (DuckDB refuses the same way — "
+                    f"drop the referencing table first)"
+                )
         cons: list[list[str]] | None = None
         if keys is not None:
             # accept a flat column list (one constraint) or a list of
@@ -1214,15 +1267,48 @@ class MallardEngine:
     def _release_retired_pins(self) -> None:
         """Round-10 (judge item #9): a transaction whose staged dirs
         were pinned for in-tx derived session tables releases the pin
-        once EVERY such table has been dropped or replaced (its
-        registered plan object is gone, so nothing can scan the dirs)
-        — the dirs then join the normal bounded retire queue."""
+        once nothing can scan the dirs anymore. The check is PLAN
+        LINEAGE, not object identity: a registered table REPLACED by
+        a plan derived from itself (put('dx', sql('... FROM dx')))
+        still reads the staged files, so the pin must hold —
+        ``df.inputFiles()`` proves which dirs are still read (round-10
+        review; the identity-only check re-introduced the round-8
+        delete-under-a-plan loss for exactly that shape). Any table
+        whose lineage cannot be listed keeps every pin (conservative).
+        """
+        if not self._tx_pinned:
+            return
+        import os as _os
+
+        pending: list[tuple[list[str], dict[str, DataFrame]]] = []
         still: list[tuple[list[str], dict[str, DataFrame]]] = []
         for dirs, refs in self._tx_pinned:
             if any(self._tables.get(n) is df for n, df in refs.items()):
-                still.append((dirs, refs))
+                still.append((dirs, refs))  # cheap identity fast path
             else:
-                self._tx_old_dirs.append(dirs)
+                pending.append((dirs, refs))
+        if pending:
+            live: set[str] = set()
+            for n, df in self._tables.items():
+                if n in self._persistent:
+                    continue  # warehouse reads never touch staged dirs
+                try:
+                    for f in df.inputFiles():
+                        p = f.split("://")[-1] if "://" in f else f
+                        if p.startswith("file:"):
+                            p = p[len("file:"):]
+                        live.add(_os.path.dirname(p).rstrip("/"))
+                except Exception:
+                    # cannot prove this table's lineage: keep all pins
+                    still.extend(pending)
+                    pending = []
+                    break
+            for dirs, refs in pending:
+                norm = {d.rstrip("/") for d in dirs}
+                if live & norm:
+                    still.append((dirs, refs))
+                else:
+                    self._tx_old_dirs.append(dirs)
         self._tx_pinned = still
 
     def _tx_retire_dirs(self, tx: dict[str, Any]) -> None:
@@ -1278,7 +1364,12 @@ class MallardEngine:
             # cross-table commit is ATOMIC for in-process failures
             # (the only residual window is a process crash inside the
             # metadata-rename span; orphaned __txc/__txb tables are
-            # skipped by discovery).
+            # skipped by discovery). The re-opened transaction is
+            # POISONED: the swap phase may have dropped shadow views,
+            # so further reads could see pre-tx warehouse state while
+            # DML still holds staged state — only ROLLBACK is sound
+            # (round-10 review; DuckDB's failed COMMIT aborts too).
+            tx["poisoned"] = True
             self._tx = tx
             raise
         # staged parquet dirs are NOT deleted at commit — a plan
@@ -1802,8 +1893,9 @@ class MallardEngine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.list_tables()], "name string"
             )
-        if _EXPORT_DB_RE.match(sql):
-            # EXPORT/IMPORT DATABASE are DDL-shaped (round 10)
+        if re.match(r"(?i)^\s*(EXPORT|IMPORT)\s+DATABASE\b", sql):
+            # EXPORT/IMPORT DATABASE are DDL-shaped (round 10);
+            # unparseable variants get the DDL router's NAMED error
             return self.spark.createDataFrame(
                 [(self.ddl(sql),)], "status string"
             )
@@ -3120,31 +3212,34 @@ class MallardEngine:
         the declared DEFAULT/UNIQUE/CHECK/FOREIGN KEY metadata — for
         EXPORT DATABASE's schema.sql (round 10; everything here is
         already session state, no job runs)."""
+        def q(ident: str) -> str:
+            # constraint identifiers need the same quoting as the
+            # column definitions (round-10 review: an unquoted
+            # UNIQUE ("k v") breaks the re-ingest parse)
+            if re.fullmatch(r"[A-Za-z_]\w*", ident):
+                return ident
+            return '"' + ident.replace('"', '""') + '"'
+
         items: list[str] = []
         defaults = self._defaults.get(name, {})
         for f in self._tables[name].schema.fields:
-            col = (
-                f.name
-                if re.fullmatch(r"[A-Za-z_]\w*", f.name)
-                else '"' + f.name.replace('"', '""') + '"'
-            )
-            item = f"{col} {_duck_type_name(f.dataType)}"
+            item = f"{q(f.name)} {_duck_type_name(f.dataType)}"
             if f.name in defaults:
                 item += f" DEFAULT ({defaults[f.name]})"
             items.append(item)
         for grp in self._keys.get(name, []):
-            items.append("UNIQUE (" + ", ".join(grp) + ")")
+            items.append("UNIQUE (" + ", ".join(q(c) for c in grp) + ")")
         for chk in self._checks.get(name, []):
             items.append(f"CHECK ({chk})")
         for fk in self._fkeys.get(name, []):
             items.append(
                 "FOREIGN KEY ("
-                + ", ".join(fk["cols"])
-                + f") REFERENCES {fk['ref']}("
-                + ", ".join(fk["ref_cols"])
+                + ", ".join(q(c) for c in fk["cols"])
+                + f") REFERENCES {q(fk['ref'])}("
+                + ", ".join(q(c) for c in fk["ref_cols"])
                 + ")"
             )
-        return f"CREATE TABLE {name} (" + ", ".join(items) + ")"
+        return f"CREATE TABLE {q(name)} (" + ", ".join(items) + ")"
 
     def _export_database(self, d: str, fmt: str) -> str:
         """``EXPORT DATABASE 'dir' [(FORMAT ...)]`` — every table in
@@ -3621,11 +3716,36 @@ class MallardEngine:
         m = _EXPORT_DB_RE.match(sql)
         if m:
             d = m.group("dir").replace("''", "'")
-            if m.group("verb").upper() == "EXPORT":
-                return self._export_database(
-                    d, (m.group("fmt") or "csv").lower()
+            opts = _parse_copy_opts(m.group("opts") or "", "EXPORT DATABASE")
+            if m.group("verb").upper() == "IMPORT":
+                if opts:
+                    raise NotImplementedError(
+                        "IMPORT DATABASE takes no options (DuckDB "
+                        "rejects them too)"
+                    )
+                return self._import_database(d)
+            fmt = _copy_opt_str(
+                opts.pop("FORMAT", "csv"), "FORMAT", "EXPORT DATABASE"
+            ).lower()
+            if opts:
+                # DuckDB forwards extra options into its per-table
+                # COPYs; name the unsupported ones instead of leaking
+                # a raw parse error (round-10 review)
+                raise NotImplementedError(
+                    f"EXPORT DATABASE: options {sorted(opts)} are not "
+                    f"supported here — only (FORMAT PARQUET|CSV); "
+                    f"use COPY <table> TO 'path' (...) per table for "
+                    f"option-faithful exports"
                 )
-            return self._import_database(d)
+            return self._export_database(d, fmt)
+        if re.match(r"(?i)^\s*(EXPORT|IMPORT)\s+DATABASE\b", sql):
+            # EXPORT/IMPORT-shaped but unparseable: name the grammar
+            # instead of leaking Spark's parse error on fall-through
+            raise ValueError(
+                f"cannot parse {sql.strip()[:80]!r} — expected "
+                f"EXPORT DATABASE '<dir>' [(FORMAT PARQUET|CSV)] or "
+                f"IMPORT DATABASE '<dir>'"
+            )
         m = _CREATE_AS_RE.match(sql)
         if m:
             self.put(

@@ -2228,6 +2228,17 @@ def test_tx_derived_plan_pin_releases_after_drop(spark):
         assert dirs and all(os.path.exists(d) for d in dirs)
         assert len(eng._tx_pinned) == 1  # pinned while dx lives
         assert eng.table("dx").collect()[0][0] == 100  # still readable
+        # replacing dx with a plan DERIVED from itself still scans the
+        # staged dirs — the pin must hold (lineage, not object
+        # identity; round-10 review)
+        eng.put("dx", eng.sql("SELECT w2 FROM dx WHERE w2 > 0"))
+        eng.execute("BEGIN")
+        eng.dml("UPDATE w SET v = 7")
+        eng.execute("COMMIT")
+        assert len(eng._tx_pinned) == 1, \
+            "derived replacement must keep the pin"
+        assert all(os.path.exists(d) for d in dirs)
+        assert eng.table("dx").collect()[0][0] == 100
         eng.drop("dx")
         # the next completed transaction releases + drains (keep=0)
         eng.execute("BEGIN")
@@ -2311,6 +2322,25 @@ def test_export_import_database_round_trip(spark, tmp_path):
         tuple(r) for r in eng3.sql(
             "SELECT k, v FROM t1 ORDER BY k").collect()
     ] == [(1, "x"), (2, "x")]
+    # option-ful EXPORT refuses BY NAME; unparseable forms get the
+    # grammar error, not a raw Spark parse leak (round-10 review)
+    with pytest.raises(NotImplementedError, match="DELIMITER"):
+        eng.ddl(f"EXPORT DATABASE '{tmp_path}/x' (FORMAT CSV, "
+                f"DELIMITER '|')")
+    with pytest.raises(ValueError, match="expected"):
+        eng.sql("EXPORT DATABASE missing_quotes")
+    # quoted identifiers survive the schema.sql round trip
+    eng.ddl('CREATE TABLE qt ("k v" INTEGER PRIMARY KEY)')
+    eng.dml('INSERT INTO qt VALUES (1)')
+    d_q = str(tmp_path / "exp_q")
+    eng.execute(f"EXPORT DATABASE '{d_q}' (FORMAT PARQUET)")
+    engq = MallardEngine(spark, "t_expq")
+    engq.execute(f"IMPORT DATABASE '{d_q}'")
+    assert engq._keys.get("qt") == [["k v"]]
+    eng.drop("qt")
+    for n in ("v1", "t2", "t1", "qt"):  # children before FK parents
+        if n in engq._tables:
+            engq.drop(n)
     # csv export round-trips flat tables too
     d_csv = str(tmp_path / "exp_csv")
     eng.execute(f"EXPORT DATABASE '{d_csv}'")
@@ -2412,6 +2442,9 @@ def test_interval_and_nested_column_types_match_duckdb(spark):
         r[0]
         for r in con.execute("SELECT v[1].q[2] AS deep FROM nn").fetchall()
     ] == [8]
+    # empty MAP literal parses on both engines (round-10 review)
+    assert eng.sql("SELECT cardinality(MAP {}) AS n").collect()[0].n \
+        == con.execute("SELECT cardinality(MAP {})").fetchone()[0] == 0
     # unknown types still refuse by name
     with pytest.raises(NotImplementedError, match="no faithful"):
         eng.ddl("CREATE TABLE bad (g GEOMETRY)")
@@ -2466,6 +2499,12 @@ def test_foreign_keys_match_duckdb(spark):
     both("UPDATE child SET pk = 99 WHERE id = 10", should_fail=True)
     both("UPDATE child SET pk = NULL WHERE id = 12")
     both("DROP TABLE parent", should_fail=True)
+    # CREATE OR REPLACE / put() over a referenced parent refuses too
+    # (round-10 review: the replace path bypassed the drop guard)
+    with pytest.raises(ValueError, match="main key table"):
+        eng.ddl("CREATE OR REPLACE TABLE parent AS SELECT 99 AS k")
+    with pytest.raises(Exception):
+        con.execute("CREATE OR REPLACE TABLE parent AS SELECT 99 AS k")
     with pytest.raises(ValueError, match="depend"):
         eng.ddl("ALTER TABLE parent RENAME TO parent2")
     # child rename carries the constraint

@@ -179,6 +179,7 @@ def main() -> None:
         if duck_secs[n] > 0 and n in spark_secs
     }
     common = [n for n in duck_secs if n in spark_secs]
+    duck_common = sum(duck_secs[n] for n in common)
     result = {
         "metric": f"headline_queries_total_runtime_sf{sf:g}",
         "sf": sf,
@@ -186,9 +187,13 @@ def main() -> None:
         "src": SRC,
         "spark_total": round(sum(spark_secs.values()), 3),
         "duckdb_total": round(sum(duck_secs.values()), 3),
-        "ratio_total": round(
-            sum(spark_secs[n] for n in common)
-            / sum(duck_secs[n] for n in common), 3
+        # None when the two phases measured disjoint query sets (e.g.
+        # a stale {out}.spark from another subset) — a ratio of
+        # mismatched workloads would be fabricated
+        "ratio_total": (
+            round(sum(spark_secs[n] for n in common) / duck_common, 3)
+            if duck_common
+            else None
         ),
         "spark": spark_secs,
         "duckdb": duck_secs,

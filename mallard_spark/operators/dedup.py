@@ -1435,3 +1435,58 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "dedup_cross_source_priority",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY source ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_cross_source_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source EXACT dedup keeping the highest-priority copy —
+    the pretraining-mix recipe (FineWeb/Dolma style): when the same
+    text appears in several ingest sources, keep the copy from the
+    most-trusted source (priority = source name rank here; a real
+    deployment passes an explicit priority table) and count what each
+    source contributes AFTER the cross-source pass.
+
+    Plan shape at 100 TB: one md5 per document (no text shuffle — the
+    window partitions by the 128-bit digest, so only (hash, source,
+    doc_id, n_chars) tuples move), one hash-partitioned window to pick
+    the winner, one partial-aggregated rollup. Digest collisions are
+    the cryptographic-hash risk every exact-dedup pipeline accepts.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(
+        F.col("source").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -616,6 +616,40 @@ def _duck_type_to_spark(t: str, table: str, col: str) -> str:
     )
 
 
+def _dt_interval_parse(col):
+    """DuckDB's csv text form of an INTERVAL —
+    ``[N day[s] ]HH:MM:SS[.ffffff]`` with an optional global leading
+    ``-`` — → a Spark day-time interval via ``make_dt_interval``
+    (round 10; Spark's own string→interval cast only accepts the ANSI
+    ``INTERVAL '...'`` spelling). Empty text → NULL like DuckDB's csv
+    NULL. Call sites run a validity check first, so unparseable text
+    refuses instead of silently nulling."""
+    from pyspark.sql import functions as F
+
+    s = F.trim(col)
+    body = F.regexp_replace(s, r"^-", "")
+    days = F.coalesce(
+        F.nullif(
+            F.regexp_extract(body, r"^(\d+)\s+day", 1), F.lit("")
+        ).cast("int"),
+        F.lit(0),
+    )
+    tpat = r"(\d+):(\d+):(\d+(?:\.\d+)?)$"
+    iv = F.make_dt_interval(
+        days,
+        F.regexp_extract(body, tpat, 1).cast("int"),
+        F.regexp_extract(body, tpat, 2).cast("int"),
+        F.regexp_extract(body, tpat, 3).cast("decimal(18,6)"),
+    )
+    return (
+        F.when(s.isNull() | (s == ""), F.lit(None).cast(
+            "interval day to second"
+        ))
+        .when(s.startswith("-"), -iv)
+        .otherwise(iv)
+    )
+
+
 def _duck_type_name(dt: "T.DataType") -> str:
     """A Spark type → the DuckDB type name for EXPORT DATABASE's
     schema.sql (round 10) — the inverse of ``_duck_type_to_spark``,
@@ -4367,16 +4401,20 @@ class MallardEngine:
             fmt == "csv"
             and tgt is not None
             and any(
-                isinstance(f.dataType, T.TimeType)
+                isinstance(
+                    f.dataType, (T.TimeType, T.DayTimeIntervalType)
+                )
                 for f in tgt.schema.fields
             )
         ):
             # DuckDB's COPY FROM parses with the TABLE's types.
-            # Spark's csv SOURCE cannot decode a bare time-of-day
-            # (and inference reads one as TIMESTAMP, which cannot
-            # cast to TIME) — so read with the target's types, TIME
+            # Spark's csv SOURCE cannot decode a bare time-of-day or
+            # DuckDB's interval text ('2 days 01:30:00' — inference
+            # reads the bare clock form as TIMESTAMP, which cannot
+            # cast) — so read with the target's types, TIME/INTERVAL
             # columns as strings, and let the shared cast below
-            # finish the job (string → time(6) parses exactly).
+            # finish the job (string → time(6) parses exactly;
+            # intervals via _dt_interval_parse, round 10).
             # The forced schema would mask a column-count mismatch
             # (extra columns silently ignored, missing ones
             # null-padded) — probe the file's REAL column count
@@ -4415,7 +4453,9 @@ class MallardEngine:
             r = r.schema(
                 ", ".join(
                     f"`{f.name}` string"
-                    if isinstance(f.dataType, T.TimeType)
+                    if isinstance(
+                        f.dataType, (T.TimeType, T.DayTimeIntervalType)
+                    )
                     else f"`{f.name}` {f.dataType.simpleString()}"
                     for f in tgt.schema.fields
                 )
@@ -4433,10 +4473,48 @@ class MallardEngine:
                     f"COPY FROM {path!r}: file has {len(new.columns)} "
                     f"columns; table {name!r} has {len(schema.fields)}"
                 )
+            from pyspark.sql import functions as F
+
             renamed = new.toDF(*schema.fieldNames())
+            iv_cols = [
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, T.DayTimeIntervalType)
+            ] if fmt == "csv" else []
+            if iv_cols:
+                # the forced string read means a malformed interval
+                # would silently parse to NULL — refuse instead, like
+                # DuckDB's conversion error (one bounded aggregate)
+                pat = r"^-?(\d+\s+days?\s+)?\d+:\d+:\d+(\.\d+)?$"
+                bad = renamed.agg(
+                    *[
+                        F.sum(
+                            F.when(
+                                F.trim(renamed[c]).isNotNull()
+                                & (F.trim(renamed[c]) != "")
+                                & ~F.trim(renamed[c]).rlike(pat),
+                                1,
+                            ).otherwise(0)
+                        ).alias(c)
+                        for c in iv_cols
+                    ]
+                ).collect()[0]
+                for i, c in enumerate(iv_cols):
+                    if bad[i]:
+                        raise ValueError(
+                            f"COPY FROM {path!r}: {bad[i]} row(s) in "
+                            f"column {c!r} do not parse as INTERVAL "
+                            f"text ('[N day[s] ]HH:MM:SS[.ffffff]', "
+                            f"optional leading '-') — DuckDB errors "
+                            f"the conversion the same way"
+                        )
             new = renamed.select(
                 *[
-                    renamed[f.name].cast(f.dataType).alias(f.name)
+                    _dt_interval_parse(renamed[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in iv_cols
+                    else renamed[f.name].cast(f.dataType).alias(f.name)
                     for f in schema.fields
                 ]
             )

@@ -2356,7 +2356,7 @@ def test_export_import_database_round_trip(spark, tmp_path):
                 e.drop(n)
 
 
-def test_interval_and_nested_column_types_match_duckdb(spark):
+def test_interval_and_nested_column_types_match_duckdb(spark, tmp_path):
     """Round-10 (judge item #4): CREATE TABLE with INTERVAL and
     nested LIST/STRUCT/MAP column types — INSERT / ORDER BY / min-max
     parity with DuckDB 1.0, warehouse persistence round-trip, and
@@ -2442,6 +2442,29 @@ def test_interval_and_nested_column_types_match_duckdb(spark):
         r[0]
         for r in con.execute("SELECT v[1].q[2] AS deep FROM nn").fetchall()
     ] == [8]
+    # COPY FROM csv parses DuckDB's interval text forms (clock,
+    # day-bearing, negative, NULL) — exact value parity; malformed
+    # text refuses instead of silently nulling (round 10)
+    ip = str(tmp_path / "iv.csv")
+    con.execute("CREATE TABLE itc (k INTEGER, dur INTERVAL)")
+    con.execute(
+        "INSERT INTO itc VALUES (1, INTERVAL '2 hours'), "
+        "(2, INTERVAL '1 day 2 hours 30 seconds'), (3, NULL), "
+        "(4, -INTERVAL '3 hours')"
+    )
+    con.execute(f"COPY itc TO '{ip}' (HEADER)")
+    eng.ddl("CREATE TABLE itc (k INTEGER, dur INTERVAL)")
+    eng.copy_to(f"COPY itc FROM '{ip}' (HEADER)")
+    assert [(r.k, r.dur) for r in eng.sql(
+        "SELECT * FROM itc ORDER BY k").collect()] == [
+        tuple(t) for t in con.execute(
+            "SELECT * FROM itc ORDER BY k").fetchall()
+    ]
+    bad = str(tmp_path / "ivbad.csv")
+    open(bad, "w").write("k,dur\n1,banana\n")
+    with pytest.raises(ValueError, match="INTERVAL"):
+        eng.copy_to(f"COPY itc FROM '{bad}' (HEADER)")
+    eng.drop("itc")
     # empty MAP literal parses on both engines (round-10 review)
     assert eng.sql("SELECT cardinality(MAP {}) AS n").collect()[0].n \
         == con.execute("SELECT cardinality(MAP {})").fetchone()[0] == 0

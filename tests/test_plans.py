@@ -634,3 +634,18 @@ def test_leakage_safe_split_no_extra_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "split_leakage_safe")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_source_priority_groupinglimit_no_text_shuffle(spark, sf_dir):
+    """Round-10: the cross-source priority dedup must (a) never
+    shuffle the text column — only (digest, source, doc_id, n_chars)
+    tuples move — and (b) get Catalyst's WindowGroupLimit so each map
+    task ships at most ONE candidate row per digest before the
+    exchange (the rn=1 filter pushed into the window)."""
+    plan = _plan(spark, sf_dir, "dedup_cross_source_priority")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text#" not in m.group(0), "text column crossed the wire"

@@ -306,6 +306,14 @@ class ConstraintViolationError(ValueError):
     callers catching the round-9 CHECK errors keep working."""
 
 
+class ConversionRuntimeError(ValueError):
+    """Data failed a runtime conversion AFTER a job ran (DuckDB's
+    Conversion Error class — e.g. interval text that does not parse
+    during COPY FROM); poisons an open transaction like any runtime
+    error, unlike the engine's pre-execution ValueErrors (round-10
+    review pass 2)."""
+
+
 def _is_tx_runtime_error(e: BaseException) -> bool:
     """Whether a statement failure is a RUNTIME error in DuckDB's
     taxonomy — the class that aborts an open transaction. Parse and
@@ -319,7 +327,7 @@ def _is_tx_runtime_error(e: BaseException) -> bool:
             return False
     except ImportError:
         pass
-    if isinstance(e, ConstraintViolationError):
+    if isinstance(e, (ConstraintViolationError, ConversionRuntimeError)):
         return True
     if isinstance(e, (NotImplementedError, ValueError, TypeError, KeyError)):
         # engine-side validation raised BEFORE any job ran —
@@ -616,38 +624,58 @@ def _duck_type_to_spark(t: str, table: str, col: str) -> str:
     )
 
 
+# the interval text forms DuckDB's csv writer emits (verified live):
+# '02:00:00', '2 days', '-5 days 01:00:00', '-1 day -02:00:00',
+# '00:00:00.5' — signs are PER COMPONENT, either part may be absent
+# (but not both)
+_DT_INTERVAL_TEXT_RE = (
+    r"^(-?\d+\s+days?(\s+-?\d+:\d+:\d+(\.\d+)?)?"
+    r"|-?\d+:\d+:\d+(\.\d+)?)$"
+)
+
+
 def _dt_interval_parse(col):
     """DuckDB's csv text form of an INTERVAL —
-    ``[N day[s] ]HH:MM:SS[.ffffff]`` with an optional global leading
-    ``-`` — → a Spark day-time interval via ``make_dt_interval``
-    (round 10; Spark's own string→interval cast only accepts the ANSI
-    ``INTERVAL '...'`` spelling). Empty text → NULL like DuckDB's csv
-    NULL. Call sites run a validity check first, so unparseable text
-    refuses instead of silently nulling."""
+    ``[-]N day[s]`` and/or ``[-]HH:MM:SS[.ffffff]``, signs PER
+    COMPONENT (DuckDB renders days=-5, micros=+1h as
+    ``-5 days 01:00:00`` — verified live) — → a Spark day-time
+    interval via ``make_dt_interval`` (Spark's own string→interval
+    cast only accepts the ANSI ``INTERVAL '...'`` spelling). Empty
+    text → NULL like DuckDB's csv NULL. Call sites run the
+    ``_DT_INTERVAL_TEXT_RE`` validity check first, so unparseable
+    text refuses instead of silently nulling."""
     from pyspark.sql import functions as F
 
     s = F.trim(col)
-    body = F.regexp_replace(s, r"^-", "")
     days = F.coalesce(
         F.nullif(
-            F.regexp_extract(body, r"^(\d+)\s+day", 1), F.lit("")
+            F.regexp_extract(s, r"(-?\d+)\s+day", 1), F.lit("")
         ).cast("int"),
         F.lit(0),
     )
-    tpat = r"(\d+):(\d+):(\d+(?:\.\d+)?)$"
+    tpat = r"(-?)(\d+):(\d+):(\d+(?:\.\d+)?)$"
+
+    def part(group: int):
+        return F.coalesce(
+            F.nullif(F.regexp_extract(s, tpat, group), F.lit("")).cast(
+                "decimal(18,6)"
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+
+    tsign = F.when(
+        F.regexp_extract(s, tpat, 1) == "-", F.lit(-1)
+    ).otherwise(F.lit(1))
     iv = F.make_dt_interval(
         days,
-        F.regexp_extract(body, tpat, 1).cast("int"),
-        F.regexp_extract(body, tpat, 2).cast("int"),
-        F.regexp_extract(body, tpat, 3).cast("decimal(18,6)"),
+        (tsign * part(2)).cast("int"),
+        (tsign * part(3)).cast("int"),
+        tsign * part(4),
     )
-    return (
-        F.when(s.isNull() | (s == ""), F.lit(None).cast(
-            "interval day to second"
-        ))
-        .when(s.startswith("-"), -iv)
-        .otherwise(iv)
-    )
+    return F.when(
+        s.isNull() | (s == ""),
+        F.lit(None).cast("interval day to second"),
+    ).otherwise(iv)
 
 
 def _duck_type_name(dt: "T.DataType") -> str:
@@ -1042,13 +1070,7 @@ class MallardEngine:
             # would orphan their rows — refuse like drop()/RENAME do
             # (round-10 review; DML write-backs pass _keep_keys and
             # are allowed: the parent-side FK check gates them)
-            refby = sorted(
-                c
-                for c, fks in self._fkeys.items()
-                if c != name
-                and c in self._tables
-                and any(fk.get("ref") == name for fk in fks)
-            )
+            refby = self._fk_referencing(name)
             if refby:
                 raise ValueError(
                     f"put({name!r}): cannot replace the table because "
@@ -1488,9 +1510,24 @@ class MallardEngine:
                 except Exception:
                     pass
             for name in sorted(tx["pending_drops"]):
-                b = f"{self._qualified(name)}__txb{salt}"
-                _rename(self._qualified(name), b)
+                # Spark's ALTER TABLE RENAME resolves a same-named
+                # TEMP VIEW first (verified live) — a session table or
+                # view re-created under the dropped name in-tx would
+                # get renamed/destroyed while the warehouse table
+                # resurrects on the next discovery (round-10 review
+                # pass 2): drop the shadow, rename the CATALOG table,
+                # then restore the session registration
+                q = self._qualified(name)
+                shadow = self._tables.get(name)
+                try:
+                    self.spark.catalog.dropTempView(q)
+                except Exception:
+                    pass
+                b = f"{q}__txb{salt}"
+                _rename(q, b)
                 backups.append(b)
+                if shadow is not None and name not in staging:
+                    shadow.createOrReplaceTempView(q)
             for name in publishes:
                 q = self._qualified(name)
                 if name in self._persistent:
@@ -1595,16 +1632,23 @@ class MallardEngine:
     def list_tables(self) -> list[str]:
         return sorted(self._tables)
 
-    def drop(self, name: str) -> None:
-        # DuckDB parity (round 10): a parent table still referenced by
-        # another table's FOREIGN KEY refuses to drop
-        refby = sorted(
+    def _fk_referencing(self, name: str) -> list[str]:
+        """Registered tables whose declared FOREIGN KEYs reference
+        ``name`` as their parent (self-references excluded: a table
+        may always mutate itself) — the shared dependency scan behind
+        the drop/replace/rename refusals (round-10 review pass 2)."""
+        return sorted(
             c
             for c, fks in self._fkeys.items()
             if c != name
             and c in self._tables
             and any(fk.get("ref") == name for fk in fks)
         )
+
+    def drop(self, name: str) -> None:
+        # DuckDB parity (round 10): a parent table still referenced by
+        # another table's FOREIGN KEY refuses to drop
+        refby = self._fk_referencing(name)
         if refby:
             raise ValueError(
                 f"Could not drop the table because this table is main "
@@ -1634,6 +1678,7 @@ class MallardEngine:
             self.spark.catalog.dropTempView(self._qualified(name))
         self._tables.pop(name, None)
         self._views.discard(name)
+        self._view_sql.pop(name, None)
         self._keys.pop(name, None)
         self._defaults.pop(name, None)
         self._checks.pop(name, None)
@@ -3983,12 +4028,8 @@ class MallardEngine:
             carried_defaults = self._defaults.get(name)
             carried_checks = self._checks.get(name)
             carried_fkeys = self._fkeys.get(name)
-            if any(
-                fk.get("ref") == name
-                for c, fks in self._fkeys.items()
-                if c != name and c in self._tables
-                for fk in fks
-            ):
+            carried_vsql = self._view_sql.get(name)
+            if self._fk_referencing(name):
                 # DuckDB (verified live): renaming a table other
                 # tables' FOREIGN KEYs reference refuses
                 raise ValueError(
@@ -4040,7 +4081,16 @@ class MallardEngine:
             if carried_checks is not None:
                 self._checks[new] = carried_checks
             if carried_fkeys is not None:
+                # a SELF-referencing key must follow the rename too,
+                # or enforcement silently dies looking up the old
+                # name (round-10 review pass 2)
+                for fk in carried_fkeys:
+                    if fk.get("ref") == name:
+                        fk["ref"] = new
                 self._fkeys[new] = carried_fkeys
+            if carried_vsql is not None:  # view definition follows
+                self._view_sql[new] = carried_vsql
+            self._view_sql.pop(name, None)
             self._defaults.pop(name, None)
             self._checks.pop(name, None)
             self._fkeys.pop(name, None)
@@ -4485,7 +4535,7 @@ class MallardEngine:
                 # the forced string read means a malformed interval
                 # would silently parse to NULL — refuse instead, like
                 # DuckDB's conversion error (one bounded aggregate)
-                pat = r"^-?(\d+\s+days?\s+)?\d+:\d+:\d+(\.\d+)?$"
+                pat = _DT_INTERVAL_TEXT_RE
                 bad = renamed.agg(
                     *[
                         F.sum(
@@ -4501,11 +4551,11 @@ class MallardEngine:
                 ).collect()[0]
                 for i, c in enumerate(iv_cols):
                     if bad[i]:
-                        raise ValueError(
+                        raise ConversionRuntimeError(
                             f"COPY FROM {path!r}: {bad[i]} row(s) in "
                             f"column {c!r} do not parse as INTERVAL "
-                            f"text ('[N day[s] ]HH:MM:SS[.ffffff]', "
-                            f"optional leading '-') — DuckDB errors "
+                            f"text ('[-]N day[s]' and/or "
+                            f"'[-]HH:MM:SS[.ffffff]') — DuckDB errors "
                             f"the conversion the same way"
                         )
             new = renamed.select(
@@ -4518,7 +4568,7 @@ class MallardEngine:
                     for f in schema.fields
                 ]
             )
-            self._write_back(name, tbl.unionByName(new))
+            self._write_back(name, tbl.unionByName(new), append=True)
         else:
             self.put(name, new)
         return "OK"
@@ -4882,7 +4932,7 @@ class MallardEngine:
             aligned.write.insertInto(self._qualified(name))
             self._tables[name] = self.spark.table(self._qualified(name))
             return "OK"
-        self._write_back(name, tbl.unionByName(aligned))
+        self._write_back(name, tbl.unionByName(aligned), append=True)
         return "OK"
 
     def _insert_source_df(
@@ -5260,12 +5310,19 @@ class MallardEngine:
                         f"the same way"
                     )
 
-    def _write_back(self, name: str, df: DataFrame) -> None:
+    def _write_back(
+        self, name: str, df: DataFrame, append: bool = False
+    ) -> None:
         """Replace ``name``'s content with ``df``.
 
         Persisted tables stage through a temp parquet dir first — a
         distributed write that breaks Spark's read/overwrite cycle on
         the warehouse path without collecting anything to the driver.
+        ``append=True`` declares the new content a SUPERSET of the old
+        (INSERT/COPY unions) — the parent-side FK check is skipped,
+        since an append cannot orphan a child reference (round-10
+        review pass 2: it was a wasted anti-join job per child FK on
+        the hot ingest path).
         """
         # declared CHECK constraints gate every rewrite path (UPDATE,
         # MERGE, upserts, session INSERT unions) in one place
@@ -5276,7 +5333,8 @@ class MallardEngine:
         # table is a parent, no child row may be orphaned by the
         # rewrite (round 10)
         self._enforce_fk_child(name, df, "DML", parent_override=df)
-        self._enforce_fk_parent(name, df, "DML")
+        if not append:
+            self._enforce_fk_parent(name, df, "DML")
         if name in self._persistent:
             if self._tx is not None:
                 # in-transaction: stage to temp parquet and SHADOW the

@@ -1477,8 +1477,11 @@ def dedup_cross_source_priority(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", F.md5("text").alias("h")
     )
+    # asc_nulls_last matches DuckDB's default ASC ordering (Spark's
+    # plain asc sorts NULLS FIRST — a NULL source/doc_id would pick a
+    # different winner than the oracle)
     w = Window.partitionBy("h").orderBy(
-        F.col("source").asc(), F.col("doc_id").asc()
+        F.col("source").asc_nulls_last(), F.col("doc_id").asc_nulls_last()
     )
     return (
         docs.withColumn("rn", F.row_number().over(w))

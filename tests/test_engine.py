@@ -2208,6 +2208,87 @@ def test_commit_staged_swap_is_atomic_across_tables(spark):
                 eng.drop(n)
 
 
+def test_commit_drop_then_recreate_same_name_session_table(spark):
+    """Round-10 review pass 2: DROP a persisted table and re-create a
+    SESSION table under the same name inside one transaction — COMMIT
+    must drop the WAREHOUSE table (Spark's ALTER TABLE RENAME resolves
+    a same-named temp view first, which used to rename the session
+    registration away and resurrect the warehouse table) while the
+    session table keeps serving."""
+    eng = MallardEngine(spark, "t_dropre")
+    try:
+        eng.put("w", pa.table({"k": [1]}), persist=True)
+        eng.execute("BEGIN")
+        eng.drop("w")
+        eng.put("w", pa.table({"k": [77]}))  # session table, same name
+        eng.execute("COMMIT")
+        assert [r.k for r in eng.table("w").collect()] == [77]
+        # the WAREHOUSE copy is gone: a fresh engine sees no table
+        fresh = MallardEngine(spark, "t_dropre")
+        assert "w" not in fresh.list_tables()
+    finally:
+        eng._tx = None
+        if "w" in eng._tables:
+            eng.drop("w")
+
+
+def test_self_referencing_fk_survives_rename(spark):
+    """Round-10 review pass 2: a SELF-referencing FOREIGN KEY follows
+    ALTER TABLE RENAME (the carried declaration used to keep pointing
+    at the old name, silently disabling enforcement)."""
+    eng = MallardEngine(spark, "t_selffk")
+    eng.ddl(
+        "CREATE TABLE emp (id INTEGER PRIMARY KEY, "
+        "mgr INTEGER REFERENCES emp(id))"
+    )
+    eng.dml("INSERT INTO emp VALUES (1, NULL)")
+    eng.dml("INSERT INTO emp VALUES (2, 1)")
+    eng.ddl("ALTER TABLE emp RENAME TO staff")
+    assert eng._fkeys["staff"][0]["ref"] == "staff"
+    with pytest.raises(ValueError, match="foreign key"):
+        eng.dml("INSERT INTO staff VALUES (3, 99)")
+    eng.dml("INSERT INTO staff VALUES (3, 2)")
+    assert eng.table("staff").count() == 3
+    eng.drop("staff")
+
+
+def test_copy_from_conversion_error_poisons_tx(spark, tmp_path):
+    """Round-10 review pass 2: a COPY FROM conversion failure (bad
+    interval text) is a RUNTIME error — inside BEGIN it poisons the
+    transaction like DuckDB's Conversion Error."""
+    from mallard_spark.engine import TransactionAbortedError
+
+    eng = MallardEngine(spark, "t_convpoison")
+    bad = str(tmp_path / "bad.csv")
+    open(bad, "w").write("k,dur\n1,banana\n")
+    eng.ddl("CREATE TABLE it (k INTEGER, dur INTERVAL)")
+    eng.execute("BEGIN")
+    with pytest.raises(ValueError, match="INTERVAL"):
+        eng.copy_to(f"COPY it FROM '{bad}' (HEADER)")
+    with pytest.raises(TransactionAbortedError):
+        eng.dml("INSERT INTO it VALUES (1, INTERVAL '1 hour')")
+    eng.execute("ROLLBACK")
+    assert eng.table("it").count() == 0
+    eng.drop("it")
+
+
+def test_view_rename_keeps_export_definition(spark, tmp_path):
+    """Round-10 review pass 2: a renamed view keeps its definition
+    text, so EXPORT DATABASE still renders it."""
+    import os
+
+    eng = MallardEngine(spark, "t_vren")
+    eng.put("t", pa.table({"k": [1, 2]}))
+    eng.ddl("CREATE VIEW v AS SELECT k + 1 AS k1 FROM t")
+    eng.ddl("ALTER TABLE v RENAME TO v2")
+    d = str(tmp_path / "exp")
+    eng.execute(f"EXPORT DATABASE '{d}' (FORMAT PARQUET)")
+    sch = open(os.path.join(d, "schema.sql")).read()
+    assert "CREATE VIEW v2" in sch
+    eng.drop("v2")
+    eng.drop("t")
+
+
 def test_tx_derived_plan_pin_releases_after_drop(spark):
     """Round-10 (judge item #9): staged dirs pinned for an in-tx
     derived session table are RELEASED once that table is dropped —
@@ -2450,7 +2531,12 @@ def test_interval_and_nested_column_types_match_duckdb(spark, tmp_path):
     con.execute(
         "INSERT INTO itc VALUES (1, INTERVAL '2 hours'), "
         "(2, INTERVAL '1 day 2 hours 30 seconds'), (3, NULL), "
-        "(4, -INTERVAL '3 hours')"
+        "(4, -INTERVAL '3 hours'), "
+        # per-component signs and clock-less forms (round-10 review
+        # pass 2: DuckDB renders days=-5 micros=+1h as
+        # '-5 days 01:00:00' and whole days as '2 days')
+        "(5, INTERVAL '-5 days' + INTERVAL '1 hour'), "
+        "(6, INTERVAL '2 days'), (7, -INTERVAL '1 day 2 hours')"
     )
     con.execute(f"COPY itc TO '{ip}' (HEADER)")
     eng.ddl("CREATE TABLE itc (k INTEGER, dur INTERVAL)")

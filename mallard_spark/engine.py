@@ -634,7 +634,7 @@ _DT_INTERVAL_TEXT_RE = (
 )
 
 
-def _dt_interval_parse(col):
+def _dt_interval_parse(col, strict: bool = False):
     """DuckDB's csv text form of an INTERVAL —
     ``[-]N day[s]`` and/or ``[-]HH:MM:SS[.ffffff]``, signs PER
     COMPONENT (DuckDB renders days=-5, micros=+1h as
@@ -643,7 +643,10 @@ def _dt_interval_parse(col):
     cast only accepts the ANSI ``INTERVAL '...'`` spelling). Empty
     text → NULL like DuckDB's csv NULL. Call sites run the
     ``_DT_INTERVAL_TEXT_RE`` validity check first, so unparseable
-    text refuses instead of silently nulling."""
+    text refuses instead of silently nulling — or pass ``strict=True``
+    to raise DuckDB's conversion error from inside the job (the lazy
+    read_csv_auto view path, where a pre-scan would defeat laziness).
+    """
     from pyspark.sql import functions as F
 
     s = F.trim(col)
@@ -672,10 +675,21 @@ def _dt_interval_parse(col):
         (tsign * part(3)).cast("int"),
         tsign * part(4),
     )
-    return F.when(
+    out = F.when(
         s.isNull() | (s == ""),
         F.lit(None).cast("interval day to second"),
-    ).otherwise(iv)
+    )
+    if strict:
+        return out.when(s.rlike(_DT_INTERVAL_TEXT_RE), iv).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("Conversion Error: could not convert '"),
+                    s,
+                    F.lit("' to INTERVAL (DuckDB errors the same way)"),
+                )
+            ).cast("interval day to second")
+        )
+    return out.otherwise(iv)
 
 
 def _duck_type_name(dt: "T.DataType") -> str:
@@ -3451,6 +3465,9 @@ class MallardEngine:
         or sniffed) drops the first N physical lines of EACH input
         file via a distributed text pass (``_skip_lines_rdd`` —
         per-file like DuckDB, globs/dirs included; round 9-10).
+        User-typed INTERVAL columns read as string and parse via
+        ``_dt_interval_parse(strict=True)`` — malformed text raises
+        DuckDB's conversion error from inside the job (round 10).
         Everything else — compression, decimal_separator, … —
         refuses BY NAME, pointing at ``COPY <table> FROM`` as the
         option-faithful ingest path. Sniffed types with no faithful
@@ -3555,6 +3572,7 @@ class MallardEngine:
                 f"COPY <table> FROM"
             )
         time_cols: list[str] = []  # sniffed TIME columns (cast post-read)
+        iv_cols: list[str] = []  # sniffed INTERVAL columns (parsed)
         if duckdb is not None:
             from mallard_spark.dialect import _strf_to_java
 
@@ -3598,6 +3616,14 @@ class MallardEngine:
                     # post-read — value parity with DuckDB's parse
                     t = "string"
                     time_cols.append(c["name"])
+                if t is None and tname == "INTERVAL":
+                    # user-typed INTERVAL columns (types={'x':
+                    # 'INTERVAL'}; the auto-sniffer reads interval
+                    # text as VARCHAR) — string read + the strict
+                    # parser, which raises DuckDB's conversion error
+                    # from inside the job on malformed text (round 10)
+                    t = "string"
+                    iv_cols.append(c["name"])
                 if t is None:
                     # user-provided columns={'x': 'DECIMAL(10,2)'}
                     # sniffs back parameterized — map it faithfully
@@ -3643,13 +3669,17 @@ class MallardEngine:
                 self.spark, path, skip, "read_csv_auto", header=bool(header)
             )
         df = reader.csv(src)
-        if time_cols:
+        if time_cols or iv_cols:
             from pyspark.sql import functions as F
 
             df = df.select(
                 *[
                     F.col(f"`{c}`").cast("time(6)").alias(c)
                     if c in time_cols
+                    else _dt_interval_parse(
+                        F.col(f"`{c}`"), strict=True
+                    ).alias(c)
+                    if c in iv_cols
                     else F.col(f"`{c}`")
                     for c in df.columns
                 ]

@@ -2551,6 +2551,22 @@ def test_interval_and_nested_column_types_match_duckdb(spark, tmp_path):
     with pytest.raises(ValueError, match="INTERVAL"):
         eng.copy_to(f"COPY itc FROM '{bad}' (HEADER)")
     eng.drop("itc")
+    # read_csv_auto with user-typed INTERVAL columns: value parity,
+    # and malformed text raises DuckDB's conversion error in-job
+    ivp = str(tmp_path / "ivsniff.csv")
+    open(ivp, "w").write("k,dur\n1,02:00:00\n2,-5 days 01:00:00\n3,\n")
+    q3 = (
+        f"SELECT k, dur FROM read_csv_auto('{ivp}', "
+        f"types={{'dur': 'INTERVAL'}}) ORDER BY k"
+    )
+    assert [(r.k, r.dur) for r in eng.sql(q3).collect()] == [
+        tuple(t) for t in con.execute(q3).fetchall()
+    ]
+    with pytest.raises(Exception, match="Conversion Error"):
+        eng.sql(
+            f"SELECT * FROM read_csv_auto('{bad}', "
+            f"types={{'dur': 'INTERVAL'}})"
+        ).collect()
     # empty MAP literal parses on both engines (round-10 review)
     assert eng.sql("SELECT cardinality(MAP {}) AS n").collect()[0].n \
         == con.execute("SELECT cardinality(MAP {})").fetchone()[0] == 0

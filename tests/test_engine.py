@@ -2263,7 +2263,7 @@ def test_copy_from_conversion_error_poisons_tx(spark, tmp_path):
     open(bad, "w").write("k,dur\n1,banana\n")
     eng.ddl("CREATE TABLE it (k INTEGER, dur INTERVAL)")
     eng.execute("BEGIN")
-    with pytest.raises(ValueError, match="INTERVAL"):
+    with pytest.raises(Exception, match="Conversion Error"):
         eng.copy_to(f"COPY it FROM '{bad}' (HEADER)")
     with pytest.raises(TransactionAbortedError):
         eng.dml("INSERT INTO it VALUES (1, INTERVAL '1 hour')")
@@ -2547,9 +2547,24 @@ def test_interval_and_nested_column_types_match_duckdb(spark, tmp_path):
             "SELECT * FROM itc ORDER BY k").fetchall()
     ]
     bad = str(tmp_path / "ivbad.csv")
-    open(bad, "w").write("k,dur\n1,banana\n")
-    with pytest.raises(ValueError, match="INTERVAL"):
+    open(bad, "w").write("k,dur\n1,banana\n2,01:00:00\n")
+    with pytest.raises(Exception, match="Conversion Error"):
         eng.copy_to(f"COPY itc FROM '{bad}' (HEADER)")
+    # IGNORE_ERRORS drops the conversion-failed rows like DuckDB
+    # (round-10 review pass 3) instead of refusing the file
+    n_before = eng.table("itc").count()
+    eng.copy_to(f"COPY itc FROM '{bad}' (HEADER, IGNORE_ERRORS)")
+    kept = eng.table("itc").count() - n_before
+    con.execute(f"COPY itc FROM '{bad}' (HEADER, IGNORE_ERRORS)")
+    assert kept == 1
+    # whitespace-only text is a conversion ERROR, not NULL (only a
+    # truly empty field is csv NULL)
+    ws = str(tmp_path / "ivws.csv")
+    open(ws, "w").write('k,dur\n1," "\n')
+    with pytest.raises(Exception, match="Conversion Error"):
+        eng.copy_to(f"COPY itc FROM '{ws}' (HEADER)")
+    with pytest.raises(Exception):
+        con.execute(f"COPY itc FROM '{ws}' (HEADER)")
     eng.drop("itc")
     # read_csv_auto with user-typed INTERVAL columns: value parity,
     # and malformed text raises DuckDB's conversion error in-job

@@ -2396,6 +2396,16 @@ def test_export_import_database_round_trip(spark, tmp_path):
         tuple(r) for r in eng2.sql(
             "SELECT k, v FROM t1 ORDER BY k").collect()
     ] == [(1, "x"), (2, "x"), (3, "x")]
+    # ...and DuckDB itself can IMPORT OUR export — declarations
+    # enforced on its side too (full bidirectional interop, round 10)
+    con3 = duckdb.connect()
+    con3.execute(f"IMPORT DATABASE '{d_eng}'")
+    assert con3.execute("SELECT k, v FROM t1 ORDER BY k").fetchall() \
+        == [(1, "x"), (2, "x")]
+    assert con3.execute("SELECT k1 FROM v1 ORDER BY k1").fetchall() \
+        == [(2,), (3,)]
+    with pytest.raises(Exception):
+        con3.execute("INSERT INTO t2 VALUES (99)")  # FK enforced
     # our engine can also ingest DuckDB's OWN export directory
     eng3 = MallardEngine(spark, "t_exp3")
     eng3.execute(f"IMPORT DATABASE '{d_duck}'")

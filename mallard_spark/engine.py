@@ -43,6 +43,7 @@ import re
 import shutil
 import tempfile
 import time
+import uuid
 from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
@@ -207,17 +208,54 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    # SET/WHERE are split AFTER the match by a quote/paren-aware scan
-    # (a regex split at the first ' WHERE ' breaks on literals like
-    # SET name = 'A WHERE B' and on subquery WHEREs)
-    r"^\s*UPDATE\s+(?P<name>[A-Za-z_][\w]*)\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
+    # SET/FROM/WHERE are split AFTER the match by a quote/paren-aware
+    # scan (a regex split at the first ' WHERE ' breaks on literals
+    # like SET name = 'A WHERE B' and on subquery WHEREs). The
+    # optional target alias is DuckDB's UPDATE t [AS] x form (its
+    # join-update examples alias the target).
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_][\w]*)"
+    r"(?:\s+AS\s+(?P<a1>[A-Za-z_]\w*)|\s+(?!SET\b)(?P<a2>[A-Za-z_]\w*))?"
+    r"\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
+    # USING/WHERE split happens after the match (same scan as UPDATE);
+    # the alias alternative must not eat those keywords
     r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][\w]*)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    r"(?:\s+AS\s+(?P<a1>[A-Za-z_]\w*)"
+    r"|\s+(?!WHERE\b|USING\b)(?P<a2>[A-Za-z_]\w*))?"
+    r"(?P<rest>\s.*?|)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+_CREATE_SEQ_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    r"SEQUENCE\s+(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"(?P<opts>[^;]*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_SEQ_RE = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(?P<ife>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*(?P<cascade>CASCADE|RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+# CREATE SEQUENCE option tokens, matched iteratively over the tail
+_SEQ_OPT_RE = re.compile(
+    r"""\s*(?:
+        INCREMENT(?:\s+BY)?\s+(?P<inc>-?\d+)
+      | START(?:\s+WITH)?\s+(?P<start>-?\d+)
+      | MINVALUE\s+(?P<min>-?\d+)
+      | MAXVALUE\s+(?P<max>-?\d+)
+      | NO\s+MINVALUE(?P<nomin>)
+      | NO\s+MAXVALUE(?P<nomax>)
+      | NO\s+CYCLE(?P<nocycle>)
+      | CYCLE(?P<cycle>)
+    )\s*""",
+    re.IGNORECASE | re.VERBOSE,
+)
+_SEQ_CALL_RE = re.compile(r"(?i)\b(?P<fn>nextval|currval)\s*\(")
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
 
 
 def _copy_format(path: str, fmt_value: str | None, verb: str) -> str:
@@ -973,6 +1011,13 @@ class MallardEngine:
         self._rec_salts: list[str] = []
         # name → (params [(name, default|None)], body, is_table)
         self._macros: dict[str, tuple[list, str, bool]] = {}
+        # CREATE SEQUENCE catalog (round 11): name → mutable state
+        # {inc, min, max, cycle, next, last}. The DICT snapshots into
+        # transactions (create/drop rolls back) while the per-entry
+        # OBJECTS are shared, so counter advancement survives ROLLBACK
+        # exactly like DuckDB (verified live: in-tx nextval→1,
+        # ROLLBACK, nextval→2)
+        self._sequences: dict[str, dict[str, Any]] = {}
         self._csv_views: dict[tuple, str] = {}  # sniffed csv (path, stat)
         self._exchangers: dict[str, Exchanger] = {}
         # active explicit transaction (BEGIN ... COMMIT/ROLLBACK) —
@@ -1334,6 +1379,8 @@ class MallardEngine:
             },
             "persistent": set(self._persistent),
             "macros": dict(self._macros),
+            # shallow: entry OBJECTS shared so counters survive rollback
+            "sequences": dict(self._sequences),
             "staged": {},  # name -> staged tmp dir (persistent DML)
             "pending_creates": set(),  # saveAsTable deferred to COMMIT
             "pending_drops": set(),  # warehouse DROP deferred to COMMIT
@@ -1644,6 +1691,7 @@ class MallardEngine:
         self._fkeys = tx.get("fkeys", self._fkeys)
         self._persistent = tx["persistent"]
         self._macros = tx["macros"]
+        self._sequences = tx.get("sequences", self._sequences)
         # staged dirs stay on disk for txKeepRuns more transactions
         # (a DataFrame handed to user code inside the transaction may
         # still scan them), then reclaim (_tx_retire_dirs)
@@ -2172,6 +2220,11 @@ class MallardEngine:
             return self.table(m.group("name")).summary()
         if self._macros:
             sql = self._expand_macros(sql)
+        if self._sequences and _SEQ_CALL_RE.search(sql):
+            # nextval()/currval() resolve to reserved values before
+            # parsing (round 11; a macro may expand into them, so this
+            # runs after macro inlining)
+            sql = self._rewrite_seq_in_query(sql)
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))
@@ -2228,7 +2281,7 @@ class MallardEngine:
                     ) from first_err
             um = re.match(
                 r"(?i)^\s*(ATTACH|DETACH|"
-                r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE|"
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?TYPE|"
                 r"FORCE\s+CHECKPOINT|FORCE\s+INSTALL|"
                 r"CHECKPOINT|INSTALL|LOAD)\b",
                 out,
@@ -2250,9 +2303,9 @@ class MallardEngine:
                 }
                 hint = hints.get(
                     verb,
-                    "a global sequential counter contradicts distributed "
-                    "execution — use monotonically_increasing_id() or "
-                    "row_number() OVER an explicit order",
+                    "Spark has no user-defined type catalog — spell the "
+                    "shape directly in CREATE TABLE (STRUCT/LIST/MAP "
+                    "column types are supported)",
                 )
                 raise NotImplementedError(
                     f"{verb} is not supported on this engine: {hint}"
@@ -3289,8 +3342,20 @@ class MallardEngine:
 
         type_of = {f.name: f.dataType for f in empty.schema.fields}
         for c, d in defaults.items():
+            probe_d = d
+            if _SEQ_CALL_RE.search(d):
+                # DEFAULT nextval('s') binds against the sequence
+                # CATALOG (DuckDB errors at CREATE when the sequence
+                # is missing); the call itself is evaluated per
+                # insert, so the Spark bind probes a placeholder
+                calls = self._seq_calls(d)
+                for _a, _b, _fn, s in calls:
+                    self._seq_entry(s)  # missing sequence errors here
+                probe_d = self._seq_replace(
+                    d, calls, lambda fn, s: "CAST(0 AS BIGINT)"
+                )
             try:
-                empty.select(F.expr(d).cast(type_of[c]))
+                empty.select(F.expr(probe_d).cast(type_of[c]))
             except Exception as e:
                 raise ValueError(
                     f"CREATE TABLE {name}: DEFAULT expression {d!r} "
@@ -3405,6 +3470,16 @@ class MallardEngine:
                     )
         schema_lines: list[str] = []
         load_lines: list[str] = []
+        for sname in sorted(self._sequences):
+            st = self._sequences[sname]
+            # DuckDB's export form (verified live): START carries the
+            # NEXT value to dispense, so the import resumes the counter
+            schema_lines.append(
+                f"CREATE SEQUENCE {sname} INCREMENT BY {st['inc']} "
+                f"MINVALUE {st['min']} MAXVALUE {st['max']} "
+                f"START {st['next']} "
+                + ("CYCLE;" if st["cycle"] else "NO CYCLE;")
+            )
         for n in order:
             schema_lines.append(self._render_create_table(n) + ";")
             p = os.path.join(d, f"{n}.{fmt}")
@@ -3832,6 +3907,352 @@ class MallardEngine:
         """Parity: flight_server.py:354-355 (_is_ddl_statement)."""
         return bool(_DDL_RE.match(sql))
 
+    # -- sequences (round 11) ------------------------------------------
+    #
+    # DuckDB CREATE SEQUENCE / nextval() / currval() (the reference
+    # passes them to DuckDB verbatim, flight_server.py:342-359). All
+    # semantics below were verified live against DuckDB 1.0:
+    # sign-dependent defaults (positive increment → MINVALUE 1 /
+    # MAXVALUE int64-max / START at min; negative → min int64-min /
+    # max -1 / start at max), CYCLE resets to the min (max for
+    # negative increments), counter advancement SURVIVES ROLLBACK
+    # while catalog create/drop rolls back, per-OCCURRENCE block
+    # allocation over multi-row relations (SELECT nextval(s) a,
+    # nextval(s) b FROM 2rows gives a=1,2 b=3,4 — column-major),
+    # and EXPORT DATABASE emits START as the next-to-dispense value.
+
+    def _ddl_create_sequence(self, m: "re.Match[str]") -> str:
+        opts = m.group("opts") or ""
+        name = m.group("name")
+        inc = start = mn = mx = None
+        cycle = False
+        pos = 0
+        while pos < len(opts) and opts[pos:].strip():
+            om = _SEQ_OPT_RE.match(opts, pos)
+            if om is None:
+                raise ValueError(
+                    f"CREATE SEQUENCE {name}: cannot parse options at "
+                    f"{opts[pos:pos + 40]!r} (INCREMENT [BY] n, "
+                    f"MINVALUE n, MAXVALUE n, NO MINVALUE/MAXVALUE, "
+                    f"START [WITH] n, [NO] CYCLE)"
+                )
+            if om.group("inc") is not None:
+                inc = int(om.group("inc"))
+            elif om.group("start") is not None:
+                start = int(om.group("start"))
+            elif om.group("min") is not None:
+                mn = int(om.group("min"))
+            elif om.group("max") is not None:
+                mx = int(om.group("max"))
+            elif om.group("cycle") is not None:
+                cycle = True
+            # NO MINVALUE / NO MAXVALUE / NO CYCLE keep the defaults
+            pos = om.end()
+        inc = 1 if inc is None else inc
+        if inc == 0:  # DuckDB: Parser Error
+            raise ValueError("Increment must not be zero")
+        if mn is None:
+            mn = 1 if inc > 0 else _INT64_MIN
+        if mx is None:
+            mx = _INT64_MAX if inc > 0 else -1
+        if start is None:
+            start = mn if inc > 0 else mx
+        # DuckDB's parse-time validations, same message shapes
+        if mn > mx:
+            raise ValueError(
+                f"MINVALUE ({mn}) must be less than MAXVALUE ({mx})"
+            )
+        if start < mn:
+            raise ValueError(
+                f"START value ({start}) cannot be less than "
+                f"MINVALUE ({mn})"
+            )
+        if start > mx:
+            raise ValueError(
+                f"START value ({start}) cannot be greater than "
+                f"MAXVALUE ({mx})"
+            )
+        if name in self._sequences and not m.group("replace"):
+            if m.group("ifne"):
+                return "OK"  # counter preserved (verified live)
+            raise ValueError(
+                f'Sequence with name "{name}" already exists!'
+            )
+        self._sequences[name] = {
+            "inc": inc, "min": mn, "max": mx, "cycle": cycle,
+            "next": start, "last": None,
+        }
+        return "OK"
+
+    def _ddl_drop_sequence(self, m: "re.Match[str]") -> str:
+        name = m.group("name")
+        if (m.group("cascade") or "").upper() == "CASCADE":
+            raise NotImplementedError(
+                f"DROP SEQUENCE {name} CASCADE is not supported (DuckDB "
+                f"drops DEPENDENT TABLES with it) — drop or re-default "
+                f"the dependent tables first, then DROP SEQUENCE"
+            )
+        if name not in self._sequences:
+            if m.group("ife"):
+                return "OK"
+            raise ValueError(
+                f"Sequence with name {name} does not exist!"
+            )
+        # DuckDB refuses the drop while a table DEFAULT references the
+        # sequence (verified live) — same dependency check over the
+        # declared defaults
+        pat = re.compile(
+            rf"(?i)\bnextval\s*\(\s*'{re.escape(name)}'\s*\)"
+        )
+        for tname, defs in self._defaults.items():
+            for col, d in defs.items():
+                if d and pat.search(d):
+                    raise ValueError(
+                        f'Cannot drop entry "{name}" because there are '
+                        f'entries that depend on it. table "{tname}" '
+                        f"depends on it (column {col!r} DEFAULT)"
+                    )
+        del self._sequences[name]
+        return "OK"
+
+    def _seq_entry(self, name: str) -> dict[str, Any]:
+        st = self._sequences.get(name)
+        if st is None:
+            raise ValueError(
+                f"Sequence with name {name} does not exist!"
+            )
+        return st
+
+    def _seq_dispense(self, name: str, n: int) -> dict[str, Any]:
+        """Reserve ``n`` consecutive nextval() results in one driver-
+        side catalog operation and return a closed-form spec mapping a
+        0-based row index to its value — the per-row assignment runs
+        distributed; only this bounded reservation is serial (a
+        sequential counter is inherently a serialization point, same
+        as DuckDB's own in-process serial nextval)."""
+        st = self._seq_entry(name)
+        inc, mn, mx, cyc = st["inc"], st["min"], st["max"], st["cycle"]
+        nxt = st["next"]
+        if inc > 0:
+            remaining = (mx - nxt) // inc + 1 if nxt <= mx else 0
+        else:
+            remaining = (nxt - mn) // (-inc) + 1 if nxt >= mn else 0
+        if not cyc and n > remaining:
+            # keep erroring on later calls, like an exhausted DuckDB
+            # sequence; message shape verified live
+            st["next"] = mx + 1 if inc > 0 else mn - 1
+            word, bound = ("maximum", mx) if inc > 0 else ("minimum", mn)
+            raise ValueError(
+                f'nextval: reached {word} value of sequence '
+                f'"{name}" ({bound})'
+            )
+        spec = {
+            "base": nxt, "inc": inc, "s1": remaining,
+            "p": (mx - mn) // abs(inc) + 1,
+            "reset": mn if inc > 0 else mx, "cycle": cyc,
+        }
+        if n < remaining or not cyc:
+            st["next"] = nxt + n * inc
+        else:
+            st["next"] = spec["reset"] + ((n - remaining) % spec["p"]) * inc
+        if n >= 1:
+            st["last"] = self._seq_value_py(spec, n - 1)
+        return spec
+
+    @staticmethod
+    def _seq_value_py(spec: dict[str, Any], i: int) -> int:
+        if i < spec["s1"] or not spec["cycle"]:
+            return spec["base"] + i * spec["inc"]
+        return spec["reset"] + ((i - spec["s1"]) % spec["p"]) * spec["inc"]
+
+    @staticmethod
+    def _seq_value_sql(spec: dict[str, Any], idx: str) -> str:
+        """The SQL expression assigning this reservation's values over
+        a 0-based row-index expression."""
+        lin = f"CAST({spec['base']} + ({idx}) * {spec['inc']} AS BIGINT)"
+        if not spec["cycle"]:
+            return f"({lin})"
+        wrap = (
+            f"CAST({spec['reset']} + pmod(({idx}) - {spec['s1']}, "
+            f"{spec['p']}) * {spec['inc']} AS BIGINT)"
+        )
+        return f"(CASE WHEN ({idx}) < {spec['s1']} THEN {lin} ELSE {wrap} END)"
+
+    def _seq_currval(self, name: str) -> int:
+        st = self._seq_entry(name)
+        if st["last"] is None:
+            raise ValueError(
+                "currval: sequence is not yet defined in this session"
+            )
+        return st["last"]
+
+    def _seq_calls(self, sql: str) -> list[tuple[int, int, str, str]]:
+        """Code-level nextval/currval calls with LITERAL sequence-name
+        arguments as ``(start, end, fn, seq_name)`` spans; a
+        non-literal argument refuses like DuckDB's own "requires a
+        constant sequence" error."""
+        if not _SEQ_CALL_RE.search(sql):
+            return []
+        from mallard_spark.dialect import _code_mask
+
+        mask = _code_mask(sql)
+        out: list[tuple[int, int, str, str]] = []
+        for m in _SEQ_CALL_RE.finditer(sql):
+            if not all(mask[m.start():m.end() - 1]):
+                continue  # inside a literal or comment
+            am = re.match(r"\s*'([^']*)'\s*\)", sql[m.end():])
+            if am is None:
+                raise NotImplementedError(
+                    f"{m.group('fn').lower()} requires a constant "
+                    f"sequence name literal (DuckDB refuses non-"
+                    f"constant arguments too)"
+                )
+            out.append(
+                (m.start(), m.end() + am.end(), m.group("fn").lower(),
+                 am.group(1))
+            )
+        return out
+
+    _SEQ_IDX_SQL = (
+        "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+    )
+
+    def _rewrite_seq_in_query(self, qtext: str) -> str:
+        """Replace nextval()/currval() calls in a RUNNABLE query text
+        with their reserved values (round 11).
+
+        Scalar statements (no code-level FROM — plain SELECTs and
+        VALUES lists) reserve one value per textual occurrence, which
+        is exactly one evaluation each. Per-row statements reserve one
+        BLOCK per occurrence sized by the relation's row count (one
+        extra COUNT run of the query with placeholders — sequences are
+        inherently serial, and this keeps the assignment itself fully
+        distributed as ``base + row_index * inc``); the per-occurrence
+        block layout is DuckDB's own observed vectorized order. The
+        row→value pairing within the statement is undefined in BOTH
+        engines. Occurrences inside subqueries or after the FROM
+        clause (filters) refuse by name."""
+        calls = self._seq_calls(qtext)
+        if not calls:
+            return qtext
+        from mallard_spark.dialect import _find_kw
+
+        f = _find_kw(qtext, "FROM", at_depth=0)
+        # subquery spans refuse: the per-row multiplicity of an inner
+        # relation is not knowable from one outer count
+        for a, b, fn, _s in calls:
+            if fn == "currval":
+                continue
+            span = self._subquery_span_at(qtext, a)
+            if span is not None:
+                raise NotImplementedError(
+                    "nextval() inside a subquery is not supported — "
+                    "hoist it to the top-level select list or stage "
+                    "ids with CREATE TABLE AS first"
+                )
+            if f >= 0 and a > f:
+                raise NotImplementedError(
+                    "nextval() after the FROM clause (filters, grouping) "
+                    "is not supported — compute ids in the select list "
+                    "of a staging query first"
+                )
+        per_row = f >= 0
+        n = 1
+        if per_row:
+            probe = self._seq_replace(
+                qtext, calls, lambda fn, s: (
+                    "CAST(NULL AS BIGINT)" if fn == "nextval"
+                    else str(self._seq_currval(s))
+                ),
+            )
+            n = self.sql(probe).count()
+
+        def render(fn: str, s: str) -> str:
+            if fn == "currval":
+                return f"CAST({self._seq_currval(s)} AS BIGINT)"
+            spec = self._seq_dispense(s, n)
+            if per_row:
+                return self._seq_value_sql(spec, self._SEQ_IDX_SQL)
+            return f"CAST({self._seq_value_py(spec, 0)} AS BIGINT)"
+
+        return self._seq_replace(qtext, calls, render)
+
+    @staticmethod
+    def _seq_replace(qtext, calls, render) -> str:
+        out, last = [], 0
+        for a, b, fn, s in calls:
+            out.append(qtext[last:a])
+            out.append(render(fn, s))
+            last = b
+        out.append(qtext[last:])
+        return "".join(out)
+
+    def _subquery_span_at(self, sql: str, pos: int) -> tuple[int, int] | None:
+        """The ``(SELECT ...)`` span containing ``pos``, if any —
+        same span scan as :meth:`_rewrite_refs`."""
+        from mallard_spark.dialect import _find_kw, _scan
+
+        positions = {i: d for i, _c, d, code in _scan(sql) if code}
+        i = 0
+        while True:
+            s = _find_kw(sql, "SELECT", at_depth=None, start=i)
+            if s < 0:
+                return None
+            d = positions.get(s, 0)
+            if d == 0:
+                i = s + 1
+                continue
+            opener = max(
+                (k for k in range(s) if sql[k] == "(" and positions.get(k) == d),
+                default=-1,
+            )
+            if opener < 0 or sql[opener + 1:s].strip() != "":
+                i = s + 1
+                continue
+            closer = next(
+                (k for k in range(s, len(sql))
+                 if sql[k] == ")" and positions.get(k) == d - 1),
+                len(sql),
+            )
+            if opener < pos < closer:
+                return (opener, closer)
+            i = closer
+        return None
+
+    def _rewrite_seq_in_dml(self, sql: str) -> str:
+        """Sequence calls inside a mutation statement: supported on
+        plain ``INSERT INTO`` (the DuckDB ingest idiom — VALUES rows
+        and SELECT sources both); every other mutation verb refuses by
+        name with the staging alternative."""
+        head, tail = (_split_on_conflict(sql) or (sql, None))
+        m = _INSERT_RE.match(head)
+        if m is None or re.match(
+            r"^\s*INSERT\s+OR\b", sql, re.IGNORECASE
+        ):
+            calls = self._seq_calls(sql)
+            if all(fn == "currval" for _a, _b, fn, _s in calls):
+                # currval is a session scalar — safe in any verb
+                return self._seq_replace(
+                    sql, calls,
+                    lambda fn, s: f"CAST({self._seq_currval(s)} AS BIGINT)",
+                )
+            raise NotImplementedError(
+                "nextval() is supported in queries and plain INSERT "
+                "INTO statements — stage the ids with CREATE TABLE AS "
+                "/ INSERT INTO ... SELECT nextval(...) first, then run "
+                "this mutation against the staged table"
+            )
+        if tail and self._seq_calls(tail):
+            raise NotImplementedError(
+                "nextval()/currval() inside an ON CONFLICT clause is "
+                "not supported"
+            )
+        a, b = m.span("rest")
+        return (
+            head[:a] + self._rewrite_seq_in_query(head[a:b]) + head[b:]
+            + (f" {tail}" if tail else "")
+        )
+
     def _ddl_impl(self, sql: str) -> str:
         """Execute a CREATE / DROP / ALTER statement against this
         namespace and return "OK" (parity: flight_server.py:357-359,
@@ -3874,6 +4295,12 @@ class MallardEngine:
                 f"EXPORT DATABASE '<dir>' [(FORMAT PARQUET|CSV)] or "
                 f"IMPORT DATABASE '<dir>'"
             )
+        m = _CREATE_SEQ_RE.match(sql)
+        if m:
+            return self._ddl_create_sequence(m)
+        m = _DROP_SEQ_RE.match(sql)
+        if m:
+            return self._ddl_drop_sequence(m)
         m = _CREATE_AS_RE.match(sql)
         if m:
             self.put(
@@ -4671,6 +5098,18 @@ class MallardEngine:
         re-registration for session tables — both bounded-memory at
         any table size.
         """
+        if re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
+            from mallard_spark.dialect import _find_kw
+
+            if _find_kw(sql, "RETURNING", at_depth=0) >= 0:
+                raise NotImplementedError(
+                    "INSERT ... RETURNING is not supported: run the "
+                    "INSERT, then SELECT the rows you need (the engine "
+                    "executes both in one script ticket)"
+                )
+        if self._sequences and _SEQ_CALL_RE.search(sql) \
+                and self._seq_calls(sql):
+            sql = self._rewrite_seq_in_dml(sql)
         orm = re.match(
             r"^\s*INSERT\s+OR\s+(?P<mode>REPLACE|IGNORE)\s+INTO\b(?P<rest>.*)$",
             sql, re.IGNORECASE | re.DOTALL,
@@ -4740,13 +5179,61 @@ class MallardEngine:
             from mallard_spark.dialect import _find_kw
 
             rest = m.group("rest")
-            w = _find_kw(rest, "WHERE", at_depth=0)
+            alias = m.group("a1") or m.group("a2")
+            if _find_kw(rest, "RETURNING", at_depth=0) >= 0:
+                raise NotImplementedError(
+                    "UPDATE ... RETURNING is not supported: run the "
+                    "UPDATE, then SELECT the rows you need (the engine "
+                    "executes both in one script ticket)"
+                )
+            f = _find_kw(rest, "FROM", at_depth=0)
+            w = _find_kw(rest, "WHERE", at_depth=0, start=max(f, 0))
+            if f >= 0:
+                # DuckDB's join-update: UPDATE t SET ... FROM src [WHERE]
+                sets = rest[:f].rstrip()
+                from_text = (
+                    rest[f + len("FROM") : w] if w >= 0
+                    else rest[f + len("FROM") :]
+                ).strip()
+                where = rest[w + len("WHERE") :] if w >= 0 else None
+                return self._dml_update_from(
+                    m.group("name"), alias, sets, from_text, where
+                )
             sets = rest[:w].rstrip() if w >= 0 else rest
             where = rest[w + len("WHERE") :] if w >= 0 else None
-            return self._dml_update(m.group("name"), sets, where)
+            return self._dml_update(m.group("name"), sets, where, alias)
         m = _DELETE_RE.match(sql)
         if m:
-            return self._dml_delete(m.group("name"), m.group("where"))
+            from mallard_spark.dialect import _find_kw
+
+            rest = m.group("rest") or ""
+            alias = m.group("a1") or m.group("a2")
+            if _find_kw(rest, "RETURNING", at_depth=0) >= 0:
+                raise NotImplementedError(
+                    "DELETE ... RETURNING is not supported: SELECT the "
+                    "rows first, then run the DELETE (the engine "
+                    "executes both in one script ticket)"
+                )
+            u = _find_kw(rest, "USING", at_depth=0)
+            w = _find_kw(rest, "WHERE", at_depth=0, start=max(u, 0))
+            where = rest[w + len("WHERE") :] if w >= 0 else None
+            if u >= 0:
+                # DuckDB's join-delete: DELETE FROM t USING src [WHERE]
+                using_text = (
+                    rest[u + len("USING") : w] if w >= 0
+                    else rest[u + len("USING") :]
+                ).strip()
+                return self._dml_delete_using(
+                    m.group("name"), alias, using_text, where
+                )
+            head = rest[:w] if w >= 0 else rest
+            if head.strip():
+                raise ValueError(
+                    f"malformed DELETE statement (DELETE FROM name "
+                    f"[AS alias] [USING sources] [WHERE cond]): "
+                    f"{sql[:120]!r}"
+                )
+            return self._dml_delete(m.group("name"), where)
         if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
             from mallard_spark.merge_sql import execute_merge
 
@@ -5074,7 +5561,7 @@ class MallardEngine:
                     (
                         F.col(src_by_lower[f.name.lower()])
                         if f.name.lower() in src_by_lower
-                        else self._default_col(name, f.name)
+                        else self._default_col(name, f.name, new)
                     )
                     .cast(f.dataType)
                     .alias(f.name)
@@ -5103,7 +5590,7 @@ class MallardEngine:
                     (
                         F.col(f.name)
                         if f.name in resolved
-                        else self._default_col(name, f.name)
+                        else self._default_col(name, f.name, new)
                     )
                     .cast(f.dataType)
                     .alias(f.name)
@@ -5176,10 +5663,17 @@ class MallardEngine:
         out.append(sql[last:])
         return "".join(out)
 
-    def _dml_update(self, name: str, sets: str, where: str | None) -> str:
+    def _dml_update(
+        self, name: str, sets: str, where: str | None,
+        alias: str | None = None,
+    ) -> str:
         from pyspark.sql import functions as F
 
         tbl = self._dml_table(name)
+        if alias:
+            # UPDATE t AS x: qualified refs (x.k) in SET/WHERE resolve
+            # against the alias, DuckDB's binding
+            tbl = tbl.alias(alias)
         if where is not None and not where.strip():
             # 'UPDATE t SET x=1 WHERE' — treating an empty predicate
             # as no-WHERE would silently update EVERY row
@@ -5201,7 +5695,7 @@ class MallardEngine:
             col, eq, expr = assign.partition("=")
             if not eq:
                 raise ValueError(f"malformed SET assignment: {assign!r}")
-            raw = col.strip().strip("`")
+            raw = self._strip_target_qual(col, name, alias)
             resolved = by_lower.get(raw.lower())
             if resolved is None:
                 unknown.append(raw)
@@ -5248,13 +5742,234 @@ class MallardEngine:
         self._write_back(name, tbl.filter(keep))
         return "OK"
 
-    def _default_col(self, name: str, col: str):
+    @staticmethod
+    def _strip_target_qual(col: str, name: str, alias: str | None) -> str:
+        """A SET target may be qualified with the table name or its
+        alias (``UPDATE t AS x SET x.v = ...``) — strip that one
+        qualifier; anything else stays verbatim (and fails the
+        unknown-column check with the user's spelling)."""
+        raw = col.strip().strip("`")
+        head, dot, rest = raw.partition(".")
+        quals = {name.lower()} | ({alias.lower()} if alias else set())
+        if dot and head.strip().strip("`").lower() in quals:
+            return rest.strip().strip("`")
+        return raw
+
+    def _join_mutation_pairs(
+        self, name: str, alias: str | None, src_text: str,
+        where: str | None, select: list[str], verb: str,
+    ) -> tuple[DataFrame, DataFrame, str]:
+        """Shared plumbing for DuckDB's join-mutations (``UPDATE ...
+        FROM`` / ``DELETE ... USING``, round 11 — the reference passes
+        both verbatim to DuckDB, flight_server.py:342-352).
+
+        Registers the PRE-statement target content plus a synthetic
+        row id as a temp view aliased like the statement's target,
+        then evaluates the matched-pairs relation through the engine's
+        OWN query path — so the source text gets the full dialect
+        surface for free (multi-table comma FROMs, JOIN syntax,
+        subqueries, table functions, macros), exactly the forms DuckDB
+        accepts there. Returns ``(t_aug, pairs, tid_col, view_name)``.
+
+        Row-id stability: the pairs plan and the outer write-back plan
+        both re-evaluate the target; ``monotonically_increasing_id``
+        is only stable when the underlying row order is. Warehouse
+        tables are parquet scans (deterministic splits + in-file
+        order), so they need nothing; session tables can carry
+        arbitrary lazy plans (shuffle fetch order is not order-stable),
+        so they are pinned with ``persist()`` for the statement's
+        lifetime — session tables arrive through the driver-bounded
+        put()/Arrow path, so the pin is small by construction. The
+        caller MUST materialize its result before the view/pin are
+        released (``_join_mutation_finish`` does both).
+        """
+        from pyspark.sql import functions as F
+
+        tbl = self._dml_table(name)
+        ta = alias or name
+        if not src_text.strip():
+            raise ValueError(f"{verb} {name}: empty source clause")
+        if where is not None and not where.strip():
+            raise ValueError(f"{verb} {name}: empty WHERE clause")
+        tid = "__mallard_jm_tid"
+        t_aug = tbl.withColumn(tid, F.monotonically_increasing_id())
+        if name not in self._persistent:
+            t_aug = t_aug.persist()
+        view = f"__mallard_jm_{uuid.uuid4().hex[:12]}"
+        t_aug.createOrReplaceTempView(view)
+        # ta stays UNQUOTED here: the query path's rewriter skips a
+        # plain `x.` qualifier via its lookahead, but treats a
+        # backtick-quoted span equal to a catalog table name as a
+        # table ref and would re-qualify it
+        sel = ", ".join([f"{ta}.{tid} AS {tid}", *select])
+        # comma FROM-list items become explicit CROSS JOINs (identical
+        # semantics): the query path's table-ref rewriter only keeps a
+        # catalog table's logical name as an alias when the ref sits in
+        # FROM/JOIN position, so `..., s WHERE s.k = ...` would lose
+        # the `s` qualifier
+        joins = " CROSS JOIN ".join(
+            it.strip() for it in _split_top_level(src_text)
+        )
+        q = (
+            f"SELECT {sel} FROM {view} AS {ta} CROSS JOIN {joins}"
+            + (f" WHERE {where}" if where else "")
+        )
+        try:
+            pairs = self.sql(q)  # analysis is eager — the view's plan
+            # is inlined here; dropping the view later is safe
+        except Exception:
+            self.spark.catalog.dropTempView(view)
+            if name not in self._persistent:
+                t_aug.unpersist()
+            raise
+        return t_aug, pairs, tid, view
+
+    def _join_mutation_finish(
+        self, name: str, new: DataFrame, t_aug: DataFrame, view: str
+    ) -> None:
+        """Write back a join-mutation result and release the temp
+        view + session pin. Warehouse tables materialize inside
+        ``_write_back`` (parquet staging); session tables are
+        localCheckpoint-ed first so the registered plan holds frozen
+        blocks instead of a lazy self-join over recomputed row ids."""
+        try:
+            if name not in self._persistent:
+                new = new.localCheckpoint(eager=True)
+            self._write_back(name, new)
+        finally:
+            self.spark.catalog.dropTempView(view)
+            if name not in self._persistent:
+                t_aug.unpersist()
+
+    def _dml_update_from(
+        self, name: str, alias: str | None, sets: str,
+        from_text: str, where: str | None,
+    ) -> str:
+        """DuckDB's join-update ``UPDATE t [AS x] SET ... FROM srcs
+        [WHERE cond]`` (round 11). Semantics verified live against
+        DuckDB 1.0: target rows with ≥1 matching source combination
+        get the SET expressions evaluated against a matching row;
+        with MULTIPLE matches DuckDB updates from an ARBITRARY one
+        (no error — both insert orders returned the same arbitrary
+        pick), and with no WHERE every (target, source) pair matches.
+        Unmatched target rows survive unchanged.
+
+        Lowering: matched pairs through the query path
+        (:meth:`_join_mutation_pairs`), one arbitrary match per target
+        row via ``first()`` over a single groupBy (all ``first``s in
+        one aggregate see the same traversal, so the chosen SET values
+        are row-consistent), then one left join back on the row id —
+        two shuffles total, no cartesian, scale-bounded by the match
+        count like DuckDB's own hash-join plan."""
+        from pyspark.sql import functions as F
+
+        tbl = self._dml_table(name)
+        ta = alias or name
+        by_lower = {c.lower(): c for c in tbl.columns}
+        assigns: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        unknown: list[str] = []
+        for assign in _split_top_level(sets):
+            col, eq, expr = assign.partition("=")
+            if not eq:
+                raise ValueError(f"malformed SET assignment: {assign!r}")
+            raw = self._strip_target_qual(col, name, alias)
+            resolved = by_lower.get(raw.lower())
+            if resolved is None:
+                unknown.append(raw)
+                continue
+            if resolved in seen:
+                raise ValueError(
+                    f"UPDATE {name}: multiple assignments to column "
+                    f"{resolved!r}"
+                )
+            seen.add(resolved)
+            rhs = expr.strip()
+            if re.fullmatch(r"DEFAULT", rhs, re.IGNORECASE):
+                # SET v = DEFAULT works with FROM in DuckDB (verified)
+                d = self._defaults.get(name, {}).get(resolved)
+                rhs = d if d is not None else "NULL"
+            assigns.append((resolved, rhs))
+        if unknown:
+            raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
+        if not assigns:
+            raise ValueError(f"UPDATE {name}: empty SET list")
+        set_cols = [f"__mallard_set_{i}" for i in range(len(assigns))]
+        t_aug, pairs, tid, view = self._join_mutation_pairs(
+            name, alias, from_text, where,
+            [f"({rhs}) AS {c}" for (_, rhs), c in zip(assigns, set_cols)],
+            "UPDATE",
+        )
+        hit = "__mallard_jm_hit"
+        one = pairs.groupBy(tid).agg(
+            F.lit(True).alias(hit),
+            *[F.first(c).alias(c) for c in set_cols],
+        )
+        joined = t_aug.join(one, tid, "left")
+        upd = {c: F.col(sc) for (c, _), sc in zip(assigns, set_cols)}
+        new = joined.select(
+            *[
+                (
+                    F.when(
+                        F.col(hit).eqNullSafe(F.lit(True)),
+                        upd[f.name].cast(f.dataType),
+                    )
+                    .otherwise(F.col(_bt(f.name)))
+                    .alias(f.name)
+                    if f.name in upd
+                    else F.col(_bt(f.name))
+                )
+                for f in tbl.schema.fields
+            ]
+        )
+        self._join_mutation_finish(name, new, t_aug, view)
+        return "OK"
+
+    def _dml_delete_using(
+        self, name: str, alias: str | None, using_text: str,
+        where: str | None,
+    ) -> str:
+        """DuckDB's join-delete ``DELETE FROM t [AS x] USING srcs
+        [WHERE cond]`` (round 11, semantics verified live against
+        DuckDB 1.0): target rows with ≥1 matching source combination
+        are deleted; no WHERE means every pair matches (the whole
+        table empties when the source is non-empty). Lowered to the
+        matched-pair row ids anti-joined back — one equi-join, no
+        cartesian."""
+        t_aug, pairs, tid, view = self._join_mutation_pairs(
+            name, alias, using_text, where, [], "DELETE"
+        )
+        new = t_aug.join(pairs, tid, "left_anti").drop(tid)
+        self._join_mutation_finish(name, new, t_aug, view)
+        return "OK"
+
+    def _default_col(self, name: str, col: str, src: DataFrame | None = None):
         """The fill expression for an omitted INSERT column: the
-        declared DEFAULT when one exists, else NULL (round 9)."""
+        declared DEFAULT when one exists, else NULL (round 9).
+        ``DEFAULT nextval('seq')`` (round 11) reserves a block sized by
+        the proposed-rows count and assigns values distributed —
+        DuckDB's id-generation idiom; ``src`` is the proposed-rows
+        relation the fill projects over."""
         from pyspark.sql import functions as F
 
         d = self._defaults.get(name, {}).get(col)
-        return F.expr(d) if d is not None else F.lit(None)
+        if d is None:
+            return F.lit(None)
+        if self._sequences and _SEQ_CALL_RE.search(d):
+            calls = self._seq_calls(d)
+            if calls:
+                n = src.count() if src is not None else 1
+
+                def render(fn: str, s: str) -> str:
+                    if fn == "currval":
+                        return f"CAST({self._seq_currval(s)} AS BIGINT)"
+                    spec = self._seq_dispense(s, n)
+                    if src is None:
+                        return f"CAST({self._seq_value_py(spec, 0)} AS BIGINT)"
+                    return self._seq_value_sql(spec, self._SEQ_IDX_SQL)
+
+                d = self._seq_replace(d, calls, render)
+        return F.expr(d)
 
     def _enforce_checks(self, name: str, df: DataFrame, verb: str) -> None:
         """Validate every declared CHECK constraint over ``df`` in ONE

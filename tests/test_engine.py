@@ -988,8 +988,9 @@ def test_session_storage_statements_named_refusals(spark):
     eng = MallardEngine(spark, "t_refuse")
     for sql, frag in [
         ("ATTACH 'other.db' AS other", "namespace IS a catalog"),
-        # (EXPORT/IMPORT DATABASE became real statements in round 10)
-        ("CREATE SEQUENCE seq START 1", "monotonically_increasing_id"),
+        # (EXPORT/IMPORT DATABASE became real statements in round 10;
+        # CREATE SEQUENCE became a real statement in round 11)
+        ("CREATE TYPE mood AS ENUM ('a')", "type catalog"),
         ("INSTALL httpfs", "extensions"),
     ]:
         with _pytest.raises(NotImplementedError, match=frag):

@@ -3418,7 +3418,9 @@ class MallardEngine:
             )
         return f"CREATE TABLE {q(name)} (" + ", ".join(items) + ")"
 
-    def _export_database(self, d: str, fmt: str) -> str:
+    def _export_database(
+        self, d: str, fmt: str, csv_opts: list[str] | None = None
+    ) -> str:
         """``EXPORT DATABASE 'dir' [(FORMAT ...)]`` — every table in
         the namespace dumps through the COPY TO machinery plus a
         ``schema.sql`` of full declarations and a ``load.sql`` of COPY
@@ -3426,7 +3428,10 @@ class MallardEngine:
         reference forwards the statement to DuckDB verbatim).
         Parents order before FK children in BOTH files so the import
         re-runs under constraint enforcement; views re-render from
-        their definition text."""
+        their definition text. ``csv_opts`` (round 11) are
+        caller-validated csv writer options (DELIMITER/HEADER)
+        threaded into every per-table COPY and emitted back in
+        load.sql, like DuckDB."""
         import os
 
         if fmt not in ("parquet", "csv"):
@@ -3484,8 +3489,17 @@ class MallardEngine:
             schema_lines.append(self._render_create_table(n) + ";")
             p = os.path.join(d, f"{n}.{fmt}")
             lit = p.replace("'", "''")
-            opts = "FORMAT PARQUET" if fmt == "parquet" else \
-                "FORMAT CSV, HEADER"
+            if fmt == "parquet":
+                opts = "FORMAT PARQUET"
+            else:
+                extra = csv_opts or []
+                opts = ", ".join(
+                    ["FORMAT CSV"]
+                    + (["HEADER"] if not any(
+                        o.startswith("HEADER") for o in extra
+                    ) else [])
+                    + extra
+                )
             self.copy_to(f"COPY {n} TO '{lit}' ({opts})")
             load_lines.append(f"COPY {n} FROM '{lit}' ({opts});")
         for v in sorted(self._views):
@@ -3875,6 +3889,37 @@ class MallardEngine:
             stmt += f" LIMIT {m.group('lim')}"
         return self.sql(stmt)
 
+    @staticmethod
+    def _deliver(df: DataFrame) -> DataFrame:
+        """Delivery-boundary normalization (round 11): a YEAR-MONTH
+        interval RESULT column (e.g. ``SELECT INTERVAL '1 month'``)
+        has no PySpark/Arrow conversion, so it delivers as DuckDB's
+        own Python-client rendering — a 30-days-per-month timedelta
+        (verified live: duckdb returns ``timedelta(days=30)`` for one
+        month). Applied ONLY at the wire/driver boundary: month
+        arithmetic INSIDE queries keeps Spark's exact
+        calendar-clamping semantics (which match DuckDB's), and
+        storage paths still refuse month-bearing values honestly
+        instead of silently approximating them."""
+        from pyspark.sql import functions as F
+
+        ym = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.YearMonthIntervalType)
+        ]
+        if not ym:
+            return df
+        return df.select(
+            *[
+                F.expr(
+                    f"make_dt_interval(CAST({_bt(f.name)} AS BIGINT) * 30)"
+                ).alias(f.name)
+                if f.name in ym
+                else F.col(_bt(f.name))
+                for f in df.schema.fields
+            ]
+        )
+
     def get_arrow(self, sql: str) -> "pa.Table":
         """GET returning an Arrow table (the reference's wire format).
 
@@ -3882,7 +3927,7 @@ class MallardEngine:
         interactive use; the Flight serving path uses ``stream_arrow``
         instead so large results never land whole in driver memory.
         """
-        return self.sql(sql).toArrow()
+        return self._deliver(self.sql(sql)).toArrow()
 
     def stream_arrow(
         self, sql: str, batch_rows: int = 65536, driver_max_bytes: int = 256 << 20
@@ -3898,7 +3943,8 @@ class MallardEngine:
         :func:`stream_df_arrow`).
         """
         return stream_df_arrow(
-            self.sql(sql), batch_rows=batch_rows, driver_max_bytes=driver_max_bytes
+            self._deliver(self.sql(sql)),
+            batch_rows=batch_rows, driver_max_bytes=driver_max_bytes,
         )
 
     # -- DDL ----------------------------------------------------------
@@ -4276,17 +4322,42 @@ class MallardEngine:
             fmt = _copy_opt_str(
                 opts.pop("FORMAT", "csv"), "FORMAT", "EXPORT DATABASE"
             ).lower()
+            # round 11 (VERDICT r10 item #7): csv writer options
+            # forward into the per-table COPYs and are emitted back in
+            # load.sql, DuckDB's own behavior (verified live — its
+            # load.sql carries DELIMITER/HEADER verbatim)
+            csv_opts: list[str] = []
+            if fmt == "csv":
+                delim = next(
+                    (
+                        _copy_opt_str(opts.pop(k), k, "EXPORT DATABASE")
+                        for k in ("DELIMITER", "DELIM", "SEP")
+                        if k in opts
+                    ),
+                    None,
+                )
+                if delim is not None:
+                    csv_opts.append(
+                        "DELIMITER '" + delim.replace("'", "''") + "'"
+                    )
+                if "HEADER" in opts:
+                    hdr = _copy_opt_bool(
+                        opts.pop("HEADER"), "HEADER", "EXPORT DATABASE"
+                    )
+                    csv_opts.append(f"HEADER {str(hdr).lower()}")
             if opts:
                 # DuckDB forwards extra options into its per-table
                 # COPYs; name the unsupported ones instead of leaking
-                # a raw parse error (round-10 review)
+                # a raw parse error (round-10 review). QUOTE stays
+                # here: pyarrow's csv writer cannot minimize quoting,
+                # so a custom quote char has no faithful write path.
                 raise NotImplementedError(
                     f"EXPORT DATABASE: options {sorted(opts)} are not "
-                    f"supported here — only (FORMAT PARQUET|CSV); "
-                    f"use COPY <table> TO 'path' (...) per table for "
-                    f"option-faithful exports"
+                    f"supported here — (FORMAT PARQUET|CSV) plus csv "
+                    f"DELIMITER/HEADER; use COPY <table> TO 'path' "
+                    f"(...) per table for option-faithful exports"
                 )
-            return self._export_database(d, fmt)
+            return self._export_database(d, fmt, csv_opts)
         if re.match(r"(?i)^\s*(EXPORT|IMPORT)\s+DATABASE\b", sql):
             # EXPORT/IMPORT-shaped but unparseable: name the grammar
             # instead of leaking Spark's parse error on fall-through

@@ -258,6 +258,66 @@ _SEQ_CALL_RE = re.compile(r"(?i)\b(?P<fn>nextval|currval)\s*\(")
 _INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
 
 
+def _parse_generated_def(
+    item: str,
+) -> tuple[str, str | None, str, str] | None:
+    """Parse a GENERATED column definition (round 11) —
+    ``col [type] [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]``,
+    DuckDB's two spellings. Returns (col, type_text|None, expr, kind)
+    or None when the item is not a generated definition."""
+    hm = re.match(
+        r'(?is)^(?P<col>[A-Za-z_]\w*|"[^"]+")'
+        r"(?:\s+(?P<pre>.*?))?\s+"
+        r"(?:(?P<gen>GENERATED\s+ALWAYS\s+)AS|AS)\s*\(",
+        item,
+    )
+    if hm is None:
+        return None
+    pre = (hm.group("pre") or "").strip()
+    if not hm.group("gen"):
+        # shorthand `col [type] AS (...)`: the pre-AS text must be a
+        # bare type (or empty), never another modifier's tail — a
+        # DEFAULT/CHECK expression could contain `AS (`
+        if re.search(
+            r"(?i)\b(DEFAULT|CHECK|REFERENCES|PRIMARY|UNIQUE|NOT|"
+            r"NULL|COLLATE)\b",
+            pre,
+        ):
+            return None
+    # the expression runs to the MATCHING close paren
+    start = hm.end()  # index just past the open paren
+    depth = 1
+    i = start
+    in_str = False
+    while i < len(item):
+        ch = item[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0:
+        return None
+    expr = item[start:i].strip()
+    tail = item[i + 1:].strip()
+    km = re.fullmatch(r"(?i)(VIRTUAL|STORED)?", tail)
+    if km is None:
+        return None
+    return (
+        hm.group("col").strip('"'),
+        pre or None,
+        expr,
+        (km.group(1) or "VIRTUAL").upper(),
+    )
+
+
 def _copy_format(path: str, fmt_value: str | None, verb: str) -> str:
     """COPY format: explicit ``FORMAT`` option value (already parsed —
     both ``FORMAT PARQUET`` and ``FORMAT = 'parquet'`` spellings reach
@@ -1011,6 +1071,12 @@ class MallardEngine:
         self._rec_salts: list[str] = []
         # name → (params [(name, default|None)], body, is_table)
         self._macros: dict[str, tuple[list, str, bool]] = {}
+        # GENERATED (VIRTUAL) columns (round 11): table →
+        # ordered [(col, expr_text)] in declaration order. The values
+        # are stored physically and recomputed on every write path
+        # (evaluate-on-write like DEFAULTs) — read-side parity with
+        # DuckDB's virtual evaluation at any scale, no per-read cost.
+        self._generated: dict[str, list[tuple[str, str]]] = {}
         # CREATE SEQUENCE catalog (round 11): name → mutable state
         # {inc, min, max, cycle, next, last}. The DICT snapshots into
         # transactions (create/drop rolls back) while the per-entry
@@ -1056,15 +1122,41 @@ class MallardEngine:
         """
         prefix = f"{self.namespace}__"
         try:
+            # roll forward any COMMIT interrupted inside its rename
+            # span before reading the catalog (round 11) — the swap
+            # journal is the redo log; pending salts (conflicts) keep
+            # their tables out of the orphan GC below
+            pending_salts = self._recover_tx_journals()
+        except Exception as e:  # pragma: no cover - journal dir io
+            logging.getLogger(__name__).error(
+                "commit-journal recovery failed (continuing with "
+                "discovery; orphan GC disabled this session): %s", e,
+            )
+            pending_salts = None
+        try:
             listed = self.spark.catalog.listTables()
         except Exception:  # pragma: no cover - catalog unavailable
             return
         for t in listed:
             if t.tableType != "TEMPORARY" and t.name.startswith(prefix):
                 short = t.name[len(prefix):]
-                if re.search(r"__tx[cb][0-9a-f]{10}$", short):
-                    # commit staging/backup orphan (a crash inside the
-                    # metadata-swap span) — never serve it as a table
+                sm = re.search(r"__tx[cb]([0-9a-f]{10})$", short)
+                if sm:
+                    # commit staging/backup orphan — never serve it as
+                    # a table. With recovery done, a suffixed table
+                    # whose salt has NO retained journal is garbage
+                    # from an aborted data phase (or a cleanup-phase
+                    # crash after a completed commit): reclaim it.
+                    if (
+                        pending_salts is not None
+                        and sm.group(1) not in pending_salts
+                    ):
+                        try:
+                            self.spark.sql(
+                                f"DROP TABLE IF EXISTS {t.name}"
+                            )
+                        except Exception:  # pragma: no cover
+                            pass
                     continue
                 self._tables[short] = self.spark.table(t.name)
                 self._persistent.add(short)
@@ -1091,6 +1183,12 @@ class MallardEngine:
                         self._fkeys[short] = json.loads(
                             props["mallard.fkeys"]
                         )
+                    if props.get("mallard.generated"):
+                        self._generated[short] = [
+                            (c, e) for c, e in json.loads(
+                                props["mallard.generated"]
+                            )
+                        ]
                 except Exception as e:  # pragma: no cover
                     # unreadable/undecodable declaration properties:
                     # never fail discovery, but say so — silently
@@ -1197,6 +1295,7 @@ class MallardEngine:
                     self._defaults.pop(name, None)
                     self._checks.pop(name, None)
                     self._fkeys.pop(name, None)
+                    self._generated.pop(name, None)
                 return df.count() if count else None
             raise NotImplementedError(
                 f"put({name!r}, persist=True): overwriting an "
@@ -1259,6 +1358,7 @@ class MallardEngine:
             self._defaults.pop(name, None)
             self._checks.pop(name, None)
             self._fkeys.pop(name, None)
+            self._generated.pop(name, None)
             if self._tx is not None and not persist:
                 # an explicit session redefinition cancels a deferred
                 # in-tx CREATE-with-persistence (last definition wins)
@@ -1295,6 +1395,10 @@ class MallardEngine:
         if self._fkeys.get(name):
             props.append(
                 ("mallard.fkeys", json.dumps(self._fkeys[name]))
+            )
+        if self._generated.get(name):
+            props.append(
+                ("mallard.generated", json.dumps(self._generated[name]))
             )
         if not props:
             return
@@ -1381,6 +1485,9 @@ class MallardEngine:
             "macros": dict(self._macros),
             # shallow: entry OBJECTS shared so counters survive rollback
             "sequences": dict(self._sequences),
+            "generated": {
+                k: list(v) for k, v in self._generated.items()
+            },
             "staged": {},  # name -> staged tmp dir (persistent DML)
             "pending_creates": set(),  # saveAsTable deferred to COMMIT
             "pending_drops": set(),  # warehouse DROP deferred to COMMIT
@@ -1573,6 +1680,33 @@ class MallardEngine:
                     pass
             raise
         # ---- 2. swap phase (metadata-only, journaled undo) ----
+        # Round 11 (VERDICT r10 item #9): the full rename PLAN is
+        # journaled to a warehouse-adjacent file BEFORE the first
+        # rename. The journal write is the commit point for crash
+        # recovery: a process dying anywhere inside the rename span
+        # leaves the journal behind, and the next engine on this
+        # namespace ROLLS THE COMMIT FORWARD (every staging table
+        # already exists — the data phase completed first), exactly a
+        # WAL redo. The journal is removed when the swap completes OR
+        # when an in-process failure is fully undone (pre-COMMIT state
+        # restored — rolling forward later would contradict the
+        # user-visible failure); it stays only when the undo itself
+        # failed, where forward completion is the one sound repair.
+        plan: list[tuple[str, str]] = []
+        planned_backups: list[str] = []
+        for name in sorted(tx["pending_drops"]):
+            q = self._qualified(name)
+            b = f"{q}__txb{salt}"
+            plan.append((q, b))
+            planned_backups.append(b)
+        for name in publishes:
+            q = self._qualified(name)
+            if name in self._persistent:
+                b = f"{q}__txb{salt}"
+                plan.append((q, b))
+                planned_backups.append(b)
+            plan.append((staging[name], q))
+        journal = self._txjournal_write(salt, plan, planned_backups)
         undo: list[tuple[str, str]] = []  # renames performed (frm, to)
         backups: list[str] = []
 
@@ -1623,9 +1757,11 @@ class MallardEngine:
                     undo_failed = True
                     logging.getLogger(__name__).error(
                         "COMMIT undo failed renaming %s back to %s — "
-                        "the warehouse may hold a partially-swapped "
-                        "state (backup/staging suffixes __txb%s/"
-                        "__txc%s)", to, frm, salt, salt,
+                        "the warehouse holds a partially-swapped state "
+                        "(backup/staging suffixes __txb%s/__txc%s); "
+                        "the swap journal is retained and the next "
+                        "engine on this namespace will ROLL THE COMMIT "
+                        "FORWARD", to, frm, salt, salt,
                     )
             if not undo_failed:
                 for stage in staging.values():
@@ -1633,6 +1769,7 @@ class MallardEngine:
                         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
                     except Exception:  # pragma: no cover - cleanup
                         pass
+                self._txjournal_remove(journal)
             raise
         # ---- success bookkeeping (no job runs past this point) ----
         for name in sorted(tx["pending_drops"]):
@@ -1656,6 +1793,126 @@ class MallardEngine:
                 self.spark.sql(f"DROP TABLE IF EXISTS {b}")
             except Exception:  # pragma: no cover - cleanup
                 pass
+        self._txjournal_remove(journal)
+
+    # -- commit-swap journal (round 11) ---------------------------------
+    def _txjournal_dir(self, create: bool = True) -> str:
+        """Warehouse-adjacent directory holding swap journals — it
+        must survive the process like the warehouse itself does."""
+        import os
+        from urllib.parse import urlparse
+
+        wh = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        p = urlparse(wh)
+        root = p.path if p.scheme in ("", "file") else wh
+        d = os.path.join(root, "_mallard_txjournal")
+        if create:
+            os.makedirs(d, exist_ok=True)
+        return d
+
+    def _txjournal_write(
+        self, salt: str, plan: list[tuple[str, str]], backups: list[str]
+    ) -> str:
+        import os
+
+        d = self._txjournal_dir()
+        path = os.path.join(d, f"{self.namespace}__{salt}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "namespace": self.namespace,
+                    "salt": salt,
+                    "renames": plan,
+                    "backups": backups,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic: the journal exists fully or not
+        return path
+
+    @staticmethod
+    def _txjournal_remove(path: str) -> None:
+        import os
+
+        try:
+            os.remove(path)
+        except OSError:  # pragma: no cover - already gone
+            pass
+
+    def _recover_tx_journals(self) -> set[str]:
+        """Roll forward any swap journal left by a process that died
+        inside a COMMIT's rename span (round 11, VERDICT r10 item #9).
+
+        The journal exists only after the data phase completed, so
+        every planned rename can be re-applied idempotently: a rename
+        whose source still exists is performed, one whose target
+        already holds the name is skipped. After the plan completes,
+        the backups drop and the journal is removed — the warehouse
+        converges to the COMMITTED state, closing the crash window the
+        round-10 notes documented. Returns the salts of journals still
+        pending (conflicts), so discovery-time orphan GC leaves their
+        tables alone."""
+        import os
+
+        d = self._txjournal_dir(create=False)
+        pending: set[str] = set()
+        if not os.path.isdir(d):
+            return pending
+        log = logging.getLogger(__name__)
+        prefix = f"{self.namespace}__"
+        for fn in sorted(os.listdir(d)):
+            if not (fn.startswith(prefix) and fn.endswith(".json")):
+                continue
+            path = os.path.join(d, fn)
+            try:
+                with open(path) as f:
+                    j = json.load(f)
+            except Exception:  # pragma: no cover - torn tmp file
+                log.error("unreadable commit journal %s — skipped", path)
+                pending.add(fn[len(prefix):-5])
+                continue
+            if j.get("namespace") != self.namespace:
+                continue
+            ok = True
+            for frm, to in j.get("renames", []):
+                f_e = self.spark.catalog.tableExists(frm)
+                t_e = self.spark.catalog.tableExists(to)
+                if f_e and not t_e:
+                    self.spark.sql(f"ALTER TABLE {frm} RENAME TO {to}")
+                elif not f_e and t_e:
+                    continue  # already applied before the crash
+                elif not f_e and not t_e and to.endswith(
+                    f"__txb{j['salt']}"
+                ):
+                    continue  # backup already dropped by cleanup
+                else:  # pragma: no cover - external interference
+                    log.error(
+                        "commit journal %s: cannot resolve rename "
+                        "%s -> %s (source and target both %s) — "
+                        "journal retained for manual repair",
+                        path, frm, to, "present" if f_e else "absent",
+                    )
+                    ok = False
+                    break
+            if not ok:
+                pending.add(j.get("salt", ""))
+                continue
+            for b in j.get("backups", []):
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {b}")
+                except Exception:  # pragma: no cover - cleanup
+                    pass
+            log.warning(
+                "rolled forward interrupted COMMIT %s (journal %s)",
+                j.get("salt"), path,
+            )
+            self._txjournal_remove(path)
+        return pending
 
     def _rollback(self) -> None:
         tx = self._require_tx("ROLLBACK")
@@ -1692,6 +1949,7 @@ class MallardEngine:
         self._persistent = tx["persistent"]
         self._macros = tx["macros"]
         self._sequences = tx.get("sequences", self._sequences)
+        self._generated = tx.get("generated", self._generated)
         # staged dirs stay on disk for txKeepRuns more transactions
         # (a DataFrame handed to user code inside the transaction may
         # still scan them), then reclaim (_tx_retire_dirs)
@@ -1764,6 +2022,7 @@ class MallardEngine:
         self._defaults.pop(name, None)
         self._checks.pop(name, None)
         self._fkeys.pop(name, None)
+        self._generated.pop(name, None)
 
     def health_check(self) -> bool:
         """Liveness probe: run ``SELECT 1`` through the session.
@@ -3139,6 +3398,7 @@ class MallardEngine:
         defaults: dict[str, str] = {}
         checks: list[str] = []
         fkeys: list[dict] = []  # FOREIGN KEY declarations (round 10)
+        generated: list[tuple[str, str | None, str]] = []  # round 11
         for item in _split_top_level(m.group("defs")):
             item = _normalize_def_ws(item).strip()
             if not item:
@@ -3183,6 +3443,22 @@ class MallardEngine:
                         ),
                     }
                 )
+                continue
+            gd = _parse_generated_def(item)
+            if gd is not None:
+                gcol, gtype, gexpr, gkind = gd
+                if gkind == "STORED":
+                    # DuckDB 1.0's own refusal, same shape
+                    raise NotImplementedError(
+                        "Can not create a STORED generated column! "
+                        "(DuckDB supports VIRTUAL only; this engine "
+                        "stores the computed values physically but "
+                        "recomputes them on every write, which IS the "
+                        "virtual semantic)"
+                    )
+                generated.append((gcol, gtype, gexpr))
+                fields.append(None)  # type resolves after base binds
+                colnames.append(gcol)
                 continue
             cm = re.match(
                 r'(?s)^(?P<col>[A-Za-z_]\w*|"[^"]+")\s+(?P<rest>.+)$',
@@ -3334,6 +3610,38 @@ class MallardEngine:
             resolved_fkeys.append(
                 {"cols": cols, "ref": ref, "ref_cols": rcols}
             )
+        if generated:
+            # bind each generated expression NOW (DuckDB's binder) over
+            # the base columns plus the generated columns declared
+            # before it — chained generation (c AS (b + 1)) resolves in
+            # declaration order; the bound type fills the field slot
+            # (or validates against a declared type)
+            base = self.spark.createDataFrame(
+                [], ", ".join(f for f in fields if f is not None)
+            )
+            cur = base
+            gen_by_col = {g[0]: g for g in generated}
+            for i, cname in enumerate(colnames):
+                if fields[i] is not None:
+                    continue
+                _gc, gtype, gexpr = gen_by_col[cname]
+                try:
+                    col = self._duck_expr(gexpr, probe=cur)
+                    if gtype is not None:
+                        col = col.cast(_duck_type_to_spark(
+                            gtype, name, cname
+                        ))
+                    cur = cur.withColumn(cname, col)
+                except Exception as e:
+                    raise ValueError(
+                        f"CREATE TABLE {name}: GENERATED expression "
+                        f"{gexpr!r} for column {cname!r} does not "
+                        f"bind: {e}"
+                    ) from None
+                fields[i] = (
+                    f"`{cname}` "
+                    f"{cur.schema[cname].dataType.simpleString()}"
+                )
         empty = self.spark.createDataFrame([], ", ".join(fields))
         # bind DEFAULT expressions and CHECK predicates NOW, like
         # DuckDB's binder — a typo'd expression errors at CREATE, not
@@ -3378,8 +3686,12 @@ class MallardEngine:
             self._checks[name] = checks
         if resolved_fkeys:
             self._fkeys[name] = resolved_fkeys
+        if generated:
+            self._generated[name] = [(c, e) for c, _t, e in generated]
+        else:
+            self._generated.pop(name, None)
         if (
-            defaults or checks or resolved_fkeys
+            defaults or checks or resolved_fkeys or generated
         ) and name in self._persistent:
             self._pin_keys_prop(name)
         return "OK"
@@ -3399,9 +3711,14 @@ class MallardEngine:
 
         items: list[str] = []
         defaults = self._defaults.get(name, {})
+        gen = dict(self._generated.get(name, []))
         for f in self._tables[name].schema.fields:
             item = f"{q(f.name)} {_duck_type_name(f.dataType)}"
-            if f.name in defaults:
+            if f.name in gen:
+                # DuckDB's own export spelling (verified live):
+                # `b INTEGER GENERATED ALWAYS AS((a + 1))`
+                item += f" GENERATED ALWAYS AS(({gen[f.name]}))"
+            elif f.name in defaults:
                 item += f" DEFAULT ({defaults[f.name]})"
             items.append(item)
         for grp in self._keys.get(name, []):
@@ -3500,7 +3817,20 @@ class MallardEngine:
                     ) else [])
                     + extra
                 )
-            self.copy_to(f"COPY {n} TO '{lit}' ({opts})")
+            gen = {c for c, _ in self._generated.get(n, [])}
+            if gen:
+                # data files carry only the INSERTABLE columns —
+                # DuckDB's export does the same, and the load-side
+                # COPY recomputes the generated values
+                base = ", ".join(
+                    _bt(f.name)
+                    for f in self._tables[n].schema.fields
+                    if f.name not in gen
+                )
+                src = f"(SELECT {base} FROM {n})"
+            else:
+                src = n
+            self.copy_to(f"COPY {src} TO '{lit}' ({opts})")
             load_lines.append(f"COPY {n} FROM '{lit}' ({opts});")
         for v in sorted(self._views):
             vsql = self._view_sql.get(v)
@@ -4575,6 +4905,7 @@ class MallardEngine:
             carried_defaults = self._defaults.get(name)
             carried_checks = self._checks.get(name)
             carried_fkeys = self._fkeys.get(name)
+            carried_gen = self._generated.get(name)
             carried_vsql = self._view_sql.get(name)
             if self._fk_referencing(name):
                 # DuckDB (verified live): renaming a table other
@@ -4635,12 +4966,15 @@ class MallardEngine:
                     if fk.get("ref") == name:
                         fk["ref"] = new
                 self._fkeys[new] = carried_fkeys
+            if carried_gen is not None:  # GENERATED columns follow
+                self._generated[new] = carried_gen
             if carried_vsql is not None:  # view definition follows
                 self._view_sql[new] = carried_vsql
             self._view_sql.pop(name, None)
             self._defaults.pop(name, None)
             self._checks.pop(name, None)
             self._fkeys.pop(name, None)
+            self._generated.pop(name, None)
             # persisted tables: the mallard.* properties follow the
             # native catalog rename automatically, but a
             # SELF-referencing FK's content changed (ref now points
@@ -5000,6 +5334,14 @@ class MallardEngine:
                 self.spark, path, nskip, "COPY FROM", header=header
             )
         tgt = self._tables.get(name)
+        # GENERATED columns never appear in a COPY file — align the
+        # ingest against the insertable subset (round 11; matches
+        # DuckDB's COPY arity and this engine's own base-only export)
+        _gen = {c for c, _ in self._generated.get(name, [])}
+        align_fields = (
+            [f for f in tgt.schema.fields if f.name not in _gen]
+            if tgt is not None else None
+        )
         if (
             fmt == "csv"
             and tgt is not None
@@ -5007,7 +5349,7 @@ class MallardEngine:
                 isinstance(
                     f.dataType, (T.TimeType, T.DayTimeIntervalType)
                 )
-                for f in tgt.schema.fields
+                for f in align_fields
             )
         ):
             # DuckDB's COPY FROM parses with the TABLE's types.
@@ -5047,11 +5389,11 @@ class MallardEngine:
                                 _copy_opt_str(parsed[k2], k2, "COPY FROM"),
                             )
                 probe = pr.csv(lines if lines is not None else path)
-                if len(probe.columns) != len(tgt.schema.fields):
+                if len(probe.columns) != len(align_fields):
                     raise ValueError(
                         f"COPY FROM {path!r}: file has "
                         f"{len(probe.columns)} columns; table {name!r} "
-                        f"has {len(tgt.schema.fields)}"
+                        f"has {len(align_fields)}"
                     )
             r = r.schema(
                 ", ".join(
@@ -5060,7 +5402,7 @@ class MallardEngine:
                         f.dataType, (T.TimeType, T.DayTimeIntervalType)
                     )
                     else f"`{f.name}` {f.dataType.simpleString()}"
-                    for f in tgt.schema.fields
+                    for f in align_fields
                 )
             )
         if lines is not None:
@@ -5070,18 +5412,18 @@ class MallardEngine:
         if name in self._tables:
             # schema-aligned append, same routing as INSERT INTO
             tbl = self._tables[name]
-            schema = tbl.schema
-            if len(new.columns) != len(schema.fields):
+            afields = align_fields
+            if len(new.columns) != len(afields):
                 raise ValueError(
                     f"COPY FROM {path!r}: file has {len(new.columns)} "
-                    f"columns; table {name!r} has {len(schema.fields)}"
+                    f"columns; table {name!r} has {len(afields)}"
                 )
             from pyspark.sql import functions as F
 
-            renamed = new.toDF(*schema.fieldNames())
+            renamed = new.toDF(*[f.name for f in afields])
             iv_cols = [
                 f.name
-                for f in schema.fields
+                for f in afields
                 if isinstance(f.dataType, T.DayTimeIntervalType)
             ] if fmt == "csv" else []
             if iv_cols:
@@ -5134,9 +5476,10 @@ class MallardEngine:
                     .alias(f.name)
                     if f.name in iv_cols
                     else renamed[f.name].cast(f.dataType).alias(f.name)
-                    for f in schema.fields
+                    for f in afields
                 ]
             )
+            new = self._apply_generated(name, new)
             self._write_back(
                 name, tbl.unionByName(new), append=True, proposed=new
             )
@@ -5427,6 +5770,7 @@ class MallardEngine:
         if m is None:
             raise ValueError(f"malformed INSERT ... ON CONFLICT: {head[:120]!r}")
         name, cols, src = m.group("name"), m.group("cols"), m.group("rest")
+        self._generated_guard(name, "INSERT ... ON CONFLICT")
         by_name = bool(m.group("byname"))
         tm = re.match(
             r"^\s*ON\s+CONFLICT\s*"
@@ -5512,6 +5856,7 @@ class MallardEngine:
             self._defaults.get(name)
             or self._checks.get(name)
             or self._fkeys.get(name)
+            or self._generated.get(name)
         )
         if name in self._persistent and self._tx is None and not needs_align:
             # Warehouse table: Spark's native INSERT INTO appends
@@ -5583,6 +5928,23 @@ class MallardEngine:
         from pyspark.sql import functions as F
 
         schema = self._dml_table(name).schema
+        gen = {c for c, _ in self._generated.get(name, [])}
+        if gen:
+            # GENERATED columns are not insertable (DuckDB: positional
+            # arity excludes them; naming one is a binder error) —
+            # align against the insertable subset and compute the
+            # generated values after
+            listed = [
+                c.strip().strip('`"') for c in (cols or "").split(",") if c
+            ]
+            if any(c.lower() in {g.lower() for g in gen} for c in listed):
+                raise ValueError(
+                    f"INSERT INTO {name}: Cannot insert into a "
+                    f"generated column (DuckDB rejects it the same way)"
+                )
+            schema = T.StructType(
+                [f for f in schema.fields if f.name not in gen]
+            )
         rest = rest.rstrip("; \n\t ")
         if by_name:
             _by_name_checks(name, cols, rest)
@@ -5627,7 +5989,7 @@ class MallardEngine:
                     f"INSERT INTO {name} BY NAME: duplicate source "
                     f"column names in {new.columns}"
                 )
-            return new.select(
+            return self._apply_generated(name, new.select(
                 *[
                     (
                         F.col(src_by_lower[f.name.lower()])
@@ -5638,7 +6000,7 @@ class MallardEngine:
                     .alias(f.name)
                     for f in schema.fields
                 ]
-            )
+            ))
         if cols:
             names = [c.strip().strip("`") for c in cols.split(",")]
             if len(names) != len(new.columns):
@@ -5656,7 +6018,7 @@ class MallardEngine:
                 raise ValueError(f"INSERT INTO {name}: unknown columns {unknown}")
             resolved = {by_lower[n.lower()] for n in names}
             new = new.toDF(*[by_lower[n.lower()] for n in names])
-            return new.select(
+            return self._apply_generated(name, new.select(
                 *[
                     (
                         F.col(f.name)
@@ -5667,16 +6029,16 @@ class MallardEngine:
                     .alias(f.name)
                     for f in schema.fields
                 ]
-            )
+            ))
         if len(new.columns) != len(schema.fields):
             raise ValueError(
                 f"INSERT source has {len(new.columns)} columns; table "
                 f"{name!r} has {len(schema.fields)}"
             )
         new = new.toDF(*schema.fieldNames())
-        return new.select(
+        return self._apply_generated(name, new.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-        )
+        ))
 
     def _rewrite_refs(self, sql: str) -> str:
         """Namespace-qualify table references in an expression string —
@@ -5780,6 +6142,14 @@ class MallardEngine:
                 )
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
+        gen_cols = {c for c, _ in self._generated.get(name, [])}
+        hit_gen = sorted(set(updates) & gen_cols)
+        if hit_gen:
+            raise ValueError(
+                f"UPDATE {name}: Cant update column {hit_gen[0]!r} "
+                f"because it is a generated column! (DuckDB rejects "
+                f"it the same way)"
+            )
         # ONE select: every SET expression (and the WHERE) sees the OLD
         # row, per SQL semantics — sequential withColumn would let later
         # assignments observe earlier ones.
@@ -5795,7 +6165,8 @@ class MallardEngine:
                 for f in tbl.schema.fields
             ]
         )
-        self._write_back(name, new)
+        # generated values recompute over the post-SET rows (round 11)
+        self._write_back(name, self._apply_generated(name, new))
         return "OK"
 
     def _dml_delete(self, name: str, where: str | None) -> str:
@@ -5965,6 +6336,14 @@ class MallardEngine:
             raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
         if not assigns:
             raise ValueError(f"UPDATE {name}: empty SET list")
+        gen_cols = {c for c, _ in self._generated.get(name, [])}
+        hit_gen = sorted({c for c, _ in assigns} & gen_cols)
+        if hit_gen:
+            raise ValueError(
+                f"UPDATE {name}: Cant update column {hit_gen[0]!r} "
+                f"because it is a generated column! (DuckDB rejects "
+                f"it the same way)"
+            )
         set_cols = [f"__mallard_set_{i}" for i in range(len(assigns))]
         t_aug, pairs, tid, view = self._join_mutation_pairs(
             name, alias, from_text, where,
@@ -5993,7 +6372,9 @@ class MallardEngine:
                 for f in tbl.schema.fields
             ]
         )
-        self._join_mutation_finish(name, new, t_aug, view)
+        self._join_mutation_finish(
+            name, self._apply_generated(name, new), t_aug, view
+        )
         return "OK"
 
     def _dml_delete_using(
@@ -6041,6 +6422,37 @@ class MallardEngine:
 
                 d = self._seq_replace(d, calls, render)
         return F.expr(d)
+
+    def _apply_generated(self, name: str, df: DataFrame) -> DataFrame:
+        """(Re)compute the table's GENERATED columns over ``df`` and
+        return it in table column order (round 11). Runs on every
+        write path — the evaluate-on-write equivalent of DuckDB's
+        VIRTUAL read-time evaluation (values can never go stale
+        because no write path skips this)."""
+        g = self._generated.get(name)
+        if not g:
+            return df
+        from pyspark.sql import functions as F
+
+        schema = self._dml_table(name).schema
+        types = {f.name: f.dataType for f in schema.fields}
+        cur = df
+        for col, expr in g:  # declaration order: chained refs resolve
+            cur = cur.withColumn(
+                col, self._duck_expr(expr, probe=cur).cast(types[col])
+            )
+        return cur.select(*[F.col(_bt(f.name)) for f in schema.fields])
+
+    def _generated_guard(self, name: str, verb: str) -> None:
+        """Mutation verbs whose projections don't route through
+        :meth:`_apply_generated` refuse on generated tables by name —
+        never compute-stale silently."""
+        if self._generated.get(name):
+            raise NotImplementedError(
+                f"{verb} on table {name!r} with GENERATED columns is "
+                f"not supported — use plain INSERT / UPDATE / DELETE "
+                f"(the generated values recompute on those paths)"
+            )
 
     def _enforce_checks(self, name: str, df: DataFrame, verb: str) -> None:
         """Validate every declared CHECK constraint over ``df`` in ONE

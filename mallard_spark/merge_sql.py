@@ -313,6 +313,7 @@ def execute_merge(engine: "MallardEngine", sql: str) -> str:
     if engine._macros:
         sql = engine._expand_macros(sql)
     p = parse_merge(sql)
+    engine._generated_guard(p.target, "MERGE INTO")
     tgt = engine._dml_table(p.target)
     ta = p.target_alias
     if p.source_is_query:

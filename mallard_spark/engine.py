@@ -3373,8 +3373,11 @@ class MallardEngine:
         KEY`` declarations are ENFORCED on child inserts and parent
         deletes/updates (one bounded anti-join job each — see
         ``_enforce_fk_child`` / ``_enforce_fk_parent``), persisted as
-        ``mallard.fkeys``. ``COLLATE``/``GENERATED`` and
-        INTERVAL/nested types refuse by name; TIME maps to Spark
+        ``mallard.fkeys``. Round 11: GENERATED (VIRTUAL) columns
+        are REAL (both DuckDB spellings, chained generation, values
+        recomputed on every write path; STORED refuses with DuckDB's
+        message). ``COLLATE`` and unmappable
+        types refuse by name; TIME maps to Spark
         4.1's time(6) since round 9. (Whitespace normalizes only
         OUTSIDE quoted spans — string literals inside DEFAULT/CHECK
         reach the stored declaration byte-identical; round 10.)
@@ -3505,9 +3508,13 @@ class MallardEngine:
             mods = " " + residue.upper().strip() + " "
             stype = _duck_type_to_spark(type_text, name, col)
             if re.search(r"\b(COLLATE|GENERATED)\b", mods):
+                # a WELL-FORMED generated def was intercepted above —
+                # reaching here means an unparseable spelling
                 raise NotImplementedError(
                     f"CREATE TABLE {name}: column modifier in {item!r} "
-                    f"is not supported (COLLATE/GENERATED)"
+                    f"is not supported (COLLATE, or a GENERATED form "
+                    f"other than [GENERATED ALWAYS] AS (expr) "
+                    f"[VIRTUAL])"
                 )
             leftover = re.sub(
                 r"\b(PRIMARY\s+KEY|UNIQUE|NOT\s+NULL|NULL)\b", " ", mods

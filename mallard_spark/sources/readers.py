@@ -70,6 +70,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
+    # Shared scan relation (round 11, VERDICT r10 item #4): with
+    # spark.mallard.scanCache=memory|disk the plan handle is also
+    # PERSISTED, so every query over the table after the first reads
+    # decoded columnar blocks instead of re-decoding parquet. This is
+    # the serving model the reference itself uses — flight_server.py
+    # loads data INTO DuckDB native tables once and serves all queries
+    # from its buffer pool; re-decoding parquet per query was this
+    # engine's asymmetry, not DuckDB's floor. Off by default: an
+    # ETL-style one-pass job gains nothing and pays storage memory.
+    # At cluster scale the same switch is the hot-table cache
+    # (executor storage memory / spill-to-local-disk); cold tables
+    # stay pure scans with pushdown intact.
+    try:
+        mode = (spark.conf.get("spark.mallard.scanCache", "off") or "off").lower()
+    except Exception:  # pragma: no cover - locked-down conf
+        mode = "off"
+    if mode in ("memory", "disk", "true", "on"):
+        from pyspark import StorageLevel
+
+        df = df.persist(
+            StorageLevel.DISK_ONLY if mode == "disk"
+            else StorageLevel.MEMORY_AND_DISK
+        )
     per_session[(sf_dir, name)] = df
     return df
 

@@ -75,6 +75,14 @@ def main() -> None:
                     "{out}.{phase}; 'both'/'duckdb' merges)")
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of HEADLINE names")
+    ap.add_argument("--scan-cache", action="store_true",
+                    help="serving-model protocol (round 11): Spark "
+                    "pins decoded scans (spark.mallard.scanCache) AND "
+                    "DuckDB loads NATIVE TABLES instead of parquet "
+                    "views — the reference's own serving shape "
+                    "(flight_server loads DuckDB tables once, serves "
+                    "from the buffer pool). Symmetric: both engines "
+                    "query their cached native representation.")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.duck_runs is None:
@@ -106,10 +114,31 @@ def main() -> None:
             master=f"local[{cpus}]",
             shuffle_partitions=int(cpus),
         )
+        if args.scan_cache:
+            spark.conf.set("spark.mallard.scanCache", "memory")
         if not os.path.exists(os.path.join(dst, "events.parquet")):
             print(f"# building {args.factor}x replica at {dst} ...",
                   file=sys.stderr)
             build_scaled_full(spark, dst, args.factor)
+
+        # phase probe (round 11 — same control as bench.py): the VM
+        # has page-fault-servicing phases where identical plans run
+        # 2-10x slower; record the fixed control so a degraded-phase
+        # sample is labeled in the artifact
+        probe_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            specs["q1_pricing_summary"].fn(
+                spark, SRC
+            ).write.format("noop").mode("overwrite").save()
+            probe_best = min(probe_best, time.perf_counter() - t0)
+        with open(out + ".probe", "w") as f:
+            json.dump({
+                "control": "q1_pricing_summary@sf0.1 best-of-3",
+                "sec": round(probe_best, 3),
+                "calm_threshold_sec": 1.5,
+                "phase": "calm" if probe_best < 1.5 else "degraded",
+            }, f)
 
         # one untimed warmup run of the FIRST benched query at the
         # BENCH scale (JVM codegen + Python workers + page cache) —
@@ -153,10 +182,19 @@ def main() -> None:
             )
         if os.path.isdir(p):  # Spark writes a directory of part files
             p = os.path.join(p, "*.parquet")
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{p}')"
-        )
+        if args.scan_cache:
+            # serving-model protocol: native DuckDB tables, served
+            # from its buffer pool — the mirror image of Spark's
+            # pinned decoded scans (and the reference's own layout)
+            con.execute(
+                f"CREATE OR REPLACE TABLE {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+        else:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
     warmed = False
     for name in names:
         sql = specs[name].oracle
@@ -185,6 +223,16 @@ def main() -> None:
         "sf": sf,
         "factor": args.factor,
         "src": SRC,
+        "protocol": (
+            "native-cached (Spark pinned scans vs DuckDB native "
+            "tables — the reference's serving model)"
+            if args.scan_cache else
+            "parquet-scan (both engines re-read parquet per run)"
+        ),
+        "phase_probe": (
+            json.load(open(out + ".probe"))
+            if os.path.exists(out + ".probe") else None
+        ),
         "spark_total": round(sum(spark_secs.values()), 3),
         "duckdb_total": round(sum(duck_secs.values()), 3),
         # None when the two phases measured disjoint query sets (e.g.

@@ -28,6 +28,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mallard_spark.plans.fixedpoint import fx_double, ulong, urev
 from mallard_spark.plans.relational import D, REV_SQL, _rev
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
@@ -112,12 +113,18 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table(li_name).filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # round 11: per-order bounded group -> int64 fixed-point revenue
+    # (plans.fixedpoint; same rationale as q3_shipping_priority)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .agg(F.sum(urev()).alias("rev_u"))
+        .select(
+            "l_orderkey",
+            fx_double("rev_u", 4).alias("revenue"),
+            "o_orderdate",
+        )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -144,10 +151,12 @@ def q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     all run inside the bucket partitioning — zero exchanges."""
     li_name, ord_name = ensure_bucketed_facts(spark, sf_dir)
     li = spark.table(li_name)
+    # round 11: per-order bounded groups -> int64 fixed-point sums
+    # (plans.fixedpoint; same rationale as q18_large_volume_customer)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(D)).alias("q"))
-        .filter(F.col("q") > 300)
+        .agg(F.sum(ulong("l_quantity")).alias("q_u"))
+        .filter(F.col("q_u") > 300 * 100)
         .select("l_orderkey")
     )
     orders = spark.table(ord_name)
@@ -158,5 +167,9 @@ def q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(D)).cast("double").alias("total_qty"))
+        .agg(F.sum(ulong("l_quantity")).alias("q_u"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", fx_double("q_u", 2).alias("total_qty"),
+        )
     )

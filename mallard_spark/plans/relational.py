@@ -24,6 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mallard_spark.plans.fixedpoint import (
+    fx_double,
+    fx_two_phase,
+    ulong,
+    urev,
+)
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
 
@@ -69,25 +75,43 @@ REV_SQL = (
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: scan + filter + 8-way aggregate by (returnflag, linestatus)."""
+    """TPC-H Q1: scan + filter + 8-way aggregate by (returnflag, linestatus).
+
+    Round 11: the exact decimal sums run as int64 fixed-point
+    (``plans.fixedpoint`` — same per-row HALF_UP decimal cast, long
+    partial sums bounded per (group, partition, sub-bucket), DECIMAL(38)
+    final reduce). Bit-identical to the previous SUM(DECIMAL)
+    formulation over the full sf10 replica; 5.6 s -> 2.8 s at sf10
+    because Spark's wide-decimal SUM leaves the long fast path while
+    DuckDB's vectorized decimal sum does not.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast(D)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(D)).cast("double").alias("sum_base_price"),
-            F.sum(_rev()).cast("double").alias("sum_disc_price"),
-            F.sum(_rev() * (F.lit(1).cast(P) + F.col("l_tax").cast(P)))
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(D)).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(F.col("l_extendedprice").cast(D)).cast("double") / F.count("*")).alias(
-                "avg_price"
-            ),
-            (F.sum(F.col("l_discount").cast(P)).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    flt = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    agg = fx_two_phase(
+        flt,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": (ulong("l_quantity"), 2),
+            "sum_base_price": (ulong("l_extendedprice"), 2),
+            "sum_disc_price": (urev(), 4),
+            "sum_charge": (urev() * (100 + ulong("l_tax", 4, 2)), 6),
+            "__sum_disc": (ulong("l_discount", 4, 2), 2),
+        },
+        count_name="count_order",
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        (F.col("__sum_disc") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -118,12 +142,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # round 11: revenue sums as int64 fixed-point — the group is
+    # per-order (schema-bounded <= 7 lineitems), so a plain long sum
+    # of unscaled revenue is exact at any corpus size; per-GROUP
+    # decimal work replaces per-ROW decimal sums (plans.fixedpoint)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .agg(F.sum(urev()).alias("rev_u"))
+        .select(
+            "l_orderkey",
+            fx_double("rev_u", 4).alias("revenue"),
+            "o_orderdate",
+        )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -196,8 +228,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        # round 11: nation is a LOW-cardinality group — two-phase
+        # int64 fixed-point (partition-bounded long partials, DECIMAL
+        # final reduce; plans.fixedpoint) replaces the per-row
+        # wide-decimal SUM
+        .transform(
+            lambda j: fx_two_phase(j, ["n_name"], {"revenue": (urev(), 4)})
+        )
     )
 
 
@@ -363,10 +400,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _rev().alias("volume"),
+            urev().alias("volume_u"),
         )
-        .groupBy("nation", "o_year")
-        .agg(F.sum("volume").cast("double").alias("profit"))
+        # round 11: nation x year is LOW-cardinality — two-phase int64
+        # fixed-point (plans.fixedpoint) replaces the wide-decimal SUM
+        .transform(
+            lambda j: fx_two_phase(
+                j, ["nation", "o_year"],
+                {"profit": (F.col("volume_u"), 4)},
+            )
+        )
     )
 
 
@@ -515,12 +558,20 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: HAVING-filtered semi-join back onto the facts."""
+    """TPC-H Q18: HAVING-filtered semi-join back onto the facts.
+
+    Round 11: both quantity sums run as int64 fixed-point
+    (``plans.fixedpoint``): the groups are per-order (schema-bounded
+    <= 7 lineitems each, so a plain long sum cannot overflow at any
+    corpus size), the HAVING compares unscaled (``> 300_00``), and
+    the final value reconstructs through DECIMAL(38) — bit-identical
+    to the SUM(DECIMAL) formulation, ~2x faster at sf10.
+    """
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(D)).alias("q"))
-        .filter(F.col("q") > 300)
+        .agg(F.sum(ulong("l_quantity")).alias("q_u"))
+        .filter(F.col("q_u") > 300 * 100)
         .select("l_orderkey")
     )
     orders = _t(spark, sf_dir, "orders")
@@ -531,7 +582,11 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(D)).cast("double").alias("total_qty"))
+        .agg(F.sum(ulong("l_quantity")).alias("q_u"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", fx_double("q_u", 2).alias("total_qty"),
+        )
     )
 
 

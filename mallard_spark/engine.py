@@ -240,6 +240,46 @@ _DROP_SEQ_RE = re.compile(
     r"(?P<name>[A-Za-z_]\w*)\s*(?P<cascade>CASCADE|RESTRICT)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE TYPE (round 11): DuckDB 1.0's grammar has no OR REPLACE / IF
+# NOT EXISTS for types (both are Parser Errors, verified live) — the
+# regex deliberately doesn't accept them, so those spellings fall to
+# the same parse-shaped refusal DuckDB gives
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+"
+    r"(?:ENUM\s*\(\s*(?P<members>[^)]*)\)|(?P<alias>[^;]+?))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TYPE_RE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(?P<ife>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*(?P<cascade>CASCADE|RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_enum_members(body: str, ctx: str) -> list[str]:
+    """The quoted member list of an ENUM declaration → ordered Python
+    strings. Duplicate members raise DuckDB's Invalid Input Error
+    message (verified live); an empty list is legal (DuckDB allows
+    ``ENUM ()``)."""
+    members: list[str] = []
+    body = body.strip()
+    if body:
+        for lit in _split_top_level(body):
+            lm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", lit)
+            if lm is None:
+                raise ValueError(
+                    f"{ctx}: cannot parse ENUM member "
+                    f"{lit.strip()!r} (string literals only)"
+                )
+            members.append(lm.group(1).replace("''", "'"))
+    dup = next(
+        (v for i, v in enumerate(members) if v in members[:i]), None
+    )
+    if dup is not None:
+        raise ValueError(
+            f"Attempted to create ENUM type with duplicate value {dup}"
+        )
+    return members
 # CREATE SEQUENCE option tokens, matched iteratively over the tail
 _SEQ_OPT_RE = re.compile(
     r"""\s*(?:
@@ -1077,6 +1117,21 @@ class MallardEngine:
         # (evaluate-on-write like DEFAULTs) — read-side parity with
         # DuckDB's virtual evaluation at any scale, no per-read cost.
         self._generated: dict[str, list[tuple[str, str]]] = {}
+        # CREATE TYPE catalog (round 11): enum/alias types. `_enums`
+        # maps type name (as declared; looked up case-insensitively
+        # like SQL identifiers) → ordered member list; `_type_aliases`
+        # maps alias name → DuckDB type text. Session-level like
+        # sequences (EXPORT/IMPORT DATABASE round-trips them); the
+        # per-TABLE enum column bindings persist separately as the
+        # mallard.enums property, because DuckDB also bakes the member
+        # list into the column at CREATE TABLE time.
+        self._enums: dict[str, list[str]] = {}
+        self._type_aliases: dict[str, str] = {}
+        # table → {column → {"type": declared type name or None for
+        # inline ENUM(...), "values": ordered members}} — powers write
+        # validation, EXPORT DDL rendering, and DROP TYPE dependency
+        # tracking
+        self._table_enums: dict[str, dict[str, dict]] = {}
         # CREATE SEQUENCE catalog (round 11): name → mutable state
         # {inc, min, max, cycle, next, last}. The DICT snapshots into
         # transactions (create/drop rolls back) while the per-entry
@@ -1189,6 +1244,10 @@ class MallardEngine:
                                 props["mallard.generated"]
                             )
                         ]
+                    if props.get("mallard.enums"):
+                        self._table_enums[short] = json.loads(
+                            props["mallard.enums"]
+                        )
                 except Exception as e:  # pragma: no cover
                     # unreadable/undecodable declaration properties:
                     # never fail discovery, but say so — silently
@@ -1296,6 +1355,7 @@ class MallardEngine:
                     self._checks.pop(name, None)
                     self._fkeys.pop(name, None)
                     self._generated.pop(name, None)
+                    self._table_enums.pop(name, None)
                 return df.count() if count else None
             raise NotImplementedError(
                 f"put({name!r}, persist=True): overwriting an "
@@ -1359,6 +1419,7 @@ class MallardEngine:
             self._checks.pop(name, None)
             self._fkeys.pop(name, None)
             self._generated.pop(name, None)
+            self._table_enums.pop(name, None)
             if self._tx is not None and not persist:
                 # an explicit session redefinition cancels a deferred
                 # in-tx CREATE-with-persistence (last definition wins)
@@ -1399,6 +1460,10 @@ class MallardEngine:
         if self._generated.get(name):
             props.append(
                 ("mallard.generated", json.dumps(self._generated[name]))
+            )
+        if self._table_enums.get(name):
+            props.append(
+                ("mallard.enums", json.dumps(self._table_enums[name]))
             )
         if not props:
             return
@@ -1485,6 +1550,12 @@ class MallardEngine:
             "macros": dict(self._macros),
             # shallow: entry OBJECTS shared so counters survive rollback
             "sequences": dict(self._sequences),
+            "enums": {k: list(v) for k, v in self._enums.items()},
+            "type_aliases": dict(self._type_aliases),
+            "table_enums": {
+                t: {c: dict(m) for c, m in cols.items()}
+                for t, cols in self._table_enums.items()
+            },
             "generated": {
                 k: list(v) for k, v in self._generated.items()
             },
@@ -1949,6 +2020,9 @@ class MallardEngine:
         self._persistent = tx["persistent"]
         self._macros = tx["macros"]
         self._sequences = tx.get("sequences", self._sequences)
+        self._enums = tx.get("enums", self._enums)
+        self._type_aliases = tx.get("type_aliases", self._type_aliases)
+        self._table_enums = tx.get("table_enums", self._table_enums)
         self._generated = tx.get("generated", self._generated)
         # staged dirs stay on disk for txKeepRuns more transactions
         # (a DataFrame handed to user code inside the transaction may
@@ -2023,6 +2097,7 @@ class MallardEngine:
         self._checks.pop(name, None)
         self._fkeys.pop(name, None)
         self._generated.pop(name, None)
+        self._table_enums.pop(name, None)
 
     def health_check(self) -> bool:
         """Liveness probe: run ``SELECT 1`` through the session.
@@ -2312,9 +2387,17 @@ class MallardEngine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.list_tables()], "name string"
             )
-        if re.match(r"(?i)^\s*(EXPORT|IMPORT)\s+DATABASE\b", sql):
-            # EXPORT/IMPORT DATABASE are DDL-shaped (round 10);
-            # unparseable variants get the DDL router's NAMED error
+        if re.match(
+            r"(?i)^\s*((EXPORT|IMPORT)\s+DATABASE|"
+            r"CREATE\s+(OR\s+REPLACE\s+)?(TYPE|(TEMP(ORARY)?\s+)?"
+            r"SEQUENCE)|DROP\s+(TYPE|SEQUENCE))\b",
+            sql,
+        ):
+            # session-catalog DDL Spark's parser has no grammar for
+            # (EXPORT/IMPORT DATABASE round 10; CREATE/DROP TYPE and
+            # SEQUENCE round 11): route to the DDL dispatcher so a
+            # GET ticket carrying them works like on the reference;
+            # unparseable variants get the router's NAMED errors
             return self.spark.createDataFrame(
                 [(self.ddl(sql),)], "status string"
             )
@@ -2484,6 +2567,10 @@ class MallardEngine:
             # parsing (round 11; a macro may expand into them, so this
             # runs after macro inlining)
             sql = self._rewrite_seq_in_query(sql)
+        if self._enums or self._type_aliases or self._table_enums:
+            # enum positional semantics / ::type casts / enum_*
+            # functions (round 11) — text-level, literal-safe
+            sql = self._rewrite_enums_in_query(sql)
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))
@@ -2540,7 +2627,6 @@ class MallardEngine:
                     ) from first_err
             um = re.match(
                 r"(?i)^\s*(ATTACH|DETACH|"
-                r"CREATE\s+(?:OR\s+REPLACE\s+)?TYPE|"
                 r"FORCE\s+CHECKPOINT|FORCE\s+INSTALL|"
                 r"CHECKPOINT|INSTALL|LOAD)\b",
                 out,
@@ -3402,6 +3488,7 @@ class MallardEngine:
         checks: list[str] = []
         fkeys: list[dict] = []  # FOREIGN KEY declarations (round 10)
         generated: list[tuple[str, str | None, str]] = []  # round 11
+        table_enums: dict[str, dict] = {}  # enum columns (round 11)
         for item in _split_top_level(m.group("defs")):
             item = _normalize_def_ws(item).strip()
             if not item:
@@ -3506,7 +3593,22 @@ class MallardEngine:
                 )
                 residue = residue[: rm.start()] + " " + residue[rm.end():]
             mods = " " + residue.upper().strip() + " "
-            stype = _duck_type_to_spark(type_text, name, col)
+            enum_meta = self._resolve_enum_coltype(type_text, name, col)
+            if enum_meta is not None:
+                # enum columns store as VARCHAR with the member list
+                # baked into the table (DuckDB binds a copy too);
+                # membership enforces on every write path
+                table_enums[col] = enum_meta
+                stype = "string"
+            else:
+                alias = (
+                    self._type_alias_lookup(type_text.strip())
+                    if re.fullmatch(r"[A-Za-z_]\w*", type_text.strip())
+                    else None
+                )
+                stype = _duck_type_to_spark(
+                    alias if alias is not None else type_text, name, col
+                )
             if re.search(r"\b(COLLATE|GENERATED)\b", mods):
                 # a WELL-FORMED generated def was intercepted above —
                 # reaching here means an unparseable spelling
@@ -3697,8 +3799,13 @@ class MallardEngine:
             self._generated[name] = [(c, e) for c, _t, e in generated]
         else:
             self._generated.pop(name, None)
+        if table_enums:
+            self._table_enums[name] = table_enums
+        else:
+            self._table_enums.pop(name, None)
         if (
             defaults or checks or resolved_fkeys or generated
+            or table_enums
         ) and name in self._persistent:
             self._pin_keys_prop(name)
         return "OK"
@@ -3719,8 +3826,19 @@ class MallardEngine:
         items: list[str] = []
         defaults = self._defaults.get(name, {})
         gen = dict(self._generated.get(name, []))
+        enums = self._table_enums.get(name, {})
         for f in self._tables[name].schema.fields:
-            item = f"{q(f.name)} {_duck_type_name(f.dataType)}"
+            if f.name in enums:
+                # DuckDB's own export spelling for enum columns
+                # (verified live): inline member list, with the
+                # CREATE TYPE emitted separately by _export_database
+                mem = ", ".join(
+                    "'" + v.replace("'", "''") + "'"
+                    for v in enums[f.name]["values"]
+                )
+                item = f"{q(f.name)} ENUM({mem})"
+            else:
+                item = f"{q(f.name)} {_duck_type_name(f.dataType)}"
             if f.name in gen:
                 # DuckDB's own export spelling (verified live):
                 # `b INTEGER GENERATED ALWAYS AS((a + 1))`
@@ -3799,6 +3917,21 @@ class MallardEngine:
                     )
         schema_lines: list[str] = []
         load_lines: list[str] = []
+        for tname in sorted(self._enums):
+            # DuckDB's export form (verified live):
+            # CREATE TYPE mood AS ENUM ( 'sad', 'ok', 'happy' );
+            mem = ", ".join(
+                "'" + v.replace("'", "''") + "'"
+                for v in self._enums[tname]
+            )
+            schema_lines.append(
+                f"CREATE TYPE {tname} AS ENUM ( {mem} );"
+            )
+        for aname in sorted(self._type_aliases):
+            schema_lines.append(
+                f"CREATE TYPE {aname} AS "
+                f"{self._type_aliases[aname]};"
+            )
         for sname in sorted(self._sequences):
             st = self._sequences[sname]
             # DuckDB's export form (verified live): START carries the
@@ -4398,6 +4531,580 @@ class MallardEngine:
         del self._sequences[name]
         return "OK"
 
+    # -- user-defined types (round 11) ---------------------------------
+    #
+    # DuckDB CREATE TYPE ... AS ENUM (...) / AS <type> (alias) and
+    # DROP TYPE [IF EXISTS] [CASCADE] — the reference passes them to
+    # DuckDB verbatim (flight_server.py:342-352). Semantics verified
+    # live against DuckDB 1.0: duplicate name → Catalog Error,
+    # duplicate ENUM member → Invalid Input Error, no OR REPLACE /
+    # IF NOT EXISTS spellings (Parser Errors), DROP of an in-use type
+    # refuses with the dependency message, DROP ... CASCADE drops the
+    # dependent TABLES, and EXPORT DATABASE emits CREATE TYPE lines
+    # with inline ENUM(...) column spellings. Enum columns store as
+    # VARCHAR physically with the member list baked into the table
+    # (DuckDB also binds a copy at CREATE TABLE time); membership is
+    # enforced on every write path (see _enforce_enums) and ordering
+    # semantics are positional via the query-side rewrite
+    # (_rewrite_enums_in_query).
+
+    def _enum_lookup(self, name: str) -> list[str] | None:
+        """The member list of enum type ``name`` (SQL identifiers are
+        case-insensitive), or None."""
+        low = name.lower()
+        for k, v in self._enums.items():
+            if k.lower() == low:
+                return v
+        return None
+
+    def _type_alias_lookup(self, name: str) -> str | None:
+        low = name.lower()
+        for k, v in self._type_aliases.items():
+            if k.lower() == low:
+                return v
+        return None
+
+    def _type_exists(self, name: str) -> bool:
+        return (
+            self._enum_lookup(name) is not None
+            or self._type_alias_lookup(name) is not None
+        )
+
+    def _resolve_enum_coltype(
+        self, type_text: str, table: str, col: str
+    ) -> dict | None:
+        """``type_text`` as an enum column declaration → the binding
+        metadata {"type": declared name or None, "values": members},
+        or None when it isn't enum-shaped. Inline ``ENUM('a', ...)``
+        (DuckDB's own EXPORT spelling) and declared type names both
+        resolve; the member list is SNAPSHOTTED into the table like
+        DuckDB's binder (a later DROP TYPE CASCADE drops the table,
+        it never mutates it). Arrays/nests of enums refuse by name —
+        membership enforcement is per top-level column here."""
+        t = type_text.strip()
+        im = re.match(r"(?is)^ENUM\s*\((?P<body>.*)\)\s*$", t)
+        if im:
+            return {
+                "type": None,
+                "values": _parse_enum_members(
+                    im.group("body"), f"CREATE TABLE {table}.{col}"
+                ),
+            }
+        base = re.fullmatch(r"[A-Za-z_]\w*", t)
+        if base:
+            vals = self._enum_lookup(t)
+            if vals is not None:
+                return {"type": t, "values": list(vals)}
+            return None
+        lm = re.match(r"(?s)^(?P<inner>.*?)\s*\[\s*\]$", t)
+        if lm:
+            inner = lm.group("inner").strip()
+            if re.match(r"(?i)^ENUM\s*\(", inner) or (
+                re.fullmatch(r"[A-Za-z_]\w*", inner)
+                and self._enum_lookup(inner) is not None
+            ):
+                raise NotImplementedError(
+                    f"CREATE TABLE {table}: column {col!r} is an "
+                    f"ARRAY of ENUM — not supported (top-level enum "
+                    f"columns only; use VARCHAR[] with a CHECK)"
+                )
+        return None
+
+    def _ddl_create_type(self, m: "re.Match[str]") -> str:
+        name = m.group("name")
+        if self._type_exists(name):
+            # DuckDB's Catalog Error, same message shape
+            raise ValueError(f'Type with name "{name}" already exists!')
+        if m.group("members") is not None:
+            self._enums[name] = _parse_enum_members(
+                m.group("members"), f"CREATE TYPE {name}"
+            )
+            return "OK"
+        target = m.group("alias").strip()
+        tname = re.fullmatch(r"[A-Za-z_]\w*", target)
+        if tname and self._enum_lookup(target) is not None:
+            raise NotImplementedError(
+                f"CREATE TYPE {name} AS {target}: aliasing an ENUM "
+                f"type is not supported — declare a new ENUM with the "
+                f"same members"
+            )
+        if tname and self._type_alias_lookup(target) is not None:
+            target = self._type_alias_lookup(target)
+        # bind NOW like DuckDB's binder: the aliased type must map
+        _duck_type_to_spark(target, f"TYPE {name}", name)
+        self._type_aliases[name] = target
+        return "OK"
+
+    # -- enum query semantics (round 11) -------------------------------
+    #
+    # Enum columns store as VARCHAR, where equality / grouping /
+    # hashing already match DuckDB (equal labels <=> equal members).
+    # What VARCHAR gets wrong is ORDER: DuckDB compares enums by
+    # DEFINITION position (ORDER BY, min/max, <, BETWEEN — verified
+    # live: ENUM('sad','ok','happy') orders sad < ok < happy). Rather
+    # than diverge silently, sql() rewrites the positional contexts
+    # eagerly: bare enum-column sort keys, min()/max() calls,
+    # order comparisons against member literals or same-typed enum
+    # refs, and BETWEEN — each through array_position over the
+    # member-list literal (pure JVM codegen, no UDF). '::type' casts
+    # validate membership (literals at rewrite time with DuckDB's
+    # conversion error; expressions via a guarded CASE + raise_error),
+    # and enum_range / enum_first / enum_last / enum_code resolve to
+    # literals / array_position. Positional contexts the rewriter
+    # cannot resolve unambiguously refuse by name instead of
+    # returning VARCHAR-ordered answers.
+
+    @staticmethod
+    def _enum_arr_sql(members: list[str]) -> str:
+        return "array(" + ", ".join(
+            "'" + v.replace("'", "''") + "'" for v in members
+        ) + ")"
+
+    @staticmethod
+    def _enum_pos_sql(members: list[str], ref: str) -> str:
+        return (
+            f"array_position("
+            f"{MallardEngine._enum_arr_sql(members)}, {ref})"
+        )
+
+    def _enum_member_index(
+        self, members: list[str], lit: str, typename: str
+    ) -> int:
+        """1-based position of a member literal; DuckDB's conversion
+        error when absent (it errors even inside comparisons —
+        verified live: 'b'::m < 'zzz' is a Conversion Error)."""
+        try:
+            return members.index(lit) + 1
+        except ValueError:
+            raise ValueError(
+                f"Could not convert string '{lit}' to {typename} "
+                f"(accepted: "
+                + ", ".join(f"'{v}'" for v in members)
+                + ")"
+            ) from None
+
+    def _enum_query_context(self, sql: str) -> dict[str, object]:
+        """Resolution context for one statement: enum COLUMN name
+        (lowercased) → member list, for columns of namespace tables
+        the statement references; a name declared with CONFLICTING
+        member lists across referenced tables maps to the string
+        "ambiguous". Also carries the named-TYPE map for ::casts."""
+        cols: dict[str, object] = {}
+        for t, colmap in self._table_enums.items():
+            if not re.search(
+                rf"(?<![\w.]){re.escape(t)}\b", sql
+            ):
+                continue
+            for c, meta in colmap.items():
+                low = c.lower()
+                vals = meta["values"]
+                if low in cols and cols[low] != vals:
+                    cols[low] = "ambiguous"
+                elif low not in cols:
+                    cols[low] = vals
+        return cols
+
+    def _rewrite_enums_in_query(self, sql: str) -> str:
+        """Apply the enum query-semantics rewrites (see the section
+        comment above). Pure text→text; every replacement span is
+        verified to sit in CODE (dialect._scan), so string literals
+        and comments never rewrite."""
+        from mallard_spark.dialect import _scan
+
+        def code_mask(s: str) -> list[bool]:
+            mask = [False] * len(s)
+            for i, _ch, _d, in_code in _scan(s):
+                mask[i] = in_code
+            return mask
+
+        REF = r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*"
+        LIT = r"'(?:[^']|'')*'"
+
+        ctx = self._enum_query_context(sql)
+
+        def resolve_ref(ref: str) -> list[str] | None:
+            """ref text → member list when it names an enum column;
+            raises on ambiguity (positional semantics would otherwise
+            silently fall back to VARCHAR order)."""
+            parts = [p.strip() for p in ref.split(".")]
+            base = parts[-1].lower()
+            got = ctx.get(base)
+            if got is None:
+                return None
+            if len(parts) == 2:
+                qual = parts[0]
+                # a KNOWN table qualifier must actually carry the col
+                qmap = self._table_enums.get(qual)
+                if qual in self._tables and (
+                    qmap is None
+                    or not any(c.lower() == base for c in qmap)
+                ):
+                    return None
+            if got == "ambiguous":
+                raise NotImplementedError(
+                    f"enum column {parts[-1]!r} resolves to different "
+                    f"ENUM types across the referenced tables — "
+                    f"positional semantics (ORDER BY / min / max / "
+                    f"range comparisons) need an unambiguous type; "
+                    f"qualify or rename the column"
+                )
+            return got  # type: ignore[return-value]
+
+        def lit_value(t: str) -> str:
+            return t[1:-1].replace("''", "'")
+
+        # ---- 1. enum_* functions (before casts strip ::type) --------
+        def enum_fn_members(arg: str) -> tuple[list[str], str] | None:
+            """(members, value-expression) for an enum_* argument."""
+            cm = re.match(
+                rf"(?is)^\s*(?P<v>NULL|{LIT}|{REF})\s*::\s*"
+                rf"(?P<t>[A-Za-z_]\w*)\s*$",
+                arg,
+            )
+            if cm:
+                vals = self._enum_lookup(cm.group("t"))
+                if vals is None:
+                    return None
+                v = cm.group("v")
+                if re.fullmatch(LIT, v):
+                    self._enum_member_index(
+                        vals, lit_value(v), cm.group("t")
+                    )
+                return vals, v
+            rm = re.match(rf"(?s)^\s*(?P<r>{REF})\s*$", arg)
+            if rm:
+                vals = resolve_ref(rm.group("r"))
+                if vals is not None:
+                    return vals, rm.group("r")
+            return None
+
+        def sub_enum_fns(s: str) -> str:
+            out, changed = s, True
+            while changed:
+                changed = False
+                mask = code_mask(out)
+                for m in re.finditer(
+                    r"(?i)\benum_(range|first|last|code)\s*\(", out
+                ):
+                    if not mask[m.start()]:
+                        continue
+                    close = _take_balanced(out, m.end() - 1)
+                    arg = out[m.end(): close - 1]
+                    got = enum_fn_members(arg)
+                    if got is None:
+                        continue
+                    vals, vexpr = got
+                    kind = m.group(1).lower()
+                    if kind == "range":
+                        rep = self._enum_arr_sql(vals)
+                    elif kind in ("first", "last"):
+                        if not vals:
+                            raise ValueError(
+                                f"enum_{kind}: the enum has no members"
+                            )
+                        v = vals[0] if kind == "first" else vals[-1]
+                        rep = "'" + v.replace("'", "''") + "'"
+                    else:  # enum_code: 0-based position
+                        rep = (
+                            f"CAST({self._enum_pos_sql(vals, vexpr)} "
+                            f"- 1 AS INT)"
+                        )
+                    out = out[: m.start()] + rep + out[close:]
+                    changed = True
+                    break
+            return out
+
+        sql = sub_enum_fns(sql)
+
+        # ---- 2. order comparisons and BETWEEN (BEFORE the cast
+        # rewrite strips ::type markers). DuckDB 1.0's matrix,
+        # verified live: enum-vs-enum (refs or 'lit'::type casts of
+        # the SAME type) compares POSITIONALLY; enum-vs-BARE-varchar-
+        # literal compares as VARCHAR (left as-is — plain string
+        # compare is already right); greatest/least use VARCHAR too
+        # (untouched). ---------------------------------------------
+
+        def enum_operand(t: str) -> tuple[list[str], str] | None:
+            """operand text → (members, position-expression) when it
+            is enum-TYPED (a resolvable ref or a 'lit'::type cast)."""
+            cm = re.match(
+                rf"(?is)^(?P<v>{LIT})\s*::\s*(?P<t>[A-Za-z_]\w*)$",
+                t.strip(),
+            )
+            if cm:
+                vals = self._enum_lookup(cm.group("t"))
+                if vals is None:
+                    return None
+                idx = self._enum_member_index(
+                    vals, lit_value(cm.group("v")), cm.group("t")
+                )
+                return vals, str(idx)
+            if re.fullmatch(rf"(?s){REF}", t.strip()):
+                vals = resolve_ref(t.strip())
+                if vals is not None:
+                    return vals, self._enum_pos_sql(vals, t.strip())
+            return None
+
+        ENUM_OPERAND = rf"(?:{LIT}\s*::\s*[A-Za-z_]\w*|{LIT}|{REF})"
+
+        def sub_compares(s: str) -> str:
+            out, changed = s, True
+            while changed:
+                changed = False
+                mask = code_mask(out)
+                pat = re.compile(
+                    rf"(?s)(?P<l>{ENUM_OPERAND})\s*"
+                    rf"(?P<op><=|>=|<|>)\s*(?P<r>{ENUM_OPERAND})"
+                )
+                for m in pat.finditer(out):
+                    oppos = m.start("op")
+                    if not mask[oppos]:
+                        continue
+                    before = out[oppos - 1] if oppos else ""
+                    after = (
+                        out[m.end("op")]
+                        if m.end("op") < len(out) else ""
+                    )
+                    if before in "<>-=!:" or after in "<>=":
+                        continue
+                    le = enum_operand(m.group("l"))
+                    ri = enum_operand(m.group("r"))
+                    if le is None or ri is None or le[0] != ri[0]:
+                        continue  # not both same-typed enum operands
+                    rep = f"{le[1]} {m.group('op')} {ri[1]}"
+                    out = out[: m.start()] + rep + out[m.end():]
+                    changed = True
+                    break
+            return out
+
+        sql = sub_compares(sql)
+
+        def sub_between(s: str) -> str:
+            mask = code_mask(s)
+            pat = re.compile(
+                rf"(?is)(?P<r>{ENUM_OPERAND})\s+BETWEEN\s+"
+                rf"(?P<a>{ENUM_OPERAND})\s+AND\s+(?P<b>{ENUM_OPERAND})"
+            )
+            out, off = s, 0
+            for m in pat.finditer(s):
+                if not mask[m.start()]:
+                    continue
+                ops = [enum_operand(m.group(g)) for g in ("r", "a", "b")]
+                if any(o is None for o in ops):
+                    continue
+                if ops[0][0] != ops[1][0] or ops[0][0] != ops[2][0]:
+                    continue
+                rep = (
+                    f"{ops[0][1]} BETWEEN {ops[1][1]} AND {ops[2][1]}"
+                )
+                out = out[: m.start() + off] + rep + out[m.end() + off:]
+                off += len(rep) - (m.end() - m.start())
+            return out
+
+        sql = sub_between(sql)
+
+        # ---- 3. ::type casts ----------------------------------------
+        def sub_casts(s: str) -> str:
+            out, changed = s, True
+            while changed:
+                changed = False
+                mask = code_mask(out)
+                for m in re.finditer(
+                    rf"(?is)(?P<v>NULL|{LIT}|{REF}|\))\s*::\s*"
+                    rf"(?P<t>[A-Za-z_]\w*)",
+                    out,
+                ):
+                    cpos = out.find("::", m.start("v"))
+                    if not mask[cpos]:
+                        continue
+                    tname = m.group("t")
+                    vals = self._enum_lookup(tname)
+                    alias = (
+                        self._type_alias_lookup(tname)
+                        if vals is None
+                        else None
+                    )
+                    if vals is None and alias is None:
+                        continue
+                    v = m.group("v")
+                    start = m.start("v")
+                    if v == ")":  # balanced paren operand: scan back
+                        depth = 0
+                        i = cpos - 1
+                        while i >= 0:
+                            if mask[i] and out[i] == ")":
+                                depth += 1
+                            elif mask[i] and out[i] == "(":
+                                depth -= 1
+                                if depth == 0:
+                                    break
+                            i -= 1
+                        if i < 0:
+                            continue
+                        start, v = i, out[i:cpos].strip()
+                    if alias is not None:
+                        rep = f"CAST({v} AS {alias})"
+                    elif v.upper() == "NULL":
+                        rep = "CAST(NULL AS STRING)"
+                    elif re.fullmatch(LIT, v):
+                        self._enum_member_index(
+                            vals, lit_value(v), tname
+                        )
+                        rep = v
+                    else:
+                        arr = self._enum_arr_sql(vals)
+                        rep = (
+                            f"(CASE WHEN ({v}) IS NULL THEN "
+                            f"CAST(NULL AS STRING) WHEN "
+                            f"array_position({arr}, CAST({v} AS "
+                            f"STRING)) > 0 THEN CAST({v} AS "
+                            f"STRING) ELSE raise_error(concat('Could "
+                            f"not convert string ''', CAST({v} AS "
+                            f"STRING), ''' to {tname}')) END)"
+                        )
+                    out = out[:start] + rep + out[m.end():]
+                    changed = True
+                    break
+            return out
+
+        sql = sub_casts(sql)
+        if not ctx:
+            return sql
+
+        # ---- 4. min()/max() -----------------------------------------
+        def sub_minmax(s: str) -> str:
+            out, changed = s, True
+            while changed:
+                changed = False
+                mask = code_mask(out)
+                pat = re.compile(
+                    rf"(?is)\b(?P<f>min|max)\s*\(\s*(?P<r>{REF})\s*\)"
+                )
+                for m in pat.finditer(out):
+                    if not mask[m.start()]:
+                        continue
+                    vals = resolve_ref(m.group("r"))
+                    if vals is None:
+                        continue
+                    pos = self._enum_pos_sql(vals, m.group("r"))
+                    rep = (
+                        f"element_at({self._enum_arr_sql(vals)}, "
+                        f"CAST({m.group('f')}({pos}) AS INT))"
+                    )
+                    out = out[: m.start()] + rep + out[m.end():]
+                    changed = True
+                    break
+            return out
+
+        sql = sub_minmax(sql)
+
+        # ---- 5. ORDER BY sort keys ----------------------------------
+        def sub_order_keys(s: str) -> str:
+            mask = code_mask(s)
+            edits: list[tuple[int, int, str]] = []
+            for m in re.finditer(r"(?i)\bORDER\s+BY\b", s):
+                if not mask[m.start()]:
+                    continue
+                i, depth = m.end(), 0
+                key_start = i
+                keys: list[tuple[int, int]] = []
+
+                def close_key(end: int) -> None:
+                    keys.append((key_start, end))
+
+                while i < len(s):
+                    c = s[i]
+                    if mask[i]:
+                        if c == "(":
+                            depth += 1
+                        elif c == ")":
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        elif c == "," and depth == 0:
+                            close_key(i)
+                            key_start = i + 1
+                        elif depth == 0 and c == ";":
+                            break
+                        elif depth == 0 and re.match(
+                            r"(?i)(LIMIT|OFFSET|ROWS|RANGE|USING|"
+                            r"UNION|INTERSECT|EXCEPT)\b",
+                            s[i:],
+                        ) and (i == 0 or not (
+                            s[i - 1].isalnum() or s[i - 1] == "_"
+                        )):
+                            break
+                    i += 1
+                close_key(i)
+                for a, b in keys:
+                    key = s[a:b]
+                    km = re.match(
+                        rf"(?is)^(?P<pre>\s*)(?P<r>{REF})"
+                        rf"(?P<tail>\s*(?:ASC|DESC)?\s*"
+                        rf"(?:NULLS\s+(?:FIRST|LAST))?\s*)$",
+                        key,
+                    )
+                    if km is None:
+                        continue
+                    vals = resolve_ref(km.group("r"))
+                    if vals is None:
+                        continue
+                    rep = (
+                        km.group("pre")
+                        + self._enum_pos_sql(vals, km.group("r"))
+                        + km.group("tail")
+                    )
+                    edits.append((a, b, rep))
+            for a, b, rep in sorted(edits, reverse=True):
+                s = s[:a] + rep + s[b:]
+            return s
+
+        return sub_order_keys(sql)
+
+    def _enum_dependents(self, name: str) -> list[str]:
+        low = name.lower()
+        return sorted(
+            t
+            for t, cols in self._table_enums.items()
+            if t in self._tables
+            and any(
+                (meta.get("type") or "").lower() == low
+                for meta in cols.values()
+            )
+        )
+
+    def _ddl_drop_type(self, m: "re.Match[str]") -> str:
+        name = m.group("name")
+        if not self._type_exists(name):
+            if m.group("ife"):
+                return "OK"
+            raise ValueError(
+                f"Type with name {name} does not exist!"
+            )
+        deps = self._enum_dependents(name)
+        cascade = (m.group("cascade") or "").upper() == "CASCADE"
+        if deps and not cascade:
+            # DuckDB's dependency error, same shape
+            raise ValueError(
+                f'Cannot drop entry "{name}" because there are '
+                f'entries that depend on it. table "{deps[0]}" '
+                f'depends on type "{name}". Use DROP...CASCADE to '
+                f"drop all dependents."
+            )
+        if cascade:
+            for t in deps:  # DuckDB drops the dependent TABLES
+                self.drop(t)
+        low = name.lower()
+        self._enums = {
+            k: v for k, v in self._enums.items() if k.lower() != low
+        }
+        self._type_aliases = {
+            k: v
+            for k, v in self._type_aliases.items()
+            if k.lower() != low
+        }
+        return "OK"
+
     def _seq_entry(self, name: str) -> dict[str, Any]:
         st = self._sequences.get(name)
         if st is None:
@@ -4709,6 +5416,23 @@ class MallardEngine:
         m = _DROP_SEQ_RE.match(sql)
         if m:
             return self._ddl_drop_sequence(m)
+        m = _CREATE_TYPE_RE.match(sql)
+        if m:
+            return self._ddl_create_type(m)
+        m = _DROP_TYPE_RE.match(sql)
+        if m:
+            return self._ddl_drop_type(m)
+        if re.match(r"(?i)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TYPE\b", sql):
+            # CREATE OR REPLACE TYPE / IF NOT EXISTS / unparseable
+            # member list: DuckDB 1.0's parser rejects these spellings
+            # too — name the accepted grammar instead of leaking a
+            # Spark parse error
+            raise ValueError(
+                f"cannot parse {sql.strip()[:80]!r} — expected "
+                f"CREATE TYPE <name> AS ENUM ('v', ...) or CREATE "
+                f"TYPE <name> AS <type> (DuckDB 1.0 has no OR "
+                f"REPLACE / IF NOT EXISTS forms for types)"
+            )
         m = _CREATE_AS_RE.match(sql)
         if m:
             self.put(
@@ -4913,6 +5637,7 @@ class MallardEngine:
             carried_checks = self._checks.get(name)
             carried_fkeys = self._fkeys.get(name)
             carried_gen = self._generated.get(name)
+            carried_enums = self._table_enums.get(name)
             carried_vsql = self._view_sql.get(name)
             if self._fk_referencing(name):
                 # DuckDB (verified live): renaming a table other
@@ -4975,6 +5700,8 @@ class MallardEngine:
                 self._fkeys[new] = carried_fkeys
             if carried_gen is not None:  # GENERATED columns follow
                 self._generated[new] = carried_gen
+            if carried_enums is not None:  # enum column bindings follow
+                self._table_enums[new] = carried_enums
             if carried_vsql is not None:  # view definition follows
                 self._view_sql[new] = carried_vsql
             self._view_sql.pop(name, None)
@@ -4982,6 +5709,7 @@ class MallardEngine:
             self._checks.pop(name, None)
             self._fkeys.pop(name, None)
             self._generated.pop(name, None)
+            self._table_enums.pop(name, None)
             # persisted tables: the mallard.* properties follow the
             # native catalog rename automatically, but a
             # SELF-referencing FK's content changed (ref now points
@@ -5864,6 +6592,7 @@ class MallardEngine:
             or self._checks.get(name)
             or self._fkeys.get(name)
             or self._generated.get(name)
+            or self._table_enums.get(name)
         )
         if name in self._persistent and self._tx is None and not needs_align:
             # Warehouse table: Spark's native INSERT INTO appends
@@ -5905,6 +6634,7 @@ class MallardEngine:
             # the proposed rows; insertInto APPENDS (aligned is in
             # schema order) — existing data is never rewritten
             self._enforce_checks(name, aligned, "INSERT")
+            self._enforce_enums(name, aligned, "INSERT")
             # FK check over the PROPOSED rows only (the append never
             # rewrites existing data); a self-referencing key checks
             # against the post-statement union
@@ -6461,6 +7191,43 @@ class MallardEngine:
                 f"(the generated values recompute on those paths)"
             )
 
+    def _enforce_enums(self, name: str, df: DataFrame, verb: str) -> None:
+        """Every enum column's written values must be members of its
+        declared member list — ONE bounded aggregate job over the
+        written/proposed rows (round 11; same probe discipline as
+        ``_enforce_checks``: append paths probe the new rows only).
+        NULL passes (DuckDB's enum columns are nullable); a non-member
+        errors like DuckDB's enum conversion ("Could not convert
+        string 'x' to ...", verified live — the message here names
+        the column and members instead of DuckDB's opaque UINT8)."""
+        enums = self._table_enums.get(name)
+        if not enums:
+            return
+        from pyspark.sql import functions as F
+
+        cols = [c for c in enums if c in df.columns]
+        if not cols:
+            return
+        aggs = []
+        for c in cols:
+            bad = F.col(c).isNotNull() & ~F.col(c).isin(
+                *enums[c]["values"]
+            ) if enums[c]["values"] else F.col(c).isNotNull()
+            aggs.append(F.max(F.when(bad, F.col(c))).alias(f"b_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        for i, c in enumerate(cols):
+            if row[i] is not None:
+                tname = enums[c]["type"] or "ENUM"
+                members = ", ".join(
+                    f"'{v}'" for v in enums[c]["values"]
+                )
+                raise ConstraintViolationError(
+                    f"{verb}: Could not convert string '{row[i]}' to "
+                    f"{tname} — column {c!r} of {name!r} accepts "
+                    f"({members}); DuckDB rejects the statement the "
+                    f"same way"
+                )
+
     def _enforce_checks(self, name: str, df: DataFrame, verb: str) -> None:
         """Validate every declared CHECK constraint over ``df`` in ONE
         bounded aggregate job (round 9). SQL semantics: a NULL
@@ -6615,6 +7382,7 @@ class MallardEngine:
         # declared CHECK constraints gate every rewrite path (UPDATE,
         # MERGE, upserts, session INSERT unions) in one place
         self._enforce_checks(name, probe, "DML")
+        self._enforce_enums(name, probe, "DML")
         # declared FOREIGN KEYs gate both directions here too: this
         # table's fk values must exist in their parents (child side;
         # self-referencing keys check the NEW content), and if this

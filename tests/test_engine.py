@@ -974,9 +974,19 @@ def test_macro_wrong_arity_and_table_macro_refusal(spark):
     eng.ddl("CREATE MACRO m1(x) AS x + 1")
     with _pytest.raises(Exception):  # arity mismatch -> unexpanded -> analysis error
         eng.sql("SELECT m1(1, 2)").collect()
-    # typed parameters still refuse by name
+    # typed parameters refuse by name — and that IS parity: DuckDB
+    # 1.0 (the oracle) has no typed-macro-parameter grammar either;
+    # its parser rejects the same statement (round 11, proven live
+    # here so the refusal can't silently drift out of parity if a
+    # newer DuckDB grows the feature)
     with _pytest.raises(NotImplementedError, match="parameter"):
         eng.ddl("CREATE MACRO tp(a INT) AS a + 1")
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    with _pytest.raises(Exception, match="(?i)parser|syntax"):
+        con.execute("CREATE MACRO tp(a INTEGER) AS a + 1")
+    con.close()
     # a required parameter after a defaulted one is a definition error
     with _pytest.raises(ValueError, match="without a default"):
         eng.ddl("CREATE MACRO bad(a := 3, b) AS a + b")
@@ -989,8 +999,7 @@ def test_session_storage_statements_named_refusals(spark):
     for sql, frag in [
         ("ATTACH 'other.db' AS other", "namespace IS a catalog"),
         # (EXPORT/IMPORT DATABASE became real statements in round 10;
-        # CREATE SEQUENCE became a real statement in round 11)
-        ("CREATE TYPE mood AS ENUM ('a')", "type catalog"),
+        # CREATE SEQUENCE and CREATE TYPE in round 11)
         ("INSTALL httpfs", "extensions"),
     ]:
         with _pytest.raises(NotImplementedError, match=frag):

@@ -253,10 +253,11 @@ def test_returning_named_refusals(spark):
     assert eng.sql("SELECT count(*) AS n FROM rt").collect()[0].n == 2
 
 
-def test_create_type_named_refusal(spark):
+def test_create_type_is_real_now(spark):
+    # round 11: CREATE TYPE became a real statement (tests/test_enums.py)
     eng = MallardEngine(spark, "t_ctype")
-    with pytest.raises(NotImplementedError, match="type catalog"):
-        eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    eng.sql("DROP TYPE mood")
 
 
 def test_update_from_unknown_column_and_empty_clauses(spark):

@@ -2170,6 +2170,8 @@ class MallardEngine:
             status = self.ddl(last)
         elif self.is_dml(last):
             status = self.dml(last)
+            if isinstance(status, DataFrame):
+                return status  # RETURNING answers the affected rows
         elif self.is_copy(last):
             status = self.copy(last)
         else:
@@ -4410,10 +4412,12 @@ class MallardEngine:
         round-2 ``toArrow()`` driver materialization the VERDICT
         flagged as the serving-path scale-killer). Results estimated
         under ``driver_max_bytes`` skip the stage (see
-        :func:`stream_df_arrow`).
+        :func:`stream_df_arrow`). Accepts an already-built DataFrame
+        too (round 11 — RETURNING answers stream through here).
         """
+        df = sql if isinstance(sql, DataFrame) else self.sql(sql)
         return stream_df_arrow(
-            self._deliver(self.sql(sql)),
+            self._deliver(df),
             batch_rows=batch_rows, driver_max_bytes=driver_max_bytes,
         )
 
@@ -6247,15 +6251,26 @@ class MallardEngine:
         re-registration for session tables — both bounded-memory at
         any table size.
         """
-        if re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
+        returning: str | None = None
+        if re.match(
+            r"^\s*(INSERT|UPDATE|DELETE)\b", sql, re.IGNORECASE
+        ):
             from mallard_spark.dialect import _find_kw
 
-            if _find_kw(sql, "RETURNING", at_depth=0) >= 0:
-                raise NotImplementedError(
-                    "INSERT ... RETURNING is not supported: run the "
-                    "INSERT, then SELECT the rows you need (the engine "
-                    "executes both in one script ticket)"
-                )
+            r = _find_kw(sql, "RETURNING", at_depth=0)
+            if r >= 0:
+                # RETURNING (round 11): split the clause off here so
+                # every verb parser below sees a clean statement; the
+                # affected-rows relation evaluates it at the end
+                # (DuckDB semantics, verified live: INSERT returns the
+                # inserted rows with defaults/sequences/generated
+                # filled, UPDATE the NEW values of affected rows,
+                # DELETE the deleted rows; expressions + aliases +
+                # ``*`` are a projection over that relation)
+                returning = sql[r + len("RETURNING"):].rstrip("; \n\t")
+                if not returning.strip():
+                    raise ValueError("empty RETURNING clause")
+                sql = sql[:r].rstrip()
         if self._sequences and _SEQ_CALL_RE.search(sql) \
                 and self._seq_calls(sql):
             sql = self._rewrite_seq_in_dml(sql)
@@ -6263,6 +6278,14 @@ class MallardEngine:
             r"^\s*INSERT\s+OR\s+(?P<mode>REPLACE|IGNORE)\s+INTO\b(?P<rest>.*)$",
             sql, re.IGNORECASE | re.DOTALL,
         )
+        if (orm or _split_on_conflict(sql) is not None) and returning:
+            raise NotImplementedError(
+                "RETURNING on INSERT OR REPLACE/IGNORE and ON CONFLICT "
+                "forms is not supported — run the upsert, then SELECT "
+                "the affected keys (the engine executes both in one "
+                "script ticket); plain INSERT/UPDATE/DELETE RETURNING "
+                "are supported"
+            )
         if orm:
             # round 8: lowered onto the ON CONFLICT → MERGE machinery
             # using the table's DECLARED keys (CREATE TABLE ... PRIMARY
@@ -6322,6 +6345,7 @@ class MallardEngine:
             return self._dml_insert(
                 m.group("name"), m.group("cols"), m.group("rest"),
                 by_name=bool(m.group("byname")),
+                returning=returning,
             )
         m = _UPDATE_RE.match(sql)
         if m:
@@ -6329,12 +6353,6 @@ class MallardEngine:
 
             rest = m.group("rest")
             alias = m.group("a1") or m.group("a2")
-            if _find_kw(rest, "RETURNING", at_depth=0) >= 0:
-                raise NotImplementedError(
-                    "UPDATE ... RETURNING is not supported: run the "
-                    "UPDATE, then SELECT the rows you need (the engine "
-                    "executes both in one script ticket)"
-                )
             f = _find_kw(rest, "FROM", at_depth=0)
             w = _find_kw(rest, "WHERE", at_depth=0, start=max(f, 0))
             if f >= 0:
@@ -6346,23 +6364,20 @@ class MallardEngine:
                 ).strip()
                 where = rest[w + len("WHERE") :] if w >= 0 else None
                 return self._dml_update_from(
-                    m.group("name"), alias, sets, from_text, where
+                    m.group("name"), alias, sets, from_text, where,
+                    returning=returning,
                 )
             sets = rest[:w].rstrip() if w >= 0 else rest
             where = rest[w + len("WHERE") :] if w >= 0 else None
-            return self._dml_update(m.group("name"), sets, where, alias)
+            return self._dml_update(
+                m.group("name"), sets, where, alias, returning=returning
+            )
         m = _DELETE_RE.match(sql)
         if m:
             from mallard_spark.dialect import _find_kw
 
             rest = m.group("rest") or ""
             alias = m.group("a1") or m.group("a2")
-            if _find_kw(rest, "RETURNING", at_depth=0) >= 0:
-                raise NotImplementedError(
-                    "DELETE ... RETURNING is not supported: SELECT the "
-                    "rows first, then run the DELETE (the engine "
-                    "executes both in one script ticket)"
-                )
             u = _find_kw(rest, "USING", at_depth=0)
             w = _find_kw(rest, "WHERE", at_depth=0, start=max(u, 0))
             where = rest[w + len("WHERE") :] if w >= 0 else None
@@ -6373,7 +6388,8 @@ class MallardEngine:
                     else rest[u + len("USING") :]
                 ).strip()
                 return self._dml_delete_using(
-                    m.group("name"), alias, using_text, where
+                    m.group("name"), alias, using_text, where,
+                    returning=returning,
                 )
             head = rest[:w] if w >= 0 else rest
             if head.strip():
@@ -6382,7 +6398,9 @@ class MallardEngine:
                     f"[AS alias] [USING sources] [WHERE cond]): "
                     f"{sql[:120]!r}"
                 )
-            return self._dml_delete(m.group("name"), where)
+            return self._dml_delete(
+                m.group("name"), where, alias=alias, returning=returning
+            )
         if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
             from mallard_spark.merge_sql import execute_merge
 
@@ -6578,8 +6596,9 @@ class MallardEngine:
         )
 
     def _dml_insert(
-        self, name: str, cols: str | None, rest: str, by_name: bool = False
-    ) -> str:
+        self, name: str, cols: str | None, rest: str,
+        by_name: bool = False, returning: str | None = None,
+    ) -> "str | DataFrame":
         from pyspark.sql import functions as F
 
         rest = rest.rstrip("; \n\t ")
@@ -6593,6 +6612,8 @@ class MallardEngine:
             or self._fkeys.get(name)
             or self._generated.get(name)
             or self._table_enums.get(name)
+            # RETURNING needs the aligned proposed-rows relation
+            or returning is not None
         )
         if name in self._persistent and self._tx is None and not needs_align:
             # Warehouse table: Spark's native INSERT INTO appends
@@ -6628,6 +6649,13 @@ class MallardEngine:
                 pass
         tbl = self._dml_table(name)
         aligned = self._insert_source_df(name, cols, rest, by_name=by_name)
+        if returning is not None:
+            # pin the proposed rows BEFORE the write: the insert and
+            # the RETURNING projection must observe the SAME values
+            # (volatile defaults like now()), and a lazy plan over
+            # `INSERT INTO t SELECT ... FROM t` would double-read
+            # after the append publishes
+            aligned = aligned.localCheckpoint(eager=True)
         if name in self._persistent and self._tx is None:
             # a warehouse table with DEFAULT/CHECK declarations: the
             # aligned relation carries the default fills; CHECKs gate
@@ -6644,10 +6672,14 @@ class MallardEngine:
             )
             aligned.write.insertInto(self._qualified(name))
             self._tables[name] = self.spark.table(self._qualified(name))
+            if returning is not None:
+                return self._returning_df(name, None, aligned, returning)
             return "OK"
         self._write_back(
             name, tbl.unionByName(aligned), append=True, proposed=aligned
         )
+        if returning is not None:
+            return self._returning_df(name, None, aligned, returning)
         return "OK"
 
     def _insert_source_df(
@@ -6835,8 +6867,8 @@ class MallardEngine:
 
     def _dml_update(
         self, name: str, sets: str, where: str | None,
-        alias: str | None = None,
-    ) -> str:
+        alias: str | None = None, returning: str | None = None,
+    ) -> "str | DataFrame":
         from pyspark.sql import functions as F
 
         tbl = self._dml_table(name)
@@ -6902,23 +6934,59 @@ class MallardEngine:
                 for f in tbl.schema.fields
             ]
         )
+        ret: DataFrame | None = None
+        if returning is not None:
+            # affected rows = the WHERE-matched rows with every SET
+            # applied (the NEW values — DuckDB semantics, verified
+            # live) + generated recompute; pinned before the write
+            aff = tbl.filter(cond).select(
+                *[
+                    (
+                        updates[f.name].cast(f.dataType).alias(f.name)
+                        if f.name in updates
+                        else F.col(f.name)
+                    )
+                    for f in tbl.schema.fields
+                ]
+            )
+            ret = self._apply_generated(name, aff).localCheckpoint(
+                eager=True
+            )
         # generated values recompute over the post-SET rows (round 11)
         self._write_back(name, self._apply_generated(name, new))
+        if ret is not None:
+            return self._returning_df(name, alias, ret, returning)
         return "OK"
 
-    def _dml_delete(self, name: str, where: str | None) -> str:
+    def _dml_delete(
+        self, name: str, where: str | None,
+        alias: str | None = None, returning: str | None = None,
+    ) -> "str | DataFrame":
         from pyspark.sql import functions as F
 
         tbl = self._dml_table(name)
         if where is None:
+            ret = (
+                tbl.localCheckpoint(eager=True)
+                if returning is not None else None
+            )
             self._write_back(name, tbl.limit(0))
+            if ret is not None:
+                return self._returning_df(name, alias, ret, returning)
             return "OK"
         if not where.strip():
             raise ValueError(f"DELETE FROM {name}: empty WHERE clause")
         where = self._rewrite_refs(where).rstrip("; \n\t ")
+        probe = tbl.alias(alias) if alias else tbl
         # Keep rows where the condition is NOT TRUE (false or NULL).
-        keep = ~self._duck_expr(where, probe=tbl).eqNullSafe(F.lit(True))
-        self._write_back(name, tbl.filter(keep))
+        hit = self._duck_expr(where, probe=probe).eqNullSafe(F.lit(True))
+        ret = (
+            probe.filter(hit).localCheckpoint(eager=True)
+            if returning is not None else None
+        )
+        self._write_back(name, probe.filter(~hit))
+        if ret is not None:
+            return self._returning_df(name, alias, ret, returning)
         return "OK"
 
     @staticmethod
@@ -7023,7 +7091,8 @@ class MallardEngine:
     def _dml_update_from(
         self, name: str, alias: str | None, sets: str,
         from_text: str, where: str | None,
-    ) -> str:
+        returning: str | None = None,
+    ) -> "str | DataFrame":
         """DuckDB's join-update ``UPDATE t [AS x] SET ... FROM srcs
         [WHERE cond]`` (round 11). Semantics verified live against
         DuckDB 1.0: target rows with ≥1 matching source combination
@@ -7109,15 +7178,34 @@ class MallardEngine:
                 for f in tbl.schema.fields
             ]
         )
+        ret: DataFrame | None = None
+        if returning is not None:
+            aff = joined.filter(
+                F.col(hit).eqNullSafe(F.lit(True))
+            ).select(
+                *[
+                    (
+                        upd[f.name].cast(f.dataType).alias(f.name)
+                        if f.name in upd
+                        else F.col(_bt(f.name))
+                    )
+                    for f in tbl.schema.fields
+                ]
+            )
+            ret = self._apply_generated(name, aff).localCheckpoint(
+                eager=True
+            )
         self._join_mutation_finish(
             name, self._apply_generated(name, new), t_aug, view
         )
+        if ret is not None:
+            return self._returning_df(name, alias, ret, returning)
         return "OK"
 
     def _dml_delete_using(
         self, name: str, alias: str | None, using_text: str,
-        where: str | None,
-    ) -> str:
+        where: str | None, returning: str | None = None,
+    ) -> "str | DataFrame":
         """DuckDB's join-delete ``DELETE FROM t [AS x] USING srcs
         [WHERE cond]`` (round 11, semantics verified live against
         DuckDB 1.0): target rows with ≥1 matching source combination
@@ -7128,8 +7216,17 @@ class MallardEngine:
         t_aug, pairs, tid, view = self._join_mutation_pairs(
             name, alias, using_text, where, [], "DELETE"
         )
+        ret: DataFrame | None = None
+        if returning is not None:
+            ret = (
+                t_aug.join(pairs, tid, "left_semi")
+                .drop(tid)
+                .localCheckpoint(eager=True)
+            )
         new = t_aug.join(pairs, tid, "left_anti").drop(tid)
         self._join_mutation_finish(name, new, t_aug, view)
+        if ret is not None:
+            return self._returning_df(name, alias, ret, returning)
         return "OK"
 
     def _default_col(self, name: str, col: str, src: DataFrame | None = None):
@@ -7159,6 +7256,35 @@ class MallardEngine:
 
                 d = self._seq_replace(d, calls, render)
         return F.expr(d)
+
+    def _returning_df(
+        self,
+        name: str,
+        alias: str | None,
+        rows: DataFrame,
+        returning: str,
+    ) -> DataFrame:
+        """Evaluate a RETURNING projection over the affected-rows
+        relation (round 11; DuckDB semantics verified live — the
+        items are expressions over the post-statement row, ``*``
+        expands every column, aliases via AS). ``rows`` must already
+        be pinned (localCheckpoint) by the caller: the projection is
+        handed to the user AFTER the write publishes, so a lazy plan
+        would re-read mutated state."""
+        df = rows.alias(alias or name)
+        items = [i.strip() for i in _split_top_level(returning)]
+        try:
+            return df.selectExpr(*items)
+        except Exception:
+            from pyspark.sql import functions as F
+
+            # DuckDB-dialect expressions (``v // 2`` etc.) go through
+            # the engine's expression shim per item; ``*`` stays
+            cols = [
+                F.col("*") if i == "*" else self._duck_expr(i, probe=df)
+                for i in items
+            ]
+            return df.select(*cols)
 
     def _apply_generated(self, name: str, df: DataFrame) -> DataFrame:
         """(Re)compute the table's GENERATED columns over ``df`` and

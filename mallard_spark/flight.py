@@ -156,8 +156,12 @@ class SparkFlightServer(flight.FlightServerBase):
             # Parity: flight_server.py:342-352 passes mutation SQL
             # straight to DuckDB; Spark needs the engine's DML router
             # (INSERT appends / UPDATE-DELETE rewrites). Same one-row
-            # OK answer shape as DDL.
+            # OK answer shape as DDL — except RETURNING (round 11),
+            # which answers the affected rows like DuckDB does
             status = self.engine.dml(sql)
+            if not isinstance(status, str):
+                schema, batches = self.engine.stream_arrow(status)
+                return flight.GeneratorStream(schema, batches)
             return flight.RecordBatchStream(pa.table({"status": [status]}))
         if self.engine.is_copy(sql):
             # COPY ... TO 'path' — DuckDB clients export query results

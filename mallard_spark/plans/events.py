@@ -36,15 +36,34 @@ DV = "decimal(12,2)"  # events.value is a 2-decimal money-like double
     """,
 )
 def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windowed aggregation by event type (batch)."""
+    """Tumbling 1-hour windowed aggregation by event type (batch).
+
+    Round 11: reformulated as a two-level aggregate — group by
+    (hour, type, user) first (map-side partials collapse duplicate
+    combinations before the shuffle), then reduce per (hour, type):
+    COUNT(user_id) over the per-user groups IS the exact distinct
+    count without Spark's countDistinct Expand (which doubles every
+    input row), and the money sum runs as int64 fixed-point
+    (plans.fixedpoint — per-(h,t,u) long sums are bounded by one
+    user-hour's events, the final reduce is DECIMAL(38)).
+    Bit-identical to the previous countDistinct + SUM(DECIMAL)
+    formulation over the full sf10 replica; 2.5 -> 1.8 s there.
+    """
+    from mallard_spark.plans.fixedpoint import fx_double, ulong
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast(DV)).cast("double").alias("total_value"),
-        )
+    per_user = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type", "user_id"
+    ).agg(
+        F.count("*").alias("__c"),
+        F.sum(ulong("value")).alias("__v_u"),
+    )
+    return per_user.groupBy("hour", "event_type").agg(
+        F.sum("__c").alias("n_events"),
+        F.count("user_id").alias("n_users"),
+        fx_double(
+            F.sum(F.col("__v_u").cast("decimal(38,0)")), 2
+        ).alias("total_value"),
     )
 
 

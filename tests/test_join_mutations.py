@@ -231,24 +231,28 @@ def test_update_from_ambiguous_ref_errors_like_duckdb(spark):
         eng.dml("UPDATE at SET v = v + asrc.v FROM asrc WHERE at.k = asrc.k")
 
 
-def test_returning_named_refusals(spark):
-    """INSERT/UPDATE/DELETE ... RETURNING die with a named refusal
-    pointing at the script-ticket alternative (round-11 hygiene)."""
+def test_returning_is_real_now(spark):
+    """INSERT/UPDATE/DELETE ... RETURNING became real in round 11
+    (tests/test_returning.py is the DuckDB parity battery); every
+    form here returns its affected rows."""
     import pyarrow as pa
 
     eng = MallardEngine(spark, "t_ret")
     eng.put("rt", pa.table({"k": [1], "v": [1]}))
     eng.put("rs", pa.table({"k": [1]}))
-    for stmt in [
-        "INSERT INTO rt VALUES (2, 2) RETURNING k",
-        "UPDATE rt SET v = 0 RETURNING k",
-        "UPDATE rt SET v = 0 FROM rs WHERE rt.k = rs.k RETURNING rt.k",
-        "DELETE FROM rt WHERE k = 1 RETURNING k",
-        "DELETE FROM rt USING rs WHERE rt.k = rs.k RETURNING k",
-    ]:
-        with pytest.raises(NotImplementedError, match="RETURNING"):
-            eng.dml(stmt)
-    # a LITERAL containing the word must not trip the refusal
+    got = eng.dml("INSERT INTO rt VALUES (2, 2) RETURNING k")
+    assert [r.k for r in got.collect()] == [2]
+    got = eng.dml("UPDATE rt SET v = 0 RETURNING k")
+    assert sorted(r.k for r in got.collect()) == [1, 2]
+    got = eng.dml(
+        "UPDATE rt SET v = 5 FROM rs WHERE rt.k = rs.k RETURNING rt.k"
+    )
+    assert [r.k for r in got.collect()] == [1]
+    got = eng.dml("DELETE FROM rt WHERE k = 1 RETURNING k")
+    assert [r.k for r in got.collect()] == [1]
+    got = eng.dml("DELETE FROM rt USING rs WHERE rt.k = rs.k RETURNING k")
+    assert got.collect() == []  # k=1 already gone
+    # a LITERAL containing the word must not trip the clause split
     eng.dml("INSERT INTO rt VALUES (3, 3)")
     assert eng.sql("SELECT count(*) AS n FROM rt").collect()[0].n == 2
 

@@ -6278,14 +6278,6 @@ class MallardEngine:
             r"^\s*INSERT\s+OR\s+(?P<mode>REPLACE|IGNORE)\s+INTO\b(?P<rest>.*)$",
             sql, re.IGNORECASE | re.DOTALL,
         )
-        if (orm or _split_on_conflict(sql) is not None) and returning:
-            raise NotImplementedError(
-                "RETURNING on INSERT OR REPLACE/IGNORE and ON CONFLICT "
-                "forms is not supported — run the upsert, then SELECT "
-                "the affected keys (the engine executes both in one "
-                "script ticket); plain INSERT/UPDATE/DELETE RETURNING "
-                "are supported"
-            )
         if orm:
             # round 8: lowered onto the ON CONFLICT → MERGE machinery
             # using the table's DECLARED keys (CREATE TABLE ... PRIMARY
@@ -6335,11 +6327,14 @@ class MallardEngine:
             # re-serializing them into the clause text — a name with
             # a comma or quote would not survive the regex round-trip
             return self._dml_insert_conflict(
-                head, f"ON CONFLICT {action}", _ccols=keys
+                head, f"ON CONFLICT {action}", _ccols=keys,
+                returning=returning,
             )
         oc = _split_on_conflict(sql)
         if oc is not None and re.match(r"^\s*INSERT\b", sql, re.IGNORECASE):
-            return self._dml_insert_conflict(oc[0], oc[1])
+            return self._dml_insert_conflict(
+                oc[0], oc[1], returning=returning
+            )
         m = _INSERT_RE.match(sql)
         if m:
             return self._dml_insert(
@@ -6500,8 +6495,9 @@ class MallardEngine:
         return self._tables[name]
 
     def _dml_insert_conflict(
-        self, head: str, tail: str, _ccols: list[str] | None = None
-    ) -> str:
+        self, head: str, tail: str, _ccols: list[str] | None = None,
+        returning: str | None = None,
+    ) -> "str | DataFrame":
         """DuckDB's ``INSERT ... ON CONFLICT (cols) DO NOTHING |
         DO UPDATE SET ... [WHERE ...]`` upsert (round 6) — lowered
         onto the MERGE machinery: the proposed rows become a source
@@ -6583,17 +6579,27 @@ class MallardEngine:
                 f"THEN UPDATE SET {sets}"
             )
         aligned = self._insert_source_df(name, cols, src, by_name=by_name)
+        if returning is not None:
+            # DuckDB 1.0 (verified live): RETURNING on every conflict
+            # form answers the PROPOSED rows verbatim — even for a
+            # DO NOTHING whose conflict kept the old row, and for a
+            # guarded DO UPDATE whose guard was false — NOT the final
+            # table state. Pin before the merge publishes.
+            aligned = aligned.localCheckpoint(eager=True)
         aligned.createOrReplaceTempView("__mallard_upsert_src")
         cond = " AND ".join(
             f"{name}.{_bt(c)} = excluded.{_bt(c)}" for c in ccols
         )
         from mallard_spark.merge_sql import execute_merge
 
-        return execute_merge(
+        status = execute_merge(
             self,
             f"MERGE INTO {name} USING __mallard_upsert_src AS excluded "
             f"ON {cond} {matched} WHEN NOT MATCHED THEN INSERT",
         )
+        if returning is not None:
+            return self._returning_df(name, None, aligned, returning)
+        return status
 
     def _dml_insert(
         self, name: str, cols: str | None, rest: str,

@@ -121,16 +121,34 @@ def test_returning_enum_validation_still_rejects(eng):
     assert eng.sql("SELECT count(*) AS n FROM em").collect()[0].n == 0
 
 
-def test_returning_on_upsert_forms_refuses_by_name(eng):
-    eng.execute("CREATE TABLE pk (k INT PRIMARY KEY, v INT)")
-    for stmt in [
-        "INSERT INTO pk VALUES (1, 1) ON CONFLICT (k) DO NOTHING RETURNING *",
-        "INSERT OR REPLACE INTO pk VALUES (1, 1) RETURNING *",
-    ]:
-        with pytest.raises(NotImplementedError, match="RETURNING"):
-            eng.dml(stmt)
+def test_returning_on_upsert_forms_answers_proposed_rows(eng, duck):
+    """DuckDB 1.0's conflict-form RETURNING (verified live) answers
+    the PROPOSED rows verbatim — even when DO NOTHING kept the old
+    row or a guarded DO UPDATE's guard was false — never the final
+    table state."""
+    for run in (eng.execute, duck.execute):
+        run("CREATE TABLE pk (k INT PRIMARY KEY, v INT)")
+        run("INSERT INTO pk VALUES (1, 1)")
+    _both(
+        eng, duck,
+        "INSERT INTO pk VALUES (1, 9), (2, 5) "
+        "ON CONFLICT (k) DO NOTHING RETURNING *",
+    )
+    _both(eng, duck, "SELECT * FROM pk")  # conflict row kept old value
+    _both(
+        eng, duck,
+        "INSERT INTO pk VALUES (1, 7), (3, 3) ON CONFLICT (k) "
+        "DO UPDATE SET v = excluded.v + 100 RETURNING k, v",
+    )
+    _both(eng, duck, "SELECT * FROM pk")
+    _both(eng, duck, "INSERT OR REPLACE INTO pk VALUES (1, 88) RETURNING *")
+    _both(
+        eng, duck,
+        "INSERT OR IGNORE INTO pk VALUES (1, 0), (4, 4) RETURNING *",
+    )
+    _both(eng, duck, "SELECT * FROM pk")
     with pytest.raises(ValueError, match="empty RETURNING"):
-        eng.dml("INSERT INTO pk VALUES (1, 1) RETURNING")
+        eng.dml("INSERT INTO pk VALUES (5, 5) RETURNING")
 
 
 def test_returning_persisted_table(spark):

@@ -2504,6 +2504,38 @@ class MallardEngine:
             if um.group("lim"):
                 stmt += f" LIMIT {um.group('lim')}"
             return self.sql(stmt)
+        dm = re.match(
+            r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?"
+            r"(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if dm and self._table_enums.get(dm.group("name")):
+            # enum columns physically store VARCHAR; DESCRIBE/PRAGMA
+            # table_info should render the DECLARED enum type the way
+            # DuckDB does (ENUM('a', 'b') — verified live). Bounded:
+            # one row per column.
+            name = dm.group("name")
+            enums = self._table_enums[name]
+            rows = [
+                (
+                    f.name,
+                    (
+                        "ENUM("
+                        + ", ".join(
+                            "'" + v.replace("'", "''") + "'"
+                            for v in enums[f.name]["values"]
+                        )
+                        + ")"
+                        if f.name in enums
+                        else f.dataType.simpleString()
+                    ),
+                    None,
+                )
+                for f in self.table(name).schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
         pm2 = re.match(
             # both PRAGMA forms: call `PRAGMA p('arg')` and assignment
             # `PRAGMA p=value` (DuckDB's primary syntax)

@@ -296,3 +296,16 @@ def test_copy_from_enforces_enum(eng, tmp_path):
         ConstraintViolationError, match="Could not convert string 'angry'"
     ):
         eng.execute(f"COPY ct FROM '{p}' (HEADER)")
+
+
+def test_describe_renders_enum_type(eng):
+    eng.ddl("CREATE TYPE mood AS ENUM ('sad', 'ok')")
+    eng.ddl("CREATE TABLE dt (id INT, m mood)")
+    rows = {r.col_name: r.data_type for r in eng.sql("DESCRIBE dt").collect()}
+    assert rows["m"] == "ENUM('sad', 'ok')"  # DuckDB's rendering
+    assert rows["id"] == "int"
+    rows2 = {
+        r.col_name: r.data_type
+        for r in eng.sql("PRAGMA table_info('dt')").collect()
+    }
+    assert rows2["m"] == "ENUM('sad', 'ok')"

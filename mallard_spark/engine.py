@@ -56,7 +56,8 @@ if TYPE_CHECKING:
     import pyarrow as pa
 
 _DDL_RE = re.compile(
-    r"^\s*(CREATE|DROP|ALTER|EXPORT\s+DATABASE|IMPORT\s+DATABASE)\b",
+    r"^\s*(CREATE|DROP|ALTER|TRUNCATE|"
+    r"EXPORT\s+DATABASE|IMPORT\s+DATABASE)\b",
     re.IGNORECASE,
 )
 _EXPORT_DB_RE = re.compile(
@@ -2390,7 +2391,7 @@ class MallardEngine:
                 [(n,) for n in self.list_tables()], "name string"
             )
         if re.match(
-            r"(?i)^\s*((EXPORT|IMPORT)\s+DATABASE|"
+            r"(?i)^\s*((EXPORT|IMPORT)\s+DATABASE|TRUNCATE|"
             r"CREATE\s+(OR\s+REPLACE\s+)?(TYPE|(TEMP(ORARY)?\s+)?"
             r"SEQUENCE)|DROP\s+(TYPE|SEQUENCE))\b",
             sql,
@@ -5379,6 +5380,352 @@ class MallardEngine:
             + (f" {tail}" if tail else "")
         )
 
+    def _ddl_alter_column(self, sql: str) -> str | None:
+        """DuckDB's column-level ALTER TABLE family + TRUNCATE
+        (round 11; the reference executes them verbatim on DuckDB,
+        flight_server.py:342-352). Semantics verified live on 1.0:
+
+        - ``ADD COLUMN [IF NOT EXISTS] col TYPE [DEFAULT expr]`` —
+          existing rows BACKFILL with the evaluated default (7, not
+          NULL, was observed for ``DEFAULT 7``), and the default also
+          registers for future inserts;
+        - ``DROP COLUMN [IF EXISTS] col`` — refuses when a declared
+          key depends on the column (DuckDB's message); single-column
+          CHECKs mentioning it drop with it (observed); FK-involved /
+          generated-input columns refuse by name;
+        - ``RENAME COLUMN a TO b`` — DEFAULTs follow the rename
+          (observed); declared keys and enum bindings follow too;
+          columns referenced by CHECK/FK/GENERATED expressions refuse
+          by name (a silent text rewrite could corrupt semantics);
+        - ``ALTER [COLUMN] col [SET DATA] TYPE t [USING expr]`` —
+          content cast (or the USING expression);
+        - ``ALTER [COLUMN] col SET DEFAULT expr / DROP DEFAULT``;
+        - ``TRUNCATE [TABLE] t`` — empties the table.
+
+        Content changes flow through :meth:`_write_back` (persisted
+        tables re-publish with the new schema via saveAsTable;
+        in-transaction they stage+shadow like any DML). Returns None
+        when ``sql`` is not one of these shapes.
+        """
+        from pyspark.sql import functions as F
+
+        tm = re.match(
+            r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
+            r"\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if tm:
+            name = tm.group("name")
+            tbl = self._dml_table(name)
+            self._write_back(name, tbl.limit(0))
+            return "OK"
+        am = re.match(
+            r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+            r"(?P<op>.*?)\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if am is None:
+            return None
+        name, op = am.group("name"), am.group("op")
+
+        add = re.match(
+            r"(?is)^ADD\s+(?:COLUMN\s+)?(?P<ifne>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<col>[A-Za-z_]\w*)\s+(?P<rest>.+)$",
+            op,
+        )
+        if add:
+            tbl = self._dml_table(name)
+            col = add.group("col")
+            by_lower = {c.lower(): c for c in tbl.columns}
+            if col.lower() in by_lower:
+                if add.group("ifne"):
+                    return "OK"
+                raise ValueError(
+                    f'ALTER TABLE {name}: column with name "{col}" '
+                    f"already exists!"
+                )
+            tk = _take_duck_type(add.group("rest"))
+            if tk is None:
+                raise ValueError(
+                    f"ALTER TABLE {name} ADD COLUMN: cannot parse "
+                    f"type in {add.group('rest')!r}"
+                )
+            type_text, tail = tk
+            dm = re.match(
+                r"(?is)^\s*(?:DEFAULT\s+(?P<d>.+?))?\s*$", tail
+            )
+            if dm is None:
+                raise NotImplementedError(
+                    f"ALTER TABLE {name} ADD COLUMN: modifiers "
+                    f"{tail.strip()!r} are not supported (TYPE "
+                    f"[DEFAULT expr] only)"
+                )
+            enum_meta = self._resolve_enum_coltype(type_text, name, col)
+            stype = (
+                "string" if enum_meta is not None
+                else _duck_type_to_spark(type_text, name, col)
+            )
+            default = dm.group("d")
+            fill = (
+                self._duck_expr(default, probe=tbl)
+                if default is not None else F.lit(None)
+            )
+            # DuckDB backfills EXISTING rows with the evaluated
+            # default (verified live), not NULL
+            new = tbl.withColumn(col, fill.cast(stype))
+            if enum_meta is not None:
+                # register BEFORE the write so the enum membership of
+                # the backfill value enforces (rolled back on failure)
+                self._table_enums.setdefault(name, {})[col] = enum_meta
+            try:
+                self._write_back(name, new)
+            except Exception:
+                if enum_meta is not None:
+                    self._table_enums.get(name, {}).pop(col, None)
+                    if not self._table_enums.get(name):
+                        self._table_enums.pop(name, None)
+                raise
+            if default is not None:
+                self._defaults.setdefault(name, {})[col] = default.strip()
+            if name in self._persistent:
+                self._pin_keys_prop(name)
+            return "OK"
+
+        dp = re.match(
+            r"(?is)^DROP\s+(?:COLUMN\s+)?(?P<ife>IF\s+EXISTS\s+)?"
+            r"(?P<col>[A-Za-z_]\w*)\s*(?:CASCADE|RESTRICT)?\s*$",
+            op,
+        )
+        if dp:
+            tbl = self._dml_table(name)
+            by_lower = {c.lower(): c for c in tbl.columns}
+            col = by_lower.get(dp.group("col").lower())
+            if col is None:
+                if dp.group("ife"):
+                    return "OK"
+                raise ValueError(
+                    f'ALTER TABLE {name}: column "{dp.group("col")}" '
+                    f"does not exist"
+                )
+            if any(
+                col.lower() in {c.lower() for c in grp}
+                for grp in self._keys.get(name, [])
+            ):
+                # DuckDB's dependency error, same shape
+                raise ValueError(
+                    f'Cannot drop column "{col}" because there is a '
+                    f"UNIQUE constraint that depends on it"
+                )
+            if any(
+                col.lower() in {c.lower() for c in fk["cols"]}
+                for fk in self._fkeys.get(name, [])
+            ):
+                raise ValueError(
+                    f'Cannot drop column "{col}" because there is a '
+                    f"FOREIGN KEY constraint that depends on it"
+                )
+            pat = re.compile(rf"(?i)\b{re.escape(col)}\b")
+            gen_using = [
+                g for g, e in self._generated.get(name, [])
+                if pat.search(e)
+            ]
+            if gen_using:
+                raise NotImplementedError(
+                    f"ALTER TABLE {name} DROP COLUMN {col}: generated "
+                    f"column {gen_using[0]!r} computes from it — drop "
+                    f"the generated column first"
+                )
+            if len(tbl.columns) == 1:
+                raise ValueError(
+                    f"ALTER TABLE {name}: cannot drop the only column"
+                )
+            # single-column CHECKs referencing the column drop with it
+            # (DuckDB behavior, verified live); a CHECK that also
+            # references OTHER columns refuses instead of silently
+            # breaking. Metadata must come off BEFORE the write-back
+            # (which re-enforces checks over the columnless content) —
+            # restored on write failure.
+            remaining = []
+            for chk in self._checks.get(name, []):
+                if not pat.search(chk):
+                    remaining.append(chk)
+                    continue
+                others = [
+                    c for c in tbl.columns
+                    if c != col and re.search(
+                        rf"(?i)\b{re.escape(c)}\b", chk
+                    )
+                ]
+                if others:
+                    raise ValueError(
+                        f"ALTER TABLE {name} DROP COLUMN {col}: CHECK "
+                        f"({chk}) also references {others} — drop the "
+                        f"constraint first"
+                    )
+            saved = (
+                self._checks.get(name), self._defaults.get(name),
+                self._table_enums.get(name), self._generated.get(name),
+            )
+            if name in self._checks:
+                if remaining:
+                    self._checks[name] = remaining
+                else:
+                    self._checks.pop(name)
+            d = dict(self._defaults.get(name, {}))
+            d.pop(col, None)
+            if name in self._defaults:
+                if d:
+                    self._defaults[name] = d
+                else:
+                    self._defaults.pop(name)
+            e = dict(self._table_enums.get(name, {}))
+            e.pop(col, None)
+            if name in self._table_enums:
+                if e:
+                    self._table_enums[name] = e
+                else:
+                    self._table_enums.pop(name)
+            gens = self._generated.get(name)
+            if gens:  # dropping a generated column drops its rule
+                kept = [(g, ex) for g, ex in gens if g != col]
+                if kept:
+                    self._generated[name] = kept
+                else:
+                    self._generated.pop(name)
+            try:
+                self._write_back(name, tbl.drop(col))
+            except Exception:
+                for attr, val in zip(
+                    ("_checks", "_defaults", "_table_enums",
+                     "_generated"),
+                    saved,
+                ):
+                    if val is not None:
+                        getattr(self, attr)[name] = val
+                raise
+            if name in self._persistent:
+                self._pin_keys_prop(name)
+            return "OK"
+
+        rn = re.match(
+            r"(?is)^RENAME\s+(?:COLUMN\s+)?(?P<col>[A-Za-z_]\w*)\s+"
+            r"TO\s+(?P<new>[A-Za-z_]\w*)\s*$",
+            op,
+        )
+        if rn:
+            tbl = self._dml_table(name)
+            by_lower = {c.lower(): c for c in tbl.columns}
+            col = by_lower.get(rn.group("col").lower())
+            new_col = rn.group("new")
+            if col is None:
+                raise ValueError(
+                    f'ALTER TABLE {name}: column "{rn.group("col")}" '
+                    f"does not exist"
+                )
+            if new_col.lower() in by_lower:
+                raise ValueError(
+                    f'ALTER TABLE {name}: column with name '
+                    f'"{new_col}" already exists!'
+                )
+            pat = re.compile(rf"(?i)\b{re.escape(col)}\b")
+            blocked = (
+                [f"CHECK ({c})" for c in self._checks.get(name, [])
+                 if pat.search(c)]
+                + [f"GENERATED {g}" for g, e in
+                   self._generated.get(name, []) if pat.search(e)]
+                + [
+                    "FOREIGN KEY"
+                    for fk in self._fkeys.get(name, [])
+                    if col.lower() in {c.lower() for c in fk["cols"]}
+                ]
+            )
+            if blocked:
+                raise NotImplementedError(
+                    f"ALTER TABLE {name} RENAME COLUMN {col}: "
+                    f"{blocked[0]} references it — drop/recreate the "
+                    f"dependent declaration around the rename"
+                )
+            self._write_back(name, tbl.withColumnRenamed(col, new_col))
+            d = self._defaults.get(name, {}).pop(col, None)
+            if d is not None:  # DEFAULTs follow the rename (verified)
+                self._defaults[name][new_col] = d
+            em = self._table_enums.get(name, {}).pop(col, None)
+            if em is not None:
+                self._table_enums[name][new_col] = em
+            if self._keys.get(name):  # declared keys follow the rename
+                self._keys[name] = [
+                    [
+                        new_col if c.lower() == col.lower() else c
+                        for c in g
+                    ]
+                    for g in self._keys[name]
+                ]
+            if name in self._persistent:
+                self._pin_keys_prop(name)
+            return "OK"
+
+        ac = re.match(
+            r"(?is)^ALTER\s+(?:COLUMN\s+)?(?P<col>[A-Za-z_]\w*)\s+"
+            r"(?:(?:SET\s+DATA\s+)?TYPE\s+(?P<t>.+?)"
+            r"(?:\s+USING\s+(?P<u>.+))?"
+            r"|SET\s+DEFAULT\s+(?P<sd>.+)|(?P<dd>DROP\s+DEFAULT))\s*$",
+            op,
+        )
+        if ac:
+            tbl = self._dml_table(name)
+            by_lower = {c.lower(): c for c in tbl.columns}
+            col = by_lower.get(ac.group("col").lower())
+            if col is None:
+                raise ValueError(
+                    f'ALTER TABLE {name}: column "{ac.group("col")}" '
+                    f"does not exist"
+                )
+            if ac.group("dd"):
+                self._defaults.get(name, {}).pop(col, None)
+                if name in self._persistent:
+                    self._pin_keys_prop(name)
+                return "OK"
+            if ac.group("sd"):
+                d = ac.group("sd").strip()
+                try:  # bind NOW like DuckDB / CREATE TABLE
+                    tbl.select(self._duck_expr(d, probe=tbl))
+                except Exception as e:
+                    raise ValueError(
+                        f"ALTER TABLE {name}: DEFAULT expression "
+                        f"{d!r} does not bind: {e}"
+                    ) from None
+                self._defaults.setdefault(name, {})[col] = d
+                if name in self._persistent:
+                    self._pin_keys_prop(name)
+                return "OK"
+            if any(g == col for g, _ in self._generated.get(name, [])):
+                raise ValueError(
+                    f"ALTER TABLE {name}: Cant alter column {col!r} "
+                    f"because it is a generated column!"
+                )
+            if col in self._table_enums.get(name, {}):
+                raise NotImplementedError(
+                    f"ALTER TABLE {name} ALTER COLUMN {col} TYPE: the "
+                    f"column is an ENUM — drop and re-add it instead"
+                )
+            stype = _duck_type_to_spark(
+                ac.group("t").strip(), name, col
+            )
+            expr = (
+                self._duck_expr(ac.group("u").strip(), probe=tbl)
+                if ac.group("u") else F.col(col)
+            )
+            new = tbl.select(
+                *[
+                    expr.cast(stype).alias(col)
+                    if f.name == col else F.col(f.name)
+                    for f in tbl.schema.fields
+                ]
+            )
+            self._write_back(name, new)
+            return "OK"
+        return None
+
     def _ddl_impl(self, sql: str) -> str:
         """Execute a CREATE / DROP / ALTER statement against this
         namespace and return "OK" (parity: flight_server.py:357-359,
@@ -5664,6 +6011,9 @@ class MallardEngine:
                                      "(use DROP VIEW)")
                 self.drop(name)
             return "OK"
+        handled = self._ddl_alter_column(sql)
+        if handled is not None:
+            return handled
         m = _ALTER_RENAME_RE.match(sql)
         if m:
             name, new = m.group("name"), m.group("new")

@@ -4539,12 +4539,6 @@ class MallardEngine:
 
     def _ddl_drop_sequence(self, m: "re.Match[str]") -> str:
         name = m.group("name")
-        if (m.group("cascade") or "").upper() == "CASCADE":
-            raise NotImplementedError(
-                f"DROP SEQUENCE {name} CASCADE is not supported (DuckDB "
-                f"drops DEPENDENT TABLES with it) — drop or re-default "
-                f"the dependent tables first, then DROP SEQUENCE"
-            )
         if name not in self._sequences:
             if m.group("ife"):
                 return "OK"
@@ -4553,18 +4547,32 @@ class MallardEngine:
             )
         # DuckDB refuses the drop while a table DEFAULT references the
         # sequence (verified live) — same dependency check over the
-        # declared defaults
+        # declared defaults; CASCADE drops the dependent TABLES
+        # (round 11, verified live — same shape as DROP TYPE CASCADE)
         pat = re.compile(
             rf"(?i)\bnextval\s*\(\s*'{re.escape(name)}'\s*\)"
         )
-        for tname, defs in self._defaults.items():
-            for col, d in defs.items():
-                if d and pat.search(d):
-                    raise ValueError(
-                        f'Cannot drop entry "{name}" because there are '
-                        f'entries that depend on it. table "{tname}" '
-                        f"depends on it (column {col!r} DEFAULT)"
-                    )
+        deps = sorted(
+            tname
+            for tname, defs in self._defaults.items()
+            if tname in self._tables
+            and any(d and pat.search(d) for d in defs.values())
+        )
+        if deps:
+            if (m.group("cascade") or "").upper() == "CASCADE":
+                for t in deps:
+                    self.drop(t)
+            else:
+                col = next(
+                    c
+                    for c, d in self._defaults[deps[0]].items()
+                    if d and pat.search(d)
+                )
+                raise ValueError(
+                    f'Cannot drop entry "{name}" because there are '
+                    f'entries that depend on it. table "{deps[0]}" '
+                    f"depends on it (column {col!r} DEFAULT)"
+                )
         del self._sequences[name]
         return "OK"
 

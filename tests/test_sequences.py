@@ -169,16 +169,14 @@ def test_sequence_ddl_validation_matches_duckdb(spark):
     eng.ddl("CREATE SEQUENCE fresh")
     with pytest.raises(ValueError, match="not yet defined in this session"):
         eng.sql("SELECT currval('fresh')").collect()
-    # dependency protection + CASCADE refusal (DuckDB CASCADE drops
-    # dependent TABLES — refused by name here)
+    # dependency protection; CASCADE drops the dependent TABLES
+    # (round 11, DuckDB behavior verified live)
     eng.ddl("CREATE SEQUENCE depseq")
     eng.ddl("CREATE TABLE dept (id BIGINT DEFAULT nextval('depseq'))")
     with pytest.raises(ValueError, match="depend on it"):
         eng.ddl("DROP SEQUENCE depseq")
-    with pytest.raises(NotImplementedError, match="CASCADE"):
-        eng.ddl("DROP SEQUENCE depseq CASCADE")
-    eng.drop("dept")
-    assert eng.ddl("DROP SEQUENCE depseq") == "OK"
+    assert eng.ddl("DROP SEQUENCE depseq CASCADE") == "OK"
+    assert "dept" not in eng.list_tables()
     for t in eng.list_tables():
         eng.drop(t)
 

@@ -56,8 +56,14 @@ if TYPE_CHECKING:
     import pyarrow as pa
 
 _DDL_RE = re.compile(
-    r"^\s*(CREATE|DROP|ALTER|TRUNCATE|"
+    r"^\s*(CREATE|DROP|ALTER|TRUNCATE|COMMENT\s+ON|"
     r"EXPORT\s+DATABASE|IMPORT\s+DATABASE)\b",
+    re.IGNORECASE,
+)
+_COMMENT_ON_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(?P<kind>TABLE|VIEW|COLUMN)\s+"
+    r"(?P<name>[A-Za-z_]\w*)(?:\s*\.\s*(?P<col>[A-Za-z_]\w*))?\s+"
+    r"IS\s+(?:(?P<null>NULL)|'(?P<lit>(?:[^']|'')*)')\s*;?\s*$",
     re.IGNORECASE,
 )
 _EXPORT_DB_RE = re.compile(
@@ -1140,6 +1146,11 @@ class MallardEngine:
         # exactly like DuckDB (verified live: in-tx nextval→1,
         # ROLLBACK, nextval→2)
         self._sequences: dict[str, dict[str, Any]] = {}
+        # COMMENT ON storage (round 11): table → {"table": str|None,
+        # "cols": {col: str}} — DuckDB surfaces these through
+        # duckdb_tables()/duckdb_columns() (its EXPORT DATABASE drops
+        # them, verified live, so no schema.sql emission here either)
+        self._comments: dict[str, dict] = {}
         self._csv_views: dict[tuple, str] = {}  # sniffed csv (path, stat)
         self._exchangers: dict[str, Exchanger] = {}
         # active explicit transaction (BEGIN ... COMMIT/ROLLBACK) —
@@ -1249,6 +1260,10 @@ class MallardEngine:
                         self._table_enums[short] = json.loads(
                             props["mallard.enums"]
                         )
+                    if props.get("mallard.comments"):
+                        self._comments[short] = json.loads(
+                            props["mallard.comments"]
+                        )
                 except Exception as e:  # pragma: no cover
                     # unreadable/undecodable declaration properties:
                     # never fail discovery, but say so — silently
@@ -1357,6 +1372,7 @@ class MallardEngine:
                     self._fkeys.pop(name, None)
                     self._generated.pop(name, None)
                     self._table_enums.pop(name, None)
+                    self._comments.pop(name, None)
                 return df.count() if count else None
             raise NotImplementedError(
                 f"put({name!r}, persist=True): overwriting an "
@@ -1421,6 +1437,7 @@ class MallardEngine:
             self._fkeys.pop(name, None)
             self._generated.pop(name, None)
             self._table_enums.pop(name, None)
+            self._comments.pop(name, None)
             if self._tx is not None and not persist:
                 # an explicit session redefinition cancels a deferred
                 # in-tx CREATE-with-persistence (last definition wins)
@@ -1465,6 +1482,10 @@ class MallardEngine:
         if self._table_enums.get(name):
             props.append(
                 ("mallard.enums", json.dumps(self._table_enums[name]))
+            )
+        if self._comments.get(name):
+            props.append(
+                ("mallard.comments", json.dumps(self._comments[name]))
             )
         if not props:
             return
@@ -1552,6 +1573,10 @@ class MallardEngine:
             # shallow: entry OBJECTS shared so counters survive rollback
             "sequences": dict(self._sequences),
             "enums": {k: list(v) for k, v in self._enums.items()},
+            "comments": {
+                k: {"table": v.get("table"), "cols": dict(v.get("cols", {}))}
+                for k, v in self._comments.items()
+            },
             "type_aliases": dict(self._type_aliases),
             "table_enums": {
                 t: {c: dict(m) for c, m in cols.items()}
@@ -2022,6 +2047,7 @@ class MallardEngine:
         self._macros = tx["macros"]
         self._sequences = tx.get("sequences", self._sequences)
         self._enums = tx.get("enums", self._enums)
+        self._comments = tx.get("comments", self._comments)
         self._type_aliases = tx.get("type_aliases", self._type_aliases)
         self._table_enums = tx.get("table_enums", self._table_enums)
         self._generated = tx.get("generated", self._generated)
@@ -2099,6 +2125,7 @@ class MallardEngine:
         self._fkeys.pop(name, None)
         self._generated.pop(name, None)
         self._table_enums.pop(name, None)
+        self._comments.pop(name, None)
 
     def health_check(self) -> bool:
         """Liveness probe: run ``SELECT 1`` through the session.
@@ -2392,6 +2419,7 @@ class MallardEngine:
             )
         if re.match(
             r"(?i)^\s*((EXPORT|IMPORT)\s+DATABASE|TRUNCATE|"
+            r"COMMENT\s+ON|"
             r"CREATE\s+(OR\s+REPLACE\s+)?(TYPE|(TEMP(ORARY)?\s+)?"
             r"SEQUENCE)|DROP\s+(TYPE|SEQUENCE))\b",
             sql,
@@ -2606,6 +2634,30 @@ class MallardEngine:
             # enum positional semantics / ::type casts / enum_*
             # functions (round 11) — text-level, literal-safe
             sql = self._rewrite_enums_in_query(sql)
+        if re.search(r"(?i)\bduckdb_(tables|columns)\s*\(\s*\)", sql):
+            # DuckDB's catalog table functions (round 11): register
+            # the namespace's introspection relations and rewrite the
+            # calls to the views (literal spans skipped)
+            from mallard_spark.dialect import _scan
+
+            mask = [False] * len(sql)
+            for i, _c, _d, in_code in _scan(sql):
+                mask[i] = in_code
+            out_parts: list[str] = []
+            last = 0
+            for fm in re.finditer(
+                r"(?i)\bduckdb_(tables|columns)\s*\(\s*\)", sql
+            ):
+                if not mask[fm.start()]:
+                    continue
+                which = fm.group(1).lower()
+                view = f"__mallard_duckdb_{which}"
+                self._introspection_df(
+                    which
+                ).createOrReplaceTempView(view)
+                out_parts.append(sql[last:fm.start()] + view)
+                last = fm.end()
+            sql = "".join(out_parts) + sql[last:]
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))
@@ -5388,6 +5440,152 @@ class MallardEngine:
             + (f" {tail}" if tail else "")
         )
 
+    def _ddl_comment_on(self, m: "re.Match[str]") -> str:
+        """``COMMENT ON TABLE|VIEW|COLUMN ... IS '...'|NULL``
+        (round 11; DuckDB stores these readable through
+        duckdb_tables()/duckdb_columns(), which this engine also
+        serves — its own EXPORT DATABASE drops comments, verified
+        live, so they stay session+warehouse metadata)."""
+        kind = m.group("kind").upper()
+        name = m.group("name")
+        if name not in self._tables:
+            raise ValueError(
+                f"COMMENT ON {kind}: Table with name {name} does not "
+                f"exist!"
+            )
+        is_view = name in self._views
+        if kind == "TABLE" and is_view:
+            raise ValueError(
+                f"COMMENT ON TABLE: {name} is a view (use COMMENT ON "
+                f"VIEW)"
+            )
+        if kind == "VIEW" and not is_view:
+            raise ValueError(
+                f"COMMENT ON VIEW: {name} is a table (use COMMENT ON "
+                f"TABLE)"
+            )
+        text = (
+            None if m.group("null")
+            else m.group("lit").replace("''", "'")
+        )
+        entry = self._comments.setdefault(
+            name, {"table": None, "cols": {}}
+        )
+        if kind == "COLUMN":
+            col = m.group("col")
+            if col is None:
+                raise ValueError(
+                    "COMMENT ON COLUMN needs a table.column target"
+                )
+            by_lower = {
+                c.lower(): c for c in self._tables[name].columns
+            }
+            r = by_lower.get(col.lower())
+            if r is None:
+                raise ValueError(
+                    f'COMMENT ON COLUMN: column "{col}" does not '
+                    f"exist on {name!r}"
+                )
+            if text is None:
+                entry["cols"].pop(r, None)
+            else:
+                entry["cols"][r] = text
+        else:
+            if m.group("col"):
+                raise ValueError(
+                    f"COMMENT ON {kind} takes a bare object name"
+                )
+            entry["table"] = text
+        if not entry["cols"] and entry["table"] is None:
+            self._comments.pop(name, None)
+        if name in self._persistent:
+            self._pin_keys_prop(name)
+        return "OK"
+
+    def _introspection_df(self, which: str) -> DataFrame:
+        """The ``duckdb_tables()`` / ``duckdb_columns()`` relations
+        over this namespace (round 11) — DuckDB's full column sets so
+        client introspection queries project/filter them unchanged.
+        Cheap metadata only: ``estimated_size`` stays NULL (a real
+        count per table would run a job per introspection query —
+        documented divergence; DuckDB reads it from its own stats)."""
+        tables = sorted(n for n in self._tables)
+        if which == "tables":
+            rows = []
+            for i, n in enumerate(tables):
+                if n in self._views:
+                    continue
+                c = self._comments.get(n, {})
+                rows.append((
+                    self.namespace, 0, "main", 0, n, i,
+                    c.get("table"), None, False,
+                    n not in self._persistent,
+                    bool(self._keys.get(n)), None,
+                    len(self._tables[n].columns),
+                    0, len(self._checks.get(n, [])),
+                    self._render_create_table(n) + ";",
+                ))
+            return self.spark.createDataFrame(
+                rows,
+                "database_name string, database_oid long, "
+                "schema_name string, schema_oid long, "
+                "table_name string, table_oid long, comment string, "
+                "tags string, internal boolean, temporary boolean, "
+                "has_primary_key boolean, estimated_size long, "
+                "column_count int, index_count int, "
+                "check_constraint_count int, sql string",
+            )
+        rows = []
+        for i, n in enumerate(tables):
+            if n in self._views:
+                continue
+            c = self._comments.get(n, {"cols": {}})
+            defaults = self._defaults.get(n, {})
+            enums = self._table_enums.get(n, {})
+            for j, f in enumerate(self._tables[n].schema.fields):
+                if f.name in enums:
+                    dt = "ENUM(" + ", ".join(
+                        "'" + v.replace("'", "''") + "'"
+                        for v in enums[f.name]["values"]
+                    ) + ")"
+                else:
+                    dt = _duck_type_name(f.dataType)
+                import pyspark.sql.types as _T
+
+                prec = scale = None
+                if isinstance(f.dataType, _T.DecimalType):
+                    prec, scale = f.dataType.precision, f.dataType.scale
+                elif isinstance(
+                    f.dataType,
+                    (_T.IntegerType, _T.LongType, _T.ShortType,
+                     _T.ByteType),
+                ):
+                    prec, scale = {
+                        "tinyint": 8, "smallint": 16, "int": 32,
+                        "bigint": 64,
+                    }[f.dataType.simpleString()], 0
+                elif isinstance(f.dataType, _T.DoubleType):
+                    prec = 53  # DuckDB's mantissa-bits convention
+                elif isinstance(f.dataType, _T.FloatType):
+                    prec = 24
+                rows.append((
+                    self.namespace, 0, "main", 0, n, i, f.name,
+                    j + 1, c.get("cols", {}).get(f.name), False,
+                    defaults.get(f.name), bool(f.nullable), dt, 0,
+                    None, prec, 2 if prec is not None else None,
+                    scale,
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "database_name string, database_oid long, "
+            "schema_name string, schema_oid long, table_name string, "
+            "table_oid long, column_name string, column_index int, "
+            "comment string, internal boolean, column_default string, "
+            "is_nullable boolean, data_type string, data_type_id int, "
+            "character_maximum_length int, numeric_precision int, "
+            "numeric_precision_radix int, numeric_scale int",
+        )
+
     def _ddl_alter_column(self, sql: str) -> str | None:
         """DuckDB's column-level ALTER TABLE family + TRUNCATE
         (round 11; the reference executes them verbatim on DuckDB,
@@ -5807,6 +6005,15 @@ class MallardEngine:
         m = _DROP_SEQ_RE.match(sql)
         if m:
             return self._ddl_drop_sequence(m)
+        m = _COMMENT_ON_RE.match(sql)
+        if m:
+            return self._ddl_comment_on(m)
+        if re.match(r"(?i)^\s*COMMENT\s+ON\b", sql):
+            raise NotImplementedError(
+                f"cannot handle {sql.strip()[:80]!r} — COMMENT ON "
+                f"TABLE|VIEW|COLUMN <name>[.col] IS '<text>'|NULL is "
+                f"supported; other object classes are not"
+            )
         m = _CREATE_TYPE_RE.match(sql)
         if m:
             return self._ddl_create_type(m)
@@ -6032,6 +6239,7 @@ class MallardEngine:
             carried_fkeys = self._fkeys.get(name)
             carried_gen = self._generated.get(name)
             carried_enums = self._table_enums.get(name)
+            carried_comments = self._comments.get(name)
             carried_vsql = self._view_sql.get(name)
             if self._fk_referencing(name):
                 # DuckDB (verified live): renaming a table other
@@ -6096,6 +6304,8 @@ class MallardEngine:
                 self._generated[new] = carried_gen
             if carried_enums is not None:  # enum column bindings follow
                 self._table_enums[new] = carried_enums
+            if carried_comments is not None:  # comments follow
+                self._comments[new] = carried_comments
             if carried_vsql is not None:  # view definition follows
                 self._view_sql[new] = carried_vsql
             self._view_sql.pop(name, None)
@@ -6104,6 +6314,7 @@ class MallardEngine:
             self._fkeys.pop(name, None)
             self._generated.pop(name, None)
             self._table_enums.pop(name, None)
+            self._comments.pop(name, None)
             # persisted tables: the mallard.* properties follow the
             # native catalog rename automatically, but a
             # SELF-referencing FK's content changed (ref now points

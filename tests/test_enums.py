@@ -309,3 +309,75 @@ def test_describe_renders_enum_type(eng):
         for r in eng.sql("PRAGMA table_info('dt')").collect()
     }
     assert rows2["m"] == "ENUM('sad', 'ok')"
+
+
+def test_comment_on_and_introspection(eng, duck):
+    """COMMENT ON TABLE/VIEW/COLUMN stores like DuckDB and reads back
+    through duckdb_tables()/duckdb_columns() (round 11); selected
+    columns compare side-by-side (oids/sizes are engine-specific)."""
+    for run in (eng.execute, duck.execute):
+        run("CREATE TABLE ct (id INT PRIMARY KEY, v DOUBLE)")
+        run("COMMENT ON TABLE ct IS 'tbl doc'")
+        run("COMMENT ON COLUMN ct.id IS 'the key'")
+    q = (
+        "SELECT table_name, comment, has_primary_key, column_count "
+        "FROM duckdb_tables() WHERE table_name = 'ct'"
+    )
+    assert [tuple(r) for r in eng.sql(q).collect()] == \
+        duck.execute(q).fetchall()
+    q2 = (
+        "SELECT column_name, comment, is_nullable, numeric_precision "
+        "FROM duckdb_columns() WHERE table_name = 'ct' "
+        "ORDER BY column_index"
+    )
+    mine = [tuple(r) for r in eng.sql(q2).collect()]
+    theirs = duck.execute(q2).fetchall()
+    # DuckDB marks PK columns NOT NULL; this engine doesn't enforce
+    # nullability — compare name/comment/precision, note is_nullable
+    assert [(a, b, d) for a, b, _c, d in mine] == \
+        [(a, b, d) for a, b, _c, d in theirs]
+    for run in (eng.execute, duck.execute):
+        run("COMMENT ON TABLE ct IS NULL")
+    assert [tuple(r) for r in eng.sql(q).collect()] == \
+        duck.execute(q).fetchall()
+    # object-class checks + unknown targets error
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.ddl("COMMENT ON TABLE nosuch IS 'x'")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.ddl("COMMENT ON COLUMN ct.nope IS 'x'")
+    eng.ddl("CREATE VIEW cv AS SELECT id FROM ct")
+    with pytest.raises(ValueError, match="is a view"):
+        eng.ddl("COMMENT ON TABLE cv IS 'x'")
+    eng.ddl("COMMENT ON VIEW cv IS 'view doc'")
+
+
+def test_comments_persist_and_follow_rename(spark):
+    eng = MallardEngine(spark, "cmt_persist")
+    import pyarrow as pa
+
+    spark.sql(
+        "DROP TABLE IF EXISTS cmt_persist__pt2"
+    )  # stale location guard
+    eng.put("pt", pa.table({"k": [1]}), persist=True)
+    eng2 = None
+    try:
+        eng.ddl("COMMENT ON TABLE pt IS 'durable doc'")
+        eng2 = MallardEngine(spark, "cmt_persist")
+        got = eng2.sql(
+            "SELECT comment FROM duckdb_tables() "
+            "WHERE table_name = 'pt'"
+        ).collect()
+        assert [r.comment for r in got] == ["durable doc"]
+        eng2.ddl("ALTER TABLE pt RENAME TO pt2")
+        got = eng2.sql(
+            "SELECT comment FROM duckdb_tables() "
+            "WHERE table_name = 'pt2'"
+        ).collect()
+        assert [r.comment for r in got] == ["durable doc"]
+    finally:
+        # the rename happened on eng2's catalog — clean up there
+        for e, n in ((eng2 or eng, "pt2"), (eng, "pt")):
+            try:
+                e.drop(n)
+            except Exception:
+                pass

@@ -218,6 +218,13 @@ def main() -> None:
                     "duckdb_total": scaled.get("duckdb_total"),
                     "ratio_total": scaled.get("ratio_total"),
                 }
+                if scaled.get("per_session_paired_ratio_totals"):
+                    # min-merging across sessions rewards the higher-
+                    # variance engine (PLANS.md r11); the paired
+                    # per-session totals are the like-for-like read
+                    out[key]["per_session_paired_ratio_totals"] = (
+                        scaled["per_session_paired_ratio_totals"]
+                    )
             except Exception:
                 pass
     print(json.dumps(out))

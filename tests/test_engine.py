@@ -2166,7 +2166,13 @@ def test_commit_staged_swap_is_atomic_across_tables(spark):
     byte-identical to pre-COMMIT across ALL tables (the round-9
     protocol left earlier tables published); ROLLBACK then restores
     the session catalog, declarations included."""
-    eng = MallardEngine(spark, "t_atomic")
+    import uuid as _uuid
+
+    # unique namespace per run: crash residue from an interrupted
+    # earlier run must not shadow a real failure (round-12, VERDICT
+    # r11 item #1 — a stale t_atomic__a dir once masked this test)
+    ns = f"t_atomic_{_uuid.uuid4().hex[:8]}"
+    eng = MallardEngine(spark, ns)
     try:
         eng.put("a", pa.table({"k": [1]}), persist=True, keys=["k"])
         eng.put("b", pa.table({"k": [10]}), persist=True)
@@ -2193,7 +2199,7 @@ def test_commit_staged_swap_is_atomic_across_tables(spark):
         ]
         assert raw("a") == [1] and raw("b") == [10]
         # no staging/backup orphans are served to a fresh engine
-        fresh = MallardEngine(spark, "t_atomic")
+        fresh = MallardEngine(spark, ns)
         assert set(fresh.list_tables()) == {"a", "b"}
         eng.execute("ROLLBACK")
         assert [r.k for r in eng.table("a").collect()] == [1]
@@ -2206,7 +2212,7 @@ def test_commit_staged_swap_is_atomic_across_tables(spark):
         eng.put("c", eng.sql("SELECT k + 100 AS k FROM a"), persist=True)
         eng.drop("b")
         eng.execute("COMMIT")
-        fresh2 = MallardEngine(spark, "t_atomic")
+        fresh2 = MallardEngine(spark, ns)
         assert [r.k for r in fresh2.table("a").collect()] == [3]
         assert [r.k for r in fresh2.table("c").collect()] == [103]
         assert "b" not in fresh2.list_tables()
@@ -3575,3 +3581,140 @@ def test_round9_review_pass3_fixes(spark, tmp_path):
         f"COPY sk3 FROM '{tmp_path}/w[1].csv' (SKIP 1, HEADER false)"
     )
     assert [r.k for r in eng.table("sk3").collect()] == [7]
+
+
+# -- round 12: warehouse orphan-directory recovery -------------------
+
+
+def _orphan_path(eng, short):
+    import os
+
+    return os.path.join(eng._warehouse_root(), eng._qualified(short).lower())
+
+
+def test_orphan_warehouse_dir_gc_on_discovery(spark):
+    """A managed-table dir with NO catalog entry (crash residue from a
+    process killed between catalog-drop and dir-cleanup) used to
+    poison every future saveAsTable of that name with
+    LOCATION_ALREADY_EXISTS. Discovery now reclaims it (round 12,
+    VERDICT r11 item #1)."""
+    import os
+    import uuid
+
+    ns = f"t_orphan_{uuid.uuid4().hex[:8]}"
+    eng = MallardEngine(spark, ns)
+    orphan = _orphan_path(eng, "t")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("residue")
+    # a fresh engine's discovery sweep removes the orphan...
+    eng2 = MallardEngine(spark, ns)
+    assert not os.path.exists(orphan)
+    # ...so re-creating the table works
+    eng2.put("t", pa.table({"k": [1, 2]}), persist=True)
+    try:
+        assert eng2.row_count("t") == 2
+    finally:
+        eng2.drop("t")
+
+
+def test_orphan_warehouse_dir_recovery_on_save(spark):
+    """Even WITHOUT a discovery pass in between (the orphan appears
+    while an engine is live), saveAsTable reclaims a catalog-less
+    target path and retries instead of failing permanently."""
+    import os
+    import uuid
+
+    ns = f"t_orphan_{uuid.uuid4().hex[:8]}"
+    eng = MallardEngine(spark, ns)
+    orphan = _orphan_path(eng, "t")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("residue")
+    eng.put("t", pa.table({"k": [7]}), persist=True)
+    try:
+        assert [r.k for r in eng.table("t").collect()] == [7]
+    finally:
+        eng.drop("t")
+
+
+def test_orphan_recovery_after_crash_between_drop_and_cleanup(spark):
+    """Failure injection per VERDICT r11 item #1: persist a table,
+    simulate a crash BETWEEN the catalog-drop and the directory
+    removal (save the dir aside, drop, restore the dir), restart the
+    engine, and prove the table can be re-created."""
+    import os
+    import shutil
+    import uuid
+
+    ns = f"t_orphan_{uuid.uuid4().hex[:8]}"
+    eng = MallardEngine(spark, ns)
+    eng.put("t", pa.table({"k": [1]}), persist=True)
+    path = _orphan_path(eng, "t")
+    assert os.path.isdir(path)
+    aside = path + "__crashcopy"
+    shutil.copytree(path, aside)
+    eng.drop("t")  # catalog entry AND dir removed...
+    shutil.move(aside, path)  # ...crash leaves the dir back in place
+    assert os.path.isdir(path)
+    assert not spark.catalog.tableExists(eng._qualified("t"))
+    fresh = MallardEngine(spark, ns)  # discovery reclaims the orphan
+    fresh.put("t", pa.table({"k": [5]}), persist=True)
+    try:
+        assert [r.k for r in fresh.table("t").collect()] == [5]
+    finally:
+        fresh.drop("t")
+
+
+def test_orphan_gc_leaves_live_tables_and_pending_journals_alone(spark):
+    """The sweep must only touch catalog-LESS dirs under THIS
+    namespace: live tables, other namespaces, and dirs whose commit
+    journal is still pending (manual-repair evidence) survive."""
+    import json as _json
+    import os
+    import uuid
+
+    ns = f"t_orphan_{uuid.uuid4().hex[:8]}"
+    other = f"t_other_{uuid.uuid4().hex[:8]}"
+    eng = MallardEngine(spark, ns)
+    eng.put("live", pa.table({"k": [1]}), persist=True)
+    live_path = _orphan_path(eng, "live")
+    # an orphan in ANOTHER namespace is out of scope for this engine
+    foreign = os.path.join(eng._warehouse_root(), f"{other}__t")
+    os.makedirs(foreign)
+    # a __txb orphan whose salt has a RETAINED (pending) journal stays
+    salt = "deadbeef00"
+    pend = os.path.join(
+        eng._warehouse_root(), f"{ns}__x__txb{salt}".lower()
+    )
+    os.makedirs(pend)
+    jdir = eng._txjournal_dir()
+    jpath = os.path.join(jdir, f"{ns}__{salt}.json")
+    with open(jpath, "w") as f:
+        # an unresolvable rename (both sides absent, target not a
+        # backup) keeps the journal pending
+        _json.dump(
+            {
+                "namespace": ns,
+                "salt": salt,
+                "renames": [[f"{ns}__gone", f"{ns}__alsogone"]],
+                "backups": [],
+            },
+            f,
+        )
+    try:
+        MallardEngine(spark, ns)  # discovery + sweep
+        assert os.path.isdir(live_path)  # live table untouched
+        assert os.path.isdir(foreign)  # other namespace untouched
+        assert os.path.isdir(pend)  # pending-journal dir untouched
+        assert [r.k for r in eng.table("live").collect()] == [1]
+    finally:
+        import shutil
+
+        shutil.rmtree(foreign, ignore_errors=True)
+        shutil.rmtree(pend, ignore_errors=True)
+        try:
+            os.remove(jpath)
+        except OSError:
+            pass
+        eng.drop("live")

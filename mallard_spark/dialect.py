@@ -919,6 +919,9 @@ _FUNC_RENAMES = {
     # is exactly Spark's sequence(); FROM-position calls are rewritten
     # to derived tables BEFORE renames run (_rewrite_from_table_fns)
     "generate_series": "sequence",
+    # DuckDB quantile_cont == Spark's exact interpolated percentile
+    # (same arg order; list-of-fractions overload matches too)
+    "quantile_cont": "percentile",
 }
 
 _FUNC_RENAME_RE = re.compile(
@@ -1318,6 +1321,521 @@ def _rewrite_ordered_string_agg(sql: str) -> str:
     return _rewrite_calls(sql, _STRING_AGG_RE, build)
 
 
+# ---- round 12: DuckDB-idiom batch (VERDICT r11 what's-missing) -----
+#
+# Each rule below maps a DuckDB construct a migrating Mallard client
+# would send verbatim (the reference passes ticket SQL straight to
+# DuckDB, flight_server.py:342-352) to the Spark expression with the
+# same semantics — value-checked against live DuckDB 1.0 in
+# tests/test_dialect.py like every other rule in this module.
+
+
+def _split_inline_order(arg: str) -> tuple[str, str] | None:
+    """Split ``expr ORDER BY keys`` at the top level of one argument
+    (DuckDB's in-call ordered-aggregate syntax); None if no in-call
+    ORDER BY is present."""
+    mask = _code_mask(arg)
+    up = arg.upper()
+    depth = 0
+    for i, ch in enumerate(arg):
+        if not mask[i]:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and up[i : i + 5] == "ORDER":
+            before = arg[i - 1] if i else " "
+            m = re.match(r"ORDER\s+BY\b", up[i:])
+            if m and not (before.isalnum() or before == "_"):
+                return arg[:i].strip(), arg[i + m.end():].strip()
+    return None
+
+
+def _parse_order_keys(order: str) -> list[tuple[str, bool]] | None:
+    """``k1 [ASC|DESC], k2 ...`` → [(key_expr, is_desc), ...]; None on
+    explicit NULLS FIRST/LAST (placement Spark's rewrites below cannot
+    reproduce exactly — left for Spark's own error)."""
+    keys: list[tuple[str, bool]] = []
+    for part in _split_top_level_commas(order):
+        p = part.strip()
+        if not p:
+            return None
+        if re.search(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", p):
+            return None
+        m = re.search(r"(?i)\s+(ASC|DESC)\s*$", p)
+        desc = False
+        if m:
+            desc = m.group(1).upper() == "DESC"
+            p = p[: m.start()].strip()
+        keys.append((p, desc))
+    return keys or None
+
+
+def _sorted_collect(x: str, keys: list[tuple[str, bool]]) -> str:
+    """Order-preserving list aggregate: collect (keys, value) structs,
+    sort with a generated comparator (handles DESC keys), project the
+    value back out. Structs survive NULL values, matching DuckDB's
+    ``list`` which keeps NULL elements (collect_list alone drops
+    them). One aggregate + per-group O(n log n) sort — scale-safe."""
+    fields = ", ".join(f"({k}) AS _o{i}" for i, (k, _) in enumerate(keys))
+    whens = []
+    for i, (_, desc) in enumerate(keys):
+        lo, hi = (1, -1) if desc else (-1, 1)
+        whens.append(
+            f"WHEN __l._o{i} < __r._o{i} THEN {lo} "
+            f"WHEN __l._o{i} > __r._o{i} THEN {hi}"
+        )
+    cmp = f"(__l, __r) -> CASE {' '.join(whens)} ELSE 0 END"
+    return (
+        f"transform(array_sort(collect_list(struct({fields}, "
+        f"({x}) AS _v)), {cmp}), __s -> __s._v)"
+    )
+
+
+def _rewrite_ordered_first_last(sql: str) -> str:
+    """DuckDB in-call ordered ``first(x ORDER BY k)`` / ``last(...)``
+    → ``min_by``/``max_by`` (single direction; multi-key via struct
+    comparison) or an ordered-collect pick for mixed directions.
+    Plain first/last (no in-call ORDER BY) is native Spark and
+    untouched."""
+    for fn in ("first", "last"):
+        def build(args: list[str], fn=fn) -> str | None:
+            # ONE expression arg; ORDER BY keys may contain top-level
+            # commas the arg-splitter cut — rejoin before splitting
+            parts = _split_inline_order(",".join(args))
+            if parts is None or len(_split_top_level_commas(parts[0])) != 1:
+                return None
+            x, order = parts
+            if re.match(r"(?i)^\s*DISTINCT\b", x):
+                return None
+            keys = _parse_order_keys(order)
+            if keys is None:
+                return None
+            dirs = {d for _, d in keys}
+            if len(dirs) == 1:
+                desc = keys[0][1]
+                key = (
+                    keys[0][0]
+                    if len(keys) == 1
+                    else "struct(" + ", ".join(k for k, _ in keys) + ")"
+                )
+                pick_min = (fn == "first") != desc
+                return f"{'min_by' if pick_min else 'max_by'}(({x}), ({key}))"
+            pos = 1 if fn == "first" else -1
+            return f"element_at({_sorted_collect(x, keys)}, {pos})"
+
+        sql = _rewrite_calls(
+            sql, re.compile(rf"\b{fn}\s*\(", re.IGNORECASE), build
+        )
+    return sql
+
+
+_LIST_AGG_CALL_RE = re.compile(r"\blist\s*\(", re.IGNORECASE)
+_ARRAY_AGG_ORDERED_RE = re.compile(
+    r"\b(?:array_agg|collect_list)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_list_agg(sql: str) -> str:
+    """DuckDB's ``list(x)`` aggregate (its most idiomatic collector)
+    → a NULL-preserving collect (DuckDB keeps NULL elements; bare
+    collect_list drops them, hence the struct wrapper). In-call
+    ``ORDER BY`` sorts; ``DISTINCT`` dedups (one NULL kept, like
+    DuckDB). ``array_agg``/``collect_list`` with in-call ORDER BY get
+    the same ordered treatment (Spark rejects that syntax)."""
+
+    def build(args: list[str]) -> str | None:
+        a = ",".join(args).strip()
+        if not a or a == "*":
+            return None
+        dm = re.match(r"(?i)^\s*DISTINCT\b", a)
+        if dm:
+            a = a[dm.end():].strip()
+        parts = _split_inline_order(a)
+        if parts is None:
+            if len(args) != 1:
+                return None
+            out = f"transform(collect_list(struct(({a}) AS _v)), __s -> __s._v)"
+        else:
+            x, order = parts
+            if len(_split_top_level_commas(x)) != 1:
+                return None
+            keys = _parse_order_keys(order)
+            if keys is None:
+                return None
+            out = _sorted_collect(x, keys)
+        return f"array_distinct({out})" if dm else out
+
+    def build_ordered_only(args: list[str]) -> str | None:
+        parts = _split_inline_order(",".join(args))
+        if parts is None:
+            return None  # plain array_agg/collect_list is native Spark
+        x, order = parts
+        if len(_split_top_level_commas(x)) != 1:
+            return None
+        if re.match(r"(?i)^\s*DISTINCT\b", x):
+            return None
+        keys = _parse_order_keys(order)
+        if keys is None:
+            return None
+        return _sorted_collect(x, keys)
+
+    sql = _rewrite_calls(sql, _LIST_AGG_CALL_RE, build)
+    return _rewrite_calls(sql, _ARRAY_AGG_ORDERED_RE, build_ordered_only)
+
+
+_HISTOGRAM_RE = re.compile(r"\bhistogram\s*\(", re.IGNORECASE)
+
+
+def _rewrite_histogram(sql: str) -> str:
+    """DuckDB ``histogram(x)`` → MAP of value → count, keys sorted
+    ascending, NULLs excluded (verified live on DuckDB 1.0). Built
+    from one collect_list (Catalyst dedups the repeated aggregate
+    reference) + per-group array ops — no second shuffle."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        x = args[0].strip()
+        if not x or x == "*" or re.match(r"(?i)^\s*DISTINCT\b", x):
+            return None
+        return (
+            f"map_from_entries(transform("
+            f"array_sort(array_distinct(collect_list({x}))), "
+            f"__hv -> struct(__hv, size(filter(collect_list({x}), "
+            f"__he -> __he = __hv)))))"
+        )
+
+    return _rewrite_calls(sql, _HISTOGRAM_RE, build)
+
+
+def _range_list_expr(args: list[str]) -> str | None:
+    """DuckDB ``range`` (END-EXCLUSIVE, empty when the direction is
+    wrong) as a Spark expression. ``sequence`` is end-INCLUSIVE and
+    auto-reverses on start>stop, so the bound is clamped and a filter
+    enforces exclusivity — correct for empty ranges in every
+    direction. 3-arg needs a literal step (sign decides the clamp)."""
+    if len(args) == 1:
+        n = args[0].strip()
+        return f"filter(sequence(0, greatest(0, ({n}) - 1)), __r -> __r < ({n}))"
+    if len(args) == 2:
+        a, b = (x.strip() for x in args)
+        return (
+            f"filter(sequence(({a}), greatest(({a}), ({b}) - 1)), "
+            f"__r -> __r < ({b}))"
+        )
+    if len(args) == 3:
+        a, b, s = (x.strip() for x in args)
+        if re.fullmatch(r"\+?\s*\d+", s):
+            return (
+                f"filter(sequence(({a}), greatest(({a}), ({b}) - 1), ({s})), "
+                f"__r -> __r < ({b}))"
+            )
+        if re.fullmatch(r"-\s*\d+", s):
+            return (
+                f"filter(sequence(({a}), least(({a}), ({b}) + 1), ({s})), "
+                f"__r -> __r > ({b}))"
+            )
+    return None
+
+
+_RANGE_CALL_RE = re.compile(r"\brange\s*\(", re.IGNORECASE)
+
+
+def _rewrite_range_call(sql: str) -> str:
+    """Scalar-position ``range(...)`` → the end-exclusive list expr.
+    FROM-position ``range`` is handled by ``_rewrite_from_table_fns``
+    (which runs earlier), so a surviving call here is scalar."""
+    return _rewrite_calls(sql, _RANGE_CALL_RE, _range_list_expr)
+
+
+_LIST_AGGREGATE_RE = re.compile(
+    r"\b(?:list_aggregate|list_aggr)\s*\(", re.IGNORECASE
+)
+
+
+def _list_aggregate_expr(
+    l: str, fn: str, extra: str | None, sum_double: bool = False
+) -> str | None:
+    """One ``list_aggregate(l, 'fn')`` lowering. NULL elements are
+    skipped by sum/avg/count (DuckDB-verified); the zero accumulator
+    is derived from the first non-null element so the element type is
+    preserved (no cast that would widen ints to double). DECIMAL
+    elements widen under ``+`` and fail that accumulator's analysis —
+    ``sum_double`` selects the DOUBLE-accumulator reading, enumerated
+    as a fallback variant (analyzer-driven dispatch, like ``//``)."""
+    fl = f"filter(({l}), __x -> __x IS NOT NULL)"
+    zero = (
+        "CAST(get(%s, 0) * 0 AS DOUBLE)" % fl
+        if sum_double
+        else f"get({fl}, 0) * 0"
+    )
+    summed = (
+        f"aggregate({fl}, {zero}, (__a, __e) -> __a + __e)"
+    )
+    if fn == "min":
+        return f"array_min({l})"
+    if fn == "max":
+        return f"array_max({l})"
+    if fn == "sum":
+        return summed
+    if fn in ("avg", "mean"):
+        return f"(CAST({summed} AS DOUBLE) / nullif(size({fl}), 0))"
+    if fn == "count":
+        return f"size({fl})"
+    if fn == "first":
+        return f"element_at(({l}), 1)"
+    if fn == "last":
+        return f"element_at(({l}), -1)"
+    if fn == "string_agg":
+        return f"array_join(({l}), {extra if extra else chr(39) + ',' + chr(39)})"
+    return None
+
+
+def _rewrite_list_aggregate(sql: str, sum_double: bool = False) -> str:
+    """``list_aggregate(l, 'fn'[, sep])`` + the ``list_sum`` /
+    ``list_avg`` / ``list_count`` sugar forms → per-function Spark
+    expressions (see ``_list_aggregate_expr``); non-literal function
+    names are refused (left for Spark's error)."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) < 2:
+            return None
+        fn = _unquote_sql_literal(args[1].strip())
+        if fn is None:
+            return None
+        extra = args[2].strip() if len(args) > 2 else None
+        return _list_aggregate_expr(args[0], fn.lower(), extra, sum_double)
+
+    sql = _rewrite_calls(sql, _LIST_AGGREGATE_RE, build)
+    for sugar, fn in (
+        ("list_sum", "sum"), ("list_avg", "avg"), ("list_count", "count"),
+    ):
+        def sbuild(args: list[str], fn=fn) -> str | None:
+            if len(args) != 1:
+                return None
+            return _list_aggregate_expr(args[0], fn, None, sum_double)
+
+        sql = _rewrite_calls(
+            sql, re.compile(rf"\b{sugar}\s*\(", re.IGNORECASE), sbuild
+        )
+    return sql
+
+
+_QUANTILE_DISC_RE = re.compile(
+    r"\b(?:quantile_disc|quantile)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_quantile_disc(sql: str) -> str:
+    """DuckDB ``quantile_disc(x, p)`` (and its alias ``quantile``) →
+    a sorted-collect pick of the smallest element whose cumulative
+    distribution reaches ``p`` (the percentile_disc definition).
+    Spark's own ``percentile_disc`` returns DOUBLE; DuckDB preserves
+    the ELEMENT type (verified live: quantile_disc of ints is int),
+    which this rewrite reproduces. Scalar fraction only."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        x, p = args[0].strip(), args[1].strip()
+        if p.startswith("["):
+            return None
+        srt = f"array_sort(collect_list({x}))"
+        return (
+            f"element_at({srt}, greatest(1, "
+            f"cast(ceil(({p}) * size({srt})) AS INT)))"
+        )
+
+    return _rewrite_calls(sql, _QUANTILE_DISC_RE, build)
+
+
+_STRUCT_PACK_RE = re.compile(r"\bstruct_pack\s*\(", re.IGNORECASE)
+
+
+def _rewrite_struct_pack(sql: str) -> str:
+    """``struct_pack(a := x, b := y)`` → ``named_struct('a', x, 'b',
+    y)`` — DuckDB's named-argument struct constructor (the ``{'k':
+    v}`` literal form is handled by ``_rewrite_collections``)."""
+
+    def build(args: list[str]) -> str | None:
+        parts = []
+        for a in args:
+            m = re.match(r"\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.DOTALL)
+            if not m:
+                return None
+            parts.append(f"'{m.group(1)}', {m.group(2).strip()}")
+        return f"named_struct({', '.join(parts)})" if parts else None
+
+    return _rewrite_calls(sql, _STRUCT_PACK_RE, build)
+
+
+_REGEXP_EXTRACT_ALL_RE = re.compile(
+    r"\bregexp_extract_all\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_regexp_extract_all(sql: str) -> str:
+    """2-arg ``regexp_extract_all(s, re)``: DuckDB defaults to group 0
+    (the full match); Spark defaults to group 1. This unconditional
+    rule runs only inside the translator (the query demonstrably
+    carries DuckDB dialect — same fired-only policy as ``^``); see
+    :func:`rewrite_groupless_regexp_extract_all` for the
+    semantics-preserving pre-pass that fires on vanilla input too."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return f"regexp_extract_all({args[0].strip()}, {args[1].strip()}, 0)"
+
+    return _rewrite_calls(sql, _REGEXP_EXTRACT_ALL_RE, build)
+
+
+def _regex_capture_group_count(pat: str) -> int:
+    """Capturing groups in a Java regex literal: unescaped ``(`` not
+    followed by ``?`` plus Java's named ``(?<name>...)`` form (char
+    classes skipped)."""
+    n = i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":
+            i += 1
+            if i < len(pat) and pat[i] == "]":
+                i += 1
+            while i < len(pat) and pat[i] != "]":
+                if pat[i] == "\\":
+                    i += 1
+                i += 1
+        elif c == "(":
+            nxt = pat[i + 1 : i + 2]
+            if nxt != "?":
+                n += 1
+            elif pat[i + 2 : i + 3] == "<" and pat[i + 3 : i + 4] not in (
+                "=", "!",
+            ):
+                n += 1  # (?<name>...) captures in Java
+        i += 1
+    return n
+
+
+def rewrite_groupless_regexp_extract_all(sql: str) -> str:
+    """Pre-vanilla rewrite for 2-arg ``regexp_extract_all`` with a
+    LITERAL pattern containing NO capture groups: Spark's implicit
+    ``idx=1`` is then a GUARANTEED runtime REGEX_GROUP_INDEX error
+    (never a different answer), so mapping to DuckDB's group-0
+    default cannot change the meaning of any working Spark query —
+    the one shape where a pre-vanilla rewrite is sound. Runtime
+    errors surface after ``engine.sql`` returns its lazy frame, so
+    the post-failure translator can never catch this case."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        pat = _unquote_sql_literal(args[1].strip())
+        if pat is None or _regex_capture_group_count(pat) != 0:
+            return None
+        return f"regexp_extract_all({args[0].strip()}, {args[1].strip()}, 0)"
+
+    return _rewrite_calls(sql, _REGEXP_EXTRACT_ALL_RE, build)
+
+
+_SIMILAR_TO_RE = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    """``x [NOT] SIMILAR TO p`` → ``x [NOT] RLIKE`` with a
+    whole-string anchor. DuckDB's SIMILAR TO is RAW regex anchored to
+    the full string (verified live: 'abc' SIMILAR TO 'a%' is false,
+    'a.*' true) — NOT the SQL-standard %-wildcard reading, so no
+    wildcard translation is needed, only anchoring."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        m = None
+        for cand in _SIMILAR_TO_RE.finditer(sql):
+            if all(mask[k] for k in range(cand.start(), cand.end())):
+                m = cand
+                break
+        if m is None:
+            return sql
+        pat_start = m.end()
+        pat_end = _operand_end(sql, mask, pat_start)
+        while True:  # `p1 || p2` binds tighter than SIMILAR TO
+            k = pat_end
+            while k < len(sql) and sql[k] in " \t\n":
+                k += 1
+            if sql[k : k + 2] == "||" and k + 1 < len(sql) and mask[k]:
+                pat_end = _operand_end(sql, mask, k + 2)
+            else:
+                break
+        pat = sql[pat_start:pat_end].strip()
+        if not pat:
+            return sql
+        neg = "NOT " if m.group(1) else ""
+        sql = (
+            f"{sql[:m.start()]}{neg}RLIKE concat('^(?:', {pat}, ')$')"
+            f"{sql[pat_end:]}"
+        )
+    return sql
+
+
+_RANKLIKE_RE = re.compile(
+    r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile|"
+    r"lead|lag)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _balanced_close(sql: str, mask: list[bool], open_p: int) -> int:
+    depth = 0
+    for j in range(open_p, len(sql)):
+        if sql[j] in "([" and mask[j]:
+            depth += 1
+        elif sql[j] in ")]" and mask[j]:
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _rewrite_orderless_over(sql: str) -> str:
+    """Rank-family window calls over a window with no ORDER BY —
+    legal in DuckDB (arbitrary order), a parse error in Spark. Append
+    ``ORDER BY 1`` (a constant in window-spec position, NOT a
+    positional reference — verified live), preserving any PARTITION
+    BY. Value functions (sum/avg OVER ()) are valid Spark already and
+    untouched."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        changed = False
+        for m in _RANKLIKE_RE.finditer(sql):
+            if not all(mask[k] for k in range(m.start(), m.end())):
+                continue
+            close = _balanced_close(sql, mask, m.end() - 1)
+            if close < 0:
+                continue
+            m2 = re.match(r"\s*OVER\s*\(", sql[close + 1 :], re.IGNORECASE)
+            if not m2:
+                continue
+            wopen = close + 1 + m2.end() - 1
+            wclose = _balanced_close(sql, mask, wopen)
+            if wclose < 0:
+                continue
+            win = sql[wopen + 1 : wclose]
+            if _find_kw(win, "ORDER") >= 0:
+                continue
+            body = f"{win.rstrip()} ORDER BY 1" if win.strip() else "ORDER BY 1"
+            sql = f"{sql[:wopen + 1]}{body}{sql[wclose:]}"
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
 _VARCHAR_CAST_RE = re.compile(
     r"(::\s*)VARCHAR\b(?!\s*\()|(\bAS\s+)VARCHAR(\s*\))", re.IGNORECASE
 )
@@ -1638,7 +2156,7 @@ def _rewrite_distinct_on_nested(sql: str) -> str:
 
 
 _TABLE_FN_RE = re.compile(
-    r"\b(FROM|JOIN)(\s+)(generate_series|unnest)\s*\(", re.IGNORECASE
+    r"\b(FROM|JOIN)(\s+)(generate_series|unnest|range)\s*\(", re.IGNORECASE
 )
 
 
@@ -1681,6 +2199,12 @@ def _rewrite_from_table_fns(sql: str) -> str:
         fn = m.group(3).lower()
         if fn == "generate_series":
             derived = f"(SELECT explode(sequence({inner})) AS generate_series)"
+        elif fn == "range":
+            # DuckDB FROM range(...) is end-EXCLUSIVE, column `range`
+            expr = _range_list_expr(_split_top_level_commas(inner))
+            if expr is None:
+                return sql
+            derived = f"(SELECT explode({expr}) AS range)"
         else:
             if len(_split_top_level_commas(inner)) != 1:
                 return sql  # multi-arg unnest zips in DuckDB — unsupported
@@ -2198,6 +2722,7 @@ def duckdb_to_spark(
     intdiv_mask: tuple[bool, ...] | None = None,
     epoch_ms_ts: bool = False,
     index_plain: bool = False,
+    list_sum_double: bool = False,
     csv_resolver=None,
 ) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
@@ -2234,6 +2759,16 @@ def duckdb_to_spark(
     out = _replace_list_sort(out)
     out = _replace_strftime(out)
     out = _rewrite_ordered_string_agg(out)
+    out = _rewrite_ordered_first_last(out)
+    out = _rewrite_list_agg(out)
+    out = _rewrite_histogram(out)
+    out = _rewrite_range_call(out)
+    out = _rewrite_list_aggregate(out, sum_double=list_sum_double)
+    out = _rewrite_quantile_disc(out)
+    out = _rewrite_struct_pack(out)
+    out = _rewrite_regexp_extract_all(out)
+    out = _rewrite_similar_to(out)
+    out = _rewrite_orderless_over(out)
     out = _replace_varchar_casts(out)
     out = _rewrite_collections(out)
     if _balanced(out):
@@ -2322,6 +2857,7 @@ def translate_variants(sql: str, csv_resolver=None) -> list[str]:
     # comment must not double the variant enumeration
     has_len = _code_hit(_LEN_RE)
     has_epoch = _code_hit(_EPOCH_MS_RE)
+    has_lsum = _code_hit(_LIST_SUM_VARIANT_RE)
     if 0 < n_sites <= _MAX_INTDIV_SITES:
         masks = sorted(
             (tuple(bool(m >> k & 1) for k in range(n_sites)) for m in range(1 << n_sites)),
@@ -2334,28 +2870,36 @@ def translate_variants(sql: str, csv_resolver=None) -> list[str]:
     outs: list[str] = []
     for ep in ((False, True) if has_epoch else (False,)):
         for ll in ((False, True) if has_len else (False,)):
-            for mask in masks:
-                t = duckdb_to_spark(
-                    sql, list_len=ll, intdiv_mask=mask, epoch_ms_ts=ep,
-                    csv_resolver=csv_resolver,
-                )
-                if t != sql and t not in outs:
-                    outs.append(t)
-                if "nullif(CAST((" in t:
-                    # the zero-guarded INT index fails analysis on a
-                    # non-integer map key — enumerate the plain-index
-                    # reading as the fallback variant
-                    t2 = duckdb_to_spark(
+            for ls in ((False, True) if has_lsum else (False,)):
+                for mask in masks:
+                    t = duckdb_to_spark(
                         sql, list_len=ll, intdiv_mask=mask,
-                        epoch_ms_ts=ep, index_plain=True,
+                        epoch_ms_ts=ep, list_sum_double=ls,
                         csv_resolver=csv_resolver,
                     )
-                    if t2 != sql and t2 not in outs:
-                        outs.append(t2)
+                    if t != sql and t not in outs:
+                        outs.append(t)
+                    if "nullif(CAST((" in t:
+                        # the zero-guarded INT index fails analysis on
+                        # a non-integer map key — enumerate the
+                        # plain-index reading as the fallback variant
+                        t2 = duckdb_to_spark(
+                            sql, list_len=ll, intdiv_mask=mask,
+                            epoch_ms_ts=ep, index_plain=True,
+                            list_sum_double=ls,
+                            csv_resolver=csv_resolver,
+                        )
+                        if t2 != sql and t2 not in outs:
+                            outs.append(t2)
     return outs
 
 
 _MAX_INTDIV_SITES = 4
+
+_LIST_SUM_VARIANT_RE = re.compile(
+    r"\b(?:list_aggregate|list_aggr|list_sum|list_avg)\s*\(",
+    re.IGNORECASE,
+)
 
 
 def _balanced(sql: str) -> bool:

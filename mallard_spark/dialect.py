@@ -922,6 +922,18 @@ _FUNC_RENAMES = {
     # DuckDB quantile_cont == Spark's exact interpolated percentile
     # (same arg order; list-of-fractions overload matches too)
     "quantile_cont": "percentile",
+    # round-12 probe batch (semantics verified 1:1 live)
+    "array_length": "array_size",
+    "list_value": "array",
+    "array_value": "array",
+    "regexp_split_to_array": "split",
+    "array_to_string": "array_join",
+    "strpos": "instr",
+    "arbitrary": "any_value",
+    "today": "current_date",
+    "list_zip": "arrays_zip",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
 }
 
 _FUNC_RENAME_RE = re.compile(
@@ -1827,12 +1839,439 @@ def _rewrite_orderless_over(sql: str) -> str:
             win = sql[wopen + 1 : wclose]
             if _find_kw(win, "ORDER") >= 0:
                 continue
-            body = f"{win.rstrip()} ORDER BY 1" if win.strip() else "ORDER BY 1"
-            sql = f"{sql[:wopen + 1]}{body}{sql[wclose:]}"
+            # insert BEFORE any frame clause — ORDER BY must precede
+            # ROWS/RANGE/GROUPS in a window spec
+            fr = min(
+                (p for p in (
+                    _find_kw(win, w) for w in ("ROWS", "RANGE", "GROUPS")
+                ) if p >= 0),
+                default=-1,
+            )
+            if fr >= 0:
+                body = f"{win[:fr].rstrip()} ORDER BY 1 {win[fr:]}"
+            elif win.strip():
+                body = f"{win.rstrip()} ORDER BY 1"
+            else:
+                body = "ORDER BY 1"
+            sql = f"{sql[:wopen + 1]}{body.strip()}{sql[wclose:]}"
             changed = True
             break
         if not changed:
             return sql
+    return sql
+
+
+# ---- round 12 batch 2: misc DuckDB functions (probe-driven) --------
+#
+# Each mapping below was found by probing the engine with DuckDB-1.0-
+# legal SQL (85-statement battery) and verified against live DuckDB
+# semantics before mapping (see tests/test_dialect.py round-12 block):
+# list_unique counts distinct NON-NULL; divide() is integer division
+# on integer operands but true division on decimals; fdiv/fmod are
+# FLOORED (fdiv(-10,3) = -4, fmod(-10.5,3) = +1.5); trunc rounds
+# toward zero; even() rounds away from zero to an even number;
+# signbit(-0.0) is false (so `x < 0` is exact); epoch() returns
+# fractional-second DOUBLE; entropy() is log2-based; time_bucket
+# aligns day-and-finer buckets on epoch boundaries; jaccard() is
+# character-set similarity.
+
+
+def _median_expr(sl: str) -> str:
+    """Interpolated median of a SORTED double array (DuckDB
+    median/quantile_cont 0.5): mean of the two middle elements (the
+    same element twice when the length is odd)."""
+    return (
+        f"((element_at({sl}, CAST((size({sl}) + 1) / 2 AS INT)) + "
+        f"element_at({sl}, CAST(size({sl}) / 2 AS INT) + 1)) / 2)"
+    )
+
+
+_TIME_BUCKET_IV_RE = re.compile(
+    r"(?i)^\s*INTERVAL\s+'?(\d+)'?\s+"
+    r"(SECOND|MINUTE|HOUR|DAY)S?\s*$"
+)
+
+_DATEPART_UNITS = {
+    "second": "SECOND", "seconds": "SECOND", "minute": "MINUTE",
+    "minutes": "MINUTE", "hour": "HOUR", "hours": "HOUR",
+    "day": "DAY", "days": "DAY", "week": "WEEK", "weeks": "WEEK",
+    "month": "MONTH", "months": "MONTH", "quarter": "QUARTER",
+    "quarters": "QUARTER", "year": "YEAR", "years": "YEAR",
+}
+
+
+def _format_to_printf(fmt: str) -> str | None:
+    """DuckDB/fmt-style ``{}`` / ``{:d}`` / ``{N}`` format string →
+    printf-style for Spark's format_string. Unsupported specs refuse
+    (None)."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "{":
+            m = re.match(r"\{(\d*)(?::([ds]))?\}", fmt[i:])
+            if not m:
+                return None
+            pos, spec = m.group(1), m.group(2) or "s"
+            out.append(f"%{int(pos) + 1}${spec}" if pos else f"%{spec}")
+            i += m.end()
+        elif c == "}":
+            if fmt[i : i + 2] == "}}":
+                out.append("}")
+                i += 2
+            else:
+                return None
+        elif c == "%":
+            out.append("%%")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(({a}), ({b}), "
+        f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), "
+        f"CAST(0 AS DOUBLE), (__a, __e) -> __a + __e)"
+    )
+
+
+def _charset_expr(s: str) -> str:
+    return (
+        f"array_distinct(filter(split(({s}), ''), __x -> __x <> ''))"
+    )
+
+
+def _rewrite_misc_fns(sql: str) -> str:
+    """The probe-driven function batch (see section comment)."""
+    def one(args: list[str]) -> str | None:
+        return args[0].strip() if len(args) == 1 else None
+
+    def two(args: list[str]) -> tuple[str, str] | None:
+        if len(args) != 2:
+            return None
+        return args[0].strip(), args[1].strip()
+
+    def b_list_unique(args):
+        l = one(args)
+        if l is None:
+            return None
+        return (
+            f"size(array_distinct(filter(({l}), "
+            f"__x -> __x IS NOT NULL)))"
+        )
+
+    def b_list_slice(args):
+        if len(args) != 3:
+            return None
+        l, a, b = (x.strip() for x in args)
+        return f"slice(({l}), ({a}), (({b}) - ({a}) + 1))"
+
+    def b_divide(args):
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        op = "/" if (_looks_float(a) or _looks_float(b)) else "DIV"
+        return f"(({a}) {op} ({b}))"
+
+    def b_fdiv(args):
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        return f"CAST(FLOOR(({a}) / ({b})) AS DOUBLE)"
+
+    def b_fmod(args):
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        return f"CAST(({a}) - FLOOR(({a}) / ({b})) * ({b}) AS DOUBLE)"
+
+    def b_trunc(args):
+        x = one(args)
+        if x is None:
+            return None  # 2-arg trunc is Spark's own date form
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN FLOOR({x}) "
+            f"ELSE CEIL({x}) END)"
+        )
+
+    def b_even(args):
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"CAST(CASE WHEN ({x}) >= 0 THEN 2 * CEIL(({x}) / 2) "
+            f"ELSE 2 * FLOOR(({x}) / 2) END AS DOUBLE)"
+        )
+
+    def b_isfinite(args):
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"(NOT isnan(CAST(({x}) AS DOUBLE)) AND "
+            f"abs(CAST(({x}) AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))"
+        )
+
+    def b_isinf(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"(abs(CAST(({x}) AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+
+    def b_signbit(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"(({x}) < 0)"
+
+    def b_epoch(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"(unix_micros(CAST(({x}) AS TIMESTAMP)) / 1e6)"
+
+    def b_sha256(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"sha2(({x}), 256)"
+
+    def b_format(args):
+        if len(args) < 1:
+            return None
+        fmt = _unquote_sql_literal(args[0].strip())
+        if fmt is None:
+            return None
+        pf = _format_to_printf(fmt)
+        if pf is None:
+            return None
+        lit = "'" + pf.replace("'", "''") + "'"
+        rest = "".join(", " + a.strip() for a in args[1:])
+        return f"format_string({lit}{rest})"
+
+    def b_jaccard(args):
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        ca, cb = _charset_expr(a), _charset_expr(b)
+        return (
+            f"(CAST(size(array_intersect({ca}, {cb})) AS DOUBLE) / "
+            f"size(array_union({ca}, {cb})))"
+        )
+
+    def b_hamming(args):
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        return (
+            f"CAST(size(filter(zip_with(split(({a}), ''), "
+            f"split(({b}), ''), (__x, __y) -> __x <> __y), "
+            f"__v -> __v)) AS BIGINT)"
+        )
+
+    def b_time_bucket(args):
+        p = two(args)
+        if p is None:
+            return None
+        iv, ts = p
+        m = _TIME_BUCKET_IV_RE.match(iv)
+        if not m:
+            return None  # month-bearing / non-literal buckets refuse
+        n = int(m.group(1))
+        secs = n * {
+            "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+        }[m.group(2).upper()]
+        return (
+            f"timestamp_seconds(CAST(FLOOR(unix_timestamp(({ts})) "
+            f"/ {secs}) AS BIGINT) * {secs})"
+        )
+
+    def b_product(args):
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"aggregate(collect_list(CAST(({x}) AS DOUBLE)), "
+            f"CAST(1 AS DOUBLE), (__a, __e) -> __a * __e)"
+        )
+
+    def b_geomean(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"exp(avg(ln(({x}))))"
+
+    def b_entropy(args):
+        x = one(args)
+        if x is None:
+            return None
+        L = f"collect_list({x})"
+        c = f"size(filter({L}, __e -> __e = __v))"
+        return (
+            f"(log2(size({L})) - aggregate(transform("
+            f"array_distinct({L}), __v -> {c} * log2({c})), "
+            f"CAST(0 AS DOUBLE), (__a, __e) -> __a + __e) / size({L}))"
+        )
+
+    def b_mad(args):
+        x = one(args)
+        if x is None:
+            return None
+        sl = f"array_sort(collect_list(CAST(({x}) AS DOUBLE)))"
+        med = _median_expr(sl)
+        dev = f"array_sort(transform({sl}, __d -> abs(__d - {med})))"
+        return _median_expr(dev)
+
+    def b_date_add(args):
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        if not re.match(r"(?i)^\s*INTERVAL\b", b):
+            return None  # int-days form is Spark's own date_add
+        return f"(({a}) + ({b}))"
+
+    def b_date_sub3(args):
+        if len(args) != 3:
+            return None  # 2-arg form is Spark's own date_sub
+        part = _unquote_sql_literal(args[0].strip())
+        unit = part and _DATEPART_UNITS.get(part.lower())
+        if unit is None:
+            return None
+        return (
+            f"timestampdiff({unit}, ({args[1].strip()}), "
+            f"({args[2].strip()}))"
+        )
+
+    def b_datediff3(args):
+        if len(args) != 3:
+            return None  # 2-arg datediff is Spark's own (days)
+        part = _unquote_sql_literal(args[0].strip())
+        unit = part and _DATEPART_UNITS.get(part.lower())
+        if unit is None:
+            return None
+        # DuckDB datediff counts BOUNDARY crossings; complete units
+        # between the truncated endpoints IS the boundary count
+        a, b = args[1].strip(), args[2].strip()
+        return (
+            f"timestampdiff({unit}, date_trunc('{unit}', ({a})), "
+            f"date_trunc('{unit}', ({b})))"
+        )
+
+    def mk_interval(pos: int, total: int = 4, ym: bool = False):
+        def build(args):
+            n = one(args)
+            if n is None:
+                return None
+            if ym:
+                parts = ["0"] * 2
+                parts[pos] = f"({n})"
+                return f"make_interval({', '.join(parts)})"
+            parts = ["0"] * total
+            parts[pos] = f"({n})"
+            return f"make_dt_interval({', '.join(parts)})"
+
+        return build
+
+    table = {
+        "list_unique": b_list_unique,
+        "list_slice": b_list_slice,
+        "divide": b_divide,
+        "fdiv": b_fdiv,
+        "fmod": b_fmod,
+        "trunc": b_trunc,
+        "even": b_even,
+        "isfinite": b_isfinite,
+        "isinf": b_isinf,
+        "signbit": b_signbit,
+        "epoch": b_epoch,
+        "sha256": b_sha256,
+        "format": b_format,
+        "jaccard": b_jaccard,
+        "hamming": b_hamming,
+        "mismatches": b_hamming,  # DuckDB alias
+        "time_bucket": b_time_bucket,
+        "product": b_product,
+        "geomean": b_geomean,
+        "geometric_mean": b_geomean,
+        "entropy": b_entropy,
+        "mad": b_mad,
+        "date_add": b_date_add,
+        "date_sub": b_date_sub3,
+        "datediff": b_datediff3,
+        "date_diff": b_datediff3,
+        "list_dot_product": lambda a: (
+            _dot_expr(*two(a)) if two(a) else None
+        ),
+        "list_inner_product": lambda a: (
+            _dot_expr(*two(a)) if two(a) else None
+        ),
+        "list_cosine_similarity": lambda a: (
+            f"({_dot_expr(*two(a))} / "
+            f"(sqrt({_dot_expr(two(a)[0], two(a)[0])}) * "
+            f"sqrt({_dot_expr(two(a)[1], two(a)[1])})))"
+            if two(a) else None
+        ),
+        "list_distance": lambda a: (
+            (lambda p: (
+                f"sqrt(aggregate(zip_with(({p[0]}), ({p[1]}), "
+                f"(__x, __y) -> CAST(__x - __y AS DOUBLE) * "
+                f"(__x - __y)), CAST(0 AS DOUBLE), "
+                f"(__a, __e) -> __a + __e))"
+            ))(two(a)) if two(a) else None
+        ),
+        "to_days": mk_interval(0),
+        "to_hours": mk_interval(1),
+        "to_minutes": mk_interval(2),
+        "to_seconds": mk_interval(3),
+        "to_months": mk_interval(1, ym=True),
+        "to_years": mk_interval(0, ym=True),
+    }
+    for fn, build in table.items():
+        rx = re.compile(rf"\b{fn}\s*\(", re.IGNORECASE)
+        if rx.search(sql):
+            sql = _rewrite_calls(sql, rx, build)
+    return sql
+
+
+_STARTSWITH_OP_RE = re.compile(r"\^@")
+
+
+def _rewrite_startswith_op(sql: str) -> str:
+    """DuckDB's ``a ^@ b`` (starts-with operator) →
+    ``startswith(a, b)``."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        m = None
+        for cand in _STARTSWITH_OP_RE.finditer(sql):
+            if all(mask[k] for k in range(cand.start(), cand.end())):
+                m = cand
+                break
+        if m is None:
+            return sql
+        starts = _region_starts(sql)
+        lend = m.start()
+        while lend > 0 and sql[lend - 1] in " \t\n":
+            lend -= 1
+        lstart = _base_start(sql, mask, lend, starts)
+        if lstart < 0 or lstart >= lend:
+            return sql
+        rend = _operand_end(sql, mask, m.end())
+        left = sql[lstart:lend].strip()
+        right = sql[m.end() : rend].strip()
+        if not left or not right:
+            return sql
+        sql = (
+            f"{sql[:lstart]}startswith({left}, {right}){sql[rend:]}"
+        )
     return sql
 
 
@@ -2769,6 +3208,8 @@ def duckdb_to_spark(
     out = _rewrite_regexp_extract_all(out)
     out = _rewrite_similar_to(out)
     out = _rewrite_orderless_over(out)
+    out = _rewrite_misc_fns(out)
+    out = _rewrite_startswith_op(out)
     out = _replace_varchar_casts(out)
     out = _rewrite_collections(out)
     if _balanced(out):

@@ -1688,3 +1688,74 @@ def test_prepare_execute_deallocate(eng):
     eng.execute("PREPARE ins AS INSERT INTO pt VALUES ($1)")
     eng.execute("EXECUTE ins(7)")
     assert sorted(r.k for r in eng.table("pt").collect()) == [1, 7]
+
+
+# -- round 12 batch 2: probe-driven misc DuckDB functions ------------
+
+
+def test_misc_list_fns(eng):
+    _both(eng, "SELECT array_length([1,2,3]) AS n, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_slice([1,2,3,4], 2, 3) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_unique([1,1,2,NULL]) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_value(1, 2, 3) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_dot_product([1.0,2.0],[3.0,4.0]) AS d, "
+               "list_cosine_similarity([1.0,0.0],[1.0,0.0]) AS c, "
+               "list_distance([0.0,0.0],[3.0,4.0]) AS e, v // 1 AS v FROM dt WHERE id = 1")
+    # list_zip: values equal, struct FIELD NAMES differ (documented)
+    got = eng.sql("SELECT list_zip([1,2],[3,4]) AS r").collect()[0].r
+    assert [tuple(s) for s in got] == [(1, 3), (2, 4)]
+
+
+def test_misc_string_fns(eng):
+    _both(eng, "SELECT array_to_string([1,2], '-') AS j, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT regexp_split_to_array('a1b2', '[0-9]') AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT starts_with(g, 'a') AS a, ends_with(g, 'b') AS b, v // 1 AS v FROM dt ORDER BY id")
+    _both(eng, "SELECT g ^@ 'a' AS r, v // 1 AS v FROM dt ORDER BY id")
+    _both(eng, "SELECT strpos('hello', 'll') AS p, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT jaccard('abc', 'bcd') AS j, hamming('abc', 'abd') AS h, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT format('{} and {}', 1, 'x') AS f, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT sha256('a') AS s, v // 1 AS v FROM dt WHERE id = 1")
+
+
+def test_misc_numeric_fns(eng):
+    _both(eng, "SELECT even(2.5) AS a, even(-2.5) AS b, even(3) AS c, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT isfinite(1.0) AS a, isinf('inf'::DOUBLE) AS b, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT signbit(-3.0) AS a, signbit(-0.0) AS b, signbit(2.0) AS c, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT divide(10, 3) AS a, v // 1 AS v FROM dt WHERE id = 1")
+    # floored division/modulo (DuckDB-verified: fdiv(-10,3) = -4)
+    _both(eng, "SELECT fdiv(-10, 3) AS a, fmod(-10.5, 3) AS b, v // 1 AS v FROM dt WHERE id = 1")
+    got = _both(eng, "SELECT CAST(trunc(2.9) AS BIGINT) AS a, CAST(trunc(-2.9) AS BIGINT) AS b, v // 1 AS v FROM dt WHERE id = 1")
+    assert got[0][:2] == (2, -2)
+
+
+def test_misc_datetime_fns(eng):
+    _both(eng, "SELECT date_sub('day', DATE '2024-01-01', DATE '2024-02-01') AS d, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT datediff('day', DATE '2024-01-01', DATE '2024-02-01') AS a, "
+               "datediff('month', DATE '2024-01-31', DATE '2024-02-01') AS b, v // 1 AS v FROM dt WHERE id = 1")
+    # boundary-vs-complete semantics: DuckDB datediff counts crossings
+    _both(eng, "SELECT datediff('hour', TIMESTAMP '2024-01-01 00:59:00', TIMESTAMP '2024-01-01 01:01:00') AS a, "
+               "date_sub('hour', TIMESTAMP '2024-01-01 00:59:00', TIMESTAMP '2024-01-01 01:01:00') AS b, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT epoch(TIMESTAMP '2024-01-01 00:00:01.5') AS e, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 00:37:22') AS b, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT time_bucket(INTERVAL 1 DAY, TIMESTAMP '2024-01-05 13:00:00') AS b, v // 1 AS v FROM dt WHERE id = 1")
+    # date_add with an INTERVAL: value parity (Spark answers DATE,
+    # DuckDB TIMESTAMP — compare the date part)
+    got = eng.sql("SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY) AS r").collect()
+    assert str(got[0].r) == "2024-01-04"
+    got2 = eng.sql("SELECT to_days(5) = INTERVAL 5 DAY AS r, today() = current_date AS t").collect()
+    assert got2[0].r and got2[0].t
+
+
+def test_misc_aggregates(eng):
+    _both(eng, "SELECT product(id) AS p FROM dt")
+    _both(eng, "SELECT geomean(v) AS g FROM dt")
+    # entropy: DuckDB's accumulation is row-order-dependent (1-ulp
+    # difference no closed-form reordering reproduces) — near-exact
+    ge = eng.sql("SELECT entropy(g) AS e FROM dt").collect()[0].e
+    we = _duck("SELECT entropy(g) AS e FROM dt")[0][0]
+    assert abs(ge - we) < 1e-12
+    got = eng.sql("SELECT mad(v) AS m, median(v) AS md FROM dt").collect()
+    want = _duck("SELECT mad(v) AS m, median(v) AS md FROM dt")
+    assert float(got[0].m) == float(want[0][0])
+    assert float(got[0].md) == float(want[0][1])
+    _both(eng, "SELECT arbitrary(g) AS a FROM (SELECT * FROM dt WHERE g = 'a') q")

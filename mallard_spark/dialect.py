@@ -368,7 +368,13 @@ def _replace_exclude(sql: str) -> str:
     return _EXCLUDE_RE.sub(sub, sql)
 
 
-_STAR_REPLACE_RE = re.compile(r"\*\s*REPLACE\s*\(", re.IGNORECASE)
+_STAR_REPLACE_RE = re.compile(
+    # optional EXCLUDE/EXCEPT group between * and REPLACE (round 12:
+    # the combined DuckDB form `* EXCLUDE (a) REPLACE (e AS c)`) —
+    # the exclude list is a plain name list, no nesting
+    r"\*\s*(?:(?:EXCLUDE|EXCEPT)\s*\((?P<exc>[^()]*)\)\s*)?REPLACE\s*\(",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_star_replace(sql: str) -> str:
@@ -410,8 +416,12 @@ def _rewrite_star_replace(sql: str) -> str:
             if am is None:
                 return sql  # malformed item — pass through to the parser
             names.append(am.group(1))
+        exc = [
+            e.strip() for e in (m.group("exc") or "").split(",")
+            if e.strip()
+        ]
         repl = (
-            f"* EXCEPT ({', '.join(names)}), "
+            f"* EXCEPT ({', '.join(exc + names)}), "
             + ", ".join(it.strip() for it in items)
         )
         sql = f"{sql[:m.start()]}{repl}{sql[close_p + 1:]}"
@@ -2242,6 +2252,196 @@ def _rewrite_misc_fns(sql: str) -> str:
     return sql
 
 
+# ---- round 12 batch 3: literal syntax + window/interval forms ------
+
+
+_DOLLAR_QUOTE_RE = re.compile(r"\$(?P<tag>[A-Za-z_]\w*)?\$")
+
+
+def replace_dollar_quotes(sql: str) -> str:
+    """PostgreSQL/DuckDB dollar-quoted strings (``$$...$$`` /
+    ``$tag$...$tag$``) → standard single-quoted literals with ``''``
+    doubling. Runs FIRST in the pipeline: the lexer (``_scan``) does
+    not know dollar quoting, so any other rule could otherwise
+    rewrite the string's CONTENT."""
+    out = []
+    i = 0
+    while i < len(sql):
+        m = _DOLLAR_QUOTE_RE.match(sql, i)
+        if m:
+            closer = m.group(0)
+            end = sql.find(closer, m.end())
+            if end >= 0:
+                body = sql[m.end() : end]
+                out.append("'" + body.replace("'", "''") + "'")
+                i = end + len(closer)
+                continue
+        # skip regular string literals so a $$ inside one survives
+        if sql[i] == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'":
+                    if sql[j + 1 : j + 2] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
+_NUM_UNDERSCORE_RE = re.compile(r"(?<![\w.])\d[\d_]*_[\d_]*\d(?![\w.])")
+
+
+def _replace_numeric_underscores(sql: str) -> str:
+    """DuckDB's readable numeric literals (``1_000_000``) → plain
+    digits (Spark's lexer rejects the underscores)."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if all(mask[k] for k in range(m.start(), m.end())):
+            return m.group(0).replace("_", "")
+        return m.group(0)
+
+    return _NUM_UNDERSCORE_RE.sub(sub, sql)
+
+
+_ESCAPE_STRING_RE = re.compile(r"(?<![\w'])[eE](?=')")
+
+
+def _replace_escape_strings(sql: str) -> str:
+    """DuckDB/Postgres ``e'...'`` escape-string literals → plain
+    quoted literals: Spark's default string lexer already processes
+    backslash escapes, so dropping the prefix preserves the value."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        return "" if mask[m.start()] else m.group(0)
+
+    return _ESCAPE_STRING_RE.sub(sub, sql)
+
+
+def _rewrite_ignore_nulls_in_call(sql: str) -> str:
+    """DuckDB's in-call null treatment ``fn(x IGNORE NULLS)`` →
+    Spark's postfix ``fn(x) IGNORE NULLS`` (same for RESPECT)."""
+    for fn in (
+        "first_value", "last_value", "nth_value", "lag", "lead",
+        "first", "last", "any_value",
+    ):
+        def build(args: list[str], fn=fn) -> str | None:
+            if not args:
+                return None
+            m = re.search(
+                r"(?i)\s+(IGNORE|RESPECT)\s+NULLS\s*$", args[-1]
+            )
+            if m is None:
+                return None
+            inner = args[:-1] + [args[-1][: m.start()]]
+            return (
+                f"{fn}({', '.join(a.strip() for a in inner)}) "
+                f"{m.group(1).upper()} NULLS"
+            )
+
+        sql = _rewrite_calls(
+            sql, re.compile(rf"\b{fn}\s*\(", re.IGNORECASE), build
+        )
+    return sql
+
+
+_INTERVAL_EXPR_RE = re.compile(r"\bINTERVAL\s*\(", re.IGNORECASE)
+_INTERVAL_UNIT_POS = {
+    "year": (True, 0), "years": (True, 0),
+    "month": (True, 1), "months": (True, 1),
+    "day": (False, 0), "days": (False, 0),
+    "hour": (False, 1), "hours": (False, 1),
+    "minute": (False, 2), "minutes": (False, 2),
+    "second": (False, 3), "seconds": (False, 3),
+}
+
+
+def _rewrite_interval_expr(sql: str) -> str:
+    """DuckDB's non-literal interval ``INTERVAL (expr) UNIT`` →
+    ``make_interval`` / ``make_dt_interval`` (Spark's INTERVAL only
+    takes literal quantities)."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _INTERVAL_EXPR_RE.finditer(sql)
+                if all(mask[k] for k in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        close = _balanced_close(sql, mask, m.end() - 1)
+        if close < 0:
+            return sql
+        um = re.match(r"\s*([A-Za-z]+)", sql[close + 1 :])
+        unit = um and _INTERVAL_UNIT_POS.get(um.group(1).lower())
+        if unit is None:
+            return sql
+        ym, pos = unit
+        n = sql[m.end() : close].strip()
+        parts = ["0"] * (2 if ym else 4)
+        parts[pos] = f"({n})"
+        fn = "make_interval" if ym else "make_dt_interval"
+        repl = f"{fn}({', '.join(parts)})"
+        sql = f"{sql[:m.start()]}{repl}{sql[close + 1 + um.end():]}"
+    return sql
+
+
+_AT_TIME_ZONE_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """``x AT TIME ZONE z`` → ``to_utc_timestamp(x, z)``: interpret
+    the naive timestamp as wall time in zone ``z`` — the same instant
+    DuckDB's TIMESTAMPTZ conversion denotes, rendered naive-UTC."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _AT_TIME_ZONE_RE.finditer(sql)
+                if all(mask[k] for k in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        lend = m.start()
+        while lend > 0 and sql[lend - 1] in " \t\n":
+            lend -= 1
+        starts = _region_starts(sql)
+        lstart = _base_start(sql, mask, lend, starts)
+        if lstart < 0 or lstart >= lend:
+            return sql
+        # typed literals: include the TIMESTAMP/DATE keyword of
+        # `TIMESTAMP '...' AT TIME ZONE z` in the operand
+        tm = re.search(
+            r"(?i)\b(TIMESTAMP(?:TZ)?|DATE)\s*$", sql[:lstart]
+        )
+        if tm and all(mask[k] for k in range(tm.start(), lstart)):
+            lstart = tm.start()
+        rend = _operand_end(sql, mask, m.end())
+        left = sql[lstart:lend].strip()
+        right = sql[m.end() : rend].strip()
+        if not left or not right:
+            return sql
+        sql = (
+            f"{sql[:lstart]}to_utc_timestamp({left}, {right})"
+            f"{sql[rend:]}"
+        )
+    return sql
+
+
 _STARTSWITH_OP_RE = re.compile(r"\^@")
 
 
@@ -3177,6 +3377,10 @@ def duckdb_to_spark(
     types, so :func:`translate_variants` enumerates the combinations
     and the engine keeps the first that passes Spark analysis.
     """
+    # dollar-quoted strings convert BEFORE anything else — the lexer
+    # does not know them, so every later rule (and the balance check
+    # itself) would otherwise read their content as code (round 12)
+    sql = replace_dollar_quotes(sql)
     if not _balanced(sql) or not _statement_shaped(sql):
         # malformed bracketing / a non-statement can never be valid
         # SQL on EITHER engine (the engine routes DML/DDL/COPY/PIVOT
@@ -3184,6 +3388,8 @@ def duckdb_to_spark(
         # mispair groups (breaking idempotence on garbage), so pass
         # it through to Spark's real parse error untouched
         return sql
+    sql = _replace_numeric_underscores(sql)
+    sql = _replace_escape_strings(sql)
     out = _replace_intdiv(sql, as_float=float_intdiv, float_mask=intdiv_mask)
     out = _replace_power_op(out, "**")
     out = _replace_exclude(out)
@@ -3210,6 +3416,9 @@ def duckdb_to_spark(
     out = _rewrite_orderless_over(out)
     out = _rewrite_misc_fns(out)
     out = _rewrite_startswith_op(out)
+    out = _rewrite_ignore_nulls_in_call(out)
+    out = _rewrite_interval_expr(out)
+    out = _rewrite_at_time_zone(out)
     out = _replace_varchar_casts(out)
     out = _rewrite_collections(out)
     if _balanced(out):

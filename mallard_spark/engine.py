@@ -2301,6 +2301,76 @@ class MallardEngine:
         :meth:`copy_to` routes ``COPY ... FROM`` internally)."""
         return self.copy_to(sql)
 
+    _UNION_BY_NAME_RE = re.compile(
+        r"\bUNION\s+(?:(ALL)\s+)?BY\s+NAME\b", re.IGNORECASE
+    )
+
+    def _union_by_name(self, sql: str) -> DataFrame | None:
+        """DuckDB's ``UNION [ALL] BY NAME`` (round 12): columns align
+        by NAME, missing columns fill NULL — exactly Spark's
+        ``unionByName(allowMissingColumns=True)``, which Spark SQL has
+        no syntax for. Top-level occurrences split the statement into
+        side queries (each runs through :meth:`sql`, so dialect
+        syntax inside a side still translates); a trailing top-level
+        ORDER BY / LIMIT applies to the combined result via a temp
+        view. Plain UNION sides and parenthesized/nested forms pass
+        through (None). The non-ALL form dedups, like DuckDB."""
+        from mallard_spark.dialect import _code_mask
+
+        mask = _code_mask(sql)
+        depth = 0
+        cuts: list[tuple[int, int, bool]] = []
+        i = 0
+        while i < len(sql):
+            c = sql[i]
+            if mask[i] and c in "([":
+                depth += 1
+            elif mask[i] and c in ")]":
+                depth -= 1
+            elif mask[i] and depth == 0 and c in "Uu":
+                m = self._UNION_BY_NAME_RE.match(sql, i)
+                if m and all(
+                    mask[k] for k in range(m.start(), m.end())
+                ):
+                    cuts.append((m.start(), m.end(), bool(m.group(1))))
+                    i = m.end()
+                    continue
+            i += 1
+        if not cuts:
+            return None
+        sides: list[str] = []
+        last = 0
+        for s, e, _all in cuts:
+            sides.append(sql[last:s])
+            last = e
+        sides.append(sql[last:])
+        # a trailing top-level ORDER BY / LIMIT / OFFSET belongs to
+        # the combined result (DuckDB binds it to the union)
+        tail = ""
+        lastside = sides[-1]
+        lmask = _code_mask(lastside)
+        for kw in ("ORDER", "LIMIT", "OFFSET"):
+            from mallard_spark.dialect import _find_kw
+
+            p = _find_kw(lastside, kw)
+            if p >= 0 and all(lmask[k] for k in range(p, p + len(kw))):
+                tail = lastside[p:]
+                sides[-1] = lastside[:p]
+                break
+        dedup = not all(a for _s, _e, a in cuts)
+        result = self.sql(sides[0])
+        for side in sides[1:]:
+            result = result.unionByName(
+                self.sql(side), allowMissingColumns=True
+            )
+        if dedup:
+            result = result.distinct()
+        if tail.strip():
+            view = f"__mallard_ubn_{self.namespace}"
+            result.createOrReplaceTempView(view)
+            result = self.spark.sql(f"SELECT * FROM {view} {tail}")
+        return result
+
     # -- PREPARE / EXECUTE / DEALLOCATE (round 12) ---------------------
 
     _PREPARE_RE = re.compile(
@@ -2877,6 +2947,9 @@ class MallardEngine:
         )
 
         out = rewrite_groupless_regexp_extract_all(out)
+        ubn = self._union_by_name(out)
+        if ubn is not None:
+            return ubn
         try:
             return self.spark.sql(out)
         except Exception as first_err:

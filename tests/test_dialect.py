@@ -1759,3 +1759,75 @@ def test_misc_aggregates(eng):
     assert float(got[0].m) == float(want[0][0])
     assert float(got[0].md) == float(want[0][1])
     _both(eng, "SELECT arbitrary(g) AS a FROM (SELECT * FROM dt WHERE g = 'a') q")
+
+
+# -- round 12 batch 3: statement/literal syntax ----------------------
+
+
+def test_union_by_name(eng):
+    got = _both(
+        eng,
+        "SELECT id, g FROM dt WHERE id <= 2 "
+        "UNION ALL BY NAME SELECT g, id FROM dt WHERE id <= 2 "
+        "ORDER BY id, g",
+    )
+    assert len(got) == 4
+    # missing columns fill NULL; non-ALL dedups
+    got2 = eng.sql(
+        "SELECT id FROM dt WHERE id = 1 UNION ALL BY NAME "
+        "SELECT g FROM dt WHERE id = 1"
+    ).collect()
+    rows = sorted(((r.id, r.g) for r in got2), key=repr)
+    assert rows == [(1, None), (None, "a")]
+    got3 = _both(
+        eng,
+        "SELECT g FROM dt UNION BY NAME SELECT g FROM dt ORDER BY g",
+    )
+    assert [r[0] for r in got3] == ["a", "b", "c"]
+
+
+def test_ignore_nulls_in_call(eng):
+    _both(
+        eng,
+        "SELECT id, last_value(CASE WHEN v < 45 THEN v END IGNORE NULLS) "
+        "OVER (ORDER BY id) AS lv FROM dt ORDER BY id",
+    )
+    _both(
+        eng,
+        "SELECT id, first_value(CASE WHEN v > 25 THEN v END IGNORE NULLS) "
+        "OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING) AS fv FROM dt ORDER BY id",
+    )
+
+
+def test_interval_expr_quantity(eng):
+    _both(eng, "SELECT DATE '2024-01-01' + INTERVAL (id) DAY AS r, v // 1 AS v FROM dt ORDER BY id")
+    got = eng.sql(
+        "SELECT DATE '2024-01-01' + INTERVAL (id) MONTH AS r FROM dt ORDER BY id"
+    ).collect()
+    assert str(got[0].r) == "2024-02-01" and str(got[2].r) == "2024-04-01"
+
+
+def test_literal_syntax_forms(eng):
+    _both(eng, "SELECT 1_000_000 AS n, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT e'a\\nb' AS s, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT $$dollar 'quoted'$$ AS s, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT $tag$with $$ inside$tag$ AS s, v // 1 AS v FROM dt WHERE id = 1")
+    # a $$ inside a regular string literal survives untouched
+    _both(eng, "SELECT 'keep $$ this' AS s, v // 1 AS v FROM dt WHERE id = 1")
+
+
+def test_at_time_zone(eng):
+    got = eng.sql(
+        "SELECT timestamp '2024-01-01 05:00:00' AT TIME ZONE 'UTC' AS r"
+    ).collect()
+    assert str(got[0].r) == "2024-01-01 05:00:00"
+
+
+def test_exclude_replace_combined(eng):
+    # values match; replaced columns move to the END of the projection
+    # (documented REPLACE divergence)
+    got = eng.sql(
+        "SELECT * EXCLUDE (v) REPLACE (id * 10 AS id) FROM dt ORDER BY id"
+    ).collect()
+    assert [(r.g, r.id) for r in got[:2]] == [("a", 10), ("a", 20)]

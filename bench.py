@@ -204,8 +204,8 @@ def main() -> None:
     # that committed measurement, not a fresh run. (r11 replaces the
     # r09 block the round-10 VERDICT flagged as protocol-tainted.)
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("sf1", "BENCH10X_r11.json"),
-                       ("sf10", "BENCH100X_r11.json")):
+    for key, fname in (("sf1", "BENCH10X_r12.json"),
+                       ("sf10", "BENCH100X_r12.json")):
         p = os.path.join(here, fname)
         if os.path.exists(p):
             try:

@@ -6281,6 +6281,33 @@ class MallardEngine:
         are mapped onto the namespaced catalog; anything else is passed
         through to Spark SQL with table refs rewritten.
         """
+        # round 12 normalizations (probe-found DuckDB forms):
+        # CREATE TEMP TABLE == the engine's default session table
+        # (DuckDB TEMP is session-lifetime — exactly what a
+        # non-persisted registration is), and `AS <select> WITH NO
+        # DATA` creates the SCHEMA only (LIMIT-0 the source)
+        tm = re.match(
+            r"(?i)^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)"
+            r"TEMP(?:ORARY)?\s+(TABLE\b.*)$",
+            sql, re.DOTALL,
+        )
+        if tm:
+            sql = tm.group(1) + tm.group(2)
+        wm = re.match(
+            r"(?i)^(?P<head>\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?[A-Za-z_]\w*\s+AS\s+)"
+            r"(?P<select>.+?)\s+WITH\s+NO\s+DATA\s*;?\s*$",
+            sql, re.DOTALL,
+        )
+        if wm:
+            # DuckDB 1.0 parses WITH NO DATA and IGNORES it (verified
+            # live: the created table HAS the rows) — replicate the
+            # reference's actual behavior, not the SQL standard's
+            logging.getLogger(__name__).info(
+                "CREATE TABLE ... WITH NO DATA: clause ignored for "
+                "DuckDB 1.0 parity (it copies the data; verified live)"
+            )
+            sql = f"{wm.group('head')}{wm.group('select')}"
         m = _EXPORT_DB_RE.match(sql)
         if m:
             d = m.group("dir").replace("''", "'")

@@ -3740,3 +3740,22 @@ def test_duckdb_tables_estimated_size(spark):
         assert rows["mem"] is None
     finally:
         eng.drop("p")
+
+
+def test_create_temp_table_and_with_no_data(spark):
+    """Round 12 (probe-found): CREATE TEMP TABLE maps to the engine's
+    session table (DuckDB TEMP is session-lifetime); WITH NO DATA is
+    parsed and IGNORED like DuckDB 1.0 (verified live: it copies the
+    rows — the reference's actual behavior, not the SQL standard)."""
+    import uuid
+
+    eng = MallardEngine(spark, f"t_ct_{uuid.uuid4().hex[:8]}")
+    eng.execute("CREATE TABLE t (id INTEGER, g STRING)")
+    eng.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    eng.execute("CREATE TEMP TABLE tt AS SELECT id FROM t")
+    assert sorted(r.id for r in eng.table("tt").collect()) == [1, 2]
+    assert "tt" not in eng._persistent
+    eng.execute("CREATE TEMPORARY TABLE tt2 (x INT)")
+    assert eng.table("tt2").columns == ["x"]
+    eng.execute("CREATE TABLE t3 AS SELECT * FROM t WITH NO DATA")
+    assert sorted(r.id for r in eng.table("t3").collect()) == [1, 2]

@@ -944,6 +944,9 @@ _FUNC_RENAMES = {
     "list_zip": "arrays_zip",
     "starts_with": "startswith",
     "ends_with": "endswith",
+    "row": "struct",
+    "list_has_any": "arrays_overlap",
+    "json_keys": "json_object_keys",
 }
 
 _FUNC_RENAME_RE = re.compile(
@@ -2252,6 +2255,186 @@ def _rewrite_misc_fns(sql: str) -> str:
     return sql
 
 
+# ---- round 12 batch 4: nested-type + JSON functions (probe-driven) --
+
+
+def _rewrite_nested_fns(sql: str) -> str:
+    """DuckDB list/struct/JSON functions with compositional Spark
+    equivalents (verified live case by case — see
+    tests/test_dialect.py round-12 batch 4):
+
+    - ``list_position``/``list_indexof`` answer NULL when absent
+      (Spark's array_position answers 0 — hence the nullif);
+    - ``list_reduce`` seeds with the FIRST element;
+    - ``map_extract`` answers a LIST ([] when the key is absent);
+    - ``list_resize`` pads with NULL (or the fill) and truncates;
+    - ``json_extract_string`` is exactly get_json_object;
+      ``json_extract`` diverges on STRING leaves (DuckDB keeps the
+      JSON quoting) — documented, values match for numbers/objects.
+    """
+
+    def one(args):
+        return args[0].strip() if len(args) == 1 else None
+
+    def two(args):
+        if len(args) != 2:
+            return None
+        return args[0].strip(), args[1].strip()
+
+    def b_struct_extract(args):
+        p = two(args)
+        if p is None:
+            return None
+        s, name = p
+        lit = _unquote_sql_literal(name)
+        if lit is None or not re.fullmatch(r"[A-Za-z_]\w*", lit):
+            return None
+        return f"(({s}).{lit})"
+
+    def b_map_extract(args):
+        p = two(args)
+        if p is None:
+            return None
+        m, k = p
+        return (
+            f"filter(array(element_at(({m}), ({k}))), "
+            f"__x -> __x IS NOT NULL)"
+        )
+
+    def b_list_has_all(args):
+        p = two(args)
+        if p is None:
+            return None
+        l, sub = p
+        return f"(size(array_except(({sub}), ({l}))) = 0)"
+
+    def b_list_position(args):
+        # DuckDB 1.0 answers 0 when absent (verified live — the
+        # NULL-when-absent behavior is newer DuckDB), which is
+        # exactly Spark's array_position
+        p = two(args)
+        if p is None:
+            return None
+        l, x = p
+        return f"array_position(({l}), ({x}))"
+
+    def b_list_grade_up(args):
+        l = one(args)
+        if l is None:
+            return None
+        return (
+            f"transform(array_sort(zip_with(({l}), "
+            f"sequence(1, size(({l}))), "
+            f"(__v, __i) -> struct(__v AS _v, __i AS _i))), "
+            f"__s -> __s._i)"
+        )
+
+    def b_list_reduce(args):
+        if len(args) != 2:
+            return None
+        l, lam = args[0].strip(), args[1].strip()
+        return (
+            f"aggregate(slice(({l}), 2, size(({l})) - 1), "
+            f"element_at(({l}), 1), {lam})"
+        )
+
+    def b_list_where(args):
+        p = two(args)
+        if p is None:
+            return None
+        l, msk = p
+        return (
+            f"transform(filter(zip_with(({l}), ({msk}), "
+            f"(__v, __k) -> struct(__v AS _v, __k AS _k)), "
+            f"__s -> __s._k), __s -> __s._v)"
+        )
+
+    def b_list_select(args):
+        p = two(args)
+        if p is None:
+            return None
+        l, idx = p
+        return (
+            f"transform(({idx}), "
+            f"__i -> element_at(({l}), CAST(__i AS INT)))"
+        )
+
+    def b_list_resize(args):
+        if len(args) == 2:
+            l, n = args[0].strip(), args[1].strip()
+            fill = f"get(({l}), size(({l})))"  # NULL, element-typed
+        elif len(args) == 3:
+            l, n, fill = (a.strip() for a in args)
+            fill = f"({fill})"
+        else:
+            return None
+        return (
+            f"slice(concat(({l}), transform(sequence(1, "
+            f"greatest(0, ({n}) - size(({l})))), __x -> {fill})), "
+            f"1, ({n}))"
+        )
+
+    def b_generate_subscripts(args):
+        if len(args) not in (1, 2):
+            return None
+        if len(args) == 2 and args[1].strip() != "1":
+            return None
+        return f"explode(sequence(1, size(({args[0].strip()}))))"
+
+    def b_json_object(args):
+        if not args or len(args) % 2:
+            return None
+        return f"to_json(named_struct({', '.join(a.strip() for a in args)}))"
+
+    def b_get_json(args):
+        p = two(args)
+        if p is None:
+            return None
+        j, path = p
+        return f"get_json_object(({j}), ({path}))"
+
+    def b_json_valid(args):
+        j = one(args)
+        if j is None:
+            return None
+        return f"(get_json_object(({j}), '$') IS NOT NULL)"
+
+    def b_json_array_length(args):
+        j = one(args)
+        if j is None:
+            return None
+        return f"size(from_json(({j}), 'array<string>'))"
+
+    table = {
+        "struct_extract": b_struct_extract,
+        "map_extract": b_map_extract,
+        "element_at": None,  # native
+        "list_has_all": b_list_has_all,
+        "list_position": b_list_position,
+        "list_indexof": b_list_position,
+        "list_grade_up": b_list_grade_up,
+        "list_reduce": b_list_reduce,
+        "list_where": b_list_where,
+        "list_select": b_list_select,
+        "list_resize": b_list_resize,
+        "generate_subscripts": b_generate_subscripts,
+        "json_object": b_json_object,
+        "json_extract": b_get_json,
+        "json_extract_path": b_get_json,
+        "json_extract_string": b_get_json,
+        "json_extract_path_text": b_get_json,
+        "json_valid": b_json_valid,
+        "json_array_length": b_json_array_length,
+    }
+    for fn, build in table.items():
+        if build is None:
+            continue
+        rx = re.compile(rf"\b{fn}\s*\(", re.IGNORECASE)
+        if rx.search(sql):
+            sql = _rewrite_calls(sql, rx, build)
+    return sql
+
+
 # ---- round 12 batch 3: literal syntax + window/interval forms ------
 
 
@@ -2476,7 +2659,8 @@ def _rewrite_startswith_op(sql: str) -> str:
 
 
 _VARCHAR_CAST_RE = re.compile(
-    r"(::\s*)VARCHAR\b(?!\s*\()|(\bAS\s+)VARCHAR(\s*\))", re.IGNORECASE
+    r"(::\s*)(?:VARCHAR|JSON)\b(?!\s*\()|(\bAS\s+)(?:VARCHAR|JSON)(\s*\))",
+    re.IGNORECASE,
 )
 
 
@@ -3415,6 +3599,7 @@ def duckdb_to_spark(
     out = _rewrite_similar_to(out)
     out = _rewrite_orderless_over(out)
     out = _rewrite_misc_fns(out)
+    out = _rewrite_nested_fns(out)
     out = _rewrite_startswith_op(out)
     out = _rewrite_ignore_nulls_in_call(out)
     out = _rewrite_interval_expr(out)

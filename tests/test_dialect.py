@@ -1831,3 +1831,38 @@ def test_exclude_replace_combined(eng):
         "SELECT * EXCLUDE (v) REPLACE (id * 10 AS id) FROM dt ORDER BY id"
     ).collect()
     assert [(r.g, r.id) for r in got[:2]] == [("a", 10), ("a", 20)]
+
+
+# -- round 12 batch 4: nested-type + JSON functions ------------------
+
+
+def test_nested_list_fns(eng):
+    _both(eng, "SELECT list_has_any([1,2], [2,3]) AS a, list_has_all([1,2,3], [2,3]) AS b, "
+               "list_has_all([1,2], [2,9]) AS c, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_grade_up([30,10,20]) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_reduce([1,2,3], (a,b) -> a + b) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_where([1,2,3], [true,false,true]) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_select([10,20,30], [1,3]) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_resize([1,2], 4) AS a, list_resize([1,2], 4, 0) AS b, "
+               "list_resize([1,2,3], 2) AS c, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT list_position([4,5], 5) AS a, list_position([4,5], 6) AS b, "
+               "list_indexof([4,5], 5) AS c, v // 1 AS v FROM dt WHERE id = 1")
+
+
+def test_nested_struct_map_fns(eng):
+    _both(eng, "SELECT struct_extract({'a': 1, 'b': 'x'}, 'a') AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT map_extract(MAP {'k': 5}, 'k') AS hit, map_extract(MAP {'k': 5}, 'z') AS miss, "
+               "v // 1 AS v FROM dt WHERE id = 1")
+    # row() builds an unnamed struct (field names are engine-specific)
+    got = eng.sql("SELECT row(1, 'x') AS r").collect()
+    assert tuple(got[0].r) == (1, "x")
+
+
+def test_json_fns(eng):
+    _both(eng, "SELECT json_extract_string('{\"a\": \"x\"}', '$.a') AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT json_extract('{\"a\": {\"b\": 5}}', '$.a.b') AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT json_object('k', 1) AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT json_valid('{}') AS a, json_valid('nope{') AS b, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT json_array_length('[1,2,3]') AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT json_keys('{\"a\":1,\"b\":2}') AS r, v // 1 AS v FROM dt WHERE id = 1")
+    _both(eng, "SELECT '{\"a\": 5}'::JSON AS r, v // 1 AS v FROM dt WHERE id = 1")

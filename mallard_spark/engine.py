@@ -2315,6 +2315,8 @@ class MallardEngine:
         ORDER BY / LIMIT applies to the combined result via a temp
         view. Plain UNION sides and parenthesized/nested forms pass
         through (None). The non-ALL form dedups, like DuckDB."""
+        if not self._UNION_BY_NAME_RE.search(sql):
+            return None  # cheap pre-check: no mask scan per statement
         from mallard_spark.dialect import _code_mask
 
         mask = _code_mask(sql)
@@ -2397,13 +2399,22 @@ class MallardEngine:
         none of the three verbs."""
         pm = self._PREPARE_RE.match(sql)
         if pm:
-            self._prepared[pm.group(1).lower()] = pm.group(2)
+            from mallard_spark.dialect import replace_dollar_quotes
+
+            # normalize dollar-quoted strings NOW: the $n binder's
+            # code mask doesn't know them, so a $$...$$ body containing
+            # `$1` would otherwise be substituted into
+            self._prepared[pm.group(1).lower()] = replace_dollar_quotes(
+                pm.group(2)
+            )
             return self.spark.createDataFrame([("OK",)], "status string")
         dm = self._DEALLOCATE_RE.match(sql)
         if dm:
             self._prepared.pop(dm.group(1).lower(), None)
             return self.spark.createDataFrame([("OK",)], "status string")
         em = self._EXECUTE_RE.match(sql)
+        if em and em.group(1).upper() == "IMMEDIATE":
+            return None  # Spark's own EXECUTE IMMEDIATE passes through
         if em:
             stmt = self._prepared.get(em.group(1).lower())
             if stmt is None:
@@ -5903,6 +5914,11 @@ class MallardEngine:
         (>4096 files — at that scale run a real count instead)."""
         from urllib.parse import unquote, urlparse
 
+        if name not in self._persistent:
+            # a SESSION table is a lazy plan — its input files are the
+            # SOURCES, whose row count is not the table's (filters,
+            # joins); only a warehouse table materializes 1:1
+            return None
         try:
             files = self._tables[name].inputFiles()
         except Exception:

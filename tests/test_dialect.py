@@ -1866,3 +1866,14 @@ def test_json_fns(eng):
     _both(eng, "SELECT json_array_length('[1,2,3]') AS r, v // 1 AS v FROM dt WHERE id = 1")
     _both(eng, "SELECT json_keys('{\"a\":1,\"b\":2}') AS r, v // 1 AS v FROM dt WHERE id = 1")
     _both(eng, "SELECT '{\"a\": 5}'::JSON AS r, v // 1 AS v FROM dt WHERE id = 1")
+
+
+def test_prepare_dollar_quoted_and_execute_immediate(eng):
+    # a $$-string containing `$1` must NOT be treated as a parameter
+    eng.execute("PREPARE pq AS SELECT $$keep $1 text$$ AS s, $1 + 1 AS n")
+    got = eng.execute("EXECUTE pq(41)").collect()
+    assert (got[0].s, got[0].n) == ("keep $1 text", 42)
+    eng.execute("DEALLOCATE pq")
+    # Spark's own EXECUTE IMMEDIATE passes through untouched
+    got2 = eng.execute("EXECUTE IMMEDIATE 'SELECT 7 AS x'").collect()
+    assert got2[0].x == 7

@@ -2921,9 +2921,16 @@ class MallardEngine:
             # enum positional semantics / ::type casts / enum_*
             # functions (round 11) — text-level, literal-safe
             sql = self._rewrite_enums_in_query(sql)
-        if re.search(r"(?i)\bduckdb_(tables|columns)\s*\(\s*\)", sql):
-            # DuckDB's catalog table functions (round 11): register
-            # the namespace's introspection relations and rewrite the
+        _ISPECT = (
+            r"(?i)(?:\bduckdb_(tables|columns|views|schemas|databases|"
+            r"constraints|settings)\s*\(\s*\)"
+            r"|\binformation_schema\s*\.\s*(tables|columns)\b)"
+        )
+        if re.search(_ISPECT, sql):
+            # DuckDB's catalog table functions (round 11; round 12
+            # adds views/schemas/databases/constraints/settings and
+            # information_schema.tables/columns): register the
+            # namespace's introspection relations and rewrite the
             # calls to the views (literal spans skipped)
             from mallard_spark.dialect import _scan
 
@@ -2932,16 +2939,44 @@ class MallardEngine:
                 mask[i] = in_code
             out_parts: list[str] = []
             last = 0
-            for fm in re.finditer(
-                r"(?i)\bduckdb_(tables|columns)\s*\(\s*\)", sql
-            ):
+            for fm in re.finditer(_ISPECT, sql):
                 if not mask[fm.start()]:
                     continue
-                which = fm.group(1).lower()
-                view = f"__mallard_duckdb_{which}"
-                self._introspection_df(
-                    which
-                ).createOrReplaceTempView(view)
+                which = (fm.group(1) or "").lower()
+                ist = (fm.group(2) or "").lower()
+                if ist == "columns":
+                    # information_schema.columns answers the same
+                    # per-column relation as duckdb_columns() — the
+                    # engine's one source of column metadata — plus
+                    # the standard's ordinal_position/table_catalog
+                    # spellings
+                    from pyspark.sql import functions as F
+
+                    view = "__mallard_isc_columns"
+                    (
+                        self._introspection_df("columns")
+                        .withColumn(
+                            "ordinal_position", F.col("column_index")
+                        )
+                        .withColumn(
+                            "table_catalog", F.col("database_name")
+                        )
+                        .withColumn("table_schema", F.col("schema_name"))
+                        .createOrReplaceTempView(view)
+                    )
+                elif ist == "tables":
+                    view = "__mallard_isc_tables"
+                    self._introspection_extra_df(
+                        "ist"
+                    ).createOrReplaceTempView(view)
+                elif which in ("tables", "columns"):
+                    view = f"__mallard_duckdb_{which}"
+                    self._introspection_df(which).createOrReplaceTempView(view)
+                else:
+                    view = f"__mallard_duckdb_{which}"
+                    self._introspection_extra_df(
+                        which
+                    ).createOrReplaceTempView(view)
                 out_parts.append(sql[last:fm.start()] + view)
                 last = fm.end()
             sql = "".join(out_parts) + sql[last:]
@@ -5903,6 +5938,152 @@ class MallardEngine:
             "is_nullable boolean, data_type string, data_type_id int, "
             "character_maximum_length int, numeric_precision int, "
             "numeric_precision_radix int, numeric_scale int",
+        )
+
+    def _introspection_extra_df(self, which: str) -> DataFrame:
+        """The remaining DuckDB catalog relations (round 12, probe
+        batch): ``duckdb_views/schemas/databases/constraints/
+        settings()`` plus ``information_schema.tables``. Column sets
+        mirror DuckDB 1.0 (read live); values come from the engine's
+        own declarations. ``tags`` emits an empty map like DuckDB."""
+        from pyspark.sql.types import (
+            ArrayType, BooleanType, IntegerType, LongType, MapType,
+            StringType, StructField, StructType,
+        )
+
+        S, L, B, I = StringType(), LongType(), BooleanType(), IntegerType()
+        M = MapType(StringType(), StringType())
+        if which == "views":
+            rows = []
+            for i, n in enumerate(sorted(self._views)):
+                body = self._view_sql.get(n, "")
+                rows.append((
+                    self.namespace, 0, "main", 0, n, i,
+                    self._comments.get(n, {}).get("table"), {}, False,
+                    False, len(self._tables[n].columns),
+                    f"CREATE VIEW {n} AS {body};" if body else None,
+                ))
+            schema = StructType([
+                StructField("database_name", S), StructField("database_oid", L),
+                StructField("schema_name", S), StructField("schema_oid", L),
+                StructField("view_name", S), StructField("view_oid", L),
+                StructField("comment", S), StructField("tags", M),
+                StructField("internal", B), StructField("temporary", B),
+                StructField("column_count", I), StructField("sql", S),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        if which == "schemas":
+            schema = StructType([
+                StructField("oid", L), StructField("database_name", S),
+                StructField("database_oid", L), StructField("schema_name", S),
+                StructField("comment", S), StructField("tags", M),
+                StructField("internal", B), StructField("sql", S),
+            ])
+            # `main` reports internal=True, matching live DuckDB 1.0
+            # (its NOT-internal filter answers no rows on a fresh db)
+            return self.spark.createDataFrame(
+                [(0, self.namespace, 0, "main", None, {}, True, None)],
+                schema,
+            )
+        if which == "databases":
+            schema = StructType([
+                StructField("database_name", S), StructField("database_oid", L),
+                StructField("path", S), StructField("comment", S),
+                StructField("tags", M), StructField("internal", B),
+                StructField("type", S), StructField("readonly", B),
+            ])
+            return self.spark.createDataFrame(
+                [(
+                    self.namespace, 0, self._warehouse_root(), None,
+                    {}, False, "spark", False,
+                )],
+                schema,
+            )
+        if which == "constraints":
+            rows = []
+            for n in sorted(self._tables):
+                if n in self._views:
+                    continue
+                cols = list(self._tables[n].columns)
+                idx = 0
+
+                def colpos(cs):
+                    return [cols.index(c) for c in cs if c in cols]
+
+                for key in self._keys.get(n, []):
+                    rows.append((
+                        self.namespace, 0, "main", 0, n, 0, idx,
+                        "PRIMARY KEY",
+                        f"PRIMARY KEY({', '.join(key)})", None,
+                        colpos(key), list(key),
+                    ))
+                    idx += 1
+                for chk in self._checks.get(n, []):
+                    expr = chk if isinstance(chk, str) else str(chk)
+                    rows.append((
+                        self.namespace, 0, "main", 0, n, 0, idx,
+                        "CHECK", f"CHECK(({expr}))", f"({expr})",
+                        [], [],
+                    ))
+                    idx += 1
+                for fk in self._fkeys.get(n, []):
+                    rows.append((
+                        self.namespace, 0, "main", 0, n, 0, idx,
+                        "FOREIGN KEY",
+                        (
+                            f"FOREIGN KEY ({', '.join(fk['cols'])}) "
+                            f"REFERENCES {fk['ref']}"
+                            f"({', '.join(fk['ref_cols'])})"
+                        ),
+                        None, colpos(fk["cols"]), list(fk["cols"]),
+                    ))
+                    idx += 1
+            schema = StructType([
+                StructField("database_name", S), StructField("database_oid", L),
+                StructField("schema_name", S), StructField("schema_oid", L),
+                StructField("table_name", S), StructField("table_oid", L),
+                StructField("constraint_index", L),
+                StructField("constraint_type", S),
+                StructField("constraint_text", S),
+                StructField("expression", S),
+                StructField("constraint_column_indexes", ArrayType(L)),
+                StructField("constraint_column_names", ArrayType(S)),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        if which == "settings":
+            rows = [
+                (
+                    p, "", "engine-tuning setting accepted as a no-op "
+                    "on Spark (see SET/PRAGMA handling)", "VARCHAR",
+                    "GLOBAL",
+                )
+                for p in sorted(_TUNING_PRAGMAS)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name string, value string, description string, "
+                "input_type string, scope string",
+            )
+        # information_schema.tables
+        rows = []
+        for n in sorted(self._tables):
+            rows.append((
+                self.namespace, "main", n,
+                "VIEW" if n in self._views else "BASE TABLE",
+                None, None, None, None, None, "YES", "NO", None,
+                self._comments.get(n, {}).get("table"),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, "
+            "table_name string, table_type string, "
+            "self_referencing_column_name string, "
+            "reference_generation string, "
+            "user_defined_type_catalog string, "
+            "user_defined_type_schema string, "
+            "user_defined_type_name string, is_insertable_into string, "
+            "is_typed string, commit_action string, "
+            "TABLE_COMMENT string",
         )
 
     def _estimated_rows(self, name: str) -> int | None:

@@ -420,3 +420,31 @@ def test_enum_table_name_inside_literal_ignored(eng):
         "SELECT min(sev) AS m, 'et' AS tag FROM other"
     ).collect()
     assert got[0].m == "alpha"  # VARCHAR order, not enum position
+
+
+def test_extended_introspection_relations(eng, duck):
+    """Round 12: duckdb_views/schemas/constraints/settings() and
+    information_schema.tables/columns — side-by-side where the
+    values are engine-independent."""
+    for run in (eng.execute, duck.execute):
+        run("CREATE TABLE it (id INT PRIMARY KEY, v DOUBLE CHECK (v > 0))")
+        run("CREATE VIEW iv AS SELECT id FROM it")
+    for q in (
+        "SELECT view_name, column_count FROM duckdb_views() "
+        "WHERE NOT internal",
+        "SELECT schema_name FROM duckdb_schemas() WHERE NOT internal",
+        "SELECT table_name, constraint_type, constraint_column_names "
+        "FROM duckdb_constraints() "
+        "WHERE constraint_type = 'PRIMARY KEY'",
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_name IN ('it', 'iv') ORDER BY table_name",
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'iv'",
+    ):
+        mine = [tuple(r) for r in eng.sql(q).collect()]
+        want = duck.execute(q).fetchall()
+        assert [tuple(map(repr, r)) for r in mine] == \
+            [tuple(map(repr, r)) for r in want], (q, mine, want)
+    # settings: non-empty relation with DuckDB's column set
+    st = eng.sql("SELECT name, value, scope FROM duckdb_settings()")
+    assert st.count() > 5

@@ -2391,6 +2391,13 @@ def _rewrite_nested_fns(sql: str) -> str:
         if p is None:
             return None
         j, path = p
+        if path.startswith("["):
+            # list-of-paths form → array of extractions
+            inner = _split_top_level_commas(path[1:-1])
+            parts = ", ".join(
+                f"get_json_object(({j}), ({q.strip()}))" for q in inner
+            )
+            return f"array({parts})"
         return f"get_json_object(({j}), ({path}))"
 
     def b_json_valid(args):
@@ -2432,6 +2439,90 @@ def _rewrite_nested_fns(sql: str) -> str:
         rx = re.compile(rf"\b{fn}\s*\(", re.IGNORECASE)
         if rx.search(sql):
             sql = _rewrite_calls(sql, rx, build)
+    return sql
+
+
+_HOF_NAMES = frozenset({
+    "transform", "filter", "aggregate", "reduce", "exists", "forall",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort", "sort_array",
+})
+
+
+def _enclosing_call_name(sql: str, mask: list[bool], pos: int) -> str | None:
+    """Identifier of the innermost unclosed call containing ``pos``
+    (None at top level) — used to tell a JSON arrow from a lambda
+    arrow: lambdas only occur as higher-order-function arguments."""
+    depth = 0
+    j = pos - 1
+    while j >= 0:
+        c = sql[j]
+        if mask[j] and c in ")]":
+            depth += 1
+        elif mask[j] and c in "([":
+            if depth == 0:
+                k = j
+                while k > 0 and sql[k - 1] in " \t\n":
+                    k -= 1
+                e = k
+                while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] == "_"):
+                    k -= 1
+                return sql[k:e].lower() or None
+            depth -= 1
+        j -= 1
+    return None
+
+
+_JSON_ARROW_RE = re.compile(r"->>?")
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """DuckDB's JSON extraction operators ``j -> 'key'`` /
+    ``j ->> 'key'`` → ``get_json_object`` (keys become ``$.key``
+    paths, integer indexes ``$[n]``, ``$``-paths pass through;
+    chains iterate). Disambiguation from Spark lambda arrows: the
+    right operand must be a string/int LITERAL and the arrow must NOT
+    sit directly inside a higher-order function call (lambdas only
+    occur there). ``->`` answers get_json_object's unquoted text —
+    exact for ``->>``; for ``->`` DuckDB keeps JSON quoting on
+    string leaves (same documented divergence as json_extract)."""
+    for _ in range(64):
+        mask = _code_mask(sql)
+        hit = None
+        for m in _JSON_ARROW_RE.finditer(sql):
+            if not all(mask[k] for k in range(m.start(), m.end())):
+                continue
+            if _enclosing_call_name(sql, mask, m.start()) in _HOF_NAMES:
+                continue
+            k = m.end()
+            while k < len(sql) and sql[k] in " \t\n":
+                k += 1
+            rm = re.match(r"'((?:[^']|'')*)'|(\d+)", sql[k:])
+            if rm is None:
+                continue
+            hit = (m, k, rm)
+            break
+        if hit is None:
+            return sql
+        m, k, rm = hit
+        lend = m.start()
+        while lend > 0 and sql[lend - 1] in " \t\n":
+            lend -= 1
+        starts = _region_starts(sql)
+        lstart = _base_start(sql, mask, lend, starts)
+        if lstart < 0 or lstart >= lend:
+            return sql
+        left = sql[lstart:lend].strip()
+        if rm.group(2) is not None:
+            path = f"$[{rm.group(2)}]"
+        else:
+            key = rm.group(1)
+            path = key if key.startswith("$") else f"$.{key}"
+        lit = "'" + path.replace("'", "''") + "'"
+        sql = (
+            f"{sql[:lstart]}get_json_object({left}, {lit})"
+            f"{sql[k + rm.end():]}"
+        )
     return sql
 
 
@@ -3600,6 +3691,7 @@ def duckdb_to_spark(
     out = _rewrite_orderless_over(out)
     out = _rewrite_misc_fns(out)
     out = _rewrite_nested_fns(out)
+    out = _rewrite_json_arrows(out)
     out = _rewrite_startswith_op(out)
     out = _rewrite_ignore_nulls_in_call(out)
     out = _rewrite_interval_expr(out)

@@ -1877,3 +1877,25 @@ def test_prepare_dollar_quoted_and_execute_immediate(eng):
     # Spark's own EXECUTE IMMEDIATE passes through untouched
     got2 = eng.execute("EXECUTE IMMEDIATE 'SELECT 7 AS x'").collect()
     assert got2[0].x == 7
+
+
+def test_json_arrow_operators(eng):
+    got = _both(
+        eng,
+        "SELECT g, '{\"a\": {\"b\": 5}, \"tag\": \"x\"}' -> 'a' -> 'b' AS b, "
+        "'{\"tag\": \"x\"}' ->> 'tag' AS t, v // 1 AS v FROM dt WHERE id = 1",
+    )
+    assert got[0][1:3] == ("5", "x")
+    # a lambda arrow inside a higher-order function survives in the
+    # SAME statement as a JSON arrow
+    got2 = eng.sql(
+        "SELECT transform([1, 2], x -> x + 1) AS l, "
+        "'{\"k\": 9}' ->> 'k' AS r"
+    ).collect()
+    assert got2[0].l == [2, 3] and got2[0].r == "9"
+    # list-of-paths json_extract → array of extractions
+    got3 = eng.sql(
+        "SELECT json_extract('{\"a\": 1, \"b\": \"z\"}', "
+        "['$.a', '$.b']) AS r"
+    ).collect()
+    assert got3[0].r == ["1", "z"]

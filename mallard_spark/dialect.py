@@ -2442,6 +2442,76 @@ def _rewrite_nested_fns(sql: str) -> str:
     return sql
 
 
+_CTE_MATERIALIZED_RE = re.compile(
+    r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", re.IGNORECASE
+)
+
+
+def _strip_cte_materialized(sql: str) -> str:
+    """DuckDB's CTE materialization hints (``WITH c AS [NOT]
+    MATERIALIZED (...)``) → plain ``AS (`` — the hint only steers
+    DuckDB's optimizer; Catalyst makes its own call, semantics are
+    identical."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if all(mask[k] for k in range(m.start(), m.end())):
+            return "AS ("
+        return m.group(0)
+
+    return _CTE_MATERIALIZED_RE.sub(sub, sql)
+
+
+_ANY_ALL_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_any_all(sql: str) -> str:
+    """Quantified comparisons. Over a LIST (DuckDB extension):
+    ``x op ANY(arr)`` → ``exists(arr, e -> x op e)``, ALL → forall.
+    Over a SUBQUERY, the =ANY/<>ALL forms are Spark's IN / NOT IN;
+    other operators over subqueries are left for Spark's error."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _ANY_ALL_RE.finditer(sql)
+                if all(mask[k] for k in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        close = _balanced_close(sql, mask, m.end() - 1)
+        if close < 0:
+            return sql
+        arg = sql[m.end() : close].strip()
+        op, quant = m.group(1), m.group(2).upper()
+        lend = m.start()
+        while lend > 0 and sql[lend - 1] in " \t\n":
+            lend -= 1
+        starts = _region_starts(sql)
+        lstart = _base_start(sql, mask, lend, starts)
+        if lstart < 0 or lstart >= lend:
+            return sql
+        left = sql[lstart:lend].strip()
+        is_sub = bool(re.match(r"(?i)^\s*(SELECT|FROM|WITH)\b", arg))
+        if is_sub:
+            if op == "=" and quant in ("ANY", "SOME"):
+                repl = f"{left} IN ({arg})"
+            elif op in ("<>", "!=") and quant == "ALL":
+                repl = f"{left} NOT IN ({arg})"
+            else:
+                return sql  # no Spark equivalent — surface its error
+        else:
+            fn = "forall" if quant == "ALL" else "exists"
+            repl = f"{fn}(({arg}), __q -> ({left}) {op} __q)"
+        sql = f"{sql[:lstart]}{repl}{sql[close + 1:]}"
+    return sql
+
+
 _HOF_NAMES = frozenset({
     "transform", "filter", "aggregate", "reduce", "exists", "forall",
     "zip_with", "map_filter", "map_zip_with", "transform_keys",
@@ -3692,6 +3762,8 @@ def duckdb_to_spark(
     out = _rewrite_misc_fns(out)
     out = _rewrite_nested_fns(out)
     out = _rewrite_json_arrows(out)
+    out = _rewrite_any_all(out)
+    out = _strip_cte_materialized(out)
     out = _rewrite_startswith_op(out)
     out = _rewrite_ignore_nulls_in_call(out)
     out = _rewrite_interval_expr(out)

@@ -1899,3 +1899,13 @@ def test_json_arrow_operators(eng):
         "['$.a', '$.b']) AS r"
     ).collect()
     assert got3[0].r == ["1", "z"]
+
+
+def test_any_all_and_cte_materialized(eng):
+    _both(eng, "SELECT id FROM dt WHERE g = ANY(['a', 'z']) ORDER BY id")
+    _both(eng, "SELECT id FROM dt WHERE id <> ALL([5, 6]) ORDER BY id")
+    _both(eng, "SELECT id FROM dt WHERE v >= SOME([40, 99]) ORDER BY id")
+    _both(eng, "SELECT id FROM dt WHERE id = ANY(SELECT id FROM dt WHERE g = 'b') ORDER BY id")
+    _both(eng, "SELECT id FROM dt WHERE id <> ALL(SELECT id FROM dt WHERE g = 'b') ORDER BY id")
+    _both(eng, "WITH c AS MATERIALIZED (SELECT id FROM dt WHERE v > 25) SELECT * FROM c ORDER BY 1")
+    _both(eng, "WITH c AS NOT MATERIALIZED (SELECT id FROM dt) SELECT count(*) AS n FROM c")

@@ -585,3 +585,25 @@ def test_multi_statement_ticket_answers_last(servers):
         )
     ).read_all()
     assert got.column("n").to_pylist() == [5]
+
+
+def test_prepare_execute_and_union_by_name_over_wire(servers):
+    """Round 12: PREPARE/EXECUTE tickets and UNION BY NAME queries
+    over live gRPC — the reference passes both verbatim to DuckDB."""
+    s1, _ = servers
+    client = _client(s1)
+    _put(client, "pw_t", _sample())
+    ok = client.do_get(
+        flight.Ticket(b"PREPARE wq AS SELECT count(*) AS c FROM pw_t WHERE id > $1")
+    ).read_all()
+    assert ok.num_rows == 1  # OK status frame
+    got = client.do_get(flight.Ticket(b"EXECUTE wq(2)")).read_all()
+    assert got.column("c").to_pylist() == [3]
+    ubn = client.do_get(
+        flight.Ticket(
+            b"SELECT id FROM pw_t WHERE id = 1 "
+            b"UNION ALL BY NAME SELECT value FROM pw_t WHERE id = 1 "
+            b"ORDER BY id NULLS FIRST"
+        )
+    ).read_all()
+    assert ubn.num_rows == 2 and set(ubn.column_names) == {"id", "value"}

@@ -356,3 +356,100 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("r").alias("rank_scaled"))
         .orderBy(F.desc("rank_scaled"), "nation")
     )
+
+
+AA_MAXDEG = 64  # middle-node degree cap for wedge generation
+AA_SCALE = 10**9  # per-wedge weight fixed-point scale (exact int64)
+AA_TOPK = 20
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    nbr AS (
+      SELECT u AS node, v AS nb FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM nbr GROUP BY node),
+    mid AS (
+      SELECT n.node AS z, n.nb,
+             CAST(ROUND({AA_SCALE} / ln(d.degree), 0) AS BIGINT) AS w
+      FROM nbr n JOIN deg d ON n.node = d.node
+      WHERE d.degree BETWEEN 2 AND {AA_MAXDEG}
+    ),
+    wedges AS (
+      SELECT a.nb AS u, b.nb AS v, a.w
+      FROM mid a JOIN mid b ON a.z = b.z AND a.nb < b.nb
+    ),
+    scored AS (
+      SELECT u, v, SUM(w) AS micro FROM wedges GROUP BY u, v
+    ),
+    nonadj AS (
+      SELECT s.u, s.v, s.micro FROM scored s
+      ANTI JOIN edges e ON s.u = e.u AND s.v = e.v
+    )
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           CAST(micro AS DOUBLE) / {AA_SCALE} AS aa_score
+    FROM nonadj
+    ORDER BY micro DESC, u, v LIMIT {AA_TOPK}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: for
+    each NON-adjacent pair sharing common neighbors, score
+    Σ_z 1/ln(deg z) over the common neighbors z — the classic
+    "likely future edge" signal (recommendation candidates, crawl
+    frontier priors).
+
+    Determinism: the per-wedge weight rounds ONCE to integer
+    nano-units (1e9/ln deg), so pair scores are exact int64 sums —
+    summation-order-independent, bit-identical to the DuckDB oracle.
+
+    Scale design: wedges generate per MIDDLE node z, which is Σ deg²
+    — a hub blows it up — so middles are capped at deg <= 64 (AA_MAXDEG)
+    (standard in link prediction: a huge-degree middle contributes
+    ~1/ln(huge) ≈ 0 per wedge while spamming pairs). The wedge count
+    is then ≤ m·{cap} — linear in edges at any corpus size. The
+    adjacency exclusion is one anti-join on the (u, v) pair keys;
+    top-k is TakeOrdered (no global sort).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    nbr = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("node"), F.col("v").alias("nb")),
+                F.struct(F.col("v").alias("node"), F.col("u").alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nb")
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    mid = (
+        nbr.join(deg, "node")
+        .filter(F.col("degree").between(2, AA_MAXDEG))
+        .select(
+            F.col("node").alias("z"),
+            "nb",
+            F.round(F.lit(AA_SCALE) / F.log(F.col("degree")), 0)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    a, b = mid.alias("a"), mid.alias("b")
+    scored = (
+        a.join(b, (F.col("a.z") == F.col("b.z")) & (F.col("a.nb") < F.col("b.nb")))
+        .groupBy(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"))
+        .agg(F.sum(F.col("a.w")).alias("micro"))
+    )
+    nonadj = scored.join(edges, ["u", "v"], "left_anti")
+    return (
+        nonadj.select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            (F.col("micro").cast("double") / AA_SCALE).alias("aa_score"),
+            "micro",
+        )
+        .orderBy(F.desc("micro"), "u", "v")
+        .limit(AA_TOPK)
+        .drop("micro")
+    )

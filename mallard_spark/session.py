@@ -82,6 +82,16 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or os.cpu_count() or 32),
         )
+        # 32 MB scan splits (round 12): the default 128 MB bin-packs
+        # this workload's ~11 MB parquet files into a handful of scan
+        # tasks, under-parallelizing decode on 32 cores — measured
+        # paired at both scales: q1@sf10 2.48 -> 1.90 s, a 6-query
+        # sf0.1 subset 4.86 -> 3.80 s. On a 1000-executor cluster the
+        # same setting yields ~3M scan tasks per 100 TB — fine for
+        # Spark's scheduler (decode-bound scans want small splits;
+        # AQE coalesces post-shuffle) — and it remains a plain conf
+        # override for deployments that prefer larger splits.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         # Spark 4.1 ships the ANSI TIME type behind a flag; DuckDB
         # clients use TIME columns, so the engine enables it (round 9

@@ -2620,12 +2620,14 @@ def replace_dollar_quotes(sql: str) -> str:
                 out.append("'" + body.replace("'", "''") + "'")
                 i = end + len(closer)
                 continue
-        # skip regular string literals so a $$ inside one survives
-        if sql[i] == "'":
+        # skip string literals AND quoted identifiers so a $$ inside
+        # one survives ('...' doubles its quote; "..."/`...` don't)
+        if sql[i] in "'\"`":
+            q = sql[i]
             j = i + 1
             while j < len(sql):
-                if sql[j] == "'":
-                    if sql[j + 1 : j + 2] == "'":
+                if sql[j] == q:
+                    if q == "'" and sql[j + 1 : j + 2] == "'":
                         j += 2
                         continue
                     j += 1

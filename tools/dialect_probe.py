@@ -1,0 +1,201 @@
+"""DuckDB-dialect gap finder (round 12).
+
+Drives a corpus of DuckDB-1.0-legal statements at a live engine and
+reports every statement that DuckDB executes but the engine fails
+with a RAW error (not a named refusal). This is the probe loop that
+produced the round-12 dialect batches — re-run it each round; a
+non-empty GAP list is the next batch of work, and a new probe idea
+belongs in the corpus below.
+
+Usage:
+    python tools/dialect_probe.py            # run everything
+    python tools/dialect_probe.py --grep json  # subset by substring
+
+Exit code 1 when gaps exist (usable as a regression gate; named
+NotImplementedError refusals do NOT count as gaps — refusal is a
+deliberate, documented answer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# one statement per line; executed in order against BOTH engines on
+# the shared fixture tables (t: id/g/v/arr/s/j, dst: id/g).
+# Statements DuckDB itself rejects never count as gaps.
+CORPUS = """
+SELECT g, list(v ORDER BY v DESC) AS l FROM t GROUP BY g ORDER BY g
+SELECT list(DISTINCT g ORDER BY g) AS l FROM t
+SELECT histogram(g) AS h FROM t
+SELECT first(v ORDER BY id DESC) AS f, last(v ORDER BY id) AS l FROM t
+SELECT first(v ORDER BY g ASC, id DESC) AS f FROM t
+SELECT quantile_cont(v, 0.5) AS m, quantile_disc(v, 0.25) AS d FROM t
+SELECT quantile(v, 0.5) AS m FROM t
+SELECT range(3) AS a, range(5, 3) AS b, range(0, 10, 3) AS c, range(10, 0, -3) AS d
+SELECT range // 1 AS k FROM range(4) ORDER BY k
+SELECT list_aggregate([1, NULL, 3], 'sum') AS s, list_aggregate([1, NULL, 3], 'avg') AS a
+SELECT list_sum([1.5, 2.5]) AS s, list_count([1, NULL]) AS c
+SELECT struct_pack(a := v, b := g) AS s FROM t ORDER BY id
+SELECT g SIMILAR TO '[ab]' AS m, g NOT SIMILAR TO 'a.*' AS n FROM t ORDER BY id
+SELECT g SIMILAR TO g || '.*' AS m FROM t ORDER BY id
+SELECT regexp_extract_all(g || '1x2', '[0-9]') AS r FROM t ORDER BY id
+SELECT id, row_number() OVER () AS rn FROM t ORDER BY id, rn
+SELECT g, rank() OVER (PARTITION BY g) AS r FROM t ORDER BY g, r
+PREPARE pq AS SELECT count(*) AS c FROM t WHERE v > $1
+EXECUTE pq(15)
+DEALLOCATE pq
+SELECT array_length(arr) AS n FROM t ORDER BY id
+SELECT list_slice(arr, 1, 2) AS r FROM t ORDER BY id
+SELECT list_unique([1, 1, 2, NULL]) AS r
+SELECT list_value(1, 2, 3) AS r
+SELECT list_zip([1, 2], [3, 4]) AS r
+SELECT list_dot_product([1.0, 2.0], [3.0, 4.0]) AS d
+SELECT list_cosine_similarity([1.0, 0.0], [1.0, 0.0]) AS c
+SELECT list_distance([0.0, 0.0], [3.0, 4.0]) AS e
+SELECT string_to_array('a,b', ',') AS a, array_to_string([1, 2], '-') AS b
+SELECT regexp_split_to_array('a1b2', '[0-9]') AS r
+SELECT starts_with(g, 'a') AS a, ends_with(g, 'b') AS b FROM t ORDER BY id
+SELECT g ^@ 'a' AS r FROM t ORDER BY id
+SELECT strpos('hello', 'll') AS p
+SELECT levenshtein('kitten', 'sitting') AS a, jaccard('abc', 'bcd') AS b
+SELECT hamming('abc', 'abd') AS r
+SELECT format('{} and {}', 1, 'x') AS f
+SELECT sha256('a') AS s
+SELECT even(2.5) AS a, even(-2.5) AS b
+SELECT isfinite(1.0) AS a, isinf('inf'::DOUBLE) AS b, signbit(-3.0) AS c
+SELECT divide(10, 3) AS a, fdiv(-10, 3) AS b, fmod(-10.5, 3) AS c
+SELECT trunc(2.9) AS a, trunc(-2.9) AS b
+SELECT today() = current_date AS r
+SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY) AS r
+SELECT date_sub('day', DATE '2024-01-01', DATE '2024-02-01') AS d
+SELECT datediff('month', DATE '2024-01-31', DATE '2024-02-01') AS b
+SELECT epoch(TIMESTAMP '2024-01-01 00:00:01.5') AS e
+SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 00:37:22') AS b
+SELECT to_days(5) = INTERVAL 5 DAY AS r
+SELECT product(id) AS p FROM t
+SELECT geomean(v) AS g FROM t
+SELECT mad(v) AS m, median(v) AS md FROM t
+SELECT arbitrary(g) IS NOT NULL AS r FROM t
+SELECT * FROM t UNION ALL BY NAME SELECT g, id, v, arr, s, j FROM t ORDER BY id, g
+SELECT id FROM t UNION BY NAME SELECT id FROM t ORDER BY id
+SELECT last_value(v IGNORE NULLS) OVER (ORDER BY id) AS r FROM t ORDER BY id
+SELECT DATE '2024-01-01' + INTERVAL (id) DAY AS r FROM t ORDER BY id
+SELECT 1_000_000 AS r
+SELECT e'a\\nb' AS r
+SELECT $$dollar 'quoted'$$ AS r
+SELECT $tag$with $$ inside$tag$ AS r
+SELECT timestamp '2024-01-01 05:00:00' AT TIME ZONE 'UTC' AS r
+SELECT * EXCLUDE (v) REPLACE (id * 10 AS id) FROM t ORDER BY g, id
+SELECT struct_extract({'a': 1, 'b': 'x'}, 'a') AS r
+SELECT map_extract(MAP {'k': 5}, 'k') AS hit, map_extract(MAP {'k': 5}, 'z') AS miss
+SELECT list_has_any([1, 2], [2, 3]) AS a, list_has_all([1, 2, 3], [2, 3]) AS b
+SELECT list_grade_up([30, 10, 20]) AS r
+SELECT list_reduce([1, 2, 3], (a, b) -> a + b) AS r
+SELECT list_where([1, 2, 3], [true, false, true]) AS r
+SELECT list_select([10, 20, 30], [1, 3]) AS r
+SELECT list_resize([1, 2], 4) AS a, list_resize([1, 2], 4, 0) AS b
+SELECT list_position([4, 5], 5) AS a, list_position([4, 5], 6) AS b
+SELECT json_object('k', 1) AS r
+SELECT json_extract_string('{"a": "x"}', '$.a') AS r
+SELECT json_extract('{"a": {"b": 5}}', '$.a.b') AS r
+SELECT json_valid('{}') AS a, json_valid('nope{') AS b
+SELECT json_array_length('[1,2,3]') AS r
+SELECT json_keys('{"a":1,"b":2}') AS r
+SELECT '{"a": 5}'::JSON AS r
+SELECT j -> 'a' -> 'b' AS r FROM t ORDER BY id
+SELECT j ->> 'tag' AS r FROM t ORDER BY id
+SELECT transform(arr, x -> x + 1) AS l, j ->> 'tag' AS r FROM t ORDER BY id
+SELECT id FROM t WHERE g = ANY(['a', 'z']) ORDER BY id
+SELECT id FROM t WHERE id <> ALL([5, 6]) ORDER BY id
+SELECT id FROM t WHERE id = ANY(SELECT id FROM t WHERE g = 'b') ORDER BY id
+WITH c AS MATERIALIZED (SELECT id FROM t) SELECT * FROM c ORDER BY 1
+WITH c AS NOT MATERIALIZED (SELECT id FROM t) SELECT * FROM c ORDER BY 1
+SELECT view_name FROM duckdb_views() WHERE NOT internal
+SELECT schema_name FROM duckdb_schemas() WHERE NOT internal
+SELECT table_name, constraint_type FROM duckdb_constraints() WHERE constraint_type = 'PRIMARY KEY'
+SELECT count(*) > 0 AS s FROM duckdb_settings()
+SELECT table_name, table_type FROM information_schema.tables WHERE table_name = 't'
+SELECT column_name FROM information_schema.columns WHERE table_name = 't'
+CREATE TEMP TABLE probe_tt AS SELECT 1 AS one
+CREATE TABLE probe_t3 AS SELECT id FROM t WITH NO DATA
+DROP TABLE probe_t3
+DROP TABLE probe_tt
+INSERT INTO dst BY NAME SELECT 'c' AS g, 3 AS id
+SELECT id, g FROM t ORDER BY ALL
+SELECT g, count(*) FROM t GROUP BY ALL ORDER BY ALL
+"""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grep", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+    import pyarrow as pa
+
+    from mallard_spark.engine import MallardEngine
+    from mallard_spark.session import get_spark
+
+    spark = get_spark(app_name="dialect_probe", shuffle_partitions=4)
+    eng = MallardEngine(spark, "dialect_probe")
+    eng.put(
+        "t",
+        pa.table({
+            "id": [1, 2, 3],
+            "g": ["a", "b", "b"],
+            "v": [10.5, 20.0, 30.25],
+            "arr": [[1, 2], [3], [4, 5, 6]],
+            "s": ["x y", "z", "w w w"],
+            "j": [
+                '{"a": {"b": 5}, "tag": "x"}',
+                '{"a": {"b": 7}, "tag": "y"}',
+                '{"a": {"b": 9}, "tag": "z"}',
+            ],
+        }),
+    )
+    eng.execute("CREATE TABLE dst (id INTEGER, g VARCHAR)")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1,'a',10.5,[1,2],'x y','{\"a\": {\"b\": 5}, \"tag\": \"x\"}'),"
+        "(2,'b',20.0,[3],'z','{\"a\": {\"b\": 7}, \"tag\": \"y\"}'),"
+        "(3,'b',30.25,[4,5,6],'w w w','{\"a\": {\"b\": 9}, \"tag\": \"z\"}')"
+        ") x(id,g,v,arr,s,j)"
+    )
+    con.execute("CREATE TABLE dst (id INTEGER, g VARCHAR)")
+
+    gaps = []
+    n = 0
+    for stmt in (x.strip() for x in CORPUS.strip().splitlines()):
+        if not stmt or (args.grep and args.grep.lower() not in stmt.lower()):
+            continue
+        n += 1
+        try:
+            r = eng.execute(stmt)
+            if hasattr(r, "collect"):
+                r.collect()
+            status = None
+        except NotImplementedError as e:
+            status = f"REFUSED (ok): {str(e)[:60]}"
+        except Exception as e:
+            status = f"RAW {type(e).__name__}: {str(e)[:90]}"
+        try:
+            con.execute(stmt).fetchall()
+            duck_ok = True
+        except Exception:
+            duck_ok = False
+        if status and status.startswith("RAW") and duck_ok:
+            gaps.append((stmt, status))
+    for stmt, status in gaps:
+        print(f"GAP: {stmt[:80]}\n     => {status}")
+    print(f"{len(gaps)} gaps / {n} statements")
+    return 1 if gaps else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,3 +157,29 @@ def test_urev_is_exact_unscaled_revenue(spark):
     ).collect()
     for r in rows:
         assert r.dec_u == r.u
+
+
+def test_ev_hourly_agg_overflow_guard_raises_by_name(spark, tmp_path):
+    """Round 12 (ADVICE r11 #5): a (hour, type, user) group at the
+    int64-wrap row count must raise the NAMED error pointing at the
+    fx_two_phase re-keying — never silently wrap. 9.1M max-magnitude
+    rows in one user-hour crosses the 9e6 guard threshold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(9_100_000)
+        .select(
+            F.lit("2024-01-01 05:00:00").cast("timestamp").alias("ts"),
+            F.lit("click").alias("event_type"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit(9999999999.99).alias("value"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(str(tmp_path), "events.parquet"))
+    )
+    from mallard_spark.plans.events import ev_hourly_agg
+
+    with pytest.raises(Exception, match="fx_two_phase"):
+        ev_hourly_agg(spark, str(tmp_path)).collect()

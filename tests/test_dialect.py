@@ -100,7 +100,14 @@ def test_valid_spark_sql_untouched():
 
 
 def test_translator_output_shapes():
-    assert duckdb_to_spark("SELECT v // 2 FROM t") == "SELECT v DIV 2 FROM t"
+    # the DIV reading carries the integral analysis guard (& -1 is
+    # identity on every integral type) so DECIMAL operands fail
+    # analysis and the variant ladder retries float — DuckDB's typed
+    # `//` semantics (decimal // int true-divides, verified live)
+    assert (
+        duckdb_to_spark("SELECT v // 2 FROM t")
+        == "SELECT ((v) & -1) DIV ((2) & -1) FROM t"
+    )
     assert (
         duckdb_to_spark("SELECT * EXCLUDE (v) FROM t")
         == "SELECT * EXCEPT (v) FROM t"
@@ -1786,6 +1793,37 @@ def test_union_by_name(eng):
     assert [r[0] for r in got3] == ["a", "b", "c"]
 
 
+def test_union_by_name_mixed_chains(eng):
+    """Set operators fold LEFT-ASSOCIATIVELY: each non-ALL cut dedups
+    the ACCUMULATED result, later ALL cuts append without re-deduping
+    (round 13, VERDICT r12 what's-wrong #1 — a single global distinct
+    collapsed `plain, ALL` chains). All three orderings value-checked
+    against live DuckDB 1.0."""
+    # plain then ALL: dedup happens BEFORE the trailing append → 2 rows
+    got = _both(
+        eng,
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a "
+        "UNION ALL BY NAME SELECT 1 AS a",
+    )
+    assert len(got) == 2
+    # ALL then plain: the trailing dedup collapses everything → 1 row
+    got2 = _both(
+        eng,
+        "SELECT 1 AS a UNION ALL BY NAME SELECT 1 AS a "
+        "UNION BY NAME SELECT 1 AS a",
+    )
+    assert len(got2) == 1
+    # plain, ALL, plain with a widening column set and an ORDER BY tail
+    got3 = _both(
+        eng,
+        "SELECT id FROM dt WHERE id <= 2 "
+        "UNION BY NAME SELECT id FROM dt WHERE id <= 2 "
+        "UNION ALL BY NAME SELECT g FROM dt WHERE id = 1 "
+        "ORDER BY id NULLS FIRST, g",
+    )
+    assert len(got3) == 3
+
+
 def test_ignore_nulls_in_call(eng):
     _both(
         eng,
@@ -1909,3 +1947,179 @@ def test_any_all_and_cte_materialized(eng):
     _both(eng, "SELECT id FROM dt WHERE id <> ALL(SELECT id FROM dt WHERE g = 'b') ORDER BY id")
     _both(eng, "WITH c AS MATERIALIZED (SELECT id FROM dt WHERE v > 25) SELECT * FROM c ORDER BY 1")
     _both(eng, "WITH c AS NOT MATERIALIZED (SELECT id FROM dt) SELECT count(*) AS n FROM c")
+
+
+# -- round 13 batch: subscripts, chaining, expr-unnest, divide, -------
+# -- ordered-agg null placement (VERDICT r12 missing #1-#5 + ADVICE) --
+
+
+def test_negative_list_index(eng):
+    """`arr[-1]` is DuckDB from-the-end access and NEVER meaningful
+    Spark (0-based arrays throw on negatives at RUNTIME, past the
+    analysis gate) — the engine pre-routes it to the 1-based
+    translation (round 13, VERDICT r12 missing #1)."""
+    # pure-Spark spelling (analysis passes; only the runtime throws):
+    # the engine's pre-route must catch it BEFORE execution
+    got = eng.sql("SELECT array(10, 20, 30)[-1] AS r").collect()
+    assert got[0].r == 30
+    got = eng.sql(
+        "SELECT array(10, 20, 30)[-2] AS a, array(10, 20, 30)[-9] AS b"
+    ).collect()
+    assert (got[0].a, got[0].b) == (20, None)
+    # a negative subscript marks the WHOLE statement as DuckDB
+    # dialect, so sibling positive subscripts turn 1-based too
+    got = eng.sql(
+        "SELECT array(10, 20, 30)[-1] AS a, array(10, 20, 30)[1] AS b"
+    ).collect()
+    assert (got[0].a, got[0].b) == (30, 10)
+    # DuckDB list-literal spellings, value-compared live
+    got2 = _both(eng, "SELECT ([10, 20, 30])[-1] AS r")
+    assert got2[0][0] == 30
+    _both(eng, "SELECT ([10, 20, 30])[-2] AS a, ([10, 20, 30])[-9] AS b")
+
+
+def test_string_literal_subscript(eng):
+    """Single-character string subscripts on literal bases — DuckDB
+    1-based with `s[0]` = '' and negative-from-the-end (all pinned
+    live; round 13, VERDICT r12 missing #2)."""
+    _both(eng, "SELECT 'abcdef'[1] AS a, 'abcdef'[2] AS b")
+    _both(eng, "SELECT 'abcdef'[0] AS a, 'abcdef'[9] AS b")
+    _both(eng, "SELECT 'abcdef'[-1] AS a, 'abcdef'[-3] AS b, 'abcdef'[-9] AS c")
+
+
+def test_string_literal_slice_clamps(eng):
+    """String slices with zero/negative bounds clamp like DuckDB
+    (start up to 1, negative k → len+k+1, end down to len,
+    start>end → '')."""
+    _both(eng, "SELECT 'abcdef'[2:4] AS a, 'abcdef'[2:] AS b, 'abcdef'[:3] AS c")
+    _both(eng, "SELECT 'abcdef'[-3:] AS a, 'abcdef'[2:-2] AS b, 'abcdef'[-4:-2] AS c")
+    _both(eng, "SELECT 'abcdef'[0:2] AS a, 'abcdef'[4:2] AS b, 'abcdef'[-1:-3] AS c")
+
+
+def test_string_column_subscript(eng5):
+    """Subscripts on string COLUMNS: the array (try_element_at) and
+    map (plain) readings fail analysis and the variant ladder lands
+    on the 1-based substring reading."""
+    got = _both5(eng5, "SELECT (g || 'xyz')[2] AS c FROM dw ORDER BY id")
+    assert got[0][0] == "x"
+    _both5(eng5, "SELECT (g || 'xyz')[-1] AS c FROM dw ORDER BY id")
+    got2 = _both5(eng5, "SELECT (g || 'xyz')[2:3] AS c FROM dw ORDER BY id")
+    assert got2[0][0] == "xy"
+    _both5(eng5, "SELECT g[1] AS c FROM dw ORDER BY id")
+
+
+def test_divide_fn_typed(eng5):
+    """divide(a, b) ≡ the `//` operator (round 13, ADVICE r12 #2):
+    int/int truncates, decimal/double operands true-divide to DOUBLE
+    — the old lexical guess silently int-divided decimal columns."""
+    got = _both5(eng5, "SELECT divide(v, 3) AS r FROM dw ORDER BY id")
+    assert got[0][0] == 3  # 10 // 3
+    got2 = _both5(
+        eng5,
+        "SELECT divide(CAST(v AS DECIMAL(10, 2)), 4) AS r FROM dw ORDER BY id",
+    )
+    assert got2[0][0] == 2.5  # decimal operand → true division
+    _both5(eng5, "SELECT divide(w, 2) AS r FROM dw ORDER BY id")
+    _both5(eng5, "SELECT divide(-v, 3) AS r FROM dw ORDER BY id")
+
+
+def test_intdiv_decimal_column_true_divides(eng5):
+    """`dec_col // int` — the round-12 documented trap is now fixed:
+    the DIV reading's integral guard (& -1) fails analysis on
+    DECIMAL, so the ladder lands on the float reading like DuckDB
+    (verified live: CAST(7.5 AS DECIMAL(4,2)) // 2 = 3.75 DOUBLE)."""
+    got = _both5(
+        eng5,
+        "SELECT CAST(v AS DECIMAL(10, 2)) // 4 AS r FROM dw ORDER BY id",
+    )
+    assert got[0][0] == 2.5
+    # mixed sites in one statement: int site keeps DIV, decimal goes float
+    got2 = _both5(
+        eng5,
+        "SELECT v // 4 AS a, CAST(v AS DECIMAL(10, 2)) // 4 AS b "
+        "FROM dw ORDER BY id",
+    )
+    assert got2[0] == (2, 2.5)
+
+
+def test_method_chaining(eng):
+    """DuckDB postfix call sugar `expr.f(args)` ≡ `f(expr, args)` —
+    fires only on unambiguous expression bases (round 13, VERDICT
+    r12 missing #4)."""
+    got = _both(eng, "SELECT ('abc').upper() AS r")
+    assert got[0][0] == "ABC"
+    _both(eng, "SELECT ('abc').upper().lower() AS r")
+    _both(eng, "SELECT ('ab').concat('cd') AS r")
+    # chains compose with DuckDB-name desugaring
+    got2 = eng.sql("SELECT ([1,2,3]).list_contains(2) AS r").collect()
+    assert got2[0].r is True
+    # a chained call over a column expression, plus a chained slice base
+    _both(eng, "SELECT (g || 'q').upper() AS r FROM dt ORDER BY id")
+
+
+def test_expr_position_unnest(eng):
+    """unnest(...) nested inside a select-list expression (round 13,
+    VERDICT r12 missing #3) — Spark rejects generators inside
+    expressions; the shim relocates through a LATERAL VIEW."""
+    got = _both(eng, "SELECT unnest([1, 2]) + 1 AS r")
+    assert sorted(r[0] for r in got) == [2, 3]
+    # with a FROM table and a WHERE clause: explode per source row
+    got2 = _both(
+        eng,
+        "SELECT unnest([v, v + 1]) * 2 AS r FROM dt WHERE id <= 2",
+    )
+    assert len(got2) == 4
+    # bare top-level unnest still takes the plain explode rename
+    got3 = _both(eng, "SELECT unnest([7, 8]) AS r")
+    assert sorted(r[0] for r in got3) == [7, 8]
+
+
+def test_ordered_agg_nulls_placement(eng):
+    """In-call ordered aggregates: explicit NULLS FIRST/LAST parses
+    and places exactly (round 13, VERDICT r12 missing #5), and the
+    DEFAULT placement is DuckDB's nulls_last — including `last(x
+    ORDER BY k)` answering the NULL-key row (a latent min_by/max_by
+    divergence fixed this round)."""
+    _both(eng, "SELECT first(v ORDER BY v DESC NULLS FIRST) AS r FROM (VALUES (2), (NULL), (3)) t(v)")
+    _both(eng, "SELECT first(v ORDER BY v NULLS FIRST) AS r FROM (VALUES (2), (NULL), (3)) t(v)")
+    _both(eng, "SELECT last(v ORDER BY v NULLS LAST) AS r FROM (VALUES (2), (NULL), (3)) t(v)")
+    _both(eng, "SELECT last(v ORDER BY v) AS r FROM (VALUES (2), (NULL), (3)) t(v)")
+    _both(eng, "SELECT last(v ORDER BY v DESC) AS r FROM (VALUES (2), (NULL), (3)) t(v)")
+    _both(eng, "SELECT first(v ORDER BY v) AS r FROM (VALUES (2), (NULL), (3)) t(v)")
+    # list() keeps DuckDB's default NULL-key placement deterministic
+    got = eng.sql(
+        "SELECT list(v ORDER BY v DESC) AS r FROM (VALUES (2), (NULL), (3)) t(v)"
+    ).collect()
+    assert got[0].r == [3, 2, None]
+    got2 = eng.sql(
+        "SELECT list(v ORDER BY v DESC NULLS LAST) AS r "
+        "FROM (VALUES (2), (NULL), (3)) t(v)"
+    ).collect()
+    assert got2[0].r == [3, 2, None]
+    got3 = eng.sql(
+        "SELECT list(v ORDER BY v NULLS FIRST) AS r "
+        "FROM (VALUES (2), (NULL), (3)) t(v)"
+    ).collect()
+    assert got3[0].r == [None, 2, 3]
+
+
+def test_string_agg_null_key_order(eng):
+    """string_agg's WITHIN GROUP keys get EXPLICIT null placement:
+    Spark's ASC default is NULLS FIRST where DuckDB's is NULLS LAST —
+    silent order divergence without the rewrite."""
+    _both(
+        eng,
+        "SELECT string_agg(g, ',' ORDER BY v) AS r "
+        "FROM (VALUES ('a', 2), ('b', NULL), ('c', 3)) t(g, v)",
+    )
+    _both(
+        eng,
+        "SELECT string_agg(g, ',' ORDER BY v NULLS FIRST) AS r "
+        "FROM (VALUES ('a', 2), ('b', NULL), ('c', 3)) t(g, v)",
+    )
+
+
+def test_numeric_underscores_near_decimal_point(eng):
+    """Underscore groups adjacent to the decimal point (round 13,
+    ADVICE r12 #4): 1_000.5 / 1.5_0 / 1_000.000_1 are DuckDB-legal."""
+    _both(eng, "SELECT 1_000.5 AS a, 1.5_0 AS b, 1_000.000_1 AS c, v // 1 AS v FROM dt WHERE id = 1")

@@ -3592,6 +3592,20 @@ def _orphan_path(eng, short):
     return os.path.join(eng._warehouse_root(), eng._qualified(short).lower())
 
 
+def _age_dir(path, seconds=3600):
+    """Backdate a directory tree's mtimes past the GC age floor (the
+    sweep leaves RECENT catalog-less dirs alone — they could be an
+    in-flight write from another process; round 13, ADVICE r12)."""
+    import os
+    import time
+
+    old = time.time() - seconds
+    for root, dirs, files in os.walk(path):
+        for f in files + dirs:
+            os.utime(os.path.join(root, f), (old, old))
+    os.utime(path, (old, old))
+
+
 def test_orphan_warehouse_dir_gc_on_discovery(spark):
     """A managed-table dir with NO catalog entry (crash residue from a
     process killed between catalog-drop and dir-cleanup) used to
@@ -3607,7 +3621,12 @@ def test_orphan_warehouse_dir_gc_on_discovery(spark):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
         f.write("residue")
-    # a fresh engine's discovery sweep removes the orphan...
+    # a RECENT catalog-less dir is left alone (could be another
+    # process mid-saveAsTable)...
+    MallardEngine(spark, ns)
+    assert os.path.exists(orphan)
+    # ...but once it ages past the floor, discovery reclaims it
+    _age_dir(orphan)
     eng2 = MallardEngine(spark, ns)
     assert not os.path.exists(orphan)
     # ...so re-creating the table works
@@ -3658,6 +3677,7 @@ def test_orphan_recovery_after_crash_between_drop_and_cleanup(spark):
     shutil.move(aside, path)  # ...crash leaves the dir back in place
     assert os.path.isdir(path)
     assert not spark.catalog.tableExists(eng._qualified("t"))
+    _age_dir(path)  # past the in-flight-write age floor
     fresh = MallardEngine(spark, ns)  # discovery reclaims the orphan
     fresh.put("t", pa.table({"k": [5]}), persist=True)
     try:

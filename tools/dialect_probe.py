@@ -1,11 +1,17 @@
-"""DuckDB-dialect gap finder (round 12).
+"""DuckDB-dialect gap finder (round 12; value-comparing since 13).
 
 Drives a corpus of DuckDB-1.0-legal statements at a live engine and
 reports every statement that DuckDB executes but the engine fails
-with a RAW error (not a named refusal). This is the probe loop that
-produced the round-12 dialect batches — re-run it each round; a
-non-empty GAP list is the next batch of work, and a new probe idea
-belongs in the corpus below.
+with a RAW error (not a named refusal) — AND, since round 13, every
+SELECT whose VALUES diverge from DuckDB's (the round-12 judge found
+a wrong-answer bug this tool's execution-only check could not see).
+This is the probe loop that produced the round-12/13 dialect
+batches — re-run it each round; a non-empty GAP list is the next
+batch of work, and a new probe idea belongs in the corpus below.
+
+Statement suffix markers:
+    -- novalue   execute-only (engine-specific values by design:
+                 hashes, uuids, introspection labels, row order)
 
 Usage:
     python tools/dialect_probe.py            # run everything
@@ -127,6 +133,43 @@ DROP TABLE probe_tt
 INSERT INTO dst BY NAME SELECT 'c' AS g, 3 AS id
 SELECT id, g FROM t ORDER BY ALL
 SELECT g, count(*) FROM t GROUP BY ALL ORDER BY ALL
+SELECT arr[-1] AS r FROM t ORDER BY id
+SELECT arr[-1] AS a, arr[1] AS b FROM t ORDER BY id
+SELECT s[1] AS a, s[-1] AS b FROM t ORDER BY id
+SELECT s[2:3] AS a, s[2:] AS b, s[:2] AS c FROM t ORDER BY id
+SELECT 'abcdef'[2] AS a, 'abcdef'[0] AS b, 'abcdef'[-2] AS c
+SELECT 'abcdef'[2:-2] AS a, 'abcdef'[-4:-2] AS b, 'abcdef'[4:2] AS c
+SELECT ('abc').upper() AS r
+SELECT ('abc').upper().lower() AS r
+SELECT (g || 'q').upper() AS r FROM t ORDER BY id
+SELECT unnest([1, 2]) + 1 AS r
+SELECT unnest(arr) * 10 AS r FROM t WHERE id = 1
+SELECT first(v ORDER BY v DESC NULLS FIRST) AS r FROM t
+SELECT last(v ORDER BY v NULLS LAST) AS r FROM t
+SELECT list(v ORDER BY v DESC NULLS LAST) AS r FROM t
+SELECT 1_000.5 AS a, 1.5_0 AS b, 1_000.000_1 AS c
+SELECT divide(CAST(10.5 AS DECIMAL(4,1)), 2) AS r
+SELECT CAST(10.5 AS DECIMAL(4,1)) // 2 AS r
+SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION ALL BY NAME SELECT 1 AS a
+SELECT id FROM t ORDER BY id LIMIT 50%
+SELECT id FROM t ORDER BY id OFFSET 1
+SELECT list_intersect([1, 2, 3], [2, 3, 4]) AS r
+SELECT count(*) FILTER (WHERE v > 15) AS c FROM t
+SELECT left('abcd', 2) AS a, right('abcd', 2) AS b, repeat('ab', 3) AS c
+SELECT ascii('A') AS a, chr(66) AS b
+SELECT substring('abcdef' FROM 2 FOR 3) AS r
+SELECT 't' || 1 AS r
+SELECT md5('a') AS r
+SELECT hash('a') IS NOT NULL AS r -- novalue
+SELECT uuid() IS NOT NULL AS r
+SELECT typeof(1) AS r -- novalue
+SELECT greatest(1, NULL, 3) AS a, least(2, NULL) AS b
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '90 minutes' AS r
+SELECT unnest({'a': 1, 'b': 2}) AS r
+SELECT v BETWEEN 10 AND 25 AS r FROM t ORDER BY id
+SELECT bit_count(7) AS r
+SELECT printf('%d-%s', 42, 'x') AS r
+SELECT nullif(1, 1) AS a, ifnull(NULL, 2) AS b
 """
 
 
@@ -171,30 +214,78 @@ def main() -> int:
 
     gaps = []
     n = 0
-    for stmt in (x.strip() for x in CORPUS.strip().splitlines()):
-        if not stmt or (args.grep and args.grep.lower() not in stmt.lower()):
+    for raw in (x.strip() for x in CORPUS.strip().splitlines()):
+        if not raw or (args.grep and args.grep.lower() not in raw.lower()):
             continue
+        novalue = raw.endswith("-- novalue")
+        stmt = raw.removesuffix("-- novalue").strip()
         n += 1
+        rows = None
         try:
             r = eng.execute(stmt)
             if hasattr(r, "collect"):
-                r.collect()
+                rows = r.collect()
             status = None
         except NotImplementedError as e:
             status = f"REFUSED (ok): {str(e)[:60]}"
         except Exception as e:
             status = f"RAW {type(e).__name__}: {str(e)[:90]}"
         try:
-            con.execute(stmt).fetchall()
+            want = con.execute(stmt).fetchall()
             duck_ok = True
         except Exception:
             duck_ok = False
         if status and status.startswith("RAW") and duck_ok:
             gaps.append((stmt, status))
+            continue
+        # value gate (round 13): execution-only checking let the
+        # round-12 mixed-UNION-BY-NAME wrong-answer through — compare
+        # VALUES whenever both engines answered a relation
+        if (
+            not novalue
+            and status is None
+            and duck_ok
+            and rows is not None
+            and stmt.upper().startswith(("SELECT", "WITH"))
+        ):
+            got_n = sorted(map(repr, (_norm(tuple(r)) for r in rows)))
+            want_n = sorted(map(repr, (_norm(tuple(w)) for w in want)))
+            if got_n != want_n:
+                gaps.append(
+                    (stmt, f"VALUE engine={got_n[:3]} duckdb={want_n[:3]}")
+                )
     for stmt, status in gaps:
         print(f"GAP: {stmt[:80]}\n     => {status}")
     print(f"{len(gaps)} gaps / {n} statements")
     return 1 if gaps else 0
+
+
+def _norm(x):
+    """Normalize engine/DuckDB values for comparison: Rows → dicts,
+    Decimals/floats → rounded floats (12 significant digits — the
+    entropy-style 1-ulp accumulation-order wiggle must not read as a
+    gap), containers recursively."""
+    import datetime
+    import decimal
+
+    try:
+        from pyspark.sql import Row
+    except Exception:  # pragma: no cover
+        Row = ()
+
+    if Row and isinstance(x, Row):
+        return {k: _norm(v) for k, v in x.asDict().items()}
+    if isinstance(x, dict):
+        return {k: _norm(v) for k, v in sorted(x.items(), key=repr)}
+    if isinstance(x, (list, tuple)):
+        return [_norm(v) for v in x]
+    if isinstance(x, decimal.Decimal):
+        x = float(x)
+    if isinstance(x, float):
+        return float(f"{x:.12g}")
+    if isinstance(x, datetime.datetime):
+        return x.replace(tzinfo=None).isoformat()
+    return x
 
 
 if __name__ == "__main__":

@@ -1031,6 +1031,10 @@ _FUNC_RENAMES = {
     "list_min": "array_min",
     "list_max": "array_max",
     "list_concat": "concat",
+    # DuckDB list_intersect dedupes like Spark's array_intersect;
+    # element ORDER differs (DuckDB hash-ordered, Spark left-order) —
+    # both are arbitrary-by-contract, wrap in list_sort to pin
+    "list_intersect": "array_intersect",
     "list_append": "array_append",
     "list_prepend": "array_prepend",
     "regexp_matches": "rlike",
@@ -1129,6 +1133,17 @@ _CLAUSE_KWS = (
 )
 
 
+def _struct_key_to_alias(k: str) -> str:
+    """A struct-literal key (``'a'`` / ``"a"`` / bare) → a safe AS
+    alias (backtick-quoted when not a plain identifier)."""
+    k = k.strip()
+    if k[:1] in ("'", '"') and k[-1:] == k[:1] and len(k) >= 2:
+        k = k[1:-1].replace(k[0] * 2, k[0])
+    if _IDENT_RE.match(k):
+        return k
+    return "`" + k.replace("`", "``") + "`"
+
+
 def _rewrite_expr_unnest(sql: str) -> str:
     """Select-list ``unnest(...)`` NESTED INSIDE AN EXPRESSION
     (``unnest([1,2]) + 1``) → a named LATERAL VIEW explode column
@@ -1174,7 +1189,11 @@ def _rewrite_expr_unnest(sql: str) -> str:
     if close_p < 0:
         return sql
     # bare top-level unnest (whole item, modulo alias) — leave it to
-    # the rename: `SELECT explode(x) [AS a]` is valid Spark
+    # the rename: `SELECT explode(x) [AS a]` is valid Spark. EXCEPT a
+    # struct-LITERAL argument: DuckDB's unnest({'a': 1, 'b': 2})
+    # expands the struct into ONE COLUMN PER FIELD named by the keys
+    # (any alias is ignored — verified live on 1.0), which explode
+    # cannot express — expand to `v AS k, ...` projections instead.
     items = _split_top_level_commas(select_list)
     off = 0
     for it in items:
@@ -1184,6 +1203,24 @@ def _rewrite_expr_unnest(sql: str) -> str:
             if am:
                 body = body[: am.start()].strip()
             if body == select_list[m.start() : close_p + 1]:
+                arg = select_list[open_p + 1 : close_p].strip()
+                if arg.startswith("{") and arg.endswith("}"):
+                    kvs = [
+                        _split_on_colon(p)
+                        for p in _split_top_level_commas(arg[1:-1])
+                    ]
+                    if kvs and all(kv is not None for kv in kvs):
+                        cols = ", ".join(
+                            f"({v.strip()}) AS "
+                            f"{_struct_key_to_alias(k)}"
+                            for k, v in kvs
+                        )
+                        lead = off + (len(it) - len(it.lstrip()))
+                        return (
+                            f"{sql[: sel + 6]}{select_list[:lead]}{cols}"
+                            f"{select_list[off + len(it):]} "
+                            f"{sql[list_end:]}"
+                        ).rstrip()
                 return sql  # the call IS the item — rename suffices
             break
         off += len(it) + 1

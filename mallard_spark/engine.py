@@ -2415,6 +2415,39 @@ class MallardEngine:
             result = self.spark.sql(f"SELECT * FROM {view} {tail}")
         return result
 
+    _PERCENT_LIMIT_RE = re.compile(
+        r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _percent_limit(self, sql: str) -> DataFrame | None:
+        """DuckDB's percentage LIMIT (``LIMIT 50%`` / ``LIMIT 50
+        PERCENT``) — round 13 probe find. Takes floor(n * p / 100)
+        rows of the ordered result (verified live on 1.0: 5 rows,
+        50% → 2, 30% → 1, 0% → 0). Spark has no percent limit, and a
+        pure rewrite would need the row count — run the inner query,
+        count, then ``.limit()`` (limit after orderBy preserves the
+        order). Two jobs, but the count is a cheap aggregate over the
+        already-built plan; only the top level is handled (a nested
+        percent limit keeps Spark's parse error)."""
+        m = self._PERCENT_LIMIT_RE.search(sql)
+        if m is None:
+            return None
+        from mallard_spark.dialect import _code_mask
+
+        mask = _code_mask(sql)
+        if not all(mask[k] for k in range(m.start(), m.end())):
+            return None
+        import math
+
+        inner = sql[: m.start()].strip()
+        if not inner:
+            return None
+        df = self.sql(inner)
+        pct = float(m.group(1))
+        k = math.floor(df.count() * pct / 100.0)
+        return df.limit(k)
+
     # -- PREPARE / EXECUTE / DEALLOCATE (round 12) ---------------------
 
     _PREPARE_RE = re.compile(
@@ -3038,6 +3071,9 @@ class MallardEngine:
         ubn = self._union_by_name(out)
         if ubn is not None:
             return ubn
+        pl = self._percent_limit(out)
+        if pl is not None:
+            return pl
         # sound pre-vanilla route (round 13, VERDICT r12 missing #1):
         # a NEGATIVE int-literal subscript passes Spark ANALYSIS but
         # is a GUARANTEED runtime error (0-based arrays throw on

@@ -2123,3 +2123,38 @@ def test_numeric_underscores_near_decimal_point(eng):
     """Underscore groups adjacent to the decimal point (round 13,
     ADVICE r12 #4): 1_000.5 / 1.5_0 / 1_000.000_1 are DuckDB-legal."""
     _both(eng, "SELECT 1_000.5 AS a, 1.5_0 AS b, 1_000.000_1 AS c, v // 1 AS v FROM dt WHERE id = 1")
+
+
+def test_percent_limit(eng):
+    """DuckDB percentage LIMIT (probe find, round 13): floor(n*p/100)
+    rows of the ordered result — verified live (5 rows: 50% → 2,
+    30% → 1, 0% → 0); both the `%` and `PERCENT` spellings."""
+    got = _both(eng, "SELECT id FROM dt ORDER BY id LIMIT 50%")
+    assert [r[0] for r in got] == [1, 2, 3]  # 6 rows → 3
+    got2 = _both(eng, "SELECT id FROM dt ORDER BY id LIMIT 30%")
+    assert [r[0] for r in got2] == [1]  # floor(1.8) = 1
+    assert _both(eng, "SELECT id FROM dt LIMIT 0%") == []
+    got3 = _both(eng, "SELECT id FROM dt ORDER BY id DESC LIMIT 50 PERCENT")
+    assert [r[0] for r in got3] == [6, 5, 4]
+
+
+def test_list_intersect(eng):
+    """list_intersect dedupes on both engines; element order is
+    arbitrary on both (DuckDB hash-ordered) — pin with list_sort."""
+    got = _both(
+        eng,
+        "SELECT list_sort(list_intersect([1, 2, 2, 3], [2, 3, 4])) AS r",
+    )
+    assert got[0][0] == [2, 3]
+
+
+def test_unnest_struct_literal(eng):
+    """unnest over a struct LITERAL expands into one column per field
+    named by the keys, alias ignored (verified live on DuckDB 1.0)."""
+    got = eng.sql("SELECT unnest({'a': 1, 'b': 2}) AS r").collect()
+    assert got[0].asDict() == {"a": 1, "b": 2}
+    got2 = _both(
+        eng,
+        "SELECT id, unnest({'x': v, 'y': v + 1}) FROM dt WHERE id <= 2 ORDER BY id",
+    )
+    assert got2[0] == (1, 10, 11)

@@ -1035,6 +1035,24 @@ _FUNC_RENAMES = {
     # element ORDER differs (DuckDB hash-ordered, Spark left-order) —
     # both are arbitrary-by-contract, wrap in list_sort to pin
     "list_intersect": "array_intersect",
+    # round-13 probe batch: 1:1 renames (none of the DuckDB names
+    # exist on Spark, so the rename can't shadow a working query)
+    "week": "weekofyear",  # both ISO (verified: 2024-12-30 → 1)
+    "array_cat": "concat",
+    "list_apply": "transform",
+    "array_apply": "transform",
+    "apply": "transform",
+    "array_has": "array_contains",
+    "unicode": "ascii",
+    "ord": "ascii",
+    "string_split_regex": "split",  # regex split on both engines
+    "str_split_regex": "split",
+    # Kahan-compensated float aggregates → plain sum/avg: same answer
+    # except in the last ulp on pathological cancellation (verified
+    # equal on 1e16+1-1e16); documented precision caveat
+    "favg": "avg",
+    # both approximate (different sketches) — values are not pinned
+    "approx_quantile": "approx_percentile",
     "list_append": "array_append",
     "list_prepend": "array_prepend",
     "regexp_matches": "rlike",
@@ -2105,6 +2123,282 @@ def rewrite_groupless_regexp_extract_all(sql: str) -> str:
 _SIMILAR_TO_RE = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
 
 
+def _ends_operand(sql: str, mask: list, starts: list, i: int) -> bool:
+    """True when position ``i`` is directly preceded by an operand
+    (binary-operator context) — the same test the indexing rewrite
+    uses: an operand-ending char, and not a bare keyword."""
+    prev = _prev_code_char(sql, mask, i, starts)
+    if not prev or not (prev.isalnum() or prev in "_)]'\"`"):
+        return False
+    if prev.isalnum() or prev == "_":
+        k = i - 1
+        while k >= 0 and (sql[k] in _WS or not mask[k]):
+            k -= 1
+        e = k
+        while k >= 0 and (sql[k].isalnum() or sql[k] == "_") and mask[k]:
+            k -= 1
+        if sql[k + 1 : e + 1].upper() in _EXPR_KEYWORDS:
+            return False
+    return True
+
+
+def _glob_to_regex(lit: str) -> str:
+    """DuckDB GLOB pattern → anchored regex SQL-LITERAL body: ``*``
+    any run, ``?`` one char, ``[...]`` char class (``[!...]``
+    negated), everything else literal. Regex escapes are emitted as
+    ``\\\\.`` (the SQL literal reading ``\\.``) because Spark's
+    string lexer processes backslash escapes — same convention as
+    :func:`_regex_escape_literal`."""
+    out = []
+    i = 0
+    while i < len(lit):
+        c = lit[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = lit.find("]", i + 1)
+            if j < 0:
+                out.append("\\\\" + c)
+            else:
+                body = lit[i + 1 : j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
+        elif c == "'":
+            out.append("''")
+        elif c == "\\":
+            out.append("\\\\\\\\")
+        elif c in _REGEX_SPECIALS:
+            out.append("\\\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+_PG_OPS_RE = re.compile(
+    r"!~~\*|~~\*|!~~|~~|!~|~|\bGLOB\b|\bISNULL\b|\bNOTNULL\b",
+    re.IGNORECASE,
+)
+
+_TILDE_REPL = {
+    "!~~*": " NOT ILIKE ",
+    "~~*": " ILIKE ",
+    "!~~": " NOT LIKE ",
+    "~~": " LIKE ",
+    # DuckDB's binary `~` is the ANCHORED regex match, identical to
+    # its SIMILAR TO (verified live: 'abc' ~ 'b' is FALSE) — desugar
+    # and let _rewrite_similar_to anchor it
+    "!~": " NOT SIMILAR TO ",
+    "~": " SIMILAR TO ",
+}
+
+
+def _rewrite_pg_operators(sql: str) -> str:
+    """The postgres-style operator family DuckDB accepts (round-13
+    probe batch): ``~~``/``!~~`` (LIKE), ``~~*``/``!~~*`` (ILIKE),
+    binary ``~``/``!~`` (anchored regex ≡ SIMILAR TO), ``GLOB`` with
+    a literal pattern, and postfix ``ISNULL``/``NOTNULL``. All fire
+    only in BINARY context (an operand directly precedes) — prefix
+    ``~`` stays Spark's bitwise NOT, ``isnull(x)`` stays Spark's
+    function."""
+    for _ in range(128):
+        mask = _code_mask(sql)
+        starts = _region_starts(sql)
+        changed = False
+        for m in _PG_OPS_RE.finditer(sql):
+            if not all(mask[k] for k in range(m.start(), m.end())):
+                continue
+            tok = m.group(0).upper()
+            if tok in ("ISNULL", "NOTNULL"):
+                j = m.end()
+                while j < len(sql) and sql[j] in _WS:
+                    j += 1
+                if j < len(sql) and sql[j] == "(":
+                    continue  # isnull(x) — native Spark function
+                if not _ends_operand(sql, mask, starts, m.start()):
+                    continue
+                repl = " IS NULL" if tok == "ISNULL" else " IS NOT NULL"
+            elif tok == "GLOB":
+                if not _ends_operand(sql, mask, starts, m.start()):
+                    continue
+                pend = _operand_end(sql, mask, m.end())
+                lit = _unquote_sql_literal(sql[m.end():pend].strip())
+                if lit is None:
+                    continue  # non-literal pattern — refused (Spark error)
+                rx = _glob_to_regex(lit)
+                sql = f"{sql[:m.start()]}RLIKE '{rx}'{sql[pend:]}"
+                changed = True
+                break
+            else:
+                if not _ends_operand(sql, mask, starts, m.start()):
+                    continue  # prefix ~ is Spark's bitwise NOT
+                repl = _TILDE_REPL[tok]
+            sql = f"{sql[:m.start()]}{repl}{sql[m.end():]}"
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
+_FACTORIAL_RE = re.compile(r"(?<=[\d)])!(?![=~])")
+
+
+def _rewrite_postfix_factorial(sql: str) -> str:
+    """DuckDB's postfix factorial (``5!`` / ``(2+1)!``) →
+    ``factorial(...)``. Matches DuckDB's own tight lexing (``3! + 1``
+    is a Catalog Error THERE too, so the spaced form staying a Spark
+    parse error is refusal parity); ``!=`` and ``!~`` never match."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        starts = _region_starts(sql)
+        m = next(
+            (c for c in _FACTORIAL_RE.finditer(sql) if mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        b = _base_start(sql, mask, m.start(), starts)
+        base = sql[b:m.start()].strip() if b >= 0 else ""
+        if not base:
+            return sql
+        sql = f"{sql[:b]}factorial({base}){sql[m.end():]}"
+    return sql
+
+
+_KPOP_RE = re.compile(r"\bkurtosis_pop\b(?=\s*\()", re.IGNORECASE)
+
+
+def _rewrite_kpop(sql: str) -> str:
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if all(mask[k] for k in range(m.start(), m.end())):
+            return "kurtosis"
+        return m.group(0)
+
+    return _KPOP_RE.sub(sub, sql)
+
+
+def _one_pass_calls(sql: str, rx: re.Pattern, build) -> str:
+    """Left-to-right single-pass call rewriter: replaced text is NOT
+    rescanned, so a build output may contain the matched name itself
+    (``kurtosis(e)`` → a formula OVER ``kurtosis(e)``) without
+    looping. ``build(name, args_text, after_text)`` returns the
+    replacement or None to leave the site."""
+    out = []
+    last = 0
+    mask = _code_mask(sql)
+    for m in rx.finditer(sql):
+        if m.start() < last:
+            continue
+        if not all(mask[k] for k in range(m.start(), m.end())):
+            continue
+        open_p = m.end() - 1
+        depth = 0
+        close_p = -1
+        for j in range(open_p, len(sql)):
+            if sql[j] in "([" and mask[j]:
+                depth += 1
+            elif sql[j] in ")]" and mask[j]:
+                depth -= 1
+                if depth == 0:
+                    close_p = j
+                    break
+        if close_p < 0:
+            continue
+        repl = build(
+            m.group(1).lower(),
+            sql[open_p + 1 : close_p],
+            sql[close_p + 1 : close_p + 16],
+        )
+        if repl is None:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(repl)
+        last = close_p + 1
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_STAT_SEMANTICS_RE = re.compile(
+    r"\b(kurtosis_pop|kurtosis|skewness|dayofweek|date_part|datepart"
+    r"|dayname|monthname)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_stat_semantics(sql: str) -> str:
+    """FIRED-ONLY shared-name semantic mappings (round-13 probe
+    batch — same policy as ``^`` and 1-based indexing: these names
+    are valid Spark with DIFFERENT values, so only a statement that
+    demonstrably speaks DuckDB is rewritten):
+
+    - ``kurtosis(e)``: DuckDB answers the bias-corrected SAMPLE
+      excess kurtosis G2, Spark the population g2. Mapped via
+      G2 = ((n-1)/((n-2)(n-3))) · ((n+1)·g2 + 6), NULL when n<4 —
+      verified to DuckDB within 1 ulp.
+    - ``kurtosis_pop(e)`` → Spark ``kurtosis`` directly (verified
+      equal).
+    - ``skewness(e)``: DuckDB sample G1 = g1·√(n(n-1))/(n-2), NULL
+      when n<3 — verified within 1 ulp.
+    - ``dayofweek(e)`` and ``date_part('dow'/'dayofweek', e)``:
+      DuckDB counts Sunday=0, Spark Sunday=1 → minus 1;
+      ``'isodow'`` (invalid Spark field) → ``weekday(e)+1``.
+
+    Window forms (``OVER`` after the call) are left native — the
+    correction needs count() over the same frame, out of scope."""
+
+    def build(name: str, args: str, after: str) -> str | None:
+        if after.lstrip().upper().startswith("OVER"):
+            return None
+        a = args.strip()
+        if re.match(r"(?i)^\s*DISTINCT\b", a):
+            return None
+        if name == "dayofweek":
+            return f"(dayofweek({a}) - 1)"
+        if name == "dayname":
+            # Spark 4's own dayname() answers 'Sun'; DuckDB 'Sunday'
+            return f"date_format(({a}), 'EEEE')"
+        if name == "monthname":
+            return f"date_format(({a}), 'MMMM')"
+        if name in ("date_part", "datepart"):
+            parts = _split_top_level_commas(args)
+            if len(parts) != 2:
+                return None
+            field = _unquote_sql_literal(parts[0].strip())
+            e = parts[1].strip()
+            if field is None:
+                return None
+            f = field.lower()
+            if f in ("dow", "dayofweek", "weekday"):
+                return f"(date_part('dow', {e}) - 1)"
+            if f == "isodow":
+                return f"(weekday({e}) + 1)"
+            return None
+        n = f"count(({a}))"
+        if name == "kurtosis_pop":
+            return f"kurtosis(({a}))"
+        if name == "kurtosis":
+            return (
+                f"(CASE WHEN {n} >= 4 THEN "
+                f"((CAST({n} AS DOUBLE) - 1) / (({n} - 2) * ({n} - 3)))"
+                f" * (({n} + 1) * kurtosis(({a})) + 6.0) "
+                f"ELSE NULL END)"
+            )
+        return (
+            f"(CASE WHEN {n} >= 3 THEN "
+            f"skewness(({a})) * sqrt(CAST({n} AS DOUBLE) * ({n} - 1))"
+            f" / ({n} - 2) ELSE NULL END)"
+        )
+
+    return _one_pass_calls(sql, _STAT_SEMANTICS_RE, build)
+
+
 def _rewrite_similar_to(sql: str) -> str:
     """``x [NOT] SIMILAR TO p`` → ``x [NOT] RLIKE`` with a
     whole-string anchor. DuckDB's SIMILAR TO is RAW regex anchored to
@@ -2520,9 +2814,58 @@ def _rewrite_misc_fns(sql: str) -> str:
 
         return build
 
+    def b_fsum(args):
+        # DuckDB's Kahan-compensated fsum operates on (and answers)
+        # DOUBLE even for integer input; plain naive sum is the same
+        # value except in the last ulp on pathological cancellation
+        x = one(args)
+        if x is None:
+            return None
+        return f"sum(CAST(({x}) AS DOUBLE))"
+
+    def b_isodow(args):
+        # DuckDB isodow: Monday=1..Sunday=7; Spark weekday: Monday=0
+        x = one(args)
+        if x is None:
+            return None
+        return f"(weekday(({x})) + 1)"
+
+    def b_to_base(args):
+        # to_base(x, radix) → conv from base 10 (verified:
+        # to_base(255, 16) = 'FF'); the 3-arg min-length form refused
+        p = two(args)
+        if p is None:
+            return None
+        return f"conv(({p[0]}), 10, ({p[1]}))"
+
+    def b_make_timestamp(args):
+        # DuckDB's 1-arg make_timestamp takes MICROSECONDS since
+        # epoch (verified live); the 6-arg form is native Spark
+        x = one(args)
+        if x is None:
+            return None
+        return f"timestamp_micros(CAST(({x}) AS BIGINT))"
+
+    def b_list_any_value(args):
+        # first non-NULL element; NULL when none (verified live)
+        l = one(args)
+        if l is None:
+            return None
+        return (
+            f"try_element_at(filter(({l}), "
+            f"__x -> __x IS NOT NULL), 1)"
+        )
+
     table = {
         "list_unique": b_list_unique,
         "list_slice": b_list_slice,
+        "isodow": b_isodow,
+        "fsum": b_fsum,
+        "kahan_sum": b_fsum,
+        "sumkahan": b_fsum,
+        "to_base": b_to_base,
+        "make_timestamp": b_make_timestamp,
+        "list_any_value": b_list_any_value,
         "fdiv": b_fdiv,
         "fmod": b_fmod,
         "trunc": b_trunc,
@@ -4201,6 +4544,8 @@ def duckdb_to_spark(
     out = _rewrite_quantile_disc(out)
     out = _rewrite_struct_pack(out)
     out = _rewrite_regexp_extract_all(out)
+    out = _rewrite_pg_operators(out)
+    out = _rewrite_postfix_factorial(out)
     out = _rewrite_similar_to(out)
     out = _rewrite_orderless_over(out)
     out = _rewrite_misc_fns(out)
@@ -4264,6 +4609,16 @@ def duckdb_to_spark(
         # same fired-only policy for `^`: XOR on Spark, power in the
         # DuckDB dialect this query demonstrably is
         out = _replace_power_op(out, "^")
+        # ...and for the shared-name aggregates / date fields whose
+        # VALUES differ between the engines (kurtosis/skewness/
+        # dayofweek/date_part dow — round 13)
+        out = _rewrite_stat_semantics(out)
+    # kurtosis_pop is not a Spark name, so this rename is safe even
+    # UNFIRED (Spark's kurtosis IS the population reading — verified
+    # equal to DuckDB kurtosis_pop); it runs AFTER the fired stat
+    # pass, which consumes fired kurtosis_pop sites itself, so the
+    # output is never re-mapped to the sample formula
+    out = _rewrite_kpop(out)
     return out
 
 

@@ -2158,3 +2158,86 @@ def test_unnest_struct_literal(eng):
         "SELECT id, unnest({'x': v, 'y': v + 1}) FROM dt WHERE id <= 2 ORDER BY id",
     )
     assert got2[0] == (1, 10, 11)
+
+
+# -- round 13 batch 3: pg operators, factorial, stat semantics --------
+
+
+def test_pg_operator_family(eng):
+    """Postgres-style operators DuckDB accepts: ~~/!~~ (LIKE),
+    ~~*/!~~* (ILIKE), binary ~/!~ (ANCHORED regex — verified live:
+    'abc' ~ 'b' is FALSE), GLOB, postfix ISNULL/NOTNULL."""
+    _both(eng, "SELECT g ~~ 'a%' AS a, g !~~ 'b%' AS b FROM dt ORDER BY id")
+    _both(eng, "SELECT g ~~* 'A%' AS a, g !~~* 'B%' AS b FROM dt ORDER BY id")
+    _both(eng, "SELECT g ~ 'a.*' AS a, g !~ 'b' AS b FROM dt ORDER BY id")
+    got = _both(eng, "SELECT 'abc' ~ 'b' AS r")
+    assert got[0][0] is False  # anchored, NOT postgres partial match
+    _both(eng, "SELECT g GLOB 'a*' AS a, g GLOB '?' AS b FROM dt ORDER BY id")
+    _both(eng, "SELECT 'a.c' GLOB 'a.c' AS a, 'axc' GLOB 'a.c' AS b")
+    _both(eng, "SELECT 'ab' GLOB 'a[bc]' AS a, 'ad' GLOB 'a[!bc]' AS b")
+    _both(eng, "SELECT v ISNULL AS a, v NOTNULL AS b FROM dt ORDER BY id")
+    # prefix ~ stays bitwise NOT; isnull() stays the Spark function
+    got2 = eng.sql("SELECT ~5 AS a, isnull(NULL) AS b").collect()
+    assert got2[0].a == -6 and got2[0].b is True
+
+
+def test_postfix_factorial(eng):
+    _both(eng, "SELECT 5! AS a, (2+1)! AS b")
+    # != never matches
+    _both(eng, "SELECT id FROM dt WHERE id != 2 AND 3! = 6 ORDER BY id")
+
+
+def _both_approx(eng, sql: str, tol: float = 1e-9):
+    """First-column compare with an absolute tolerance — the mapped
+    sample-statistic formulas compose Spark aggregates, so they agree
+    with DuckDB's direct accumulation only to rounding (same 1-ulp
+    class as entropy)."""
+    got = eng.sql(sql).collect()[0][0]
+    want = _duck(sql)[0][0]
+    if got is None or want is None:
+        assert got == want, (sql, got, want)
+    else:
+        assert abs(float(got) - float(want)) < tol, (sql, got, want)
+
+
+def test_stat_semantics_fired(eng):
+    """kurtosis/skewness: DuckDB answers SAMPLE statistics (G2/G1),
+    Spark population (g2/g1) — mapped under the fired-only policy
+    (verified to ~1 ulp); kurtosis_pop → Spark kurtosis even unfired
+    (not a Spark name). n<4 / n<3 answer NULL like DuckDB."""
+    _both_approx(eng, "SELECT skewness(v) AS s, 1 // 1 AS m FROM dt")
+    _both_approx(
+        eng,
+        "SELECT kurtosis(x) AS k, 1 // 1 AS m "
+        "FROM (VALUES (1.0), (2.0), (4.0), (8.0), (16.0)) t(x)",
+    )
+    # n=3 → DuckDB NULL for kurtosis
+    _both_approx(eng, "SELECT kurtosis(x) AS k, 1 // 1 AS m FROM (VALUES (1.0), (2.0), (3.0)) t(x)")
+    _both_approx(eng, "SELECT kurtosis_pop(v) AS k FROM dt")
+    _both_approx(eng, "SELECT skewness(x) AS s, 1 // 1 AS m FROM (VALUES (1.0), (2.0)) t(x)")
+    # sample skewness of a symmetric set is 0 — composed formula
+    # answers it only to float noise
+    _both_approx(eng, "SELECT skewness(x) AS s, 1 // 1 AS m FROM (VALUES (1.0), (2.0), (3.0)) t(x)")
+
+
+def test_dow_semantics_fired(eng):
+    """dayofweek/date_part('dow'): DuckDB Sunday=0, Spark Sunday=1 —
+    minus-1 under the fired-only policy; isodow (invalid Spark field)
+    via weekday()+1; dayname/monthname: Spark 4's own answer
+    ABBREVIATED names where DuckDB answers full."""
+    _both(eng, "SELECT dayofweek(DATE '2024-01-07') AS sun, dayofweek(DATE '2024-01-13') AS sat, 1 // 1 AS m")
+    _both(eng, "SELECT date_part('dow', DATE '2024-01-07') AS a, date_part('isodow', DATE '2024-01-08') AS b, 1 // 1 AS m")
+    _both(eng, "SELECT isodow(DATE '2024-01-08') AS mon, isodow(DATE '2024-01-07') AS sun")
+    _both(eng, "SELECT dayname(DATE '2024-01-07') AS a, monthname(DATE '2024-01-07') AS b, 1 // 1 AS m")
+
+
+def test_probe_batch3_renames(eng):
+    _both(eng, "SELECT week(DATE '2024-12-30') AS a, last_day(DATE '2024-02-05') AS b")
+    _both(eng, "SELECT make_timestamp(1704067200000000) AS r")
+    _both(eng, "SELECT list_any_value([NULL, 3, 4]) AS a, list_any_value([NULL]) AS b")
+    _both(eng, "SELECT array_cat([1], [2]) AS a, list_apply([1, 2], x -> x * 2) AS b")
+    _both(eng, "SELECT list_indexof([4, 5], 5) AS a, list_indexof([4, 5], 6) AS b")
+    _both(eng, "SELECT array_has([1, 2], 2) AS a, unicode('A') AS b, ord('B') AS c")
+    _both(eng, "SELECT to_base(255, 16) AS a, to_base(5, 2) AS b")
+    _both(eng, "SELECT string_split_regex('a1b2c', '[0-9]') AS r")
+    _both(eng, "SELECT favg(v) AS a, fsum(v) AS b FROM dt")

@@ -106,12 +106,25 @@ Round-13 batch (VERDICT r12 what's-missing):
 - numeric underscores adjacent to a decimal point (``1_000.5``,
   ``1.5_0``)
 
-DOCUMENTED DIVERGENCE (shared syntax, different defaults — the
-fired-only policy forbids rewriting working Spark SQL): a bare
-top-level ``ORDER BY nullable_key`` sorts NULLS FIRST on Spark (ASC
-default) but NULLS LAST on DuckDB (``default_null_order``, verified
-live). Queries that care must spell the placement explicitly —
-``ORDER BY k NULLS LAST`` parses on both engines and is exact.
+DOCUMENTED DIVERGENCES (shared syntax, different semantics — the
+fired-only policy forbids rewriting working Spark SQL, so these hold
+only for statements containing NO DuckDB-only construct):
+
+- a bare top-level ``ORDER BY nullable_key`` sorts NULLS FIRST on
+  Spark (ASC default) but NULLS LAST on DuckDB
+  (``default_null_order``, verified live). Spell the placement
+  explicitly — ``ORDER BY k NULLS LAST`` parses on both engines.
+- plain string literals: Spark processes backslash escapes
+  (``'\\d'`` → ``d``), DuckDB reads them raw. Failed statements get
+  the raw (backslash-doubled) reading as the FIRST variant; a
+  statement that is otherwise valid Spark keeps Spark's lexing.
+- ``kurtosis``/``skewness``/``dayofweek``/``date_part('dow')``/
+  ``dayname``/``monthname``, float→int CAST rounding, and 0-based
+  ``arr[i]``: mapped under the same fired-only policy
+  (``_rewrite_stat_semantics`` / ``_rewrite_indexing``).
+- ``element_at(map, k)`` answers a LIST on DuckDB, a scalar on
+  Spark (shared name, both valid — use ``map_extract`` for the
+  DuckDB shape).
 
 ``PIVOT`` / ``UNPIVOT`` / ``COPY ... TO/FROM`` statements are handled
 in ``MallardEngine.sql`` (they need catalog access — the pivot-value
@@ -1051,6 +1064,8 @@ _FUNC_RENAMES = {
     # except in the last ulp on pathological cancellation (verified
     # equal on 1e16+1-1e16); documented precision caveat
     "favg": "avg",
+    "prefix": "startswith",
+    "suffix": "endswith",
     # both approximate (different sketches) — values are not pinned
     "approx_quantile": "approx_percentile",
     "list_append": "array_append",
@@ -1587,6 +1602,7 @@ def _strf_to_java(fmt: str) -> str | None:
 
 _STRFTIME_RE = re.compile(r"\bstrftime\s*\(", re.IGNORECASE)
 _STRPTIME_RE = re.compile(r"\bstrptime\s*\(", re.IGNORECASE)
+_TRY_STRPTIME_RE = re.compile(r"\btry_strptime\s*\(", re.IGNORECASE)
 
 
 def _replace_strftime(sql: str) -> str:
@@ -1611,7 +1627,12 @@ def _replace_strftime(sql: str) -> str:
         return build
 
     sql = _rewrite_calls(sql, _STRFTIME_RE, build_for("date_format"))
-    return _rewrite_calls(sql, _STRPTIME_RE, build_for("to_timestamp"))
+    sql = _rewrite_calls(sql, _STRPTIME_RE, build_for("to_timestamp"))
+    # try_strptime: NULL instead of an error on unparseable input —
+    # exactly Spark's try_to_timestamp (round 13)
+    return _rewrite_calls(
+        sql, _TRY_STRPTIME_RE, build_for("try_to_timestamp")
+    )
 
 
 _STRING_AGG_RE = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
@@ -1804,6 +1825,172 @@ def _rewrite_ordered_first_last(sql: str) -> str:
 
         sql = _rewrite_calls(
             sql, re.compile(rf"\b{fn}\s*\(", re.IGNORECASE), build
+        )
+    return sql
+
+
+_FRAME_EXCLUDE_RE = re.compile(
+    r"\bEXCLUDE\s+(CURRENT\s+ROW|NO\s+OTHERS|GROUP|TIES)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_frame_exclude(sql: str) -> str:
+    """Window-frame EXCLUDE clause (round-13 probe find; Spark has no
+    frame exclusion):
+
+    - ``EXCLUDE NO OTHERS`` — the default; stripped.
+    - ``EXCLUDE CURRENT ROW`` on the INVERTIBLE aggregates
+      (sum/count/avg) — re-expressed as the plain-frame aggregate
+      minus the current row, with an all-NULL guard so an emptied
+      frame answers NULL like DuckDB. When the frame text provably
+      excludes the current row anyway (both bounds PRECEDING or both
+      FOLLOWING), the clause is a no-op and is just stripped.
+    - ``EXCLUDE GROUP`` / ``EXCLUDE TIES`` and other aggregates keep
+      Spark's parse error (refusal — peers need per-frame group
+      context no composition expresses)."""
+    for _ in range(64):
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _FRAME_EXCLUDE_RE.finditer(sql)
+                if all(mask[k] for k in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        kind = " ".join(m.group(1).upper().split())
+        # enclosing OVER (...) group: the innermost paren span
+        # containing the match
+        spans = []
+        stack = []
+        for i, ch, _d, code in _scan(sql):
+            if not code:
+                continue
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")" and stack:
+                o = stack.pop()
+                if o < m.start() < i:
+                    spans.append((o, i))
+        if not spans:
+            return sql
+        o, c2 = min(spans, key=lambda p: p[1] - p[0])
+        k = o - 1
+        while k >= 0 and sql[k] in _WS:
+            k -= 1
+        if sql[max(0, k - 3) : k + 1].upper() != "OVER":
+            return sql
+        spec = sql[o + 1 : c2]
+        spec_clean = _FRAME_EXCLUDE_RE.sub("", spec).strip()
+        if kind == "NO OTHERS":
+            sql = f"{sql[:o + 1]}{spec_clean}{sql[c2:]}"
+            continue
+        if kind != "CURRENT ROW":
+            return sql  # GROUP/TIES — refusal
+        # the aggregate call directly before OVER
+        kk = k - 4
+        while kk >= 0 and sql[kk] in _WS:
+            kk -= 1
+        if kk < 0 or sql[kk] != ")":
+            return sql
+        depth = 0
+        call_open = -1
+        for j in range(kk, -1, -1):
+            if sql[j] == ")" and mask[j]:
+                depth += 1
+            elif sql[j] == "(" and mask[j]:
+                depth -= 1
+                if depth == 0:
+                    call_open = j
+                    break
+        if call_open < 0:
+            return sql
+        ne = call_open
+        while ne > 0 and sql[ne - 1] in _WS:
+            ne -= 1
+        nb = ne
+        while nb > 0 and (sql[nb - 1].isalnum() or sql[nb - 1] == "_"):
+            nb -= 1
+        fn = sql[nb:ne].lower()
+        arg = sql[call_open + 1 : kk].strip()
+        if fn not in ("sum", "count", "avg", "mean") or re.match(
+            r"(?i)^\s*DISTINCT\b", arg
+        ):
+            return sql
+        up = spec_clean.upper()
+        fm = re.search(
+            r"\b(?:ROWS|RANGE)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
+            up,
+        )
+        if fm and (
+            fm.group(1).endswith("FOLLOWING")
+            and "PRECEDING" not in fm.group(1)
+            or fm.group(2).endswith("PRECEDING")
+        ):
+            # current row provably outside the frame — EXCLUDE is a
+            # no-op, drop it
+            sql = f"{sql[:o + 1]}{spec_clean}{sql[c2:]}"
+            continue
+        w = f"OVER ({spec_clean})"
+        if fn == "count" and arg in ("*", "1"):
+            repl = f"(count(*) {w} - 1)"
+        elif fn == "count":
+            repl = (
+                f"(count(({arg})) {w} - "
+                f"(CASE WHEN (({arg})) IS NULL THEN 0 ELSE 1 END))"
+            )
+        else:
+            nonnull = f"(CASE WHEN (({arg})) IS NULL THEN 0 ELSE 1 END)"
+            cnt_ex = f"(count(({arg})) {w} - {nonnull})"
+            sum_ex = f"(sum(({arg})) {w} - coalesce(({arg}), 0))"
+            if fn == "sum":
+                repl = (
+                    f"(CASE WHEN {cnt_ex} = 0 THEN NULL "
+                    f"ELSE {sum_ex} END)"
+                )
+            else:
+                repl = (
+                    f"(CAST({sum_ex} AS DOUBLE) / nullif({cnt_ex}, 0))"
+                )
+        sql = f"{sql[:nb]}{repl}{sql[c2 + 1:]}"
+    return sql
+
+
+_COMMUTATIVE_ORDERED_RE = re.compile(
+    r"\b(sum|avg|mean|count|min|max|product|bool_and|bool_or|"
+    r"bit_and|bit_or|bit_xor)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_ordered_commutative(sql: str) -> str:
+    """DuckDB accepts in-call ``ORDER BY`` on ANY aggregate;
+    on order-insensitive ones (``sum(v ORDER BY id)``) it is a no-op
+    — strip it so Spark's parser (which rejects the syntax) accepts
+    the call (round-13 probe find)."""
+
+    if not _COMMUTATIVE_ORDERED_RE.search(sql):
+        return sql
+    for m in set(
+        mm.group(1).lower()
+        for mm in _COMMUTATIVE_ORDERED_RE.finditer(sql)
+    ):
+        def one_build(args: list[str], fn=m) -> str | None:
+            parts = _split_inline_order(",".join(args))
+            if parts is None:
+                return None
+            x, _order = parts
+            if not x.strip() or re.match(r"(?i)^\s*DISTINCT\b", x):
+                return None
+            return f"{fn}({x})"
+
+        sql = _rewrite_calls(
+            sql,
+            re.compile(rf"\b{m}\s*\(", re.IGNORECASE),
+            one_build,
         )
     return sql
 
@@ -2323,6 +2510,108 @@ def _one_pass_calls(sql: str, rx: re.Pattern, build) -> str:
         last = close_p + 1
     out.append(sql[last:])
     return "".join(out)
+
+
+_INT_TYPES = r"(?:TINYINT|SMALLINT|INT2|INT4|INT8|INTEGER|INT|BIGINT|SIGNED)"
+_PG_INT_CAST_RE = re.compile(
+    rf"::\s*({_INT_TYPES})\b(?!\s*\()", re.IGNORECASE
+)
+_CAST_CALL_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+
+
+def _int_cast_expr(x: str, t: str, try_cast: bool) -> str:
+    """DuckDB float→int casts ROUND where Spark TRUNCATES (verified
+    live: DECIMAL 10.5 → 11, and by MODE per source type — DECIMAL
+    half-AWAY, DOUBLE half-EVEN: CAST(2.5::DOUBLE AS INT) = 2 but
+    CAST(2.5 AS INT) = 3). Spark round() is half-away and rint() is
+    half-even, so a typeof() dispatch reproduces both exactly;
+    integral sources pass through round() unchanged (no precision
+    loss — no double conversion on the ELSE branch)."""
+    # the double conversion is spelled `double(x)` (the cast
+    # FUNCTION), not `CAST(x AS DOUBLE)` — the emitted text feeds
+    # back through `//` operand extraction, whose _looks_float
+    # heuristic keys on the `AS DOUBLE` spelling and would silently
+    # flip an integer division to float (caught by
+    # test_intdiv_cast_operand)
+    if try_cast:
+        # TRY_CAST must also absorb unparseable strings → NULL, so
+        # the non-float branch routes through a DECIMAL(38,18)
+        # try-parse (holds every BIGINT exactly)
+        return (
+            f"(CASE WHEN typeof(({x})) IN ('float', 'double') "
+            f"THEN TRY_CAST(rint(double(({x}))) AS {t}) "
+            f"ELSE TRY_CAST(round(TRY_CAST(({x}) AS DECIMAL(38,18))) "
+            f"AS {t}) END)"
+        )
+    return (
+        f"(CASE WHEN typeof(({x})) IN ('float', 'double') "
+        f"THEN CAST(rint(double(({x}))) AS {t}) "
+        f"ELSE CAST(round(({x})) AS {t}) END)"
+    )
+
+
+def _rewrite_int_cast_semantics(sql: str) -> str:
+    """FIRED-ONLY (shared syntax, different values — same policy as
+    ``^``): ``x::INT`` and ``[TRY_]CAST(x AS INT)`` round on DuckDB
+    and truncate on Spark. Rewritten via :func:`_int_cast_expr`.
+    The CAST/TRY_CAST call pass runs FIRST — the postfix rewrite's
+    own emission contains CAST(... AS INT) text that must not be
+    re-wrapped."""
+
+    def build_cast(args: list[str], try_cast: bool) -> str | None:
+        body = ",".join(args)
+        am = None
+        mask2 = _code_mask(body)
+        up = body.upper()
+        depth = 0
+        for i in range(len(body) - 3):
+            if not mask2[i]:
+                continue
+            ch = body[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and up[i : i + 4] == " AS ":
+                am = i  # LAST top-level AS wins (nested casts inside)
+        if am is None:
+            return None
+        x = body[:am].strip()
+        t = body[am + 4 :].strip()
+        if not re.fullmatch(_INT_TYPES, t, re.IGNORECASE):
+            return None
+        return _int_cast_expr(x, t.upper(), try_cast)
+
+    sql = _one_pass_calls(
+        sql,
+        re.compile(r"\b(try_cast|cast)\s*\(", re.IGNORECASE),
+        lambda name, args, _after: build_cast([args], name == "try_cast"),
+    )
+
+    # postfix :: casts
+    for _ in range(64):
+        mask = _code_mask(sql)
+        starts = _region_starts(sql)
+        m = next(
+            (
+                c
+                for c in _PG_INT_CAST_RE.finditer(sql)
+                if all(mask[k] for k in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            break
+        b = _base_start(sql, mask, m.start(), starts)
+        base = sql[b:m.start()].strip() if b >= 0 else ""
+        if not base:
+            break
+        sql = (
+            f"{sql[:b]}"
+            f"{_int_cast_expr(base, m.group(1).upper(), False)}"
+            f"{sql[m.end():]}"
+        )
+    return sql
 
 
 _STAT_SEMANTICS_RE = re.compile(
@@ -2859,6 +3148,7 @@ def _rewrite_misc_fns(sql: str) -> str:
     table = {
         "list_unique": b_list_unique,
         "list_slice": b_list_slice,
+        "array_slice": b_list_slice,
         "isodow": b_isodow,
         "fsum": b_fsum,
         "kahan_sum": b_fsum,
@@ -4492,6 +4782,7 @@ def duckdb_to_spark(
     index_string: bool = False,
     list_sum_double: bool = False,
     csv_resolver=None,
+    int_casts_done: bool = False,
 ) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
 
@@ -4506,6 +4797,7 @@ def duckdb_to_spark(
     types, so :func:`translate_variants` enumerates the combinations
     and the engine keeps the first that passes Spark analysis.
     """
+    original_sql = sql
     # dollar-quoted strings convert BEFORE anything else — the lexer
     # does not know them, so every later rule (and the balance check
     # itself) would otherwise read their content as code (round 12)
@@ -4537,6 +4829,7 @@ def duckdb_to_spark(
     out = _replace_strftime(out)
     out = _rewrite_ordered_string_agg(out)
     out = _rewrite_ordered_first_last(out)
+    out = _rewrite_ordered_commutative(out)
     out = _rewrite_list_agg(out)
     out = _rewrite_histogram(out)
     out = _rewrite_range_call(out)
@@ -4548,6 +4841,7 @@ def duckdb_to_spark(
     out = _rewrite_postfix_factorial(out)
     out = _rewrite_similar_to(out)
     out = _rewrite_orderless_over(out)
+    out = _rewrite_frame_exclude(out)
     out = _rewrite_misc_fns(out)
     out = _rewrite_nested_fns(out)
     out = _rewrite_json_arrows(out)
@@ -4613,6 +4907,29 @@ def duckdb_to_spark(
         # VALUES differ between the engines (kurtosis/skewness/
         # dayofweek/date_part dow — round 13)
         out = _rewrite_stat_semantics(out)
+        if not int_casts_done:
+            # rounding float→int casts (DuckDB rounds, Spark
+            # truncates) must apply to the USER'S casts only — other
+            # rules EMIT intentional Spark-truncating CAST(.. AS INT)
+            # (the median index pick, the subscript guard), so the
+            # rewrite runs on the ORIGINAL text and the whole
+            # pipeline re-translates it (guarded one-level recursion)
+            recast = _rewrite_int_cast_semantics(
+                replace_dollar_quotes(original_sql)
+            )
+            if recast != replace_dollar_quotes(original_sql):
+                return duckdb_to_spark(
+                    recast,
+                    float_intdiv=float_intdiv,
+                    list_len=list_len,
+                    intdiv_mask=intdiv_mask,
+                    epoch_ms_ts=epoch_ms_ts,
+                    index_plain=index_plain,
+                    index_string=index_string,
+                    list_sum_double=list_sum_double,
+                    csv_resolver=csv_resolver,
+                    int_casts_done=True,
+                )
     # kurtosis_pop is not a Spark name, so this rename is safe even
     # UNFIRED (Spark's kurtosis IS the population reading — verified
     # equal to DuckDB kurtosis_pop); it runs AFTER the fired stat
@@ -4641,7 +4958,67 @@ def translate_expression(fragment: str) -> str:
     return fragment  # a statement-level rewrite fired — not a fragment
 
 
-def translate_variants(sql: str, csv_resolver=None) -> list[str]:
+def _double_backslashes_raw(sql: str) -> str:
+    """DuckDB string literals are RAW — ``'a\\nb'`` is 4 characters
+    and ``'\\d'`` is a working regex class (verified live) — while
+    Spark's lexer PROCESSES backslash escapes, silently turning a
+    DuckDB client's ``'\\d+'`` into ``'d+'``. Double every backslash
+    inside plain single-quoted literals so Spark reads them raw,
+    lexing the input with DUCKDB's rules (no escape processing, ``''``
+    doubling honored). ``e'...'`` escape-strings are left alone (their
+    escapes are MEANT to process — and they lex WITH backslash
+    escapes); statements carrying dollar-quote tags are skipped
+    entirely (their bodies would mis-lex here; they convert first in
+    ``duckdb_to_spark``)."""
+    if "\\" not in sql:
+        return sql
+    if re.search(r"\$[A-Za-z_]*\$", sql):
+        return sql
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            prev = sql[i - 1] if i else ""
+            prev2 = sql[i - 2] if i >= 2 else ""
+            is_estr = prev in "eE" and not (
+                prev2.isalnum() or prev2 == "_"
+            )
+            j = i + 1
+            while j < n:
+                if is_estr and sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            body = sql[i + 1 : j]
+            if not is_estr:
+                body = body.replace("\\", "\\\\")
+            out.append("'" + body + "'")
+            i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            k = sql.find("\n", i)
+            k = n if k < 0 else k
+            out.append(sql[i:k])
+            i = k
+        elif c == "/" and sql[i : i + 2] == "/*":
+            k = sql.find("*/", i)
+            k = n if k < 0 else k + 2
+            out.append(sql[i:k])
+            i = k
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def translate_variants(
+    sql: str, csv_resolver=None, _raw_done: bool = False
+) -> list[str]:
     """All distinct typed readings of the translation, base first.
     The engine tries each in order and keeps the first that Spark
     accepts — analyzer-driven type dispatch for the constructs whose
@@ -4655,6 +5032,28 @@ def translate_variants(sql: str, csv_resolver=None) -> list[str]:
     semantics even when one query mixes int and double ``//``. Above
     ``_MAX_INTDIV_SITES`` sites the ladder degrades to all-DIV /
     all-float."""
+    # RAW-LITERAL reading first (round 13): variants only ever run
+    # after the vanilla statement FAILED, i.e. the client speaks
+    # DuckDB — whose plain string literals are raw where Spark's
+    # process backslash escapes. The backslash-doubled reading IS the
+    # DuckDB semantics, so its variants lead; the undoubled ones stay
+    # as fallback, and the doubled text itself is offered for
+    # statements doubling alone fixes (`... ESCAPE '\'`).
+    if not _raw_done:
+        raw = _double_backslashes_raw(sql)
+        if raw != sql:
+            outs0 = translate_variants(
+                raw, csv_resolver=csv_resolver, _raw_done=True
+            )
+            if raw not in outs0:
+                outs0.append(raw)
+            for t in translate_variants(
+                sql, csv_resolver=csv_resolver, _raw_done=True
+            ):
+                if t not in outs0:
+                    outs0.append(t)
+            return outs0
+
     # count `//` sites on the same text duckdb_to_spark will mask:
     # divide() desugars to `//` inside the translation, so its sites
     # must be enumerable too (round 13)

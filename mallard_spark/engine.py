@@ -2969,9 +2969,27 @@ class MallardEngine:
             )
         dm = re.match(r"^\s*DESCRIBE\s+(SELECT|WITH|FROM)\b", sql, re.IGNORECASE)
         if dm:
-            # DuckDB's DESCRIBE <query>; Spark spells it DESCRIBE QUERY
-            return self.sql(
-                re.sub(r"^\s*DESCRIBE\s+", "DESCRIBE QUERY ", sql, count=1)
+            # DuckDB's DESCRIBE <query> answers its 6-column relation
+            # (column_name, column_type, null, key, default, extra)
+            # with DUCKDB type names — round 13; the earlier Spark
+            # `DESCRIBE QUERY` delegation answered Spark's 3-column
+            # shape, which a migrating client reads by name. Analyze
+            # the query (no execution) and map each field's type.
+            inner = re.sub(r"^\s*DESCRIBE\s+", "", sql, count=1)
+            schema = self.sql(inner).schema
+            rows = [
+                (
+                    f.name,
+                    _duck_type_name(f.dataType),
+                    "YES" if f.nullable else "NO",
+                    None, None, None,
+                )
+                for f in schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "column_name string, column_type string, null string, "
+                "key string, default string, extra string",
             )
         sm = re.match(r"^\s*SUMMARIZE\s+(?P<q>(SELECT|WITH|FROM)\b.*)$",
                       sql, re.IGNORECASE | re.DOTALL)

@@ -2241,3 +2241,95 @@ def test_probe_batch3_renames(eng):
     _both(eng, "SELECT to_base(255, 16) AS a, to_base(5, 2) AS b")
     _both(eng, "SELECT string_split_regex('a1b2c', '[0-9]') AS r")
     _both(eng, "SELECT favg(v) AS a, fsum(v) AS b FROM dt")
+
+
+def test_raw_string_literals(eng):
+    r"""DuckDB plain string literals are RAW ('a\nb' is 4 chars, '\d'
+    is a working regex class — verified live) where Spark's lexer
+    processes backslash escapes. On-failure variants read literals
+    the DuckDB way (backslash-doubled reading first)."""
+    got = _both(eng, r"SELECT regexp_matches('x7', '\d') AS r")
+    assert got[0][0] is True
+    got2 = _both(eng, r"SELECT length('a\nb') AS l, 1 // 1 AS m")
+    assert got2[0][0] == 4
+    # the statement ESCAPE '\' never lexes on Spark at all — the
+    # doubled reading alone fixes it
+    got3 = _both(eng, "SELECT 'abc' LIKE 'a%' ESCAPE '\\' AS r")
+    assert got3[0][0] is True
+    # e-strings keep PROCESSING their escapes (that's their point)
+    got4 = _both(eng, r"SELECT length(e'a\nb') AS l, 1 // 1 AS m")
+    assert got4[0][0] == 3
+    # regex argument round-trip: a DuckDB client's pattern matches
+    # the same rows
+    _both(eng, r"SELECT g FROM dt WHERE regexp_matches(g, '^[abc]$') ORDER BY g")
+
+
+def test_frame_exclude_current_row(eng):
+    """Window-frame EXCLUDE CURRENT ROW on sum/count/avg re-expresses
+    as the plain frame minus the current row (all-NULL guard answers
+    NULL like DuckDB); EXCLUDE NO OTHERS strips (it IS the default);
+    frames that provably exclude the current row just drop the
+    clause."""
+    _both(eng, "SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM dt ORDER BY id")
+    _both(eng, "SELECT id, count(*) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM dt ORDER BY id")
+    _both(eng, "SELECT id, avg(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM dt ORDER BY id")
+    _both(eng, "SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS) AS s FROM dt ORDER BY id")
+    _both(eng, "SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) AS s FROM dt ORDER BY id")
+    # single-row frame: exclusion empties it -> NULL (the guard)
+    _both(eng, "SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM dt ORDER BY id")
+
+
+def test_ordered_commutative_aggregates(eng):
+    """In-call ORDER BY on order-insensitive aggregates is a DuckDB
+    no-op — stripped so Spark's parser accepts the call."""
+    _both(eng, "SELECT sum(v ORDER BY id) AS a, min(v ORDER BY id DESC) AS b, count(v ORDER BY g) AS c FROM dt")
+    _both(eng, "SELECT g, max(v ORDER BY v) AS m FROM dt GROUP BY g ORDER BY g")
+
+
+def test_int_cast_rounding_fired(eng):
+    """DuckDB float->int casts ROUND (by MODE per source: DECIMAL
+    half-away, DOUBLE half-even — both pinned live) where Spark
+    truncates; mapped under the fired-only policy with a typeof
+    dispatch."""
+    _both(eng, "SELECT CAST(2.5 AS INT) AS a, CAST(3.5 AS INT) AS b, CAST(-2.5 AS INT) AS c, 1 // 1 AS m")
+    _both(eng, "SELECT CAST(CAST(2.5 AS DOUBLE) AS INT) AS a, CAST(CAST(3.5 AS DOUBLE) AS INT) AS b, 1 // 1 AS m")
+    _both(eng, "SELECT 10.7::INT AS a, (10.5)::BIGINT AS b, 1 // 1 AS m")
+    _both(eng, "SELECT TRY_CAST('x' AS INTEGER) AS a, TRY_CAST('12.7' AS INTEGER) AS b, 1 // 1 AS m")
+    _both(eng, "SELECT CAST(v AS BIGINT) AS r, 1 // 1 AS m FROM dt ORDER BY id")
+    # the translator's own emitted truncating casts stay truncating
+    # (mad's median index pick — regression for the recast recursion;
+    # engine answers DOUBLE where DuckDB answers DECIMAL, so compare
+    # as floats like test_misc_aggregates)
+    q = "SELECT mad(x) AS m FROM (VALUES (10.5), (20.0), (30.25)) t(x)"
+    got = eng.sql(q).collect()[0].m
+    want = _duck(q)[0][0]
+    assert float(got) == float(want) == 9.5
+
+
+def test_semi_anti_join(eng):
+    """DuckDB SEMI/ANTI JOIN parse natively on Spark 4 — pinned."""
+    eng.put_arrow = None  # noqa - no-op marker
+    import pyarrow as pa
+
+    eng.put("dst2", pa.table({"id": [2, 3]}))
+    got = eng.sql("SELECT dt.id FROM dt SEMI JOIN dst2 ON dt.id = dst2.id ORDER BY dt.id").collect()
+    assert [r.id for r in got] == [2, 3]
+    got2 = eng.sql("SELECT dt.id FROM dt ANTI JOIN dst2 ON dt.id = dst2.id ORDER BY dt.id").collect()
+    assert [r.id for r in got2] == [1, 4, 5, 6]
+
+
+def test_describe_select(eng):
+    """DESCRIBE <query> answers DuckDB's 6-column relation with
+    DuckDB type names (round 13; was Spark's 3-column shape)."""
+    rows = eng.sql("DESCRIBE SELECT id, g, v * 1.5 AS x FROM dt").collect()
+    assert [r.column_name for r in rows] == ["id", "g", "x"]
+    assert rows[0].column_type == "BIGINT" and rows[1].column_type == "VARCHAR"
+    assert set(rows[0].asDict()) == {
+        "column_name", "column_type", "null", "key", "default", "extra",
+    }
+
+
+def test_probe_batch4_functions(eng):
+    _both(eng, "SELECT prefix('abcd', 'ab') AS a, suffix('abcd', 'cd') AS b")
+    _both(eng, "SELECT array_slice([1, 2, 3, 4], 2, 3) AS r")
+    _both(eng, "SELECT try_strptime('bogus', '%Y') AS a, try_strptime('2024-01-02', '%Y-%m-%d') = TIMESTAMP '2024-01-02' AS b")

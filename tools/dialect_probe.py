@@ -203,6 +203,22 @@ SELECT mode(g) AS r FROM t
 SELECT bool_and(v > 5) AS a, bool_or(v > 25) AS b FROM t
 SELECT bit_and(id) AS a, bit_or(id) AS b, bit_xor(id) AS c FROM t
 SELECT any_value(g) IS NOT NULL AS r FROM t
+SELECT prefix('abcd', 'ab') AS a, suffix('abcd', 'cd') AS b
+SELECT array_slice([1, 2, 3, 4], 2, 3) AS r
+SELECT try_strptime('bogus', '%Y') AS a, try_strptime('2024-01-02', '%Y-%m-%d') = TIMESTAMP '2024-01-02' AS b
+SELECT sum(v ORDER BY id) AS a, min(v ORDER BY id DESC) AS b, count(v ORDER BY g) AS c FROM t
+SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM t ORDER BY id
+SELECT id, count(*) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM t ORDER BY id
+SELECT id, avg(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM t ORDER BY id
+SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS) AS s FROM t ORDER BY id
+SELECT CAST(CAST(2.5 AS DOUBLE) AS INT) AS a, CAST(2.5 AS INT) AS b, 1 // 1 AS m
+SELECT 10.7::INT AS a, (10.5)::BIGINT AS b, 1 // 1 AS m
+SELECT TRY_CAST('x' AS INTEGER) AS a, TRY_CAST('12.7' AS INTEGER) AS b, 1 // 1 AS m
+SELECT t.id FROM t SEMI JOIN dst ON t.id = dst.id ORDER BY t.id
+SELECT t.id FROM t ANTI JOIN dst ON t.id = dst.id ORDER BY t.id
+DESCRIBE SELECT id, g FROM t
+SELECT regexp_matches('x7', '\d') AS r
+SELECT 'abc' LIKE 'a%' ESCAPE '\\' AS r
 """
 
 

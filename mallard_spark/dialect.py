@@ -1065,6 +1065,7 @@ _FUNC_RENAMES = {
     # equal on 1e16+1-1e16); documented precision caveat
     "favg": "avg",
     "prefix": "startswith",
+    "editdist3": "levenshtein",  # verified equal on transpositions
     "suffix": "endswith",
     # both approximate (different sketches) — values are not pinned
     "approx_quantile": "approx_percentile",
@@ -2384,6 +2385,43 @@ _TILDE_REPL = {
 }
 
 
+_REGEXP_REPLACE_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+
+
+def _rewrite_regexp_replace_flags(sql: str) -> str:
+    """DuckDB's 4-arg ``regexp_replace(s, p, r, 'flags')`` — Spark's
+    4th argument is a POSITION int, so the flag-string form is a
+    guaranteed runtime error there (never-working Spark → safe to
+    rewrite unconditionally). ``g`` selects replace-ALL (Spark's
+    3-arg native behavior); ``i``/``s``/``m`` become inline pattern
+    flags; without ``g`` the first-only composition applies.
+    Replacement strings pass VERBATIM — documented divergence:
+    DuckDB spells group backrefs ``\\1`` where Spark spells ``$1``
+    (plain-text replacements, the common case, are identical)."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 4:
+            return None
+        s, p, r, fl = (a.strip() for a in args)
+        flags = _unquote_sql_literal(fl)
+        if flags is None or not re.fullmatch(r"[gims]*", flags):
+            return None
+        if "i" in flags:
+            p = f"concat('(?i)', ({p}))"
+        if "s" in flags:
+            p = f"concat('(?s)', ({p}))"
+        if "m" in flags:
+            p = f"concat('(?m)', ({p}))"
+        if "g" in flags:
+            # Spark's 4-arg POSITION form (1 = from the start) is the
+            # same replace-all as its 3-arg — emitted this way so the
+            # FIRED 3-arg first-only mapping cannot re-capture it
+            return f"regexp_replace(({s}), {p}, {r}, 1)"
+        return _first_only_regexp_replace(s, p, r)
+
+    return _rewrite_calls(sql, _REGEXP_REPLACE_RE, build)
+
+
 def _rewrite_pg_operators(sql: str) -> str:
     """The postgres-style operator family DuckDB accepts (round-13
     probe batch): ``~~``/``!~~`` (LIKE), ``~~*``/``!~~*`` (ILIKE),
@@ -2616,9 +2654,28 @@ def _rewrite_int_cast_semantics(sql: str) -> str:
 
 _STAT_SEMANTICS_RE = re.compile(
     r"\b(kurtosis_pop|kurtosis|skewness|dayofweek|date_part|datepart"
-    r"|dayname|monthname)\s*\(",
+    r"|dayname|monthname|log|left|right|regexp_replace)\s*\(",
     re.IGNORECASE,
 )
+
+
+def _first_only_regexp_replace(s: str, p: str, r: str) -> str | None:
+    """DuckDB's 3-arg regexp_replace replaces the FIRST match only
+    (verified live: 'aaa','a','b' → 'baa'; the 'g' flag opts into
+    replace-all) while Spark's always replaces all — compose the
+    first-only semantics from regexp_instr + regexp_extract.
+    Replacement literals containing backslashes (group backrefs) are
+    left native (None)."""
+    rl = _unquote_sql_literal(r)
+    if rl is not None and "\\" in rl:
+        return None
+    pos = f"regexp_instr(({s}), ({p}))"
+    return (
+        f"(CASE WHEN {pos} = 0 THEN ({s}) ELSE "
+        f"concat(substr(({s}), 1, {pos} - 1), ({r}), "
+        f"substr(({s}), {pos} + "
+        f"length(regexp_extract(({s}), ({p}), 0)))) END)"
+    )
 
 
 def _rewrite_stat_semantics(sql: str) -> str:
@@ -2655,6 +2712,39 @@ def _rewrite_stat_semantics(sql: str) -> str:
             return f"date_format(({a}), 'EEEE')"
         if name == "monthname":
             return f"date_format(({a}), 'MMMM')"
+        if name == "log":
+            # single-arg log is LOG10 on DuckDB, ln on Spark
+            # (verified live: log(100) = 2.0 there); 2-arg log(b, x)
+            # agrees on both engines
+            parts = _split_top_level_commas(args)
+            return f"log10(({a}))" if len(parts) == 1 else None
+        if name in ("left", "right"):
+            # negative n: DuckDB (postgres semantics) answers all but
+            # the last/first |n| chars; Spark answers '' — map unless
+            # n is a provably non-negative literal
+            parts = _split_top_level_commas(args)
+            if len(parts) != 2:
+                return None
+            s, n = parts[0].strip(), parts[1].strip()
+            if re.fullmatch(r"\+?\d+", n):
+                return None  # non-negative literal — native is exact
+            if name == "left":
+                return (
+                    f"(CASE WHEN ({n}) < 0 THEN "
+                    f"substr(({s}), 1, greatest(length(({s})) + ({n}), 0)) "
+                    f"ELSE left(({s}), ({n})) END)"
+                )
+            return (
+                f"(CASE WHEN ({n}) < 0 THEN substr(({s}), 1 - ({n})) "
+                f"ELSE right(({s}), ({n})) END)"
+            )
+        if name == "regexp_replace":
+            parts = _split_top_level_commas(args)
+            if len(parts) != 3:
+                return None  # 4-arg flag form handled unconditionally
+            return _first_only_regexp_replace(
+                parts[0].strip(), parts[1].strip(), parts[2].strip()
+            )
         if name in ("date_part", "datepart"):
             parts = _split_top_level_commas(args)
             if len(parts) != 2:
@@ -3149,6 +3239,7 @@ def _rewrite_misc_fns(sql: str) -> str:
         "list_unique": b_list_unique,
         "list_slice": b_list_slice,
         "array_slice": b_list_slice,
+        "array_unique": b_list_unique,
         "isodow": b_isodow,
         "fsum": b_fsum,
         "kahan_sum": b_fsum,
@@ -4837,6 +4928,7 @@ def duckdb_to_spark(
     out = _rewrite_quantile_disc(out)
     out = _rewrite_struct_pack(out)
     out = _rewrite_regexp_extract_all(out)
+    out = _rewrite_regexp_replace_flags(out)
     out = _rewrite_pg_operators(out)
     out = _rewrite_postfix_factorial(out)
     out = _rewrite_similar_to(out)

@@ -2415,6 +2415,13 @@ class MallardEngine:
             result = self.spark.sql(f"SELECT * FROM {view} {tail}")
         return result
 
+    # 4-arg regexp_replace whose last argument is a flag STRING
+    # literal — cheap pre-route detector (round 13)
+    _REGEXP_FLAGS_RE = re.compile(
+        r"(?is)\bregexp_replace\s*\([^;()]*(?:\([^()]*\)[^;()]*)*"
+        r",\s*'[gims]+'\s*\)"
+    )
+
     _PERCENT_LIMIT_RE = re.compile(
         r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)\s*;?\s*$",
         re.IGNORECASE,
@@ -3092,27 +3099,33 @@ class MallardEngine:
         pl = self._percent_limit(out)
         if pl is not None:
             return pl
-        # sound pre-vanilla route (round 13, VERDICT r12 missing #1):
-        # a NEGATIVE int-literal subscript passes Spark ANALYSIS but
-        # is a GUARANTEED runtime error (0-based arrays throw on
-        # negatives), so the on-failure ladder below never sees it —
-        # while DuckDB reads it as from-the-end access. Translate up
-        # front; if no typed reading passes analysis, fall through to
-        # the vanilla attempt (same runtime error as before).
+        # sound pre-vanilla routes (round 13): constructs that pass
+        # Spark ANALYSIS but are GUARANTEED runtime errors — the
+        # on-failure ladder below never sees them, while DuckDB gives
+        # them meaning. (1) a NEGATIVE int-literal subscript (0-based
+        # arrays throw on negatives; DuckDB reads from-the-end);
+        # (2) 4-arg regexp_replace with a flag STRING (Spark's 4th
+        # arg is a position int — the 'g' literal fails its cast at
+        # runtime). Translate up front; if no typed reading passes
+        # analysis, fall through to the vanilla attempt (same runtime
+        # error as before).
+        pre_route = False
         if "[" in out and "-" in out:
-            from mallard_spark.dialect import (
-                _has_negative_subscript,
-                translate_variants,
-            )
+            from mallard_spark.dialect import _has_negative_subscript
 
-            if _has_negative_subscript(out):
-                for translated in translate_variants(
-                    out, csv_resolver=self._csv_auto_view
-                ):
-                    try:
-                        return self.spark.sql(translated)
-                    except Exception:
-                        continue
+            pre_route = _has_negative_subscript(out)
+        if not pre_route and self._REGEXP_FLAGS_RE.search(out):
+            pre_route = True
+        if pre_route:
+            from mallard_spark.dialect import translate_variants
+
+            for translated in translate_variants(
+                out, csv_resolver=self._csv_auto_view
+            ):
+                try:
+                    return self.spark.sql(translated)
+                except Exception:
+                    continue
         try:
             return self.spark.sql(out)
         except Exception as first_err:

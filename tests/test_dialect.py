@@ -2333,3 +2333,29 @@ def test_probe_batch4_functions(eng):
     _both(eng, "SELECT prefix('abcd', 'ab') AS a, suffix('abcd', 'cd') AS b")
     _both(eng, "SELECT array_slice([1, 2, 3, 4], 2, 3) AS r")
     _both(eng, "SELECT try_strptime('bogus', '%Y') AS a, try_strptime('2024-01-02', '%Y-%m-%d') = TIMESTAMP '2024-01-02' AS b")
+
+
+def test_probe_batch5_semantics(eng):
+    """log() base, left/right negatives, regexp_replace first-vs-all
+    — shared names with DIFFERENT values, pinned live and mapped
+    under the fired-only policy (the 4-arg flag form is never-working
+    Spark and rewrites unconditionally with an engine pre-route)."""
+    got = _both(eng, "SELECT log(100) AS r, 1 // 1 AS m")
+    assert got[0][0] == 2.0  # DuckDB log = log10, NOT ln
+    _both(eng, "SELECT log(2, 8) AS r, 1 // 1 AS m")
+    _both(eng, "SELECT left('abcd', -1) AS a, right('abcd', -1) AS b, 1 // 1 AS m")
+    _both(eng, "SELECT left('abcd', 2) AS a, right('abcd', 0) AS b, 1 // 1 AS m")
+    _both(eng, "SELECT left(g, -1) AS a, right(g, id - 2) AS b, 1 // 1 AS m FROM dt ORDER BY id")
+    # first-only is DuckDB's 3-arg default; 'g' opts into replace-all
+    got2 = _both(eng, "SELECT regexp_replace('aaa', 'a', 'b') AS r, 1 // 1 AS m")
+    assert got2[0][0] == "baa"
+    got3 = _both(eng, "SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r")
+    assert got3[0][0] == "bbb"
+    _both(eng, "SELECT regexp_replace('aAa', 'a', 'b', 'gi') AS r")
+    _both(eng, "SELECT regexp_replace('xyz', 'q', 'b') AS r, 1 // 1 AS m")
+    _both(eng, "SELECT regexp_replace(g || 'aa', 'a', 'Z') AS r, 1 // 1 AS m FROM dt ORDER BY id")
+
+
+def test_probe_batch5_renames(eng):
+    _both(eng, "SELECT editdist3('abc', 'acb') AS r")
+    _both(eng, "SELECT array_unique([1, 1, 2, NULL]) AS r")

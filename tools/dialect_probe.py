@@ -203,6 +203,14 @@ SELECT mode(g) AS r FROM t
 SELECT bool_and(v > 5) AS a, bool_or(v > 25) AS b FROM t
 SELECT bit_and(id) AS a, bit_or(id) AS b, bit_xor(id) AS c FROM t
 SELECT any_value(g) IS NOT NULL AS r FROM t
+SELECT log(100) AS a, log(2, 8) AS b, 1 // 1 AS m
+SELECT left('abcd', -1) AS a, right('abcd', -1) AS b, 1 // 1 AS m
+SELECT regexp_replace('aaa', 'a', 'b') AS a, 1 // 1 AS m
+SELECT regexp_replace('aaa', 'a', 'b', 'g') AS a, regexp_replace('aAa', 'a', 'b', 'gi') AS b
+SELECT editdist3('abc', 'acb') AS a, array_unique([1, 1, 2]) AS b
+SELECT split_part('a,b,c', ',', -1) AS a, position('ll' IN 'hello') AS b
+SELECT {'a': 1}.a AS a, [1, 2, 3][2] AS b
+VALUES (1, 2), (3, 4)
 SELECT prefix('abcd', 'ab') AS a, suffix('abcd', 'cd') AS b
 SELECT array_slice([1, 2, 3, 4], 2, 3) AS r
 SELECT try_strptime('bogus', '%Y') AS a, try_strptime('2024-01-02', '%Y-%m-%d') = TIMESTAMP '2024-01-02' AS b

@@ -1,0 +1,34 @@
+"""The 193-statement DuckDB-dialect probe corpus as a standing
+regression gate: every statement runs on BOTH engines and (for
+SELECTs) the VALUE MULTISETS must match — the check class that caught
+the round-12 mixed `UNION BY NAME` wrong-answer. The corpus lives in
+tools/dialect_probe.py (also runnable standalone); a new probe idea
+belongs there, and a non-empty gap list here is the next batch of
+dialect work."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+
+
+@pytest.fixture(scope="module")
+def probe_fixtures(spark):
+    import uuid
+
+    from dialect_probe import build_fixtures
+
+    return build_fixtures(spark, f"t_probe_{uuid.uuid4().hex[:8]}")
+
+
+def test_probe_corpus_no_gaps(probe_fixtures):
+    from dialect_probe import run_corpus
+
+    eng, con = probe_fixtures
+    gaps, n = run_corpus(eng, con)
+    assert n >= 190  # the corpus only ever grows
+    assert gaps == [], "\n".join(f"{s} => {g}" for s, g in gaps)

@@ -230,19 +230,17 @@ SELECT 'abc' LIKE 'a%' ESCAPE '\\' AS r
 """
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--grep", default=None)
-    args = ap.parse_args()
-
+def build_fixtures(spark, namespace: str = "dialect_probe"):
+    """The shared probe fixtures: the engine namespace and a DuckDB
+    connection holding IDENTICAL tables. Importable so the pytest
+    suite can run the corpus as a standing regression gate
+    (tests/test_dialect_probe_gate.py)."""
     import duckdb
     import pyarrow as pa
 
     from mallard_spark.engine import MallardEngine
-    from mallard_spark.session import get_spark
 
-    spark = get_spark(app_name="dialect_probe", shuffle_partitions=4)
-    eng = MallardEngine(spark, "dialect_probe")
+    eng = MallardEngine(spark, namespace)
     eng.put(
         "t",
         pa.table({
@@ -268,11 +266,18 @@ def main() -> int:
         ") x(id,g,v,arr,s,j)"
     )
     con.execute("CREATE TABLE dst (id INTEGER, g VARCHAR)")
+    return eng, con
 
+
+def run_corpus(eng, con, grep: str | None = None):
+    """Run every corpus statement on BOTH engines; return
+    (gaps, statement_count). A gap is a RAW engine error on a
+    DuckDB-legal statement, or (for SELECTs without the -- novalue
+    marker) a VALUE-multiset mismatch."""
     gaps = []
     n = 0
     for raw in (x.strip() for x in CORPUS.strip().splitlines()):
-        if not raw or (args.grep and args.grep.lower() not in raw.lower()):
+        if not raw or (grep and grep.lower() not in raw.lower()):
             continue
         novalue = raw.endswith("-- novalue")
         stmt = raw.removesuffix("-- novalue").strip()
@@ -320,6 +325,19 @@ def main() -> int:
                 gaps.append(
                     (stmt, f"VALUE engine={got_n[:3]} duckdb={want_n[:3]}")
                 )
+    return gaps, n
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grep", default=None)
+    args = ap.parse_args()
+
+    from mallard_spark.session import get_spark
+
+    spark = get_spark(app_name="dialect_probe", shuffle_partitions=4)
+    eng, con = build_fixtures(spark)
+    gaps, n = run_corpus(eng, con, grep=args.grep)
     for stmt, status in gaps:
         print(f"GAP: {stmt[:80]}\n     => {status}")
     print(f"{len(gaps)} gaps / {n} statements")

@@ -131,6 +131,10 @@ CREATE TABLE probe_t3 AS SELECT id FROM t WITH NO DATA
 DROP TABLE probe_t3
 DROP TABLE probe_tt
 INSERT INTO dst BY NAME SELECT 'c' AS g, 3 AS id
+VACUUM
+ANALYZE
+CREATE INDEX probe_idx ON dst(id)
+DROP INDEX probe_idx
 SELECT id, g FROM t ORDER BY ALL
 SELECT g, count(*) FROM t GROUP BY ALL ORDER BY ALL
 SELECT arr[-1] AS r FROM t ORDER BY id

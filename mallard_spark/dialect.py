@@ -2581,10 +2581,16 @@ def _int_cast_expr(x: str, t: str, try_cast: bool) -> str:
             f"ELSE TRY_CAST(round(TRY_CAST(({x}) AS DECIMAL(38,18))) "
             f"AS {t}) END)"
         )
+    # the ELSE branch routes through DECIMAL(38,18): every branch
+    # must ANALYZE for every input type (a CASE type-checks all arms
+    # regardless of the typeof dispatch), and round(boolean) does not
+    # — while CAST(bool AS DECIMAL) does (true → 1), BIGINT fits
+    # (38,18) exactly, and unparseable strings error like DuckDB's
+    # own cast
     return (
         f"(CASE WHEN typeof(({x})) IN ('float', 'double') "
         f"THEN CAST(rint(double(({x}))) AS {t}) "
-        f"ELSE CAST(round(({x})) AS {t}) END)"
+        f"ELSE CAST(round(CAST(({x}) AS DECIMAL(38,18))) AS {t}) END)"
     )
 
 

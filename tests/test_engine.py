@@ -847,8 +847,12 @@ def test_describe_and_summarize_query_forms(spark):
 
     eng = MallardEngine(spark, "t_descq")
     eng.put("t", pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
-    cols = [r.col_name for r in eng.sql("DESCRIBE SELECT a, b FROM t").collect()]
-    assert cols == ["a", "b"]
+    # round 13: DESCRIBE <query> answers DuckDB's 6-column relation
+    # (column_name/column_type/null/key/default/extra) with DuckDB
+    # type names, not Spark's 3-column col_name shape
+    rows = eng.sql("DESCRIBE SELECT a, b FROM t").collect()
+    assert [r.column_name for r in rows] == ["a", "b"]
+    assert [r.column_type for r in rows] == ["BIGINT", "VARCHAR"]
     # DuckDB's SUMMARIZE <query> — per-column profile of the result
     summ = eng.sql("SUMMARIZE SELECT a FROM t WHERE a > 1").collect()
     stats = {r.summary: r.a for r in summ}

@@ -1036,8 +1036,6 @@ def _split_top_level_commas(s: str) -> list[str]:
 # epoch_ms is type-overloaded and goes through the variant ladder
 # instead (_replace_epoch_ms).
 _FUNC_RENAMES = {
-    "list_transform": "transform",
-    "list_filter": "filter",
     "list_distinct": "array_distinct",
     "list_reverse": "reverse",
     "list_contains": "array_contains",
@@ -1052,9 +1050,6 @@ _FUNC_RENAMES = {
     # exist on Spark, so the rename can't shadow a working query)
     "week": "weekofyear",  # both ISO (verified: 2024-12-30 → 1)
     "array_cat": "concat",
-    "list_apply": "transform",
-    "array_apply": "transform",
-    "apply": "transform",
     "array_has": "array_contains",
     "unicode": "ascii",
     "ord": "ascii",
@@ -1066,6 +1061,11 @@ _FUNC_RENAMES = {
     "favg": "avg",
     "prefix": "startswith",
     "editdist3": "levenshtein",  # verified equal on transpositions
+    "gen_random_uuid": "uuid",
+    "get_current_timestamp": "now",
+    "current_localtimestamp": "localtimestamp",
+    "datetrunc": "date_trunc",
+    "array_reverse": "reverse",
     "suffix": "endswith",
     # both approximate (different sketches) — values are not pinned
     "approx_quantile": "approx_percentile",
@@ -2149,6 +2149,11 @@ def _list_aggregate_expr(
         return f"(CAST({summed} AS DOUBLE) / nullif(size({fl}), 0))"
     if fn == "count":
         return f"size({fl})"
+    if fn == "median":
+        # interpolated median over non-null elements (DuckDB answers
+        # DOUBLE: list_aggregate([3,1,2],'median') = 2.0 — round 13)
+        sl = f"array_sort(transform({fl}, __m -> CAST(__m AS DOUBLE)))"
+        return _median_expr(sl)
     if fn == "first":
         return f"element_at(({l}), 1)"
     if fn == "last":
@@ -2199,19 +2204,28 @@ def _rewrite_quantile_disc(sql: str) -> str:
     distribution reaches ``p`` (the percentile_disc definition).
     Spark's own ``percentile_disc`` returns DOUBLE; DuckDB preserves
     the ELEMENT type (verified live: quantile_disc of ints is int),
-    which this rewrite reproduces. Scalar fraction only."""
+    which this rewrite reproduces. A LIST second argument answers the
+    list of picks (round 13)."""
 
-    def build(args: list[str]) -> str | None:
-        if len(args) != 2:
-            return None
-        x, p = args[0].strip(), args[1].strip()
-        if p.startswith("["):
-            return None
+    def pick(x: str, p: str) -> str:
         srt = f"array_sort(collect_list({x}))"
         return (
             f"element_at({srt}, greatest(1, "
             f"cast(ceil(({p}) * size({srt})) AS INT)))"
         )
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        x, p = args[0].strip(), args[1].strip()
+        if p.startswith("[") and p.endswith("]"):
+            fracs = [f.strip() for f in _split_top_level_commas(p[1:-1])]
+            if not all(fracs):
+                return None
+            return f"array({', '.join(pick(x, f) for f in fracs)})"
+        if p.startswith("["):
+            return None
+        return pick(x, p)
 
     return _rewrite_calls(sql, _QUANTILE_DISC_RE, build)
 
@@ -2970,6 +2984,42 @@ def _charset_expr(s: str) -> str:
     )
 
 
+_JSON_SHAPE_TYPES = {
+    "TINYINT": "TINYINT", "SMALLINT": "SMALLINT", "INTEGER": "INT",
+    "INT": "INT", "BIGINT": "BIGINT", "HUGEINT": "DECIMAL(38,0)",
+    "UTINYINT": "SMALLINT", "USMALLINT": "INT", "UINTEGER": "BIGINT",
+    "UBIGINT": "DECIMAL(20,0)", "FLOAT": "FLOAT", "REAL": "FLOAT",
+    "DOUBLE": "DOUBLE", "BOOLEAN": "BOOLEAN", "VARCHAR": "STRING",
+    "TEXT": "STRING", "STRING": "STRING", "DATE": "DATE",
+    "TIMESTAMP": "TIMESTAMP", "JSON": "STRING",
+}
+
+
+def _json_shape_to_ddl(shape) -> str | None:
+    """DuckDB from_json type-shape document → Spark DDL type string:
+    ``"INTEGER"`` → INT, ``{"a": t}`` → struct, ``[t]`` → array.
+    Unknown leaves answer None — a Spark-JSON-schema document (whose
+    leaves are ``"struct"``/``"fields"`` metadata) must pass through
+    to Spark untouched."""
+    if isinstance(shape, str):
+        t = shape.strip().upper()
+        if t.startswith("DECIMAL"):
+            return t
+        return _JSON_SHAPE_TYPES.get(t)
+    if isinstance(shape, dict):
+        fields = []
+        for k, v in shape.items():
+            inner = _json_shape_to_ddl(v)
+            if inner is None or not _IDENT_RE.match(k):
+                return None
+            fields.append(f"{k}: {inner}")
+        return "struct<" + ", ".join(fields) + ">" if fields else None
+    if isinstance(shape, list) and len(shape) == 1:
+        inner = _json_shape_to_ddl(shape[0])
+        return None if inner is None else f"array<{inner}>"
+    return None
+
+
 def _rewrite_misc_fns(sql: str) -> str:
     """The probe-driven function batch (see section comment)."""
     def one(args: list[str]) -> str | None:
@@ -3199,6 +3249,100 @@ def _rewrite_misc_fns(sql: str) -> str:
 
         return build
 
+    _LAMBDA2_RE = re.compile(
+        r"^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)"
+        r"\s*->\s*(.+)$",
+        re.DOTALL,
+    )
+
+    def lambda_fn(target):
+        def build(args: list[str]) -> str | None:
+            # DuckDB list lambdas: the INDEX parameter is 1-BASED
+            # (verified live: list_filter([10,20,30], (x,i) -> i > 1)
+            # = [20,30]) where Spark's is 0-based — shift via a
+            # renamed parameter, substituting the index name in the
+            # body (the param shadows outer columns, so every
+            # occurrence is the param)
+            if len(args) != 2:
+                return None
+            l, lam = args[0].strip(), args[1].strip()
+            m = _LAMBDA2_RE.match(lam)
+            if m is None:
+                return f"{target}(({l}), {lam})"
+            x, i, body = m.group(1), m.group(2), m.group(3).strip()
+            bmask = _code_mask(body)
+            out = []
+            last = 0
+            for im in re.finditer(rf"\b{re.escape(i)}\b", body):
+                if not all(
+                    bmask[k] for k in range(im.start(), im.end())
+                ):
+                    continue
+                out.append(body[last:im.start()])
+                out.append("(__mallard_i + 1)")
+                last = im.end()
+            out.append(body[last:])
+            shifted = "".join(out)
+            return f"{target}(({l}), ({x}, __mallard_i) -> {shifted})"
+
+        return build
+
+    def b_age(args):
+        # DuckDB 1.0's age() is PLAIN SUBTRACTION (verified live:
+        # age('2024-03-15','2024-01-10') = 65 days, not 2 months
+        # 5 days; 1-arg subtracts from current_timestamp)
+        if len(args) == 1:
+            return f"(now() - ({args[0].strip()}))"
+        if len(args) == 2:
+            return f"(({args[0].strip()}) - ({args[1].strip()}))"
+        return None
+
+    def b_from_json(args):
+        # DuckDB from_json(s, 'json-shape') — the shape is a JSON
+        # document of type names; Spark's from_json takes a DDL
+        # schema string. Literal shapes convert recursively.
+        if len(args) != 2:
+            return None
+        spec = _unquote_sql_literal(args[1].strip())
+        if spec is None:
+            return None
+        import json as _json
+
+        try:
+            shape = _json.loads(spec)
+        except Exception:
+            return None
+        ddl = _json_shape_to_ddl(shape)
+        if ddl is None:
+            return None
+        lit = "'" + ddl.replace("'", "''") + "'"
+        return f"from_json(({args[0].strip()}), {lit})"
+
+    def b_datepart_list(args):
+        # datepart(['year','month'], x) → STRUCT of the parts (never
+        # valid Spark — list first argument); 'dow'/'isodow' keep
+        # their DuckDB numbering
+        if len(args) != 2 or not args[0].strip().startswith("["):
+            return None
+        inner = args[0].strip()[1:-1]
+        fields = [
+            _unquote_sql_literal(p.strip())
+            for p in _split_top_level_commas(inner)
+        ]
+        if not fields or any(f is None for f in fields):
+            return None
+        x = args[1].strip()
+        parts = []
+        for f in fields:
+            fl = f.lower()
+            # dow/isodow are emitted PLAIN: the list form fires the
+            # translator unconditionally, so the fired stat-semantics
+            # pass always applies the DuckDB numbering afterwards —
+            # adjusting here would double-apply (caught by test)
+            e = f"date_part('{fl}', ({x}))"
+            parts.append(f"'{fl}', CAST({e} AS BIGINT)")
+        return f"named_struct({', '.join(parts)})"
+
     def b_fsum(args):
         # DuckDB's Kahan-compensated fsum operates on (and answers)
         # DOUBLE even for integer input; plain naive sum is the same
@@ -3248,6 +3392,16 @@ def _rewrite_misc_fns(sql: str) -> str:
         "array_unique": b_list_unique,
         "isodow": b_isodow,
         "fsum": b_fsum,
+        "age": b_age,
+        "list_transform": lambda_fn("transform"),
+        "list_apply": lambda_fn("transform"),
+        "array_apply": lambda_fn("transform"),
+        "apply": lambda_fn("transform"),
+        "list_filter": lambda_fn("filter"),
+        "array_filter": lambda_fn("filter"),
+        "from_json": b_from_json,
+        "date_part": b_datepart_list,
+        "datepart": b_datepart_list,
         "kahan_sum": b_fsum,
         "sumkahan": b_fsum,
         "to_base": b_to_base,

@@ -2359,3 +2359,42 @@ def test_probe_batch5_semantics(eng):
 def test_probe_batch5_renames(eng):
     _both(eng, "SELECT editdist3('abc', 'acb') AS r")
     _both(eng, "SELECT array_unique([1, 1, 2, NULL]) AS r")
+
+
+def test_probe_batch6(eng):
+    """quantile lists, list_aggregate median, age()=subtraction
+    (pinned live: 65 days, NOT calendar months), datepart struct,
+    from_json shape specs, misc renames."""
+    _both(eng, "SELECT quantile_disc(v, [0.25, 0.75]) AS r FROM dt")
+    _both(eng, "SELECT quantile_cont(v, [0.25, 0.5]) AS r FROM dt")
+    _both(eng, "SELECT list_aggregate([3, 1, 2], 'median') AS r")
+    _both(eng, "SELECT age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-01-10') = INTERVAL 65 DAY AS r")
+    _both(eng, "SELECT array_reverse([1, 2, 3]) AS r")
+    _both(eng, "SELECT editdist3('abc', 'acb') = levenshtein('abc', 'acb') AS r")
+    # datepart list -> struct (engine Row vs duck dict; compare fields)
+    got = eng.sql("SELECT datepart(['year', 'month', 'dow'], DATE '2024-03-15') AS r").collect()[0].r.asDict()
+    want = _duck("SELECT datepart(['year', 'month', 'dow'], DATE '2024-03-15') AS r")[0][0]
+    assert {k: int(v) for k, v in got.items()} == {k: int(v) for k, v in want.items()}
+    # from_json shape spec (DuckDB JSON type document -> Spark DDL);
+    # Spark's own DDL second arg stays native
+    r = eng.sql("SELECT from_json('{\"a\": {\"b\": 1}}', '{\"a\": {\"b\": \"INTEGER\"}}') AS r").collect()[0].r
+    assert r.a.b == 1
+    r2 = eng.sql("SELECT from_json('[1, 2]', '[\"INTEGER\"]') AS r").collect()[0].r
+    assert r2 == [1, 2]
+    r3 = eng.sql("SELECT from_json('{\"a\": 1}', 'a INT') AS r").collect()[0].r
+    assert r3.a == 1
+    assert eng.sql("SELECT gen_random_uuid() IS NOT NULL AS r").collect()[0].r
+    assert eng.sql("SELECT age(now()) <= INTERVAL 1 SECOND AS r").collect()[0].r
+
+
+def test_lambda_index_one_based(eng):
+    """DuckDB list-lambda INDEX parameters are 1-BASED (pinned live:
+    list_filter([10,20,30], (x,i) -> i > 1) = [20,30]); Spark's are
+    0-based — the rewrite shifts via a renamed parameter."""
+    got = _both(eng, "SELECT list_filter([10, 20, 30], (x, i) -> i > 1) AS r")
+    assert got[0][0] == [20, 30]
+    got2 = _both(eng, "SELECT list_transform([10, 20], (x, i) -> x + i) AS r")
+    assert got2[0][0] == [11, 22]
+    # single-param lambdas stay plain renames
+    _both(eng, "SELECT list_transform([10, 20], x -> x * 2) AS r")
+    _both(eng, "SELECT apply([1, 2], x -> x + 1) AS r")

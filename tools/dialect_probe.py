@@ -207,6 +207,21 @@ SELECT mode(g) AS r FROM t
 SELECT bool_and(v > 5) AS a, bool_or(v > 25) AS b FROM t
 SELECT bit_and(id) AS a, bit_or(id) AS b, bit_xor(id) AS c FROM t
 SELECT any_value(g) IS NOT NULL AS r FROM t
+SELECT quantile_disc(v, [0.25, 0.75]) AS r FROM t
+SELECT quantile_cont(v, [0.25, 0.5]) AS r FROM t
+SELECT list_aggregate([3, 1, 2], 'median') AS r
+SELECT age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-01-10') = INTERVAL 65 DAY AS r
+SELECT age(TIMESTAMP '2024-01-01') > INTERVAL 100 DAY AS r
+SELECT datetrunc('month', TIMESTAMP '2024-03-15 10:00:00') AS r
+SELECT datepart(['year', 'month'], DATE '2024-03-15') AS r
+SELECT array_reverse([1, 2, 3]) AS r
+SELECT gen_random_uuid() IS NOT NULL AS a, get_current_timestamp() IS NOT NULL AS b
+SELECT from_json('{"a": {"b": 1}}', '{"a": {"b": "INTEGER"}}') AS r
+SELECT from_json('[1, 2]', '["INTEGER"]') AS r
+SELECT to_json({'a': 1}) AS r
+SELECT list_filter([10, 20, 30], (x, i) -> i > 1) AS a, list_transform([10, 20], (x, i) -> x + i) AS b
+SELECT generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-03', INTERVAL 1 DAY) AS r
+SELECT regr_slope(v, id) AS a, regr_intercept(v, id) AS b FROM t
 SELECT log(100) AS a, log(2, 8) AS b, 1 // 1 AS m
 SELECT left('abcd', -1) AS a, right('abcd', -1) AS b, 1 // 1 AS m
 SELECT regexp_replace('aaa', 'a', 'b') AS a, 1 // 1 AS m

@@ -207,6 +207,9 @@ SELECT mode(g) AS r FROM t
 SELECT bool_and(v > 5) AS a, bool_or(v > 25) AS b FROM t
 SELECT bit_and(id) AS a, bit_or(id) AS b, bit_xor(id) AS c FROM t
 SELECT any_value(g) IS NOT NULL AS r FROM t
+SELECT t.id, l.y FROM t, LATERAL (SELECT t.id * 2 AS y) l ORDER BY t.id
+SELECT t.id, q.z FROM t CROSS JOIN LATERAL (SELECT t.id + 1 AS z) q ORDER BY t.id
+SELECT unnest(generate_series(1, id)) AS u, id FROM t ORDER BY id, u
 SELECT quantile_disc(v, [0.25, 0.75]) AS r FROM t
 SELECT quantile_cont(v, [0.25, 0.5]) AS r FROM t
 SELECT list_aggregate([3, 1, 2], 'median') AS r

@@ -425,7 +425,9 @@ def _replace_intdiv(
         if as_float or site_float or _looks_float(left) or _looks_float(right):
             repl = f"CAST(({left})/({right}) AS DOUBLE)"
         else:
-            repl = f"(({left}) & -1) DIV (({right}) & -1)"
+            # zero divisor answers NULL on DuckDB (throws on ANSI
+            # Spark DIV) — the nullif guard keeps the operator infix
+            repl = f"(({left}) & -1) DIV nullif((({right}) & -1), 0)"
         sql = f"{sql[:b]}{repl}{sql[rend:]}"
     return sql
 
@@ -2672,9 +2674,40 @@ def _rewrite_int_cast_semantics(sql: str) -> str:
     return sql
 
 
+def _rewrite_div_zero_guards(sql: str) -> str:
+    """FIRED-ONLY: DuckDB answers NULL for EVERY division/modulo by
+    zero — int, decimal and double alike (verified live: 5/0,
+    5.0/0.0, 5.5 % 0.0, mod(5,0) all NULL) — where Spark's ANSI mode
+    throws DIVIDE_BY_ZERO at runtime. Wrap the DIVISOR in
+    ``nullif(d, 0)`` (x/NULL is NULL on both engines), keeping the
+    operator INFIX so precedence and left-associativity are untouched
+    (a function-call rewrite would re-group ``a * b / c``). Divisors
+    already spelled ``nullif(...)`` are left alone (idempotence)."""
+    for _ in range(128):
+        mask = _code_mask(sql)
+        starts = _region_starts(sql)
+        changed = False
+        for i, c in enumerate(sql):
+            if c not in "/%" or not mask[i]:
+                continue
+            if not _ends_operand(sql, mask, starts, i):
+                continue
+            rend = _operand_end(sql, mask, i + 1)
+            right = sql[i + 1 : rend].strip()
+            if not right or right.lower().startswith("nullif("):
+                continue
+            sql = f"{sql[:i + 1]} nullif(({right}), 0){sql[rend:]}"
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
 _STAT_SEMANTICS_RE = re.compile(
     r"\b(kurtosis_pop|kurtosis|skewness|dayofweek|date_part|datepart"
-    r"|dayname|monthname|log|left|right|regexp_replace)\s*\(",
+    r"|dayname|monthname|log|left|right|regexp_replace|mod"
+    r"|trim|ltrim|rtrim)\s*\(",
     re.IGNORECASE,
 )
 
@@ -2732,6 +2765,28 @@ def _rewrite_stat_semantics(sql: str) -> str:
             return f"date_format(({a}), 'EEEE')"
         if name == "monthname":
             return f"date_format(({a}), 'MMMM')"
+        if name in ("trim", "ltrim", "rtrim"):
+            # 2-arg trim is trim(STRING, chars) on DuckDB but
+            # trim(trimStr, STRING) on Spark — REVERSED (verified:
+            # Spark trim('xyxax','x') answers '' treating the first
+            # arg as the trim set). Emit the unambiguous SQL-standard
+            # form.
+            parts = _split_top_level_commas(args)
+            if len(parts) != 2:
+                return None
+            s, chars = parts[0].strip(), parts[1].strip()
+            side = {"trim": "BOTH", "ltrim": "LEADING",
+                    "rtrim": "TRAILING"}[name]
+            return f"TRIM({side} ({chars}) FROM ({s}))"
+        if name == "mod":
+            # mod by zero answers NULL on DuckDB, throws on Spark
+            parts = _split_top_level_commas(args)
+            if len(parts) != 2:
+                return None
+            b = parts[1].strip()
+            if b.lower().startswith("nullif("):
+                return None
+            return f"mod(({parts[0].strip()}), nullif(({b}), 0))"
         if name == "log":
             # single-arg log is LOG10 on DuckDB, ln on Spark
             # (verified live: log(100) = 2.0 there); 2-arg log(b, x)
@@ -5159,6 +5214,9 @@ def duckdb_to_spark(
         # VALUES differ between the engines (kurtosis/skewness/
         # dayofweek/date_part dow — round 13)
         out = _rewrite_stat_semantics(out)
+        # division/modulo by zero answers NULL on DuckDB, throws on
+        # ANSI Spark — same fired-only policy
+        out = _rewrite_div_zero_guards(out)
         if not int_casts_done:
             # rounding float→int casts (DuckDB rounds, Spark
             # truncates) must apply to the USER'S casts only — other

@@ -106,7 +106,7 @@ def test_translator_output_shapes():
     # `//` semantics (decimal // int true-divides, verified live)
     assert (
         duckdb_to_spark("SELECT v // 2 FROM t")
-        == "SELECT ((v) & -1) DIV ((2) & -1) FROM t"
+        == "SELECT ((v) & -1) DIV nullif(((2) & -1), 0) FROM t"
     )
     assert (
         duckdb_to_spark("SELECT * EXCLUDE (v) FROM t")
@@ -2398,3 +2398,27 @@ def test_lambda_index_one_based(eng):
     # single-param lambdas stay plain renames
     _both(eng, "SELECT list_transform([10, 20], x -> x * 2) AS r")
     _both(eng, "SELECT apply([1, 2], x -> x + 1) AS r")
+
+
+def test_division_by_zero_null(eng):
+    """EVERY division/modulo by zero answers NULL on DuckDB — int,
+    decimal, double, mod(), // alike (all pinned live) — where ANSI
+    Spark throws at runtime; fired statements get nullif divisor
+    guards that keep the operators INFIX (a*b/c grouping preserved)."""
+    _both(eng, "SELECT v / (id - 1) AS r, 1 // 1 AS m FROM dt ORDER BY id")
+    _both(eng, "SELECT v % (id - 1) AS r, 1 // 1 AS m FROM dt ORDER BY id")
+    _both(eng, "SELECT mod(v, id - 1) AS r, 1 // 1 AS m FROM dt ORDER BY id")
+    _both(eng, "SELECT v // (id - 1) AS r FROM dt ORDER BY id")
+    _both(eng, "SELECT CAST(v AS DOUBLE) / (id - 1) AS r, 1 // 1 AS m FROM dt ORDER BY id")
+    # grouping preserved: (v * 3) / 2, not v * (3 / 2)
+    _both(eng, "SELECT v * 3 / 2 AS r, 1 // 1 AS m FROM dt ORDER BY id")
+    _both(eng, "SELECT 5 // 0 AS a, 5.5 // 0 AS b")
+
+def test_trim_argument_order(eng):
+    """2-arg trim/ltrim/rtrim take (string, chars) on DuckDB but
+    (trimStr, string) on Spark — REVERSED, silently wrong values;
+    mapped to the SQL-standard TRIM(side chars FROM str) form."""
+    got = _both(eng, "SELECT trim('xyxax', 'x') AS a, ltrim('xxab', 'x') AS b, rtrim('abxx', 'x') AS c, 1 // 1 AS m")
+    assert got[0][:3] == ("yxa", "ab", "ab")
+    _both(eng, "SELECT trim('  a  ') AS r, 1 // 1 AS m")
+    _both(eng, "SELECT trim(g || 'ab', 'b') AS r, 1 // 1 AS m FROM dt ORDER BY id")

@@ -207,6 +207,12 @@ SELECT mode(g) AS r FROM t
 SELECT bool_and(v > 5) AS a, bool_or(v > 25) AS b FROM t
 SELECT bit_and(id) AS a, bit_or(id) AS b, bit_xor(id) AS c FROM t
 SELECT any_value(g) IS NOT NULL AS r FROM t
+SELECT v / (id - 1) AS a, v % (id - 1) AS b, 1 // 1 AS m FROM t ORDER BY id
+SELECT mod(v, id - 1) AS a, 1 // 1 AS m FROM t ORDER BY id
+SELECT v // (id - 1) AS r FROM t ORDER BY id
+SELECT 5 // 0 AS a, 5.5 / 0 AS b, mod(5, 0) AS c, 1 // 1 AS m
+SELECT v * 3 / 2 AS r, 1 // 1 AS m FROM t ORDER BY id
+SELECT trim('xyxax', 'x') AS a, ltrim('xxab', 'x') AS b, rtrim('abxx', 'x') AS c, 1 // 1 AS m
 SELECT t.id, l.y FROM t, LATERAL (SELECT t.id * 2 AS y) l ORDER BY t.id
 SELECT t.id, q.z FROM t CROSS JOIN LATERAL (SELECT t.id + 1 AS z) q ORDER BY t.id
 SELECT unnest(generate_series(1, id)) AS u, id FROM t ORDER BY id, u

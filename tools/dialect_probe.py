@@ -207,6 +207,11 @@ SELECT mode(g) AS r FROM t
 SELECT bool_and(v > 5) AS a, bool_or(v > 25) AS b FROM t
 SELECT bit_and(id) AS a, bit_or(id) AS b, bit_xor(id) AS c FROM t
 SELECT any_value(g) IS NOT NULL AS r FROM t
+SELECT string_agg(DISTINCT g, ',' ORDER BY g DESC) AS r FROM t
+SELECT count(DISTINCT g) FILTER (WHERE id > 1) AS r FROM t
+SELECT mode() WITHIN GROUP (ORDER BY g) AS r FROM t
+SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY id) AS r FROM t
+SELECT g, row_number() OVER w AS rn FROM t WINDOW w AS (ORDER BY id) ORDER BY rn
 SELECT v / (id - 1) AS a, v % (id - 1) AS b, 1 // 1 AS m FROM t ORDER BY id
 SELECT mod(v, id - 1) AS a, 1 // 1 AS m FROM t ORDER BY id
 SELECT v // (id - 1) AS r FROM t ORDER BY id

@@ -2422,3 +2422,65 @@ def test_trim_argument_order(eng):
     assert got[0][:3] == ("yxa", "ab", "ab")
     _both(eng, "SELECT trim('  a  ') AS r, 1 // 1 AS m")
     _both(eng, "SELECT trim(g || 'ab', 'b') AS r, 1 // 1 AS m FROM dt ORDER BY id")
+
+
+def test_regexp_replace_backrefs(eng):
+    """Round 14 (ADVICE r13): DuckDB spells group backrefs \\N where
+    Spark spells $N, and a literal $ must escape for Java — both the
+    'g'-flag and the first-only (3-arg) paths translate now."""
+    _both(eng, r"SELECT regexp_replace('aaa','(a)','\1x','g') AS v")
+    _both(eng, r"SELECT regexp_replace('banana','(an)','[\1]','gi') AS v")
+    _both(eng, r"SELECT regexp_replace('abc','b','$','g') AS v")
+    _both(eng, r"SELECT regexp_replace('abc','b','\\','g') AS v")
+    # 3-arg first-only with a backref (lone-backslash pre-route)
+    _both(eng, r"SELECT regexp_replace('aaa','(a)','\1x') AS v")
+    _both(eng, r"SELECT regexp_replace('xay','(a)','\1\1') AS v")
+
+
+def test_lone_backslash_regexp_preroute(eng):
+    """Round 14 (VERDICT r13 what's-wrong #3): a regexp function with
+    a lone-backslash string literal is DuckDB dialect evidence — the
+    raw-string reading is offered even though vanilla Spark analysis
+    succeeds; the doubled spelling is working Spark and stays native."""
+    _both(eng, r"SELECT regexp_extract('abc123', '\d+') AS v")
+    _both(eng, r"SELECT regexp_extract('abc123', '(\d)(\d)', 2) AS v")
+    _both(eng, r"SELECT regexp_matches('a1', '\d') AS v")
+    _both(eng, r"SELECT regexp_extract_all('a1b2', '\d') AS v")
+    # doubled spelling = the way working Spark SQL writes \d: native
+    rows = [
+        tuple(r)
+        for r in eng.sql(r"SELECT regexp_extract('a1', '\\d+', 0) AS v").collect()
+    ]
+    assert rows == [("1",)]
+
+
+def test_negative_subscript_map_stays_native(eng):
+    """Round 14 (ADVICE r13 medium): m[-1] on a MAP<INT,..> column is
+    valid working Spark — the negative-subscript pre-route now probes
+    the base type and leaves non-array bases alone."""
+    rows = [tuple(r) for r in eng.sql("SELECT map(-1, 7)[-1] AS v").collect()]
+    assert rows == [(7,)]
+    # array base still pre-routes to DuckDB from-the-end semantics
+    _both(eng, "SELECT ([10,20,30])[-1] AS v")
+
+
+def test_regexp_flags_in_comment_no_preroute(eng):
+    """Round 14 (ADVICE r13): a flag-form regexp_replace spelled only
+    inside a comment is not dialect evidence."""
+    rows = [
+        tuple(r)
+        for r in eng.sql(
+            "SELECT 1 AS v /* regexp_replace(x,'a','b','g') */"
+        ).collect()
+    ]
+    assert rows == [(1,)]
+
+
+def test_describe_query_null_always_yes(eng):
+    """Round 14 (ADVICE r13): DuckDB 1.0's DESCRIBE <query> answers
+    'YES' in the null column for every column, constants included."""
+    rows = {r["column_name"]: r["null"] for r in eng.sql(
+        "DESCRIBE SELECT 1 AS one, id FROM dt"
+    ).collect()}
+    want = {r[0]: r[2] for r in _duck("DESCRIBE SELECT 1 AS one, id FROM dt")}
+    assert rows == want == {"one": "YES", "id": "YES"}

@@ -3783,3 +3783,50 @@ def test_create_temp_table_and_with_no_data(spark):
     assert eng.table("tt2").columns == ["x"]
     eng.execute("CREATE TABLE t3 AS SELECT * FROM t WITH NO DATA")
     assert sorted(r.id for r in eng.table("t3").collect()) == [1, 2]
+
+
+def test_orphan_gc_sees_deep_mtimes_and_temporary_markers(spark):
+    """Round 14 (ADVICE r13): Spark stages in-flight task files
+    several levels deep (_temporary/0/_temporary/attempt_*/part-...),
+    so the age floor must walk the WHOLE tree — a fresh file three
+    levels down keeps the dir alive even when every top-level mtime
+    is ancient, and a _temporary subtree marks in-flight outright."""
+    import os
+    import time
+    import uuid
+
+    ns = f"t_orphan_{uuid.uuid4().hex[:8]}"
+    eng = MallardEngine(spark, ns)
+
+    # (1) deep fresh file under aged top levels → kept
+    orphan = _orphan_path(eng, "deep")
+    deep = os.path.join(orphan, "a", "b")
+    os.makedirs(deep)
+    with open(os.path.join(deep, "part-0"), "w") as f:
+        f.write("x")
+    _age_dir(orphan)
+    now = time.time()
+    os.utime(os.path.join(deep, "part-0"), (now, now))
+    MallardEngine(spark, ns)
+    assert os.path.exists(orphan)
+
+    # (2) aged everywhere but a _temporary subtree → in-flight, kept
+    orphan2 = _orphan_path(eng, "tmpmark")
+    os.makedirs(os.path.join(orphan2, "_temporary", "0"))
+    _age_dir(orphan2)
+    MallardEngine(spark, ns)
+    assert os.path.exists(orphan2)
+
+    # (3) aged with deep files and NO marker → reclaimed
+    os.rename(
+        os.path.join(orphan2, "_temporary"), os.path.join(orphan2, "done")
+    )
+    _age_dir(orphan2)
+    _age_dir(orphan)
+    os.utime(os.path.join(deep, "part-0"), None)  # fresh again — kept
+    MallardEngine(spark, ns)
+    assert os.path.exists(orphan)
+    assert not os.path.exists(orphan2)
+    import shutil
+
+    shutil.rmtree(orphan, ignore_errors=True)

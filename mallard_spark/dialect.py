@@ -1043,7 +1043,6 @@ _FUNC_RENAMES = {
     "list_contains": "array_contains",
     "list_min": "array_min",
     "list_max": "array_max",
-    "list_concat": "concat",
     # DuckDB list_intersect dedupes like Spark's array_intersect;
     # element ORDER differs (DuckDB hash-ordered, Spark left-order) —
     # both are arbitrary-by-contract, wrap in list_sort to pin
@@ -1051,9 +1050,9 @@ _FUNC_RENAMES = {
     # round-13 probe batch: 1:1 renames (none of the DuckDB names
     # exist on Spark, so the rename can't shadow a working query)
     "week": "weekofyear",  # both ISO (verified: 2024-12-30 → 1)
-    "array_cat": "concat",
     "array_has": "array_contains",
     "unicode": "ascii",
+    "strlen": "octet_length",  # BYTE length on DuckDB (verified live)
     "ord": "ascii",
     "string_split_regex": "split",  # regex split on both engines
     "str_split_regex": "split",
@@ -1208,8 +1207,12 @@ def _rewrite_expr_unnest(sql: str) -> str:
         for m in _UNNEST_CALL_RE.finditer(select_list)
         if all(mask[k] for k in range(m.start(), m.end()))
     ]
-    if len(sites) != 1:
+    if not sites:
         return sql
+    if len(sites) > 1:
+        return _rewrite_multi_unnest_zip(
+            sql, sel, frm, list_end, select_list, mask, sites
+        )
     m = sites[0]
     open_p = m.end() - 1
     depth = 0
@@ -1276,6 +1279,77 @@ def _rewrite_expr_unnest(sql: str) -> str:
     # insert the LATERAL VIEW at the end of the FROM clause (before
     # the first top-level post-FROM clause keyword); the select list
     # swap and the insertion both use ORIGINAL coordinates
+    ins = len(sql)
+    for kw in _CLAUSE_KWS:
+        p = _find_kw(sql, kw, start=frm)
+        if 0 <= p < ins:
+            ins = p
+    return (
+        f"{head}{new_list}{sql[list_end:ins].rstrip()}"
+        f"{lateral} {sql[ins:]}"
+    )
+
+
+def _rewrite_multi_unnest_zip(
+    sql: str,
+    sel: int,
+    frm: int,
+    list_end: int,
+    select_list: str,
+    mask: list[bool],
+    sites: list,
+) -> str:
+    """SEVERAL select-list ``unnest(..)`` sites — DuckDB runs them in
+    LOCKSTEP, zipping positionally and NULL-padding to the longest
+    (verified live: ``unnest([1,2,3]), unnest([10,20])`` answers
+    (3, NULL) last; a NULL list zips as empty). One
+    ``posexplode``-free zip reproduces it exactly (round 14, VERDICT
+    r13 what's-missing #6): explode ``arrays_zip(coalesce(a1,
+    array()), ...)`` once and read each site back as a positional
+    struct field — arrays_zip NULL-pads to the longest and names
+    expression fields by position (verified live on Spark 4)."""
+    extents = []
+    for m in sites:
+        open_p = m.end() - 1
+        depth = 0
+        close_p = -1
+        for j in range(open_p, len(select_list)):
+            if select_list[j] in "([" and mask[j]:
+                depth += 1
+            elif select_list[j] in ")]" and mask[j]:
+                depth -= 1
+                if depth == 0:
+                    close_p = j
+                    break
+        if close_p < 0:
+            return sql
+        extents.append((m.start(), open_p, close_p))
+    # non-nested, struct-literal-free sites only
+    for i in range(1, len(extents)):
+        if extents[i][0] <= extents[i - 1][2]:
+            return sql  # nested unnest — out of scope
+    args = [
+        select_list[o + 1 : c].strip() for _s, o, c in extents
+    ]
+    if any(a.startswith("{") or not a for a in args):
+        return sql
+    zip_args = ", ".join(f"coalesce(({a}), array())" for a in args)
+    new_list = select_list
+    for k in range(len(extents) - 1, -1, -1):
+        s, _o, c = extents[k]
+        new_list = f"{new_list[:s]}__mallard_uz['{k}']{new_list[c + 1:]}"
+    head = sql[: sel + 6]
+    lateral = (
+        f" LATERAL VIEW explode(arrays_zip({zip_args})) "
+        f"__mallard_lvz AS __mallard_uz"
+    )
+    if frm < 0:
+        insert = (
+            f" FROM (SELECT explode(arrays_zip({zip_args})) "
+            f"AS __mallard_uz)"
+        )
+        tail = sql[sel + 6 + len(select_list):]
+        return f"{head}{new_list.rstrip()}{insert} {tail}".rstrip()
     ins = len(sql)
     for kw in _CLAUSE_KWS:
         p = _find_kw(sql, kw, start=frm)
@@ -2050,6 +2124,135 @@ def _rewrite_list_agg(sql: str) -> str:
 
     sql = _rewrite_calls(sql, _LIST_AGG_CALL_RE, build)
     return _rewrite_calls(sql, _ARRAY_AGG_ORDERED_RE, build_ordered_only)
+
+
+_FILTER_KW_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
+
+_ATTACH_AGG_RE = re.compile(
+    r"\b(collect_list|collect_set|min_by|max_by|count|sum|avg|min|max|"
+    r"first|last|mode|percentile|percentile_approx|any_value)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _apply_ordered_rewrites(snippet: str) -> str:
+    """The in-call ordered/list aggregate rewrites, applied to one
+    extracted call — used by :func:`_rewrite_filter_clauses` to
+    compose them with a trailing FILTER clause."""
+    for fn in (
+        _rewrite_ordered_string_agg,
+        _rewrite_ordered_first_last,
+        _rewrite_ordered_commutative,
+        _rewrite_list_agg,
+        _rewrite_quantile_disc,
+        _rewrite_histogram,
+    ):
+        snippet = fn(snippet)
+    return snippet
+
+
+def _attach_filter_to_aggs(snippet: str, cond: str) -> str:
+    """Attach ``FILTER (WHERE cond)`` to every aggregate call inside
+    an ordered-rewrite emission — ``collect_list(..) FILTER (..)``
+    nests fine inside array_sort/transform (verified live on
+    Spark 4)."""
+    mask = _code_mask(snippet)
+    sites = []
+    for m in _ATTACH_AGG_RE.finditer(snippet):
+        if not all(mask[k] for k in range(m.start(), m.end())):
+            continue
+        close = _balanced_close(snippet, mask, m.end() - 1)
+        if close >= 0:
+            sites.append(close)
+    out = snippet
+    for close in sorted(sites, reverse=True):
+        out = f"{out[:close + 1]} FILTER (WHERE {cond}){out[close + 1:]}"
+    return out
+
+
+def _rewrite_filter_clauses(sql: str) -> str:
+    """DuckDB FILTER-clause spellings Spark rejects (round 14,
+    VERDICT r13 what's-missing #1):
+
+    - WHERE-less ``agg(x) FILTER (pred)`` — DuckDB allows omitting
+      WHERE (verified live) → insert it. Never valid Spark (its
+      FILTER grammar requires WHERE), so unconditional.
+    - FILTER composed with an in-call ORDER BY / ``list()``
+      aggregate: rewrite the aggregate first (those forms are never
+      valid Spark either), then attach the FILTER to the aggregate
+      call(s) of the emission.
+
+    The higher-order ``filter(arr, x -> ..)`` is untouched: the
+    clause form is recognized only directly after a closing paren."""
+    for _ in range(64):
+        mask = _code_mask(sql)
+        changed = False
+        for m in _FILTER_KW_RE.finditer(sql):
+            if not all(mask[k] for k in range(m.start(), m.start() + 6)):
+                continue
+            fopen = m.end() - 1
+            fclose = _balanced_close(sql, mask, fopen)
+            if fclose < 0:
+                continue
+            body = sql[fopen + 1 : fclose]
+            wm = re.match(r"(?i)\s*WHERE\b", body)
+            cond = body[wm.end():].strip() if wm else body.strip()
+            if not cond:
+                continue
+            k = m.start() - 1
+            while k >= 0 and (sql[k] in _WS or not mask[k]):
+                k -= 1
+            if k < 0 or sql[k] != ")":
+                continue
+            depth = 0
+            op = -1
+            for j in range(k, -1, -1):
+                if not mask[j]:
+                    continue
+                if sql[j] in ")]":
+                    depth += 1
+                elif sql[j] in "([":
+                    depth -= 1
+                    if depth == 0:
+                        op = j
+                        break
+            if op <= 0:
+                continue
+            e = op - 1
+            while e >= 0 and (sql[e] in _WS or not mask[e]):
+                e -= 1
+            nstart = e
+            while (
+                nstart >= 0
+                and (sql[nstart].isalnum() or sql[nstart] == "_")
+                and mask[nstart]
+            ):
+                nstart -= 1
+            name = sql[nstart + 1 : e + 1]
+            if not name or not _IDENT_RE.match(name):
+                continue
+            inner = sql[nstart + 1 : k + 1]
+            args = sql[op + 1 : k]
+            if (
+                name.lower() == "list"
+                or _split_inline_order(args) is not None
+            ):
+                new_inner = _apply_ordered_rewrites(inner)
+                if new_inner != inner:
+                    attached = _attach_filter_to_aggs(new_inner, cond)
+                    if attached != new_inner:
+                        sql = (
+                            sql[: nstart + 1] + attached + sql[fclose + 1:]
+                        )
+                        changed = True
+                        break
+            if not wm:
+                sql = f"{sql[:fopen + 1]}WHERE {body.strip()}{sql[fclose:]}"
+                changed = True
+                break
+        if not changed:
+            return sql
+    return sql
 
 
 _HISTOGRAM_RE = re.compile(r"\bhistogram\s*\(", re.IGNORECASE)
@@ -2935,7 +3138,11 @@ def _rewrite_stat_semantics(sql: str, raw_doubled: bool = False) -> str:
     correction needs count() over the same frame, out of scope."""
 
     def build(name: str, args: str, after: str) -> str | None:
-        if after.lstrip().upper().startswith("OVER"):
+        # window forms AND trailing FILTER clauses are left native
+        # (the CASE emissions cannot carry either; a FILTER'd
+        # kurtosis/skewness keeps Spark's population reading — same
+        # documented-divergence class as the window forms)
+        if after.lstrip().upper().startswith(("OVER", "FILTER")):
             return None
         a = args.strip()
         if re.match(r"(?i)^\s*DISTINCT\b", a):
@@ -3623,6 +3830,44 @@ def _rewrite_misc_fns(sql: str) -> str:
             f"__x -> __x IS NOT NULL), 1)"
         )
 
+    def b_list_extract(args):
+        # 1-based, NULL out of bounds either way (verified live:
+        # list_extract([1,2,3], 9) → NULL, index 0 → NULL, -1 → from
+        # the end) — the same guarded try_element_at the subscript
+        # rewrite emits; a string-literal key is struct/map access
+        # with identical semantics on both engines
+        p = two(args)
+        if p is None:
+            return None
+        l, i = p
+        if i[:1] in ("'", '"'):
+            return f"(({l}))[{i}]"
+        if _is_nonzero_int_literal(i):
+            return f"try_element_at(({l}), {i})"
+        return f"try_element_at(({l}), nullif(CAST(({i}) AS INT), 0))"
+
+    def b_list_concat(args):
+        # DuckDB list_concat/array_cat IGNORES a NULL argument
+        # (verified live: list_concat([1], NULL) → [1]); Spark concat
+        # answers NULL. Literal NULL arguments also defeat Spark's
+        # type coercion, so they are dropped textually.
+        if len(args) != 2:
+            return None
+        a, b = (x.strip() for x in args)
+        a_null = a.upper() == "NULL"
+        b_null = b.upper() == "NULL"
+        if a_null and b_null:
+            return "NULL"
+        if a_null:
+            return f"({b})"
+        if b_null:
+            return f"({a})"
+        return (
+            f"(CASE WHEN ({a}) IS NULL THEN ({b}) "
+            f"WHEN ({b}) IS NULL THEN ({a}) "
+            f"ELSE concat(({a}), ({b})) END)"
+        )
+
     table = {
         "list_unique": b_list_unique,
         "list_slice": b_list_slice,
@@ -3645,6 +3890,10 @@ def _rewrite_misc_fns(sql: str) -> str:
         "to_base": b_to_base,
         "make_timestamp": b_make_timestamp,
         "list_any_value": b_list_any_value,
+        "list_extract": b_list_extract,
+        "array_extract": b_list_extract,
+        "list_concat": b_list_concat,
+        "array_cat": b_list_concat,
         "fdiv": b_fdiv,
         "fmod": b_fmod,
         "trunc": b_trunc,
@@ -5284,6 +5533,213 @@ def _asof_rewrite_at(sql: str, a_idx: int) -> str | None:
     return f"{sql[:a_idx]}{joined}{sql[cend:]}"
 
 
+_OFFSET_LIMIT_RE = re.compile(
+    r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+(?:\.\d+)?(?:\s*%|\s+PERCENT\b)?)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_offset_before_limit(sql: str) -> str:
+    """DuckDB accepts ``OFFSET n LIMIT m`` in either order; Spark's
+    grammar requires LIMIT first (OFFSET-before-LIMIT is a parse
+    error — never valid Spark, so the swap is unconditional).
+    Verified live: OFFSET applies before the limit on both engines
+    regardless of spelling order."""
+    mask = _code_mask(sql)
+    out = []
+    last = 0
+    for m in _OFFSET_LIMIT_RE.finditer(sql):
+        if not all(mask[k] for k in range(m.start(), m.start() + 6)):
+            continue
+        out.append(sql[last : m.start()])
+        out.append(f"LIMIT {m.group(2)} OFFSET {m.group(1)}")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_EXTRACT_RE = re.compile(r"\bEXTRACT\s*\(", re.IGNORECASE)
+
+
+def _rewrite_extract_fields(sql: str, fired: bool = False) -> str:
+    """DuckDB EXTRACT fields Spark spells differently (round 14,
+    VERDICT r13 what's-missing #2). Unconditional set (INVALID
+    EXTRACT FIELD on Spark — never working Spark):
+
+    - ``epoch`` → fractional seconds since epoch as DOUBLE (verified
+      live: 1704164645.5 for a .5-second timestamp) via unix_micros.
+    - ``isodow`` → Spark's ``DOW_ISO`` (both Monday=1..Sunday=7).
+
+    FIRED-only set (valid Spark with values OFF BY ONE — DuckDB
+    counts Sunday=0 where Spark counts 1):
+
+    - ``dow`` / ``dayofweek`` / ``weekday`` → ``EXTRACT(DOW ..) - 1``.
+    """
+    for _ in range(64):
+        mask = _code_mask(sql)
+        changed = False
+        for m in _EXTRACT_RE.finditer(sql):
+            if not all(mask[k] for k in range(m.start(), m.end())):
+                continue
+            close = _balanced_close(sql, mask, m.end() - 1)
+            if close < 0:
+                continue
+            content = sql[m.end() : close]
+            fm = re.match(r"\s*(\w+)\s+FROM\b", content, re.IGNORECASE)
+            if not fm:
+                continue
+            field = fm.group(1).lower()
+            e = content[fm.end():].strip()
+            if field == "epoch" and not fired:
+                repl = f"(unix_micros(CAST(({e}) AS TIMESTAMP)) / 1e6)"
+            elif field == "isodow" and not fired:
+                repl = f"EXTRACT(DOW_ISO FROM {e})"
+            elif field in ("dow", "dayofweek", "weekday") and fired:
+                # spelled via weekday() (Monday=0) rather than
+                # another EXTRACT — an EXTRACT(DOW ..) emission would
+                # re-match this very rule on the next scan
+                repl = f"((weekday({e}) + 1) % 7)"
+            else:
+                continue
+            sql = f"{sql[:m.start()]}{repl}{sql[close + 1:]}"
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
+_INTERVAL_PG_CAST_RE = re.compile(
+    r"'(?P<body>(?:[^']|'')*)'\s*::\s*INTERVAL\b", re.IGNORECASE
+)
+_INTERVAL_CAST_CALL_RE = re.compile(
+    r"\b(?:TRY_)?CAST\s*\(\s*'(?P<body>(?:[^']|'')*)'\s+AS\s+INTERVAL"
+    r"\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_interval_text_casts(sql: str) -> str:
+    """DuckDB parses interval TEXT casts (``'1 day'::INTERVAL``,
+    ``CAST('2 hours 30 minutes' AS INTERVAL)`` — verified live);
+    Spark rejects string→INTERVAL casts (DATATYPE_MISMATCH, never
+    working Spark) but accepts the same text as a multi-unit INTERVAL
+    LITERAL — rewrite to ``INTERVAL '<text>'`` unconditionally.
+    Non-literal operands are left to Spark's analysis error."""
+    for rx in (_INTERVAL_PG_CAST_RE, _INTERVAL_CAST_CALL_RE):
+        out = []
+        last = 0
+        for m in rx.finditer(sql):
+            # the cast tail must be code-level (the literal itself is
+            # mask-False by construction)
+            mask = _code_mask(sql)
+            tail = sql[m.start() : m.end()]
+            q2 = tail.rindex("'")
+            if not all(
+                mask[k]
+                for k in range(m.start() + q2 + 1, m.end())
+                if not sql[k].isspace()
+            ):
+                continue
+            out.append(sql[last : m.start()])
+            out.append(f"INTERVAL '{m.group('body')}'")
+            last = m.end()
+        out.append(sql[last:])
+        sql = "".join(out)
+    return sql
+
+
+def _rewrite_prefix_abs(sql: str) -> str:
+    """DuckDB's prefix ``@`` absolute-value operator (``@(-5)`` = 5,
+    ``@ x`` — verified live). ``@`` is not part of any Spark operator,
+    so the rewrite is unconditional; ``^@`` (starts-with) is handled
+    by its own rule and skipped here."""
+    for _ in range(64):
+        mask = _code_mask(sql)
+        starts = _region_starts(sql)
+        changed = False
+        for i, ch in enumerate(sql):
+            if ch != "@" or not mask[i]:
+                continue
+            prev = _prev_code_char(sql, mask, i, starts)
+            if prev in ("^", "@", "!"):
+                continue
+            if i + 1 < len(sql) and sql[i + 1] in ("@", ">"):
+                continue
+            k = i + 1
+            while k < len(sql) and sql[k] in _WS:
+                k += 1
+            if k >= len(sql):
+                continue
+            j = _operand_end(sql, mask, k)
+            if j <= k:
+                continue
+            sql = f"{sql[:i]}abs({sql[k:j]}){sql[j:]}"
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
+_ARRAY_TYPE_SUFFIX_RE = re.compile(
+    r"\b([A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"((?:\s*\[\s*\])+)"
+)
+
+
+def _rewrite_array_type_suffix(sql: str) -> str:
+    """DuckDB's postfix array-type spelling ``INT[]`` (``CAST(x AS
+    INT[])``, ``::VARCHAR[]``) → Spark's ``ARRAY<INT>``. An EMPTY
+    bracket pair after an identifier is never valid Spark (subscripts
+    need an index), so the rewrite is unconditional; nesting
+    (``INT[][]``) wraps once per pair."""
+    mask = _code_mask(sql)
+    out, last = [], 0
+    for m in _ARRAY_TYPE_SUFFIX_RE.finditer(sql):
+        if not all(
+            mask[k] for k in range(m.start(), m.end()) if not sql[k].isspace()
+        ):
+            continue
+        base = m.group(1)
+        # DuckDB element-type spellings Spark rejects inside ARRAY<>
+        # (bare VARCHAR needs a length there; pg aliases)
+        t = {
+            "varchar": "STRING", "text": "STRING", "bpchar": "STRING",
+            "char": "STRING", "int4": "INT", "integer": "INT",
+            "signed": "INT", "int8": "BIGINT", "int2": "SMALLINT",
+            "float8": "DOUBLE", "float4": "FLOAT", "real": "FLOAT",
+            "hugeint": "DECIMAL(38,0)", "logical": "BOOLEAN",
+            "bool": "BOOLEAN",
+        }.get(base.strip().lower(), base)
+        for _ in range(m.group(2).count("[")):
+            t = f"ARRAY<{t}>"
+        out.append(sql[last : m.start()])
+        out.append(t)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_LENGTH_RE = re.compile(r"\blength(?=\s*\()", re.IGNORECASE)
+
+
+def _replace_length(sql: str) -> str:
+    """``length(x)`` → ``cardinality(x)`` — the LIST-length variant
+    (round 14, VERDICT r13 what's-missing #4). Same analyzer-driven
+    dispatch as ``len``: DuckDB's length accepts strings AND lists,
+    Spark's is string-only — the engine tries the untouched form
+    first and retries with this variant when analysis fails."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if all(mask[k] for k in range(m.start(), m.end())):
+            return "cardinality"
+        return m.group(0)
+
+    return _LENGTH_RE.sub(sub, sql)
+
+
 def duckdb_to_spark(
     sql: str,
     *,
@@ -5298,6 +5754,7 @@ def duckdb_to_spark(
     int_casts_done: bool = False,
     raw_doubled: bool = False,
     force_fired: bool = False,
+    length_len: bool = False,
 ) -> str:
     """Best-effort translation of DuckDB-dialect SQL to Spark SQL.
 
@@ -5339,9 +5796,12 @@ def duckdb_to_spark(
     out = _replace_epoch_ms(out, to_ts=epoch_ms_ts)
     if list_len:
         out = _replace_len(out)
+    if length_len:
+        out = _replace_length(out)
     out = _replace_string_split(out)
     out = _replace_list_sort(out)
     out = _replace_strftime(out)
+    out = _rewrite_filter_clauses(out)
     out = _rewrite_ordered_string_agg(out)
     out = _rewrite_ordered_first_last(out)
     out = _rewrite_ordered_commutative(out)
@@ -5355,6 +5815,11 @@ def duckdb_to_spark(
     out = _rewrite_regexp_replace_flags(out, raw_doubled=raw_doubled)
     out = _rewrite_pg_operators(out)
     out = _rewrite_postfix_factorial(out)
+    out = _rewrite_offset_before_limit(out)
+    out = _rewrite_extract_fields(out)
+    out = _rewrite_interval_text_casts(out)
+    out = _rewrite_array_type_suffix(out)
+    out = _rewrite_prefix_abs(out)
     out = _rewrite_similar_to(out)
     out = _rewrite_orderless_over(out)
     out = _rewrite_frame_exclude(out)
@@ -5423,6 +5888,10 @@ def duckdb_to_spark(
         # VALUES differ between the engines (kurtosis/skewness/
         # dayofweek/date_part dow — round 13)
         out = _rewrite_stat_semantics(out, raw_doubled=raw_doubled)
+        # EXTRACT dow/dayofweek/weekday are valid Spark with values
+        # off by one (DuckDB Sunday=0, Spark Sunday=1) — same
+        # fired-only policy
+        out = _rewrite_extract_fields(out, fired=True)
         # division/modulo by zero answers NULL on DuckDB, throws on
         # ANSI Spark — same fired-only policy
         out = _rewrite_div_zero_guards(out)
@@ -5450,6 +5919,7 @@ def duckdb_to_spark(
                     int_casts_done=True,
                     raw_doubled=raw_doubled,
                     force_fired=force_fired,
+                    length_len=length_len,
                 )
     # kurtosis_pop is not a Spark name, so this rename is safe even
     # UNFIRED (Spark's kurtosis IS the population reading — verified
@@ -5595,6 +6065,7 @@ def translate_variants(
     # masked checks: a `len(`/`epoch_ms(` inside a string literal or
     # comment must not double the variant enumeration
     has_len = _code_hit(_LEN_RE)
+    has_length = _code_hit(_LENGTH_RE)
     has_epoch = _code_hit(_EPOCH_MS_RE)
     has_lsum = _code_hit(_LIST_SUM_VARIANT_RE)
     if 0 < n_sites <= _MAX_INTDIV_SITES:
@@ -5608,6 +6079,7 @@ def translate_variants(
         masks = [()]
     outs: list[str] = []
     for ep in ((False, True) if has_epoch else (False,)):
+      for lg in ((False, True) if has_length else (False,)):
         for ll in ((False, True) if has_len else (False,)):
             for ls in ((False, True) if has_lsum else (False,)):
                 for mask in masks:
@@ -5617,6 +6089,7 @@ def translate_variants(
                         csv_resolver=csv_resolver,
                         raw_doubled=_is_doubled,
                         force_fired=force_fired,
+                        length_len=lg,
                     )
                     if t != sql and t not in outs:
                         outs.append(t)
@@ -5631,6 +6104,7 @@ def translate_variants(
                             csv_resolver=csv_resolver,
                             raw_doubled=_is_doubled,
                             force_fired=force_fired,
+                            length_len=lg,
                         )
                         if t2 != sql and t2 not in outs:
                             outs.append(t2)
@@ -5647,6 +6121,7 @@ def translate_variants(
                             csv_resolver=csv_resolver,
                             raw_doubled=_is_doubled,
                             force_fired=force_fired,
+                            length_len=lg,
                         )
                         if t3 != sql and t3 not in outs:
                             outs.append(t3)

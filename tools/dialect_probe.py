@@ -260,6 +260,50 @@ SELECT t.id FROM t ANTI JOIN dst ON t.id = dst.id ORDER BY t.id
 DESCRIBE SELECT id, g FROM t
 SELECT regexp_matches('x7', '\d') AS r
 SELECT 'abc' LIKE 'a%' ESCAPE '\\' AS r
+SELECT max(v) FILTER (id > 1) AS m FROM t
+SELECT array_agg(v ORDER BY v DESC) FILTER (WHERE v > 10) AS a FROM t
+SELECT list(v ORDER BY v) FILTER (v > 15) AS a FROM t
+SELECT count(DISTINCT g) FILTER (v > 10) AS c FROM t
+SELECT first(v ORDER BY v DESC) FILTER (WHERE v < 30) AS f FROM t
+SELECT EXTRACT(epoch FROM TIMESTAMP '2024-01-02 03:04:05.5') AS e
+SELECT EXTRACT(epoch FROM DATE '2024-01-02') AS e
+SELECT EXTRACT(isodow FROM DATE '2024-01-07') AS d
+SELECT EXTRACT(dow FROM DATE '2024-01-07') AS d, 1 // 1 AS m
+SELECT EXTRACT(dayofweek FROM DATE '2024-01-08') AS d, 1 // 1 AS m
+SELECT TIMESTAMP '2024-01-01' + '1 day 2 hours'::INTERVAL AS ts
+SELECT CAST('2 hours 30 minutes' AS INTERVAL) AS v
+SELECT '45 minutes'::INTERVAL AS v
+SELECT length(arr) AS n FROM t ORDER BY id
+SELECT list_extract(arr, 2) AS a, list_extract(arr, -1) AS b, list_extract(arr, 9) AS c FROM t ORDER BY id
+SELECT strlen(g) AS n FROM t ORDER BY id
+SELECT list_concat(arr, NULL) AS a FROM t ORDER BY id
+SELECT list_concat([1], [2, 3]) AS v
+SELECT id FROM t ORDER BY id OFFSET 1 LIMIT 1
+SELECT @(-5) AS a, @ (v - 20) AS b FROM t ORDER BY id
+SELECT factorial(5) AS f
+SELECT unnest([1,2,3]) AS u, unnest([10,20]) AS u2
+SELECT unnest(arr) AS u, unnest(arr) + 1 AS u2 FROM t WHERE id = 3
+SELECT unnest(CAST(NULL AS INT[])) AS a, unnest([1,2]) AS b
+SELECT CAST(NULL AS INT[]) AS v
+SELECT CAST([1,2] AS VARCHAR[]) AS v
+SELECT regexp_replace('aaa', '(a)', '\\1x', 'g') AS v
+SELECT regexp_replace('aaa', '(a)', '\\1x') AS v
+SELECT regexp_replace('abc', 'b', '$', 'g') AS v
+SELECT regexp_replace('a1b2', '(\d)', '<\\1>', 'g') AS v
+SELECT regexp_extract('abc123', '\d+') AS v
+SELECT regexp_extract('a1b2', '(\d)(\w)', 2) AS v
+SELECT regexp_matches('a1', '\d') AS v
+SELECT regexp_extract_all('a1b2', '\d') AS v
+SELECT gamma(5) AS g
+SELECT lgamma(5) AS g
+SELECT nextafter(1.0, 2.0) AS n
+SELECT stats(5) AS s
+SELECT struct_insert({'a': 1}, b := 2) AS s
+SELECT 'A' = 'a' COLLATE NOCASE AS c
+SELECT alias(v) AS a FROM t
+SELECT current_setting('threads') AS t -- novalue
+SELECT bitstring_agg(id) AS b FROM t
+DESCRIBE SELECT 1 AS one
 """
 
 
@@ -292,7 +336,11 @@ def build_fixtures(spark, namespace: str = "dialect_probe"):
     eng.execute("CREATE TABLE dst (id INTEGER, g VARCHAR)")
     con = duckdb.connect()
     con.execute(
-        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        # v is DOUBLE-cast to match put()'s arrow DOUBLE (round 14,
+        # VERDICT r13 #9): a bare 10.5 is DECIMAL on DuckDB and makes
+        # cast/rounding probes compare unlike-typed columns
+        "CREATE TABLE t AS SELECT id, g, CAST(v AS DOUBLE) AS v, arr, s, j "
+        "FROM (VALUES "
         "(1,'a',10.5,[1,2],'x y','{\"a\": {\"b\": 5}, \"tag\": \"x\"}'),"
         "(2,'b',20.0,[3],'z','{\"a\": {\"b\": 7}, \"tag\": \"y\"}'),"
         "(3,'b',30.25,[4,5,6],'w w w','{\"a\": {\"b\": 9}, \"tag\": \"z\"}')"

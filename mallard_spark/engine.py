@@ -37,6 +37,7 @@ Scale notes (round-3 changes):
 
 from __future__ import annotations
 
+import contextvars
 import json
 import logging
 import re
@@ -51,6 +52,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from mallard_spark.exchange import Exchanger
+
+# Wire-path DuckDB-semantics mode (round 14, VERDICT r13 what's-wrong
+# #1): ticket SQL arriving over Flight is DuckDB SQL BY DEFINITION
+# (the reference passes it verbatim to DuckDB, flight_server.py:342),
+# so statements that happen to also be valid Spark SQL must get
+# DuckDB's values, not Spark's. The Flight handlers set this
+# ContextVar around engine calls; it inherits through the engine's
+# internal self.sql() recursion (UNION BY NAME sides, percent-LIMIT
+# inners, DESCRIBE bodies) and is per-handler-thread safe.
+_WIRE_DUCKDB: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "mallard_wire_duckdb", default=False
+)
 
 if TYPE_CHECKING:
     import pyarrow as pa
@@ -1127,6 +1140,18 @@ class MallardEngine:
         # PRAGMA threads=8) — stored so current_setting() answers them
         # back like DuckDB does (round 14); execution stays a no-op
         self._settings: dict[str, str] = {}
+        # DuckDB-semantics mode (round 14): opt-in default for LOCAL
+        # engine.sql via the spark.mallard.duckdbSemantics conf; the
+        # Flight wire path turns it on per ticket (ticket SQL is
+        # DuckDB SQL by definition) unless wire_duckdb_semantics is
+        # cleared on the engine.
+        self.duckdb_semantics = (
+            str(
+                spark.conf.get("spark.mallard.duckdbSemantics", "false")
+            ).lower()
+            == "true"
+        )
+        self.wire_duckdb_semantics = True
         # name → (params [(name, default|None)], body, is_table)
         self._macros: dict[str, tuple[list, str, bool]] = {}
         # GENERATED (VIRTUAL) columns (round 11): table →
@@ -2845,7 +2870,29 @@ class MallardEngine:
                 return sql
         return sql
 
-    def sql(self, sql: str) -> DataFrame:
+    def sql(
+        self, sql: str, *, duckdb_semantics: bool | None = None
+    ) -> DataFrame:
+        """Thin wrapper over :meth:`_sql_inner` that resolves the
+        DuckDB-semantics mode (explicit per-call flag > engine opt-in
+        conf > Flight wire ContextVar) and, when on, pins the
+        ContextVar for the call's duration so internal decomposition
+        (UNION BY NAME sides, percent-LIMIT inners, DESCRIBE bodies)
+        inherits it."""
+        mode = (
+            duckdb_semantics
+            if duckdb_semantics is not None
+            else (self.duckdb_semantics or _WIRE_DUCKDB.get())
+        )
+        if mode and not _WIRE_DUCKDB.get():
+            token = _WIRE_DUCKDB.set(True)
+            try:
+                return self._sql_inner(sql, mode)
+            finally:
+                _WIRE_DUCKDB.reset(token)
+        return self._sql_inner(sql, mode)
+
+    def _sql_inner(self, sql: str, _duck_mode: bool) -> DataFrame:
         """GET: run SQL against this namespace's tables.
 
         Parity: demo.py:103-106 (execute_query). Unqualified table
@@ -3221,8 +3268,17 @@ class MallardEngine:
         # runtime). Translate up front; if no typed reading passes
         # analysis, fall through to the vanilla attempt (same runtime
         # error as before).
-        pre_route = False
-        if "[" in out and "-" in out:
+        # DuckDB-semantics mode (round 14, VERDICT r13 what's-wrong
+        # #1): explicit per-call flag > engine opt-in (the
+        # spark.mallard.duckdbSemantics conf) > the Flight wire
+        # ContextVar. When on, the force-fired translation runs FIRST
+        # (shared-name value mappings apply unconditionally: int-cast
+        # rounding, 2-arg trim, single-arg log10, 3-arg first-only
+        # regexp_replace, sample kurtosis/skewness, 1-based
+        # subscripts, `^` power, raw string literals, NULLS LAST
+        # default ordering); vanilla Spark stays the fallback.
+        pre_route = bool(_duck_mode)
+        if not pre_route and "[" in out and "-" in out:
             from mallard_spark.dialect import (
                 negative_subscript_array_probe,
             )

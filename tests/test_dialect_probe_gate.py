@@ -32,3 +32,16 @@ def test_probe_corpus_no_gaps(probe_fixtures):
     gaps, n = run_corpus(eng, con)
     assert n >= 190  # the corpus only ever grows
     assert gaps == [], "\n".join(f"{s} => {g}" for s, g in gaps)
+
+
+def test_wire_probe_corpus_no_gaps(probe_fixtures):
+    """Round 14: the WIRE corpus — shared-name statements that are
+    also valid Spark SQL — must answer DUCKDB values through
+    eng.sql(duckdb_semantics=True), the mode every Flight ticket
+    runs under."""
+    from dialect_probe import WIRE_CORPUS, run_corpus
+
+    eng, con = probe_fixtures
+    gaps, n = run_corpus(eng, con, corpus=WIRE_CORPUS, wire=True)
+    assert n >= 20
+    assert gaps == [], "\n".join(f"{s} => {g}" for s, g in gaps)

@@ -307,6 +307,37 @@ DESCRIBE SELECT 1 AS one
 """
 
 
+# Shared-name statements that are ALSO valid Spark SQL — run through
+# the WIRE path (eng.sql(duckdb_semantics=True)), where DuckDB values
+# must come back even though nothing "fires" textually (round 14,
+# VERDICT r13 what's-wrong #1). Escapes: this is a NORMAL triple-
+# quoted string — spell a statement backslash as \\ in source.
+WIRE_CORPUS = """
+SELECT CAST(CAST(10.7 AS DOUBLE) AS INT) AS a, CAST(10.7 AS INT) AS b
+SELECT CAST(v AS INT) AS a FROM t ORDER BY id
+SELECT trim('xyxax', 'x') AS a, ltrim('xyxax', 'x') AS b, rtrim('xyxax', 'x') AS c
+SELECT log(100) AS a, log(2, 8) AS b
+SELECT dayofweek(DATE '2024-01-07') AS d
+SELECT regexp_replace('aaa', 'a', 'b') AS r
+SELECT left('abcd', -1) AS a, right('abcd', -1) AS b
+SELECT kurtosis(v) AS k, skewness(v) AS s FROM t
+SELECT substr('abcdef', 0, 3) AS a, substr('abcdef', -7, 3) AS b, substr('abcdef', 4, -3) AS c
+SELECT substr('abcdef', -9) AS a, substring('abcdef', 0, 3) AS b
+SELECT regexp_extract('abc123', '\\d+') AS r
+SELECT x FROM (VALUES (1), (NULL), (2)) s(x) ORDER BY x
+SELECT x, row_number() OVER (ORDER BY x) AS rn FROM (VALUES (1), (NULL), (2)) s(x) ORDER BY rn
+SELECT arr[1] AS a FROM t ORDER BY id
+SELECT 2 ^ 3 AS p, 2 ** 3 AS q
+SELECT 10 // 4 AS b, 10 % 3 AS m
+SELECT 1 / 0 AS d, 10 % 0 AS z
+SELECT dayname(DATE '2024-01-07') AS a, monthname(DATE '2024-01-07') AS b
+SELECT len('abc') AS l, length(arr) AS n FROM t ORDER BY id
+SELECT 'x\\ny' AS s
+SELECT count(*) AS c FROM t WHERE g SIMILAR TO '[ab]'
+SELECT upper(g) AS u, v + 1 AS w FROM t ORDER BY id
+"""
+
+
 def build_fixtures(spark, namespace: str = "dialect_probe"):
     """The shared probe fixtures: the engine namespace and a DuckDB
     connection holding IDENTICAL tables. Importable so the pytest
@@ -350,14 +381,15 @@ def build_fixtures(spark, namespace: str = "dialect_probe"):
     return eng, con
 
 
-def run_corpus(eng, con, grep: str | None = None):
+def run_corpus(eng, con, grep: str | None = None, corpus: str | None = None,
+               wire: bool = False):
     """Run every corpus statement on BOTH engines; return
     (gaps, statement_count). A gap is a RAW engine error on a
     DuckDB-legal statement, or (for SELECTs without the -- novalue
     marker) a VALUE-multiset mismatch."""
     gaps = []
     n = 0
-    for raw in (x.strip() for x in CORPUS.strip().splitlines()):
+    for raw in (x.strip() for x in (corpus or CORPUS).strip().splitlines()):
         if not raw or (grep and grep.lower() not in raw.lower()):
             continue
         novalue = raw.endswith("-- novalue")
@@ -365,9 +397,12 @@ def run_corpus(eng, con, grep: str | None = None):
         n += 1
         rows = None
         try:
-            r = eng.execute(stmt)
-            if hasattr(r, "collect"):
-                rows = r.collect()
+            if wire:
+                rows = eng.sql(stmt, duckdb_semantics=True).collect()
+            else:
+                r = eng.execute(stmt)
+                if hasattr(r, "collect"):
+                    rows = r.collect()
             status = None
         except NotImplementedError as e:
             status = f"REFUSED (ok): {str(e)[:60]}"
@@ -419,10 +454,12 @@ def main() -> int:
     spark = get_spark(app_name="dialect_probe", shuffle_partitions=4)
     eng, con = build_fixtures(spark)
     gaps, n = run_corpus(eng, con, grep=args.grep)
-    for stmt, status in gaps:
+    wgaps, wn = run_corpus(eng, con, grep=args.grep, corpus=WIRE_CORPUS, wire=True)
+    for stmt, status in gaps + [(s, "WIRE " + st) for s, st in wgaps]:
         print(f"GAP: {stmt[:80]}\n     => {status}")
-    print(f"{len(gaps)} gaps / {n} statements")
-    return 1 if gaps else 0
+    print(f"{len(gaps)} gaps / {n} statements; "
+          f"{len(wgaps)} wire gaps / {wn} wire statements")
+    return 1 if gaps or wgaps else 0
 
 
 def _norm(x):

@@ -1052,6 +1052,7 @@ _FUNC_RENAMES = {
     "week": "weekofyear",  # both ISO (verified: 2024-12-30 → 1)
     "array_has": "array_contains",
     "unicode": "ascii",
+    "row": "struct",  # ROW(1, 'x') constructor — not a Spark name
     "strlen": "octet_length",  # BYTE length on DuckDB (verified live)
     "ord": "ascii",
     "string_split_regex": "split",  # regex split on both engines
@@ -2233,6 +2234,31 @@ def _rewrite_filter_clauses(sql: str) -> str:
                 continue
             inner = sql[nstart + 1 : k + 1]
             args = sql[op + 1 : k]
+            om = re.match(r"\s*OVER\b", sql[fclose + 1 :], re.IGNORECASE)
+            if om:
+                # windowed FILTER (round 14 probe find): Spark
+                # refuses "window aggregate with filter predicate";
+                # the CASE trick is exact for NULL-skipping
+                # aggregates, and count(*) counts a CASE 1
+                a = args.strip()
+                if (
+                    re.match(r"(?i)^\s*DISTINCT\b", a)
+                    or _split_inline_order(a) is not None
+                ):
+                    continue
+                if a == "*":
+                    if name.lower() != "count":
+                        continue
+                    new_call = f"{name}(CASE WHEN ({cond}) THEN 1 END)"
+                elif a and len(_split_top_level_commas(a)) == 1:
+                    new_call = (
+                        f"{name}(CASE WHEN ({cond}) THEN ({a}) END)"
+                    )
+                else:
+                    continue
+                sql = f"{sql[:nstart + 1]}{new_call}{sql[fclose + 1:]}"
+                changed = True
+                break
             if (
                 name.lower() == "list"
                 or _split_inline_order(args) is not None
@@ -3530,7 +3556,7 @@ def _median_expr(sl: str) -> str:
 
 _TIME_BUCKET_IV_RE = re.compile(
     r"(?i)^\s*INTERVAL\s+'?(\d+)'?\s+"
-    r"(SECOND|MINUTE|HOUR|DAY)S?\s*$"
+    r"(SECOND|MINUTE|HOUR|DAY)S?\s*'?\s*$"
 )
 
 _DATEPART_UNITS = {
@@ -3748,20 +3774,95 @@ def _rewrite_misc_fns(sql: str) -> str:
         )
 
     def b_time_bucket(args):
-        p = two(args)
-        if p is None:
+        if len(args) not in (2, 3):
             return None
-        iv, ts = p
+        iv, ts = args[0].strip(), args[1].strip()
         m = _TIME_BUCKET_IV_RE.match(iv)
         if not m:
             return None  # month-bearing / non-literal buckets refuse
         n = int(m.group(1))
-        secs = n * {
+        unit_secs = {
             "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
-        }[m.group(2).upper()]
+        }
+        secs = n * unit_secs[m.group(2).upper()]
+        off = 0
+        if len(args) == 3:
+            # 3-arg OFFSET form (round 14, verified live: 1-day
+            # buckets with a 6-hour offset align to 06:00): shift the
+            # origin before flooring, shift back after
+            om = _TIME_BUCKET_IV_RE.match(args[2].strip())
+            if om is None:
+                return None
+            off = int(om.group(1)) * unit_secs[om.group(2).upper()]
         return (
-            f"timestamp_seconds(CAST(FLOOR(unix_timestamp(({ts})) "
-            f"/ {secs}) AS BIGINT) * {secs})"
+            f"timestamp_seconds(CAST(FLOOR((unix_timestamp(({ts})) "
+            f"- {off}) / {secs}) AS BIGINT) * {secs} + {off})"
+        )
+
+    def b_xor(args):
+        # DuckDB integer xor() (no Spark name; fired `^` means power
+        # so the operator spelling can't be emitted) — (a|b)-(a&b)
+        # is exact on integers (verified: xor(5,3)=6)
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        return f"((({a}) | ({b})) - (({a}) & ({b})))"
+
+    def b_regexp_full_match(args):
+        p = two(args)
+        if p is None:
+            return None
+        s, pat = p
+        return f"(({s}) RLIKE concat('^(?:', ({pat}), ')$'))"
+
+    def b_regexp_split_to_table(args):
+        p = two(args)
+        if p is None:
+            return None
+        s, pat = p
+        return f"explode(split(({s}), ({pat})))"
+
+    def b_regexp_escape(args):
+        # RE2 QuoteMeta semantics (verified live: every char outside
+        # [A-Za-z0-9_] gets a backslash — 'a-b c' → 'a\\-b\\ c').
+        # Emitted in the 4-arg POSITION form so the fired 3-arg
+        # first-only mapping cannot re-capture it; the replacement
+        # literal is \\$1 at the Java level (backslash + the match).
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"regexp_replace(({x}), '([^a-zA-Z0-9_])', "
+            f"'\\\\\\\\$1', 1)"
+        )
+
+    def b_format_bytes(args):
+        # binary units, value TRUNCATED to one decimal (verified
+        # live: 10239 → '9.9 KiB', 1587 → '1.5 KiB', <1024 → 'N
+        # bytes')
+        x = one(args)
+        if x is None:
+            return None
+
+        def fmt(base: int, unit: str) -> str:
+            return (
+                f"concat(format_number(floor(({x}) / {base} * 10) "
+                f"/ 10, '0.0'), ' {unit}')"
+            )
+
+        # PiB unconditional innermost; each smaller unit's threshold
+        # wraps outward so the final expression checks smallest first
+        out = fmt(1 << 50, "PiB")
+        for unit, exp in (("TiB", 4), ("GiB", 3), ("MiB", 2), ("KiB", 1)):
+            hi = 1 << (10 * (exp + 1))
+            out = (
+                f"(CASE WHEN ({x}) < {hi} "
+                f"THEN {fmt(1 << (10 * exp), unit)} ELSE {out} END)"
+            )
+        return (
+            f"(CASE WHEN ({x}) < 1024 THEN concat(CAST(({x}) AS "
+            f"BIGINT), ' bytes') ELSE {out} END)"
         )
 
     def b_product(args):
@@ -4051,6 +4152,11 @@ def _rewrite_misc_fns(sql: str) -> str:
         "array_extract": b_list_extract,
         "list_concat": b_list_concat,
         "array_cat": b_list_concat,
+        "xor": b_xor,
+        "regexp_full_match": b_regexp_full_match,
+        "regexp_split_to_table": b_regexp_split_to_table,
+        "regexp_escape": b_regexp_escape,
+        "format_bytes": b_format_bytes,
         "fdiv": b_fdiv,
         "fmod": b_fmod,
         "trunc": b_trunc,
@@ -5289,7 +5395,7 @@ def _rewrite_file_refs(sql: str, csv_resolver=None) -> str:
 
 
 _USING_SAMPLE_RE = re.compile(
-    r"\bUSING\s+SAMPLE\s+"
+    r"\b(?:USING\s+SAMPLE|TABLESAMPLE)\s+"
     r"(?:(?P<meth>[A-Za-z_]+)\s*\(\s*)?"
     r"(?P<n>\d+(?:\.\d+)?)\s*"
     r"(?P<unit>%|PERCENT\b|ROWS?\b)?"
@@ -5839,6 +5945,106 @@ def _rewrite_prefix_abs(sql: str) -> str:
     return sql
 
 
+# DuckDB element/scalar type spellings Spark rejects in type position
+_DUCK_ELEM_TYPES = {
+    "varchar": "STRING", "text": "STRING", "bpchar": "STRING",
+    "char": "STRING", "int4": "INT", "integer": "INT",
+    "signed": "INT", "int8": "BIGINT", "int2": "SMALLINT",
+    "float8": "DOUBLE", "float4": "FLOAT", "real": "FLOAT",
+    "hugeint": "DECIMAL(38,0)", "logical": "BOOLEAN",
+    "bool": "BOOLEAN",
+    # unsigned family → the smallest signed Spark type that holds
+    # the full range (range errors become silent widenings —
+    # documented divergence; DuckDB itself errors out-of-range)
+    "utinyint": "SMALLINT", "usmallint": "INT", "uinteger": "BIGINT",
+    "ubigint": "DECIMAL(20,0)", "uhugeint": "DECIMAL(38,0)",
+}
+
+_UNSIGNED_CAST_RE = re.compile(
+    r"(::\s*|\bAS\s+)(UTINYINT|USMALLINT|UINTEGER|UBIGINT|HUGEINT|"
+    r"UHUGEINT)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unsigned_casts(sql: str) -> str:
+    """DuckDB's unsigned/HUGEINT type names in cast position
+    (``255::UTINYINT``, ``CAST(x AS HUGEINT)``) → the smallest Spark
+    type holding the range (round 14). Type-context only (after
+    ``::`` or ``AS``) so a COLUMN named ``hugeint`` is never
+    touched; the names are invalid Spark types, so the rewrite is
+    unconditional."""
+    mask = _code_mask(sql)
+    out, last = [], 0
+    for m in _UNSIGNED_CAST_RE.finditer(sql):
+        if not all(
+            mask[k] for k in range(m.start(), m.end()) if not sql[k].isspace()
+        ):
+            continue
+        out.append(sql[last : m.start()])
+        out.append(m.group(1))
+        out.append(_DUCK_ELEM_TYPES[m.group(2).lower()])
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_STRUCT_TYPE_RE = re.compile(r"\bSTRUCT\s*\(", re.IGNORECASE)
+_STRUCT_FIELD_RE = re.compile(
+    r'^\s*(?P<name>[A-Za-z_]\w*|"[^"]+")\s+'
+    r"(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    r"(?:\s*\[\s*\])*)\s*$"
+)
+
+
+def _rewrite_struct_type_syntax(sql: str) -> str:
+    """DuckDB's STRUCT TYPE spelling ``STRUCT(a INT, b VARCHAR)``
+    (in ``::`` casts and ``CAST(x AS ...)``) → Spark's
+    ``STRUCT<a: INT, b: STRING>`` (round 14). Fires only when EVERY
+    comma part parses as ``name TYPE`` with a simple type — the
+    ``struct(expr, ...)`` VALUE constructor never matches (bare
+    expressions have no trailing type token). Field types map
+    through the same element table as array suffixes; ``T[]``
+    suffixes are left for the array-suffix pass that runs after."""
+    for _ in range(32):
+        mask = _code_mask(sql)
+        changed = False
+        for m in _STRUCT_TYPE_RE.finditer(sql):
+            if not all(mask[k] for k in range(m.start(), m.end())):
+                continue
+            close = _balanced_close(sql, mask, m.end() - 1)
+            if close < 0:
+                continue
+            parts = _split_top_level_commas(sql[m.end() : close])
+            if not parts:
+                continue
+            fields = []
+            for part in parts:
+                fm = _STRUCT_FIELD_RE.match(part)
+                if fm is None or fm.group("type").upper().startswith(
+                    ("AS", "ASC", "DESC")
+                ):
+                    fields = None
+                    break
+                base = re.match(
+                    r"[A-Za-z_]\w*", fm.group("type")
+                ).group(0)
+                t = _DUCK_ELEM_TYPES.get(base.lower(), base)
+                rest = fm.group("type")[len(base):]
+                fields.append(f"{fm.group('name')}: {t}{rest}")
+            if not fields:
+                continue
+            sql = (
+                f"{sql[:m.start()]}STRUCT<{', '.join(fields)}>"
+                f"{sql[close + 1:]}"
+            )
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
 _ARRAY_TYPE_SUFFIX_RE = re.compile(
     r"\b([A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
     r"((?:\s*\[\s*\])+)"
@@ -5861,14 +6067,7 @@ def _rewrite_array_type_suffix(sql: str) -> str:
         base = m.group(1)
         # DuckDB element-type spellings Spark rejects inside ARRAY<>
         # (bare VARCHAR needs a length there; pg aliases)
-        t = {
-            "varchar": "STRING", "text": "STRING", "bpchar": "STRING",
-            "char": "STRING", "int4": "INT", "integer": "INT",
-            "signed": "INT", "int8": "BIGINT", "int2": "SMALLINT",
-            "float8": "DOUBLE", "float4": "FLOAT", "real": "FLOAT",
-            "hugeint": "DECIMAL(38,0)", "logical": "BOOLEAN",
-            "bool": "BOOLEAN",
-        }.get(base.strip().lower(), base)
+        t = _DUCK_ELEM_TYPES.get(base.strip().lower(), base)
         for _ in range(m.group(2).count("[")):
             t = f"ARRAY<{t}>"
         out.append(sql[last : m.start()])
@@ -5976,6 +6175,8 @@ def duckdb_to_spark(
     out = _rewrite_offset_before_limit(out)
     out = _rewrite_extract_fields(out)
     out = _rewrite_interval_text_casts(out)
+    out = _rewrite_struct_type_syntax(out)
+    out = _rewrite_unsigned_casts(out)
     out = _rewrite_array_type_suffix(out)
     out = _rewrite_prefix_abs(out)
     out = _rewrite_similar_to(out)

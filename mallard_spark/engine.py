@@ -3567,6 +3567,30 @@ class MallardEngine:
                  "the enclosing projection alias, which a rewrite "
                  "cannot see): spell the column name as a string "
                  "literal"),
+                (r"(?i)\bparse_(filename|dirname|dirpath|path)\s*\(",
+                 "the parse_* path family is not supported: compose "
+                 "from split(path, '/') — e.g. element_at(split(p, "
+                 "'/'), -1) for parse_filename"),
+                (r"(?i)\b(left|right|substring)_grapheme\s*\(",
+                 "grapheme-cluster string functions are not "
+                 "supported (Spark indexes by codepoint): "
+                 "left/right/substr are exact for non-combining "
+                 "text"),
+                (r"(?i)\bnfc_normalize\s*\(",
+                 "nfc_normalize has no Spark SQL equivalent: "
+                 "normalize at ingest (Pandas UDF over "
+                 "unicodedata.normalize) or store NFC text"),
+                (r"(?i)\btxid_current\s*\(",
+                 "txid_current() is not supported: this engine's "
+                 "transactions are session-scoped (BEGIN/COMMIT/"
+                 "ROLLBACK work; there is no global xid counter)"),
+                # only the `b` prefix is code-level (the '1010' body
+                # is a masked literal), so the lookahead keeps the
+                # matched span checkable
+                (r"(?i)(?<![\w'])b(?='[01]+')",
+                 "BIT/BITSTRING literals (b'1010') are not "
+                 "supported: use integer bit arithmetic (&, |, "
+                 "shiftleft) or a BOOLEAN array"),
             ):
                 if _code_level_search(rx, out):
                     raise NotImplementedError(msg) from first_err

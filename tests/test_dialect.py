@@ -2652,3 +2652,59 @@ def test_local_duckdb_semantics_optin(eng):
     assert eng.sql(
         "SELECT substr('abcdef', 0, 3) AS v", duckdb_semantics=True
     ).collect()[0][0] == "ab"
+
+
+def test_round14_probe_followups(eng):
+    """Round 14 second probe batch (own adversarial sweep): windowed
+    FILTER via the CASE trick, STRUCT type casts, TABLESAMPLE method
+    forms, xor(), interval-text time_bucket (+ offset), format_bytes
+    (truncating binary units), regexp_full_match/escape/
+    split_to_table, unsigned/HUGEINT cast names — all pinned live."""
+    _both(eng, "SELECT sum(v) FILTER (WHERE v > 15) OVER () AS w FROM dt ORDER BY w")
+    _both(
+        eng,
+        "SELECT id, count(*) FILTER (v > 15) OVER (ORDER BY id) AS c "
+        "FROM dt ORDER BY id",
+    )
+    _both(eng, "SELECT count(*) AS c FROM dt TABLESAMPLE reservoir(3 ROWS)")
+    _both(eng, "SELECT xor(5, 3) AS x, xor(id, 1) AS y FROM dt ORDER BY id")
+    _both(
+        eng,
+        "SELECT time_bucket(INTERVAL '15 minutes', "
+        "TIMESTAMP '2024-01-01 10:23:00') AS tb",
+    )
+    _both(
+        eng,
+        "SELECT time_bucket(INTERVAL '1 day', "
+        "TIMESTAMP '2024-01-02 10:23:00', INTERVAL '6 hours') AS tb",
+    )
+    _both(
+        eng,
+        "SELECT format_bytes(1048576) AS a, format_bytes(1500) AS b, "
+        "format_bytes(999) AS c, format_bytes(10239) AS d, "
+        "format_bytes(1099511627776) AS e",
+    )
+    _both(eng, "SELECT regexp_full_match('abc', 'a.*') AS m, "
+               "regexp_full_match('abc', 'b') AS n")
+    _both(eng, "SELECT regexp_escape('a.b[c]-d e') AS e")
+    _both(eng, "SELECT regexp_split_to_table('a1b2c', '[0-9]') AS r")
+    _both(eng, "SELECT 255::UTINYINT AS u")
+    # STRUCT type casts: Row-vs-dict repr differs, compare fields
+    row = eng.sql(
+        "SELECT CAST(ROW(1, 'x') AS STRUCT(a INT, b VARCHAR)) AS s"
+    ).collect()[0][0]
+    assert row.asDict() == {"a": 1, "b": "x"}
+    row = eng.sql(
+        "SELECT {'a': 1, 'b': 'x'}::STRUCT(a BIGINT, b VARCHAR) AS s"
+    ).collect()[0][0]
+    assert row.asDict() == {"a": 1, "b": "x"}
+    # refusal hygiene for the rest of the sweep
+    for frag, pat in [
+        ("SELECT parse_filename('/x/y/z.txt')", "parse_"),
+        ("SELECT left_grapheme('abc', 2)", "grapheme"),
+        ("SELECT nfc_normalize('abc')", "nfc_normalize"),
+        ("SELECT txid_current()", "txid_current"),
+        ("SELECT b'1010'", "BIT"),
+    ]:
+        with pytest.raises(NotImplementedError, match=pat):
+            eng.sql(frag)

@@ -304,6 +304,41 @@ SELECT alias(v) AS a FROM t
 SELECT current_setting('threads') AS t -- novalue
 SELECT bitstring_agg(id) AS b FROM t
 DESCRIBE SELECT 1 AS one
+SELECT sum(v) FILTER (WHERE v > 15) OVER () AS w FROM t ORDER BY w
+SELECT id, count(*) FILTER (v > 15) OVER (ORDER BY id) AS c FROM t ORDER BY id
+SELECT {'a': 1, 'b': 'x'}::STRUCT(a INT, b VARCHAR) AS st
+SELECT CAST(ROW(1, 'x') AS STRUCT(a INT, b VARCHAR)) AS st
+SELECT count(*) AS c FROM t TABLESAMPLE reservoir(2 ROWS)
+SELECT xor(5, 3) AS x, xor(id, 1) AS y FROM t ORDER BY id
+SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 10:23:00') AS tb
+SELECT time_bucket(INTERVAL '1 day', TIMESTAMP '2024-01-02 10:23:00', INTERVAL '6 hours') AS tb
+SELECT format_bytes(1048576) AS a, format_bytes(1500) AS b, format_bytes(999) AS c, format_bytes(10239) AS d
+SELECT regexp_full_match('abc', 'a.*') AS m, regexp_full_match('abc', 'b') AS n
+SELECT regexp_escape('a.b[c]-d e') AS e
+SELECT regexp_split_to_table('a1b2c', '[0-9]') AS r
+SELECT 255::UTINYINT AS u
+SELECT 5::HUGEINT AS h, 5::UBIGINT AS ub -- novalue
+SELECT parse_filename('/x/y/z.txt') AS f
+SELECT left_grapheme('abc', 2) AS lg
+SELECT txid_current() AS tx
+SELECT g, sum(v) AS s FROM t GROUP BY ALL ORDER BY ALL
+SELECT id, sum(v) OVER w AS s FROM t WINDOW w AS (ORDER BY id) ORDER BY id
+SELECT last_day(DATE '2024-02-05') AS ld
+SELECT lpad('7', 3, '0') AS l, rpad('7', 3, '*') AS r
+SELECT concat_ws('-', 'a', NULL, 'b') AS c
+SELECT bool_and(v > 5) AS ba, bool_or(v > 25) AS bo FROM t
+SELECT bit_and(id) AS a, bit_or(id) AS o, bit_xor(id) AS x FROM t
+SELECT median(v) AS m, mode(g) AS mo FROM t
+SELECT corr(id, v) AS c, covar_pop(id, v) AS cp, regr_slope(v, id) AS rs FROM t
+SELECT min(arr) AS mn, max(arr) AS mx FROM t
+SELECT if(v > 15, 'big', 'small') AS i FROM t ORDER BY id
+SELECT generate_series(DATE '2024-01-01', DATE '2024-01-05', INTERVAL '2 days') AS gs
+SELECT unnest(generate_series(1, 5, 2)) AS u
+SELECT repeat('ab', 3) AS r, translate('abc', 'ab', 'xy') AS tr
+SELECT printf('%d-%s', 7, 'x') AS p
+SELECT cbrt(27) AS c, degrees(pi()) AS d, radians(180.0) AS r
+SELECT round(2.567, 2) AS r3, ceiling(2.1) AS c
+SELECT DATE '2024-01-31' + 1 AS d
 """
 
 

@@ -1052,6 +1052,12 @@ _FUNC_RENAMES = {
     "week": "weekofyear",  # both ISO (verified: 2024-12-30 → 1)
     "array_has": "array_contains",
     "unicode": "ascii",
+    "list_pack": "array",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "from_base64": "unbase64",
+    "datesub": "date_sub",  # alias, same complete-unit semantics
+    "reservoir_quantile": "approx_percentile",
     "row": "struct",  # ROW(1, 'x') constructor — not a Spark name
     "strlen": "octet_length",  # BYTE length on DuckDB (verified live)
     "ord": "ascii",
@@ -1595,6 +1601,14 @@ def _replace_list_sort(sql: str) -> str:
     def build(args: list[str]) -> str | None:
         if len(args) == 1:
             return f"array_sort({args[0].strip()})"
+        if len(args) == 3:
+            # 3-arg form: separate direction and null-order literals
+            # (round 14) — fold into the 2-arg key space
+            d = _unquote_sql_literal(args[1])
+            n = _unquote_sql_literal(args[2])
+            if d is None or n is None:
+                return None
+            args = [args[0], f"'{d} {n}'"]
         if len(args) != 2:
             return None
         order = _unquote_sql_literal(args[1])
@@ -3865,6 +3879,133 @@ def _rewrite_misc_fns(sql: str) -> str:
             f"BIGINT), ' bytes') ELSE {out} END)"
         )
 
+    def b_millennium(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"CAST(ceil(year(({x})) / 1000.0) AS BIGINT)"
+
+    def b_century(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"CAST(ceil(year(({x})) / 100.0) AS BIGINT)"
+
+    def b_decade(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"CAST(floor(year(({x})) / 10.0) AS BIGINT)"
+
+    def b_epoch_us(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"unix_micros(CAST(({x}) AS TIMESTAMP))"
+
+    def b_epoch_ns(args):
+        # DuckDB timestamps are microsecond-precision; ns = us * 1000
+        x = one(args)
+        if x is None:
+            return None
+        return f"(unix_micros(CAST(({x}) AS TIMESTAMP)) * 1000)"
+
+    def b_julian(args):
+        # julian day number (verified live: 2024-01-01 -> 2460311.0,
+        # noon -> .5): unix epoch is JDN 2440588 at 00:00
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"(CAST(unix_micros(CAST(({x}) AS TIMESTAMP)) AS DOUBLE) "
+            f"/ 86400000000.0 + 2440588.0)"
+        )
+
+    def b_timezone(args):
+        # timezone(tz, naive_ts) interprets ts in tz — the same
+        # instant to_utc_timestamp answers (DuckDB's TIMESTAMPTZ
+        # result renders tz-aware; documented shape divergence)
+        p = two(args)
+        if p is None:
+            return None
+        tz, ts = p
+        return f"to_utc_timestamp(({ts}), ({tz}))"
+
+    def _json_scalar_quote(x: str) -> str:
+        # to_json refuses scalars — wrap in a 1-element array and
+        # strip the brackets (works for every type, arrays included)
+        arr = f"to_json(array(({x})))"
+        return f"substr({arr}, 2, length({arr}) - 2)"
+
+    def b_json_quote(args):
+        x = one(args)
+        if x is None:
+            return None
+        return _json_scalar_quote(x)
+
+    def b_json_array(args):
+        if not args:
+            return "'[]'"
+        parts = ", ".join(_json_scalar_quote(a.strip()) for a in args)
+        return f"concat('[', concat_ws(',', {parts}), ']')"
+
+    def b_constant_or_null(args):
+        # answers arg1 unless ANY later argument is NULL (verified
+        # live: constant_or_null(5, 1, NULL) is NULL)
+        if len(args) < 2:
+            return None
+        conds = " OR ".join(
+            f"({a.strip()}) IS NULL" for a in args[1:]
+        )
+        return (
+            f"(CASE WHEN {conds} THEN NULL "
+            f"ELSE ({args[0].strip()}) END)"
+        )
+
+    def _gcd_expr(a: str, b: str) -> str:
+        # bounded Euclid via a 64-step fold (BIGINT needs <= ~92
+        # steps worst case is fibonacci-bound ~ 90/ln(phi); 64 covers
+        # every int64 pair except adversarial fibonacci extremes
+        # beyond 2^44 — use 92 to be exact for the full range)
+        return (
+            f"aggregate(sequence(1, 92), "
+            f"named_struct('x', abs(CAST(({a}) AS BIGINT)), "
+            f"'y', abs(CAST(({b}) AS BIGINT))), "
+            f"(__acc, __i) -> IF(__acc.y = 0, __acc, "
+            f"named_struct('x', __acc.y, 'y', __acc.x % __acc.y))"
+            f").x"
+        )
+
+    def b_gcd(args):
+        p = two(args)
+        if p is None:
+            return None
+        return f"({_gcd_expr(p[0], p[1])})"
+
+    def b_lcm(args):
+        p = two(args)
+        if p is None:
+            return None
+        a, b = p
+        g = _gcd_expr(a, b)
+        return (
+            f"(CASE WHEN ({a}) = 0 OR ({b}) = 0 THEN 0 "
+            f"ELSE abs(CAST(({a}) AS BIGINT) * CAST(({b}) AS BIGINT))"
+            f" DIV {g} END)"
+        )
+
+    def b_encode1(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"encode(({x}), 'UTF-8')"
+
+    def b_decode1(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"decode(({x}), 'UTF-8')"
+
     def b_product(args):
         x = one(args)
         if x is None:
@@ -4153,6 +4294,23 @@ def _rewrite_misc_fns(sql: str) -> str:
         "list_concat": b_list_concat,
         "array_cat": b_list_concat,
         "xor": b_xor,
+        "millennium": b_millennium,
+        "century": b_century,
+        "decade": b_decade,
+        "epoch_us": b_epoch_us,
+        "epoch_ns": b_epoch_ns,
+        "julian": b_julian,
+        "timezone": b_timezone,
+        "json_quote": b_json_quote,
+        "json_array": b_json_array,
+        "json_transform": b_from_json,
+        "constant_or_null": b_constant_or_null,
+        "gcd": b_gcd,
+        "greatest_common_divisor": b_gcd,
+        "lcm": b_lcm,
+        "least_common_multiple": b_lcm,
+        "encode": b_encode1,
+        "decode": b_decode1,
         "regexp_full_match": b_regexp_full_match,
         "regexp_split_to_table": b_regexp_split_to_table,
         "regexp_escape": b_regexp_escape,
@@ -5958,11 +6116,12 @@ _DUCK_ELEM_TYPES = {
     # documented divergence; DuckDB itself errors out-of-range)
     "utinyint": "SMALLINT", "usmallint": "INT", "uinteger": "BIGINT",
     "ubigint": "DECIMAL(20,0)", "uhugeint": "DECIMAL(38,0)",
+    "blob": "BINARY", "bytea": "BINARY", "varbinary": "BINARY",
 }
 
 _UNSIGNED_CAST_RE = re.compile(
     r"(::\s*|\bAS\s+)(UTINYINT|USMALLINT|UINTEGER|UBIGINT|HUGEINT|"
-    r"UHUGEINT)\b",
+    r"UHUGEINT|BLOB|BYTEA|VARBINARY)\b",
     re.IGNORECASE,
 )
 

@@ -2708,3 +2708,38 @@ def test_round14_probe_followups(eng):
     ]:
         with pytest.raises(NotImplementedError, match=pat):
             eng.sql(frag)
+
+
+def test_round14_probe_batch2(eng):
+    """Round 14 third sweep: date-part family (millennium/century/
+    decade/julian/epoch_us/epoch_ns), JSON scalars (json_quote/
+    json_array/json_transform), gcd/lcm via a bounded Euclid fold,
+    BLOB casts, 3-arg list_sort, constant_or_null — all pinned
+    live."""
+    _both(eng, "SELECT millennium(DATE '2000-01-01') AS a, "
+               "century(DATE '2024-01-01') AS b, decade(DATE '2024-01-01') AS c")
+    _both(eng, "SELECT julian(DATE '2024-01-01') AS a, "
+               "julian(TIMESTAMP '2024-01-01 12:00:00') AS b")
+    _both(eng, "SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:01.5') AS a, "
+               "epoch_ns(TIMESTAMP '2024-01-01 00:00:01') AS b")
+    _both(eng, "SELECT json_quote(5) AS a, json_quote([1,2]) AS b, "
+               "json_quote('x') AS c")
+    _both(eng, "SELECT json_array(1, NULL) AS a, json_array('a', 2) AS b")
+    _both(eng, "SELECT gcd(12, 18) AS a, gcd(0, 0) AS b, gcd(-12, 18) AS c, "
+               "lcm(0, 5) AS d, lcm(-4, 6) AS e")
+    # adversarial gcd: large coprime + fibonacci-adjacent pairs (the
+    # worst case for Euclid step counts)
+    _both(eng, "SELECT gcd(7540113804746346429, 4660046610375530309) AS a, "
+               "gcd(987654321987654312, 123456789123456789) AS b")
+    _both(eng, "SELECT decode(encode('abc')) AS d")
+    _both(eng, "SELECT to_hex(255) AS a, base64('abc'::BLOB) AS b, "
+               "octet_length('abc'::BLOB) AS c")
+    _both(eng, "SELECT list_sort([3,1,NULL], 'ASC', 'NULLS FIRST') AS a, "
+               "list_sort([3,1,NULL], 'DESC', 'NULLS FIRST') AS b")
+    _both(eng, "SELECT constant_or_null(5, 1) AS a, "
+               "constant_or_null(5, 1, NULL) AS b")
+    _both(eng, "SELECT datesub('month', DATE '2024-01-15', DATE '2024-03-10') AS a")
+    r = eng.sql(
+        'SELECT json_transform(\'{"a": 5}\', \'{"a": "VARCHAR"}\') AS jt'
+    ).collect()[0][0]
+    assert r.asDict() == {"a": "5"}

@@ -339,6 +339,33 @@ SELECT printf('%d-%s', 7, 'x') AS p
 SELECT cbrt(27) AS c, degrees(pi()) AS d, radians(180.0) AS r
 SELECT round(2.567, 2) AS r3, ceiling(2.1) AS c
 SELECT DATE '2024-01-31' + 1 AS d
+SELECT millennium(DATE '2000-01-01') AS a, millennium(DATE '2001-01-01') AS b, century(DATE '2024-01-01') AS c, decade(DATE '2024-01-01') AS d
+SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:01.5') AS a, epoch_ns(TIMESTAMP '2024-01-01 00:00:01') AS b
+SELECT julian(DATE '2024-01-01') AS a, julian(TIMESTAMP '2024-01-01 12:00:00') AS b
+SELECT json_quote(5) AS a, json_quote([1,2]) AS b, json_quote('x') AS c
+SELECT json_array(1, NULL) AS a, json_array('a', 2) AS b
+SELECT constant_or_null(5, 1) AS a, constant_or_null(5, NULL) AS b, constant_or_null(5, 1, NULL) AS c
+SELECT gcd(12, 18) AS a, gcd(0, 0) AS b, gcd(-12, 18) AS c, lcm(0, 5) AS d, lcm(-4, 6) AS e
+SELECT least_common_multiple(4, 6) AS a, greatest_common_divisor(12, 18) AS b
+SELECT decode(encode('abc')) AS d
+SELECT to_hex(255) AS a, to_hex(0) AS b
+SELECT base64('abc'::BLOB) AS a, octet_length('abc'::BLOB) AS b
+SELECT list_sort([3,1,NULL], 'ASC', 'NULLS FIRST') AS a, list_sort([3,1,NULL], 'DESC', 'NULLS FIRST') AS b
+SELECT list_pack(1, 2) AS a
+SELECT datesub('month', DATE '2024-01-15', DATE '2024-03-10') AS a
+SELECT timezone('America/New_York', TIMESTAMP '2024-01-01 10:00:00') AS tz -- novalue
+SELECT reservoir_quantile(v, 0.5) AS rq FROM t -- novalue
+SELECT [x + 1 FOR x IN [1,2,3] IF x > 1] AS lc
+SELECT flatten([[1,2],[3]]) AS f
+SELECT list_has_all([1,2,3], [2,3]) AS a, list_has_any([1,2], [3]) AS b
+SELECT list_select([10,20,30], [1,3]) AS ls, list_where([10,20,30], [true,false,true]) AS lw
+SELECT make_date(2024, 2, 29) AS md
+SELECT dayofyear(DATE '2024-02-01') AS dy, weekofyear(DATE '2024-01-04') AS wy, quarter(DATE '2024-05-05') AS q
+SELECT dayofmonth(DATE '2024-03-05') AS dm
+SELECT 1 AS a EXCEPT ALL SELECT 1 AS a
+SELECT t1.id FROM t t1 NATURAL JOIN t t2 ORDER BY t1.id
+SELECT count_if(v > 15) AS ci FROM t
+SELECT contains('hello', 'll') AS c, contains([1,2], 2) AS lc
 """
 
 

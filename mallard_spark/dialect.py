@@ -4621,7 +4621,38 @@ def _rewrite_any_all(sql: str) -> str:
             elif op in ("<>", "!=") and quant == "ALL":
                 repl = f"{left} NOT IN ({arg})"
             else:
-                return sql  # no Spark equivalent — surface its error
+                # exact three-valued quantifiers (round 14), spelled
+                # with EXISTS probes so a correlated left side stays
+                # legal (Spark forbids outer references inside
+                # aggregate functions, but allows them in EXISTS
+                # predicates). ALL: FALSE if any comparison is false,
+                # NULL if none false but some NULL, TRUE otherwise
+                # (empty included); ANY mirrors with true/false
+                # swapped.
+                any_false = (
+                    f"EXISTS(SELECT 1 FROM ({arg}) AS __mqt(__mqv) "
+                    f"WHERE NOT(({left}) {op} __mqv))"
+                )
+                any_null = (
+                    f"EXISTS(SELECT 1 FROM ({arg}) AS __mqt(__mqv) "
+                    f"WHERE (({left}) {op} __mqv) IS NULL)"
+                )
+                any_true = (
+                    f"EXISTS(SELECT 1 FROM ({arg}) AS __mqt(__mqv) "
+                    f"WHERE ({left}) {op} __mqv)"
+                )
+                if quant == "ALL":
+                    repl = (
+                        f"(CASE WHEN {any_false} THEN false "
+                        f"WHEN {any_null} THEN CAST(NULL AS BOOLEAN) "
+                        f"ELSE true END)"
+                    )
+                else:
+                    repl = (
+                        f"(CASE WHEN {any_true} THEN true "
+                        f"WHEN {any_null} THEN CAST(NULL AS BOOLEAN) "
+                        f"ELSE false END)"
+                    )
         else:
             fn = "forall" if quant == "ALL" else "exists"
             repl = f"{fn}(({arg}), __q -> ({left}) {op} __q)"
@@ -6236,6 +6267,54 @@ def _rewrite_array_type_suffix(sql: str) -> str:
     return "".join(out)
 
 
+_COUNT_EMPTY_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+
+
+def _rewrite_count_empty(sql: str) -> str:
+    """DuckDB's zero-arg ``count()`` counts rows like ``count(*)``
+    (round 14, verified live); Spark requires an argument — never
+    valid Spark, unconditional."""
+    mask = _code_mask(sql)
+    out, last = [], 0
+    for m in _COUNT_EMPTY_RE.finditer(sql):
+        if not all(
+            mask[k] for k in range(m.start(), m.start() + 5)
+        ):
+            continue
+        out.append(sql[last : m.start()])
+        out.append("count(*)")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_DATE_OPERAND = (
+    r"(?:DATE\s*'[^']*'|CAST\s*\([^()]*\bAS\s+DATE\s*\))"
+)
+_DATE_MINUS_RE = re.compile(
+    rf"(?P<a>{_DATE_OPERAND})\s*-\s*(?P<b>{_DATE_OPERAND})",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_date_minus_date(sql: str) -> str:
+    """FIRED-ONLY: DuckDB's DATE - DATE answers INTEGER days
+    (verified live: 7); Spark answers an INTERVAL. Only spellings
+    where BOTH operands are provably dates (DATE literals / explicit
+    DATE casts) rewrite — a token pass cannot type bare columns, and
+    column-level date arithmetic stays a documented divergence."""
+    mask = _code_mask(sql)
+    out, last = [], 0
+    for m in _DATE_MINUS_RE.finditer(sql):
+        if not mask[m.start()]:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(f"datediff({m.group('a')}, {m.group('b')})")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 _LENGTH_RE = re.compile(r"\blength(?=\s*\()", re.IGNORECASE)
 
 
@@ -6332,6 +6411,7 @@ def duckdb_to_spark(
     out = _rewrite_pg_operators(out)
     out = _rewrite_postfix_factorial(out)
     out = _rewrite_offset_before_limit(out)
+    out = _rewrite_count_empty(out)
     out = _rewrite_extract_fields(out)
     out = _rewrite_interval_text_casts(out)
     out = _rewrite_struct_type_syntax(out)
@@ -6417,6 +6497,8 @@ def duckdb_to_spark(
         # (round 14, VERDICT r13 what's-wrong #1 — was a documented
         # divergence through r13)
         out = _rewrite_order_nulls_last(out)
+        # ...and INTEGER-days DATE - DATE for provably-date operands
+        out = _rewrite_date_minus_date(out)
         if not substr_done:
             # substr/substring start≤0 / negative-length semantics
             # (round 14) must apply to the USER'S calls only — the

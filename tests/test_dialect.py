@@ -2743,3 +2743,26 @@ def test_round14_probe_batch2(eng):
         'SELECT json_transform(\'{"a": 5}\', \'{"a": "VARCHAR"}\') AS jt'
     ).collect()[0][0]
     assert r.asDict() == {"a": "5"}
+
+
+def test_quantified_subqueries_exact(eng):
+    """Round 14: op ANY/ALL over subqueries with exact three-valued
+    semantics via EXISTS probes (correlation-safe — Spark forbids
+    outer references in aggregates but not in EXISTS predicates)."""
+    _both(eng, "SELECT 50 >= ALL (SELECT v FROM dt) AS a, "
+               "5 > ANY (SELECT v FROM dt) AS b")
+    _both(eng, "SELECT 3 = ALL (SELECT id FROM dt WHERE false) AS a")
+    _both(eng, "SELECT 3 = ALL (SELECT CASE WHEN id = 2 THEN NULL "
+               "ELSE 3 END FROM dt WHERE id <= 2) AS a")
+    _both(eng, "SELECT id FROM dt WHERE v > ALL (SELECT v FROM dt "
+               "WHERE g = CHR(97)) ORDER BY id")
+    _both(eng, "SELECT id, v >= ALL (SELECT v FROM dt d2 WHERE "
+               "d2.g = dt.g) AS top FROM dt ORDER BY id")
+
+
+def test_count_empty_and_date_minus_date(eng):
+    """Round 14: zero-arg count() counts rows; DATE - DATE answers
+    INTEGER days for provably-date operands in fired statements."""
+    _both(eng, "SELECT g, count() AS c FROM dt GROUP BY g ORDER BY g")
+    _both(eng, "SELECT DATE '2024-01-01' - DATE '2023-12-25' AS d, 1 // 1 AS m")
+    _both(eng, "SELECT CAST('2024-02-01' AS DATE) - DATE '2024-01-01' AS d, 1 // 1 AS m")

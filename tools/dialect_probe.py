@@ -366,6 +366,22 @@ SELECT 1 AS a EXCEPT ALL SELECT 1 AS a
 SELECT t1.id FROM t t1 NATURAL JOIN t t2 ORDER BY t1.id
 SELECT count_if(v > 15) AS ci FROM t
 SELECT contains('hello', 'll') AS c, contains([1,2], 2) AS lc
+SELECT g, count() AS c FROM t GROUP BY g ORDER BY g
+SELECT DATE '2024-01-01' - DATE '2023-12-25' AS d, 1 // 1 AS m
+SELECT 3 = ALL (SELECT id FROM t WHERE id >= 3) AS a
+SELECT 9 >= ALL (SELECT id FROM t) AS a, 0 > ANY (SELECT id FROM t) AS b
+SELECT 3 = ALL (SELECT id FROM t WHERE false) AS a, 3 > ANY (SELECT id FROM t WHERE false) AS b
+SELECT 3 = ALL (SELECT CASE WHEN id = 2 THEN NULL ELSE 3 END FROM t) AS a
+SELECT id FROM t WHERE v > ALL (SELECT v FROM t WHERE g = CHR(97)) ORDER BY id
+SELECT id, v >= ALL (SELECT v FROM t t2 WHERE t2.g = t.g) AS top FROM t ORDER BY id
+SELECT id, nth_value(v, 2) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n FROM t ORDER BY id
+SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p, percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS q FROM t
+SELECT mode() WITHIN GROUP (ORDER BY g) AS m FROM t
+WITH RECURSIVE f(n, x) AS (SELECT 1, 1 UNION ALL SELECT n+1, x*(n+1) FROM f WHERE n < 5) SELECT max(x) AS r FROM f
+SELECT (SELECT count(*) FROM t t2 WHERE t2.v > t.v) AS cnt FROM t ORDER BY cnt
+SELECT age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-01-10') AS a
+SELECT TIMESTAMP '2024-01-02 03:00:00' - TIMESTAMP '2024-01-01 00:00:00' AS tdiff
+SELECT arr::VARCHAR AS sa FROM t ORDER BY id
 """
 
 

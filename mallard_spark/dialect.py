@@ -1038,7 +1038,6 @@ def _split_top_level_commas(s: str) -> list[str]:
 # epoch_ms is type-overloaded and goes through the variant ladder
 # instead (_replace_epoch_ms).
 _FUNC_RENAMES = {
-    "list_distinct": "array_distinct",
     "list_reverse": "reverse",
     "list_contains": "array_contains",
     "list_min": "array_min",
@@ -3050,7 +3049,7 @@ def _rewrite_div_zero_guards(sql: str) -> str:
 _STAT_SEMANTICS_RE = re.compile(
     r"\b(kurtosis_pop|kurtosis|skewness|dayofweek|date_part|datepart"
     r"|dayname|monthname|log|left|right|regexp_replace|mod"
-    r"|trim|ltrim|rtrim|regexp_extract)\s*\(",
+    r"|trim|ltrim|rtrim|regexp_extract|array_distinct)\s*\(",
     re.IGNORECASE,
 )
 
@@ -3393,6 +3392,16 @@ def _rewrite_stat_semantics(sql: str, raw_doubled: bool = False) -> str:
             return _first_only_regexp_replace(
                 parts[0].strip(), parts[1].strip(), parts[2].strip(),
                 raw_doubled=raw_doubled,
+            )
+        if name == "array_distinct":
+            # DuckDB's array_distinct drops NULL elements where
+            # Spark keeps one — fired-only (shared name); the
+            # emission contains array_distinct again but
+            # _one_pass_calls never rescans emissions, and
+            # re-wrapping would be idempotent anyway
+            return (
+                f"array_distinct(filter(({a}), "
+                f"__x -> __x IS NOT NULL))"
             )
         if name == "regexp_extract":
             # DuckDB's 2-arg default is group 0 (the whole match);
@@ -3879,6 +3888,18 @@ def _rewrite_misc_fns(sql: str) -> str:
             f"BIGINT), ' bytes') ELSE {out} END)"
         )
 
+    def b_list_distinct(args):
+        # DuckDB list_distinct DROPS NULL elements (verified live:
+        # [1,1,NULL,2] -> [2,1]); element ORDER is hash-set order on
+        # DuckDB and first-occurrence here — order-insensitive by
+        # contract on both engines
+        l = one(args)
+        if l is None:
+            return None
+        return (
+            f"array_distinct(filter(({l}), __x -> __x IS NOT NULL))"
+        )
+
     def b_millennium(args):
         x = one(args)
         if x is None:
@@ -4294,6 +4315,7 @@ def _rewrite_misc_fns(sql: str) -> str:
         "list_concat": b_list_concat,
         "array_cat": b_list_concat,
         "xor": b_xor,
+        "list_distinct": b_list_distinct,
         "millennium": b_millennium,
         "century": b_century,
         "decade": b_decade,
@@ -6562,7 +6584,7 @@ def duckdb_to_spark(
     return out
 
 
-def translate_expression(fragment: str) -> str:
+def translate_expression(fragment: str, force_fired: bool = False) -> str:
     """Expression-level entry for the translator (round 6): DML and
     MERGE fragments (SET right-hand sides, WHERE predicates, guards,
     INSERT value expressions) are not statements, so the engine wraps
@@ -6571,9 +6593,18 @@ def translate_expression(fragment: str) -> str:
     cannot fire without a FROM, so the wrapper round-trips exactly.
     Returns the fragment unchanged when nothing applies; ``//`` takes
     its lexical default (DIV unless an operand looks float) — the
-    full analyzer variant ladder needs a complete statement."""
+    full analyzer variant ladder needs a complete statement.
+
+    ``force_fired`` (round 14) applies the shared-name value mappings
+    and the raw-literal reading unconditionally — the wire DML path
+    (ticket fragments are DuckDB SQL by definition) passes True."""
     wrapped = f"SELECT {fragment}"
-    out = duckdb_to_spark(wrapped)
+    src = _double_backslashes_raw(wrapped) if force_fired else wrapped
+    out = duckdb_to_spark(
+        src,
+        force_fired=force_fired,
+        raw_doubled=force_fired and src != wrapped,
+    )
     if out == wrapped:
         return fragment
     if out.upper().startswith("SELECT "):

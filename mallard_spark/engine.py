@@ -8012,6 +8012,24 @@ class MallardEngine:
         """
         from pyspark.sql import functions as F
 
+        if _WIRE_DUCKDB.get():
+            # wire DML fragments are DuckDB SQL by definition
+            # (round 14 — same contract as query tickets): the
+            # force-fired translation runs FIRST; if it analyzes
+            # against the target relation it wins, else the normal
+            # fired-only ladder below is the fallback
+            from mallard_spark.dialect import translate_expression
+
+            t = translate_expression(fragment, force_fired=True)
+            if t != fragment:
+                if probe is None:
+                    return F.expr(t)
+                try:
+                    probe.select(F.expr(t)).columns
+                    return F.expr(t)
+                except Exception:
+                    pass
+
         def _is_parse_error(e: Exception) -> bool:
             try:
                 from pyspark.errors import ParseException

@@ -684,3 +684,32 @@ def test_wire_duckdb_semantics_can_be_disabled(servers):
         flight.Ticket(b"SELECT log(100) AS v")
     ).read_all().to_pylist()
     assert got[0]["v"] == 2.0  # log10 — DuckDB semantics
+
+
+def test_wire_dml_duckdb_semantics(servers):
+    """Round 14: DML ticket FRAGMENTS (SET expressions, predicates)
+    are DuckDB SQL too — shared-name functions and raw string
+    literals get DuckDB values over the wire, while library DML
+    keeps the fired-only ladder."""
+    s1, _ = servers
+    client = _client(s1)
+    client.do_get(flight.Ticket(
+        b"CREATE TABLE wdml (id INTEGER, x DOUBLE); "
+        b"INSERT INTO wdml VALUES (1, 1.0), (2, 2.0); SELECT 1 AS ok"
+    )).read_all()
+    client.do_get(flight.Ticket(
+        b"UPDATE wdml SET x = log(100) WHERE id = 1"
+    )).read_all()
+    got = client.do_get(flight.Ticket(
+        b"SELECT x FROM wdml WHERE id = 1"
+    )).read_all().to_pylist()
+    assert got == [{"x": 2.0}]  # log10, not ln
+    client.do_get(flight.Ticket(
+        "UPDATE wdml SET x = 9.0 WHERE regexp_matches("
+        "CAST(id AS VARCHAR), '\\d')".encode()
+    )).read_all()
+    got = client.do_get(flight.Ticket(
+        b"SELECT sum(x) AS s FROM wdml"
+    )).read_all().to_pylist()
+    assert got == [{"s": 18.0}]  # raw '\d' matched both rows
+    client.do_get(flight.Ticket(b"DROP TABLE wdml")).read_all()

@@ -1726,7 +1726,9 @@ def _replace_strftime(sql: str) -> str:
     )
 
 
-_STRING_AGG_RE = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+_STRING_AGG_RE = re.compile(
+    r"\b(?:string_agg|group_concat|listagg)\s*\(", re.IGNORECASE
+)
 
 
 def _rewrite_ordered_string_agg(sql: str) -> str:
@@ -1876,7 +1878,7 @@ def _rewrite_ordered_first_last(sql: str) -> str:
     comparison) or an ordered-collect pick for mixed directions.
     Plain first/last (no in-call ORDER BY) is native Spark and
     untouched."""
-    for fn in ("first", "last"):
+    for fn in ("first", "last", "any_value", "arbitrary"):
         def build(args: list[str], fn=fn) -> str | None:
             # ONE expression arg; ORDER BY keys may contain top-level
             # commas the arg-splitter cut — rejoin before splitting
@@ -1889,6 +1891,17 @@ def _rewrite_ordered_first_last(sql: str) -> str:
             keys = _parse_order_keys(order)
             if keys is None:
                 return None
+            if fn == "any_value":
+                # ordered any_value picks the first NON-NULL value in
+                # order (verified live — NULL rows are skipped, unlike
+                # arbitrary/first which answer them)
+                return (
+                    f"try_element_at(filter("
+                    f"{_sorted_collect(x, keys)}, "
+                    f"__e -> __e IS NOT NULL), 1)"
+                )
+            if fn == "arbitrary":
+                fn = "first"
             dirs = {d for _, d, _ in keys}
             nfs = {nf for _, _, nf in keys}
             # min_by/max_by SKIP rows whose ordering key is NULL, so
@@ -3049,7 +3062,8 @@ def _rewrite_div_zero_guards(sql: str) -> str:
 _STAT_SEMANTICS_RE = re.compile(
     r"\b(kurtosis_pop|kurtosis|skewness|dayofweek|date_part|datepart"
     r"|dayname|monthname|log|left|right|regexp_replace|mod"
-    r"|trim|ltrim|rtrim|regexp_extract|array_distinct)\s*\(",
+    r"|trim|ltrim|rtrim|regexp_extract|array_distinct"
+    r"|string_agg|listagg|chr)\s*\(",
     re.IGNORECASE,
 )
 
@@ -3139,6 +3153,154 @@ def _rewrite_order_nulls_last(sql: str) -> str:
         if not changed:
             return sql
     return sql
+
+
+_AS_DQUOTE_RE = re.compile(r'\bAS\s+"((?:[^"]|"")+)"', re.IGNORECASE)
+
+
+def _rewrite_as_dquote_alias(sql: str) -> str:
+    """``AS "alias"`` → ``AS `alias``` UNCONDITIONALLY: a
+    double-quoted token in alias position is a Spark parse error
+    (strings cannot alias), so the identifier reading is the only
+    meaning (round 14). Expression-position double quotes stay
+    Spark strings unless the statement fires (see
+    :func:`_rewrite_dquote_identifiers`)."""
+    mask = _code_mask(sql)
+    out, last = [], 0
+    for m in _AS_DQUOTE_RE.finditer(sql):
+        if not all(mask[k] for k in range(m.start(), m.start() + 2)):
+            continue
+        ident = m.group(1).replace('""', '"')
+        if "`" in ident:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(f"AS `{ident}`")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _rewrite_dquote_identifiers(sql: str) -> str:
+    """FIRED-ONLY: DuckDB reads double-quoted tokens as IDENTIFIERS
+    everywhere (``SELECT "x"``, ``AS "v 2"`` — verified live, with
+    ``""`` as the embedded-quote escape); Spark's lexer reads them as
+    STRING literals (and rejects them in alias position). In a
+    statement that demonstrably speaks DuckDB, convert every
+    double-quoted region to a backtick identifier (round 14 — the
+    alias form was a raw ParseException, the expression form a
+    silent string-vs-column divergence)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j + 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i)
+            j = n if j < 0 else j + 2
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "`":
+            j = sql.find("`", i + 1)
+            j = n if j < 0 else j + 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == '"':
+            j = i + 1
+            body = []
+            closed = False
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        body.append('"')
+                        j += 2
+                        continue
+                    j += 1
+                    closed = True
+                    break
+                body.append(sql[j])
+                j += 1
+            ident = "".join(body)
+            if closed and ident and "`" not in ident:
+                out.append(f"`{ident}`")
+            else:
+                out.append(sql[i:j])
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _chr_unicode_expr(a: str) -> str:
+    """DuckDB chr(): the UNICODE character for any code point —
+    Spark's chr truncates above 255 (chr(9731) → \\x03, verified
+    live). Build the UTF-8 bytes explicitly for the high ranges."""
+    b2 = (
+        f"concat(lpad(hex(192 + (({a}) DIV 64)), 2, '0'), "
+        f"lpad(hex(128 + (({a}) % 64)), 2, '0'))"
+    )
+    b3 = (
+        f"concat(lpad(hex(224 + (({a}) DIV 4096)), 2, '0'), "
+        f"lpad(hex(128 + ((({a}) DIV 64) % 64)), 2, '0'), "
+        f"lpad(hex(128 + (({a}) % 64)), 2, '0'))"
+    )
+    b4 = (
+        f"concat(lpad(hex(240 + (({a}) DIV 262144)), 2, '0'), "
+        f"lpad(hex(128 + ((({a}) DIV 4096) % 64)), 2, '0'), "
+        f"lpad(hex(128 + ((({a}) DIV 64) % 64)), 2, '0'), "
+        f"lpad(hex(128 + (({a}) % 64)), 2, '0'))"
+    )
+    return (
+        f"(CASE WHEN ({a}) < 128 THEN chr(({a})) "
+        f"WHEN ({a}) < 2048 THEN decode(unhex({b2}), 'UTF-8') "
+        f"WHEN ({a}) < 65536 THEN decode(unhex({b3}), 'UTF-8') "
+        f"ELSE decode(unhex({b4}), 'UTF-8') END)"
+    )
+
+
+_CHR_CALL_RE = re.compile(r"\bchr\s*\(", re.IGNORECASE)
+
+
+def rewrite_chr_high_literals(sql: str) -> str:
+    """Pre-vanilla rewrite (engine, round 14): ``chr(<int literal
+    above 255>)`` is never MEANINGFUL Spark — it silently answers
+    chr(n % 256) — while DuckDB answers the Unicode character. Same
+    soundness class as the groupless regexp_extract pre-route: only
+    int literals above 255 rewrite, so no working Spark query can
+    change value (nobody spells chr(9731) to mean \\x03)."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        if not re.fullmatch(r"\d+", a) or int(a) < 256:
+            return None
+        return _chr_unicode_expr(a)
+
+    return _rewrite_calls(sql, _CHR_CALL_RE, build)
 
 
 _SUBSTR_RE = re.compile(r"\b(substring|substr)\s*\(", re.IGNORECASE)
@@ -3393,6 +3555,20 @@ def _rewrite_stat_semantics(sql: str, raw_doubled: bool = False) -> str:
                 parts[0].strip(), parts[1].strip(), parts[2].strip(),
                 raw_doubled=raw_doubled,
             )
+        if name in ("string_agg", "listagg"):
+            # DuckDB's 1-arg default separator is ',' (verified
+            # live); Spark 4's string_agg/listagg default is ''
+            parts = _split_top_level_commas(args)
+            if len(parts) != 1 or _split_inline_order(a) is not None:
+                return None  # 2-arg and ordered forms agree/are handled
+            return f"string_agg(({a}), ',')"
+        if name == "chr":
+            # Spark chr truncates code points above 255 (chr(9731) →
+            # \x03, verified); DuckDB answers the Unicode character.
+            # Small literal code points stay native (identical).
+            if re.fullmatch(r"\d+", a) and int(a) < 256:
+                return None
+            return _chr_unicode_expr(a)
         if name == "array_distinct":
             # DuckDB's array_distinct drops NULL elements where
             # Spark keeps one — fired-only (shared name); the
@@ -3888,6 +4064,70 @@ def _rewrite_misc_fns(sql: str) -> str:
             f"BIGINT), ' bytes') ELSE {out} END)"
         )
 
+    def b_sem(args):
+        # standard error of the mean — POPULATION stddev over sqrt(n)
+        # (verified live: 4.6562 = stddev_pop/sqrt(3))
+        x = one(args)
+        if x is None:
+            return None
+        return f"(stddev_pop(({x})) / sqrt(count(({x}))))"
+
+    def _md5_half(x: str, lo: bool) -> str:
+        # DuckDB md5_number_lower/upper: the LAST/FIRST 8 digest
+        # bytes read LITTLE-ENDIAN (verified against md5('abc')) —
+        # reverse the hex byte pairs, then parse base-16
+        start = 17 if lo else 1
+        pairs = ", ".join(
+            f"substr(md5(({x})), {start + 2 * k}, 2)"
+            for k in range(7, -1, -1)
+        )
+        return (
+            f"CAST(conv(concat({pairs}), 16, 10) AS DECIMAL(20,0))"
+        )
+
+    def b_md5_lower(args):
+        x = one(args)
+        if x is None:
+            return None
+        return _md5_half(x, True)
+
+    def b_md5_upper(args):
+        x = one(args)
+        if x is None:
+            return None
+        return _md5_half(x, False)
+
+    def b_group_concat(args):
+        # not a Spark name; DuckDB's default separator is ','
+        # (ordered forms route through the string_agg rewrite)
+        if len(args) == 1:
+            return f"string_agg(({args[0].strip()}), ',')"
+        if len(args) == 2:
+            return (
+                f"string_agg(({args[0].strip()}), "
+                f"({args[1].strip()}))"
+            )
+        return None
+
+    def _like_escape(args, op: str, neg: bool):
+        if len(args) != 3:
+            return None
+        s, pat, esc = (x.strip() for x in args)
+        core = f"(({s}) {op} ({pat}) ESCAPE {esc})"
+        return f"(NOT {core})" if neg else core
+
+    def b_like_escape(args):
+        return _like_escape(args, "LIKE", False)
+
+    def b_not_like_escape(args):
+        return _like_escape(args, "LIKE", True)
+
+    def b_ilike_escape(args):
+        return _like_escape(args, "ILIKE", False)
+
+    def b_not_ilike_escape(args):
+        return _like_escape(args, "ILIKE", True)
+
     def b_list_distinct(args):
         # DuckDB list_distinct DROPS NULL elements (verified live:
         # [1,1,NULL,2] -> [2,1]); element ORDER is hash-set order on
@@ -4316,6 +4556,14 @@ def _rewrite_misc_fns(sql: str) -> str:
         "array_cat": b_list_concat,
         "xor": b_xor,
         "list_distinct": b_list_distinct,
+        "sem": b_sem,
+        "md5_number_lower": b_md5_lower,
+        "md5_number_upper": b_md5_upper,
+        "group_concat": b_group_concat,
+        "like_escape": b_like_escape,
+        "not_like_escape": b_not_like_escape,
+        "ilike_escape": b_ilike_escape,
+        "not_ilike_escape": b_not_ilike_escape,
         "millennium": b_millennium,
         "century": b_century,
         "decade": b_decade,
@@ -6170,11 +6418,15 @@ _DUCK_ELEM_TYPES = {
     "utinyint": "SMALLINT", "usmallint": "INT", "uinteger": "BIGINT",
     "ubigint": "DECIMAL(20,0)", "uhugeint": "DECIMAL(38,0)",
     "blob": "BINARY", "bytea": "BINARY", "varbinary": "BINARY",
+    # DuckDB's bare NUMERIC/DECIMAL default (verified live);
+    # Spark's bare DECIMAL is (10,0)
+    "numeric": "DECIMAL(18,3)", "decimal": "DECIMAL(18,3)",
 }
 
 _UNSIGNED_CAST_RE = re.compile(
     r"(::\s*|\bAS\s+)(UTINYINT|USMALLINT|UINTEGER|UBIGINT|HUGEINT|"
-    r"UHUGEINT|BLOB|BYTEA|VARBINARY)\b",
+    r"UHUGEINT|BLOB|BYTEA|VARBINARY|NUMERIC(?!\s*\()|"
+    r"DECIMAL(?!\s*\())\b",
     re.IGNORECASE,
 )
 
@@ -6433,6 +6685,7 @@ def duckdb_to_spark(
     out = _rewrite_pg_operators(out)
     out = _rewrite_postfix_factorial(out)
     out = _rewrite_offset_before_limit(out)
+    out = _rewrite_as_dquote_alias(out)
     out = _rewrite_count_empty(out)
     out = _rewrite_extract_fields(out)
     out = _rewrite_interval_text_casts(out)
@@ -6521,6 +6774,9 @@ def duckdb_to_spark(
         out = _rewrite_order_nulls_last(out)
         # ...and INTEGER-days DATE - DATE for provably-date operands
         out = _rewrite_date_minus_date(out)
+        # ...and double-quoted tokens as IDENTIFIERS (DuckDB's
+        # reading; Spark lexes them as strings)
+        out = _rewrite_dquote_identifiers(out)
         if not substr_done:
             # substr/substring start≤0 / negative-length semantics
             # (round 14) must apply to the USER'S calls only — the

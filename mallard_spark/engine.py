@@ -3239,10 +3239,17 @@ class MallardEngine:
         # group-0 default up front
         from mallard_spark.dialect import (
             _rewrite_interval_text_casts,
+            rewrite_chr_high_literals,
             rewrite_groupless_regexp_extract_all,
         )
 
         out = rewrite_groupless_regexp_extract_all(out)
+        if "chr" in out.lower():
+            # chr(<literal> > 255) silently answers chr(n % 256) on
+            # Spark where DuckDB answers the Unicode character —
+            # never meaningful Spark, rewritten pre-vanilla
+            # (round 14)
+            out = rewrite_chr_high_literals(out)
         if "INTERVAL" in out.upper():
             # interval TEXT casts run pre-vanilla (round 14): Spark
             # parses CAST('2 hours' AS INTERVAL) to the LEGACY
@@ -3584,6 +3591,15 @@ class MallardEngine:
                  "txid_current() is not supported: this engine's "
                  "transactions are session-scoped (BEGIN/COMMIT/"
                  "ROLLBACK work; there is no global xid counter)"),
+                (r"(?i)\b(damerau_levenshtein|jaro_similarity|"
+                 r"jaro_winkler_similarity)\s*\(",
+                 "this string-similarity function has no Spark "
+                 "equivalent: levenshtein() is built in; for "
+                 "jaro/damerau use a Pandas UDF"),
+                (r"(?i)\bmd5_number\s*\(",
+                 "md5_number returns a 128-bit HUGEINT that exceeds "
+                 "Spark's DECIMAL(38) range: use md5_number_lower/"
+                 "md5_number_upper (mapped) or md5() text"),
                 # only the `b` prefix is code-level (the '1010' body
                 # is a masked literal), so the lookahead keeps the
                 # matched span checkable

@@ -2766,3 +2766,34 @@ def test_count_empty_and_date_minus_date(eng):
     _both(eng, "SELECT g, count() AS c FROM dt GROUP BY g ORDER BY g")
     _both(eng, "SELECT DATE '2024-01-01' - DATE '2023-12-25' AS d, 1 // 1 AS m")
     _both(eng, "SELECT CAST('2024-02-01' AS DATE) - DATE '2024-01-01' AS d, 1 // 1 AS m")
+
+
+def test_round14_probe_batch4(eng):
+    """Round 14 fourth sweep: double-quoted identifiers, 1-arg
+    string_agg family defaults, Unicode chr, sem, md5_number halves,
+    like_escape family, ordered any_value/arbitrary, NUMERIC
+    defaults — all pinned live."""
+    _both(eng, 'SELECT dt.v AS "v2" FROM dt ORDER BY id')
+    _both(eng, 'SELECT 42 AS "the answer", v AS "a""b" FROM dt ORDER BY id')
+    _both(eng, 'SELECT "v" + 1 AS w, 1 // 1 AS m FROM dt ORDER BY id')
+    _both(eng, "SELECT chr(9731) AS a, chr(128512) AS d")
+    _both(eng, "SELECT chr(id + 9730) AS a, 1 // 1 AS m FROM dt ORDER BY id")
+    _both(eng, "SELECT string_agg(g) AS sa, 1 // 1 AS m FROM dt")
+    _both(eng, "SELECT group_concat(g) AS gc, group_concat(g, '|') AS g2 FROM dt")
+    _both(eng, "SELECT group_concat(g, '+' ORDER BY id DESC) AS g3 FROM dt")
+    _both(eng, "SELECT sem(v) AS s FROM dt")
+    _both(eng, "SELECT CAST(md5_number_lower('abc') AS VARCHAR) AS lo, "
+               "CAST(md5_number_upper('abc') AS VARCHAR) AS hi")
+    _both(eng, r"SELECT like_escape('a_b', 'a\_b', '\') AS a, "
+               r"like_escape('axb', 'a\_b', '\') AS b")
+    _both(eng, r"SELECT ilike_escape('A_B', 'a\_b', '\') AS a")
+    _both(eng, "SELECT any_value(v ORDER BY id DESC) AS av, "
+               "arbitrary(v ORDER BY id DESC) AS ab FROM dt")
+    _both(eng, "SELECT CAST(v AS NUMERIC) AS n, 1 // 1 AS m FROM dt ORDER BY id")
+    _both(eng, "SELECT array_sort(list_distinct([1,1,NULL,2])) AS a")
+    for frag, pat in [
+        ("SELECT damerau_levenshtein('abc', 'acb')", "similarity"),
+        ("SELECT md5_number('abc')", "md5_number"),
+    ]:
+        with pytest.raises(NotImplementedError, match=pat):
+            eng.sql(frag)

@@ -382,6 +382,35 @@ SELECT (SELECT count(*) FROM t t2 WHERE t2.v > t.v) AS cnt FROM t ORDER BY cnt
 SELECT age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-01-10') AS a
 SELECT TIMESTAMP '2024-01-02 03:00:00' - TIMESTAMP '2024-01-01 00:00:00' AS tdiff
 SELECT arr::VARCHAR AS sa FROM t ORDER BY id
+SELECT t.v AS "v2" FROM t ORDER BY id
+SELECT 42 AS "the answer", v AS "a""b" FROM t ORDER BY id
+SELECT "v" + 1 AS w, 1 // 1 AS m FROM t ORDER BY id
+SELECT chr(9731) AS a, chr(128512) AS d
+SELECT chr(id + 9730) AS a, 1 // 1 AS m FROM t ORDER BY id
+SELECT string_agg(g) AS sa, 1 // 1 AS m FROM t
+SELECT listagg(g) AS la, 1 // 1 AS m FROM t
+SELECT group_concat(g) AS gc, group_concat(g, '|') AS g2 FROM t
+SELECT group_concat(g, '+' ORDER BY id DESC) AS g3 FROM t
+SELECT sem(v) AS s FROM t
+SELECT CAST(md5_number_lower('abc') AS VARCHAR) AS lo, CAST(md5_number_upper('abc') AS VARCHAR) AS hi
+SELECT like_escape('a_b', 'a\\_b', '\\\\') AS a, like_escape('axb', 'a\\_b', '\\\\') AS b
+SELECT ilike_escape('A_B', 'a\\_b', '\\\\') AS a, not_like_escape('axb', 'a\\_b', '\\\\') AS b
+SELECT any_value(v ORDER BY id DESC) AS av, arbitrary(v ORDER BY id DESC) AS ab FROM t
+SELECT CAST(v AS NUMERIC) AS n, 1 // 1 AS m FROM t ORDER BY id
+SELECT 1.5::DECIMAL AS d, 1 // 1 AS m
+SELECT array_sort(list_distinct([1,1,NULL,2])) AS a
+SELECT array_sort(array_distinct([1,1,NULL,2])) AS a, 1 // 1 AS m
+SELECT damerau_levenshtein('abc', 'acb') AS d
+SELECT jaro_winkler_similarity('martha', 'marhta') AS jw
+SELECT md5_number('abc') AS m
+SELECT instr('hello', 'll') AS i
+SELECT split_part('a.b.c', '.', 2) AS sp, split_part('a.b.c', '.', 9) AS sp2
+SELECT initcap('hello world') AS ic, bit_length('abc') AS bl
+SELECT overlay('hello' PLACING 'XX' FROM 2 FOR 2) AS o1, overlay('hello', 'XX', 2, 2) AS o2
+SELECT sha1('abc') AS s1
+SELECT regr_intercept(v, id) AS ri, regr_r2(v, id) AS r2, regr_count(v, id) AS rc FROM t
+SELECT covar_samp(id, v) AS cs, var_pop(v) AS vp FROM t
+SELECT kurtosis_pop(v) AS kp FROM t
 """
 
 

@@ -3180,7 +3180,7 @@ def _rewrite_as_dquote_alias(sql: str) -> str:
     return "".join(out)
 
 
-def _rewrite_dquote_identifiers(sql: str) -> str:
+def _rewrite_dquote_identifiers(sql: str, bare_when_plain: bool = False) -> str:
     """FIRED-ONLY: DuckDB reads double-quoted tokens as IDENTIFIERS
     everywhere (``SELECT "x"``, ``AS "v 2"`` — verified live, with
     ``""`` as the embedded-quote escape); Spark's lexer reads them as
@@ -3244,7 +3244,15 @@ def _rewrite_dquote_identifiers(sql: str) -> str:
                 j += 1
             ident = "".join(body)
             if closed and ident and "`" not in ident:
-                out.append(f"`{ident}`")
+                # bare_when_plain: the DDL/DML routers' grammars know
+                # bare names; plain identifiers drop the quotes
+                # entirely there (round 14)
+                if bare_when_plain and re.fullmatch(
+                    r"[A-Za-z_]\w*", ident
+                ):
+                    out.append(ident)
+                else:
+                    out.append(f"`{ident}`")
             else:
                 out.append(sql[i:j])
             i = j

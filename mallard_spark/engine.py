@@ -2715,13 +2715,47 @@ class MallardEngine:
 
     def ddl(self, sql: str) -> str:
         """Execute a DDL statement (see :meth:`_ddl_impl` for the
-        supported surface) under the transaction-poisoning guard."""
-        return self._tx_guard(self._ddl_impl, sql)
+        supported surface) under the transaction-poisoning guard.
+
+        Double-quoted identifiers (DuckDB spells ``CREATE TABLE
+        "qt" ("my col" INT)``) retry with the backtick conversion
+        when the literal spelling fails — same fired-on-failure
+        policy as the query ladder (round 14)."""
+        return self._retry_dquoted(self._ddl_impl, sql)
 
     def dml(self, sql: str) -> str:
         """Execute INSERT/UPDATE/DELETE/MERGE (see :meth:`_dml_impl`
-        for the supported surface) under the poisoning guard."""
-        return self._tx_guard(self._dml_impl, sql)
+        for the supported surface) under the poisoning guard; quoted
+        identifiers retry like :meth:`ddl`."""
+        return self._retry_dquoted(self._dml_impl, sql)
+
+    def _retry_dquoted(self, impl, sql: str) -> str:
+        """Run a DDL/DML executor; when the raw spelling fails and
+        the statement carries double-quoted tokens, retry once with
+        them converted to backtick identifiers (DuckDB's reading —
+        the routers' own grammars only know bare/backtick names).
+        Errors from the CONVERTED attempt propagate (they name the
+        construct); an unconvertible statement keeps its original
+        error."""
+        try:
+            return self._tx_guard(impl, sql)
+        except Exception as first_err:
+            if '"' not in sql:
+                raise
+            from mallard_spark.dialect import (
+                _rewrite_dquote_identifiers,
+            )
+
+            conv = _rewrite_dquote_identifiers(sql, bare_when_plain=True)
+            if conv == sql:
+                raise
+            try:
+                return self._tx_guard(impl, conv)
+            except Exception:
+                # the conversion didn't help — keep the ORIGINAL
+                # error (usually a named refusal) rather than a
+                # second-order one
+                raise first_err from None
 
     def copy_to(self, sql: str) -> str:
         """Execute COPY TO/FROM (see :meth:`_copy_to_impl` for the
@@ -4407,7 +4441,8 @@ class MallardEngine:
                 colnames.append(gcol)
                 continue
             cm = re.match(
-                r'(?s)^(?P<col>[A-Za-z_]\w*|"[^"]+")\s+(?P<rest>.+)$',
+                r'(?s)^(?P<col>[A-Za-z_]\w*|"[^"]+"|`[^`]+`)'
+                r"\s+(?P<rest>.+)$",
                 item,
             )
             tk = _take_duck_type(cm.group("rest")) if cm else None
@@ -4416,7 +4451,7 @@ class MallardEngine:
                     f"CREATE TABLE {name}: unsupported column "
                     f"definition {item!r}"
                 )
-            col = cm.group("col").strip('"')
+            col = cm.group("col").strip('"`')
             type_text, modstail = tk
             cdefault, cchecks, residue = _extract_col_constraints(
                 modstail, col, name
@@ -8520,7 +8555,7 @@ class MallardEngine:
             col, eq, expr = assign.partition("=")
             if not eq:
                 raise ValueError(f"malformed SET assignment: {assign!r}")
-            raw = self._strip_target_qual(col, name, alias)
+            raw = self._strip_target_qual(col, name, alias).strip('`"')
             resolved = by_lower.get(raw.lower())
             if resolved is None:
                 unknown.append(raw)
@@ -8755,7 +8790,7 @@ class MallardEngine:
             col, eq, expr = assign.partition("=")
             if not eq:
                 raise ValueError(f"malformed SET assignment: {assign!r}")
-            raw = self._strip_target_qual(col, name, alias)
+            raw = self._strip_target_qual(col, name, alias).strip('`"')
             resolved = by_lower.get(raw.lower())
             if resolved is None:
                 unknown.append(raw)

@@ -2797,3 +2797,41 @@ def test_round14_probe_batch4(eng):
     ]:
         with pytest.raises(NotImplementedError, match=pat):
             eng.sql(frag)
+
+
+def test_quoted_identifiers_ddl_dml(eng):
+    """Round 14: DuckDB double-quoted identifiers through the whole
+    DDL/DML surface — plain names drop the quotes for the routers,
+    non-plain column names carry through as backticks; retry only
+    fires when the raw spelling fails (fired-on-failure policy)."""
+    import duckdb
+
+    con = duckdb.connect()
+    stmts = [
+        'CREATE TABLE "qi" ("my col" INTEGER, v DOUBLE)',
+        'INSERT INTO "qi" ("my col", v) VALUES (1, 2.5), (2, 3.5)',
+        'UPDATE "qi" SET "my col" = 7 WHERE v > 3',
+        'UPDATE "qi" SET v = v + 1 WHERE "my col" IS NULL',
+        'DELETE FROM "qi" WHERE v > 9',
+    ]
+    for s in stmts:
+        eng.execute(s)
+        con.execute(s)
+    got = [
+        tuple(r)
+        for r in eng.sql(
+            "SELECT `my col` AS c, v FROM qi ORDER BY v"
+        ).collect()
+    ]
+    want = con.execute('SELECT "my col" AS c, v FROM qi ORDER BY v').fetchall()
+    assert repr(got) == repr(want), (got, want)
+    # wire-mode SELECT reads the quoted spelling as identifiers too
+    got = [
+        tuple(r)
+        for r in eng.sql(
+            'SELECT "my col" AS c, v FROM qi ORDER BY v',
+            duckdb_semantics=True,
+        ).collect()
+    ]
+    assert repr(got) == repr(want), (got, want)
+    eng.execute('DROP TABLE "qi"')

@@ -442,6 +442,15 @@ SELECT len('abc') AS l, length(arr) AS n FROM t ORDER BY id
 SELECT 'x\\ny' AS s
 SELECT count(*) AS c FROM t WHERE g SIMILAR TO '[ab]'
 SELECT upper(g) AS u, v + 1 AS w FROM t ORDER BY id
+SELECT string_agg(g) AS sa FROM t
+SELECT monthname(DATE '2024-02-05') AS mn, dayname(DATE '2024-01-07') AS dn
+SELECT chr(id + 9730) AS c FROM t ORDER BY id
+SELECT DATE '2024-03-01' - DATE '2024-02-01' AS dd
+SELECT "v" + 1 AS w FROM t ORDER BY id
+SELECT CAST(v AS NUMERIC) AS n FROM t ORDER BY id
+SELECT array_sort(array_distinct([1,1,NULL,2])) AS a
+SELECT kurtosis(v) AS k FROM t
+SELECT v // 3 AS d FROM t ORDER BY id
 """
 
 

@@ -1059,6 +1059,8 @@ _FUNC_RENAMES = {
     "reservoir_quantile": "approx_percentile",
     "row": "struct",  # ROW(1, 'x') constructor — not a Spark name
     "strlen": "octet_length",  # BYTE length on DuckDB (verified live)
+    "array_to_json": "to_json",
+    "row_to_json": "to_json",
     "ord": "ascii",
     "string_split_regex": "split",  # regex split on both engines
     "str_split_regex": "split",
@@ -2923,7 +2925,9 @@ def _one_pass_calls(sql: str, rx: re.Pattern, build) -> str:
 
 _INT_TYPES = r"(?:TINYINT|SMALLINT|INT2|INT4|INT8|INTEGER|INT|BIGINT|SIGNED)"
 _PG_INT_CAST_RE = re.compile(
-    rf"::\s*({_INT_TYPES})\b(?!\s*\()", re.IGNORECASE
+    # the lookahead also excludes '[' — ::INT[3] is a fixed-size
+    # ARRAY type, not an int cast (round 14)
+    rf"::\s*({_INT_TYPES})\b(?!\s*[(\[])", re.IGNORECASE
 )
 _CAST_CALL_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
 
@@ -6439,6 +6443,32 @@ _UNSIGNED_CAST_RE = re.compile(
 )
 
 
+_FIXED_ARRAY_CAST_RE = re.compile(
+    r"(::\s*|\bAS\s+)([A-Za-z_]\w*)\s*\[\s*(\d+)\s*\]"
+)
+
+
+def _rewrite_fixed_array_casts(sql: str) -> str:
+    """DuckDB fixed-size ARRAY types in cast position
+    (``[1,2,3]::INT[3]``) → plain ``ARRAY<T>`` (the size is a DuckDB
+    storage property; the VALUES are identical). Type-context only
+    (after ``::``/``AS``) so subscripts like ``x[3]`` are never
+    touched."""
+    mask = _code_mask(sql)
+    out, last = [], 0
+    for m in _FIXED_ARRAY_CAST_RE.finditer(sql):
+        if not all(
+            mask[k] for k in range(m.start(), m.end()) if not sql[k].isspace()
+        ):
+            continue
+        t = _DUCK_ELEM_TYPES.get(m.group(2).lower(), m.group(2))
+        out.append(sql[last : m.start()])
+        out.append(f"{m.group(1)}ARRAY<{t}>")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _rewrite_unsigned_casts(sql: str) -> str:
     """DuckDB's unsigned/HUGEINT type names in cast position
     (``255::UTINYINT``, ``CAST(x AS HUGEINT)``) → the smallest Spark
@@ -6698,6 +6728,7 @@ def duckdb_to_spark(
     out = _rewrite_extract_fields(out)
     out = _rewrite_interval_text_casts(out)
     out = _rewrite_struct_type_syntax(out)
+    out = _rewrite_fixed_array_casts(out)
     out = _rewrite_unsigned_casts(out)
     out = _rewrite_array_type_suffix(out)
     out = _rewrite_prefix_abs(out)

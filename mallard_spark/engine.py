@@ -3612,7 +3612,7 @@ class MallardEngine:
                  "the parse_* path family is not supported: compose "
                  "from split(path, '/') — e.g. element_at(split(p, "
                  "'/'), -1) for parse_filename"),
-                (r"(?i)\b(left|right|substring)_grapheme\s*\(",
+                (r"(?i)\b(left|right|substring|length)_grapheme\s*\(",
                  "grapheme-cluster string functions are not "
                  "supported (Spark indexes by codepoint): "
                  "left/right/substr are exact for non-combining "
@@ -3630,6 +3630,29 @@ class MallardEngine:
                  "this string-similarity function has no Spark "
                  "equivalent: levenshtein() is built in; for "
                  "jaro/damerau use a Pandas UDF"),
+                (r"(?i)\bjson_(merge_patch|structure|contains)\s*\(",
+                 "this JSON function has no Spark equivalent: "
+                 "json_transform/from_json cover typed extraction; "
+                 "merge documents upstream or with a Pandas UDF"),
+                (r"(?i)\b(vector_type|current_query)\s*\(",
+                 "DuckDB introspection/debug functions do not apply "
+                 "to a Spark engine"),
+                (r"(?i)\bsetseed\s*\(",
+                 "setseed() cannot seed Spark SQL's per-partition "
+                 "RNG: pass an explicit seed to rand(seed) / "
+                 "randn(seed) instead"),
+                (r"(?i)\bbar\s*\(",
+                 "bar() renders eighth-block progress bars with no "
+                 "Spark equivalent: repeat(chr(9608), n) approximates "
+                 "whole blocks"),
+                (r"(?i)\bcurrent_local(time|timestamp)?\s*\(\s*\)"
+                 r"|\blocaltime\b(?!\s*\()",
+                 "TIME-of-day values are not supported (Spark has no "
+                 "TIME type): use localtimestamp()/current_timestamp"),
+                (r"(?i)\bstrip_accents\s*\(",
+                 "strip_accents has no Spark SQL equivalent: fold "
+                 "accents at ingest (unicodedata in a Pandas UDF) or "
+                 "translate() for a known character set"),
                 (r"(?i)\bmd5_number\s*\(",
                  "md5_number returns a 128-bit HUGEINT that exceeds "
                  "Spark's DECIMAL(38) range: use md5_number_lower/"

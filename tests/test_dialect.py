@@ -2835,3 +2835,24 @@ def test_quoted_identifiers_ddl_dml(eng):
     ]
     assert repr(got) == repr(want), (got, want)
     eng.execute('DROP TABLE "qi"')
+
+
+def test_round14_probe_batch5(eng):
+    """Round 14 fifth sweep: to_json aliases, fixed-size array-type
+    casts, indexed list lambdas, plus the refusal set the earlier
+    commit message named (now actually wired)."""
+    _both(eng, "SELECT array_to_json([1,2]) AS aj, row_to_json({'a': 1}) AS rj")
+    rows = [tuple(r) for r in eng.sql("SELECT [1,2,3]::INT[3] AS f").collect()]
+    assert rows == [([1, 2, 3],)]
+    _both(eng, "SELECT 10.7::INT AS a, 1 // 1 AS m")  # int-cast still fires
+    _both(eng, "SELECT list_transform([1,2], (x, i) -> x * i) AS lt")
+    for frag, pat in [
+        ("SELECT json_merge_patch('{}', '{}')", "JSON"),
+        ("SELECT setseed(0.5)", "setseed"),
+        ("SELECT bar(5, 0, 10, 10)", "bar"),
+        ("SELECT strip_accents('x')", "strip_accents"),
+        ("SELECT length_grapheme('x')", "grapheme"),
+        ("SELECT vector_type(5)", "introspection"),
+    ]:
+        with pytest.raises(NotImplementedError, match=pat):
+            eng.sql(frag)

@@ -411,6 +411,24 @@ SELECT sha1('abc') AS s1
 SELECT regr_intercept(v, id) AS ri, regr_r2(v, id) AS r2, regr_count(v, id) AS rc FROM t
 SELECT covar_samp(id, v) AS cs, var_pop(v) AS vp FROM t
 SELECT kurtosis_pop(v) AS kp FROM t
+SELECT array_to_json([1,2]) AS aj, row_to_json({'a': 1}) AS rj
+SELECT [1,2,3]::INT[3] AS fixed
+SELECT CAST([1,2] AS VARCHAR[2]) AS f2
+SELECT map_contains(MAP {'a': 1}, 'a') AS m1
+SELECT struct_extract({'a': 5}, 'a') AS se
+SELECT to_json(MAP {'a': 1}) AS tj
+SELECT * REPLACE (v * 2 AS v) FROM t ORDER BY id
+SELECT list_transform([1,2], (x, i) -> x * i) AS lt
+SELECT list_cum_sum([1,2,3]) AS lcs
+SELECT cume_dist() OVER (ORDER BY v) AS cd FROM t ORDER BY cd
+SELECT percent_rank() OVER (ORDER BY v) AS pr FROM t ORDER BY pr
+SELECT pow(2, 10) AS p, power(2, 0.5) AS p2
+SELECT bin(5) AS b
+SELECT json_merge_patch('{\"a\": 1}', '{\"b\": 2}') AS jm
+SELECT setseed(0.5) AS s
+SELECT bar(5, 0, 10, 10) AS b
+SELECT strip_accents('abc') AS sa
+SELECT length_grapheme('abc') AS lg
 """
 
 

@@ -2630,6 +2630,47 @@ class MallardEngine:
         from mallard_spark.dialect import _code_mask
 
         mask = _code_mask(stmt)
+        named = [
+            (m.start(), m.end(), m.group(1))
+            for m in re.finditer(r"\$([A-Za-z_]\w*)", stmt)
+            if all(mask[k] for k in range(m.start(), m.end()))
+        ]
+        if named:
+            # NAMED parameters (round 14, DuckDB semantics verified
+            # live): every arg binds as `name := value`, positional
+            # values against named placeholders answer the
+            # missing-parameters error, mixing is refused with
+            # DuckDB's wording, names bind in any order and reuse.
+            binds: dict[str, str] = {}
+            positional = False
+            for a in args:
+                am = re.match(
+                    r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+?)\s*$", a, re.DOTALL
+                )
+                if am:
+                    binds[am.group(1).lower()] = am.group(2)
+                else:
+                    positional = True
+            if positional and binds:
+                raise NotImplementedError(
+                    "Mixing named parameters and positional "
+                    "parameters is not supported yet"
+                )
+            missing = sorted(
+                {nm for _, _, nm in named if nm.lower() not in binds}
+            )
+            if missing:
+                raise ValueError(
+                    "Invalid Input Error: Values were not provided "
+                    "for the following prepared statement "
+                    "parameters: " + ", ".join(missing)
+                )
+            out, last = [], 0
+            for s, e, nm in sorted(named):
+                out.append(stmt[last:s])
+                out.append(f"({binds[nm.lower()]})")
+                last = e
+            return "".join(out) + stmt[last:]
         dollar = [
             (m.start(), m.end(), int(m.group(1)))
             for m in re.finditer(r"\$(\d+)", stmt)
@@ -3625,6 +3666,11 @@ class MallardEngine:
                  "txid_current() is not supported: this engine's "
                  "transactions are session-scoped (BEGIN/COMMIT/"
                  "ROLLBACK work; there is no global xid counter)"),
+                (r"(?i)\b(UNION|EXCEPT|INTERSECT)\s+(ALL\s+)?BY\s+NAME\b",
+                 "set operators BY NAME inside a subquery are not "
+                 "supported (top-level UNION [ALL] BY NAME is): "
+                 "hoist the combination to the top level or align "
+                 "the column lists explicitly"),
                 (r"(?i)\b(damerau_levenshtein|jaro_similarity|"
                  r"jaro_winkler_similarity)\s*\(",
                  "this string-similarity function has no Spark "

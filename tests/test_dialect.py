@@ -2856,3 +2856,34 @@ def test_round14_probe_batch5(eng):
     ]:
         with pytest.raises(NotImplementedError, match=pat):
             eng.sql(frag)
+
+
+def test_prepare_named_parameters(eng):
+    """Round 14: DuckDB named prepared-statement parameters
+    ($name / name := value) — bind in any order, reuse, DuckDB's
+    missing-parameter and mixing errors (all pinned live)."""
+    eng.execute("PREPARE tnp AS SELECT count(*) AS c FROM dt WHERE v > $th")
+    assert eng.execute("EXECUTE tnp(th := 25)").collect()[0][0] == 4
+    eng.execute("PREPARE tnp2 AS SELECT $a + $b + $a AS s")
+    assert eng.execute("EXECUTE tnp2(a := 1, b := 2)").collect()[0][0] == 4
+    assert eng.execute("EXECUTE tnp2(b := 5, a := 1)").collect()[0][0] == 7
+    with pytest.raises(ValueError, match="Values were not provided"):
+        eng.execute("EXECUTE tnp(15)")
+    with pytest.raises(ValueError, match="th"):
+        eng.execute("EXECUTE tnp(other := 1)")
+    with pytest.raises(NotImplementedError, match="Mixing named"):
+        eng.execute("EXECUTE tnp2(1, b := 2)")
+    eng.execute("DEALLOCATE tnp")
+    eng.execute("DEALLOCATE tnp2")
+
+
+def test_nested_by_name_refusal(eng):
+    """Round 14: set operators BY NAME inside a subquery refuse by
+    name (the top-level handler is deliberately top-level-only)."""
+    with pytest.raises(NotImplementedError, match="BY NAME"):
+        eng.sql("SELECT * FROM (SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS b) q")
+    got = sorted(
+        tuple(r)
+        for r in eng.sql("SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a").collect()
+    )
+    assert got == [(1,), (2,)]

@@ -1078,8 +1078,13 @@ _FUNC_RENAMES = {
     "suffix": "endswith",
     # both approximate (different sketches) — values are not pinned
     "approx_quantile": "approx_percentile",
-    "list_append": "array_append",
-    "list_prepend": "array_prepend",
+    # list_append/list_prepend/array_push_back/array_push_front are
+    # NOT renames (round 15): DuckDB treats a NULL list as EMPTY
+    # (list_append(NULL, 1) → [1], verified live) where Spark's
+    # array_append/array_prepend answer NULL — and list_prepend's
+    # arg order (elem, list) is REVERSED vs Spark's
+    # array_prepend(array, elem). Builders in _rewrite_misc_fns.
+    "to_base64": "base64",  # BLOB → base64 text (verified 1:1)
     "regexp_matches": "rlike",
     "arg_max": "max_by",
     "argmax": "max_by",
@@ -1630,6 +1635,40 @@ def _replace_list_sort(sql: str) -> str:
     return _rewrite_calls(sql, _LIST_SORT_RE, build)
 
 
+_LIST_RSORT_RE = re.compile(
+    r"\b(?:list|array)_reverse_sort\s*\(", re.IGNORECASE
+)
+
+
+def _replace_list_reverse_sort(sql: str) -> str:
+    """``list_reverse_sort(l [, null_order])`` (+ the array_ alias) —
+    DESC sort with DuckDB's NULLS LAST default (round 15, VERDICT
+    r14 what's-missing #3; verified live: [3,NULL,1,2] → [3,2,1,NULL];
+    with 'NULLS FIRST' → [NULL,3,2,1]). Same emissions as
+    ``list_sort(l, 'DESC' ...)``; non-literal null-order refuses the
+    site."""
+
+    def build(args: list[str]) -> str | None:
+        if not args or not args[0].strip():
+            return None
+        l = args[0].strip()
+        if len(args) == 1:
+            return f"sort_array({l}, false)"
+        if len(args) != 2:
+            return None
+        order = _unquote_sql_literal(args[1])
+        if order is None:
+            return None
+        key = " ".join(order.upper().split())
+        if key == "NULLS LAST":
+            return f"sort_array({l}, false)"
+        if key == "NULLS FIRST":
+            return f"reverse(array_sort({l}))"
+        return None
+
+    return _rewrite_calls(sql, _LIST_RSORT_RE, build)
+
+
 # DuckDB strftime % codes → Java SimpleDateFormat/DateTimeFormatter
 # letters (the subset with exact equivalents; anything else refuses
 # the site). %-X are DuckDB's no-padding variants.
@@ -2138,18 +2177,26 @@ def _rewrite_list_agg(sql: str) -> str:
         return f"array_distinct({out})" if dm else out
 
     def build_ordered_only(args: list[str]) -> str | None:
-        parts = _split_inline_order(",".join(args))
+        a = ",".join(args).strip()
+        dm = re.match(r"(?i)^\s*DISTINCT\b", a)
+        if dm:
+            a = a[dm.end():].strip()
+        parts = _split_inline_order(a)
         if parts is None:
-            return None  # plain array_agg/collect_list is native Spark
+            # plain array_agg/collect_list (even DISTINCT) is native
+            return None
         x, order = parts
         if len(_split_top_level_commas(x)) != 1:
-            return None
-        if re.match(r"(?i)^\s*DISTINCT\b", x):
             return None
         keys = _parse_order_keys(order)
         if keys is None:
             return None
-        return _sorted_collect(x, keys)
+        out = _sorted_collect(x, keys)
+        # DISTINCT + in-call ORDER BY (round 15, VERDICT r14
+        # what's-missing #2): dedup AFTER the sorted collect —
+        # array_distinct keeps first occurrences, so the sorted
+        # order survives (same emission the list() builder uses)
+        return f"array_distinct({out})" if dm else out
 
     sql = _rewrite_calls(sql, _LIST_AGG_CALL_RE, build)
     return _rewrite_calls(sql, _ARRAY_AGG_ORDERED_RE, build_ordered_only)
@@ -3067,7 +3114,7 @@ _STAT_SEMANTICS_RE = re.compile(
     r"\b(kurtosis_pop|kurtosis|skewness|dayofweek|date_part|datepart"
     r"|dayname|monthname|log|left|right|regexp_replace|mod"
     r"|trim|ltrim|rtrim|regexp_extract|array_distinct"
-    r"|string_agg|listagg|chr)\s*\(",
+    r"|string_agg|listagg|chr|sign)\s*\(",
     re.IGNORECASE,
 )
 
@@ -3506,6 +3553,17 @@ def _rewrite_stat_semantics(sql: str, raw_doubled: bool = False) -> str:
             return None
         if name == "dayofweek":
             return f"(dayofweek({a}) - 1)"
+        if name == "sign":
+            # DuckDB sign() returns TINYINT for EVERY numeric input
+            # (verified live, incl. DOUBLE/DECIMAL args; sign(NaN)=0
+            # — which CAST(NaN AS TINYINT) also answers); Spark's
+            # returns DOUBLE — value-equal, type-divergent, reaches
+            # the wire path (round 15, VERDICT r14 what's-wrong #2).
+            # The emission contains sign() again; _one_pass_calls
+            # never rescans emissions.
+            if len(_split_top_level_commas(args)) != 1:
+                return None
+            return f"CAST(sign({a}) AS TINYINT)"
         if name == "dayname":
             # Spark 4's own dayname() answers 'Sun'; DuckDB 'Sunday'
             return f"date_format(({a}), 'EEEE')"
@@ -3586,7 +3644,20 @@ def _rewrite_stat_semantics(sql: str, raw_doubled: bool = False) -> str:
             # Spark keeps one — fired-only (shared name); the
             # emission contains array_distinct again but
             # _one_pass_calls never rescans emissions, and
-            # re-wrapping would be idempotent anyway
+            # re-wrapping would be idempotent anyway. EXCEPT: the
+            # list-agg DISTINCT builders emit
+            # ``array_distinct(transform(array_sort(collect_list(``
+            # to dedup a sorted collect while KEEPING one NULL
+            # (DuckDB's DISTINCT list keeps one NULL — verified
+            # live: list(DISTINCT x ORDER BY x) of (1,NULL,1,2) →
+            # [1,2,NULL]); this pass runs on the emitted text, so
+            # skip that signature (round 15 — wrapping it silently
+            # dropped the NULL)
+            if re.match(
+                r"(?i)\s*transform\s*\(\s*(?:array_sort\s*\(\s*)?"
+                r"collect_list\s*\(", a,
+            ):
+                return None
             return (
                 f"array_distinct(filter(({a}), "
                 f"__x -> __x IS NOT NULL))"
@@ -3779,21 +3850,143 @@ _DATEPART_UNITS = {
 }
 
 
-def _format_to_printf(fmt: str) -> str | None:
-    """DuckDB/fmt-style ``{}`` / ``{:d}`` / ``{N}`` format string →
-    printf-style for Spark's format_string. Unsupported specs refuse
-    (None)."""
-    out = []
+_FMT_SPEC_RE = re.compile(
+    r"\{(?P<pos>\d*)"
+    r"(?::"
+    r"(?:(?P<fill>[^{}])?(?P<align>[<>^]))?"
+    r"(?P<sign>[+\- ])?"
+    r"(?P<alt>#)?"
+    r"(?P<zero>0)?"
+    r"(?P<width>\d+)?"
+    r"(?P<comma>,)?"
+    r"(?P<prec>\.\d+)?"
+    r"(?P<type>[A-Za-z%])?"
+    r")?\}"
+)
+
+
+def _format_to_printf(fmt: str):
+    """DuckDB/fmt-style format string → ``(printf_fmt, wrappers)``
+    for Spark's format_string, or None when a spec has no exact
+    Java-printf equivalent (the engine then refuses by name).
+
+    Mapped (each pinned live on DuckDB 1.0, round 15): ``{}``/``{N}``
+    → indexed ``%N$s``; types d/s/f/F/e/E/x/X/o plus ``b`` (binary,
+    via a conv() arg wrapper); flags ``+``/space/``#``/``0``/``,``
+    (comma is int-only — DuckDB itself errors on float thousand
+    separators); width; ``.prec``; explicit ``<``/``>`` alignment
+    (``%-Ns``/``%Ns``). ``{:.Nf}`` pre-rounds the argument half-EVEN
+    via rint (fmt rounds half-even — ``{:.0f}`` of 2.5 → '2' — where
+    Java's %f rounds half-up).
+
+    Refused (→ None): ``^`` center-align, non-space fill, dynamic
+    ``{}`` width/precision, g/G/c/n/% types (Java's %g keeps
+    trailing zeros where fmt strips them), numeric flags with no
+    type (fmt dispatches on the ARG type, which a token pass cannot
+    see), bare width with no alignment (fmt left-aligns strings but
+    right-aligns numbers).
+
+    ``wrappers`` maps 0-based argument index → a ``{a}`` template to
+    wrap that argument; an argument referenced with two conflicting
+    wrappings refuses."""
+    out: list[str] = []
+    wraps: dict[int, str | None] = {}
+    auto = 0
     i = 0
     while i < len(fmt):
         c = fmt[i]
         if c == "{":
-            m = re.match(r"\{(\d*)(?::([ds]))?\}", fmt[i:])
+            if fmt[i : i + 2] == "{{":
+                out.append("{")
+                i += 2
+                continue
+            m = _FMT_SPEC_RE.match(fmt, i)
             if not m:
                 return None
-            pos, spec = m.group(1), m.group(2) or "s"
-            out.append(f"%{int(pos) + 1}${spec}" if pos else f"%{spec}")
-            i += m.end()
+            pos, fill = m.group("pos"), m.group("fill")
+            align, sgn = m.group("align"), m.group("sign")
+            alt, zero = m.group("alt"), m.group("zero")
+            width, comma = m.group("width"), m.group("comma")
+            prec, typ = m.group("prec"), m.group("type")
+            if pos:
+                argix = int(pos)
+            else:
+                argix = auto
+                auto += 1
+            if fill is not None and fill != " ":
+                return None
+            if align == "^":
+                return None
+            if typ == "F":
+                typ = "f"  # same rendering for finite values
+            wrap: str | None = None
+            if typ is None:
+                if comma:
+                    typ = "d"  # {:,} — int-only on DuckDB too
+                elif sgn or alt or zero or prec:
+                    return None
+                elif width and not align:
+                    return None
+                else:
+                    typ = "s"
+            elif typ == "d":
+                pass
+            elif typ == "s":
+                if sgn or alt or zero or comma:
+                    return None
+                if prec:
+                    pass  # %.Ns truncates — fmt matches (pinned)
+            elif typ == "f":
+                if comma or alt:
+                    return None
+                p = int(prec[1:]) if prec else 6
+                wrap = "(rint(({a}) * 1e%d) / 1e%d)" % (p, p)
+            elif typ in ("e", "E"):
+                if comma or alt:
+                    return None
+                # Java %e rejects DECIMAL (Spark's literal type for
+                # 31415.9) — force DOUBLE. And like %f, fmt rounds
+                # the significand half-EVEN where Java rounds half-up
+                # (probe hit: {:.2e} of 30.25 → fmt 3.02e+01, Java
+                # 3.03e+01) — pre-round at p digits past the leading
+                # digit via rint over a value-dependent decade scale
+                p = int(prec[1:]) if prec else 6
+                wrap = (
+                    "(CASE WHEN ({a}) = 0 THEN CAST(({a}) AS DOUBLE) "
+                    "ELSE rint(CAST(({a}) AS DOUBLE) * power(10, "
+                    "%d - floor(log10(abs(CAST(({a}) AS DOUBLE)))))) "
+                    "/ power(10, "
+                    "%d - floor(log10(abs(CAST(({a}) AS DOUBLE)))))"
+                    " END)" % (p, p)
+                )
+            elif typ in ("x", "X", "o"):
+                if comma or prec:
+                    return None
+            elif typ == "b":
+                if sgn or alt or zero or comma or width or prec or align:
+                    return None
+                typ = "s"
+                wrap = "conv(CAST(({a}) AS BIGINT), 10, 2)"
+            else:
+                return None
+            flags = ""
+            if align == "<":
+                flags += "-"
+            if sgn in ("+", " "):
+                flags += sgn
+            if alt:
+                flags += "#"
+            if zero:
+                flags += "0"
+            if comma:
+                flags += ","
+            if argix in wraps and wraps[argix] != wrap:
+                return None
+            wraps[argix] = wrap
+            out.append(
+                f"%{argix + 1}${flags}{width or ''}{prec or ''}{typ}"
+            )
+            i = m.end()
         elif c == "}":
             if fmt[i : i + 2] == "}}":
                 out.append("}")
@@ -3806,7 +3999,7 @@ def _format_to_printf(fmt: str) -> str | None:
         else:
             out.append(c)
             i += 1
-    return "".join(out)
+    return "".join(out), wraps
 
 
 def _dot_expr(a: str, b: str) -> str:
@@ -3955,12 +4148,26 @@ def _rewrite_misc_fns(sql: str) -> str:
         fmt = _unquote_sql_literal(args[0].strip())
         if fmt is None:
             return None
-        pf = _format_to_printf(fmt)
-        if pf is None:
+        res = _format_to_printf(fmt)
+        if res is None:
             return None
+        pf, wraps = res
+        exprs = [a.strip() for a in args[1:]]
+        if any(ix >= len(exprs) for ix in wraps):
+            return None  # more placeholders than args — DuckDB errors
         lit = "'" + pf.replace("'", "''") + "'"
-        rest = "".join(", " + a.strip() for a in args[1:])
-        return f"format_string({lit}{rest})"
+        parts = []
+        for ix, a in enumerate(exprs):
+            w = wraps.get(ix)
+            parts.append(w.format(a=a) if w else f"({a})")
+        call = f"format_string({lit}{''.join(', ' + p for p in parts)})"
+        if not exprs:
+            return call
+        # a NULL argument makes the whole result NULL on DuckDB
+        # (verified live: format('{}', NULL) → NULL); Java's %s of
+        # null would print the text 'null'
+        nulls = " OR ".join(f"({a}) IS NULL" for a in exprs)
+        return f"(CASE WHEN {nulls} THEN NULL ELSE {call} END)"
 
     def b_jaccard(args):
         p = two(args)
@@ -4438,7 +4645,22 @@ def _rewrite_misc_fns(sql: str) -> str:
     def b_datepart_list(args):
         # datepart(['year','month'], x) → STRUCT of the parts (never
         # valid Spark — list first argument); 'dow'/'isodow' keep
-        # their DuckDB numbering
+        # their DuckDB numbering. Scalar sub-second fields
+        # ('microseconds'/'milliseconds' + aliases — fields Spark's
+        # own date_part rejects) map to the same pmod(unix_micros)
+        # emission as the EXTRACT spelling (round 15, VERDICT r14
+        # what's-missing #1).
+        if len(args) == 2 and not args[0].strip().startswith("["):
+            f = _unquote_sql_literal(args[0].strip())
+            if f is None:
+                return None
+            e = args[1].strip()
+            base = f"pmod(unix_micros(CAST(({e}) AS TIMESTAMP)), 60000000)"
+            if f.lower() in _MICROS_FIELDS:
+                return base
+            if f.lower() in _MILLIS_FIELDS:
+                return f"({base} DIV 1000)"
+            return None
         if len(args) != 2 or not args[0].strip().startswith("["):
             return None
         inner = args[0].strip()[1:-1]
@@ -4540,8 +4762,81 @@ def _rewrite_misc_fns(sql: str) -> str:
             f"ELSE concat(({a}), ({b})) END)"
         )
 
+    def b_list_append(args):
+        # DuckDB list_append(l, e) treats a NULL list as EMPTY
+        # (verified live: list_append(NULL, 1) → [1]); Spark's
+        # array_append answers NULL — hence a CASE, not a rename
+        # (round 15)
+        p = two(args)
+        if p is None:
+            return None
+        l, e = p
+        if l.upper() == "NULL":
+            # a literal NULL defeats the CASE (every arm type-checks;
+            # array_append(VOID, ..) fails analysis) — drop textually,
+            # like b_list_concat
+            return f"array(({e}))"
+        return (
+            f"(CASE WHEN ({l}) IS NULL THEN array(({e})) "
+            f"ELSE array_append(({l}), ({e})) END)"
+        )
+
+    def b_list_prepend(args):
+        # DuckDB list_prepend(e, l): arg order REVERSED vs Spark's
+        # array_prepend(l, e), NULL list treated as empty (verified
+        # live: list_prepend(0, NULL) → [0], list_prepend(NULL,
+        # [1,2]) → [NULL,1,2]) — round 15, VERDICT r14 #3
+        p = two(args)
+        if p is None:
+            return None
+        e, l = p
+        if l.upper() == "NULL":
+            return f"array(({e}))"
+        return (
+            f"(CASE WHEN ({l}) IS NULL THEN array(({e})) "
+            f"ELSE array_prepend(({l}), ({e})) END)"
+        )
+
+    def b_push_front(args):
+        # array_push_front(l, e) — list order, same semantics as
+        # list_prepend (verified live: [1,2],0 → [0,1,2])
+        p = two(args)
+        if p is None:
+            return None
+        l, e = p
+        if l.upper() == "NULL":
+            return f"array(({e}))"
+        return (
+            f"(CASE WHEN ({l}) IS NULL THEN array(({e})) "
+            f"ELSE array_prepend(({l}), ({e})) END)"
+        )
+
+    def b_pop_back(args):
+        # array_pop_back: all but the last element; [x] → [], NULL →
+        # NULL (verified live) — slice survives both edges
+        l = one(args)
+        if l is None:
+            return None
+        return f"slice(({l}), 1, greatest(size(({l})) - 1, 0))"
+
+    def b_pop_front(args):
+        # array_pop_front: all but the first; slice start 2 with a
+        # floor-0 length answers [] for 0/1-element lists (verified
+        # against Spark: slice never errors on start past the end
+        # when length is 0)
+        l = one(args)
+        if l is None:
+            return None
+        return f"slice(({l}), 2, greatest(size(({l})) - 1, 0))"
+
     table = {
         "list_unique": b_list_unique,
+        "list_append": b_list_append,
+        "array_push_back": b_list_append,
+        "list_prepend": b_list_prepend,
+        "array_push_front": b_push_front,
+        "array_pop_back": b_pop_back,
+        "array_pop_front": b_pop_front,
         "list_slice": b_list_slice,
         "array_slice": b_list_slice,
         "array_unique": b_list_unique,
@@ -6294,6 +6589,15 @@ def _rewrite_offset_before_limit(sql: str) -> str:
 
 _EXTRACT_RE = re.compile(r"\bEXTRACT\s*\(", re.IGNORECASE)
 
+# DuckDB's sub-second date-part alias sets (verified live: every
+# spelling answers the same value)
+_MICROS_FIELDS = frozenset(
+    ("microsecond", "microseconds", "us", "usec", "usecs", "useconds")
+)
+_MILLIS_FIELDS = frozenset(
+    ("millisecond", "milliseconds", "ms", "msec", "msecs", "mseconds")
+)
+
 
 def _rewrite_extract_fields(sql: str, fired: bool = False) -> str:
     """DuckDB EXTRACT fields Spark spells differently (round 14,
@@ -6303,6 +6607,14 @@ def _rewrite_extract_fields(sql: str, fired: bool = False) -> str:
     - ``epoch`` → fractional seconds since epoch as DOUBLE (verified
       live: 1704164645.5 for a .5-second timestamp) via unix_micros.
     - ``isodow`` → Spark's ``DOW_ISO`` (both Monday=1..Sunday=7).
+    - ``microseconds``/``milliseconds`` (+ us/usec/ms/msec aliases,
+      round 15, VERDICT r14 what's-missing #1): DuckDB answers the
+      SECONDS-WITHIN-MINUTE in that unit INCLUDING the whole seconds
+      (verified live: '00:01:05.123456' → 5123456 µs / 5123 ms;
+      pre-epoch '23:59:58.5' → 58500000) — ``pmod(unix_micros, 60e6)``
+      reproduces both (pmod, not %: Spark's % keeps the dividend's
+      sign pre-epoch). Timestamp/date operands only; INTERVAL
+      operands keep their analysis error.
 
     FIRED-only set (valid Spark with values OFF BY ONE — DuckDB
     counts Sunday=0 where Spark counts 1):
@@ -6326,6 +6638,16 @@ def _rewrite_extract_fields(sql: str, fired: bool = False) -> str:
             e = content[fm.end():].strip()
             if field == "epoch" and not fired:
                 repl = f"(unix_micros(CAST(({e}) AS TIMESTAMP)) / 1e6)"
+            elif field in _MICROS_FIELDS and not fired:
+                repl = (
+                    f"pmod(unix_micros(CAST(({e}) AS TIMESTAMP)), "
+                    f"60000000)"
+                )
+            elif field in _MILLIS_FIELDS and not fired:
+                repl = (
+                    f"(pmod(unix_micros(CAST(({e}) AS TIMESTAMP)), "
+                    f"60000000) DIV 1000)"
+                )
             elif field == "isodow" and not fired:
                 repl = f"EXTRACT(DOW_ISO FROM {e})"
             elif field in ("dow", "dayofweek", "weekday") and fired:
@@ -6707,6 +7029,7 @@ def duckdb_to_spark(
         out = _replace_length(out)
     out = _replace_string_split(out)
     out = _replace_list_sort(out)
+    out = _replace_list_reverse_sort(out)
     out = _replace_strftime(out)
     out = _rewrite_filter_clauses(out)
     out = _rewrite_ordered_string_agg(out)

@@ -2596,9 +2596,34 @@ class MallardEngine:
             # normalize dollar-quoted strings NOW: the $n binder's
             # code mask doesn't know them, so a $$...$$ body containing
             # `$1` would otherwise be substituted into
-            self._prepared[pm.group(1).lower()] = replace_dollar_quotes(
-                pm.group(2)
+            body = replace_dollar_quotes(pm.group(2))
+            # DuckDB refuses mixed placeholder styles at PREPARE time
+            # (verified live: "$a + $1" and "$a + ?" both answer
+            # "Not implemented Error: Mixing named and positional
+            # parameters is not supported yet") — round 15, ADVICE
+            # r14 #2: without this, the named branch substituted only
+            # the named sites and left $1 in the text
+            from mallard_spark.dialect import _code_mask
+
+            bmask = _code_mask(body)
+            has_named = any(
+                not m.group(1).isdigit()
+                and all(bmask[k] for k in range(m.start(), m.end()))
+                for m in re.finditer(r"\$(\w+)", body)
             )
+            has_positional = any(
+                m.group(1).isdigit()
+                and all(bmask[k] for k in range(m.start(), m.end()))
+                for m in re.finditer(r"\$(\w+)", body)
+            ) or any(
+                c == "?" and bmask[i] for i, c in enumerate(body)
+            )
+            if has_named and has_positional:
+                raise NotImplementedError(
+                    "Mixing named and positional parameters is not "
+                    "supported yet"
+                )
+            self._prepared[pm.group(1).lower()] = body
             return self.spark.createDataFrame([("OK",)], "status string")
         dm = self._DEALLOCATE_RE.match(sql)
         if dm:
@@ -2782,6 +2807,23 @@ class MallardEngine:
             return self._tx_guard(impl, sql)
         except Exception as first_err:
             if '"' not in sql:
+                raise
+            # only retry PRE-EXECUTION failures (round 15, ADVICE r14
+            # #3): a runtime failure after partial side effects (a
+            # CTAS/INSERT write dying mid-job) must not re-execute
+            # the mutation. Parse/analysis/router errors
+            # (ParseException, AnalysisException, the routers' own
+            # ValueError/KeyError/NotImplementedError) are all raised
+            # before any write job starts; everything else (Py4J/
+            # SparkException runtime errors, TransactionAborted)
+            # propagates unretried.
+            from pyspark.errors import AnalysisException, ParseException
+
+            if not isinstance(
+                first_err,
+                (ParseException, AnalysisException, ValueError,
+                 KeyError, TypeError, NotImplementedError),
+            ) or isinstance(first_err, TransactionAbortedError):
                 raise
             from mallard_spark.dialect import (
                 _rewrite_dquote_identifiers,
@@ -3305,7 +3347,10 @@ class MallardEngine:
         out = sql
         for name in self._tables:
             out = _replace_table_ref(out, name, self._qualified(name))
-        if "current_setting" in out:
+        if "current_setting" in out.lower():
+            # lower(): the substitution regex is IGNORECASE, so the
+            # gate must be too (round 15, ADVICE r14 #1 — a wire
+            # ticket spelling CURRENT_SETTING skipped substitution)
             out = self._replace_current_setting(out)
         # sound pre-vanilla rewrite (round 12): 2-arg
         # regexp_extract_all with a groupless literal pattern is a
@@ -3619,7 +3664,7 @@ class MallardEngine:
             # DuckDB long-tail functions with no Spark equivalent
             # (round 14, VERDICT r13 what's-missing #8) — named
             # refusals with the closest working alternative
-            for rx, msg in (
+            for entry in (
                 (r"(?i)\b(?:gamma|lgamma)\s*\(",
                  "gamma()/lgamma() have no Spark SQL equivalent: for "
                  "integer n, gamma(n) = factorial(n - 1) (Spark's "
@@ -3640,15 +3685,33 @@ class MallardEngine:
                  "struct_insert is not supported: rebuild the struct "
                  "with named_struct(... existing fields ..., "
                  "'new_key', value)"),
+                # entries with a third element only refuse when the
+                # ORIGINAL error mentions that token (round 15,
+                # ADVICE r14 #4): these patterns are broad enough to
+                # appear in queries failing for unrelated reasons —
+                # e.g. a user UDF named bar() — and must not mask the
+                # true cause
                 (r"(?i)\bCOLLATE\b",
                  "COLLATE is not supported: spell case-insensitive "
                  "comparisons explicitly (lower(a) = lower(b)); for "
-                 "case-insensitive ORDER BY, sort on lower(col)"),
+                 "case-insensitive ORDER BY, sort on lower(col)",
+                 "collat"),
                 (r"(?i)\balias\s*\(",
                  "alias() is not supported (its answer depends on "
                  "the enclosing projection alias, which a rewrite "
                  "cannot see): spell the column name as a string "
-                 "literal"),
+                 "literal",
+                 "alias"),
+                (r"(?i)\bformat\s*\(",
+                 "this format() spec is not supported (mapped: {}, "
+                 "{N}, and {:[ <|>][+| ][#][0][width][,][.prec]"
+                 "[d|s|f|F|e|E|x|X|o|b]} — pinned to fmt semantics "
+                 "incl. half-even {:.Nf} rounding and NULL "
+                 "propagation); g/G/c/n/%-types, ^ alignment, "
+                 "non-space fill and dynamic {} width have no exact "
+                 "Java-printf equivalent: use printf() with %-codes "
+                 "or format_string() directly",
+                 "format"),
                 (r"(?i)\bparse_(filename|dirname|dirpath|path)\s*\(",
                  "the parse_* path family is not supported: compose "
                  "from split(path, '/') — e.g. element_at(split(p, "
@@ -3690,7 +3753,8 @@ class MallardEngine:
                 (r"(?i)\bbar\s*\(",
                  "bar() renders eighth-block progress bars with no "
                  "Spark equivalent: repeat(chr(9608), n) approximates "
-                 "whole blocks"),
+                 "whole blocks",
+                 "bar"),
                 (r"(?i)\bcurrent_local(time|timestamp)?\s*\(\s*\)"
                  r"|\blocaltime\b(?!\s*\()",
                  "TIME-of-day values are not supported (Spark has no "
@@ -3711,6 +3775,11 @@ class MallardEngine:
                  "supported: use integer bit arithmetic (&, |, "
                  "shiftleft) or a BOOLEAN array"),
             ):
+                rx, msg = entry[0], entry[1]
+                if len(entry) == 3 and entry[2] not in str(
+                    first_err
+                ).lower():
+                    continue
                 if _code_level_search(rx, out):
                     raise NotImplementedError(msg) from first_err
             raise first_err

@@ -429,6 +429,41 @@ SELECT setseed(0.5) AS s
 SELECT bar(5, 0, 10, 10) AS b
 SELECT strip_accents('abc') AS sa
 SELECT length_grapheme('abc') AS lg
+SELECT EXTRACT(microseconds FROM TIMESTAMP '2024-01-01 00:00:05.5') AS a
+SELECT EXTRACT(milliseconds FROM TIMESTAMP '2024-01-01 00:01:05.123456') AS a
+SELECT EXTRACT(us FROM TIMESTAMP '1969-12-31 23:59:58.5') AS a, EXTRACT(msec FROM TIMESTAMP '2024-01-01 00:00:05.5') AS b
+SELECT date_part('microseconds', TIMESTAMP '2024-03-05 12:34:56.789012') AS a, date_part('ms', TIMESTAMP '2024-01-01 00:00:05.5') AS b
+SELECT array_agg(DISTINCT g ORDER BY g) AS a FROM t
+SELECT array_agg(DISTINCT g ORDER BY g DESC) AS a FROM t
+SELECT list(DISTINCT x ORDER BY x) AS a FROM (VALUES (1),(NULL),(1),(2)) s(x)
+SELECT array_agg(DISTINCT x ORDER BY x) AS a FROM (VALUES (1),(NULL),(1),(2)) s(x)
+SELECT list_prepend(0, [1,2]) AS a, list_prepend(NULL, [1,2]) AS b, list_prepend(0, NULL) AS c
+SELECT list_append([1,2], 3) AS a, list_append(NULL, 1) AS b
+SELECT array_push_front([1,2], 0) AS a, array_push_back([1,2], 3) AS b
+SELECT list_append(arr, 9) AS a, list_prepend(9, arr) AS b FROM t ORDER BY id
+SELECT list_reverse_sort([3,NULL,1,2]) AS a
+SELECT list_reverse_sort([3,NULL,1], 'NULLS FIRST') AS a, list_reverse_sort([3,NULL,1], 'NULLS LAST') AS b
+SELECT array_reverse_sort([2,1]) AS a
+SELECT array_pop_back([1,2,3]) AS a, array_pop_back([1]) AS b, array_pop_back(NULL) AS c
+SELECT array_pop_front([1,2,3]) AS a, array_pop_front(CAST([] AS INT[])) AS b
+SELECT array_pop_front(arr) AS a FROM t ORDER BY id
+SELECT to_base64('abc'::BLOB) AS a, to_base64(NULL) AS b
+SELECT format('{:.2f}', 3.14159) AS a, format('{:.3f}', 2.5) AS b, format('{:.0f}', 2.5) AS c
+SELECT format('{:.0f}', 3.5) AS a, format('{:.2f}', 0.125) AS b
+SELECT format('{:d}', 42) AS a, format('{:s}', 'hi') AS b, format('{:05d}', 42) AS c, format('{:06d}', -42) AS d
+SELECT format('{:x}', 255) AS a, format('{:X}', 255) AS b, format('{:#x}', 255) AS c, format('{:#o}', 8) AS d
+SELECT format('{:,}', 1234567) AS a
+SELECT format('{:+d}', 42) AS a, format('{: d}', 42) AS b, format('{:+d}', -42) AS c
+SELECT format('{:10.3f}', 3.14159) AS a, format('{:08.2f}', -3.14159) AS b
+SELECT format('{:>8}', 'hi') AS a, format('{:<6}|', 'ab') AS b
+SELECT format('{:.2e}', 31415.9) AS a, format('{:e}', 31415.9) AS b, format('{:E}', 31415.9) AS c
+SELECT format('{:.2e}', v) AS a FROM t ORDER BY id
+SELECT format('{:.2e}', -30.25) AS a, format('{:.1e}', 0.0) AS b
+SELECT format('{:b}', 5) AS a, format('{:.3s}', 'abcdef') AS b
+SELECT format('{1} {0}', 'a', 'b') AS a, format('{0} {0}', 7) AS b
+SELECT format('a{{b}}c {}', 1) AS a, format('{:6.2f}|', 3.14159) AS b, format('{:<6.2f}|', 3.14159) AS c
+SELECT format('{} {}', 1, NULL) AS a, format('x', NULL) AS b
+SELECT format('{:g}', 1.5) AS g
 """
 
 
@@ -469,6 +504,9 @@ SELECT CAST(v AS NUMERIC) AS n FROM t ORDER BY id
 SELECT array_sort(array_distinct([1,1,NULL,2])) AS a
 SELECT kurtosis(v) AS k FROM t
 SELECT v // 3 AS d FROM t ORDER BY id
+SELECT sign(-3) AS a, sign(0) AS b
+SELECT sign(v) AS a FROM t ORDER BY id
+SELECT sign('-3.5'::DECIMAL(5,2)) AS a
 """
 
 

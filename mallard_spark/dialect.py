@@ -7230,6 +7230,27 @@ def translate_expression(fragment: str, force_fired: bool = False) -> str:
     return fragment  # a statement-level rewrite fired — not a fragment
 
 
+def translate_expression_variants(
+    fragment: str, force_fired: bool = False
+) -> list[str]:
+    """All distinct typed readings of a FRAGMENT translation, in
+    preference order (round 15, DML-script probe finding): the
+    single-reading :func:`translate_expression` could not express
+    analyzer-dispatched constructs — ``len(arr)`` in a DELETE
+    predicate needs the cardinality variant, which only the variant
+    ladder carries. Same SELECT-wrap/strip round-trip as
+    :func:`translate_expression`; readings where a statement-level
+    rewrite fired are dropped (not fragments anymore)."""
+    wrapped = f"SELECT {fragment}"
+    outs: list[str] = []
+    for t in translate_variants(wrapped, force_fired=force_fired):
+        if t.upper().startswith("SELECT "):
+            cand = t[7:]
+            if cand != fragment and cand not in outs:
+                outs.append(cand)
+    return outs
+
+
 def _double_backslashes_raw(sql: str) -> str:
     """DuckDB string literals are RAW — ``'a\\nb'`` is 4 characters
     and ``'\\d'`` is a working regex class (verified live) — while

@@ -1109,6 +1109,12 @@ class MallardEngine:
         self._persistent: set[str] = set()
         self._views: set[str] = set()
         self._view_sql: dict[str, str] = {}  # view definition text
+        # view → {source table: id(registered plan)} at (re)build time
+        # — the staleness snapshot behind DuckDB's late-binding view
+        # semantics (round 15): a mutation re-registers the source's
+        # DataFrame, the id diverges, the next read rebuilds the view
+        self._view_deps: dict[str, dict[str, int]] = {}
+        self._in_view_refresh = False
         # name → declared PRIMARY KEY / UNIQUE columns (round 8). The
         # engine does not ENFORCE uniqueness on plain INSERT (a check
         # join on every ingest is the wrong default at corpus scale —
@@ -2243,7 +2249,56 @@ class MallardEngine:
         # no to_pandas() driver copy (round-2 VERDICT fix).
         return self.spark.createDataFrame(data)
 
+    def _snapshot_view_deps(self, view: str) -> None:
+        """Record which registered tables the view's definition
+        references (word match, case-insensitive like every lookup)
+        and the identity of each one's current plan. Over-capture
+        (the name inside a string literal) only costs a spare
+        rebuild."""
+        body = self._view_sql.get(view, "")
+        deps: dict[str, int] = {}
+        for t in self._tables:
+            if t != view and re.search(
+                rf"(?i)(?<![\w.]){re.escape(t)}(?![\w.])", body
+            ):
+                deps[t] = id(self._tables[t])
+        self._view_deps[view] = deps
+
+    def _refresh_stale_views(self) -> None:
+        """DuckDB views are LATE-BINDING: they see mutations made to
+        their source tables after CREATE VIEW. Spark temp views
+        capture the PLAN at registration, so a mutation that
+        re-registers a source table would leave the view reading the
+        pre-mutation plan — rebuild every view whose dependency
+        snapshot diverged, to a fixpoint (a view over a refreshed
+        view goes stale in turn). Plan-build only, no Spark jobs."""
+        if self._in_view_refresh or not self._views:
+            return
+        self._in_view_refresh = True
+        try:
+            for _ in range(len(self._views) + 1):
+                stale = [
+                    v
+                    for v in sorted(self._views)
+                    if v in self._view_sql
+                    and any(
+                        id(self._tables.get(t)) != i
+                        for t, i in self._view_deps.get(v, {}).items()
+                    )
+                ]
+                if not stale:
+                    return
+                for v in stale:
+                    self._tables[v] = self.sql(self._view_sql[v])
+                    self._tables[v].createOrReplaceTempView(
+                        self._qualified(v)
+                    )
+                    self._snapshot_view_deps(v)
+        finally:
+            self._in_view_refresh = False
+
     def table(self, name: str) -> DataFrame:
+        self._refresh_stale_views()
         return self.spark.table(self._qualified(name))
 
     def list_tables(self) -> list[str]:
@@ -2296,6 +2351,7 @@ class MallardEngine:
         self._tables.pop(name, None)
         self._views.discard(name)
         self._view_sql.pop(name, None)
+        self._view_deps.pop(name, None)
         self._keys.pop(name, None)
         self._defaults.pop(name, None)
         self._checks.pop(name, None)
@@ -2787,13 +2843,30 @@ class MallardEngine:
         "qt" ("my col" INT)``) retry with the backtick conversion
         when the literal spelling fails — same fired-on-failure
         policy as the query ladder (round 14)."""
-        return self._retry_dquoted(self._ddl_impl, sql)
+        return self._retry_dquoted(self._ddl_impl, self._canon_case(sql))
 
     def dml(self, sql: str) -> str:
         """Execute INSERT/UPDATE/DELETE/MERGE (see :meth:`_dml_impl`
         for the supported surface) under the poisoning guard; quoted
         identifiers retry like :meth:`ddl`."""
-        return self._retry_dquoted(self._dml_impl, sql)
+        return self._retry_dquoted(self._dml_impl, self._canon_case(sql))
+
+    def _canon_case(self, sql: str) -> str:
+        """DuckDB resolves table names case-insensitively (bare AND
+        quoted — verified live: ``CREATE TABLE "Foo"`` then ``INSERT
+        INTO foo`` works) while preserving the registered case.
+        Rewrite case-VARIANT references to the registered spelling so
+        the DDL/DML routers' grammars and registry lookups match
+        (round 15, DML-script probe finding). Guarded per table: a
+        statement already spelling the name exactly is left
+        untouched."""
+        for t in self._tables:
+            esc = re.escape(t)
+            if re.search(
+                rf"(?i)(?<![\w.]){esc}(?![\w.])", sql
+            ) and not re.search(rf"(?<![\w.]){esc}(?![\w.])", sql):
+                sql = _replace_table_ref(sql, t, t, ci=True, bare_plain=True)
+        return sql
 
     def _retry_dquoted(self, impl, sql: str) -> str:
         """Run a DDL/DML executor; when the raw spelling fails and
@@ -2835,6 +2908,20 @@ class MallardEngine:
             try:
                 return self._tx_guard(impl, conv)
             except Exception:
+                # DDL/DML names that are NOT identifier-shaped
+                # (`"Sel Tbl"` → `` `Sel Tbl` ``) can never match the
+                # routers' grammars — refuse BY NAME with the
+                # workaround instead of surfacing a raw parse error
+                # (round 15, DML-script probe finding)
+                if re.search(r"`[^`]*[^\w`][^`]*`", conv):
+                    raise NotImplementedError(
+                        "quoted identifiers with spaces or special "
+                        "characters are not supported as DDL/DML "
+                        "table or column names: rename to "
+                        "identifier-shaped names ([A-Za-z_]\\w*) — "
+                        "quoted identifier-shaped names and quoted "
+                        "SELECT aliases work"
+                    ) from first_err
                 # the conversion didn't help — keep the ORIGINAL
                 # error (usually a named refusal) rather than a
                 # second-order one
@@ -3022,6 +3109,7 @@ class MallardEngine:
         names and every other namespace's tables). ``DESCRIBE t``
         passes through the rewriter like any query.
         """
+        self._refresh_stale_views()
         if self._tx is not None and self._tx.get("poisoned") and not re.match(
             r"^\s*(ROLLBACK|ABORT|COMMIT|END\b|BEGIN)", sql, re.IGNORECASE
         ):
@@ -3346,7 +3434,9 @@ class MallardEngine:
             sql = "".join(out_parts) + sql[last:]
         out = sql
         for name in self._tables:
-            out = _replace_table_ref(out, name, self._qualified(name))
+            out = _replace_table_ref(
+                out, name, self._qualified(name), ci=True
+            )
         if "current_setting" in out.lower():
             # lower(): the substitution regex is IGNORECASE, so the
             # gate must be too (round 15, ADVICE r14 #1 — a wire
@@ -7368,16 +7458,21 @@ class MallardEngine:
                 raise ValueError(f"CREATE VIEW: {name} already exists "
                                  "(use CREATE OR REPLACE VIEW)")
             # A view registers the query PLAN (lazy — data is read at
-            # query time, so source-file changes show through). One
-            # documented divergence from DuckDB's late-binding views:
-            # re-registering a source table after the view is created
-            # does not rebind the view; recreate it.
-            self._tables[name] = self.sql(m.group("select").rstrip("; \n"))
+            # query time, so source-file changes show through) plus a
+            # dependency snapshot: DuckDB views are LATE-BINDING
+            # (verified live: INSERT after CREATE VIEW shows through),
+            # so reads re-evaluate the definition whenever a source
+            # table's registered plan changed (round 15, DML-script
+            # probe finding — this was a documented divergence through
+            # r14; now it's parity).
+            body = m.group("select").rstrip("; \n")
+            self._tables[name] = self.sql(body)
             self._tables[name].createOrReplaceTempView(self._qualified(name))
             self._views.add(name)
             # the definition TEXT rides along for EXPORT DATABASE's
             # schema.sql (round 10)
-            self._view_sql[name] = m.group("select").rstrip("; \n")
+            self._view_sql[name] = body
+            self._snapshot_view_deps(name)
             return "OK"
         m = _DROP_RE.match(sql)
         if m:
@@ -7480,6 +7575,7 @@ class MallardEngine:
             if carried_vsql is not None:  # view definition follows
                 self._view_sql[new] = carried_vsql
             self._view_sql.pop(name, None)
+            self._view_deps.pop(name, None)
             self._defaults.pop(name, None)
             self._checks.pop(name, None)
             self._fkeys.pop(name, None)
@@ -8201,23 +8297,40 @@ class MallardEngine:
         """
         from pyspark.sql import functions as F
 
-        if _WIRE_DUCKDB.get():
-            # wire DML fragments are DuckDB SQL by definition
-            # (round 14 — same contract as query tickets): the
-            # force-fired translation runs FIRST; if it analyzes
-            # against the target relation it wins, else the normal
-            # fired-only ladder below is the fallback
-            from mallard_spark.dialect import translate_expression
+        from mallard_spark.dialect import translate_expression_variants
 
-            t = translate_expression(fragment, force_fired=True)
-            if t != fragment:
+        if self._macros:
+            # CREATE MACRO names resolve in DML fragments too
+            # (round 15, DML-script probe finding: UPDATE ... SET
+            # n = my_macro(n) was a raw UNRESOLVED_ROUTINE) — same
+            # lexical inlining as the query path
+            fragment = self._expand_macros(fragment)
+
+        def _first_analyzing(cands: list[str]):
+            """First variant that analyzes against ``probe`` (or the
+            first variant outright when there is no probe)."""
+            for t in cands:
                 if probe is None:
                     return F.expr(t)
                 try:
                     probe.select(F.expr(t)).columns
                     return F.expr(t)
                 except Exception:
-                    pass
+                    continue
+            return None
+
+        if _WIRE_DUCKDB.get() or self.duckdb_semantics:
+            # wire DML fragments are DuckDB SQL by definition
+            # (round 14 — same contract as query tickets; the LOCAL
+            # duckdb_semantics opt-in reaches fragments too since
+            # round 15): the force-fired translation runs FIRST; if a
+            # variant analyzes against the target relation it wins,
+            # else the normal fired-only ladder below is the fallback
+            r = _first_analyzing(
+                translate_expression_variants(fragment, force_fired=True)
+            )
+            if r is not None:
+                return r
 
         def _is_parse_error(e: Exception) -> bool:
             try:
@@ -8242,12 +8355,17 @@ class MallardEngine:
         except Exception as e:
             parse_ok = False if _is_parse_error(e) else None
 
-        from mallard_spark.dialect import translate_expression
-
         if parse_ok is False:
-            t = translate_expression(fragment)
-            if t != fragment:
-                return F.expr(t)
+            cands = translate_expression_variants(fragment)
+            r = _first_analyzing(cands)
+            if r is not None:
+                return r
+            if cands:
+                # no variant analyzed (e.g. a genuinely wrong column
+                # name) — surface the TRANSLATED reading's analysis
+                # error, which names the real problem, rather than
+                # the original parse error
+                return F.expr(cands[0])
             # untranslatable: hand back the lazy column so Spark's
             # original parse error surfaces at plan build
             return F.expr(fragment)
@@ -8262,13 +8380,11 @@ class MallardEngine:
                 probe.select(F.expr(fragment)).columns
                 return F.expr(fragment)
             except Exception:
-                t = translate_expression(fragment)
-                if t != fragment:
-                    try:
-                        probe.select(F.expr(t)).columns
-                        return F.expr(t)
-                    except Exception:
-                        pass
+                r = _first_analyzing(
+                    translate_expression_variants(fragment)
+                )
+                if r is not None:
+                    return r
                 # keep Spark semantics: the original analysis error
                 # surfaces when the real plan builds
                 return F.expr(fragment)
@@ -8425,7 +8541,9 @@ class MallardEngine:
             if self._macros:
                 rest = self._expand_macros(rest)  # same as the view path
             for t in self._tables:
-                rest = _replace_table_ref(rest, t, self._qualified(t))
+                rest = _replace_table_ref(
+                    rest, t, self._qualified(t), ci=True
+                )
             from pyspark.errors import ParseException
 
             try:
@@ -8655,7 +8773,9 @@ class MallardEngine:
             out.append(sql[last:a])
             frag = sql[a:b]
             for t in self._tables:
-                frag = _replace_table_ref(frag, t, self._qualified(t))
+                frag = _replace_table_ref(
+                    frag, t, self._qualified(t), ci=True
+                )
             out.append(frag)
             last = b
         out.append(sql[last:])
@@ -9561,8 +9681,23 @@ def _code_level_search(pattern: str, sql: str) -> bool:
     )
 
 
-def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
+def _replace_table_ref(
+    sql: str, name: str, qualified: str, ci: bool = False,
+    bare_plain: bool = False,
+) -> str:
     """Replace whole-word table references at identifier positions.
+
+    ``ci=True`` matches the name CASE-INSENSITIVELY — DuckDB resolves
+    identifiers (bare AND quoted) case-insensitively while preserving
+    the registered case (verified live: ``CREATE TABLE "Foo"`` then
+    ``FROM "foo"`` works), so the query path rewrites any case
+    variant to the one registered view (round 15, DML-script probe
+    finding).
+
+    ``bare_plain=True`` is the DDL/DML routers' case-normalization
+    mode: occurrences (bare or quoted) rewrite to the plain
+    ``qualified`` spelling with no backticks and no ``AS`` alias
+    decoration, so the routers' bare-name grammars match.
 
     Walks the SQL with a lexer that skips single-quoted string
     literals and ``--`` / ``/* */`` comments, so a table name
@@ -9588,7 +9723,10 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
     SAMPLE`` (Spark's sample clause must precede the alias) get the
     plain physical name as before.
     """
-    word = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])")
+    word = re.compile(
+        rf"(?<![\w.]){re.escape(name)}(?![\w.])",
+        re.IGNORECASE if ci else 0,
+    )
     out: list[str] = []
     i, n = 0, len(sql)
     seg_start = 0
@@ -9642,7 +9780,9 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
             # `qualified AS name` output below must not re-match)
             if _prev_word(base + m.start() - 1).upper() == "AS":
                 return m.group(0)
-            if _alias_here(base + m.start(), base + m.end()):
+            if not bare_plain and _alias_here(
+                base + m.start(), base + m.end()
+            ):
                 return f"{qualified} AS {name}"
             return qualified
 
@@ -9667,16 +9807,24 @@ def _replace_table_ref(sql: str, name: str, qualified: str) -> str:
             else:
                 j = n
             span = sql[i:j]
-            if ch in ('"', "`") and span == f"{ch}{name}{ch}":
+            quoted_hit = (
+                span.lower() == f"{ch}{name}{ch}".lower()
+                if ci
+                else span == f"{ch}{name}{ch}"
+            )
+            if ch in ('"', "`") and quoted_hit:
                 # Quoted table reference. Emitted backtick-quoted so a
                 # DuckDB-dialect client's `FROM "orders"` parses on
                 # Spark too (Spark treats bare double quotes as string
                 # literals). Limitation: a quoted NON-table identifier
                 # that happens to equal a table name is also rewritten.
                 if _prev_word(i - 1).upper() != "AS":  # alias position
-                    span = f"`{qualified}`"
-                    if _alias_here(i, j):
-                        span += f" AS `{name}`"
+                    if bare_plain:
+                        span = qualified
+                    else:
+                        span = f"`{qualified}`"
+                        if _alias_here(i, j):
+                            span += f" AS `{name}`"
             out.append(span)
             i = seg_start = j
         elif ch == "-" and sql[i : i + 2] == "--":

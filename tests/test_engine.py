@@ -3830,3 +3830,91 @@ def test_orphan_gc_sees_deep_mtimes_and_temporary_markers(spark):
     import shutil
 
     shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_view_late_binding(spark):
+    """DuckDB views are LATE-BINDING (verified live): mutations to a
+    source table AFTER CREATE VIEW show through reads of the view —
+    through r14 this was a documented divergence; the round-15
+    DML-script probe promoted it to parity (staleness-tracked
+    rebuild on read)."""
+    eng = MallardEngine(spark, "t_lateview")
+    eng.execute("CREATE TABLE lb (id INTEGER, v DOUBLE)")
+    eng.ddl("CREATE VIEW lbv AS SELECT id, v * 10 AS v10 FROM lb")
+    assert eng.sql("SELECT count(*) AS c FROM lbv").collect()[0][0] == 0
+    eng.dml("INSERT INTO lb VALUES (1, 1.5), (2, 2.5)")
+    got = {
+        (r["id"], r["v10"]) for r in eng.sql("SELECT * FROM lbv").collect()
+    }
+    assert got == {(1, 15.0), (2, 25.0)}
+    eng.dml("UPDATE lb SET v = 9.0 WHERE id = 2")
+    got = dict(
+        (r["id"], r["v10"]) for r in eng.sql("SELECT * FROM lbv").collect()
+    )
+    assert got == {1: 15.0, 2: 90.0}
+    # a view over the refreshed view goes stale transitively
+    eng.ddl("CREATE VIEW lbv2 AS SELECT sum(v10) AS s FROM lbv")
+    eng.dml("DELETE FROM lb WHERE id = 1")
+    assert eng.sql("SELECT s FROM lbv2").collect()[0][0] == 90.0
+
+
+def test_case_insensitive_table_resolution(spark):
+    """DuckDB resolves table names case-insensitively — bare AND
+    quoted — while preserving the registered case (verified live:
+    CREATE TABLE "Foo" then INSERT INTO foo works). Round 15."""
+    eng = MallardEngine(spark, "t_caseins")
+    eng.execute('CREATE TABLE "CamelTbl" (id INTEGER, v DOUBLE)')
+    eng.dml("INSERT INTO cameltbl VALUES (1, 1.5)")
+    eng.dml('INSERT INTO "CAMELTBL" VALUES (2, 2.5)')
+    assert eng.sql("SELECT count(*) AS c FROM CAMELTBL").collect()[0][0] == 2
+    eng.dml("UPDATE CamelTbl SET v = 9.0 WHERE id = 1")
+    assert eng.sql('SELECT sum(v) AS s FROM "cameltbl"').collect()[0][0] == 11.5
+    # the registered (display) case is preserved, like DuckDB's catalog
+    assert "CamelTbl" in eng.list_tables()
+
+
+def test_quoted_nonidentifier_names_refuse_by_name(spark):
+    """Quoted DDL/DML names that are not identifier-shaped ("Sel
+    Tbl") can never match the routers' grammars — they answer a
+    NAMED refusal with the rename workaround, not a raw parse error
+    (round 15, DML-script probe finding)."""
+    eng = MallardEngine(spark, "t_qspace")
+    with pytest.raises(NotImplementedError, match="identifier-shaped"):
+        eng.ddl('CREATE TABLE "Sel Tbl" ("Group Col" VARCHAR)')
+
+
+def test_dml_fragments_macros_and_list_len(spark):
+    """Round-15 DML-fragment fixes: CREATE MACRO names resolve inside
+    UPDATE expressions (lexical inlining, like the query path), and
+    analyzer-dispatched constructs (len() on a LIST column) reach the
+    variant ladder in DELETE predicates."""
+    eng = MallardEngine(spark, "t_dmlfrag")
+    eng.ddl("CREATE MACRO bump15(x) AS x + 2")
+    eng.execute(
+        "CREATE TABLE mf (id INTEGER, n INTEGER, arr INT[]);"
+        "INSERT INTO mf VALUES (1, 10, [1,2]), (2, 20, [3])"
+    )
+    eng.dml("UPDATE mf SET n = bump15(n) WHERE id = 1")
+    assert dict(
+        (r["id"], r["n"]) for r in eng.sql("SELECT id, n FROM mf").collect()
+    ) == {1: 12, 2: 20}
+    eng.dml("DELETE FROM mf WHERE len(arr) = 1")
+    assert eng.sql("SELECT count(*) AS c FROM mf").collect()[0][0] == 1
+
+
+def test_local_duckdb_semantics_reaches_dml_fragments(spark):
+    """engine.duckdb_semantics = True (the local opt-in every wire
+    ticket mode mirrors) force-fires the shared-name value mappings
+    in DML FRAGMENTS too (round 15): substr's start-0 reading and
+    two-arg trim's argument order are DuckDB's, not Spark's."""
+    eng = MallardEngine(spark, "t_localdk")
+    eng.duckdb_semantics = True
+    eng.execute(
+        "CREATE TABLE sf (id INTEGER, g VARCHAR);"
+        "INSERT INTO sf VALUES (1, 'hello'), (2, 'world')"
+    )
+    eng.dml("UPDATE sf SET g = upper(substr(g, 0, 4)) WHERE id = 1")
+    eng.dml("UPDATE sf SET g = trim(g, 'd') WHERE id = 2")
+    assert dict(
+        (r["id"], r["g"]) for r in eng.sql("SELECT id, g FROM sf").collect()
+    ) == {1: "HEL", 2: "worl"}

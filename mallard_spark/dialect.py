@@ -1677,17 +1677,58 @@ _STRF_MAP = {
     "H": "HH", "-H": "H", "I": "hh", "-I": "h", "M": "mm", "-M": "m",
     "S": "ss", "-S": "s", "p": "a", "j": "DDD", "-j": "D",
     "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM",
-    # deliberately absent: %G (ISO week-based year — Spark's pattern
-    # dialect has no exact equivalent; 'yyyy' would silently answer
-    # the CALENDAR year near year boundaries), %f/%g/%n/%W/%U/%w —
-    # unknown codes refuse the site so DuckDB semantics never drift
+    # parse-safe extensions (also fine for output): composites and
+    # fraction digits Java's formatter reads back exactly
+    "c": "yyyy-MM-dd HH:mm:ss", "x": "yyyy-MM-dd", "X": "HH:mm:ss",
+    "f": "SSSSSS", "g": "SSS",
+}
+
+# OUTPUT-only additions (round 15, VERDICT r14 next #6 — the fmt
+# audit): legal for strftime/date_format but wrong or meaningless as
+# to_timestamp parse patterns. %n: DuckDB timestamps are µs-precision
+# so nanoseconds always end in 000; %z/%Z: naive timestamps always
+# render '+00' / '' (verified live).
+_STRF_MAP_OUT = {
+    "n": "SSSSSS'000'", "z": "'+00'", "Z": "",
+}
+
+# OUTPUT-only EXPRESSION codes: the week-number family has no legal
+# Spark pattern letter (Spark bans Y/w/W since 3.0), but each code is
+# an exact expression over the operand — value-pinned vs live DuckDB
+# across ISO-year boundaries (2015-12-28, 2016-01-02, 2021-01-01).
+# {a} is the timestamp operand. %U/%W use the C-strftime week
+# formulas ((yday + 7 - wday) / 7); %G is the year of the week's
+# Thursday.
+_STRF_EXPR_OUT = {
+    "V": "lpad(CAST(weekofyear({a}) AS STRING), 2, '0')",
+    "u": "CAST(EXTRACT(DOW_ISO FROM {a}) AS STRING)",
+    # weekday terms spell EXTRACT(DOW_ISO ..), never dayofweek():
+    # these emissions flow through the LATER fired passes, where the
+    # shared-name dayofweek() mapping would re-rewrite them (probe
+    # caught the off-by-one)
+    "w": "CAST(pmod(EXTRACT(DOW_ISO FROM {a}), 7) AS STRING)",
+    "G": (
+        "CAST(year(date_add(CAST(({a}) AS DATE), "
+        "4 - EXTRACT(DOW_ISO FROM {a}))) AS STRING)"
+    ),
+    "U": (
+        "lpad(CAST((dayofyear({a}) + 6 - "
+        "pmod(EXTRACT(DOW_ISO FROM {a}), 7)) DIV 7 "
+        "AS STRING), 2, '0')"
+    ),
+    "W": (
+        "lpad(CAST((dayofyear({a}) + 7 - EXTRACT(DOW_ISO FROM {a})) "
+        "DIV 7 AS STRING), 2, '0')"
+    ),
 }
 
 
-def _strf_to_java(fmt: str) -> str | None:
-    """Convert a DuckDB/C strftime format string to the equivalent
-    Java datetime pattern (literal text single-quoted); None when the
-    format uses a % code with no exact Java equivalent."""
+def _strf_segments(fmt: str, output: bool = False):
+    """Tokenize a DuckDB/C strftime format into ``('pat', java)`` /
+    ``('expr', template)`` segments; None when a code has no mapping
+    for the direction. ``output=True`` (strftime) enables the
+    output-only pattern and expression codes."""
+    segs: list[tuple[str, str]] = []
     out: list[str] = []
     lit: list[str] = []
 
@@ -1703,6 +1744,12 @@ def _strf_to_java(fmt: str) -> str | None:
         else:
             out.append(text)
         lit.clear()
+
+    def flush_pat() -> None:
+        flush()
+        if out:
+            segs.append(("pat", "".join(out)))
+            out.clear()
 
     i, n = 0, len(fmt)
     while i < n:
@@ -1721,15 +1768,31 @@ def _strf_to_java(fmt: str) -> str | None:
             else:
                 i += 2
             java = _STRF_MAP.get(code)
+            if java is None and output:
+                java = _STRF_MAP_OUT.get(code)
             if java is None:
+                if output and code in _STRF_EXPR_OUT:
+                    flush_pat()
+                    segs.append(("expr", _STRF_EXPR_OUT[code]))
+                    continue
                 return None
             flush()
             out.append(java)
         else:
             lit.append(c)
             i += 1
-    flush()
-    return "".join(out)
+    flush_pat()
+    return segs
+
+
+def _strf_to_java(fmt: str) -> str | None:
+    """Convert a strftime format to ONE Java datetime pattern (the
+    parse direction, where expression codes can't apply); None when
+    any code has no exact pattern equivalent."""
+    segs = _strf_segments(fmt)
+    if segs is None or any(k != "pat" for k, _ in segs):
+        return None
+    return "".join(v for _, v in segs)
 
 
 _STRFTIME_RE = re.compile(r"\bstrftime\s*\(", re.IGNORECASE)
@@ -1740,8 +1803,41 @@ _TRY_STRPTIME_RE = re.compile(r"\btry_strptime\s*\(", re.IGNORECASE)
 def _replace_strftime(sql: str) -> str:
     """``strftime(ts, '%fmt')`` → ``date_format(ts, '<java>')`` and
     ``strptime(s, '%fmt')`` → ``to_timestamp(s, '<java>')`` for
-    literal formats whose % codes all have exact Java equivalents
-    (value-checked per code in tests); other sites are refused."""
+    literal formats whose % codes all have exact equivalents
+    (value-checked per code in tests); other sites refuse BY NAME
+    via the engine's wired refusal set.
+
+    The OUTPUT direction covers every DuckDB-1.0-legal code
+    (round 15): codes with no legal Spark pattern letter (the
+    week-number family — Spark bans Y/w/W) emit exact expressions,
+    and a format mixing patterns and expression codes emits
+    ``concat(date_format(..), expr, ..)``."""
+
+    def build_out(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        fmt = _unquote_sql_literal(args[1])
+        if fmt is None:
+            return None
+        segs = _strf_segments(fmt, output=True)
+        if segs is None:
+            return None
+        a = args[0].strip()
+        parts = []
+        for kind, v in segs:
+            if kind == "pat":
+                if not v:
+                    parts.append("''")  # a lone %Z renders empty
+                else:
+                    lit = "'" + v.replace("'", "''") + "'"
+                    parts.append(f"date_format({a}, {lit})")
+            else:
+                parts.append(v.format(a=a))
+        if not parts:
+            return "''"
+        if len(parts) == 1:
+            return parts[0]
+        return f"concat({', '.join(parts)})"
 
     def build_for(target: str):
         def build(args: list[str]) -> str | None:
@@ -1754,11 +1850,21 @@ def _replace_strftime(sql: str) -> str:
             if java is None:
                 return None
             lit = "'" + java.replace("'", "''") + "'"
-            return f"{target}({args[0].strip()}, {lit})"
+            call = f"{target}({args[0].strip()}, {lit})"
+            # a format with NO year field: DuckDB bases the missing
+            # date on 1900-01-01 where Spark bases on 1970-01-01 —
+            # exactly 70 years (verified live: strptime('14:07:09',
+            # '%X') → 1900-01-01 14:07:09). Pattern letters are
+            # outside quoted runs by construction, so a bare y scan
+            # over the unquoted text is exact.
+            unquoted = re.sub(r"'[^']*'", "", java)
+            if "y" not in unquoted:
+                return f"({call} - INTERVAL 70 YEARS)"
+            return call
 
         return build
 
-    sql = _rewrite_calls(sql, _STRFTIME_RE, build_for("date_format"))
+    sql = _rewrite_calls(sql, _STRFTIME_RE, build_out)
     sql = _rewrite_calls(sql, _STRPTIME_RE, build_for("to_timestamp"))
     # try_strptime: NULL instead of an error on unparseable input —
     # exactly Spark's try_to_timestamp (round 13)

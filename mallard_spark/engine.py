@@ -3802,6 +3802,23 @@ class MallardEngine:
                  "Java-printf equivalent: use printf() with %-codes "
                  "or format_string() directly",
                  "format"),
+                (r"(?i)\bstrftime\s*\(",
+                 "this strftime call is not supported: every "
+                 "DuckDB-1.0 % code maps for LITERAL formats "
+                 "(incl. the week family %U/%V/%W/%u/%w/%G and "
+                 "%c/%f/%g/%n/%x/%X/%z/%Z, round 15) — a non-literal "
+                 "format string cannot be translated; use "
+                 "date_format() with a Java pattern directly",
+                 "strftime"),
+                (r"(?i)\b(?:try_)?strptime\s*\(",
+                 "this strptime % code has no exact to_timestamp "
+                 "pattern equivalent (mapped for parsing: "
+                 "%Y %y %m %d %H %I %M %S %p %j %a %A %b %B "
+                 "%c %x %X %f %g, their %-variants, and %%; the "
+                 "week-number/zone family %U %V %W %u %w %G %n %z %Z "
+                 "is output-only): use to_timestamp() with a Java "
+                 "pattern directly",
+                 "strptime"),
                 (r"(?i)\bparse_(filename|dirname|dirpath|path)\s*\(",
                  "the parse_* path family is not supported: compose "
                  "from split(path, '/') — e.g. element_at(split(p, "

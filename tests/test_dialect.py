@@ -993,13 +993,16 @@ def test_strftime_bracket_literals_preserved(eng6):
     assert rows[0][0] == "[05]"
 
 
-def test_strftime_iso_year_refused_not_wrong(eng6):
-    # %G (ISO week-based year) has no exact Spark equivalent; the site
-    # must refuse (error), never silently answer the calendar year
-    import pytest as _p
-
-    with _p.raises(Exception):
-        eng6.sql("SELECT strftime(DATE '2021-01-01', '%G') AS s").collect()
+def test_strftime_iso_year_exact(eng6):
+    # %G (ISO week-based year) — refused through r14 because no Spark
+    # PATTERN letter exists; round 15 maps it as an exact expression
+    # (year of the week's Thursday). 2021-01-01 is a Friday of ISO
+    # week 2020-W53 — the calendar year would be WRONG here, which is
+    # exactly why this date pins the value.
+    got = eng6.sql(
+        "SELECT strftime(DATE '2021-01-01', '%G') AS s"
+    ).collect()[0][0]
+    assert got == "2020"
 
 
 def test_using_sample_rows_and_percent(eng6):
@@ -2966,3 +2969,33 @@ def test_round15_judge_probe_batch(eng):
         .schema["a"].dataType.typeName() == "byte"
     assert eng.sql("SELECT sign(v) AS a FROM dt WHERE id = 1",
                    duckdb_semantics=True).collect()[0][0] == 1
+
+
+def test_strftime_full_code_coverage(eng):
+    """Round 15 (VERDICT r14 next #6, the fmt audit): every
+    DuckDB-1.0-legal strftime % code now maps for literal formats —
+    the week family (%U/%V/%W/%u/%w/%G, no legal Spark pattern
+    letter) emits exact expressions, %z/%Z/%n emit the naive-
+    timestamp constants, and mixed formats emit concat(). Each
+    value-pinned live vs DuckDB, incl. ISO-year boundaries."""
+    ts = "TIMESTAMP '2024-03-05 14:07:09.123456'"
+    _both(eng, f"SELECT strftime({ts}, '%c') AS a, "
+               f"strftime({ts}, '%x %X') AS b")
+    _both(eng, f"SELECT strftime({ts}, '%f') AS a, "
+               f"strftime({ts}, '%g') AS b, strftime({ts}, '%n') AS c")
+    _both(eng, "SELECT strftime(TIMESTAMP '2021-01-01 00:00:00', "
+               "'%G-W%V-%u') AS a")
+    _both(eng, "SELECT strftime(TIMESTAMP '2016-01-02 00:00:00', '%G') AS a, "
+               "strftime(TIMESTAMP '2015-12-28 00:00:00', '%G') AS b")
+    _both(eng, f"SELECT strftime({ts}, '%U week %W day %w') AS a")
+    _both(eng, f"SELECT strftime({ts}, '%z') AS a, strftime({ts}, '%Z') AS b")
+    # parse direction: %c/%x/%X map; a YEAR-LESS format bases the
+    # missing date on 1900-01-01 like DuckDB (70-year shift)
+    _both(eng, "SELECT strptime('2024-03-05 14:07:09', '%c') AS a")
+    _both(eng, "SELECT strptime('14:07:09', '%X') AS a, "
+               "strptime('2024-03-05', '%x') AS b")
+    # parse-only gaps refuse BY NAME (were raw UNRESOLVED_ROUTINE)
+    with pytest.raises(NotImplementedError, match="strptime"):
+        eng.sql("SELECT strptime('10', '%V')")
+    with pytest.raises(NotImplementedError, match="strftime"):
+        eng.sql("SELECT strftime(TIMESTAMP '2024-01-01', g) FROM dt")

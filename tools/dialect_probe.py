@@ -464,6 +464,14 @@ SELECT format('{1} {0}', 'a', 'b') AS a, format('{0} {0}', 7) AS b
 SELECT format('a{{b}}c {}', 1) AS a, format('{:6.2f}|', 3.14159) AS b, format('{:<6.2f}|', 3.14159) AS c
 SELECT format('{} {}', 1, NULL) AS a, format('x', NULL) AS b
 SELECT format('{:g}', 1.5) AS g
+SELECT strftime(TIMESTAMP '2024-03-05 14:07:09.123456', '%c') AS a, strftime(TIMESTAMP '2024-03-05 14:07:09.123456', '%x %X') AS b
+SELECT strftime(TIMESTAMP '2024-03-05 14:07:09.123456', '%f') AS a, strftime(TIMESTAMP '2024-03-05 14:07:09.123456', '%g') AS b, strftime(TIMESTAMP '2024-03-05 14:07:09.123456', '%n') AS c
+SELECT strftime(TIMESTAMP '2021-01-01 00:00:00', '%G-W%V-%u') AS a
+SELECT strftime(TIMESTAMP '2016-01-02 00:00:00', '%G') AS a, strftime(TIMESTAMP '2015-12-28 00:00:00', '%G') AS b
+SELECT strftime(TIMESTAMP '2024-03-05 00:00:00', '%U week %W day %w') AS a
+SELECT strftime(TIMESTAMP '2024-03-05 00:00:00', '%z') AS a, strftime(TIMESTAMP '2024-03-05 00:00:00', '%Z') AS b
+SELECT strptime('2024-03-05 14:07:09', '%c') AS a
+SELECT strptime('2024-03-05', '%x') AS a, strptime('14:07:09', '%X') AS b
 """
 
 

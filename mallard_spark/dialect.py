@@ -5690,6 +5690,32 @@ def _replace_varchar_casts(sql: str) -> str:
     return _VARCHAR_CAST_RE.sub(sub, sql)
 
 
+_TSTZ_RE = re.compile(
+    r"\bTIMESTAMPTZ\b|\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b",
+    re.IGNORECASE,
+)
+
+
+def _replace_timestamptz(sql: str) -> str:
+    """``TIMESTAMPTZ`` / ``TIMESTAMP WITH TIME ZONE`` in query text
+    (literals ``TIMESTAMPTZ '...+02'``, casts ``::TIMESTAMPTZ``) →
+    ``TIMESTAMP`` (round 15, VERDICT r14 next #5): Spark parses
+    offset-bearing timestamp text to the same UTC INSTANT DuckDB's
+    TIMESTAMPTZ denotes (verified live: '2024-01-01 05:00:00+02' →
+    03:00:00 on both), rendered naive — the documented tz-type
+    stance. Neither spelling is valid Spark anywhere, so a code-level
+    rename is sound. DDL column types map separately
+    (_DUCK_DDL_TYPES)."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if not all(mask[k] for k in range(m.start(), m.end())):
+            return m.group(0)
+        return "TIMESTAMP"
+
+    return _TSTZ_RE.sub(sub, sql)
+
+
 _CLAUSE_KWS = (
     "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
     "UNION", "EXCEPT", "INTERSECT",
@@ -7174,6 +7200,7 @@ def duckdb_to_spark(
     out = _rewrite_interval_expr(out)
     out = _rewrite_at_time_zone(out)
     out = _replace_varchar_casts(out)
+    out = _replace_timestamptz(out)
     out = _rewrite_collections(out, string_slice=index_string)
     out = _rewrite_string_literal_subscript(out)
     if _balanced(out):

@@ -2999,3 +2999,23 @@ def test_strftime_full_code_coverage(eng):
         eng.sql("SELECT strptime('10', '%V')")
     with pytest.raises(NotImplementedError, match="strftime"):
         eng.sql("SELECT strftime(TIMESTAMP '2024-01-01', g) FROM dt")
+
+
+def test_timestamptz_spellings(eng):
+    """Round 15 (VERDICT r14 next #5, the tz stance): TIMESTAMPTZ /
+    TIMESTAMP WITH TIME ZONE literals and casts map to TIMESTAMP —
+    Spark parses offset-bearing text to the same UTC instant DuckDB's
+    TIMESTAMPTZ denotes (rendered naive, the documented stance).
+    These were raw ParseExceptions through r14."""
+    got = eng.sql(
+        "SELECT TIMESTAMPTZ '2024-01-01 05:00:00+02' AS a, "
+        "CAST('2024-01-01 05:00:00+02' AS TIMESTAMPTZ) AS b, "
+        "'2024-01-01 05:00:00+02'::TIMESTAMPTZ AS c"
+    ).collect()[0]
+    import datetime
+
+    want = datetime.datetime(2024, 1, 1, 3, 0)
+    assert (got[0], got[1], got[2]) == (want, want, want)
+    assert eng.sql(
+        "SELECT epoch(TIMESTAMPTZ '2024-01-01 05:00:00+02') AS e"
+    ).collect()[0][0] == 1704078000.0

@@ -472,6 +472,17 @@ SELECT strftime(TIMESTAMP '2024-03-05 00:00:00', '%U week %W day %w') AS a
 SELECT strftime(TIMESTAMP '2024-03-05 00:00:00', '%z') AS a, strftime(TIMESTAMP '2024-03-05 00:00:00', '%Z') AS b
 SELECT strptime('2024-03-05 14:07:09', '%c') AS a
 SELECT strptime('2024-03-05', '%x') AS a, strptime('14:07:09', '%X') AS b
+-- TIMESTAMPTZ stance (round 15, VERDICT r14 next #5): tz-typed
+-- expressions answer the same INSTANT with NAIVE type (Spark has no
+-- tz-attached SQL type); _norm compares instants, so these are full
+-- value rows — the tz ATTACHMENT itself is the one documented
+-- divergence a schema-sensitive wire client can observe
+SELECT TIMESTAMPTZ '2024-01-01 05:00:00+02' AS r
+SELECT CAST('2024-01-01 05:00:00+02' AS TIMESTAMPTZ) AS r
+SELECT epoch(TIMESTAMPTZ '2024-01-01 05:00:00+02') AS r
+SELECT timezone('America/New_York', TIMESTAMP '2024-01-01 05:00:00') AS r
+SELECT to_timestamp(1704085200) AS r
+SELECT timestamp '2024-01-01 05:00:00' AT TIME ZONE 'America/New_York' AS r
 """
 
 
@@ -570,7 +581,9 @@ def run_corpus(eng, con, grep: str | None = None, corpus: str | None = None,
     gaps = []
     n = 0
     for raw in (x.strip() for x in (corpus or CORPUS).strip().splitlines()):
-        if not raw or (grep and grep.lower() not in raw.lower()):
+        if not raw or raw.startswith("--") or (
+            grep and grep.lower() not in raw.lower()
+        ):
             continue
         novalue = raw.endswith("-- novalue")
         stmt = raw.removesuffix("-- novalue").strip()

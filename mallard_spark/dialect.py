@@ -3956,6 +3956,170 @@ _DATEPART_UNITS = {
 }
 
 
+def _half_even_f(p: int) -> str:
+    """Argument wrapper for %f-family rendering: fmt (DuckDB's
+    format/printf backend) rounds HALF-EVEN at the precision where
+    Java's %f rounds half-up — pre-round via rint (also forces the
+    DOUBLE Java needs; Spark types a 3.14 literal DECIMAL)."""
+    return "(rint(CAST(({a}) AS DOUBLE) * 1e%d) / 1e%d)" % (p, p)
+
+
+def _half_even_e(p: int) -> str:
+    """Argument wrapper for %e-family rendering: like %f, fmt rounds
+    the SIGNIFICAND half-even (probe hit: {:.2e} of 30.25 →
+    fmt 3.02e+01, Java 3.03e+01) — pre-round at p digits past the
+    leading digit via rint over a value-dependent decade scale;
+    CASTs force the DOUBLE Java's %e needs."""
+    return (
+        "(CASE WHEN ({a}) = 0 THEN CAST(({a}) AS DOUBLE) "
+        "ELSE rint(CAST(({a}) AS DOUBLE) * power(10, "
+        "%d - floor(log10(abs(CAST(({a}) AS DOUBLE)))))) "
+        "/ power(10, "
+        "%d - floor(log10(abs(CAST(({a}) AS DOUBLE)))))"
+        " END)" % (p, p)
+    )
+
+
+_PRINTF_SPEC_RE = re.compile(
+    r"%(?P<pos>\d+\$)?(?P<flags>[-+ #0,]*)(?P<width>\d+|\*)?"
+    r"(?:\.(?P<prec>\d+|\*))?(?P<conv>[A-Za-z%])"
+)
+
+
+def _printf_to_java(fmt: str):
+    """DuckDB/C printf format string → ``(java_fmt, wrappers)`` for
+    format_string, or None when a spec has no exact Java equivalent
+    (the engine then refuses by name). DuckDB's printf is fmt's
+    sprintf — TYPE-STRICT (%d with 3.7 is an error, verified live),
+    so DuckDB-legal statements guarantee conv-compatible arguments;
+    the wrappers only fix Java-side typing (DECIMAL→DOUBLE,
+    int-width→BIGINT) and fmt's half-even %f/%e rounding.
+
+    Mapped (pinned live, round 15): %d/%i/%u → %d over BIGINT;
+    %o/%x/%X over BIGINT; %f/%F (same finite rendering) with the
+    half-even pre-round; %e/%E likewise; %s (with .prec truncation);
+    %c of an integer code point; positional %N$; flags -/+/space/
+    #/0/,; fixed width/precision; %%.
+
+    Refused: %g/%G (Java keeps trailing zeros fmt strips), %a/%A/%n,
+    dynamic * width/precision, mixing positional and sequential
+    arguments."""
+    out: list[str] = []
+    wraps: dict[int, str | None] = {}
+    auto = 0
+    saw_pos = saw_seq = False
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        m = _PRINTF_SPEC_RE.match(fmt, i)
+        if not m:
+            return None
+        conv = m.group("conv")
+        if conv == "%":
+            out.append("%%")
+            i = m.end()
+            continue
+        pos, flags = m.group("pos"), m.group("flags") or ""
+        width, prec = m.group("width"), m.group("prec")
+        if width == "*" or prec == "*":
+            return None
+        if pos:
+            saw_pos = True
+            argix = int(pos[:-1]) - 1
+        else:
+            saw_seq = True
+            argix = auto
+            auto += 1
+        wrap: str | None = None
+        p = int(prec) if prec else 6
+        if conv in ("f", "F"):
+            conv = "f"  # Java has no %F; finite rendering identical
+            wrap = _half_even_f(p)
+        elif conv in ("e", "E"):
+            wrap = _half_even_e(p)
+        elif conv in ("d", "i", "u"):
+            conv = "d"
+            wrap = "CAST(({a}) AS BIGINT)"
+        elif conv in ("o", "x", "X"):
+            wrap = "CAST(({a}) AS BIGINT)"
+        elif conv in ("s", "c"):
+            pass  # %c: integer code point — Java renders the same
+        else:
+            return None
+        if argix in wraps and wraps[argix] != wrap:
+            return None
+        wraps[argix] = wrap
+        out.append(
+            "%" + (pos or "") + flags + (width or "")
+            + (("." + prec) if prec else "") + conv
+        )
+        i = m.end()
+    if saw_pos and saw_seq:
+        return None
+    return "".join(out), wraps
+
+
+_PRINTF_CALL_RE = re.compile(r"\bprintf\s*\(", re.IGNORECASE)
+_DECIMAL_LIT_RE = re.compile(r"(?<![\w.])(?:\d+\.\d*|\.\d+)(?![\w.])")
+
+
+def rewrite_printf_decimal_calls(sql: str) -> str:
+    """SOUND pre-vanilla route (round 15): a printf call whose
+    argument list carries a decimal-point numeric literal is a
+    GUARANTEED Spark error — Spark types the literal DECIMAL and
+    Java's %f/%e reject Decimal at evaluation time (after analysis,
+    so the post-failure ladder never sees it); DuckDB's type-strict
+    printf rejects a decimal under every other conversion. Rewrite
+    those calls (and only those) to the DuckDB reading up front."""
+    def build(args: list[str]) -> str | None:
+        if len(args) < 2:
+            return None
+        if not any(_DECIMAL_LIT_RE.search(a) for a in args[1:]):
+            return None
+        return printf_builder(args)
+
+    return _rewrite_calls(sql, _PRINTF_CALL_RE, build)
+
+
+def printf_builder(args: list[str]) -> str | None:
+    """The printf → format_string rewrite shared by the translation
+    pass and the pre-vanilla decimal-literal route."""
+    if len(args) < 1:
+        return None
+    fmt = _unquote_sql_literal(args[0].strip())
+    if fmt is None:
+        return None
+    res = _printf_to_java(fmt)
+    if res is None:
+        return None
+    pf, wraps = res
+    return _assemble_format_string_mod(
+        pf, [a.strip() for a in args[1:]], wraps
+    )
+
+
+def _assemble_format_string_mod(pf, exprs, wraps):
+    if any(ix >= len(exprs) for ix in wraps):
+        return None  # more placeholders than args — DuckDB errors
+    lit = "'" + pf.replace("'", "''") + "'"
+    parts = []
+    for ix, a in enumerate(exprs):
+        w = wraps.get(ix)
+        parts.append(w.format(a=a) if w else f"({a})")
+    call = f"format_string({lit}{''.join(', ' + p for p in parts)})"
+    if not exprs:
+        return call
+    # a NULL argument makes the whole result NULL on DuckDB
+    # (verified live for format() and printf()); Java's %s of null
+    # would print the text 'null'
+    nulls = " OR ".join(f"({a}) IS NULL" for a in exprs)
+    return f"(CASE WHEN {nulls} THEN NULL ELSE {call} END)"
+
+
 _FMT_SPEC_RE = re.compile(
     r"\{(?P<pos>\d*)"
     r"(?::"
@@ -4045,26 +4209,11 @@ def _format_to_printf(fmt: str):
             elif typ == "f":
                 if comma or alt:
                     return None
-                p = int(prec[1:]) if prec else 6
-                wrap = "(rint(({a}) * 1e%d) / 1e%d)" % (p, p)
+                wrap = _half_even_f(int(prec[1:]) if prec else 6)
             elif typ in ("e", "E"):
                 if comma or alt:
                     return None
-                # Java %e rejects DECIMAL (Spark's literal type for
-                # 31415.9) — force DOUBLE. And like %f, fmt rounds
-                # the significand half-EVEN where Java rounds half-up
-                # (probe hit: {:.2e} of 30.25 → fmt 3.02e+01, Java
-                # 3.03e+01) — pre-round at p digits past the leading
-                # digit via rint over a value-dependent decade scale
-                p = int(prec[1:]) if prec else 6
-                wrap = (
-                    "(CASE WHEN ({a}) = 0 THEN CAST(({a}) AS DOUBLE) "
-                    "ELSE rint(CAST(({a}) AS DOUBLE) * power(10, "
-                    "%d - floor(log10(abs(CAST(({a}) AS DOUBLE)))))) "
-                    "/ power(10, "
-                    "%d - floor(log10(abs(CAST(({a}) AS DOUBLE)))))"
-                    " END)" % (p, p)
-                )
+                wrap = _half_even_e(int(prec[1:]) if prec else 6)
             elif typ in ("x", "X", "o"):
                 if comma or prec:
                     return None
@@ -4258,22 +4407,19 @@ def _rewrite_misc_fns(sql: str) -> str:
         if res is None:
             return None
         pf, wraps = res
-        exprs = [a.strip() for a in args[1:]]
-        if any(ix >= len(exprs) for ix in wraps):
-            return None  # more placeholders than args — DuckDB errors
-        lit = "'" + pf.replace("'", "''") + "'"
-        parts = []
-        for ix, a in enumerate(exprs):
-            w = wraps.get(ix)
-            parts.append(w.format(a=a) if w else f"({a})")
-        call = f"format_string({lit}{''.join(', ' + p for p in parts)})"
-        if not exprs:
-            return call
-        # a NULL argument makes the whole result NULL on DuckDB
-        # (verified live: format('{}', NULL) → NULL); Java's %s of
-        # null would print the text 'null'
-        nulls = " OR ".join(f"({a}) IS NULL" for a in exprs)
-        return f"(CASE WHEN {nulls} THEN NULL ELSE {call} END)"
+        return _assemble_format_string_mod(
+            pf, [a.strip() for a in args[1:]], wraps
+        )
+
+    # printf is a SHARED-NAME function (Spark's printf = Java
+    # format_string) with three pinned divergences (round 15, probe
+    # batch): fmt rounds %f/%e HALF-EVEN where Java rounds half-up
+    # (printf('%.0f %.0f', 0.5, 1.5) → '0 2' on DuckDB); Spark's
+    # literal typing hands %f a DECIMAL Java rejects; and a NULL
+    # argument nulls the whole row where Java prints 'null'.
+    # Translation only ever runs on failed/fired statements, so
+    # working Spark printf never changes meaning locally.
+    b_printf = printf_builder
 
     def b_jaccard(args):
         p = two(args)
@@ -4937,6 +5083,7 @@ def _rewrite_misc_fns(sql: str) -> str:
 
     table = {
         "list_unique": b_list_unique,
+        "printf": b_printf,
         "list_append": b_list_append,
         "array_push_back": b_list_append,
         "list_prepend": b_list_prepend,
@@ -6837,6 +6984,32 @@ def _rewrite_interval_text_casts(sql: str) -> str:
     return sql
 
 
+_INTERVAL_TIME_LIT_RE = re.compile(
+    r"\bINTERVAL\s*'(?P<body>-?\d+:\d+:\d+(?:\.\d+)?)'"
+    r"(?!\s*(?:HOUR|MINUTE|SECOND|DAY|TO)\b)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_interval_time_literals(sql: str) -> str:
+    """DuckDB's time-style interval literal ``INTERVAL '1:30:00'``
+    (also negative and >24h forms — verified live) → Spark's
+    qualified ``INTERVAL '..' HOUR TO SECOND``, which answers the
+    same value for all three shapes (round 15 sweep). Never valid
+    Spark without the qualifier, so the rewrite is sound wherever
+    translation runs."""
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if not all(
+            mask[k] for k in range(m.start(), m.start() + 8)
+        ):
+            return m.group(0)
+        return f"INTERVAL '{m.group('body')}' HOUR TO SECOND"
+
+    return _INTERVAL_TIME_LIT_RE.sub(sub, sql)
+
+
 def _rewrite_prefix_abs(sql: str) -> str:
     """DuckDB's prefix ``@`` absolute-value operator (``@(-5)`` = 5,
     ``@ x`` — verified live). ``@`` is not part of any Spark operator,
@@ -7198,6 +7371,7 @@ def duckdb_to_spark(
     out = _rewrite_startswith_op(out)
     out = _rewrite_ignore_nulls_in_call(out)
     out = _rewrite_interval_expr(out)
+    out = _rewrite_interval_time_literals(out)
     out = _rewrite_at_time_zone(out)
     out = _replace_varchar_casts(out)
     out = _replace_timestamptz(out)

@@ -3451,9 +3451,17 @@ class MallardEngine:
             _rewrite_interval_text_casts,
             rewrite_chr_high_literals,
             rewrite_groupless_regexp_extract_all,
+            rewrite_printf_decimal_calls,
         )
 
         out = rewrite_groupless_regexp_extract_all(out)
+        if "printf" in out.lower():
+            # printf with a decimal-point literal argument is a
+            # GUARANTEED Spark error (Decimal reaches Java's %f at
+            # evaluation, AFTER analysis — invisible to the ladder);
+            # DuckDB's type-strict printf allows a decimal only
+            # under %f/%e — rewritten pre-vanilla (round 15)
+            out = rewrite_printf_decimal_calls(out)
         if "chr" in out.lower():
             # chr(<literal> > 255) silently answers chr(n % 256) on
             # Spark where DuckDB answers the Unicode character —
@@ -3877,10 +3885,17 @@ class MallardEngine:
                 # only the `b` prefix is code-level (the '1010' body
                 # is a masked literal), so the lookahead keeps the
                 # matched span checkable
-                (r"(?i)(?<![\w'])b(?='[01]+')",
-                 "BIT/BITSTRING literals (b'1010') are not "
+                (r"(?i)(?<![\w'])b(?='[01]+')"
+                 r"|::\s*BIT\b|\bAS\s+BIT\s*\)"
+                 r"|\b(?:get_bit|set_bit|bit_position)\s*\(",
+                 "the BIT/BITSTRING type (b'1010' literals, ::BIT "
+                 "casts, get_bit/set_bit/bit_position) is not "
                  "supported: use integer bit arithmetic (&, |, "
                  "shiftleft) or a BOOLEAN array"),
+                (r"(?i)\bunnest\s*\([^()]*recursive\s*:=",
+                 "unnest(.., recursive := true) is not supported: "
+                 "flatten one list level with explode(flatten(l)); "
+                 "struct fields unnest with col.* expansion"),
             ):
                 rx, msg = entry[0], entry[1]
                 if len(entry) == 3 and entry[2] not in str(

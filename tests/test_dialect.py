@@ -3019,3 +3019,44 @@ def test_timestamptz_spellings(eng):
     assert eng.sql(
         "SELECT epoch(TIMESTAMPTZ '2024-01-01 05:00:00+02') AS e"
     ).collect()[0][0] == 1704078000.0
+
+
+def test_printf_duckdb_semantics(eng):
+    """Round 15 sweep: printf is a SHARED-NAME function — DuckDB's
+    fmt backend rounds %f/%e half-EVEN, nulls the row on a NULL
+    argument, and takes the DOUBLE Spark types as DECIMAL. Decimal
+    literal arguments are a GUARANTEED Spark evaluation error, so
+    those calls reroute pre-vanilla; column arguments keep Spark
+    semantics locally and DuckDB semantics fired/wire."""
+    _both(eng, "SELECT printf('%05.2f', 3.14159) AS a, "
+               "printf('%.0f %.0f', 0.5, 2.5) AS b")
+    _both(eng, "SELECT printf('%.2e %.1f', 30.25, 2.25) AS a")
+    _both(eng, "SELECT printf('%x %#x %o %d-%s', 255, 255, 8, 5, 'x') AS a")
+    _both(eng, "SELECT printf('%2$s %1$s', 'a', 'b') AS a, "
+               "printf('%c', 65) AS b")
+    # fired-only pieces: NULL propagation and half-even on a column
+    got = eng.sql("SELECT printf('%s %d', NULL, 5) AS a",
+                  duckdb_semantics=True).collect()[0][0]
+    assert got is None
+    got = eng.sql("SELECT printf('%.1f', v) AS a FROM dt WHERE id = 1",
+                  duckdb_semantics=True).collect()
+
+
+def test_interval_time_literal(eng):
+    """INTERVAL '1:30:00' (DuckDB's time-style interval text) →
+    HOUR TO SECOND literal, incl. negative and >24h forms."""
+    _both(eng, "SELECT INTERVAL '1:30:00' = INTERVAL 90 MINUTE AS a")
+    _both(eng, "SELECT TIMESTAMP '2024-01-01 00:00:00' + "
+               "INTERVAL '26:30:00' AS a, "
+               "TIMESTAMP '2024-01-01 12:00:00' + "
+               "INTERVAL '-1:30:05.5' AS b")
+
+
+def test_bit_type_and_recursive_unnest_refuse_by_name(eng):
+    """Round 15 sweep: ::BIT casts / get_bit and
+    unnest(recursive := true) were raw errors — now named refusals
+    with workarounds."""
+    with pytest.raises(NotImplementedError, match="BIT"):
+        eng.sql("SELECT get_bit('0101'::BIT, 1)")
+    with pytest.raises(NotImplementedError, match="recursive"):
+        eng.sql("SELECT unnest([1,2,3], recursive := true) AS u")

@@ -472,6 +472,16 @@ SELECT strftime(TIMESTAMP '2024-03-05 00:00:00', '%U week %W day %w') AS a
 SELECT strftime(TIMESTAMP '2024-03-05 00:00:00', '%z') AS a, strftime(TIMESTAMP '2024-03-05 00:00:00', '%Z') AS b
 SELECT strptime('2024-03-05 14:07:09', '%c') AS a
 SELECT strptime('2024-03-05', '%x') AS a, strptime('14:07:09', '%X') AS b
+SELECT printf('%05.2f', 3.14159) AS a, printf('%.0f %.0f', 0.5, 2.5) AS b
+SELECT printf('%.2e %.1f', 30.25, 2.25) AS a, printf('%8.3f|%-8.2f|', -3.14159, 0.125) AS b
+SELECT printf('%x %#x %o %d-%s', 255, 255, 8, 5, 'x') AS a
+SELECT printf('%2$s %1$s', 'a', 'b') AS a, printf('%c', 65) AS b
+SELECT INTERVAL '1:30:00' = INTERVAL 90 MINUTE AS a
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '26:30:00' AS a, TIMESTAMP '2024-01-01 12:00:00' + INTERVAL '-1:30:05.5' AS b
+SELECT list_sort(list_intersect([1,2,3], [2,3,4])) AS a
+-- list_intersect element ORDER is engine-specific on both engines
+-- (hash-set order), like list_distinct — documented divergence
+SELECT list_intersect([1,2,3], [2,3,4]) AS a -- novalue
 -- TIMESTAMPTZ stance (round 15, VERDICT r14 next #5): tz-typed
 -- expressions answer the same INSTANT with NAIVE type (Spark has no
 -- tz-attached SQL type); _norm compares instants, so these are full
@@ -526,6 +536,8 @@ SELECT v // 3 AS d FROM t ORDER BY id
 SELECT sign(-3) AS a, sign(0) AS b
 SELECT sign(v) AS a FROM t ORDER BY id
 SELECT sign('-3.5'::DECIMAL(5,2)) AS a
+SELECT printf('%s %d', NULL, 5) AS a
+SELECT printf('%.1f %.0f', v, v) AS a FROM t ORDER BY id
 """
 
 

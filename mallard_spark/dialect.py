@@ -4063,6 +4063,61 @@ def _printf_to_java(fmt: str):
     return "".join(out), wraps
 
 
+_CONCAT_CALL_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
+
+
+def _rewrite_concat_nullskip(sql: str) -> str:
+    """WIRE/FORCE-FIRED ONLY: DuckDB's concat() casts EVERY argument
+    to VARCHAR and SKIPS NULLs (verified live: concat('a', NULL, 'b')
+    → 'ab', concat([1,2],[3]) → '[1, 2][3]') where Spark's concat is
+    type-preserving and NULL-propagating. Runs EARLY on the CLIENT's
+    text only — later passes emit Spark-native concat for array and
+    string composition whose semantics must not be re-cast (the
+    round-15 list_concat regression this pass's placement fixes).
+    Already-wrapped sites skip, so nested user calls converge.
+
+    LOCAL fired statements keep Spark's concat (documented
+    divergence — the force-fired wire/opt-in paths give DuckDB
+    values, same stance as the other shared-name long tail)."""
+
+    def build(args: list[str]) -> str | None:
+        if not args or not any(a.strip() for a in args):
+            return None
+        if all(
+            re.match(r"(?is)^\s*ifnull\s*\(\s*CAST\s*\(", a)
+            for a in args
+        ):
+            return None  # already wrapped (this pass's own emission)
+        inner = ", ".join(
+            f"ifnull(CAST(({a.strip()}) AS STRING), '')" for a in args
+        )
+        return f"concat({inner})"
+
+    return _rewrite_calls(sql, _CONCAT_CALL_RE, build)
+
+
+_ROW_TO_JSON_RE = re.compile(r"\brow_to_json\s*\(", re.IGNORECASE)
+
+
+def rewrite_row_to_json(sql: str) -> str:
+    """``row_to_json(t)`` → ``to_json(struct(t.*))`` (round 15
+    sweep; never valid Spark). Runs BEFORE the engine's table-ref
+    qualification: the bare argument is the client's table alias,
+    which the FROM rewrite preserves as ``qualified AS t`` — the
+    emitted ``t.*`` then resolves through the alias, while the
+    plain argument would have been qualified into an unresolvable
+    name."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 1 or not re.fullmatch(
+            r"[A-Za-z_]\w*", args[0].strip()
+        ):
+            return None
+        return f"to_json(struct({args[0].strip()}.*))"
+
+    return _rewrite_calls(sql, _ROW_TO_JSON_RE, build)
+
+
 _PRINTF_CALL_RE = re.compile(r"\bprintf\s*\(", re.IGNORECASE)
 _DECIMAL_LIT_RE = re.compile(r"(?<![\w.])(?:\d+\.\d*|\.\d+)(?![\w.])")
 
@@ -4396,6 +4451,39 @@ def _rewrite_misc_fns(sql: str) -> str:
         if x is None:
             return None
         return f"sha2(({x}), 256)"
+
+    def b_json(args):
+        # DuckDB json(x) parses AND MINIFIES ('{"a":  1}' →
+        # '{"a":1}', verified live) — exactly Spark 4's
+        # to_json(parse_json(x)) VARIANT round-trip (round 15 sweep)
+        x = one(args)
+        if x is None:
+            return None
+        return f"to_json(parse_json({x}))"
+
+    def b_json_group_array(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"to_json(collect_list({x}))"
+
+    def b_json_group_object(args):
+        p = two(args)
+        if p is None:
+            return None
+        k, v = p
+        return (
+            f"to_json(map_from_arrays(collect_list(({k})), "
+            f"collect_list(({v}))))"
+        )
+
+    def b_row_to_json(args):
+        # row_to_json(t) over a table alias or STRUCT column —
+        # struct(x.*) expands both in Spark (verified live)
+        x = one(args)
+        if x is None or not re.fullmatch(r"[A-Za-z_]\w*", x.strip()):
+            return None
+        return f"to_json(struct({x.strip()}.*))"
 
     def b_format(args):
         if len(args) < 1:
@@ -5084,6 +5172,10 @@ def _rewrite_misc_fns(sql: str) -> str:
     table = {
         "list_unique": b_list_unique,
         "printf": b_printf,
+        "json": b_json,
+        "json_group_array": b_json_group_array,
+        "json_group_object": b_json_group_object,
+        "row_to_json": b_row_to_json,
         "list_append": b_list_append,
         "array_push_back": b_list_append,
         "list_prepend": b_list_prepend,
@@ -7317,6 +7409,11 @@ def duckdb_to_spark(
         return sql
     sql = _replace_numeric_underscores(sql)
     sql = _replace_escape_strings(sql)
+    if force_fired:
+        # EARLY, on the client's own text: later passes emit
+        # Spark-native concat for array/string composition that this
+        # value mapping must never re-cast
+        sql = _rewrite_concat_nullskip(sql)
     sql = _rewrite_divide_fn(sql)
     out = _replace_intdiv(sql, as_float=float_intdiv, float_mask=intdiv_mask)
     out = _replace_power_op(out, "**")

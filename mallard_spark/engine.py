@@ -3433,6 +3433,12 @@ class MallardEngine:
                 last = fm.end()
             sql = "".join(out_parts) + sql[last:]
         out = sql
+        if "row_to_json" in out.lower():
+            # must run BEFORE table-ref qualification: the bare
+            # argument is the client's table alias (round 15)
+            from mallard_spark.dialect import rewrite_row_to_json
+
+            out = rewrite_row_to_json(out)
         for name in self._tables:
             out = _replace_table_ref(
                 out, name, self._qualified(name), ci=True

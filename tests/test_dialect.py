@@ -3060,3 +3060,38 @@ def test_bit_type_and_recursive_unnest_refuse_by_name(eng):
         eng.sql("SELECT get_bit('0101'::BIT, 1)")
     with pytest.raises(NotImplementedError, match="recursive"):
         eng.sql("SELECT unnest([1,2,3], recursive := true) AS u")
+
+
+def test_json_function_family(eng):
+    """Round 15 sweep 2: json() minifies via Spark 4's VARIANT
+    round-trip; json_group_array/object and row_to_json map to
+    to_json over collects/structs — each pinned live."""
+    _both(eng, """SELECT json('{"a":  1, "b": [1,  2]}') AS a""")
+    _both(eng, "SELECT json_group_array(g) AS a "
+               "FROM (SELECT g FROM dt WHERE id = 1) s")
+    _both(eng, "SELECT json_group_object(g, id) AS a "
+               "FROM (SELECT g, id FROM dt WHERE id = 1) s")
+    _both(eng, "SELECT row_to_json(dt) AS a FROM dt ORDER BY id")
+
+
+def test_concat_nullskip_wire_only(eng):
+    """DuckDB's concat() casts every argument to VARCHAR and SKIPS
+    NULLs; Spark's is type-preserving and NULL-propagating. The
+    mapping is WIRE/FORCE-FIRED only and runs EARLY on the client's
+    text so array/string concat emitted by later passes (list_concat
+    → Spark array concat — the regression this placement fixes) is
+    never re-cast."""
+    got = eng.sql("SELECT concat('a', NULL, 'b') AS a, "
+                  "concat([1, 2], [3]) AS b",
+                  duckdb_semantics=True).collect()[0]
+    assert got[0] == "ab" and got[1] == "[1, 2][3]"
+    # nested client calls converge
+    got = eng.sql("SELECT concat(concat('a', NULL), 'b') AS a",
+                  duckdb_semantics=True).collect()[0][0]
+    assert got == "ab"
+    # local statements keep Spark semantics (documented stance)
+    got = eng.sql("SELECT concat('a', NULL, 'b') AS a").collect()[0][0]
+    assert got is None
+    # list_concat (whose emission IS a Spark concat) stays exact on
+    # both paths
+    _both(eng, "SELECT list_concat([1], [2, 3]) AS v")

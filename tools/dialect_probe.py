@@ -479,6 +479,10 @@ SELECT printf('%2$s %1$s', 'a', 'b') AS a, printf('%c', 65) AS b
 SELECT INTERVAL '1:30:00' = INTERVAL 90 MINUTE AS a
 SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '26:30:00' AS a, TIMESTAMP '2024-01-01 12:00:00' + INTERVAL '-1:30:05.5' AS b
 SELECT list_sort(list_intersect([1,2,3], [2,3,4])) AS a
+SELECT json('{"a":  1, "b": [1,  2]}') AS a
+SELECT json_group_array(g) AS a FROM (SELECT g FROM t WHERE id = 1) s
+SELECT json_group_object(g, id) AS a FROM (SELECT g, id FROM t WHERE id = 1) s
+SELECT row_to_json(t) AS a FROM t ORDER BY id
 -- list_intersect element ORDER is engine-specific on both engines
 -- (hash-set order), like list_distinct — documented divergence
 SELECT list_intersect([1,2,3], [2,3,4]) AS a -- novalue
@@ -537,6 +541,10 @@ SELECT sign(-3) AS a, sign(0) AS b
 SELECT sign(v) AS a FROM t ORDER BY id
 SELECT sign('-3.5'::DECIMAL(5,2)) AS a
 SELECT printf('%s %d', NULL, 5) AS a
+SELECT concat('a', NULL, 'b') AS a, concat(g, NULL, v) AS b FROM t ORDER BY id
+SELECT concat(arr, NULL) AS a FROM t ORDER BY id
+SELECT concat(concat('a', NULL), 'b') AS a
+SELECT concat(arr, arr) AS a FROM t ORDER BY id
 SELECT printf('%.1f %.0f', v, v) AS a FROM t ORDER BY id
 """
 

@@ -2756,6 +2756,40 @@ _REGEXP_EXTRACT_ONE_RE = re.compile(
 )
 
 
+def _rewrite_regexp_extract_names(sql: str) -> str:
+    """``regexp_extract(s, re, ['a', 'b'])`` — DuckDB's NAME-LIST
+    form answers a STRUCT mapping each name to capture group 1..n
+    (verified live: ('2024-03-05', '(\\d+)-(\\d+)', ['y','m']) →
+    {'y': '2024', 'm': '03'}) — → named_struct over per-group
+    regexp_extract calls (round 15 sweep; an array third argument is
+    never valid Spark). Only literal name lists rewrite."""
+
+    def build(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        lst = args[2].strip()
+        if not (lst.startswith("[") and lst.endswith("]")):
+            return None
+        names = []
+        for part in _split_top_level_commas(lst[1:-1]):
+            nm = _unquote_sql_literal(part.strip())
+            if nm is None:
+                return None
+            names.append(nm)
+        if not names:
+            return None
+        s, rx = args[0].strip(), args[1].strip()
+        fields = ", ".join(
+            "'{}', regexp_extract(({}), ({}), {})".format(
+                nm.replace("'", "''"), s, rx, i + 1
+            )
+            for i, nm in enumerate(names)
+        )
+        return f"named_struct({fields})"
+
+    return _rewrite_calls(sql, _REGEXP_EXTRACT_ONE_RE, build)
+
+
 def has_lone_backslash_regexp(sql: str) -> bool:
     """Dialect PRE-ROUTE detector (round 14, VERDICT r13 what's-wrong
     #3): True when a regexp function call appears at code level AND
@@ -3220,7 +3254,7 @@ _STAT_SEMANTICS_RE = re.compile(
     r"\b(kurtosis_pop|kurtosis|skewness|dayofweek|date_part|datepart"
     r"|dayname|monthname|log|left|right|regexp_replace|mod"
     r"|trim|ltrim|rtrim|regexp_extract|array_distinct"
-    r"|string_agg|listagg|chr|sign)\s*\(",
+    r"|string_agg|listagg|chr|sign|weekday|bin|to_binary)\s*\(",
     re.IGNORECASE,
 )
 
@@ -3659,6 +3693,36 @@ def _rewrite_stat_semantics(sql: str, raw_doubled: bool = False) -> str:
             return None
         if name == "dayofweek":
             return f"(dayofweek({a}) - 1)"
+        if name in ("bin", "to_binary"):
+            # DuckDB bin()/to_binary() of a STRING gives the
+            # bit-pattern of its UTF-8 BYTES (verified live:
+            # bin('ab') → '0110000101100010'); Spark's bin casts the
+            # string to BIGINT (silently NULL) and its to_binary
+            # hex-DECODES — both wrong values for a DuckDB client.
+            # Fired-only: string literals compute exactly here;
+            # other args route to Spark's bin (the integer reading,
+            # value-equal with DuckDB's).
+            if len(_split_top_level_commas(args)) != 1:
+                return None
+            lit = _unquote_sql_literal(a)
+            if lit is not None:
+                bits = "".join(
+                    format(byte, "08b") for byte in lit.encode("utf-8")
+                )
+                return "'" + bits + "'"
+            if name == "to_binary":
+                return f"bin(({a}))"
+            return None
+        if name == "weekday":
+            # DuckDB weekday() counts Sunday=0 (BIGINT, verified
+            # live); Spark's counts Monday=0 — fired-only (shared
+            # name). DOW_ISO spelling so no later pass re-rewrites.
+            if len(_split_top_level_commas(args)) != 1:
+                return None
+            return (
+                f"CAST(pmod(EXTRACT(DOW_ISO FROM ({a})), 7) "
+                f"AS BIGINT)"
+            )
         if name == "sign":
             # DuckDB sign() returns TINYINT for EVERY numeric input
             # (verified live, incl. DOUBLE/DECIMAL args; sign(NaN)=0
@@ -4452,6 +4516,69 @@ def _rewrite_misc_fns(sql: str) -> str:
             return None
         return f"sha2(({x}), 256)"
 
+    def _iso_week_expr(x: str) -> str:
+        return f"CAST(weekofyear({x}) AS BIGINT)"
+
+    def _iso_year_expr(x: str) -> str:
+        return (
+            f"year(date_add(CAST(({x}) AS DATE), "
+            f"4 - EXTRACT(DOW_ISO FROM ({x}))))"
+        )
+
+    def b_week(args):
+        # DuckDB week() = ISO week number as BIGINT (verified live:
+        # 2024-12-30 → 1, the first week of ISO year 2025)
+        x = one(args)
+        if x is None:
+            return None
+        return _iso_week_expr(x)
+
+    def b_yearweek(args):
+        # yearweek = ISO year * 100 + ISO week (verified live:
+        # 2024-12-30 → 202501, 2021-01-01 → 202053)
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"CAST({_iso_year_expr(x)} * 100 + weekofyear({x}) "
+            f"AS BIGINT)"
+        )
+
+    def b_isoyear(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"CAST({_iso_year_expr(x)} AS BIGINT)"
+
+    def b_isodow(args):
+        x = one(args)
+        if x is None:
+            return None
+        return f"CAST(EXTRACT(DOW_ISO FROM ({x})) AS BIGINT)"
+
+    def b_tz_part_zero(args):
+        # naive timestamps: timezone_hour/timezone_minute are 0
+        # BIGINT on DuckDB (verified live) — constant under this
+        # engine's naive-UTC tz stance (NULL in, NULL out)
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"(CASE WHEN CAST(({x}) AS TIMESTAMP) IS NULL THEN NULL "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    def b_era(args):
+        # era(): 1 for years >= 1 (AD), 0 for <= 0 (BC) — verified
+        # live incl. year 0000
+        x = one(args)
+        if x is None:
+            return None
+        return (
+            f"CAST(CASE WHEN year({x}) >= 1 THEN 1 ELSE 0 END "
+            f"AS BIGINT)"
+        )
+
     def b_json(args):
         # DuckDB json(x) parses AND MINIFIES ('{"a":  1}' →
         # '{"a":1}', verified live) — exactly Spark 4's
@@ -4543,19 +4670,59 @@ def _rewrite_misc_fns(sql: str) -> str:
             "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
         }
         secs = n * unit_secs[m.group(2).upper()]
-        off = 0
+        # DuckDB's default origin is 2000-01-03 00:00 (a MONDAY —
+        # epoch 946857600, verified live: 7-day buckets land on
+        # Mondays); for every bucket width dividing a day the offset
+        # is 0 and this reduces to plain epoch flooring (round 15 —
+        # multi-day buckets diverged before)
+        off = 946857600 % secs
         if len(args) == 3:
-            # 3-arg OFFSET form (round 14, verified live: 1-day
-            # buckets with a 6-hour offset align to 06:00): shift the
-            # origin before flooring, shift back after
-            om = _TIME_BUCKET_IV_RE.match(args[2].strip())
-            if om is None:
+            third = args[2].strip()
+            om = _TIME_BUCKET_IV_RE.match(third)
+            lm = re.match(
+                r"(?is)^(?:DATE|TIMESTAMP)\s*'([^']+)'$", third
+            )
+            if om is not None:
+                # 3-arg OFFSET form (round 14, verified live: 1-day
+                # buckets with a 6-hour offset align to 06:00) —
+                # DuckDB applies the offset ON TOP of the default
+                # origin
+                off = (
+                    off + int(om.group(1)) * unit_secs[om.group(2).upper()]
+                ) % secs
+            elif lm is not None:
+                # 3-arg ORIGIN form: a DATE/TIMESTAMP literal anchors
+                # the buckets (round 15, verified live)
+                import datetime as _dt
+
+                txt = lm.group(1)
+                try:
+                    if len(txt) == 10:
+                        o = _dt.datetime.strptime(txt, "%Y-%m-%d")
+                    else:
+                        o = _dt.datetime.strptime(
+                            txt[:19], "%Y-%m-%d %H:%M:%S"
+                        )
+                except ValueError:
+                    return None
+                epoch = int(
+                    (o - _dt.datetime(1970, 1, 1)).total_seconds()
+                )
+                off = epoch % secs
+            else:
                 return None
-            off = int(om.group(1)) * unit_secs[om.group(2).upper()]
-        return (
+        core = (
             f"timestamp_seconds(CAST(FLOOR((unix_timestamp(({ts})) "
             f"- {off}) / {secs}) AS BIGINT) * {secs} + {off})"
         )
+        if re.match(r"(?is)^DATE\s*'", ts) or re.match(
+            r"(?is)^CAST\s*\(.*AS\s+DATE\s*\)$", ts
+        ):
+            # DATE operands answer DATE on DuckDB (literal-detected;
+            # date COLUMNS keep the timestamp shape — same midnight
+            # instant, documented)
+            return f"CAST({core} AS DATE)"
+        return core
 
     def b_xor(args):
         # DuckDB integer xor() (no Spark name; fired `^` means power
@@ -5031,13 +5198,6 @@ def _rewrite_misc_fns(sql: str) -> str:
             return None
         return f"sum(CAST(({x}) AS DOUBLE))"
 
-    def b_isodow(args):
-        # DuckDB isodow: Monday=1..Sunday=7; Spark weekday: Monday=0
-        x = one(args)
-        if x is None:
-            return None
-        return f"(weekday(({x})) + 1)"
-
     def b_to_base(args):
         # to_base(x, radix) → conv from base 10 (verified:
         # to_base(255, 16) = 'FF'); the 3-arg min-length form refused
@@ -5176,6 +5336,13 @@ def _rewrite_misc_fns(sql: str) -> str:
         "json_group_array": b_json_group_array,
         "json_group_object": b_json_group_object,
         "row_to_json": b_row_to_json,
+        "week": b_week,
+        "yearweek": b_yearweek,
+        "isoyear": b_isoyear,
+        "isodow": b_isodow,
+        "timezone_hour": b_tz_part_zero,
+        "timezone_minute": b_tz_part_zero,
+        "era": b_era,
         "list_append": b_list_append,
         "array_push_back": b_list_append,
         "list_prepend": b_list_prepend,
@@ -5185,7 +5352,6 @@ def _rewrite_misc_fns(sql: str) -> str:
         "list_slice": b_list_slice,
         "array_slice": b_list_slice,
         "array_unique": b_list_unique,
-        "isodow": b_isodow,
         "fsum": b_fsum,
         "age": b_age,
         "list_transform": lambda_fn("transform"),
@@ -7444,6 +7610,7 @@ def duckdb_to_spark(
     out = _rewrite_quantile_disc(out)
     out = _rewrite_struct_pack(out)
     out = _rewrite_regexp_extract_all(out)
+    out = _rewrite_regexp_extract_names(out)
     out = _rewrite_regexp_replace_flags(out, raw_doubled=raw_doubled)
     out = _rewrite_pg_operators(out)
     out = _rewrite_postfix_factorial(out)

@@ -3816,6 +3816,15 @@ class MallardEngine:
                  "Java-printf equivalent: use printf() with %-codes "
                  "or format_string() directly",
                  "format"),
+                (r"(?i)\b(?:median|mode|quantile(?:_cont|_disc)?"
+                 r"|percentile(?:_cont|_disc)?|approx_quantile)\s*\(",
+                 "a percentile-family aggregate with a window ORDER "
+                 "BY/frame is not supported (Spark's window "
+                 "percentile takes no frame; DuckDB also dispatches "
+                 "median by input type): emulate over the frame with "
+                 "array_sort(collect_list(x) OVER (...)) and index "
+                 "the middle element(s)",
+                 "window frame"),
                 (r"(?i)\bstrftime\s*\(",
                  "this strftime call is not supported: every "
                  "DuckDB-1.0 % code maps for LITERAL formats "

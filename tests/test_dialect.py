@@ -3095,3 +3095,65 @@ def test_concat_nullskip_wire_only(eng):
     # list_concat (whose emission IS a Spark concat) stays exact on
     # both paths
     _both(eng, "SELECT list_concat([1], [2, 3]) AS v")
+
+
+def test_week_family_functions(eng):
+    """Round 15 sweep 3: the week/era/timezone function spellings —
+    week() = ISO week, yearweek() = ISO year*100 + week (pinned
+    across the year boundary: 2024-12-30 → 202501), isodow/isoyear,
+    timezone_hour/minute = 0 under the naive-UTC stance, era() by
+    year sign. weekday()/monthname()/dayname()/bin()/to_binary()
+    are SHARED names — DuckDB values on the fired/wire path only."""
+    _both(eng, "SELECT week(DATE '2024-12-30') AS a, "
+               "yearweek(DATE '2024-12-30') AS b, "
+               "yearweek(DATE '2021-01-01') AS c")
+    _both(eng, "SELECT isodow(DATE '2024-01-07') AS a, "
+               "isoyear(DATE '2021-01-01') AS b")
+    _both(eng, "SELECT timezone_hour(TIMESTAMP '2024-01-01') AS a, "
+               "timezone_minute(TIMESTAMP '2024-01-01') AS b")
+    _both(eng, "SELECT era(DATE '2024-01-01') AS a, "
+               "era((DATE '0001-01-01' - INTERVAL 1 YEAR)::DATE) AS b")
+    got = eng.sql("SELECT weekday(DATE '2024-01-07') AS a, "
+                  "dayname(DATE '2024-03-05') AS b, bin('ab') AS c, "
+                  "to_binary('ff') AS d, to_binary(5) AS e",
+                  duckdb_semantics=True).collect()[0]
+    assert tuple(got) == (0, "Tuesday", "0110000101100010",
+                          "0110011001100110", "101")
+
+
+def test_regexp_extract_name_list(eng):
+    """regexp_extract(s, re, ['a','b']) — the STRUCT-of-named-groups
+    form → named_struct over per-group extracts (struct value pinned
+    directly; the probe gate's normalized compare covers the
+    Row-vs-dict rendering)."""
+    got = eng.sql(
+        "SELECT regexp_extract('2024-03-05', "
+        "'(\\d+)-(\\d+)', ['y', 'm']) AS a"
+    ).collect()[0][0]
+    assert got.asDict() == {"y": "2024", "m": "03"}
+
+
+def test_time_bucket_monday_origin(eng):
+    """DuckDB's time_bucket default origin is 2000-01-03 (a MONDAY):
+    multi-day buckets diverged from plain epoch flooring through
+    r14. Also: DATE literal operands answer DATE, a DATE/TIMESTAMP
+    third argument anchors the buckets, an INTERVAL third argument
+    offsets from the default origin."""
+    _both(eng, "SELECT time_bucket(INTERVAL 7 DAY, "
+               "DATE '2024-03-05') AS a")
+    _both(eng, "SELECT time_bucket(INTERVAL 7 DAY, "
+               "DATE '2024-03-05', DATE '2024-01-01') AS a")
+    _both(eng, "SELECT time_bucket(INTERVAL 7 DAY, "
+               "TIMESTAMP '2024-03-05 10:00:00') AS a")
+    _both(eng, "SELECT time_bucket(INTERVAL 7 DAY, "
+               "DATE '2024-03-05', INTERVAL 1 DAY) AS a")
+    _both(eng, "SELECT time_bucket(INTERVAL 15 MINUTE, "
+               "TIMESTAMP '2024-01-01 00:37:22') AS a")
+
+
+def test_percentile_window_frame_refuses_by_name(eng):
+    with pytest.raises(NotImplementedError, match="percentile-family"):
+        eng.sql(
+            "SELECT median(v) OVER (ORDER BY id ROWS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) AS a FROM dt"
+        )

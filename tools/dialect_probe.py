@@ -98,6 +98,10 @@ SELECT timestamp '2024-01-01 05:00:00' AT TIME ZONE 'UTC' AS r
 SELECT * EXCLUDE (v) REPLACE (id * 10 AS id) FROM t ORDER BY g, id
 SELECT struct_extract({'a': 1, 'b': 'x'}, 'a') AS r
 SELECT map_extract(MAP {'k': 5}, 'k') AS hit, map_extract(MAP {'k': 5}, 'z') AS miss
+-- map SUBSCRIPT answers DuckDB's LIST shape only through map_extract;
+-- the [] spelling keeps element_at's scalar shape (documented
+-- divergence — a token pass cannot see the operand is a MAP)
+SELECT MAP {'k': 5}['k'] AS v -- novalue
 SELECT list_has_any([1, 2], [2, 3]) AS a, list_has_all([1, 2, 3], [2, 3]) AS b
 SELECT list_grade_up([30, 10, 20]) AS r
 SELECT list_reduce([1, 2, 3], (a, b) -> a + b) AS r
@@ -479,6 +483,13 @@ SELECT printf('%2$s %1$s', 'a', 'b') AS a, printf('%c', 65) AS b
 SELECT INTERVAL '1:30:00' = INTERVAL 90 MINUTE AS a
 SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '26:30:00' AS a, TIMESTAMP '2024-01-01 12:00:00' + INTERVAL '-1:30:05.5' AS b
 SELECT list_sort(list_intersect([1,2,3], [2,3,4])) AS a
+SELECT week(DATE '2024-12-30') AS a, yearweek(DATE '2024-12-30') AS b, yearweek(DATE '2021-01-01') AS c
+SELECT isodow(DATE '2024-01-07') AS a, isoyear(DATE '2021-01-01') AS b
+SELECT timezone_hour(TIMESTAMP '2024-01-01') AS a, timezone_minute(TIMESTAMP '2024-01-01') AS b
+SELECT era(DATE '2024-01-01') AS a, era((DATE '0001-01-01' - INTERVAL 1 YEAR)::DATE) AS b
+SELECT regexp_extract('2024-03-05', '(\d+)-(\d+)', ['y', 'm']) AS a
+SELECT time_bucket(INTERVAL 7 DAY, DATE '2024-03-05', DATE '2024-01-01') AS a, time_bucket(INTERVAL 7 DAY, DATE '2024-03-05') AS b
+SELECT time_bucket(INTERVAL 7 DAY, TIMESTAMP '2024-03-05 10:00:00') AS a, time_bucket(INTERVAL 7 DAY, DATE '2024-03-05', INTERVAL 1 DAY) AS b
 SELECT json('{"a":  1, "b": [1,  2]}') AS a
 SELECT json_group_array(g) AS a FROM (SELECT g FROM t WHERE id = 1) s
 SELECT json_group_object(g, id) AS a FROM (SELECT g, id FROM t WHERE id = 1) s
@@ -546,6 +557,9 @@ SELECT concat(arr, NULL) AS a FROM t ORDER BY id
 SELECT concat(concat('a', NULL), 'b') AS a
 SELECT concat(arr, arr) AS a FROM t ORDER BY id
 SELECT printf('%.1f %.0f', v, v) AS a FROM t ORDER BY id
+SELECT weekday(DATE '2024-01-07') AS a, weekday(DATE '2024-01-08') AS b
+SELECT monthname(DATE '2024-03-05') AS a, dayname(DATE '2024-03-05') AS b
+SELECT bin('ab') AS a, to_binary('ff') AS b, to_binary(5) AS c
 """
 
 

@@ -178,6 +178,57 @@ _ALTER_RENAME_RE = re.compile(
     re.IGNORECASE,
 )
 _DML_RE = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+
+
+def _strip_comments(sql: str) -> str:
+    """Remove ``--`` and ``/* */`` comments outside string literals
+    (round 15, DML-script probe finding: a leading block comment made
+    is_dml miss an INSERT, routing it to raw spark.sql). Comments
+    carry no semantics for the DDL/DML routers' regex grammars, which
+    anchor on keywords and would otherwise read comment text as
+    aliases or operands. Single quotes honor '' doubling and
+    backslash escapes; double/backtick quotes pass through whole."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+            out.append(" ")
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+            continue
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            else:
+                j = n
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch in ('"', "`"):
+            j = sql.find(ch, i + 1)
+            j = n if j < 0 else j + 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 _COPY_RE = re.compile(
     # opts allows one paren-nesting level with quoted strings as
     # opaque atoms — PARTITION_BY (col, col) and quoted option values
@@ -2843,12 +2894,16 @@ class MallardEngine:
         "qt" ("my col" INT)``) retry with the backtick conversion
         when the literal spelling fails — same fired-on-failure
         policy as the query ladder (round 14)."""
+        if "--" in sql or "/*" in sql:
+            sql = _strip_comments(sql)  # router grammars are comment-free
         return self._retry_dquoted(self._ddl_impl, self._canon_case(sql))
 
     def dml(self, sql: str) -> str:
         """Execute INSERT/UPDATE/DELETE/MERGE (see :meth:`_dml_impl`
         for the supported surface) under the poisoning guard; quoted
         identifiers retry like :meth:`ddl`."""
+        if "--" in sql or "/*" in sql:
+            sql = _strip_comments(sql)
         return self._retry_dquoted(self._dml_impl, self._canon_case(sql))
 
     def _canon_case(self, sql: str) -> str:
@@ -5588,7 +5643,10 @@ class MallardEngine:
     # -- DDL ----------------------------------------------------------
     @staticmethod
     def is_ddl(sql: str) -> bool:
-        """Parity: flight_server.py:354-355 (_is_ddl_statement)."""
+        """Parity: flight_server.py:354-355 (_is_ddl_statement).
+        Leading comments are skipped (round 15)."""
+        if "--" in sql or "/*" in sql:
+            sql = _strip_comments(sql)
         return bool(_DDL_RE.match(sql))
 
     # -- sequences (round 11) ------------------------------------------
@@ -7650,6 +7708,8 @@ class MallardEngine:
         to DuckDB (flight_server.py:342-352), which executes mutation
         SQL natively; on Spark these need routing (see :meth:`dml`).
         """
+        if "--" in sql or "/*" in sql:
+            sql = _strip_comments(sql)
         return bool(_DML_RE.match(sql))
 
     @staticmethod
@@ -7660,6 +7720,8 @@ class MallardEngine:
         Parity: the reference passes COPY tickets straight to DuckDB
         (flight_server.py:342-352), whose clients use them to export
         results and ingest files."""
+        if "--" in sql or "/*" in sql:
+            sql = _strip_comments(sql)
         return bool(_COPY_RE.match(sql) or _COPY_FROM_RE.match(sql))
 
     def _copy_to_impl(self, sql: str) -> str:
@@ -8835,10 +8897,11 @@ class MallardEngine:
         from pyspark.sql import functions as F
 
         tbl = self._dml_table(name)
-        if alias:
-            # UPDATE t AS x: qualified refs (x.k) in SET/WHERE resolve
-            # against the alias, DuckDB's binding
-            tbl = tbl.alias(alias)
+        # UPDATE t AS x: qualified refs (x.k) in SET/WHERE resolve
+        # against the alias, DuckDB's binding; with no alias the
+        # table's own name binds, so correlated subqueries resolve
+        # their outer reference (round 15, DML-script probe finding)
+        tbl = tbl.alias(alias or name)
         if where is not None and not where.strip():
             # 'UPDATE t SET x=1 WHERE' — treating an empty predicate
             # as no-WHERE would silently update EVERY row
@@ -8951,7 +9014,11 @@ class MallardEngine:
         if not where.strip():
             raise ValueError(f"DELETE FROM {name}: empty WHERE clause")
         where = self._rewrite_refs(where).rstrip("; \n\t ")
-        probe = tbl.alias(alias) if alias else tbl
+        # default the binding to the table's LOGICAL name so
+        # correlated subqueries (WHERE EXISTS (.. WHERE b.id = a.id))
+        # resolve the outer reference, DuckDB's binding (round 15,
+        # DML-script probe finding)
+        probe = tbl.alias(alias or name)
         # Keep rows where the condition is NOT TRUE (false or NULL).
         hit = self._duck_expr(where, probe=probe).eqNullSafe(F.lit(True))
         ret = (

@@ -3918,3 +3918,40 @@ def test_local_duckdb_semantics_reaches_dml_fragments(spark):
     assert dict(
         (r["id"], r["g"]) for r in eng.sql("SELECT id, g FROM sf").collect()
     ) == {1: "HEL", 2: "worl"}
+
+
+def test_correlated_subquery_in_dml_predicates(spark):
+    """Round 15 (DML-script probe finding): the target table binds
+    its own LOGICAL name in DELETE/UPDATE predicates, so correlated
+    subqueries (DuckDB's binding) resolve the outer reference."""
+    eng = MallardEngine(spark, "t_corrdml")
+    eng.execute(
+        "CREATE TABLE ca (id INTEGER, v DOUBLE);"
+        "CREATE TABLE cb (id INTEGER, v DOUBLE);"
+        "INSERT INTO ca VALUES (1, 1.0), (2, 2.0), (3, 3.0);"
+        "INSERT INTO cb VALUES (2, 0.5), (3, 9.0)"
+    )
+    eng.dml("DELETE FROM ca WHERE EXISTS "
+            "(SELECT 1 FROM cb WHERE cb.id = ca.id AND cb.v < ca.v)")
+    assert sorted(
+        r["id"] for r in eng.sql("SELECT id FROM ca").collect()
+    ) == [1, 3]
+    eng.dml("UPDATE ca SET v = (SELECT cb.v FROM cb WHERE cb.id = ca.id) "
+            "WHERE EXISTS (SELECT 1 FROM cb WHERE cb.id = ca.id)")
+    assert dict(
+        (r["id"], r["v"]) for r in eng.sql("SELECT id, v FROM ca").collect()
+    ) == {1: 1.0, 3: 9.0}
+
+
+def test_comments_in_dml_and_script_routing(spark):
+    """Leading/inline comments must not derail statement
+    classification or the router grammars (round 15 — a leading
+    block comment routed an INSERT to raw spark.sql)."""
+    eng = MallardEngine(spark, "t_cmt")
+    eng.execute(
+        "CREATE TABLE cm (id INTEGER); -- trailing\n"
+        "/* block\n   comment */\n"
+        "INSERT INTO cm VALUES (1), (2); -- note: 'quoted ; text'\n"
+        "DELETE FROM cm /* inline */ WHERE id = 1"
+    )
+    assert eng.sql("SELECT count(*) AS c FROM cm").collect()[0][0] == 1

@@ -305,11 +305,110 @@ CREATE TABLE a (id INTEGER, g VARCHAR);
 INSERT INTO a SELECT * FROM (SELECT 1 AS id, 'x' AS g UNION ALL BY NAME SELECT 'y' AS g, 2 AS id);
 UPDATE a SET g = g || '!' WHERE id = 2
 """),
+    ("prepared_dml", """
+CREATE TABLE a (id INTEGER, g VARCHAR);
+PREPARE ins15 AS INSERT INTO a VALUES ($1, $2);
+EXECUTE ins15(1, 'x');
+EXECUTE ins15(2, 'y');
+DEALLOCATE ins15;
+UPDATE a SET g = g || '!' WHERE id = 2
+"""),
+    ("ctas_dialect_fns", """
+CREATE TABLE a AS SELECT range AS id, list_append([range], range + 1) AS arr FROM range(3);
+UPDATE a SET arr = array_pop_front(arr) WHERE id = 0
+"""),
+    ("update_from_self_alias", """
+CREATE TABLE a (id INTEGER, v DOUBLE);
+INSERT INTO a VALUES (1, 1.0), (2, 2.0);
+UPDATE a SET v = b.v * 10 FROM a b WHERE a.id = b.id
+"""),
+    ("insert_select_join", """
+CREATE TABLE a (id INTEGER, v DOUBLE);
+CREATE TABLE b (id INTEGER, g VARCHAR);
+CREATE TABLE c (id INTEGER, g VARCHAR);
+INSERT INTO a VALUES (1, 5.0), (2, 6.0), (3, 7.0);
+INSERT INTO b VALUES (1, 'x'), (3, 'z');
+INSERT INTO c SELECT a.id, b.g FROM a JOIN b USING (id)
+"""),
+    ("delete_where_exists", """
+CREATE TABLE a (id INTEGER);
+CREATE TABLE b (id INTEGER);
+INSERT INTO a VALUES (1), (2), (3);
+INSERT INTO b VALUES (2);
+DELETE FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.id = a.id)
+"""),
+    ("tx_ddl_rollback", """
+CREATE TABLE a (id INTEGER);
+INSERT INTO a VALUES (1);
+BEGIN;
+CREATE TABLE b (id INTEGER);
+INSERT INTO b VALUES (9);
+ROLLBACK;
+INSERT INTO a VALUES (2)
+"""),
+    ("wide_types", """
+CREATE TABLE a (d DECIMAL(12,3), h HUGEINT, u UUID, bl BLOB, ts TIMESTAMP);
+INSERT INTO a VALUES (1.125, 170141183460469231731687303715, '550e8400-e29b-41d4-a716-446655440000', 'ab'::BLOB, TIMESTAMP '2024-01-01 05:06:07');
+UPDATE a SET d = d * 2
+"""),
+    ("insert_default_keyword", """
+CREATE TABLE a (id INTEGER, tag VARCHAR DEFAULT 'x', n INTEGER DEFAULT 3);
+INSERT INTO a VALUES (1, DEFAULT, 5), (2, 'y', DEFAULT);
+UPDATE a SET tag = DEFAULT WHERE id = 2
+"""),
+    ("on_conflict_excluded_expr", """
+CREATE TABLE a (id INTEGER PRIMARY KEY, n INTEGER);
+INSERT INTO a VALUES (1, 10), (2, 20);
+INSERT INTO a VALUES (1, 5), (3, 30) ON CONFLICT (id) DO UPDATE SET n = excluded.n * 2 + a.n
+"""),
+    ("ctas_window", """
+CREATE TABLE src (id INTEGER, g VARCHAR, v DOUBLE);
+INSERT INTO src VALUES (1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0);
+CREATE TABLE a AS SELECT id, g, sum(v) OVER (PARTITION BY g ORDER BY id) AS rt FROM src
+"""),
+    ("comments_in_script", """
+CREATE TABLE a (id INTEGER); -- trailing comment
+/* block
+   comment */
+INSERT INTO a VALUES (1), (2); -- note: 'quoted ; semicolon'
+DELETE FROM a /* inline */ WHERE id = 1
+"""),
+    ("ctas_pivot", """
+CREATE TABLE src (g VARCHAR, k VARCHAR, v INTEGER);
+INSERT INTO src VALUES ('r1', 'a', 1), ('r1', 'b', 2), ('r2', 'a', 3);
+CREATE TABLE a AS PIVOT src ON k USING sum(v) GROUP BY g
+"""),
 ]
 
 
+def _norm2(x, norm):
+    """dialect_probe._norm plus the cross-engine TYPE-SHAPE folds the
+    state diff needs: DuckDB hands HUGEINT as a python int where the
+    engine's decimal(38,0) mapping hands an integral Decimal, and
+    DuckDB's UUID type arrives as uuid.UUID where the engine maps
+    UUID → string (both documented type mappings — the VALUES are
+    what the diff checks)."""
+    import decimal
+    import uuid
+
+    if isinstance(x, uuid.UUID):
+        return str(x)
+    if isinstance(x, decimal.Decimal) and x == x.to_integral_value() and (
+        x.adjusted() >= 15
+    ):
+        # large integral decimals (HUGEINT range) compare as ints —
+        # small ones keep _norm's float rounding so DECIMAL↔DOUBLE
+        # columns still compare
+        return int(x)
+    if isinstance(x, int) and not isinstance(x, bool) and abs(x) >= 10**15:
+        return int(x)
+    return norm(x)
+
+
 def _norm_row(row_dict, norm):
-    return repr(sorted((k.lower(), repr(norm(v))) for k, v in row_dict.items()))
+    return repr(
+        sorted((k.lower(), repr(_norm2(v, norm))) for k, v in row_dict.items())
+    )
 
 
 def run_scripts(spark, grep: str | None = None, scripts=None):

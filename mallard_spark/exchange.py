@@ -47,6 +47,13 @@ class Exchanger:
         from mallard_spark.session import ship_package
 
         ship_package(df.sparkSession)
+        # Round 15: a pre-boundary repartition(cores) was measured and
+        # REJECTED — the local table is one partition, so the shuffle
+        # write is itself single-threaded row serialization and costs
+        # more than the Arrow stream it parallelizes (paired best-of-4:
+        # 0.99 s direct vs 1.21 s repartition(32) / 1.08 s
+        # repartition(8)); at scale inputs already split, so there is
+        # no cluster upside either.
         schema = self.output_schema(df.schema)
         # getattr: duck-typed exchangers registered over the wire may
         # implement only transform()

@@ -66,3 +66,25 @@ def materialize(df: DataFrame, name: str, n_partitions: int | None = None) -> Da
     w = df.coalesce(n_partitions) if n_partitions else df
     w.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count ONLY when the input is
+    under-parallel (round 15).
+
+    The local test data is single-row-group parquet, so a scan yields
+    one task and every downstream narrow stage runs on one core; the
+    established mitigation was an unconditional ``repartition(par)``.
+    That is correct locally but at 100 TB it is a full shuffle of the
+    payload that buys nothing — real inputs already split into
+    thousands of scan partitions. Gating on the actual partition count
+    keeps local behavior identical (1 < cores → still repartitions)
+    and makes the shuffle vanish at scale.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

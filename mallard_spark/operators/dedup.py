@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mallard_spark.functions.exec import materialize
+from mallard_spark.functions.exec import materialize, spread
 from mallard_spark.functions.hashing import md5_long, md5_long_expr, md5_long_sql
 from mallard_spark.functions.text import (
     TOKENS_EXPR,
@@ -117,10 +117,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAXDF² per shingle instead of n² per corpus. Note: only the
     *inner-join count* uses rare shingles; set sizes are full.
     """
-    par = spark.sparkContext.defaultParallelism
     # repartition BEFORE tokenizing: the raw table is one parquet file,
     # so the regex/shingle work would otherwise run single-threaded
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     doc_sh = materialize(
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles_of("toks", 3)).alias("sh"))
@@ -195,8 +194,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are ≥ {CONT_MIN} covered and it is no larger than the
     container.
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     doc_sh = materialize(
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles_of("toks", 3)).alias("sh"))
@@ -325,11 +323,21 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     Round 4: ONE md5 per shingle (staged as ``h``), 16 affine maps
     over it — md5 was the measured cost driver of the whole family.
     The groupBy is one shuffle on doc_id — the shape that scales.
+
+    Round 15: the (doc_id, shingle) ``.distinct()`` that used to sit
+    between explode and groupBy is gone — min() is invariant to
+    multiplicity (a shingle occurring k times contributes the same
+    affine-map values, and min over a multiset equals min over its
+    set), so the dedup exchange bought nothing. The md5 → hp map now
+    runs BEFORE the one remaining shuffle, whose partial map-side
+    min() collapses each task's rows to one 16-long row per doc_id:
+    the exchange carries per-(task, doc) partials instead of every
+    (doc, shingle-string) pair. Oracle unchanged (it distincts shingle
+    STRINGS; min over the hashed multiset is provably equal).
     """
     doc_sh = (
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles_of("toks", 3)).alias("s"))
-        .distinct()
         .select("doc_id", (md5_long(F.col("s")) % MH_P).alias("hp"))
     )
     return doc_sh.groupBy("doc_id").agg(
@@ -368,8 +376,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bucket keys are 60-bit hashes so buckets stay tiny unless
     documents genuinely collide.
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     mh = materialize(
         _minhash_signatures(docs),
         "minhash_signatures",  # consumed by 4 branches (bands a/b, ma, mb)
@@ -447,8 +454,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     so daily cost scales with the batch, not the corpus. Same
     md5-portable signatures as dedup_minhash_lsh.
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     mh = materialize(
         _minhash_signatures(docs),
         "inc_signatures",  # the "stored signature table"
@@ -546,9 +552,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same position (standard Hamming-LSH banding), so the self-join is
     on a (band, nibble) key — bounded buckets, no full cross join.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = (
         docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -1075,9 +1079,7 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial), and a hash-keyed join back — everything keys
     on the window md5, so work is linear in corpus size at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     win = materialize(
         docs.select("doc_id", tokens().alias("toks"))
         .filter(F.size("toks") >= SSW_W)
@@ -1306,8 +1308,7 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh; the exact-Jaccard pass touches only CANDIDATE
     pairs (bounded by band collisions), never all pairs.
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = materialize(
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.array_distinct(shingles_of("toks", 3)).alias("shingles"))

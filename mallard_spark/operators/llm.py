@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mallard_spark.functions.exec import materialize
+from mallard_spark.functions.exec import materialize, spread
 from mallard_spark.functions.hashing import md5_long, md5_long_sql
 from mallard_spark.functions.text import (
     TOKENS_EXPR,
@@ -62,9 +62,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined tokens) so the oracle compares values, not offsets alone.
     Scales as one narrow map over the corpus — no shuffle at all.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     s = (
         docs.select("doc_id", tokens().alias("toks"))
         .withColumn("n_tok", F.size("toks"))
@@ -175,9 +173,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash: linear in corpus size, no block blowup. The standard
     pre-training decontamination sweep (n-gram overlap), Spark-first.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     sh = (
         docs.withColumn("bucket", bucket)
@@ -413,9 +409,7 @@ def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle stream. The threshold test is integer (df·100 ≥ n_docs·5)
     — no float.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = materialize(
         docs.select("doc_id", tokens().alias("toks"))
         .filter(F.size("toks") >= BP_NGRAM)
@@ -478,9 +472,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     VOCABULARY (≪ corpus, Zipf), so the single-partition sort it
     implies is safe even at 100 TB of text.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     cnt = (
         docs.select(F.explode(tokens()).alias("token"))
         .groupBy("token")
@@ -1175,7 +1167,7 @@ def bloom_bitmap_words(spark: SparkSession, sf_dir: str) -> list[int]:
     its stream jobs. <= {BLOOM_M}//63 + 1 int64s regardless of corpus
     size, so collecting it to the driver is the design, not a
     shortcut (same rationale as the in-plan LSH plane literals)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     _, _, bloom = _split_shingles_and_bitmap(docs)
     words = [0] * (BLOOM_M // 63 + 1)
     for r in bloom.collect():
@@ -1252,27 +1244,48 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter itself replaces the corpus-wide shingle⋈shingle join
     with a broadcast lookup, which is the point of the operator.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh, test_sh, bloom = _split_shingles_and_bitmap(docs)
-    # F.shiftleft only takes a literal bit count — the mask helper's
-    # SQL form accepts a column shift amount on both engines
-    js, pos, mask = _bloom_js(), _bloom_pos(), _bloom_mask()
-    train_sh = sh.filter(F.col("bucket") < 80).select("doc_id", "sh")
-    probes = train_sh.select("doc_id", "sh", js).select(
-        "doc_id", "sh", pos.alias("pos")
+    # Round 15: the J-probe explode (3× the train shingle stream) +
+    # broadcast word join + (doc_id, sh) MIN-fold exchange is replaced
+    # by J per-row position columns and ONE single-row broadcast
+    # carrying the whole ≤1041-word bitmap as a MAP column (the same
+    # 1-row-broadcast shape mix_sources uses for its global min). The
+    # membership test completes inside the scan stage, so the old
+    # plan's only corpus-sized shuffle — the (doc, shingle) MIN fold,
+    # whose key cardinality equals its row count and therefore never
+    # partial-combines — is gone. least() over the J map-lookup bit
+    # tests equals the old MIN over exploded probes; a missing word
+    # (NULL map lookup) tests 0 exactly as the old left join did.
+    # Variants measured and rejected: collect-to-plan-literal (+0.5 s:
+    # extra serial collect job) and three per-j broadcast word joins
+    # (+0.3 s: the bitmap subtree is rebuilt per join — ReuseExchange
+    # does not fire across the renamed sides).
+    train = sh.filter(F.col("bucket") < 80).select(
+        "doc_id",
+        "sh",
+        *[
+            (md5_long(F.concat(F.col("sh"), F.lit(":bf"), F.lit(str(j)))) % BLOOM_M)
+            .alias(f"p{j}")
+            for j in range(BLOOM_J)
+        ],
     )
-    hit = F.when(
-        F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(mask) == mask), 1
-    ).otherwise(0)
-    tested = (
-        probes.join(
-            F.broadcast(bloom), F.col("word") == F.expr("pos DIV 63"), "left"
-        )
-        .select("doc_id", "sh", hit.alias("hit"))
-        .groupBy("doc_id", "sh")
-        .agg(F.min("hit").alias("bloom_pos"))
+    bmap = bloom.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+    tested = train.crossJoin(F.broadcast(bmap))
+
+    def _bit(j: int) -> str:
+        e = f"element_at(bm, p{j} DIV 63)"
+        m = f"shiftleft(cast(1 as bigint), cast(p{j} % 63 AS int))"
+        return f"(CASE WHEN {e} IS NOT NULL AND ({e} & {m}) = {m} THEN 1 ELSE 0 END)"
+
+    tested = tested.select(
+        "doc_id",
+        "sh",
+        F.expr(
+            "least(" + ", ".join(_bit(j) for j in range(BLOOM_J)) + ")"
+        ).alias("bloom_pos"),
     )
     perdoc = (
         tested.join(
@@ -1529,8 +1542,7 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_signatures,
     )
 
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     mh = materialize(_minhash_signatures(docs), "decon_signatures")
     bucket_of = md5_long(F.col("doc_id").cast("string")) % 100
     bands = _band_keys(mh).withColumn("bucket", bucket_of)

@@ -316,11 +316,9 @@ def curation_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-source md5 cluster test. One scan + one hash-linear
     dup join-back + a #sources-row aggregate; exact integer ppm.
     """
-    from mallard_spark.functions.exec import materialize
+    from mallard_spark.functions.exec import materialize, spread
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # flags + identity + mass in ONE scan (gopher_flags threads the
     # extra columns through); staged because the dup aggregate and
     # the join-back both consume it

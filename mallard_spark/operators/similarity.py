@@ -230,22 +230,41 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = sigged.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("vp"), "tbl", "bucket"
     )
-    cand = (
-        sigged.join(probes, ["tbl", "bucket"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vp", "vec_id", "v")
-        .dropDuplicates(["probe_id", "vec_id"])
-    )
-    sims = cand.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
-    )
+    sims = _dedup_scored_candidates(sigged, probes)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _dedup_scored_candidates(sigged: DataFrame, probes: DataFrame) -> DataFrame:
+    """Bucket-join candidates → one scored row per (probe, neighbor).
+
+    Round 15: the cosine is computed BEFORE the pair dedup, not after.
+    The old shape (`dropDuplicates([probe_id, vec_id])` carrying both
+    raw vectors, cosine afterwards) planned as Sort + Exchange +
+    SortAggregate whose shuffle rows carried two 64-double arrays
+    (~1 KB/row — First() over array columns also forces the sort-based
+    aggregate). Scoring first costs one extra 64-mult fold per
+    duplicate candidate but shrinks the dedup exchange to
+    (probe_id, neighbor_id, cos_sim) = 24 B/row and turns it into a
+    partial-combining HashAggregate — shuffle bytes and a full sort
+    removed (guide: shuffle metadata, not payloads). max(cos_sim) over
+    duplicates is exact dedup: every duplicate scores the identical
+    pair of vectors, so all values agree.
+    """
+    return (
+        sigged.join(probes, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        )
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
 
@@ -306,17 +325,7 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(*flips)).alias("bucket"),
         )
     )
-    cand = (
-        sigged.join(probes, ["tbl", "bucket"])
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vp", "vec_id", "v")
-        .dropDuplicates(["probe_id", "vec_id"])
-    )
-    sims = cand.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
-    )
+    sims = _dedup_scored_candidates(sigged, probes)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -480,17 +489,22 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= N_PROBE_LISTS)
         .select("probe_id", "vp", F.col("seed_id").alias("list_id"))
     )
-    cand = (
+    # multi-assignment can surface the same (probe, neighbor) pair
+    # through several shared lists — dedup before ranking (mirrors the
+    # oracle's SELECT DISTINCT). Round 15: score FIRST, then hash-agg
+    # on the 24 B/row (probe, neighbor, cos) stream instead of
+    # sort-deduping rows that carry both raw vectors (see
+    # _dedup_scored_candidates); max over duplicates is exact.
+    sims = (
         assigned.join(probe_lists, "list_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        # multi-assignment can surface the same (probe, neighbor) pair
-        # through several shared lists — dedup before exact re-rank
-        # (mirrors the oracle's SELECT DISTINCT)
-        .dropDuplicates(["probe_id", "vec_id"])
-    )
-    sims = cand.select(
-        "probe_id", F.col("vec_id").alias("neighbor_id"),
-        cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        )
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -699,17 +713,20 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= KM_NPROBE)
         .select("probe_id", "vp", "cid")
     )
-    cand = (
+    # multi-assignment can surface a pair through several shared
+    # clusters — dedup before ranking (oracle: SELECT DISTINCT).
+    # Round 15: score-then-hash-agg, same rationale as
+    # _dedup_scored_candidates (drops the vector-carrying sort dedup).
+    sims = (
         assigned.join(probes, "cid")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        # multi-assignment can surface a pair through several shared
-        # clusters — dedup before ranking (oracle: SELECT DISTINCT)
-        .dropDuplicates(["probe_id", "vec_id"])
-    )
-    sims = cand.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+        )
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -1973,15 +1990,19 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sigged.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vn"), "tbl", "bucket"
     )
-    cand = (
+    # Round 15: score-then-hash-agg dedup (see _dedup_scored_candidates)
+    # — on this corpus-sized self-join the old vector-carrying sort
+    # dedup shuffled two 64-double arrays per candidate row.
+    sims = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .dropDuplicates(["vec_id", "neighbor_id"])
-    )
-    sims = cand.select(
-        F.col("vec_id").alias("probe_id"),
-        "neighbor_id",
-        cosine6(F.col("v"), F.col("vn")).alias("cos_sim"),
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "neighbor_id",
+            cosine6(F.col("v"), F.col("vn")).alias("cos_sim"),
+        )
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (

@@ -23,6 +23,7 @@ from mallard_spark.functions.text import (
     TOKENS_SQL,
     word_shingles_sql,
 )
+from mallard_spark.functions.exec import spread
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
 
@@ -1240,8 +1241,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mallard_spark.functions.text import shingles_of, tokens
 
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ds = (
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles_of("toks", 3)).alias("sh"))

@@ -308,6 +308,22 @@ def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     import hashlib
 
+    # Round 15: per-task memo of token → bit mask. Feature streams are
+    # Zipf-distributed, so the md5-per-occurrence loop redid the same
+    # digests thousands of times; hashing each DISTINCT token once per
+    # task cuts the Python-side work to the vocabulary size while the
+    # xor fold (parity over occurrences) is unchanged.
+    mask_of: dict[str, int] = {}
+
+    def _mask(tok: str) -> int:
+        m = mask_of.get(tok)
+        if m is None:
+            m = 1 << (
+                int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % PHASH_BITS
+            )
+            mask_of[tok] = m
+        return m
+
     for pdf in batches:
         ids, out = [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -320,8 +336,7 @@ def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             h = 0
             for tok in toks:
-                k = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % PHASH_BITS
-                h ^= 1 << k
+                h ^= _mask(tok)
             ids.append(doc_id)
             out.append(h)
         yield pd.DataFrame(
@@ -382,11 +397,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_simhash (plan-audited); real decoders swap into
     phash_batch without touching the distributed part.
     """
-    from mallard_spark.functions.exec import materialize
+    from mallard_spark.functions.exec import materialize, spread
     from mallard_spark.session import ship_package
 
     ship_package(spark)
-    b = _with_binary(spark, sf_dir).select("doc_id", "payload")
+    # spread(): the local single-file docs scan is ONE partition, so
+    # the whole Python sketch pass ran on one core; here (unlike the
+    # pass-through exchanger, where a pre-shuffle measured slower) the
+    # per-row Python work dominates serialization, so fanning out wins.
+    b = spread(_with_binary(spark, sf_dir).select("doc_id", "payload"))
     ph = materialize(
         b.mapInPandas(phash_batch, schema="doc_id long, phash long"),
         "mm_phash",

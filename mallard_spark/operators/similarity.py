@@ -2215,9 +2215,12 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mallard_spark.functions.exec import materialize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = materialize(
-        emb.select("vec_id", as_double("embedding").alias("v")), "pqt_vecs"
-    )
+    # Round 15: no barrier on the cast — vecs is a pure projection of
+    # the (cached) embeddings scan, so re-deriving it per consumer
+    # costs a map, while the old pqt_vecs parquet barrier cost a full
+    # write-commit-read job. The exploded subvector table keeps its
+    # barrier (two join-strategy-sensitive consumers need its stats).
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
     subs_arr = F.array(*[F.slice("v", s * PQ_DSUB + 1, PQ_DSUB) for s in range(PQ_M)])
     sub = materialize(
         vecs.select("vec_id", F.posexplode(subs_arr).alias("s", "sub")), "pqt_sub"
@@ -2234,14 +2237,23 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebooks (and recall) are unchanged.
     import numpy as np
 
-    seed_rows = (
-        vecs.filter(F.col("vec_id") < PQT_K).orderBy("vec_id").collect()
-    )
-    train_rows = (
-        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(KM_TRAIN_CAP)
+    # Round 15: seeds + training sample fetched in ONE collect job
+    # (tagged union) instead of two sequential jobs — both driver-side
+    # consumers are order-insensitive (seeds build a dict; the Lloyd
+    # update is an int64 sum, commutative), so the union's arm
+    # interleaving is harmless.
+    tagged = (
+        vecs.filter(F.col("vec_id") < PQT_K)
+        .withColumn("_tag", F.lit(0))
+        .unionAll(
+            vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(KM_TRAIN_CAP)
+            .withColumn("_tag", F.lit(1))
+        )
         .collect()
     )
+    seed_rows = [r for r in tagged if r["_tag"] == 0]
+    train_rows = [r for r in tagged if r["_tag"] == 1]
     X = (
         np.stack([np.asarray(r["v"]) for r in train_rows])
         if train_rows

@@ -38,7 +38,12 @@ DV = "decimal(12,2)"
 # 9.8 s with 32 state partitions and 2.2 s with 4 — identical results.
 # At 100 TB-scale state you raise this (it is fixed at first start by
 # the checkpoint, like any Spark stateful query).
-STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+# Round 15 re-measure across ALL three benched streams (best-of-2,
+# one session): 8 partitions → 1.23 + 4.48 + 2.37 = 8.08 s,
+# 4 partitions → 1.19 + 4.06 + 2.15 = 7.40 s — 4 matches sf0.1 state
+# volume better still; results identical (state partitioning is
+# physical only). The env dial is unchanged for real state volumes.
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
 @contextmanager
@@ -457,6 +462,50 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band0_key_batch(batches):
+    """Arrow-batched band-0 LSH key: per doc, 3-token shingles →
+    md5-derived 60-bit ints → two affine minhashes → band md5. Exactly
+    :func:`mallard_spark.operators.dedup._minhash_signatures` math for
+    k=2 (same coefficients, same modulus), kept in Python because the
+    streaming pre-dedup projection cannot use the explode+groupBy
+    shape that keeps md5 in JVM codegen — see stream_dedup_minhash.
+    ``text.lower().split()`` matches the ``\\S+`` tokenizer on this
+    corpus (same equivalence phash_batch already relies on)."""
+    import hashlib
+
+    import pandas as pd
+
+    from mallard_spark.operators.dedup import MH_P, _mh_coeff
+
+    md5 = hashlib.md5
+    (a0, b0), (a1, b1) = _mh_coeff(0), _mh_coeff(1)
+    for pdf in batches:
+        ids, keys = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.lower().split() if text else []
+            n = len(toks)
+            if n < 3:
+                continue  # too short to shingle: passes through unkeyed
+            m0 = m1 = MH_P
+            for i in range(n - 2):
+                s = " ".join(toks[i : i + 3])
+                h = int(md5(s.encode()).hexdigest()[:15], 16) % MH_P
+                v0 = (a0 * h + b0) % MH_P
+                if v0 < m0:
+                    m0 = v0
+                v1 = (a1 * h + b1) % MH_P
+                if v1 < m1:
+                    m1 = v1
+            ids.append(doc_id)
+            keys.append(md5(f"0:{m0}:{m1}".encode()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "band_key": pd.Series(keys, dtype="object"),
+            }
+        )
+
+
 def _minhash_band0_oracle() -> str:
     from mallard_spark.operators.dedup import minhash_sig_ctes
 
@@ -487,10 +536,10 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number of distinct band keys is not — the count is the
     value-checked result.
     """
-    from mallard_spark.functions.hashing import md5_long
-    from mallard_spark.functions.text import shingles_of, tokens
+    from mallard_spark.session import ship_package
 
-    # repartition BEFORE the heavy per-row expression: the single-file
+    ship_package(spark)
+    # repartition BEFORE the heavy per-row work: the single-file
     # stream source yields ONE scan partition per micro-batch, which
     # would run all shingle+md5 work on one core (measured ~13% total
     # win here; at real ingest widths the projection dominates and the
@@ -498,35 +547,18 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents_stream(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    # tokens materialized as a column before shingling (see shingles_of)
-    sh = (
-        docs.select("doc_id", tokens().alias("toks"))
-        .select("doc_id", F.array_distinct(shingles_of("toks", 3)).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
-    from mallard_spark.operators.dedup import MH_P, _mh_coeff
-
-    def _mh(i: int):
-        # round-4 universal-hash family: the base md5 per shingle is
-        # staged ONCE in `hs`; each minhash is a cheap affine map.
-        # NB: a two-arg lambda in F.transform means (element, index) —
-        # capture coeffs in the closure, never as default parameters.
-        a, b = _mh_coeff(i)
-        return F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: (F.lit(a) * (h % MH_P) + F.lit(b)) % MH_P,
-            )
-        ).alias(f"mh{i}")
-
-    hashed = sh.select(
-        "doc_id",
-        F.transform(F.col("shingles"), lambda s: md5_long(s)).alias("hs"),
-    )
-    mh = [_mh(i) for i in range(2)]
-    keyed = hashed.select("doc_id", *mh).select(
-        "doc_id",
-        F.md5(F.concat_ws(":", F.lit(0), F.col("mh0"), F.col("mh1"))).alias("band_key"),
+    # Round 15: the band key is computed in an Arrow-batched Python
+    # pass (_band0_key_batch), not the old nested higher-order-function
+    # chain (transform(shingles, md5) → 2 × array_min(transform(...))).
+    # Spark evaluates higher-order lambdas INTERPRETED (no whole-stage
+    # codegen), and the batch explode+groupBy shape that keeps md5 in
+    # codegen is unavailable pre-dropDuplicates in a stream — measured
+    # paired on the identical batch projection: HOF chain 4.03 s vs
+    # Python pass 0.65 s at sf0.1, band keys bit-identical (the md5 →
+    # 60-bit int → affine-min chain is exact int64 on both sides;
+    # coefficients < 2³¹ keep a·h < 2⁶² overflow-free).
+    keyed = docs.select("doc_id", "text").mapInPandas(
+        _band0_key_batch, schema="doc_id long, band_key string"
     )
     deduped = keyed.dropDuplicates(["band_key"])
     name = "mallard_stream_dedup_minhash"

@@ -1096,15 +1096,20 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ssw_windows",
     )
+    # Round 15: the dup test only needs "≥ 2 distinct docs", which is
+    # exactly min(doc_id) != max(doc_id) — plain partial-combining
+    # min/max instead of COUNT(DISTINCT)'s two-phase distinct
+    # machinery over the corpus-sized window stream (identical output;
+    # paired at 10×: 1.68 vs 1.76 s, equal at sf0.1).
     df_cnt = win.groupBy("wkey").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
     )
     hit = (
         win.join(df_cnt, "wkey")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_windows"),
         )
     )
     return hit.select(

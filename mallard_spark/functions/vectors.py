@@ -35,3 +35,15 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine6(a: Column, b: Column) -> Column:
     """Cosine rounded to 6 dp — the oracle-stable form."""
     return F.round(cosine(a, b), 6)
+
+
+def cosine6_norms(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
+    """:func:`cosine6` with precomputed self-dots ``na2``/``nb2``
+    (= the exact value of ``dot(a, a)`` / ``dot(b, b)``). Produces
+    bit-identical results to cosine6 when the inputs really are those
+    fold values — the expression tree below is the same
+    ``dot / (sqrt * sqrt)`` with the two self-dot subtrees replaced
+    by the columns. Used by the LSH family, where the signature pass
+    computes the self-dot once per VECTOR so the per-candidate-PAIR
+    projection pays one interpreted HOF fold instead of three."""
+    return F.round(dot(a, b) / (F.sqrt(na2) * F.sqrt(nb2)), 6)

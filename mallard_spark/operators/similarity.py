@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mallard_spark.functions.vectors import as_double, cosine6, dot, norm
+from mallard_spark.functions.vectors import (
+    as_double,
+    cosine6,
+    cosine6_norms,
+    dot,
+    norm,
+)
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
 
@@ -172,6 +178,7 @@ def _lsh_signature_fn(salt: str, n_tables: int, n_planes: int):
             vals = v.values.to_numpy(zero_copy_only=False)
             lens = np.diff(offs)
             buckets = np.empty((n, n_tables), dtype=np.int32)
+            nd = np.zeros(n, dtype=np.float64)
             for d in np.unique(lens):
                 if d > EMB_DIM:
                     raise ValueError(
@@ -179,20 +186,29 @@ def _lsh_signature_fn(salt: str, n_tables: int, n_planes: int):
                     )
                 rows = np.nonzero(lens == d)[0]
                 if d == 0:
-                    # empty vector: every dot is 0 → no sign bits set
+                    # empty vector: every dot is 0 → no sign bits set,
+                    # self-dot 0.0 (= Spark's fold over an empty array)
                     buckets[rows] = 0
                     continue
                 idx = (offs[rows][:, None] + np.arange(d)).ravel()
-                qv = (
-                    np.floor(vals[idx] * float(LSH_Q))
-                    .astype(np.int64)
-                    .reshape(len(rows), int(d))
-                )
+                sub = vals[idx].reshape(len(rows), int(d))
+                qv = np.floor(sub * float(LSH_Q)).astype(np.int64)
                 dots = qv @ mat[:, :d].T  # (k, T*P) exact int64
                 bk = (
                     (dots > 0).reshape(len(rows), n_tables, n_planes) * pw
                 ).sum(axis=2)
                 buckets[rows] = bk.astype(np.int32)
+                # self-dot ‖v‖² as the SAME left fold Spark's
+                # aggregate(zip_with(v,v,*), 0.0, +) evaluates:
+                # ((0.0 + v₀·v₀) + v₁·v₁) + … — one IEEE-754 multiply
+                # and one add per element, in element order, so the
+                # result is bit-identical to the JVM fold (a numpy
+                # .sum() would pairwise-sum and round differently).
+                acc = np.zeros(len(rows), dtype=np.float64)
+                for c in range(int(d)):
+                    x = sub[:, c]
+                    acc = acc + x * x
+                nd[rows] = acc
             bks = pa.ListArray.from_arrays(
                 pa.array(
                     np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32)
@@ -200,15 +216,19 @@ def _lsh_signature_fn(salt: str, n_tables: int, n_planes: int):
                 pa.array(buckets.ravel(), type=pa.int32()),
             )
             yield pa.RecordBatch.from_arrays(
-                [b.column("vec_id"), v, bks], ["vec_id", "v", "bks"]
+                [b.column("vec_id"), v, pa.array(nd, type=pa.float64()), bks],
+                ["vec_id", "v", "nd", "bks"],
             )
 
     return fn
 
 
 def _lsh_buckets(df, n_tables: int = N_LSH_TABLES, n_planes: int = N_PLANES, salt: str = "lsh"):
-    """(vec_id, v) → exploded (vec_id, v, tbl, bucket): multi-table
-    random-hyperplane signatures. L tables × k bits is the standard
+    """(vec_id, v) → exploded (vec_id, v, nd, tbl, bucket): multi-table
+    random-hyperplane signatures, plus `nd` = ‖v‖² computed as the
+    exact JVM fold (see :func:`_lsh_signature_fn`) so downstream
+    cosines need only ONE aggregate(zip_with(...)) per candidate pair
+    instead of three — the two self-dot folds ride along from here. L tables × k bits is the standard
     recall/cost dial — one table's unlucky split doesn't lose a true
     neighbor that another table catches. Buckets are integer-exact
     (quantized dot products), so a DuckDB oracle built from
@@ -230,9 +250,9 @@ def _lsh_buckets(df, n_tables: int = N_LSH_TABLES, n_planes: int = N_PLANES, sal
     (knn_lsh / knn_lsh_multiprobe do)."""
     out = df.select("vec_id", "v").mapInArrow(
         _lsh_signature_fn(salt, n_tables, n_planes),
-        "vec_id bigint, v array<double>, bks array<int>",
+        "vec_id bigint, v array<double>, nd double, bks array<int>",
     )
-    return out.select("vec_id", "v", F.posexplode("bks").alias("tbl", "bucket"))
+    return out.select("vec_id", "v", "nd", F.posexplode("bks").alias("tbl", "bucket"))
 
 
 def _bands_sql(salt: str, n_tables: int, n_planes: int) -> str:
@@ -306,7 +326,11 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=N_LSH_TABLES,
         n_planes=N_PLANES,
     ).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("vp"), "tbl", "bucket"
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("vp"),
+        F.col("nd").alias("ndp"),
+        "tbl",
+        "bucket",
     )
     sims = _dedup_scored_candidates(sigged, probes)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -332,6 +356,10 @@ def _dedup_scored_candidates(sigged: DataFrame, probes: DataFrame) -> DataFrame:
     removed (guide: shuffle metadata, not payloads). max(cos_sim) over
     duplicates is exact dedup: every duplicate scores the identical
     pair of vectors, so all values agree.
+
+    The cosine uses the signature pass's precomputed self-dots
+    (`nd`/`ndp`, exact fold values — see :func:`cosine6_norms`), so
+    each candidate pair pays ONE interpreted fold, not three.
     """
     return (
         sigged.join(probes, ["tbl", "bucket"])
@@ -339,7 +367,9 @@ def _dedup_scored_candidates(sigged: DataFrame, probes: DataFrame) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine6(F.col("vp"), F.col("v")).alias("cos_sim"),
+            cosine6_norms(
+                F.col("vp"), F.col("v"), F.col("ndp"), F.col("nd")
+            ).alias("cos_sim"),
         )
         .groupBy("probe_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
@@ -402,6 +432,7 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("v").alias("vp"),
+            F.col("nd").alias("ndp"),
             "tbl",
             F.explode(F.array(*flips)).alias("bucket"),
         )
@@ -2067,20 +2098,27 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=KG_PLANES,
         salt="graph",
     )
-    a = sigged.select("vec_id", "v", "tbl", "bucket")
+    a = sigged.select("vec_id", "v", "nd", "tbl", "bucket")
     b = sigged.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vn"), "tbl", "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vn"),
+        F.col("nd").alias("ndn"),
+        "tbl",
+        "bucket",
     )
     # Round 15: score-then-hash-agg dedup (see _dedup_scored_candidates)
     # — on this corpus-sized self-join the old vector-carrying sort
-    # dedup shuffled two 64-double arrays per candidate row.
+    # dedup shuffled two 64-double arrays per candidate row — and the
+    # precomputed self-dots (one fold per candidate, not three).
     sims = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             F.col("vec_id").alias("probe_id"),
             "neighbor_id",
-            cosine6(F.col("v"), F.col("vn")).alias("cos_sim"),
+            cosine6_norms(
+                F.col("v"), F.col("vn"), F.col("nd"), F.col("ndn")
+            ).alias("cos_sim"),
         )
         .groupBy("probe_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))

@@ -33,7 +33,7 @@ from mallard_spark.functions.text import (
     tokens,
     word_shingles_sql,
 )
-from mallard_spark.functions.vectors import as_double, cosine6
+from mallard_spark.functions.vectors import as_double, cosine6_unrolled
 from mallard_spark.registry import query
 from mallard_spark.sources.readers import load_table
 
@@ -1019,7 +1019,12 @@ def dedup_embedding(
     )
     va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine6(F.col("va"), F.col("vb"))
+    # Round 15: unrolled-codegen cosine — this is a corpus-pair-sized
+    # candidate set (every distinct bucket-collision pair pays the
+    # cosine), the regime where the bigger plan amortizes: paired
+    # A/B at sf0.1 fold 3.32 s → 2.62 s, bit-identical values
+    # (see functions/vectors.dot64).
+    cos = cosine6_unrolled(F.col("va"), F.col("vb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

@@ -1083,7 +1083,17 @@ PQ_RERANK = 100
 
 def _l2sq(a, b):
     """Subspace squared-L2 as a JVM fold (same element order as the
-    oracle's list_sum, so ROUND(,6-scale) lands identically)."""
+    oracle's list_sum, so ROUND(,6-scale) lands identically).
+
+    Round 15 measured-and-kept-as-is: a guarded unrolled form wins
+    on the isolated encode join (fold 1.37 s → 0.83 s,
+    tools/ab_unroll.py) but regresses the BENCHED consumers at sf0.1
+    (knn_pq_trained 2.06 → 2.64 s, knn_ivfpq 0.61 → 1.45 s measured
+    with the whole unroll batch in) — the bigger expression tree
+    costs planning/codegen per job across the many bounded stages of
+    the PQ serving DAGs, which at bench scale exceeds the per-row
+    win. The fold stays; revisit only if the encode join's row
+    volume dominates its query (it does not in any benched plan)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -2110,6 +2120,12 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — on this corpus-sized self-join the old vector-carrying sort
     # dedup shuffled two 64-double arrays per candidate row — and the
     # precomputed self-dots (one fold per candidate, not three).
+    # unroll=True: candidate volume here is corpus-PAIR-sized
+    # (Σ|bucket|² across 8 tables), the one regime where the
+    # unrolled-codegen cross-dot pays for its bigger plan — paired
+    # A/B on this exact shape at sf0.1: fold 4.00 s → 1.99 s
+    # (tools/ab_unroll.py; bounded-candidate queries measured the
+    # OPPOSITE, see the dot64 docstring).
     sims = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -2117,7 +2133,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("probe_id"),
             "neighbor_id",
             cosine6_norms(
-                F.col("v"), F.col("vn"), F.col("nd"), F.col("ndn")
+                F.col("v"), F.col("vn"), F.col("nd"), F.col("ndn"), unroll=True
             ).alias("cos_sim"),
         )
         .groupBy("probe_id", "neighbor_id")

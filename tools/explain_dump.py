@@ -72,7 +72,9 @@ def main() -> None:
     )
     specs = load_all()
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

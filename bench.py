@@ -77,6 +77,37 @@ STREAMING = [
     "stream_interval_join",
 ]
 
+# Committed calm per-query record (BENCH_r14.json, probe 1.017 s calm)
+# used ONLY to size the degraded-phase retry threshold below — never
+# as a result. Round 16 (VERDICT r15 item #2): the flat 15 s outlier
+# threshold let mid-run degradation land 2-12 s samples unretried; a
+# per-query bound of ~4x the committed calm time self-heals those.
+R14_CALM_SEC = {
+    "q1_pricing_summary": 0.874, "q3_shipping_priority": 0.704,
+    "q3_bucketed": 0.737, "q5_local_supplier_volume": 0.656,
+    "q9_product_profit": 0.716, "q18_large_volume_customer": 0.731,
+    "running_totals": 0.704, "ev_hourly_agg": 0.447,
+    "ev_sessionize": 0.38, "ev_asof_join": 0.548,
+    "ev_zscore_anomalies": 0.346, "quantiles_by_flag": 1.587,
+    "text_token_stats": 0.303, "text_chunking": 0.292,
+    "decontaminate_overlap": 0.937, "decontaminate_bloom": 1.739,
+    "mix_sources": 0.478, "dedup_minhash_lsh": 1.465,
+    "dedup_substring_windows": 0.956, "url_canonicalize_dedup": 0.478,
+    "quality_perplexity_proxy": 0.776, "knn_bruteforce": 0.499,
+    "knn_lsh_multiprobe": 1.694, "knn_ivfpq": 0.677,
+    "exchange_add_processed": 1.017,
+    "stream_windowed_agg": 0.88, "stream_dedup_minhash": 4.301,
+    "stream_interval_join": 2.592,
+    "bpe_train_merges": 0.753, "knn_pq_trained": 2.749,
+    "mm_phash_dedup": 2.198,
+}
+
+
+def _retry_threshold(name: str) -> float:
+    # 4x the committed calm time, floored at 2 s so sub-0.5 s queries
+    # don't retry on ordinary JVM noise; 15 s for anything unrecorded.
+    return max(4.0 * R14_CALM_SEC.get(name, 3.75), 2.0)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,20 +149,25 @@ def main() -> None:
     # q1 at sf0.1, best-of-3, ~0.7 s calm — is timed BEFORE the bench
     # and recorded alongside the numbers, so a degraded-phase sample
     # is labeled as such in the committed artifact instead of reading
-    # as a regression.
-    probe_best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        specs["q1_pricing_summary"].fn(
-            spark, "/root/testdata/sf0.1"
-        ).write.format("noop").mode("overwrite").save()
-        probe_best = min(probe_best, time.perf_counter() - t0)
-    phase_probe = {
-        "control": "q1_pricing_summary@sf0.1 best-of-3",
-        "sec": round(probe_best, 3),
-        "calm_threshold_sec": 1.5,
-        "phase": "calm" if probe_best < 1.5 else "degraded",
-    }
+    # as a regression. Round 16 (VERDICT r15 item #2): the probe is
+    # ALSO taken after each query group and at the end, so mid-run
+    # degradation is visible in the artifact, not just at the start.
+    def probe() -> dict:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            specs["q1_pricing_summary"].fn(
+                spark, "/root/testdata/sf0.1"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return {
+            "control": "q1_pricing_summary@sf0.1 best-of-3",
+            "sec": round(best, 3),
+            "calm_threshold_sec": 1.5,
+            "phase": "calm" if best < 1.5 else "degraded",
+        }
+
+    phase_probe = probe()
 
     # best-of-2: single-run numbers on this box swing up to 10× on
     # identical plans (JVM compile/GC noise); the min is the plan cost.
@@ -151,13 +187,22 @@ def main() -> None:
 
     # the VM has minutes-long degradation phases where heavy stages run
     # 10-40× slow (verified not data/plan-dependent: same query is
-    # 1 s in isolation); give outliers one delayed retry
-    for name, secs in list(per_query.items()):
-        if secs > 15:
-            time.sleep(10)
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            per_query[name] = round(min(secs, time.perf_counter() - t0), 3)
+    # 1 s in isolation); give outliers one delayed retry. Round 16:
+    # the threshold is per-query (~4x the committed r14 calm time,
+    # VERDICT r15 item #2) instead of a flat 15 s, so 2-12 s degraded
+    # samples self-heal instead of landing in the artifact.
+    def retry_outliers(timed: dict[str, float]) -> None:
+        for name, secs in list(timed.items()):
+            if secs > _retry_threshold(name):
+                time.sleep(10)
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                timed[name] = round(min(secs, time.perf_counter() - t0), 3)
+
+    retry_outliers(per_query)
+    probe_post_headline = probe()
 
     per_stream: dict[str, float] = {}
     for name in STREAMING:
@@ -169,6 +214,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_stream[name] = round(best, 3)
 
+    retry_outliers(per_stream)
+
     per_iter: dict[str, float] = {}
     for name in ITERATIVE:
         fn = specs[name].fn
@@ -178,6 +225,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         per_iter[name] = round(best, 3)
+
+    retry_outliers(per_iter)
+    probe_post = probe()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -195,6 +245,13 @@ def main() -> None:
         "iterative_total": round(sum(per_iter.values()), 3),
         "sf": sf_val,
         "phase_probe": phase_probe,
+        # Round 16 (VERDICT r15 item #2): mid-run phase visibility —
+        # the same control probe after the headline group and at the
+        # very end. A calm pre-probe with a degraded post-probe marks
+        # the per-query samples as phase-contaminated.
+        "phase_probe_post_headline": probe_post_headline,
+        "phase_probe_post": probe_post,
+        "outlier_retry": "per-query, 4x BENCH_r14 calm sec (floor 2s)",
         "scan_cache": scan_cache,
     }
     # 10× (synthetic sf1) totals, measured by tools/bench_sf1.py under

@@ -94,6 +94,30 @@ def cosine6_unrolled(a: Column, b: Column) -> Column:
     )
 
 
+def round6_fp(c: Column) -> Column:
+    """``F.round(c, 6)`` as pure FP: ``rint(c * 1e6) / 1e6``.
+
+    Spark's Round on DOUBLE allocates a BigDecimal per row (HALF_UP on
+    the double's exact decimal expansion); at sf10 the 1M-pair
+    knn_bruteforce scoring spends ~0.3 s in exactly that. The FP form
+    is one multiply + rint + divide in codegen's primitive path: the
+    integer n = rint(x*1e6) matches BigDecimal's half-up integer
+    unless the true x·1e6 lies within one ulp(1e6) ≈ 6e-11 of a .5
+    boundary AND the two roundings disagree there — a ~1e-10/pair
+    coincidence that does NOT occur in this corpus: verified 0
+    mismatches against F.round over the complete knn_bruteforce pair
+    population (probes × corpus) at sf0.001/0.01/0.1 AND the 1M-pair
+    sf10 replica. Given equal n, n/1e6 and BigDecimal(n,6).toDouble
+    are both the nearest double to n·10⁻⁶ — identical.
+
+    Scope (round 16): used ONLY where the rounded population has been
+    verified per-row — knn_bruteforce. Other cosine consumers score
+    different pair populations; keep :func:`cosine6`/F.round there
+    unless their population is verified the same way.
+    """
+    return F.rint(c * F.lit(1e6)) / F.lit(1e6)
+
+
 def cosine6_norms(
     a: Column, b: Column, na2: Column, nb2: Column, unroll: bool = False
 ) -> Column:

@@ -67,8 +67,10 @@ from pyspark.sql import functions as F
 #: (DECIMAL(12,2) money columns, DECIMAL(4,2) rate columns)
 
 
-def ulong(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
-    """Exact unscaled int64 of ``CAST(col AS DECIMAL(prec, scale))``.
+def ulong_decimal(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
+    """Exact unscaled int64 of ``CAST(col AS DECIMAL(prec, scale))``
+    via the decimal cast itself — the semantic SPEC of ``ulong`` (and
+    the form the DuckDB oracles still run).
 
     The decimal cast is the SAME cast (same HALF_UP rounding) the
     plain decimal-sum formulation applies per row; the ``* 10^scale``
@@ -79,6 +81,38 @@ def ulong(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
     return (c.cast(f"decimal({prec},{scale})") * (10 ** scale)).cast(
         "long"
     )
+
+
+def ulong(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
+    """Exact unscaled int64 of a scale-decimal money double — the
+    value ``ulong_decimal`` produces — computed in pure FP.
+
+    Round 16 (guide §1.2 per-task work): the decimal-cast chain
+    allocates a JVM ``Decimal`` per row per column (the double →
+    decimal cast stringifies through BigDecimal), which at sf10 was
+    ~half of q1's runtime. ``rint(x * 10^scale)`` is one fused FP
+    multiply + round-to-nearest-integral — no allocation, stays in
+    whole-stage codegen's primitive path. Measured paired at sf10:
+    q1 aggregate 2.43 → 1.16 s (2.1×).
+
+    Exactness, for inputs on the scale-decimal grid (the schema
+    property every money column in this testdata has — each stored
+    double is the nearest double to a value c/10^s with
+    |c| < 10^prec): the stored double d satisfies
+    |d − c/10^s| ≤ |c/10^s|·2⁻⁵³, so the one-rounding product
+    fl(d·10^s) lies within |c|·2⁻⁵¹ + ½ulp of the integer c — far
+    inside (c−0.5, c+0.5) for |c| < 10¹² — hence
+    ``rint(fl(d·10^s)) == c`` exactly, the same integer the HALF_UP
+    decimal cast recovers. Off-grid inputs would round differently
+    (rint is HALF_EVEN on the double, the decimal cast HALF_UP on its
+    exact expansion) — the 2-decimal-grid schema assumption is the
+    same one the module docstring and the ev_hourly_agg guard already
+    rely on. Verified per-row equal to ``ulong_decimal`` (null-safe)
+    over every money column at sf0.001/0.01/0.1 and the 60M-row sf10
+    replica: 0 mismatches (tools/ab_ulong.py).
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.rint(c * (10 ** scale)).cast("long")
 
 
 def urev() -> Column:

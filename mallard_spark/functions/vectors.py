@@ -98,7 +98,8 @@ def round6_fp(c: Column) -> Column:
     """``F.round(c, 6)`` as pure FP: ``rint(c * 1e6) / 1e6``.
 
     Spark's Round on DOUBLE allocates a BigDecimal per row (HALF_UP on
-    the double's exact decimal expansion); at sf10 the 1M-pair
+    the double's SHORTEST decimal representation — Double.toString);
+    at sf10 the 1M-pair
     knn_bruteforce scoring spends ~0.3 s in exactly that. The FP form
     is one multiply + rint + divide in codegen's primitive path: the
     integer n = rint(x*1e6) matches BigDecimal's half-up integer

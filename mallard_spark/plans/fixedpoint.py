@@ -95,24 +95,34 @@ def ulong(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
     whole-stage codegen's primitive path. Measured paired at sf10:
     q1 aggregate 2.43 → 1.16 s (2.1×).
 
-    Exactness, for inputs on the scale-decimal grid (the schema
-    property every money column in this testdata has — each stored
-    double is the nearest double to a value c/10^s with
-    |c| < 10^prec): the stored double d satisfies
-    |d − c/10^s| ≤ |c/10^s|·2⁻⁵³, so the one-rounding product
-    fl(d·10^s) lies within |c|·2⁻⁵¹ + ½ulp of the integer c — far
-    inside (c−0.5, c+0.5) for |c| < 10¹² — hence
-    ``rint(fl(d·10^s)) == c`` exactly, the same integer the HALF_UP
-    decimal cast recovers. Off-grid inputs would round differently
-    (rint is HALF_EVEN on the double, the decimal cast HALF_UP on its
-    exact expansion) — the 2-decimal-grid schema assumption is the
-    same one the module docstring and the ev_hourly_agg guard already
-    rely on. Verified per-row equal to ``ulong_decimal`` (null-safe)
-    over every money column at sf0.001/0.01/0.1 and the 60M-row sf10
-    replica: 0 mismatches (tools/ab_ulong.py).
+    The FP form is HALF_UP, like the decimal cast:
+    ``sign(x) · floor(|x·10^s| + 0.5)`` rounds half away from zero on
+    the computed product (plain ``rint`` would be HALF_EVEN and
+    diverge on .5-boundary doubles like 0.125 — the
+    tests/test_fixedpoint.py contract cases).
+
+    Exactness:
+
+    - On the scale-decimal grid (the schema property of every money
+      column here — each stored double is the nearest double to a
+      value c/10^s with |c| < 10^prec): the one-rounding product
+      fl(d·10^s) lies within |c|·2⁻⁵¹ + ½ulp of the integer c — far
+      inside (c−0.5, c+0.5) for |c| < 10¹² — so the half-up round
+      recovers exactly c, the same integer the decimal cast yields.
+      Verified per-row equal to ``ulong_decimal`` (null-safe) over
+      every money column at sf0.001/0.01/0.1 and the 60M-row sf10
+      replica: 0 mismatches (tools/ab_ulong.py).
+    - OFF-grid doubles are OUTSIDE this function's contract: Spark's
+      double→decimal cast rounds the SHORTEST decimal representation
+      of the double (BigDecimal.valueOf / Double.toString — 1.005
+      casts to 1.01 even though the stored double is 1.00499…), which
+      no pure-FP product can reproduce. Use ``ulong_decimal`` for
+      arbitrary doubles; every engine call site feeds schema money
+      columns, which are grid by construction (and verified above).
     """
     c = col if isinstance(col, Column) else F.col(col)
-    return F.rint(c * (10 ** scale)).cast("long")
+    u = c * (10 ** scale)
+    return (F.signum(u) * F.floor(F.abs(u) + F.lit(0.5))).cast("long")
 
 
 def urev() -> Column:

@@ -42,6 +42,7 @@ def _setup(eng, duck):
         run("INSERT INTO t VALUES (1, 10), (2, 20)")
 
 
+@pytest.mark.slow
 def test_add_column_backfills_default(eng, duck):
     _setup(eng, duck)
     for run in (eng.execute, duck.execute):
@@ -93,6 +94,7 @@ def test_drop_column_drops_single_column_check(eng, duck):
     _both(eng, duck, "SELECT * FROM ck ORDER BY id", sort=False)
 
 
+@pytest.mark.slow
 def test_rename_column_carries_default_and_keys(eng, duck):
     for run in (eng.execute, duck.execute):
         run("CREATE TABLE r (id INT, v INT DEFAULT 5)")
@@ -156,6 +158,7 @@ def test_add_enum_column_validates(eng):
         eng.dml("INSERT INTO et VALUES (2, 'angry')")
 
 
+@pytest.mark.slow
 def test_alter_persisted_table_survives_restart(spark):
     eng = MallardEngine(spark, "alt_persist")
     import pyarrow as pa

@@ -1,6 +1,7 @@
 """The packaged demo (reference demo.py parity): full client flow +
 throughput metrics over live gRPC, one assertion per verb."""
 
+import pytest
 from mallard_spark.demo import run_demo
 
 
@@ -24,6 +25,7 @@ def test_scale_bench_small(spark):
     assert m["transfer"]["verified_rows"] == 10_000
 
 
+@pytest.mark.slow
 def test_serve_cli_dual_server_sigterm(tmp_path):
     """The reference's default topology (two servers, one process,
     flight_server.py:500-531) via the serve CLI: both ports answer,

@@ -415,6 +415,7 @@ def test_recursive_union_cyclic_walk(eng5):
     assert got == want == [1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_recursive_union_column_list_and_cap(eng5):
     # column-list form; the round cap errors instead of looping on a
     # non-converging recursion
@@ -435,6 +436,7 @@ def test_recursive_union_column_list_and_cap(eng5):
         spark.conf.unset("spark.mallard.recursiveMaxIterations")
 
 
+@pytest.mark.slow
 def test_recursive_union_preserves_user_temp_view(eng5):
     """Round-8 fix (r6 ADVICE #1): the fixpoint resolves the CTE name
     through a uniquified internal view — a pre-existing SAME-NAMED
@@ -489,6 +491,7 @@ def test_recursive_union_converges_at_exact_cap(eng5):
         spark.conf.unset("spark.mallard.recursiveMaxIterations")
 
 
+@pytest.mark.slow
 def test_recursive_union_with_helper_ctes(eng5):
     """Round-8: non-recursive helper CTEs around the ONE recursive
     CTE — leading helpers feed the recursion arms, trailing helpers
@@ -564,6 +567,7 @@ def test_recursive_union_with_helper_ctes(eng5):
     )
 
 
+@pytest.mark.slow
 def test_mutual_and_chained_recursion_match_duckdb(eng5):
     """Round-9 (judge item #6): mutual recursion runs a SYNCHRONOUS
     lockstep fixpoint (each round's steps read every member's
@@ -632,6 +636,7 @@ def test_mutual_and_chained_recursion_match_duckdb(eng5):
         ).collect()
 
 
+@pytest.mark.slow
 def test_recursive_barrier_dirs_garbage_collected(eng5):
     """Round-8 review: salted fixpoint barrier dirs are GC'd beyond
     spark.mallard.recursiveKeepRuns — a long-lived engine must not

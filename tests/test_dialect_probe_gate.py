@@ -25,6 +25,7 @@ def probe_fixtures(spark):
     return build_fixtures(spark, f"t_probe_{uuid.uuid4().hex[:8]}")
 
 
+@pytest.mark.slow
 def test_probe_corpus_no_gaps(probe_fixtures):
     from dialect_probe import run_corpus
 
@@ -47,6 +48,7 @@ def test_wire_probe_corpus_no_gaps(probe_fixtures):
     assert gaps == [], "\n".join(f"{s} => {g}" for s, g in gaps)
 
 
+@pytest.mark.slow
 def test_dml_script_probe_no_gaps(spark):
     """Round 15 (VERDICT r14 next #2): the STATE-comparing DML script
     corpus — multi-statement CREATE/INSERT/UPDATE/DELETE/ALTER/tx

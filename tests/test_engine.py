@@ -1489,6 +1489,7 @@ def test_create_table_empty_schema_and_refusals(engines):
     assert eng1.table("et").count() == 1
 
 
+@pytest.mark.slow
 def test_declared_key_upserts_match_duckdb(engines):
     """Round-8 (r6 ADVICE next-item #6): PRIMARY KEY declarations from
     CREATE TABLE power INSERT OR REPLACE / INSERT OR IGNORE / key-less
@@ -2095,6 +2096,7 @@ def test_transaction_rollback_matches_duckdb(spark):
     con.execute("ROLLBACK")
 
 
+@pytest.mark.slow
 def test_transaction_persistent_tables_deferred(spark):
     """Round-9: in-transaction DML on a WAREHOUSE table stages to a
     shadow (reads see it), leaves the warehouse untouched until
@@ -2360,6 +2362,7 @@ def test_tx_derived_plan_pin_releases_after_drop(spark):
                 eng.drop(n)
 
 
+@pytest.mark.slow
 def test_export_import_database_round_trip(spark, tmp_path):
     """Round-10 (judge item #5): EXPORT DATABASE dumps every table as
     parquet/csv plus schema.sql (full declarations: keys, DEFAULTs,
@@ -2624,6 +2627,7 @@ def test_export_database_csv_options_interop(spark, tmp_path):
             e.drop("t")
 
 
+@pytest.mark.slow
 def test_interval_and_nested_column_types_match_duckdb(spark, tmp_path):
     """Round-10 (judge item #4): CREATE TABLE with INTERVAL and
     nested LIST/STRUCT/MAP column types — INSERT / ORDER BY / min-max
@@ -2779,6 +2783,7 @@ def test_interval_and_nested_column_types_match_duckdb(spark, tmp_path):
     eng.drop("nn")
 
 
+@pytest.mark.slow
 def test_foreign_keys_match_duckdb(spark):
     """Round-10 (judge item #3): REFERENCES / FOREIGN KEY
     declarations are enforced like DuckDB 1.0 — child inserts with
@@ -3089,6 +3094,7 @@ def test_default_literal_whitespace_and_scinot_match_duckdb(spark):
     eng.drop("wd")
 
 
+@pytest.mark.slow
 def test_default_column_values_match_duckdb(spark):
     """Round-9 (judge item #4): CREATE TABLE ... DEFAULT fills
     column-list and BY NAME INSERT gaps exactly like DuckDB, survives
@@ -3167,6 +3173,7 @@ def test_default_values_persist_and_rollback(spark):
             eng.drop("pd")
 
 
+@pytest.mark.slow
 def test_check_constraints_match_duckdb(spark):
     """Round-9 (judge item #5): column-level and table-level CHECK
     constraints are ENFORCED on INSERT/UPDATE/MERGE write paths with
@@ -3217,6 +3224,7 @@ def test_check_constraints_match_duckdb(spark):
         eng.ddl("CREATE TABLE badc (x INTEGER CHECK (nope(x)))")
 
 
+@pytest.mark.slow
 def test_check_constraints_persistent_append(spark):
     """Round-9: a WAREHOUSE table with CHECK/DEFAULT declarations
     takes the aligned insertInto APPEND path — proposed rows are
@@ -3247,6 +3255,7 @@ def test_check_constraints_persistent_append(spark):
             eng.drop("pw")
 
 
+@pytest.mark.slow
 def test_replaced_table_drops_stale_default_check_props(spark):
     """Round-9 review: re-persisting a table pops the OLD definition's
     DEFAULT/CHECK declarations BEFORE the property pin — a fresh
@@ -3272,6 +3281,7 @@ def test_replaced_table_drops_stale_default_check_props(spark):
             eng.drop("sp")
 
 
+@pytest.mark.slow
 def test_round9_review_fixes(spark):
     """Round-9 self-review regressions: (1) backslashes in persisted
     CHECK/DEFAULT properties survive the TBLPROPERTIES literal
@@ -3429,6 +3439,7 @@ def test_copy_from_skip_rows(spark, tmp_path):
     assert [tuple(r) for r in eng.sql(q).collect()] == con.execute(q).fetchall()
 
 
+@pytest.mark.slow
 def test_round9_review_pass2_fixes(spark, tmp_path):
     """Round-9 second self-review pass: (1) a REFUSED put never strips
     DEFAULT/CHECK enforcement; (2) ROLLBACK after a partial-commit

@@ -3,10 +3,16 @@
 The rewritten headline queries (q1, q3, q3_bucketed, q5, q9, q18,
 q18_bucketed) already prove DuckDB value parity through the oracle
 suite; these tests pin the properties the oracle can't see:
-bit-identity with the previous SUM(DECIMAL) formulation on data that
-contains non-2dp doubles (sf0.01 has ~18k such lineitem rows), the
-per-row rounding/NULL/negative semantics of the building blocks, and
-the plan shape (long partial sums, pruning intact).
+bit-identity with the previous SUM(DECIMAL) formulation on data whose
+double*100 products are non-integral FP (sf0.01 has ~18k such
+lineitem rows — still 2-dp grid VALUES, but the product needs a
+round), the per-row rounding/NULL/negative semantics of the building
+blocks, and the plan shape (long partial sums, pruning intact).
+
+Round 16: ``ulong`` is the pure-FP fast form contracted to
+scale-decimal-grid inputs (every schema money column);
+``ulong_decimal`` is the general HALF_UP reference. Both contracts
+are pinned below.
 """
 
 import os
@@ -18,6 +24,7 @@ from mallard_spark.plans.fixedpoint import (
     fx_double,
     fx_two_phase,
     ulong,
+    ulong_decimal,
     urev,
 )
 
@@ -27,19 +34,44 @@ D = "decimal(12,2)"
 P = "decimal(4,2)"
 
 
-def test_ulong_matches_decimal_cast_rounding(spark):
-    """ulong must reproduce the decimal cast's HALF_UP rounding exactly
-    — including 3-dp values on the .005 boundary and negatives, where
-    a float-side round() would diverge (half-even / fp-error)."""
+def test_ulong_decimal_matches_decimal_cast_rounding(spark):
+    """ulong_decimal (the general reference form) must reproduce the
+    decimal cast's HALF_UP rounding exactly — including 3-dp values on
+    the .005 boundary and negatives, where a float-side round()
+    diverges (Spark's cast rounds the double's SHORTEST decimal
+    representation: 1.005 → 1.01)."""
     vals = [0.125, 0.135, -0.125, 1.005, 2.675, -2.675, 0.0, 12.34,
             99999999.99, -99999999.99]
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     rows = df.select(
         (F.col("x").cast(D) * 100).alias("dec_u"),
-        ulong("x").alias("u"),
+        ulong_decimal("x").alias("u"),
     ).collect()
     for r in rows:
         assert int(r.dec_u) == r.u
+
+
+def test_ulong_fp_matches_decimal_on_money_grid(spark):
+    """ulong (round 16: the pure-FP fast form, contract = scale-decimal
+    grid inputs, i.e. every schema money column) must equal
+    ulong_decimal on grid values — including negatives, zero, values
+    whose double*100 product is non-integral FP (0.07, 1.1), and the
+    10^prec boundary. Its divergence OFF the grid (e.g. 1.005, where
+    the decimal cast's shortest-repr rounding gives 101 but the
+    product rounding gives 100) is documented contract, pinned here so
+    a silent semantic drift in either form fails loudly."""
+    grid = [0.0, 0.01, -0.01, 0.07, 1.1, 12.34, 0.5, -0.5, 123.45,
+            -123.45, 99999999.99, -99999999.99, 1e9 + 0.13]
+    df = spark.createDataFrame([(v,) for v in grid], "x double")
+    rows = df.select(
+        ulong_decimal("x").alias("ref"), ulong("x").alias("fast")
+    ).collect()
+    for r in rows:
+        assert r.ref == r.fast, r
+    off = spark.createDataFrame([(1.005,)], "x double").select(
+        ulong_decimal("x").alias("ref"), ulong("x").alias("fast")
+    ).collect()[0]
+    assert (off.ref, off.fast) == (101, 100)
 
 
 def test_ulong_null_passthrough(spark):
@@ -68,8 +100,8 @@ def test_fx_double_reconstruction_exact(spark):
 )
 def test_q1_bit_identical_to_decimal_formulation(spark):
     """The fixed-point q1 must be bit-identical to the plain
-    SUM(DECIMAL) formulation over sf0.01 — the SF with non-2dp rows
-    (the driver's correctness scale)."""
+    SUM(DECIMAL) formulation over sf0.01 — the SF with non-integral
+    double*100 products (the driver's correctness scale)."""
     from mallard_spark.registry import load_all
 
     li = spark.read.parquet(os.path.join(SF001, "lineitem.parquet"))
@@ -109,7 +141,9 @@ def test_fx_two_phase_matches_single_phase(spark):
     """Two-phase partials must reduce to the same values as a direct
     decimal sum, for any grouping — including groups whose rows span
     partitions."""
-    data = [(i % 3, float(i) + 0.005 * (i % 2)) for i in range(1000)]
+    # grid values (ulong's round-16 contract); the off-grid rounding
+    # contract is pinned by test_ulong_fp_matches_decimal_on_money_grid
+    data = [(i % 3, float(i) + 0.01 * (i % 7) + 0.07 * (i % 2)) for i in range(1000)]
     df = spark.createDataFrame(data, "k int, x double").repartition(7)
     got = {
         r.k: (r.s, r.n)

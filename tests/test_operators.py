@@ -289,6 +289,7 @@ def test_knn_pq_trained_recall_at_sf01(spark):
     assert hits / n >= 0.8, f"mean pq_trained recall@5 {hits / n:.3f} < 0.8"
 
 
+@pytest.mark.slow
 def test_operators_tolerate_empty_input(spark, tmp_path):
     """Schema-only (zero-row) input must yield zero rows, not a crash:
     the boundary every real pipeline hits on an empty partition/day.
@@ -385,6 +386,7 @@ def test_shard_assignment_invariants(spark, sf_dir):
     df.unpersist()
 
 
+@pytest.mark.slow
 def test_knn_ivf_kmeans_recall_at_sf01(spark):
     """k-means IVF with index multi-assignment (assign=2) +
     nprobe=16: mean recall@5 >= 0.8 at sf0.1 (measured 0.96; 0.64 at

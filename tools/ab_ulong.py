@@ -40,7 +40,9 @@ def ulong_dec(col, prec, scale):
 
 
 def ulong_fp(col, prec, scale):
-    return F.expr(f"CAST(rint({col} * {10 ** scale}) AS BIGINT)")
+    # the shipped form (fixedpoint.ulong): HALF_UP away from zero
+    u = F.col(col) * (10 ** scale)
+    return (F.signum(u) * F.floor(F.abs(u) + F.lit(0.5))).cast("long")
 
 
 def q1_agg(df, ul):

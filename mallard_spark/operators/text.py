@@ -622,6 +622,76 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entropy_batch(batches):
+    """Arrow-batched per-document character entropy (round 16, guide
+    §4.2; VERDICT r15 item #4) — the exact value of the HOF-expression
+    fold below, reproduced term-for-term:
+
+    - Spark ``split(text, '')`` yields the string's code points;
+      Python's UTF-32 encoding is the same sequence, and
+      ``length(text)`` == the code-point count on both sides.
+    - ``array_sort(array_distinct(chars))`` sorts single-code-point
+      strings by UTF-8 binary order, which equals code-point order —
+      ``np.unique`` over the code points visits the same distinct
+      characters in the same order (batch-vectorized with a
+      ``doc_idx·0x110000 + codepoint`` combined key, so one unique()
+      call serves the whole batch).
+    - Each term ``(c/L) * log2(L/c)`` is the same two IEEE divisions,
+      one multiply and one log2; the per-doc sum is ``np.cumsum``
+      (defined sequentially: out[i] = out[i-1] + a[i]) — the exact
+      left fold ``((0 + t1) + t2) + …`` with the same 0.0 + t1 == t1
+      head.
+    - log2: numpy's C log2 vs the JVM's — not provably identical per
+      ulp, so the replacement is gated EMPIRICALLY like round6_fp:
+      verified per-row equal (null-safe, post-round) to the HOF
+      expression over the COMPLETE documents corpus at
+      sf0.001/0.01/0.1 and the 1M-doc sf10 replica — 0 mismatches
+      (see OPTIMIZATION_r16.md). The expression form stays below as
+      the semantic spec and DuckDB-oracle mirror.
+
+    The final ``round(, 6)`` and the empty-text CASE stay in the JVM
+    projection, so this pass only reproduces the raw fold.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    log2 = np.log2
+    for batch in batches:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        ents = np.zeros(n, dtype=np.float64)
+        enc, lens, idxs = [], [], []
+        for i, t in enumerate(texts):
+            if t:
+                enc.append(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
+                lens.append(len(t))
+                idxs.append(i)
+        if enc:
+            doc_key = np.repeat(
+                np.arange(len(enc), dtype=np.int64),
+                np.fromiter((e.size for e in enc), dtype=np.int64),
+            )
+            combined = doc_key * 0x110000 + np.concatenate(enc).astype(np.int64)
+            keys, counts = np.unique(combined, return_counts=True)
+            seg_doc = keys // 0x110000
+            bounds = np.searchsorted(seg_doc, np.arange(len(enc) + 1))
+            c = counts.astype(np.float64)
+            L = np.asarray(lens, dtype=np.float64)[seg_doc]
+            terms = (c / L) * log2(L / c)
+            for j in range(len(enc)):
+                lo, hi = bounds[j], bounds[j + 1]
+                ents[idxs[j]] = np.cumsum(terms[lo:hi])[-1]
+        # NULL text → NULL entropy (the CASE expression's NULL
+        # propagation); empty string → 0.0 (its THEN branch)
+        mask = np.fromiter((t is None for t in texts), dtype=bool, count=n)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), batch.column("lang"),
+             pa.array(ents, mask=mask)],
+            names=["doc_id", "lang", "char_entropy"],
+        )
+
+
+
 @query(
     "text_entropy",
     oracle="""
@@ -643,29 +713,39 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic cheap spam/repetition detector (near-zero entropy = runs
     of one character; English prose sits ~4.0-4.5).
 
-    Plan shape: single scan, pure higher-order array expressions
-    (split → distinct → fold) — O(len·distinct_chars) per row with NO
-    shuffle and NO per-char row explosion (exploding to (doc, char)
-    rows and re-aggregating would shuffle ~1000× the corpus at
-    100 TB). The float fold visits distinct chars in SORTED order on
-    both engines, so the IEEE sum order — and therefore the rounded
-    value — is bit-identical to the DuckDB oracle.
+    Plan shape: single scan → one Arrow pass → projection — NO shuffle
+    and NO per-char row explosion (exploding to (doc, char) rows and
+    re-aggregating would shuffle ~1000× the corpus at 100 TB).
+
+    Round 16 (guide §4.2): the per-row higher-order fold — Spark
+    evaluates HOF lambdas INTERPRETED, and this one is
+    O(len·distinct_chars) `filter()` scans per doc, twice per distinct
+    char — moves to the Arrow-batched numpy pass above (same values,
+    see its docstring; the spec expression is kept here as the oracle
+    mirror). Paired best-of-3 at sf0.1: 5.21 → measured-after commit
+    note; the pass is also `spread()` so the single-partition local
+    scan doesn't serialize it on one core.
+
+    Semantic spec (the DuckDB-oracle mirror the Arrow pass reproduces):
+
+        CASE WHEN length(text) = 0 THEN 0.0 ELSE
+          round(aggregate(array_sort(array_distinct(split(text, ''))),
+                cast(0.0 as double),
+                (acc, c) -> acc + (size(filter(chars, x -> x = c)) / L)
+                            * log2(L / size(filter(chars, x -> x = c)))), 6)
+        END,  L = cast(length(text) as double)
     """
-    docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", "lang", "text", F.expr("split(text, '')").alias("chars"))
-    return staged.select(
-        "doc_id",
-        "lang",
-        F.expr(
-            "CASE WHEN length(text) = 0 THEN 0.0 ELSE"
-            " round(aggregate(array_sort(array_distinct(chars)),"
-            " cast(0.0 as double),"
-            " (acc, c) -> acc + (size(filter(chars, x -> x = c))"
-            "   / cast(length(text) as double))"
-            "  * log2(cast(length(text) as double)"
-            "         / size(filter(chars, x -> x = c)))), 6)"
-            " END"
-        ).alias("char_entropy"),
+    from mallard_spark.functions.exec import spread
+    from mallard_spark.session import ship_package
+
+    ship_package(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", "lang", "text").mapInArrow(
+        _entropy_batch,
+        schema="doc_id long, lang string, char_entropy double",
+    )
+    return raw.select(
+        "doc_id", "lang", F.round("char_entropy", 6).alias("char_entropy")
     )
 
 

@@ -47,6 +47,34 @@ STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
 @contextmanager
+def _no_nodata_batches(spark: SparkSession):
+    """Disable watermark-advance (no-data) micro-batches while a
+    stream runs to completion (round 16, VERDICT r15 item #5).
+
+    SCOPE WITH CARE: safe ONLY for queries whose every output row is
+    emitted by a DATA batch — the INNER stream-stream interval join
+    emits eagerly on match, and its no-data batches exist purely to
+    prune buffered state, which is moot for a run-to-completion
+    invocation (the query stops right after processAllAvailable).
+    Append-mode aggregations (stream_windowed_agg) and OUTER
+    stream-stream joins (stream_interval_join_outer) emit their
+    final/null-extended rows IN the watermark-advance batch — for
+    those, disabling this setting LOSES rows. Measured paired
+    best-of-3 on stream_interval_join, results collect-compared
+    identical (1468 rows): 2.10 → 1.44 s. stream_dedup_minhash
+    measured neutral (1.24/1.22 s) and keeps the default.
+    """
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old
+        )
+
+
+@contextmanager
 def _state_shuffle(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Pin shuffle partitions while a stateful stream STARTS (the
     value is captured into the query's checkpoint at start), then
@@ -659,17 +687,22 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    with _state_shuffle(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # round 16: INNER join — every row is emitted by a data batch, so
+    # the watermark-advance (no-data) micro-batches only prune state
+    # the run-to-completion invocation never reuses; skipping them is
+    # result-identical (see _no_nodata_batches) and -32% wall.
+    with _no_nodata_batches(spark):
+        with _state_shuffle(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 

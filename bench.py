@@ -261,8 +261,15 @@ def main() -> None:
     # that committed measurement, not a fresh run. (r11 replaces the
     # r09 block the round-10 VERDICT flagged as protocol-tainted.)
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("sf1", "BENCH10X_r12.json"),
-                       ("sf10", "BENCH100X_r12.json")):
+    # round 16: prefer the freshest committed scaled measurement;
+    # fall back to the r12 artifacts where no newer one exists
+    for key, fnames in (("sf1", ["BENCH10X_r12.json"]),
+                        ("sf10", ["BENCH100X_r16.json",
+                                  "BENCH100X_r12.json"])):
+        fname = next(
+            (f for f in fnames if os.path.exists(os.path.join(here, f))),
+            fnames[-1],
+        )
         p = os.path.join(here, fname)
         if os.path.exists(p):
             try:

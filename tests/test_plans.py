@@ -185,11 +185,15 @@ def test_substring_windows_stage_and_no_cartesian(spark, sf_dir):
 
 
 def test_text_entropy_no_shuffle(spark, sf_dir):
-    # per-row higher-order fold — the whole query must stay in the
-    # scan stage (no per-char explode → no corpus-scale shuffle)
+    # round 16: per-row work runs in ONE Arrow pass — still no
+    # per-char explode and no hash (corpus-keyed) shuffle. The only
+    # Exchange allowed is spread()'s RoundRobin fan-out, which exists
+    # ONLY on under-parallel local scans (a split input at scale makes
+    # it a no-op — functions/exec.py::spread).
     plan = _plan(spark, sf_dir, "text_entropy")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
 
 
 def test_filter_cascade_single_agg_exchange(spark, sf_dir):
